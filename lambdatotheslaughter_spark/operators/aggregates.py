@@ -64,3 +64,161 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+_DISTINCT_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*) AS n_rows,
+       {oracle_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_distinct", oracle=_DISTINCT_ORACLE)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) alongside plain aggs — forces Catalyst's Expand +
+    two-phase distinct aggregation (SURVEY.md §2.4)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@register("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct users per event type. Approximate by
+    design -> rows-only check (SURVEY.md §2.4 says do NOT hash-match)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_ROLLUP_ORACLE = f"""
+SELECT n_name,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       {oracle_dsum('o_totalprice')} AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT))
+"""
+
+
+@register("agg_grouping_sets", oracle=_ROLLUP_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP revenue by (nation, year) -> (nation) -> (): the grouping-sets
+    Expand operator. Dimension joins are broadcast (25-row nation)."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+    )
+    return joined.rollup("n_name", "o_year").agg(
+        dsum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("agg_having", oracle="""
+SELECT o_custkey, COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) > 12
+""")
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") > 12)
+    )
+
+
+_STATS_ORACLE = f"""
+SELECT MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
+       ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+       ROUND(CORR(l_extendedprice, l_quantity), 4) AS corr_price_qty,
+       {oracle_davg('l_discount')} AS avg_disc
+FROM lineitem
+"""
+
+
+@register("agg_stats", oracle=_STATS_ORACLE)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates. stddev/var/corr are merge-order-dependent in
+    the last bits (Welford partial merges), so both sides round to 4 dp —
+    the documented tolerance strategy, not a cop-out (SURVEY.md §2 caveats)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
+        davg("l_discount").alias("avg_disc"),
+    )
+
+
+@register("agg_collect_sorted", oracle="""
+SELECT l_orderkey,
+       array_to_string(list_sort(list(l_partkey)), ',') AS partkeys
+FROM lineitem
+GROUP BY l_orderkey
+""")
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order sorted partkey list. sort_array() makes the collect
+    deterministic — collect_list order is not guaranteed across partitions.
+    Serialized to a joined string: array cells cross the Spark/DuckDB/pandas
+    boundary as numpy-array vs list and can defeat value hashing; a string
+    is representation-stable (driver-contract gotcha)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(F.sort_array(F.collect_list("l_partkey")), ",").alias("partkeys"))
+
+
+def _filtered_dsum(etype: str) -> str:
+    return ("CAST(SUM(CAST(value AS DECIMAL(38,6))) "
+            f"FILTER (WHERE event_type = '{etype}') AS DOUBLE)")
+
+
+_COND_ORACLE = f"""
+SELECT date_trunc('day', ts) AS day,
+       {_filtered_dsum('click')} AS click_value,
+       {_filtered_dsum('view')} AS view_value,
+       {_filtered_dsum('purchase')} AS purchase_value,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors
+FROM events
+GROUP BY date_trunc('day', ts)
+"""
+
+
+@register("agg_conditional", oracle=_COND_ORACLE)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-shaped conditional aggregation: one pass, per-type columns via
+    FILTER/CASE — the single-shuffle alternative to groupBy().pivot()."""
+    ev = load_table(spark, "events", sf_dir)
+
+    def typed_sum(t: str) -> F.Column:
+        return dsum(F.when(F.col("event_type") == t, F.col("value")))
+
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        typed_sum("click").alias("click_value"),
+        typed_sum("view").alias("view_value"),
+        typed_sum("purchase").alias("purchase_value"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )

@@ -1,1 +1,146 @@
-"""Populated in later milestones."""
+"""Scan / source / sink operators (SURVEY.md §2.1).
+
+The batch layer of the lambda architecture: immutable parquet master data in,
+serving views out (managed tables = the Hive/Kudu analog). Scan queries are
+also the plan-shape canaries — tests/test_plans.py asserts projection and
+predicate pushdown reach the parquet reader, which is what keeps a 100 TB
+scan from reading 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lambdatotheslaughter_spark.determinism import dsum, oracle_dsum
+from lambdatotheslaughter_spark.registry import register
+from lambdatotheslaughter_spark.tables import load_table
+
+_SCAN_ORACLE = f"""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       {oracle_dsum('o_totalprice')} AS price_sum
+FROM orders
+"""
+
+
+@register("scan_parquet", oracle=_SCAN_ORACLE)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan + checksum. At scale this is a pure map-side pass: no
+    shuffle beyond the single-row final aggregate."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        dsum("o_totalprice").alias("price_sum"),
+    )
+
+
+@register("scan_projection_pushdown",
+          oracle="SELECT l_orderkey, l_quantity FROM lineitem")
+def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-of-11-column projection; ReadSchema must shrink to exactly these
+    (columnar pruning = 5× less parquet IO on this table)."""
+    return load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+
+
+@register("scan_predicate_pushdown", oracle="""
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2001-06-01 00:00:00'
+""")
+def scan_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushed into the parquet reader (row-group stats skip)."""
+    return (
+        load_table(spark, "lineitem", sf_dir)
+        .where(F.col("l_shipdate") >= F.lit("2001-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    )
+
+
+_SINK_SELECT = """
+SELECT l_returnflag, COUNT(*) AS n_rows, CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+def _sink_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf_dir)
+        .where(F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("l_orderkey").cast("bigint").alias("key_sum"))
+    )
+
+
+@register("sink_parquet", oracle=_SINK_SELECT)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write → read-back round trip. Deterministic content, so it gets a full
+    oracle (stronger than the rows-only minimum in SURVEY.md §2.1)."""
+    out = os.path.join(tempfile.gettempdir(), "lts_sink_parquet")
+    _sink_source(spark, sf_dir).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@register("sink_managed_table", oracle=_SINK_SELECT)
+def sink_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-layer managed table (the Kudu/Hive batch-view analog):
+    ``saveAsTable`` into the local warehouse, read back via the catalog."""
+    spark.sql("DROP TABLE IF EXISTS lts_serving_view")
+    # a fresh session's catalog doesn't know about a prior run's warehouse
+    # dir; clear any orphan location so saveAsTable doesn't refuse it
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        "lts_serving_view")
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+    _sink_source(spark, sf_dir).write.mode("overwrite").saveAsTable("lts_serving_view")
+    return spark.table("lts_serving_view")
+
+
+_ENVELOPE_SCHEMA = T.StructType([
+    T.StructField("ts_us", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+_KAFKA_ORACLE = """
+SELECT ts, user_id, event_type, value,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+FROM events
+"""
+
+
+@register("source_kafka_shaped", oracle=_KAFKA_ORACLE)
+def source_kafka_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speed-layer ingestion shape (SURVEY.md §2.1): serialize events into a
+    Kafka-style (key, json-value, timestamp) envelope, then parse it back with
+    ``from_json`` exactly as a ``readStream.format("kafka")`` consumer would.
+    Timestamps travel as epoch-micros so the round trip is lossless (events.ts
+    carries µs precision). In production only the source line changes.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    envelope = ev.select(
+        F.col("event_id").cast("string").alias("key"),
+        F.to_json(F.struct(
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id", "event_type", "value", "props",
+        )).alias("value"),
+    )
+    j = envelope.select(F.from_json("value", _ENVELOPE_SCHEMA).alias("j"))
+    return j.select(
+        F.timestamp_micros(F.col("j.ts_us")).alias("ts"),
+        F.col("j.user_id").alias("user_id"),
+        F.col("j.event_type").alias("event_type"),
+        F.col("j.value").alias("value"),
+        F.get_json_object(F.col("j.props"), "$.k").cast("bigint").alias("prop_k"),
+    )

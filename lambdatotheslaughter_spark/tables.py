@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,9 +67,12 @@ SCHEMAS: dict[str, T.StructType] = {
         T.StructField("l_linestatus", T.StringType()),
         T.StructField("l_shipdate", T.TimestampType()),
     ]),
+    # events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+    # timestamp; read it as raw int64 nanos (legacy.parquet.nanosAsLong)
+    # and truncate to µs in load_table (DuckDB does the same truncation).
     "events": T.StructType([
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
+        T.StructField("ts", T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -96,7 +100,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     exact and avoids per-query footer inference on a 100 TB lake."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; one of {TABLE_NAMES}")
-    return spark.read.schema(SCHEMAS[name]).parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # runtime-settable SQL conf; works on any session the driver hands us
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.schema(SCHEMAS[name]).parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
