@@ -1,1 +1,259 @@
-"""Populated in later milestones."""
+"""Scalar-function operators: string / date / math / array / map / JSON
+(SURVEY.md §2.8).
+
+All per-row, all JVM-side builtins inside the scan's codegen stage — zero
+Python in the hot path. Dialect traps vs DuckDB handled per SURVEY §2.8:
+dayofweek numbering (+1), date_diff argument order, libm 1-ulp drift
+(rounded to 8 dp), array cells string-joined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambdatotheslaughter_spark.registry import register
+from lambdatotheslaughter_spark.tables import load_table
+
+
+@register("str_basic", oracle="""
+SELECT c_custkey,
+       lower(c_name) AS lower_name,
+       upper(c_mktsegment) AS upper_seg,
+       trim(concat('  ', c_name, ' ')) AS trimmed,
+       substring(c_name, 1, 8) AS prefix8,
+       concat_ws('|', c_name, c_mktsegment) AS joined,
+       CAST(length(c_name) AS BIGINT) AS name_len
+FROM customer
+""")
+def str_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lower/upper/trim/substring/concat_ws/length (ASCII-safe data)."""
+    c = load_table(spark, "customer", sf_dir)
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lower_name"),
+        F.upper("c_mktsegment").alias("upper_seg"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+    )
+
+
+@register("str_split_regexp", oracle=r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       string_split(text, ' ')[1] AS first_token,
+       regexp_extract(source, '(\d+)', 1) AS source_num,
+       regexp_replace(lang, 'en', 'english') AS lang_replaced
+FROM documents
+""")
+def str_split_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split / regexp_extract / regexp_replace. Patterns kept to the regex
+    subset where Java and RE2-ish dialects agree (SURVEY §2.8 caveat)."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        toks.getItem(0).alias("first_token"),
+        F.regexp_extract("source", r"(\d+)", 1).alias("source_num"),
+        F.regexp_replace("lang", "en", "english").alias("lang_replaced"),
+    )
+
+
+@register("str_levenshtein", oracle="""
+SELECT p_partkey, p_name,
+       CAST(levenshtein(p_name, 'red widget') AS BIGINT) AS dist_to_ref
+FROM part
+WHERE p_brand = 'Brand#2'
+""")
+def str_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance to a reference name (string-similarity primitive,
+    SURVEY §2.8 / PAPERS.md string-similarity-join)."""
+    p = load_table(spark, "part", sf_dir).where(F.col("p_brand") == "Brand#2")
+    return p.select(
+        "p_partkey", "p_name",
+        F.levenshtein(F.col("p_name"), F.lit("red widget")).cast("bigint").alias("dist_to_ref"),
+    )
+
+
+@register("date_extract_trunc", oracle="""
+SELECT o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS o_month,
+       CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS o_day,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS o_dow,
+       date_trunc('month', o_orderdate) AS month_start
+FROM orders
+""")
+def date_extract_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/dayofweek + date_trunc. Spark dayofweek is 1=Sunday,
+    DuckDB is 0=Sunday — oracle shifts by +1 (SURVEY §2.8 trap)."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        F.month("o_orderdate").cast("bigint").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("o_day"),
+        F.dayofweek("o_orderdate").cast("bigint").alias("o_dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+    )
+
+
+@register("date_arith", oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS ship_delay_days,
+       l_shipdate + INTERVAL 30 MINUTE AS ship_plus_30m,
+       o_orderdate + INTERVAL 1 MONTH AS order_next_month
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_orderkey < 1000
+""")
+def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datediff / interval add / add_months. Spark datediff(end, start) ==
+    DuckDB date_diff('day', start, end) — argument order flips (§2.8 trap);
+    both clamp month-end on add_months."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_orderkey") < 1000)
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+             .cast("bigint").alias("ship_delay_days"),
+            (F.col("l_shipdate") + F.expr("INTERVAL 30 MINUTE")).alias("ship_plus_30m"),
+            F.add_months(F.col("o_orderdate"), 1).cast("timestamp").alias("order_next_month"),
+        )
+    )
+
+
+@register("math_round_abs", oracle="""
+SELECT p_partkey,
+       round(p_retailprice / 7.0, 2) AS price_r2,
+       floor(p_retailprice) AS price_floor,
+       ceil(p_retailprice) AS price_ceil,
+       abs(p_retailprice - 1000.0) AS dist_1000,
+       round(ln(p_retailprice), 8) AS ln_price,
+       round(pow(p_retailprice, 1.5), 4) AS price_pow,
+       round(sqrt(p_retailprice), 8) AS price_sqrt
+FROM part
+""")
+def math_round_abs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/floor/ceil/abs/ln/pow/sqrt. Transcendentals (ln/pow) round to
+    fixed dp — JVM vs libm can differ by 1 ulp; /7.0 before round keeps
+    values off engineered .5 ties (§2.8 trap)."""
+    p = load_table(spark, "part", sf_dir)
+    price = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.round(price / 7.0, 2).alias("price_r2"),
+        F.floor(price).cast("double").alias("price_floor"),
+        F.ceil(price).cast("double").alias("price_ceil"),
+        F.abs(price - 1000.0).alias("dist_1000"),
+        F.round(F.log(price), 8).alias("ln_price"),
+        F.round(F.pow(price, 1.5), 4).alias("price_pow"),
+        F.round(F.sqrt(price), 8).alias("price_sqrt"),
+    )
+
+
+@register("array_ops", oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM toks
+GROUP BY token
+HAVING COUNT(*) > 200
+""")
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → explode → re-aggregate (token frequencies): the tokenization
+    skeleton under every text-analysis operator in §2.10."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"),
+             F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_occurrences") > 200)
+    )
+
+
+@register("arr_higher_order", oracle="""
+SELECT vec_id,
+       sqrt(list_reduce(list_transform(embedding,
+                                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        (a, b) -> a + b)) AS l2_norm,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+       list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2)[1] AS d1,
+       list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2)[2] AS d2,
+       list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2)[3] AS d3
+FROM embeddings
+""")
+def arr_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform / filter / aggregate lambdas over the embedding array.
+    L2 norm via sequential fold — both engines fold left-to-right, so the
+    double sum is bit-identical (no rounding needed). Transformed elements
+    come back as numeric columns, never stringified doubles: Java renders
+    small doubles as '-8.2E-4' where DuckDB prints '-0.00082'."""
+    e = load_table(spark, "embeddings", sf_dir)
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    doubled = F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double") * 2)
+    return e.select(
+        "vec_id",
+        F.sqrt(sq_sum).alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_positive"),
+        F.element_at(doubled, 1).alias("d1"),
+        F.element_at(doubled, 2).alias("d2"),
+        F.element_at(doubled, 3).alias("d3"),
+    )
+
+
+@register("map_ops", oracle="""
+SELECT r_regionkey,
+       map(['name', 'zone'], [r_name, CAST(r_regionkey % 2 AS VARCHAR)])['name'][1] AS m_name,
+       array_to_string(map_keys(map(['name', 'zone'],
+                                    [r_name, CAST(r_regionkey % 2 AS VARCHAR)])), ',') AS key_list,
+       array_to_string(map_values(map(['name', 'zone'],
+                                      [r_name, CAST(r_regionkey % 2 AS VARCHAR)])), ',') AS val_list
+FROM region
+""")
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a map, extract by key, enumerate keys/values (string-joined —
+    map cells don't hash stably across engines, SURVEY §2.8)."""
+    r = load_table(spark, "region", sf_dir)
+    m = F.create_map(
+        F.lit("name"), F.col("r_name"),
+        F.lit("zone"), (F.col("r_regionkey") % 2).cast("string"),
+    )
+    return r.select(
+        "r_regionkey",
+        m.getItem("name").alias("m_name"),
+        F.array_join(F.map_keys(m), ",").alias("key_list"),
+        F.array_join(F.map_values(m), ",").alias("val_list"),
+    )
+
+
+@register("json_extract", oracle="""
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY prop_k
+""")
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the semi-structured props payload, then
+    aggregate by the extracted key (schema-on-read on the speed layer)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+                  "value")
+        .groupBy("prop_k")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"))
+    )

@@ -1,1 +1,285 @@
-"""Populated in later milestones."""
+"""Join operators (SURVEY.md §2.3).
+
+Scale notes baked into each shape:
+- dimension joins (nation/region/supplier) are explicit ``F.broadcast`` —
+  no shuffle of the fact table;
+- the fact-fact equi joins shuffle on their keys once and let AQE pick
+  sort-merge vs shuffled-hash;
+- the as-of join is the union+running-window formulation (one sort per
+  partition key) rather than the naive pair-join + filter, which explodes
+  at 100 TB;
+- the interval join is rewritten hour-bucket-equi + residual filter, so it
+  broadcasts instead of nested-looping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lambdatotheslaughter_spark.determinism import dsum, oracle_dsum
+from lambdatotheslaughter_spark.registry import register
+from lambdatotheslaughter_spark.tables import load_table
+
+
+@register("join_inner_equi", oracle="""
+SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F'
+""")
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equi inner join on the FK; Catalyst/AQE picks the strategy."""
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_orderstatus") == "F")
+    c = load_table(spark, "customer", sf_dir)
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice")
+
+
+_BROADCAST_ORACLE = f"""
+SELECT n_name,
+       {oracle_dsum('l_quantity')} AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("join_broadcast", oracle=_BROADCAST_ORACLE)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ small dims with forced broadcast: zero shuffle of lineitem
+    before the aggregate — the only sane plan at 100 TB."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum("l_quantity").alias("sum_qty"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_Q5_ORACLE = f"""
+SELECT n_name,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("join_multiway_star", oracle=_Q5_ORACLE)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star chain. Dims broadcast, facts shuffle on
+    FK keys once each; AQE reorders/coalesces at runtime."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(s),
+              (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register("join_left_right_full", oracle="""
+WITH recent AS (
+  SELECT o_custkey, COUNT(*) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+  GROUP BY o_custkey
+), pos AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+)
+SELECT pos.c_custkey, pos.c_name, recent.o_custkey, recent.n_orders
+FROM pos FULL JOIN recent ON pos.c_custkey = recent.o_custkey
+""")
+def join_left_right_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with null extension on BOTH sides: rich customers
+    with no recent orders, and recent-order customers who aren't rich."""
+    c = load_table(spark, "customer", sf_dir).where(F.col("c_acctbal") > 5000) \
+        .select("c_custkey", "c_name")
+    recent = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(recent, c.c_custkey == recent.o_custkey, "full").select(
+        "c_custkey", "c_name", "o_custkey", "n_orders")
+
+
+@register("join_semi", oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers having >= 1 urgent order. Semi join never
+    duplicates the left side — no post-dedup needed."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register("join_anti", oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+""")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders since 2000."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register("join_theta_range", oracle="""
+SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+       a.p_retailprice AS a_price, b.p_retailprice AS b_price
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND b.p_retailprice BETWEEN a.p_retailprice * 0.99 AND a.p_retailprice * 1.01
+WHERE a.p_brand = 'Brand#1' AND b.p_brand = 'Brand#1'
+""")
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi theta join (price-band self pairs). The small side is
+    broadcast explicitly — a nested-loop join must never shuffle-explode."""
+    p = load_table(spark, "part", sf_dir).where(F.col("p_brand") == "Brand#1")
+    a = p.select(F.col("p_partkey").alias("a_key"), F.col("p_retailprice").alias("a_price"))
+    b = p.select(F.col("p_partkey").alias("b_key"), F.col("p_retailprice").alias("b_price"))
+    cond = (F.col("a_key") < F.col("b_key")) & \
+        F.col("b_price").between(F.col("a_price") * 0.99, F.col("a_price") * 1.01)
+    return a.join(F.broadcast(b), cond).select("a_key", "b_key", "a_price", "b_price")
+
+
+@register("join_cross", oracle="""
+SELECT r_name, o_orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+""")
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small cartesian: 5 regions x 3 statuses."""
+    r = load_table(spark, "region", sf_dir).select("r_name")
+    s = load_table(spark, "orders", sf_dir).select("o_orderstatus").distinct()
+    return r.crossJoin(s)
+
+
+_ASOF_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       p.ts AS purchase_ts,
+       c.event_id AS click_id,
+       c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts > c.ts
+"""
+
+
+@register("join_asof_event_order", oracle=_ASOF_ORACLE)
+def join_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest strictly-prior
+    click (speed-layer enrichment pattern, SURVEY.md §2.3).
+
+    Spark has no native as-of; this is the scalable union+running-window
+    formulation: tag both streams, one window sort per user, carry the last
+    click forward with last(ignorenulls). One shuffle on user_id, linear in
+    input — unlike the pair-join formulation, which is quadratic per user.
+    DuckDB's native ASOF JOIN is the independent cross-check.
+    (ts values are unique per user — verified — so no tie-break is needed.)
+    """
+    ev = load_table(spark, "events", sf_dir)
+    tagged = ev.where(F.col("event_type").isin("purchase", "click"))
+    w = Window.partitionBy("user_id").orderBy("ts") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_click = F.col("event_type") == "click"
+    enriched = tagged.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True).over(w).alias("click_id"),
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return (
+        enriched.where((F.col("event_type") == "purchase") & F.col("click_id").isNotNull())
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("ts").alias("purchase_ts"), "click_id", "click_ts")
+    )
+
+
+_INTERVAL_ORACLE = f"""
+WITH win AS (
+  SELECT w_start, w_start + INTERVAL 30 MINUTE AS w_end
+  FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                      TIMESTAMP '2024-01-30 00:00:00',
+                                      INTERVAL 1 HOUR)) AS w_start)
+)
+SELECT w_start, COUNT(*) AS n_events, {oracle_dsum('value')} AS sum_value
+FROM events JOIN win ON ts >= w_start AND ts < w_end
+GROUP BY w_start
+"""
+
+
+@register("join_interval_overlap", oracle=_INTERVAL_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events joined to the 30-min maintenance window at the top of each hour.
+
+    Formulated as hour-bucket EQUI join + residual time filter instead of a
+    raw range join: the equi key lets Spark broadcast-hash instead of
+    nested-looping every (event, window) pair — the difference between
+    O(n) and O(n*w) at scale.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    win = spark.range(1).select(F.explode(F.sequence(
+        F.lit("2024-01-01 00:00:00").cast("timestamp"),
+        F.lit("2024-01-30 00:00:00").cast("timestamp"),
+        F.expr("INTERVAL 1 HOUR"))).alias("w_start"))
+    win = win.withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 30 MINUTE"))
+    bucketed = ev.withColumn("hour_bucket", F.date_trunc("hour", "ts"))
+    return (
+        bucketed.join(F.broadcast(win), bucketed.hour_bucket == win.w_start)
+        .where((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .groupBy("w_start")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+    )
+
+
+@register("join_self_dedup_pairs", oracle="""
+SELECT a.label AS label, COUNT(*) AS n_pairs
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+GROUP BY a.label
+""")
+def join_self_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join pair generation (the skeleton under similarity dedup):
+    candidate pairs are co-partitioned by label (the blocking key), so each
+    block's quadratic blow-up stays partition-local."""
+    e = load_table(spark, "embeddings", sf_dir)
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("label").alias("label"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("label").alias("b_label"))
+    return (
+        a.join(b, (a.label == b.b_label) & (a.a_id < b.b_id))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
