@@ -1,1 +1,109 @@
-"""Populated in later milestones."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.11).
+
+These exist to prove the extension points, not for the hot path — every one
+of them is the slow path relative to built-in expressions (§2.8). Ordering
+of preference at scale: built-ins ≫ pandas_udf (Arrow-batched) ≫ Python UDF
+(row-at-a-time pickling). The oracle re-expresses each body in SQL.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambdatotheslaughter_spark.registry import register
+from lambdatotheslaughter_spark.tables import load_table
+
+
+@register("udf_python_scalar", oracle="""
+SELECT l_orderkey, l_linenumber, l_discount,
+       CASE WHEN l_discount < 0.02 THEN 'low'
+            WHEN l_discount < 0.06 THEN 'mid'
+            ELSE 'high' END AS disc_band
+FROM lineitem
+WHERE l_orderkey < 2000
+""")
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (discount banding). Deliberately simple —
+    the point is the serde boundary, and that the same logic is pure SQL
+    in the oracle."""
+    @F.udf("string")
+    def band(d: float) -> str:
+        if d < 0.02:
+            return "low"
+        if d < 0.06:
+            return "mid"
+        return "high"
+
+    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_orderkey") < 2000)
+    return li.select("l_orderkey", "l_linenumber", "l_discount",
+                     band("l_discount").alias("disc_band"))
+
+
+@register("udf_pandas_vectorized", oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+FROM lineitem
+WHERE l_orderkey < 2000
+""")
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF. numpy evaluates the same IEEE ops the
+    JVM/DuckDB would, so the result hash-matches without tolerance."""
+    @F.pandas_udf("double")
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge"))
+
+
+@register("udaf_pandas_grouped", oracle="""
+SELECT user_id,
+       round(quantile_cont(value, 0.5), 6) AS median_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+""")
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom aggregation via applyInPandas (per-user median).
+    Rounded to 6 dp: numpy's (a+b)/2 midpoint vs DuckDB's a+(b-a)*0.5
+    interpolation can differ by 1 ulp."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "value")
+
+    def median_agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "median_value": [round(float(pdf["value"].median()), 6)],
+            "n_events": [len(pdf)],
+        })
+
+    return ev.groupBy("user_id").applyInPandas(
+        median_agg, schema="user_id bigint, median_value double, n_events bigint")
+
+
+@register("udtf_explode_sessions", oracle="""
+SELECT r_regionkey, r_name,
+       unnest(generate_series(0, CAST(r_regionkey AS BIGINT))) AS seq
+FROM region
+""")
+def udtf_explode_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark ≥3.5): table function emitting N+1 rows per input
+    row via a LATERAL join — the session-expansion shape (SURVEY §2.11)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seq bigint")
+    class ExpandSeq:
+        def eval(self, n: int):
+            for i in range(n + 1):
+                yield (i,)
+
+    spark.udtf.register("lts_expand_seq", ExpandSeq)
+    load_table(spark, "region", sf_dir).createOrReplaceTempView("lts_region_v")
+    return spark.sql("""
+        SELECT r.r_regionkey, r.r_name, t.seq
+        FROM lts_region_v r, LATERAL lts_expand_seq(r.r_regionkey) t
+    """)
