@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Bench harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing discipline (BASELINE.md): one SparkSession amortized across the run;
+each query executed twice, warm (second) run reported; results drained with
+the noop sink so the measurement is the full distributed pipeline, not a
+driver-side collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lambdatotheslaughter_spark import registry
+from lambdatotheslaughter_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "agg_pricing_summary",      # q1: scan+agg
+    "topk_global",              # q3: 3-way join + topk
+    "join_multiway_star",       # q5: 6-table star
+    "win_topk_per_group",       # window top-3
+    "agg_distinct",             # count-distinct
+    "join_asof_event_order",    # as-of enrichment
+    "stream_session_window",    # sessionization twin
+    "stream_tumbling_agg",      # windowed stream twin
+    "llm_text_stats",           # text corpus stats
+    "llm_dedup_fuzzy_minhash",  # minhash-LSH near-dup
+    "llm_sim_knn_bruteforce",   # cosine top-k
+    "llm_fingerprint",          # rolling-hash fingerprints
+]
+
+
+def _drain(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(sf_match.group(1)) if sf_match else -1.0
+    spark = get_spark("lts-bench")
+    queries = registry.all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        _drain(fn(spark, SF_DIR))          # cold (plan + shuffle warmup)
+        t0 = time.perf_counter()
+        _drain(fn(spark, SF_DIR))          # warm: reported
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_warm_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -144,3 +144,37 @@ def source_kafka_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j.value").alias("value"),
         F.get_json_object(F.col("j.props"), "$.k").cast("bigint").alias("prop_k"),
     )
+
+
+_PARTITION_PRUNE_ORACLE = f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, COUNT(*) AS n_events,
+       {oracle_dsum('value')} AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+GROUP BY CAST(ts AS DATE)
+"""
+
+
+@register("scan_partition_pruning", oracle=_PARTITION_PRUNE_ORACLE)
+def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning (SURVEY §4): materialize a
+    date-partitioned copy of events (partitionBy event_date — the layout a
+    100 TB events lake would use), then query 3 of 30 partitions. The
+    partition filter prunes at PLANNING time: only those directories are
+    listed/read. tests/test_plans.py asserts the pruned file count."""
+    ev = load_table(spark, "events", sf_dir)
+    part_dir = os.path.join(tempfile.gettempdir(),
+                            f"lts_events_by_date_{os.path.basename(sf_dir.rstrip('/'))}")
+    marker = os.path.join(part_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        (ev.withColumn("event_date", F.to_date("ts"))
+         .write.mode("overwrite").partitionBy("event_date").parquet(part_dir))
+    part = spark.read.parquet(part_dir)
+    return (
+        part.where(F.col("event_date").between("2024-01-10", "2024-01-12"))
+        .groupBy("event_date")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        # DATE cells reach pandas as datetime.date from Spark but Timestamp
+        # from DuckDB — emit the ISO string instead (repr-stable)
+        .withColumn("event_date", F.col("event_date").cast("string"))
+    )

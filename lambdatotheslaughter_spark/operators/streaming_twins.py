@@ -1,1 +1,267 @@
-"""Populated in later milestones."""
+"""Speed-layer operators, batch-twin form (SURVEY.md §2.9).
+
+Every streaming operator here is registered as its BATCH twin over the
+events table — the form the DuckDB oracle can check. The genuinely
+streaming execution (readStream file-source micro-batches, watermarks,
+state store, foreachBatch upsert) runs in lambdatotheslaughter_spark/
+streaming/harness.py and is proven equivalent to these twins in
+tests/test_streaming.py — that twin-equivalence is the real streaming
+correctness check; the driver sees the oracled twins.
+
+The same F.window / session_window / dropDuplicates expressions are used by
+both forms, so the twin is not a reimplementation — it's the identical plan
+run over a bounded source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lambdatotheslaughter_spark.determinism import DEC, dsum, oracle_dsum
+from lambdatotheslaughter_spark.registry import register
+from lambdatotheslaughter_spark.tables import load_table
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """Shared by batch twin and streaming harness (identical plan)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+
+
+_TUMBLING_ORACLE = f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, {oracle_dsum('value')} AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+@register("stream_tumbling_agg", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows by event type. Epoch-aligned F.window ==
+    date_trunc('hour') for the oracle. Streaming form adds
+    withWatermark('ts', '10 minutes') and nothing else."""
+    return tumbling_agg(load_table(spark, "events", sf_dir))
+
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+_SLIDING_ORACLE = """
+WITH expanded AS (
+  SELECT CAST(to_timestamp((CAST(floor(epoch_us(ts) / 900000000.0) AS BIGINT) - k) * 900)
+              AS TIMESTAMP) AS window_start,
+         event_type
+  FROM events, (SELECT unnest(generate_series(0, 3)) AS k)
+)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM expanded
+GROUP BY window_start, event_type
+"""
+
+
+@register("stream_sliding_agg", oracle=_SLIDING_ORACLE)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min: each event lands in exactly 4
+    windows (Spark's window() explode). Oracle reproduces the 4-slot grid
+    arithmetic from epoch microseconds."""
+    return sliding_agg(load_table(spark, "events", sf_dir))
+
+
+def session_window_agg(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+    )
+
+
+_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         + INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+@register("stream_session_window", oracle=_SESSION_ORACLE)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-min inactivity gap via native
+    session_window (merge-on-overlap). Oracle is the classic lag+cumsum
+    sessionization — an independent formulation, which is the point:
+    session_end == last event + gap in both."""
+    return session_window_agg(load_table(spark, "events", sf_dir))
+
+
+def dedup_first_per_key(events: DataFrame) -> DataFrame:
+    return events.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"),
+        F.min_by("event_id", "ts").alias("first_event_id"))
+
+
+_DEDUP_ORACLE = """
+SELECT user_id, event_type,
+       MIN(ts) AS first_ts,
+       arg_min(event_id, ts) AS first_event_id
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+@register("stream_dedup", oracle=_DEDUP_ORACLE)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup per (user, event_type) — the batch twin of
+    dropDuplicatesWithinWatermark (event_id itself is unique in the data, so
+    the compound key is what exercises keep-first). min_by == arg_min; ts is
+    unique per user so the winner is total-order determined."""
+    return dedup_first_per_key(load_table(spark, "events", sf_dir))
+
+
+_RUNNING_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(38,6)))
+            OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_so_far
+FROM events
+"""
+
+
+@register("stream_stateful_running", oracle=_RUNNING_ORACLE)
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user aggregate — the Kudu-upsert speed-layer view
+    (SURVEY §2.9). Batch twin is a decimal-space running window; the
+    streaming form maintains the same state via applyInPandasWithState
+    (tests/test_streaming.py)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_so_far"),
+    )
+
+
+def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
+    joined = events.join(
+        F.broadcast(customer),
+        events.user_id + 1 == customer.c_custkey)
+    return joined.select("event_id", "user_id", "event_type", "value",
+                         "c_mktsegment", "c_nationkey")
+
+
+_ENRICH_ORACLE = """
+SELECT event_id, user_id, event_type, value, c_mktsegment, c_nationkey
+FROM events JOIN customer ON user_id + 1 = c_custkey
+"""
+
+
+@register("stream_join_enrich", oracle=_ENRICH_ORACLE)
+def stream_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (events ⋈ broadcast customer dim;
+    user_id+1 == c_custkey is the synthetic key mapping). In streaming form
+    the same broadcast join runs per micro-batch."""
+    return enrich_with_customer(load_table(spark, "events", sf_dir),
+                                load_table(spark, "customer", sf_dir))
+
+
+_WATERMARK_ORACLE = """
+WITH arr AS (
+  SELECT event_type, ts,
+         MAX(ts) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+           - INTERVAL 10 MINUTE AS wm
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) FILTER (WHERE ts >= wm) AS n_kept,
+       COUNT(*) FILTER (WHERE ts < wm) AS n_dropped_late
+FROM arr
+GROUP BY event_type
+"""
+
+
+@register("stream_watermark_late", oracle=_WATERMARK_ORACLE)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data policy, replayed deterministically: arrival order
+    is event_id order, watermark = running max(ts) - 10 min; events behind
+    the watermark at arrival are counted as dropped. The live-stream
+    behavior (append mode actually discarding them) is asserted in
+    tests/test_streaming.py."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding,
+                                               Window.currentRow)
+    wm = F.max("ts").over(w) - F.expr("INTERVAL 10 MINUTE")
+    marked = ev.select("event_type", "ts", wm.alias("wm"))
+    return marked.groupBy("event_type").agg(
+        F.count(F.when(F.col("ts") >= F.col("wm"), 1)).alias("n_kept"),
+        F.count(F.when(F.col("ts") < F.col("wm"), 1)).alias("n_dropped_late"),
+    )
+
+
+@register("sink_stream_console_memory", oracle=_TUMBLING_ORACLE)
+def sink_stream_console_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming memory sink (SURVEY §2.1): actually runs a Structured
+    Streaming query inside the driver's session — file source over the
+    events parquet, tumbling aggregation, complete-mode memory sink drained
+    with AvailableNow — and returns the sink table. Same oracle as the
+    tumbling twin because the stream provably converges to the batch result.
+    """
+    import os
+    import uuid
+
+    from lambdatotheslaughter_spark.streaming.harness import EVENT_STREAM_SCHEMA
+
+    name = f"lts_mem_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = EVENT_STREAM_SCHEMA
+    # stream straight from the sf parquet (ts int64-nanos → µs, as load_table)
+    from pyspark.sql import types as T
+    ns_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    # file-stream sources require a directory: stream the sf dir but glob
+    # down to the single events file
+    src = (spark.readStream.schema(ns_schema)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir)
+           .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    q = (tumbling_agg(src)
+         .writeStream.outputMode("complete")
+         .option("checkpointLocation", f"/tmp/lts_ckpt_{name}")
+         .trigger(availableNow=True)
+         .format("memory").queryName(name).start())
+    q.awaitTermination(timeout=300)
+    return spark.table(name)

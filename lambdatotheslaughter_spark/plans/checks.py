@@ -1,0 +1,68 @@
+"""Plan-shape assertions (SURVEY.md §4): the properties that keep a query
+fast at 100 TB are visible in the executed plan — these helpers make them
+testable so a regression (lost pushdown, broadcast turned into shuffle,
+codegen fallback) fails CI instead of shipping a 100× slowdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    """True if `fragment` appears inside a PushedFilters: [...] clause."""
+    plan = executed_plan(df)
+    for line in plan.splitlines():
+        if "PushedFilters:" in line and fragment in line.split("PushedFilters:")[1]:
+            return True
+    return False
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Column names the parquet reader actually reads (first scan node).
+    Parsed from the FileScan projection list — the ReadSchema struct string
+    is width-truncated with '…' in plan toString."""
+    plan = executed_plan(df)
+    for chunk in plan.split("FileScan parquet [")[1:]:
+        cols = chunk.split("]")[0]
+        return [c.split("#")[0] for c in cols.split(",")]
+    return []
+
+
+def partition_filters(df: DataFrame) -> str:
+    plan = executed_plan(df)
+    for line in plan.splitlines():
+        if "PartitionFilters:" in line:
+            frag = line.split("PartitionFilters:")[1].split("], ")[0]
+            if frag.strip() not in ("[]", "[],"):
+                return frag
+    return ""
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in executed_plan(df) or \
+        "BroadcastNestedLoopJoin" in executed_plan(df)
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in executed_plan(df)
+
+
+def count_shuffles(df: DataFrame) -> int:
+    return executed_plan(df).count("Exchange ")
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """Count codegen spans ('*(n)' markers). Under AQE the final plan — and
+    its codegen annotation — only exists after execution, so run the query
+    first."""
+    df.collect()
+    return executed_plan(df).count("*(")

@@ -1,0 +1,89 @@
+"""Plan-shape regression tests (SURVEY.md §4/§5): assert the physical plans
+have the properties that keep these queries viable at 100 TB — pushdown
+reaching the parquet reader, dims broadcast, top-k fused, window queries
+shuffling exactly once."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from lambdatotheslaughter_spark import registry
+from lambdatotheslaughter_spark.plans import checks
+from tests.conftest import SF_DIR
+
+
+def _df(name):
+    return registry.get(name).fn(spark_global, SF_DIR)
+
+
+spark_global = None
+
+
+def setup_module(module):
+    global spark_global
+    from lambdatotheslaughter_spark.session import get_spark
+    spark_global = get_spark("lts-plan-tests")
+
+
+def test_predicate_pushdown_reaches_scan():
+    df = _df("scan_predicate_pushdown")
+    assert checks.has_pushed_filter(df, "GreaterThanOrEqual(l_shipdate"), \
+        checks.executed_plan(df)
+
+
+def test_projection_prunes_read_schema():
+    cols = checks.read_schema_columns(_df("scan_projection_pushdown"))
+    assert cols == ["l_orderkey", "l_quantity"], cols
+
+
+def test_q1_reads_only_needed_columns():
+    cols = checks.read_schema_columns(_df("agg_pricing_summary"))
+    assert set(cols) == {"l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                         "l_returnflag", "l_linestatus", "l_shipdate"}, cols
+
+
+def test_broadcast_join_is_broadcast():
+    assert checks.has_broadcast_join(_df("join_broadcast"))
+
+
+def test_star_join_broadcasts_dims():
+    df = _df("join_multiway_star")
+    plan = checks.executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_topk_fuses_to_take_ordered():
+    assert checks.has_take_ordered(_df("topk_global"))
+
+
+def test_window_topk_single_shuffle():
+    # one exchange for the join side + one for the window partitioning; the
+    # window itself must not add extra exchanges
+    df = _df("win_topk_per_group")
+    assert checks.count_shuffles(df) <= 3, checks.executed_plan(df)
+
+
+def test_codegen_covers_relational_core():
+    assert checks.wholestage_codegen_spans(_df("agg_pricing_summary")) >= 1
+
+
+def test_partition_pruning_reads_3_of_30_dirs():
+    # make sure the partitioned copy exists (the query creates it on demand)
+    _df("scan_partition_pruning").collect()
+    part_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"lts_events_by_date_{os.path.basename(SF_DIR.rstrip('/'))}")
+    all_parts = len(glob.glob(os.path.join(part_dir, "event_date=*")))
+    assert all_parts >= 28, f"partitioned copy missing: {all_parts} dirs"
+    pf = checks.partition_filters(_df("scan_partition_pruning"))
+    assert "event_date" in pf and "2024-01-10" in pf and "2024-01-12" in pf, (
+        f"date bounds not in PartitionFilters (planning-time pruning lost): {pf}")
+
+
+def test_minhash_signature_is_shuffle_free():
+    """The minhash signature stage must not shuffle (array_min formulation);
+    the only exchanges allowed are the LSH candidate join + verify joins."""
+    df = _df("llm_dedup_fuzzy_minhash")
+    assert checks.count_shuffles(df) <= 6, checks.executed_plan(df)

@@ -1,0 +1,149 @@
+"""Twin-equivalence: the REAL streaming correctness check (SURVEY §2.9/§5).
+
+Each test runs the genuinely-streaming form (file-source micro-batches,
+memory/foreachBatch sink) and asserts it reproduces the oracled batch twin.
+sf0.001 (1,000 events) keeps each streaming query a few seconds.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from lambdatotheslaughter_spark.operators import streaming_twins as tw
+from lambdatotheslaughter_spark.streaming.harness import (
+    EventStreamHarness, upsert_foreach_batch)
+from lambdatotheslaughter_spark.tables import load_table
+from tests.conftest import SMOKE_SF_DIR, canonical_rows
+
+
+@pytest.fixture
+def harness(spark):
+    h = EventStreamHarness(spark, SMOKE_SF_DIR, n_chunks=4)
+    yield h
+    h.cleanup()
+
+
+def _assert_same(stream_df, batch_df, name):
+    s, b = stream_df.toPandas(), batch_df.toPandas()
+    assert sorted(s.columns) == sorted(b.columns), name
+    assert canonical_rows(s) == canonical_rows(b), f"{name}: stream != batch twin"
+
+
+def test_tumbling_agg_twin(spark, harness):
+    out = harness.run(tw.tumbling_agg, output_mode="complete")
+    _assert_same(out, tw.tumbling_agg(load_table(spark, "events", SMOKE_SF_DIR)),
+                 "tumbling")
+
+
+def test_session_window_twin(spark, harness):
+    out = harness.run(tw.session_window_agg, output_mode="complete")
+    _assert_same(out,
+                 tw.session_window_agg(load_table(spark, "events", SMOKE_SF_DIR)),
+                 "session_window")
+
+
+def test_stream_static_join_twin(spark, harness):
+    cust = load_table(spark, "customer", SMOKE_SF_DIR)
+    out = harness.run(lambda s: tw.enrich_with_customer(s, cust),
+                      output_mode="append")
+    _assert_same(out,
+                 tw.enrich_with_customer(load_table(spark, "events", SMOKE_SF_DIR), cust),
+                 "stream_static_join")
+
+
+def test_replay_dedup_exactly_once(spark):
+    """Feed the whole stream TWICE; dropDuplicatesWithinWatermark on
+    event_id must make delivery exactly-once: output == one copy."""
+    h = EventStreamHarness(spark, SMOKE_SF_DIR, n_chunks=2, arrival="replay")
+    try:
+        out = h.run(
+            lambda s: s.withWatermark("ts", "10 minutes")
+                       .dropDuplicatesWithinWatermark(["event_id"]),
+            output_mode="append")
+        n_stream = out.count()
+        n_batch = load_table(spark, "events", SMOKE_SF_DIR).count()
+        assert n_stream == n_batch, f"replay not deduped: {n_stream} vs {n_batch}"
+    finally:
+        h.cleanup()
+
+
+def test_watermark_drops_late_interleaved(spark):
+    """Interleaved arrival: every chunk spans the full month, so chunks 2..4
+    deliver data far behind the watermark. Append-mode windowed counts must
+    drop those late rows (strictly fewer events than the batch total), while
+    in-order arrival loses nothing."""
+    def agg(s):
+        return (s.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    h_late = EventStreamHarness(spark, SMOKE_SF_DIR, n_chunks=4, arrival="interleaved")
+    try:
+        late_total = (h_late.run(agg, output_mode="append")
+                      .agg(F.sum("n")).collect()[0][0] or 0)
+    finally:
+        h_late.cleanup()
+    batch_total = load_table(spark, "events", SMOKE_SF_DIR).count()
+    assert late_total < batch_total, (
+        f"late data was not dropped: streamed {late_total} >= batch {batch_total}")
+    assert late_total >= batch_total // 4, "append emitted almost nothing — harness broken"
+
+
+def test_stateful_running_twin(spark, harness):
+    """applyInPandasWithState running per-user totals: final state must equal
+    the batch twin's final row per user (update-mode emissions, last wins)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def stateful(s):
+        def fn(key, pdf_iter, state):
+            total, n = state.get if state.exists else (0.0, 0)
+            for pdf in pdf_iter:
+                total += float(pdf["value"].sum())
+                n += len(pdf)
+            state.update((total, n))
+            yield pd.DataFrame({"user_id": [key[0]],
+                                "running_value": [total],
+                                "n_so_far": [n]})
+        return s.groupBy("user_id").applyInPandasWithState(
+            fn,
+            outputStructType="user_id bigint, running_value double, n_so_far bigint",
+            stateStructType="total double, n bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+
+    out = harness.run(stateful, output_mode="update").toPandas()
+    # last emission per user = final state
+    final = out.groupby("user_id").last().reset_index()
+    twin = (tw.stream_stateful_running(spark, SMOKE_SF_DIR)
+            .groupBy("user_id")
+            .agg(F.max_by("running_value", "ts").alias("running_value"),
+                 F.max("n_so_far").alias("n_so_far"))
+            .toPandas())
+    merged = final.merge(twin, on="user_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(twin)
+    assert (merged["n_so_far_s"] == merged["n_so_far_b"]).all()
+    assert (merged["running_value_s"].round(4) == merged["running_value_b"].round(4)).all()
+
+
+def test_foreach_batch_upsert_serving_table(spark, harness):
+    """foreachBatch upsert into a keyed parquet serving table (the Kudu
+    analog): after draining the stream, the table holds exactly the latest
+    event per user — identical to the batch last-per-user view."""
+    serving = os.path.join(tempfile.gettempdir(), "lts_serving_upsert")
+    shutil.rmtree(serving, ignore_errors=True)
+    harness.run(lambda s: s, output_mode="append",
+                foreach_batch=upsert_foreach_batch(serving))
+    got = spark.read.parquet(serving).select("user_id", "event_id", "ts")
+    want = (load_table(spark, "events", SMOKE_SF_DIR)
+            .groupBy("user_id")
+            .agg(F.max_by("event_id", "ts").alias("event_id"),
+                 F.max("ts").alias("ts")))
+    _assert_same(got, want, "foreach_batch_upsert")
+    shutil.rmtree(serving, ignore_errors=True)
