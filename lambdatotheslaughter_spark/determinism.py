@@ -45,3 +45,62 @@ def oracle_davg(expr: str) -> str:
     """DuckDB twin of :func:`davg`."""
     return (f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
             f" / COUNT({expr}) AS DOUBLE)")
+
+
+# --- exact integer-cents fast path -----------------------------------------
+# The driver's money/rate columns are 2-decimal by construction (verified
+# across lineitem/orders/events at sf0.1). round(x*100) is then an EXACT
+# integer recovery, and int64 sums are associative, bit-exact, and stay in
+# whole-stage codegen — measured ~2x faster than the decimal path on Q1.
+# Overflow bound: |sum| must stay < 2^63. For charge-style triple products
+# (~1e11/row) that holds to ~10^7 rows per *total* aggregate (sf10-ish);
+# past that, fall back to dsum/davg (decimal space, unbounded).
+
+
+def _scaled(col: Column | str, dp: int) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * (10 ** dp), 0).cast("long")
+
+
+def csum(col: Column | str, dp: int = 2) -> Column:
+    """Exact SUM of a dp-decimal double via integer scaling."""
+    return (F.sum(_scaled(col, dp)).cast("double") / float(10 ** dp))
+
+
+def cavg(col: Column | str, dp: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(_scaled(c, dp)).cast("double") / float(10 ** dp) / F.count(c))
+
+
+def oracle_csum(expr: str, dp: int = 2) -> str:
+    return (f"(CAST(SUM(CAST(round(({expr}) * {10 ** dp}, 0) AS BIGINT)) AS DOUBLE)"
+            f" / {float(10 ** dp)})")
+
+
+def oracle_cavg(expr: str, dp: int = 2) -> str:
+    return (f"(CAST(SUM(CAST(round(({expr}) * {10 ** dp}, 0) AS BIGINT)) AS DOUBLE)"
+            f" / {float(10 ** dp)} / COUNT({expr}))")
+
+
+def disc_price_csum(price: str, disc: str) -> Column:
+    """Exact SUM(price*(1-disc)) for 2-decimal inputs:
+    Σ P·(100−D) / 10^4 with P = price·10², D = disc·10²."""
+    return (F.sum(_scaled(price, 2) * (100 - _scaled(disc, 2)))
+            .cast("double") / 1e4)
+
+
+def oracle_disc_price_csum(price: str, disc: str) -> str:
+    return (f"(CAST(SUM(CAST(round({price} * 100, 0) AS BIGINT) * "
+            f"(100 - CAST(round({disc} * 100, 0) AS BIGINT))) AS DOUBLE) / 10000.0)")
+
+
+def charge_csum(price: str, disc: str, tax: str) -> Column:
+    """Exact SUM(price*(1-disc)*(1+tax)): Σ P·(100−D)·(100+T) / 10^6."""
+    return (F.sum(_scaled(price, 2) * (100 - _scaled(disc, 2))
+                  * (100 + _scaled(tax, 2))).cast("double") / 1e6)
+
+
+def oracle_charge_csum(price: str, disc: str, tax: str) -> str:
+    return (f"(CAST(SUM(CAST(round({price} * 100, 0) AS BIGINT) * "
+            f"(100 - CAST(round({disc} * 100, 0) AS BIGINT)) * "
+            f"(100 + CAST(round({tax} * 100, 0) AS BIGINT))) AS DOUBLE) / 1000000.0)")

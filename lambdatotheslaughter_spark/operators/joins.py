@@ -17,7 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lambdatotheslaughter_spark.determinism import dsum, oracle_dsum
+from lambdatotheslaughter_spark.determinism import (
+    disc_price_csum, dsum, oracle_disc_price_csum, oracle_dsum)
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
 
@@ -64,7 +65,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q5_ORACLE = f"""
 SELECT n_name,
-       {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+       {oracle_disc_price_csum('l_extendedprice', 'l_discount')} AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -98,7 +99,7 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(disc_price_csum("l_extendedprice", "l_discount").alias("revenue"))
     )
 
 

@@ -24,52 +24,17 @@ from lambdatotheslaughter_spark.determinism import davg, dsum, oracle_davg, orac
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
 
-# ---------------------------------------------------------------------------
-# shared tokenization / shingling helpers (Spark side)
-# ---------------------------------------------------------------------------
-
-
-def _tokens() -> Column:
-    return F.split("text", " ")
-
-
-def _shingles3(toks: Column | str = "toks") -> Column:
-    """Distinct 3-token shingles, identical to the oracle's list_transform
-    over 1-based range(1, n_tokens-1). Pass a MATERIALIZED token-array
-    column, not the split() expression: a lambda referencing split() three
-    times per element re-tokenizes the text O(n_tokens) times (measured 3 s
-    of the minhash pipeline at sf0.1)."""
-    toks = F.col(toks) if isinstance(toks, str) else toks
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                              F.element_at(toks, i + 1),
-                              F.element_at(toks, i + 2))))
-
-
-def _shingles2(toks: Column | str = "toks") -> Column:
-    toks = F.col(toks) if isinstance(toks, str) else toks
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                              F.element_at(toks, i + 1))))
-
-
-_SHINGLE3_SQL = ("list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1), "
-                 "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] "
-                 "|| ' ' || string_split(text,' ')[i+2]))")
-_SHINGLE2_SQL = ("list_distinct(list_transform(range(1, len(string_split(text,' '))), "
-                 "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))")
-
-
-def _jaccard_spark(a: Column, b: Column) -> Column:
-    inter = F.size(F.array_intersect(a, b)).cast("double")
-    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))).cast("double")
-
-
-def _jaccard_sql(a: str, b: str) -> str:
-    return (f"CAST(len(list_intersect({a}, {b})) AS DOUBLE) / "
-            f"CAST(len({a}) + len({b}) - len(list_intersect({a}, {b})) AS DOUBLE)")
+# shared text primitives live in the engine's function library
+from lambdatotheslaughter_spark.functions.text import (  # noqa: E402
+    SHINGLE2_SQL as _SHINGLE2_SQL,
+    SHINGLE3_SQL as _SHINGLE3_SQL,
+    jaccard as _jaccard_spark,
+    jaccard_sql as _jaccard_sql,
+    md5_int60,
+    shingles2 as _shingles2,
+    shingles3 as _shingles3,
+    tokens as _tokens,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -132,8 +97,12 @@ def llm_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted dups (all >= 0.8), miss probability per true pair is ~1e-7.
     """
     d = load_table(spark, "documents", sf_dir).where(F.size(_tokens()) >= 3)
+    # localCheckpoint: shingle arrays feed three branches (signature + both
+    # sides of the verify join) — materialize once instead of recomputing
+    # the tokenize+shingle pipeline per branch
     sh = d.select("doc_id", _tokens().alias("toks")) \
-        .select("doc_id", _shingles3("toks").alias("sh"))
+        .select("doc_id", _shingles3("toks").alias("sh")) \
+        .localCheckpoint(eager=False)
 
     # per-doc minhash signature WITHOUT explode+shuffle: array_min over a
     # per-seed transform stays inside the scan stage (measured 7x faster
@@ -149,7 +118,8 @@ def llm_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bands = mh.select("doc_id", F.explode(F.array(*[
         F.xxhash64(F.lit(b), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("bh")
-        for b in range(_LSH_BANDS)])).alias("bh"))
+        for b in range(_LSH_BANDS)])).alias("bh")) \
+        .localCheckpoint(eager=False)  # both sides of the bucket self-join
     x = bands.select(F.col("doc_id").alias("a_id"), "bh")
     y = bands.select(F.col("doc_id").alias("b_id"), F.col("bh").alias("bh2"))
     cand = (
@@ -182,19 +152,34 @@ WHERE a.doc_id < b.doc_id
 
 @register("llm_dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact bigram-shingle Jaccard pairs (τ=0.4), the brute-force
-    correctness baseline for the MinHash path. Quadratic by construction —
-    at scale you run llm_dedup_fuzzy_minhash instead; this stays for
-    verification at sample scale (the same relationship the reference's
-    test strategy implies, SURVEY §5)."""
+    """EXACT bigram-shingle Jaccard pairs (τ=0.4) via an inverted-index
+    similarity join: explode shingles, equi-join on the shingle, and the
+    per-pair match count IS the intersection size. Only pairs sharing at
+    least one shingle ever exist — pairs with zero overlap (jaccard 0) are
+    never materialized, so cost scales with shared-shingle volume, not n².
+    (The naive array-pair formulation measured 453 s at sf0.1; this one
+    ~3 s, same exact results.) The DuckDB oracle stays brute-force — an
+    independent formulation cross-checking the algorithm, not just the
+    arithmetic."""
     d = load_table(spark, "documents", sf_dir).where(F.size(_tokens()) >= 2)
     sh = d.select("doc_id", _tokens().alias("toks")) \
-        .select("doc_id", _shingles2("toks").alias("sh"))
-    a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
-    jac = _jaccard_spark(F.col("sh_a"), F.col("sh_b"))
+        .select("doc_id", _shingles2("toks").alias("sh")) \
+        .localCheckpoint(eager=False)
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    x = ex.select(F.col("doc_id").alias("a_id"), "s")
+    y = ex.select(F.col("doc_id").alias("b_id"), F.col("s").alias("s2"))
+    inter = (
+        x.join(y, (x.s == y.s2) & (x.a_id < y.b_id))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    jac = (F.col("inter").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"))
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
+        inter.join(na, "a_id").join(nb, "b_id")
         .select("a_id", "b_id", jac.alias("jaccard"))
         .where(F.col("jaccard") >= 0.4)
     )
@@ -681,10 +666,10 @@ WITH base AS (
 SELECT doc_id, n_tokens, n_distinct,
        CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
        CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
-       round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+       0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
            + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
            + 0.3 * least((CAST(n_chars - (n_tokens - 1) AS DOUBLE)
-                          / CAST(n_tokens AS DOUBLE)) / 8.0, 1.0), 8) AS quality_score
+                          / CAST(n_tokens AS DOUBLE)) / 8.0, 1.0) AS quality_score
 FROM base
 """
 
@@ -694,7 +679,11 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: length, lexical diversity, mean token
     length composited into [0,1] (punctuation/stopword terms omitted — the
     synthetic corpus has neither; the composite shape is what matters).
-    Pure per-row arithmetic — identical IEEE evaluation both engines."""
+    Pure per-row arithmetic — identical IEEE evaluation both engines, and
+    deliberately UNROUNDED: the inputs are dyadic rationals (e.g. 64-token
+    docs) whose scores land exactly on 8-dp rounding ties, where Spark
+    (HALF_UP on the shortest decimal repr) and DuckDB (binary double)
+    disagree — found by the sf0.1 parity sweep."""
     d = load_table(spark, "documents", sf_dir)
     toks = _tokens()
     n_tokens = F.size(toks).cast("bigint")
@@ -702,10 +691,10 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.col("n_chars").cast("bigint")
     distinct_ratio = n_distinct.cast("double") / n_tokens.cast("double")
     avg_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens.cast("double")
-    score = F.round(
+    score = (
         0.4 * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
         + 0.3 * distinct_ratio
-        + 0.3 * F.least(avg_len / 8.0, F.lit(1.0)), 8)
+        + 0.3 * F.least(avg_len / 8.0, F.lit(1.0)))
     return d.select(
         "doc_id", n_tokens.alias("n_tokens"), n_distinct.alias("n_distinct"),
         distinct_ratio.alias("distinct_ratio"), avg_len.alias("avg_token_len"),
@@ -767,7 +756,7 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir).where(F.size(_tokens()) >= 3)
     sh = d.select("doc_id", _tokens().alias("toks")) \
         .select("doc_id", F.explode(_shingles3("toks")).alias("s"))
-    h = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint")
+    h = md5_int60("s")
     return sh.groupBy("doc_id").agg(
         F.min(h).alias("fp_min"),
         F.max(h).alias("fp_max"),

@@ -93,25 +93,10 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving-layer managed table (the Kudu/Hive batch-view analog):
     ``saveAsTable`` into the local warehouse, read back via the catalog."""
-    spark.sql("DROP TABLE IF EXISTS lts_serving_view")
-    # a fresh session's catalog doesn't know about a prior run's warehouse
-    # dir; clear any orphan location so saveAsTable doesn't refuse it
-    loc = os.path.join(
-        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
-        "lts_serving_view")
-    if os.path.isdir(loc):
-        shutil.rmtree(loc, ignore_errors=True)
-    _sink_source(spark, sf_dir).write.mode("overwrite").saveAsTable("lts_serving_view")
+    from lambdatotheslaughter_spark.plans.rebuild import save_managed_table
+    save_managed_table(spark, _sink_source(spark, sf_dir), "lts_serving_view")
     return spark.table("lts_serving_view")
 
-
-_ENVELOPE_SCHEMA = T.StructType([
-    T.StructField("ts_us", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
 
 _KAFKA_ORACLE = """
 SELECT ts, user_id, event_type, value,
@@ -127,23 +112,12 @@ def source_kafka_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``from_json`` exactly as a ``readStream.format("kafka")`` consumer would.
     Timestamps travel as epoch-micros so the round trip is lossless (events.ts
     carries µs precision). In production only the source line changes.
-    """
+    Envelope contract lives in sources/kafka.py, shared with the streaming
+    path."""
+    from lambdatotheslaughter_spark.sources.kafka import parse_envelope, to_envelope
+
     ev = load_table(spark, "events", sf_dir)
-    envelope = ev.select(
-        F.col("event_id").cast("string").alias("key"),
-        F.to_json(F.struct(
-            F.unix_micros("ts").alias("ts_us"),
-            "user_id", "event_type", "value", "props",
-        )).alias("value"),
-    )
-    j = envelope.select(F.from_json("value", _ENVELOPE_SCHEMA).alias("j"))
-    return j.select(
-        F.timestamp_micros(F.col("j.ts_us")).alias("ts"),
-        F.col("j.user_id").alias("user_id"),
-        F.col("j.event_type").alias("event_type"),
-        F.col("j.value").alias("value"),
-        F.get_json_object(F.col("j.props"), "$.k").cast("bigint").alias("prop_k"),
-    )
+    return parse_envelope(to_envelope(ev))
 
 
 _PARTITION_PRUNE_ORACLE = f"""

@@ -10,7 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lambdatotheslaughter_spark.determinism import dsum, oracle_dsum
+from lambdatotheslaughter_spark.determinism import (
+    disc_price_csum, dsum, oracle_disc_price_csum, oracle_dsum)
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
 
@@ -41,7 +42,7 @@ def sort_multi_key_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOPK_ORACLE = f"""
 SELECT l_orderkey,
-       {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       {oracle_disc_price_csum('l_extendedprice', 'l_discount')} AS revenue,
        o_orderdate,
        o_orderpriority
 FROM customer
@@ -62,12 +63,11 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, "customer", sf_dir).where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(disc_price).alias("revenue"))
+        .agg(disc_price_csum("l_extendedprice", "l_discount").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)

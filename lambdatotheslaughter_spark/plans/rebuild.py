@@ -9,12 +9,26 @@ consulted only for keys newer than the rebuild watermark.
 
 from __future__ import annotations
 
+import os
 import re
+import shutil
 import time
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from lambdatotheslaughter_spark import registry
+
+
+def save_managed_table(spark: SparkSession, df: DataFrame, table: str) -> None:
+    """Overwrite a managed table, tolerating an orphan warehouse directory
+    left by a previous process (a fresh session's catalog doesn't know the
+    table, so saveAsTable would refuse the existing location)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), table)
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+    df.write.mode("overwrite").saveAsTable(table)
 
 # serving views worth persisting (small, frequently queried aggregates)
 DEFAULT_VIEWS = (
@@ -37,6 +51,6 @@ def rebuild_views(spark: SparkSession, sf_dir: str,
         fn = registry.get(name).fn
         table = f"lts_view_{re.sub(r'[^a-z0-9_]', '_', name)}"
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").saveAsTable(table)
+        save_managed_table(spark, fn(spark, sf_dir), table)
         timings[name] = round(time.perf_counter() - t0, 3)
     return timings

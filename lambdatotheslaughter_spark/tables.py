@@ -100,6 +100,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     exact and avoids per-query footer inference on a 100 TB lake."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; one of {TABLE_NAMES}")
+    # defensive: queries may run in the DRIVER's session, whose configs we
+    # don't control. UTC keeps timestamp values aligned with the DuckDB
+    # oracle (naive-UTC); both confs are runtime-settable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # runtime-settable SQL conf; works on any session the driver hands us
