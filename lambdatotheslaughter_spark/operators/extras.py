@@ -1,0 +1,271 @@
+"""Coverage extras beyond the SURVEY §2 inventory: subqueries, pivot/
+unpivot, percentile aggregates, deterministic mode, percent_rank/cume_dist,
+time-series resample + gap-fill + moving averages, and the SQL API entry
+point. Same rules as everywhere else: oracled, deterministic, shuffle-lean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lambdatotheslaughter_spark.determinism import (
+    cavg, csum, oracle_cavg, oracle_csum)
+from lambdatotheslaughter_spark.registry import register
+from lambdatotheslaughter_spark.tables import load_table
+
+
+@register("agg_percentiles", oracle="""
+SELECT c_mktsegment,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per segment. Rounded to 6 dp: linear
+    interpolation ((a+b)/2 vs a+(b-a)*f) can differ in the last ulp."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("agg_mode_deterministic", oracle="""
+SELECT user_id, event_type AS top_type, cnt AS top_type_count FROM (
+  SELECT user_id, event_type, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+""")
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type. Built from count + row_number instead of
+    mode(): both engines' mode() break frequency ties arbitrarily — this
+    formulation pins the tie-break (count desc, type asc)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("event_type"))
+    return (
+        ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"),
+                F.col("cnt").alias("top_type_count"))
+    )
+
+
+def _pivot_cell(etype: str) -> str:
+    return (f"(CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) "
+            f"FILTER (WHERE event_type = '{etype}') AS DOUBLE) / 100.0)")
+
+
+_PIVOT_ORACLE = f"""
+SELECT user_id,
+       {_pivot_cell('click')} AS click,
+       {_pivot_cell('view')} AS view,
+       {_pivot_cell('purchase')} AS purchase,
+       {_pivot_cell('signup')} AS signup,
+       {_pivot_cell('error')} AS error
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("pivot_wide", oracle=_PIVOT_ORACLE)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with EXPLICIT pivot values — never let Spark infer
+    them (extra job + nondeterministic column order). Single shuffle."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(csum("value"))
+    )
+
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT user_id,
+         COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, 'click' AS event_type, click AS n FROM wide
+UNION ALL
+SELECT user_id, 'purchase' AS event_type, purchase AS n FROM wide
+"""
+
+
+@register("unpivot_long", oracle=_UNPIVOT_ORACLE)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot (wide → long), the inverse of pivot_wide."""
+    ev = load_table(spark, "events", sf_dir)
+    wide = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("click"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchase"),
+    )
+    return wide.unpivot("user_id", ["click", "purchase"], "event_type", "n")
+
+
+_SUB_SCALAR_ORACLE = f"""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 2 * (SELECT {oracle_cavg('o_totalprice')} FROM orders)
+"""
+
+
+@register("sub_scalar", oracle=_SUB_SCALAR_ORACLE)
+def sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above 2× the global average price. The scalar
+    is a 1-row broadcast cross join — no driver-side collect, so the plan
+    stays fully distributed and re-optimizable."""
+    o = load_table(spark, "orders", sf_dir)
+    avg_df = o.agg(cavg("o_totalprice").alias("avg_price"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .where(F.col("o_totalprice") > 2 * F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+_SUB_CORR_ORACLE = f"""
+SELECT p_partkey, p_brand, p_retailprice, brand_avg
+FROM (
+  SELECT p_partkey, p_brand, p_retailprice,
+         (SELECT {oracle_cavg('p2.p_retailprice')}
+          FROM part p2 WHERE p2.p_brand = part.p_brand) AS brand_avg
+  FROM part
+)
+WHERE p_retailprice > 1.5 * brand_avg
+"""
+
+
+@register("sub_correlated", oracle=_SUB_CORR_ORACLE)
+def sub_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subquery (parts priced ≥1.5× their brand average),
+    hand-decorrelated into a window aggregate — the rewrite Catalyst itself
+    performs (SURVEY §4), checked against DuckDB's genuinely correlated
+    form."""
+    p = load_table(spark, "part", sf_dir)
+    w = Window.partitionBy("p_brand")
+    brand_avg = (F.sum(F.round(F.col("p_retailprice") * 100, 0).cast("long")).over(w)
+                 .cast("double") / 100.0
+                 / F.count(F.lit(1)).over(w))
+    return (
+        p.select("p_partkey", "p_brand", "p_retailprice", brand_avg.alias("brand_avg"))
+        .where(F.col("p_retailprice") > 1.5 * F.col("brand_avg"))
+    )
+
+
+@register("win_percent_rank_cume", oracle="""
+SELECT s_suppkey, s_acctbal,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM supplier
+WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+""")
+def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist over a total order: pure integer-ratio
+    doubles, bit-identical unrounded."""
+    s = load_table(spark, "supplier", sf_dir)
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey", "s_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+_GAPFILL_ORACLE = f"""
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-29',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+), daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+         {oracle_csum('value')} AS sum_value
+  FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT CAST(days.day AS VARCHAR) AS day,
+       COALESCE(daily.n_events, 0) AS n_events,
+       COALESCE(daily.sum_value, 0.0) AS sum_value
+FROM days LEFT JOIN daily ON days.day = daily.day
+"""
+
+
+@register("ts_resample_gapfill", oracle=_GAPFILL_ORACLE)
+def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to daily grain with gap fill: calendar spine
+    (sequence) LEFT JOIN daily aggregates, zeros for missing days. The
+    spine is generated, not scanned — no shuffle for it; broadcast join."""
+    ev = load_table(spark, "events", sf_dir)
+    spine = spark.range(1).select(F.explode(F.sequence(
+        F.lit("2024-01-01").cast("date"), F.lit("2024-01-29").cast("date"),
+        F.expr("INTERVAL 1 DAY"))).alias("day"))
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  csum("value").alias("sum_value")))
+    return (
+        spine.join(daily, "day", "left")
+        .select(F.col("day").cast("string").alias("day"),
+                F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"))
+    )
+
+
+_MOVAVG_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(SUM(cents) OVER w AS DOUBLE) / 100.0 AS sum_7d,
+       CAST(SUM(cents) OVER w AS DOUBLE) / 100.0 / COUNT(*) OVER w AS avg_7d
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("ts_moving_avg", oracle=_MOVAVG_ORACLE)
+def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing sum/average of daily event value — integer-cents in
+    the window frame, so the moving sums are exact at any frame position."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    mov_cents = F.sum("cents").over(w).cast("double") / 100.0
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        mov_cents.alias("sum_7d"),
+        (mov_cents / F.count(F.lit(1)).over(w)).alias("avg_7d"),
+    )
+
+
+_SQL_ENTRY = """
+SELECT n_name,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       COUNT(*) AS n_orders,
+       (CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        / 100.0) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+"""
+
+
+@register("sql_api_entry", oracle=_SQL_ENTRY)
+def sql_api_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point (SURVEY §3): IDENTICAL SQL text runs on Spark
+    (over temp views) and DuckDB — the dialect-portable subset in action."""
+    for name in ("orders", "customer", "nation"):
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+    return spark.sql(_SQL_ENTRY)

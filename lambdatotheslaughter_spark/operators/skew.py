@@ -1,0 +1,113 @@
+"""Skew & co-location operators: the two levers that decide whether a
+100 TB join finishes — salting a hot key, and bucketing for shuffle-free
+fact-fact joins (SURVEY §4 'skew handling' / 'partitioning & shuffle').
+
+Both are ORACLED queries: the optimized physical strategy must produce
+bit-identical results to the straightforward SQL the oracle runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambdatotheslaughter_spark.determinism import csum
+from lambdatotheslaughter_spark.registry import register
+from lambdatotheslaughter_spark.tables import load_table
+
+_SALT_N = 8
+
+_SALTED_ORACLE = """
+WITH lang_dim AS (
+  SELECT lang, COUNT(*) AS lang_docs FROM documents GROUP BY lang
+)
+SELECT d.lang, d.source, COUNT(*) AS n_docs,
+       CAST(MIN(ld.lang_docs) AS BIGINT) AS lang_total
+FROM documents d JOIN lang_dim ld ON d.lang = ld.lang
+GROUP BY d.lang, d.source
+"""
+
+
+@register("join_skew_salted", oracle=_SALTED_ORACLE)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on a skewed key: 'en' is ~44% of documents, so a plain
+    shuffle join on lang puts half the table in one task. Salting appends
+    pmod(hash(doc_id), N) to the big side's key and EXPLODES the small side
+    N× — the hot key spreads over N tasks, and the join result is provably
+    identical (the oracle runs the unsalted join).
+
+    (At this test scale Spark would broadcast the dim anyway; the salt
+    pattern is what survives when the skewed side of a fact-fact join is
+    too big to broadcast and AQE's skew split can't kick in — e.g.
+    aggregation-input skew.)
+    """
+    d = load_table(spark, "documents", sf_dir)
+    lang_dim = d.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_docs"))
+
+    salted_big = d.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(_SALT_N)))
+    salted_dim = lang_dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_N)])))
+    joined = salted_big.join(salted_dim, ["lang", "salt"])
+    return (
+        joined.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("lang_docs").cast("bigint").alias("lang_total"))
+    )
+
+
+_BUCKETED_ORACLE = """
+SELECT o_orderkey,
+       MIN(o_orderdate) AS o_orderdate,
+       COUNT(*) AS n_items,
+       (CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        / 100.0) AS order_value
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderkey
+"""
+
+
+@register("join_bucketed_colocated", oracle=_BUCKETED_ORACLE)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join WITHOUT a runtime shuffle: both tables bucketed by the
+    join key at write time (bucketBy → sortBy), so the sort-merge join reads
+    co-located buckets directly. At 100 TB this converts the biggest
+    exchange in the workload into pure local reads — the bucket layout is
+    the Hive/Kudu-era answer that Spark inherits natively.
+    tests/test_plans.py asserts the executed plan has no Exchange above the
+    bucketed scans."""
+    import shutil
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    o_tbl, l_tbl = f"lts_orders_b_{sf_tag}", f"lts_lineitem_b_{sf_tag}"
+    catalog = spark.catalog
+    if not (catalog.tableExists(o_tbl) and catalog.tableExists(l_tbl)):
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for tbl in (o_tbl, l_tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            loc = os.path.join(wh, tbl)
+            if os.path.isdir(loc):  # orphan from a previous process
+                shutil.rmtree(loc, ignore_errors=True)
+        (load_table(spark, "orders", sf_dir).write
+         .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").saveAsTable(o_tbl))
+        (load_table(spark, "lineitem", sf_dir).write
+         .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+         .mode("overwrite").saveAsTable(l_tbl))
+    o = spark.table(o_tbl).where(F.col("o_orderstatus") == "F")
+    li = spark.table(l_tbl)
+    # group ONLY by the bucket key: the aggregation's required partitioning
+    # then matches the bucket layout too, so the whole query has zero
+    # exchanges. o_orderdate is functionally dependent → min() is exact.
+    # merge hint: at test scale AQE would broadcast instead (orders is
+    # tiny), hiding the bucket-join shape that matters at 100 TB.
+    return (
+        o.join(li.hint("merge"), o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.min("o_orderdate").alias("o_orderdate"),
+             F.count(F.lit(1)).alias("n_items"),
+             csum("l_extendedprice").alias("order_value"))
+        .select("o_orderkey", "o_orderdate", "n_items", "order_value")
+    )

@@ -43,6 +43,8 @@ _MODULES = (
     "lambdatotheslaughter_spark.operators.streaming_twins",
     "lambdatotheslaughter_spark.operators.llm",
     "lambdatotheslaughter_spark.operators.udfs",
+    "lambdatotheslaughter_spark.operators.extras",
+    "lambdatotheslaughter_spark.operators.skew",
 )
 
 _loaded = False

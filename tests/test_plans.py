@@ -87,3 +87,22 @@ def test_minhash_signature_is_shuffle_free():
     the only exchanges allowed are the LSH candidate join + verify joins."""
     df = _df("llm_dedup_fuzzy_minhash")
     assert checks.count_shuffles(df) <= 6, checks.executed_plan(df)
+
+
+def test_bucketed_join_has_zero_exchanges():
+    """The whole point of bucketing: fact-fact join + same-key aggregation
+    with NO shuffle anywhere in the executed plan."""
+    df = _df("join_bucketed_colocated")
+    df.collect()  # AQE final plan
+    plan = checks.executed_plan(df)
+    assert "Bucketed: true" in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange ") == 0, plan
+
+
+def test_salted_join_spreads_hot_key():
+    """Salted join result must match the plain join (oracle does), and the
+    salted key must actually appear in the join condition."""
+    df = _df("join_skew_salted")
+    plan = checks.optimized_plan(df)
+    assert "salt" in plan, plan
