@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lambdatotheslaughter_spark.determinism import davg, dsum, oracle_davg, oracle_dsum
+from lambdatotheslaughter_spark.determinism import davg, oracle_davg
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
 
@@ -762,3 +762,56 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(h).alias("fp_max"),
         F.count(F.lit(1)).alias("n_shingles"),
     )
+
+
+_KNN_PQ_ORACLE = f"""
+SELECT a_id, b_id, rn FROM (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_cosine_sql('a.embedding', 'b.embedding')} DESC,
+                                     b.vec_id) AS rn
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+) WHERE rn <= 3
+"""
+
+
+@register("llm_sim_knn_per_query", oracle=_KNN_PQ_ORACLE)
+def llm_sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query exact top-3 neighbors for EVERY vector (the retrieval-shaped
+    ANN baseline, vs llm_sim_knn_bruteforce's global top pairs). Same
+    broadcast-GEMM kernel; each partition emits its rows' top-3 directly —
+    no global shuffle at all, output is n×3 rows."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    collected = e.toPandas()
+    ids = collected["vec_id"].to_numpy()
+    mat = np.vstack(collected["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = spark.sparkContext
+    b_ids = sc.broadcast(ids)
+    b_mat = sc.broadcast(mat)
+    k = 3
+
+    def topk(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            q_ids = pdf["vec_id"].to_numpy()
+            q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ all_mat.T
+            out_a, out_b, out_r = [], [], []
+            for i, qa in enumerate(q_ids):
+                s = sims[i].copy()
+                s[all_ids == qa] = -np.inf  # exclude self
+                # top-k by (sim desc, id asc) — matches the oracle's ordering
+                idx = np.lexsort((all_ids, -s))[:k]
+                out_a.extend([qa] * k)
+                out_b.extend(all_ids[idx])
+                out_r.extend(range(1, k + 1))
+            yield pd.DataFrame({"a_id": out_a, "b_id": out_b, "rn": out_r})
+
+    return e.repartition(32, "vec_id").mapInPandas(
+        topk, schema="a_id bigint, b_id bigint, rn int")

@@ -10,12 +10,10 @@ scan from reading 100 TB.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from lambdatotheslaughter_spark.determinism import dsum, oracle_dsum
 from lambdatotheslaughter_spark.registry import register

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lambdatotheslaughter_spark.determinism import (
-    disc_price_csum, dsum, oracle_disc_price_csum, oracle_dsum)
+    disc_price_csum, oracle_disc_price_csum)
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
 

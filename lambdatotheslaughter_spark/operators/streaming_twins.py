@@ -265,3 +265,68 @@ def sink_stream_console_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
          .format("memory").queryName(name).start())
     q.awaitTermination(timeout=300)
     return spark.table(name)
+
+
+_STATE_OP_ORACLE = """
+SELECT user_id,
+       round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS total_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("stream_stateful_state_op", oracle=_STATE_OP_ORACLE)
+def stream_stateful_state_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming op (applyInPandasWithState) run live
+    inside the caller's session: file-stream source → per-user GroupState
+    accumulation → memory sink. With the whole file as one micro-batch the
+    final state emission is deterministic, so it gets a full oracle —
+    the state-store path itself is driver-checkable, not just its twin.
+    Rounded to 4 dp: the in-state accumulator is a float64 (pandas) sum.
+    """
+    import os
+    import uuid
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    name = f"lts_state_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ns_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    src = (spark.readStream.schema(ns_schema)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir)
+           .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+
+    def accumulate(key, pdf_iter, state):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdf_iter:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "total_value": [round(total, 4)],
+                            "n_events": [n]})
+
+    out = src.groupBy("user_id").applyInPandasWithState(
+        accumulate,
+        outputStructType="user_id bigint, total_value double, n_events bigint",
+        stateStructType="total double, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    q = (out.writeStream.outputMode("update")
+         .option("checkpointLocation", f"/tmp/lts_ckpt_{name}")
+         .trigger(availableNow=True)
+         .format("memory").queryName(name).start())
+    q.awaitTermination(timeout=300)
+    return spark.table(name)
