@@ -815,3 +815,110 @@ def llm_sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return e.repartition(32, "vec_id").mapInPandas(
         topk, schema="a_id bigint, b_id bigint, rn int")
+
+
+_PIPELINE_ORACLE = f"""
+WITH quality AS (
+  SELECT doc_id, lang, text,
+         0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+       + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / CAST(len(string_split(text, ' ')) AS DOUBLE))
+       + 0.3 * least((CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0)
+         AS q
+  FROM documents
+), kept_q AS (
+  SELECT doc_id, lang, text FROM quality WHERE q >= 0.5
+), fp AS (
+  SELECT doc_id, lang, text,
+         md5(array_to_string(string_split(lower(trim(text)), ' ')[1:8], ' ')) AS fp
+  FROM kept_q
+), exact_kept AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fp
+  ) WHERE rn = 1
+), sh AS (
+  SELECT doc_id, {_SHINGLE3_SQL} AS s FROM exact_kept
+  WHERE len(string_split(text, ' ')) >= 3
+), near_drop AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND {_jaccard_sql('a.s', 'b.s')} >= 0.5
+), final AS (
+  SELECT * FROM exact_kept
+  WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM final
+GROUP BY lang
+"""
+
+
+@register("llm_pipeline_end_to_end", oracle=_PIPELINE_ORACLE)
+def llm_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data prep chain as ONE dataflow (what the engine
+    exists for at 100 TB): quality gate (composite >= 0.5) → exact dedup
+    (keep-first on the prefix fingerprint) → near-dup removal (minhash-LSH
+    candidates, exact-jaccard verified, drop the higher doc_id) → per-lang
+    corpus stats. Each stage is the scale-path formulation from its
+    standalone operator; the oracle recomputes the chain with brute-force
+    pairs — algorithm-independent cross-check end to end."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = _tokens()
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    n_chars = F.col("n_chars").cast("bigint")
+    avg_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens.cast("double")
+    q = (0.4 * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+         + 0.3 * (n_distinct.cast("double") / n_tokens.cast("double"))
+         + 0.3 * F.least(avg_len / 8.0, F.lit(1.0)))
+    kept_q = d.where(q >= 0.5).select("doc_id", "lang", "text")
+
+    fp = F.md5(F.array_join(
+        F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 8), " "))
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    exact_kept = (kept_q.withColumn("fp", fp)
+                  .withColumn("rn", F.row_number().over(w_fp))
+                  .where(F.col("rn") == 1)
+                  .select("doc_id", "lang", "text")
+                  .localCheckpoint(eager=False))
+
+    # near-dup candidates via the same LSH banding as llm_dedup_fuzzy_minhash
+    sh = exact_kept.where(F.size(_tokens()) >= 3) \
+        .select("doc_id", _tokens().alias("toks")) \
+        .select("doc_id", _shingles3("toks").alias("sh")) \
+        .localCheckpoint(eager=False)
+
+    def _seeded(i: int):
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    mh = sh.select("doc_id", *[
+        F.array_min(F.transform("sh", _seeded(i))).alias(f"mh{i}")
+        for i in range(_MINHASH_SEEDS)])
+    bands = mh.select("doc_id", F.explode(F.array(*[
+        F.xxhash64(F.lit(b), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+        for b in range(_LSH_BANDS)])).alias("bh")) \
+        .localCheckpoint(eager=False)
+    x = bands.select(F.col("doc_id").alias("a_id"), "bh")
+    y = bands.select(F.col("doc_id").alias("b_id"), F.col("bh").alias("bh2"))
+    cand = (x.join(y, (x.bh == y.bh2) & (x.a_id < y.b_id))
+            .select("a_id", "b_id").distinct())
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    near_drop = (
+        cand.join(sa, "a_id").join(sb, "b_id")
+        .where(_jaccard_spark(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+        .select(F.col("b_id").alias("doc_id")).distinct()
+    )
+
+    final = exact_kept.join(near_drop, "doc_id", "left_anti")
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens())).cast("bigint").alias("total_tokens"),
+    )

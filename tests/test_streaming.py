@@ -147,3 +147,21 @@ def test_foreach_batch_upsert_serving_table(spark, harness):
                  F.max("ts").alias("ts")))
     _assert_same(got, want, "foreach_batch_upsert")
     shutil.rmtree(serving, ignore_errors=True)
+
+
+def test_sliding_agg_twin(spark, harness):
+    out = harness.run(tw.sliding_agg, output_mode="complete")
+    _assert_same(out, tw.sliding_agg(load_table(spark, "events", SMOKE_SF_DIR)),
+                 "sliding")
+
+
+def test_kafka_envelope_streaming_parse(spark, harness):
+    """The envelope contract works identically under a streaming source:
+    serialize each micro-batch into the Kafka shape, parse it back, append
+    to memory — equals the batch parse of the whole table."""
+    from lambdatotheslaughter_spark.sources.kafka import parse_envelope, to_envelope
+
+    out = harness.run(lambda s: parse_envelope(to_envelope(s)),
+                      output_mode="append")
+    want = parse_envelope(to_envelope(load_table(spark, "events", SMOKE_SF_DIR)))
+    _assert_same(out, want, "kafka_envelope_stream")
