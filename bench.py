@@ -36,8 +36,12 @@ HEADLINE = [
     "stream_tumbling_agg",      # windowed stream twin
     "llm_text_stats",           # text corpus stats
     "llm_dedup_fuzzy_minhash",  # minhash-LSH near-dup
-    "llm_sim_knn_bruteforce",   # cosine top-k
+    "llm_sim_knn_bruteforce",   # cosine top-k (broadcast GEMM)
+    "llm_sim_knn_per_query",    # per-vector top-3 neighbors
     "llm_fingerprint",          # rolling-hash fingerprints
+    "llm_pipeline_end_to_end",  # quality->dedup->near-dup->stats chain
+    "join_bucketed_colocated",  # shuffle-free bucketed fact-fact join
+    "ts_resample_gapfill",      # calendar-spine resample
 ]
 
 
