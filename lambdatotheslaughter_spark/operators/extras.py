@@ -269,3 +269,89 @@ def sql_api_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("orders", "customer", "nation"):
         load_table(spark, name, sf_dir).createOrReplaceTempView(name)
     return spark.sql(_SQL_ENTRY)
+
+
+_FUNNEL_ORACLE = """
+WITH steps AS (
+  SELECT user_id,
+         MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+         MIN(ts) FILTER (WHERE event_type = 'click') AS t_click,
+         MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS step_view,
+       COUNT(CASE WHEN t_click > t_view THEN 1 END) AS step_click_after_view,
+       COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+         AS step_full_funnel
+FROM steps
+"""
+
+
+@register("funnel_view_click_purchase", oracle=_FUNNEL_ORACLE)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first view precedes their first click
+    precedes their first purchase. One groupBy with conditional MIN per
+    step — a single shuffle however many steps, the scalable funnel shape
+    (per-user event sorting never materializes)."""
+    ev = load_table(spark, "events", sf_dir)
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    steps = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"))
+    return steps.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("step_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1))
+         .alias("step_click_after_view"),
+        F.count(F.when((F.col("t_purchase") > F.col("t_click"))
+                       & (F.col("t_click") > F.col("t_view")), 1))
+         .alias("step_full_funnel"),
+    )
+
+
+_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+       COUNT(DISTINCT user_id) AS cohort_size,
+       COUNT(DISTINCT CASE WHEN day_offset = 1 THEN user_id END) AS d1,
+       COUNT(DISTINCT CASE WHEN day_offset = 7 THEN user_id END) AS d7,
+       COUNT(DISTINCT CASE WHEN day_offset = 14 THEN user_id END) AS d14
+FROM activity
+GROUP BY cohort_day
+"""
+
+
+@register("retention_cohorts", oracle=_RETENTION_ORACLE)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted again
+    at day +1/+7/+14. Two shuffles total (first-day computation, cohort
+    rollup) — no per-user timelines are ever materialized."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.to_date("ts").alias("day"))
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (ev.join(firsts, "user_id")
+                .select("user_id", "cohort_day",
+                        F.datediff("day", "cohort_day").alias("day_offset"))
+                .distinct())
+
+    def retained(n):
+        return F.countDistinct(
+            F.when(F.col("day_offset") == n, F.col("user_id")))
+
+    return (activity.groupBy("cohort_day")
+            .agg(F.countDistinct("user_id").alias("cohort_size"),
+                 retained(1).alias("d1"),
+                 retained(7).alias("d7"),
+                 retained(14).alias("d14"))
+            .withColumn("cohort_day", F.col("cohort_day").cast("string")))
