@@ -82,7 +82,8 @@ def _sink_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write → read-back round trip. Deterministic content, so it gets a full
     oracle (stronger than the rows-only minimum in SURVEY.md §2.1)."""
-    out = os.path.join(tempfile.gettempdir(), "lts_sink_parquet")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"lts_sink_parquet_{sf_tag}")
     _sink_source(spark, sf_dir).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
 
