@@ -151,3 +151,42 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         # from DuckDB — emit the ISO string instead (repr-stable)
         .withColumn("event_date", F.col("event_date").cast("string"))
     )
+
+
+_MALFORMED_ORACLE = """
+SELECT COUNT(*) FILTER (WHERE event_id % 37 <> 0) AS n_good,
+       COUNT(*) FILTER (WHERE event_id % 37 = 0) AS n_bad,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+            FILTER (WHERE event_id % 37 <> 0) AS BIGINT) AS good_prop_k_sum
+FROM events
+"""
+
+
+@register("source_kafka_malformed", oracle=_MALFORMED_ORACLE)
+def source_kafka_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record policy on the ingestion path: every 37th envelope is
+    corrupted (truncated JSON); PERMISSIVE from_json yields a null struct
+    for those instead of failing the batch — the poison-pill behavior a
+    production Kafka consumer needs. Counts + a checksum over the surviving
+    rows prove no good record is lost and no bad one leaks through."""
+    from lambdatotheslaughter_spark.sources.kafka import ENVELOPE_SCHEMA, to_envelope
+
+    ev = load_table(spark, "events", sf_dir)
+    env = to_envelope(ev)
+    corrupted = env.select(
+        F.col("key"),
+        F.when(F.col("key").cast("bigint") % 37 == 0,
+               F.concat(F.substring("value", 1, 15), F.lit("<TRUNCATED")))
+         .otherwise(F.col("value")).alias("value"),
+    )
+    parsed = corrupted.select(
+        F.col("key").cast("bigint").alias("event_id"),
+        F.from_json("value", ENVELOPE_SCHEMA).alias("j"))
+    is_good = F.col("j.ts_us").isNotNull()
+    return parsed.agg(
+        F.count(F.when(is_good, 1)).alias("n_good"),
+        F.count(F.when(~is_good, 1)).alias("n_bad"),
+        F.sum(F.when(is_good,
+                     F.get_json_object(F.col("j.props"), "$.k").cast("bigint")))
+         .cast("bigint").alias("good_prop_k_sum"),
+    )
