@@ -922,3 +922,64 @@ def llm_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(_tokens())).cast("bigint").alias("total_tokens"),
     )
+
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {_SHINGLE3_SQL} AS s FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND {_jaccard_sql('a.s', 'b.s')} >= 0.5
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs
+), reach AS (
+  SELECT src AS doc_id, src AS r FROM edges
+  UNION
+  SELECT reach.doc_id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+)
+SELECT doc_id, MIN(r) AS cluster_id, COUNT(DISTINCT r) AS cluster_size
+FROM reach GROUP BY doc_id
+"""
+
+
+@register("llm_dedup_cluster", oracle=_CLUSTER_ORACLE)
+def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph — the final dedup
+    step (keep one doc per CLUSTER, not per pair; A~B~C must collapse to one
+    survivor even when A~C was never directly detected).
+
+    Iterative min-label propagation: each round every vertex takes the min
+    label in its neighborhood; converges in O(component diameter) rounds
+    (driver-controlled loop with a convergence check — the iterative-
+    algorithm pattern SQL can't express, which is why the oracle uses a
+    recursive CTE: a genuinely different formulation). Each round is one
+    join + one groupBy; at 100 TB this is the standard large-graph CC
+    (GraphX/Pregel shape) over broadcast-eligible candidate edges."""
+    pairs = llm_dedup_fuzzy_minhash(spark, sf_dir).select("a_id", "b_id")
+    edges = (pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+             .unionByName(pairs.select(F.col("b_id").alias("src"),
+                                       F.col("a_id").alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    labels = edges.select(F.col("src").alias("doc_id")).distinct() \
+        .withColumn("label", F.col("doc_id"))
+    for _ in range(15):  # cap; converges in O(diameter) rounds
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src").agg(F.min("label").alias("nbr_label")))
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select("doc_id",
+                    F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+            .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sizes, "label")
+            .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size"))
