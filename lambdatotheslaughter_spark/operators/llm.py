@@ -983,3 +983,46 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (labels.join(sizes, "label")
             .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size"))
+
+
+_FRAMES_ORACLE = """
+SELECT doc_id,
+       CAST(unnest(generate_series(0, CAST(n_chars % 5 AS BIGINT))) AS INT) AS frame_idx,
+       CAST(n_chars % 5 + 1 AS INT) AS n_frames,
+       CAST((n_chars * 31 + unnest(generate_series(0, CAST(n_chars % 5 AS BIGINT)))) % 997 AS INT)
+         AS frame_checksum
+FROM documents
+WHERE n_chars > 200
+"""
+
+
+@register("llm_multimodal_frames", oracle=_FRAMES_ORACLE)
+def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: one input "video" payload → N frame rows
+    via mapInPandas (the 1-to-many decode shape; resize/feature-extract
+    hang off the same iterator). The frame decoder is a clearly-marked
+    deterministic fake (no media libs in this container) computed ONLY from
+    payload bytes — so the Spark-side plumbing (binary in, typed multi-row
+    Arrow batches out, metadata filter pruning before bytes move) is real
+    and oracle-checked."""
+    import pandas as pd
+
+    d = load_table(spark, "documents", sf_dir).where(F.col("n_chars") > 200) \
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def sample_frames(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "n_frames": [], "frame_checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)  # == n_chars (ascii corpus)
+                n_frames = n % 5 + 1  # STUB: stands in for real frame count
+                for idx in range(n_frames):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["n_frames"].append(n_frames)
+                    rows["frame_checksum"].append((n * 31 + idx) % 997)
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        sample_frames,
+        schema="doc_id bigint, frame_idx int, n_frames int, frame_checksum int")
