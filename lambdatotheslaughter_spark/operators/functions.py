@@ -257,3 +257,35 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"))
     )
+
+
+@register("str_pad_translate", oracle="""
+SELECT s_suppkey,
+       lpad(s_name, 24, '*') AS padded_left,
+       rpad(s_name, 24, '.') AS padded_right,
+       translate(s_name, '#0', '-_') AS translated,
+       repeat('-', 4) AS sep,
+       reverse(s_name) AS reversed,
+       left(s_name, 8) AS left8,
+       right(s_name, 4) AS right4,
+       CAST(strpos(s_name, '#') AS BIGINT) AS hash_pos,
+       split_part(s_name, '#', 2) AS after_hash
+FROM supplier
+""")
+def str_pad_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining portable string surface: lpad/rpad/translate/repeat/
+    reverse/left/right/strpos(instr)/split_part(element_at∘split) — all
+    1-based and semantics-identical across both dialects (probed)."""
+    s = load_table(spark, "supplier", sf_dir)
+    return s.select(
+        "s_suppkey",
+        F.lpad("s_name", 24, "*").alias("padded_left"),
+        F.rpad("s_name", 24, ".").alias("padded_right"),
+        F.translate("s_name", "#0", "-_").alias("translated"),
+        F.repeat(F.lit("-"), 4).alias("sep"),
+        F.reverse("s_name").alias("reversed"),
+        F.substring("s_name", 1, 8).alias("left8"),
+        F.substring(F.col("s_name"), -4, 4).alias("right4"),
+        F.instr("s_name", "#").cast("bigint").alias("hash_pos"),
+        F.element_at(F.split("s_name", "#"), 2).alias("after_hash"),
+    )
