@@ -103,38 +103,43 @@ def llm_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select("doc_id", _tokens().alias("toks")) \
         .select("doc_id", _shingles3("toks").alias("sh")) \
         .localCheckpoint(eager=False)
+    return _verified_near_dup_pairs(sh).where(F.col("jaccard") >= 0.5)
 
-    # per-doc minhash signature WITHOUT explode+shuffle: array_min over a
-    # per-seed transform stays inside the scan stage (measured 7x faster
-    # than the explode+groupBy formulation, and shuffle-free at any scale).
-    # NB: the lambda must be single-arg — a second parameter (even a bound
-    # default) makes Spark pass the array INDEX into it.
+
+def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
+    """MinHash signatures + LSH banding → candidate (a_id, b_id) pairs.
+
+    Signature stage is shuffle-free: array_min over a per-seed transform
+    stays inside the scan stage (measured 7× faster than explode+groupBy).
+    NB: the transform lambda must be single-arg — a second parameter (even
+    a bound default) makes Spark pass the array INDEX into it.
+    """
     def _seeded(i: int):
         return lambda s: F.xxhash64(F.lit(i), s)
 
     mh = sh.select("doc_id", *[
         F.array_min(F.transform("sh", _seeded(i))).alias(f"mh{i}")
         for i in range(_MINHASH_SEEDS)])
-
     bands = mh.select("doc_id", F.explode(F.array(*[
-        F.xxhash64(F.lit(b), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("bh")
+        F.xxhash64(F.lit(b), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
         for b in range(_LSH_BANDS)])).alias("bh")) \
         .localCheckpoint(eager=False)  # both sides of the bucket self-join
     x = bands.select(F.col("doc_id").alias("a_id"), "bh")
     y = bands.select(F.col("doc_id").alias("b_id"), F.col("bh").alias("bh2"))
-    cand = (
-        x.join(y, (x.bh == y.bh2) & (x.a_id < y.b_id))
-        .select("a_id", "b_id").distinct()
-    )
+    return (x.join(y, (x.bh == y.bh2) & (x.a_id < y.b_id))
+            .select("a_id", "b_id").distinct())
 
+
+def _verified_near_dup_pairs(sh: DataFrame) -> DataFrame:
+    """LSH candidates exact-verified: (a_id, b_id, jaccard) over the
+    shingle-array DataFrame. Shared by the standalone dedup operator and
+    the end-to-end pipeline (one implementation, no drift)."""
+    cand = _lsh_candidate_pairs(sh)
     sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
     jac = _jaccard_spark(F.col("sh_a"), F.col("sh_b"))
-    return (
-        cand.join(sa, "a_id").join(sb, "b_id")
-        .select("a_id", "b_id", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= 0.5)
-    )
+    return (cand.join(sa, "a_id").join(sb, "b_id")
+            .select("a_id", "b_id", jac.alias("jaccard")))
 
 
 _NGRAM_ORACLE = f"""
@@ -321,7 +326,6 @@ def llm_sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def topk_blocks(batches):
         all_ids, all_mat = b_ids.value, b_mat.value
-        order = np.argsort(all_ids)
         for pdf in batches:
             q_ids = pdf["vec_id"].to_numpy()
             q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
@@ -889,33 +893,15 @@ def llm_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("doc_id", "lang", "text")
                   .localCheckpoint(eager=False))
 
-    # near-dup candidates via the same LSH banding as llm_dedup_fuzzy_minhash
+    # near-dup removal via the SHARED minhash/LSH helper (one implementation
+    # with llm_dedup_fuzzy_minhash — no drift between pipeline and operator)
     sh = exact_kept.where(F.size(_tokens()) >= 3) \
         .select("doc_id", _tokens().alias("toks")) \
         .select("doc_id", _shingles3("toks").alias("sh")) \
         .localCheckpoint(eager=False)
-
-    def _seeded(i: int):
-        return lambda s: F.xxhash64(F.lit(i), s)
-
-    mh = sh.select("doc_id", *[
-        F.array_min(F.transform("sh", _seeded(i))).alias(f"mh{i}")
-        for i in range(_MINHASH_SEEDS)])
-    bands = mh.select("doc_id", F.explode(F.array(*[
-        F.xxhash64(F.lit(b), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
-        for b in range(_LSH_BANDS)])).alias("bh")) \
-        .localCheckpoint(eager=False)
-    x = bands.select(F.col("doc_id").alias("a_id"), "bh")
-    y = bands.select(F.col("doc_id").alias("b_id"), F.col("bh").alias("bh2"))
-    cand = (x.join(y, (x.bh == y.bh2) & (x.a_id < y.b_id))
-            .select("a_id", "b_id").distinct())
-    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
-    near_drop = (
-        cand.join(sa, "a_id").join(sb, "b_id")
-        .where(_jaccard_spark(F.col("sh_a"), F.col("sh_b")) >= 0.5)
-        .select(F.col("b_id").alias("doc_id")).distinct()
-    )
+    near_drop = (_verified_near_dup_pairs(sh)
+                 .where(F.col("jaccard") >= 0.5)
+                 .select(F.col("b_id").alias("doc_id")).distinct())
 
     final = exact_kept.join(near_drop, "doc_id", "left_anti")
     return final.groupBy("lang").agg(

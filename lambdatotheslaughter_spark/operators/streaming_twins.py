@@ -234,14 +234,10 @@ def sink_stream_console_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
     with AvailableNow — and returns the sink table. Same oracle as the
     tumbling twin because the stream provably converges to the batch result.
     """
-    import os
     import uuid
-
-    from lambdatotheslaughter_spark.streaming.harness import EVENT_STREAM_SCHEMA
 
     name = f"lts_mem_{uuid.uuid4().hex[:8]}"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = EVENT_STREAM_SCHEMA
     # stream straight from the sf parquet (ts int64-nanos → µs, as load_table)
     from pyspark.sql import types as T
     ns_schema = T.StructType([
