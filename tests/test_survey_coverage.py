@@ -41,3 +41,33 @@ def test_oracle_coverage_ratio():
     allowed = {"agg_approx_distinct", "llm_sim_lsh_approx", "llm_sim_ann_ivf",
                "llm_multimodal_decode"}
     assert set(rows_only) <= allowed, f"unexpected rows-only queries: {rows_only}"
+
+
+def test_driver_priority_window_is_fully_oracled():
+    """The driver hash-verifies the FIRST 50 entries of queries() per round.
+    Round 2 rotates the previously replica-only queries into that window;
+    every slot must carry an oracle (a rows-only op in the window wastes a
+    verification slot), every listed name must exist, and the window must
+    contain every §2 key that round 1 left replica-only."""
+    qs = list(registry.all_queries())
+    oracles = registry.all_oracles()
+    prio = registry._DRIVER_PRIORITY
+    assert len(prio) == 50, f"priority list is {len(prio)} names, want 50"
+    missing = [n for n in prio if n not in set(qs)]
+    assert not missing, f"priority names not registered: {missing}"
+    assert qs[:50] == list(prio), "queries() does not lead with the priority window"
+    unoracled = [n for n in qs[:50] if n not in oracles]
+    assert not unoracled, f"rows-only queries occupy driver slots: {unoracled}"
+    # §2 keys graded 'pass (replica)' in VERDICT.md round 1
+    r1_replica_s2 = {
+        "sink_stream_console_memory", "array_ops", "arr_higher_order",
+        "map_ops", "json_extract", "stream_tumbling_agg", "stream_sliding_agg",
+        "stream_session_window", "stream_watermark_late", "stream_dedup",
+        "stream_stateful_running", "stream_join_enrich", "llm_dedup_exact",
+        "llm_dedup_fuzzy_minhash", "llm_sim_knn_bruteforce", "llm_text_stats",
+        "llm_text_tfidf_top_terms", "llm_lang_partition_skew",
+        "llm_multimodal_schema", "udf_python_scalar", "udf_pandas_vectorized",
+        "udaf_pandas_grouped", "udtf_explode_sessions",
+    }
+    uncovered = sorted(r1_replica_s2 - set(qs[:50]))
+    assert not uncovered, f"r1 replica-only §2 keys outside driver window: {uncovered}"
