@@ -106,6 +106,9 @@ def llm_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verified_near_dup_pairs(sh).where(F.col("jaccard") >= 0.5)
 
 
+_LSH_BUCKET_CAP = 64  # all-pairs only below this; measured max bucket ~3 at sf0.1
+
+
 def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
     """MinHash signatures + LSH banding → candidate (a_id, b_id) pairs.
 
@@ -113,7 +116,19 @@ def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
     stays inside the scan stage (measured 7× faster than explode+groupBy).
     NB: the transform lambda must be single-arg — a second parameter (even
     a bound default) makes Spark pass the array INDEX into it.
+
+    Hot-bucket guard: a band bucket of size s yields s²/2 candidate pairs,
+    so one degenerate bucket (boilerplate text, a template corpus) goes
+    quadratic. Buckets above _LSH_BUCKET_CAP switch from all-pairs to
+    consecutive CHAINING (sort by doc_id, pair each doc with its
+    successor): s−1 pairs instead of s²/2, while keeping every member of
+    the bucket transitively connected — so downstream connected-components
+    dedup (llm_dedup_cluster) still collapses the whole bucket to one
+    cluster. The real corpus never hits the cap (max bucket 3 at sf0.1);
+    the adversarial constant-text case is pinned in tests/test_llm_quality.py.
     """
+    from pyspark.sql import Window
+
     def _seeded(i: int):
         return lambda s: F.xxhash64(F.lit(i), s)
 
@@ -122,12 +137,25 @@ def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
         for i in range(_MINHASH_SEEDS)])
     bands = mh.select("doc_id", F.explode(F.array(*[
         F.xxhash64(F.lit(b), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
-        for b in range(_LSH_BANDS)])).alias("bh")) \
+        for b in range(_LSH_BANDS)])).alias("bh"))
+    # bucket size via a window over bh: establishes the bh partitioning ONCE
+    # (a separate groupBy+join-back formulation measured 5 extra exchanges);
+    # the self-join and the chain window below reuse it
+    sized = bands.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("bh"))) \
         .localCheckpoint(eager=False)  # both sides of the bucket self-join
-    x = bands.select(F.col("doc_id").alias("a_id"), "bh")
-    y = bands.select(F.col("doc_id").alias("b_id"), F.col("bh").alias("bh2"))
-    return (x.join(y, (x.bh == y.bh2) & (x.a_id < y.b_id))
-            .select("a_id", "b_id").distinct())
+    cold = sized.where(F.col("bsz") <= _LSH_BUCKET_CAP)
+    x = cold.select(F.col("doc_id").alias("a_id"), "bh")
+    y = cold.select(F.col("doc_id").alias("b_id"), F.col("bh").alias("bh2"))
+    all_pairs = (x.join(y, (x.bh == y.bh2) & (x.a_id < y.b_id))
+                 .select("a_id", "b_id"))
+    w_chain = Window.partitionBy("bh").orderBy("doc_id")
+    chained = (sized.where(F.col("bsz") > _LSH_BUCKET_CAP)
+               .select("bh", F.col("doc_id").alias("a_id"),
+                       F.lead("doc_id").over(w_chain).alias("b_id"))
+               .where(F.col("b_id").isNotNull())
+               .select("a_id", "b_id"))
+    return all_pairs.unionByName(chained).distinct()
 
 
 def _verified_near_dup_pairs(sh: DataFrame) -> DataFrame:
@@ -298,58 +326,100 @@ SELECT a_id, b_id, round(cosine, 6) AS cosine FROM (
 """
 
 
+_KNN_BLOCK_ROWS = 1024  # GEMM tile height: 1024×1024 pairs × 64-d ≈ 67 Mflop/tile
+
+
+def _norm_block(pdf):
+    """(ids, L2-normalized float64 matrix) from an Arrow batch."""
+    import numpy as np
+
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+def _block_pair_cogroup(e: DataFrame, kernel, schema: str) -> DataFrame:
+    """Distributed all-pairs scaffold: hash vectors into ~1024-row blocks,
+    enumerate the B(B+1)/2 block pairs (i <= j), replicate each block to
+    the pairs it participates in via a broadcast join, and run
+    ``kernel(key, left_rows, right_rows)`` per pair through cogrouped
+    applyInPandas.
+
+    Nothing reaches the driver but the row count (for block sizing) and the
+    tiny pair list — no ``toPandas()`` of the data, no full-table broadcast.
+    This is the 100 TB shape for exact similarity: the O(n²) pair space is
+    inherent, but it is tiled across executors (replication factor B on the
+    input, GEMM per tile) instead of funneled through one process. The same
+    scaffold serves global-top-k, per-query-top-k, and IVF residual search.
+    """
+    import math
+
+    n = e.count()  # metadata-cheap scalar; sizes the tiling
+    n_blocks = max(1, math.ceil(n / _KNN_BLOCK_ROWS))
+    v = e.select(
+        "vec_id", "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int").alias("blk"))
+    # no join needed: each row knows its tile memberships — as the LEFT side
+    # of every pair (blk, j>=blk) and the RIGHT side of every (i<=blk, blk).
+    # A narrow explode beats a broadcast join (zero extra shuffle inputs).
+    left = v.select(
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("bj"),
+        "vec_id", "embedding")
+    right = v.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+        "vec_id", "embedding")
+    return (left.groupBy("bi", "bj").cogroup(right.groupBy("bi", "bj"))
+            .applyInPandas(kernel, schema=schema))
+
+
 @register("llm_sim_knn_bruteforce", oracle=_KNN_ORACLE)
 def llm_sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-10 most-similar embedding pairs, brute force — but as a
-    block-parallel numpy GEMM, not a row-pair join: each partition multiplies
-    its rows against the (broadcast, L2-normalized) matrix and emits only its
-    local top-k, then TakeOrdered merges k rows per partition.
+    """Global top-10 most-similar embedding pairs, brute force — as a
+    distributed block-pair GEMM (see :func:`_block_pair_cogroup`): each
+    (block i, block j) tile computes its cosine matrix with numpy and emits
+    only its tile-local top-k; a final TakeOrdered merges k rows per tile.
+    Exact: every unordered pair lives in exactly one tile, and tile-local
+    top-k uses the same (cosine desc, a_id, b_id) order as the global merge.
 
-    Per-pair higher-order-function folds measured 36 s at sf0.1; this GEMM
-    runs the same math vectorized (~70× less interpreter work). At 100 TB
-    the broadcast side becomes block-pair tiling — the per-partition GEMM
-    kernel is unchanged. Cosine rounded to 6 dp in query and oracle: BLAS
-    accumulation order differs from a sequential fold by ~1 ulp."""
+    Per-pair higher-order-function folds measured 36 s at sf0.1; the GEMM
+    runs the same math vectorized. Cosine rounded to 6 dp in query and
+    oracle: BLAS accumulation order differs from a sequential fold by ~1 ulp.
+    """
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    # broadcast side: the full (small) collection, like any broadcast join
-    collected = e.toPandas()
-    ids = collected["vec_id"].to_numpy()
-    mat = np.vstack(collected["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    sc = spark.sparkContext
-    b_ids = sc.broadcast(ids)
-    b_mat = sc.broadcast(mat)
     k = 10
 
-    def topk_blocks(batches):
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            q_ids = pdf["vec_id"].to_numpy()
-            q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ all_mat.T  # (batch, n) GEMM
-            out_a, out_b, out_c = [], [], []
-            for i, qa in enumerate(q_ids):
-                mask = all_ids > qa  # dedup pairs: only (a < b)
-                if not mask.any():
-                    continue
-                cand_sims = sims[i][mask]
-                cand_ids = all_ids[mask]
-                take = min(k, len(cand_sims))
-                idx = np.argpartition(-cand_sims, take - 1)[:take]
-                out_a.extend([qa] * take)
-                out_b.extend(cand_ids[idx])
-                out_c.extend(cand_sims[idx])
-            yield pd.DataFrame({"a_id": out_a, "b_id": out_b, "cosine": out_c})
+    def tile_topk(key, lpdf, rpdf):
+        bi, bj = key
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cosine": "float64"})
+        il, ml = _norm_block(lpdf)
+        ir, mr = _norm_block(rpdf)
+        sims = ml @ mr.T
+        # orient every pair as (smaller id, larger id); keep strict a < b
+        a = np.minimum.outer(il, ir).ravel()
+        b = np.maximum.outer(il, ir).ravel()
+        c = sims.ravel()
+        keep = a < b
+        if bi == bj:
+            # left == right rows: each unordered pair appears twice — keep
+            # the upper triangle only (il[i] < ir[j] occurrences)
+            keep &= (np.subtract.outer(il, ir) < 0).ravel()
+        a, b, c = a[keep], b[keep], c[keep]
+        take = min(k, len(c))
+        idx = np.lexsort((b, a, -c))[:take]
+        return pd.DataFrame({"a_id": a[idx], "b_id": b[idx], "cosine": c[idx]})
 
-    local_tops = e.repartition(32, "vec_id").mapInPandas(
-        topk_blocks, schema="a_id bigint, b_id bigint, cosine double")
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    tops = _block_pair_cogroup(
+        e, tile_topk, "a_id bigint, b_id bigint, cosine double")
     return (
-        local_tops
-        .orderBy(F.col("cosine").desc(), "a_id", "b_id")
+        tops.orderBy(F.col("cosine").desc(), "a_id", "b_id")
         .limit(k)
         .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
     )
@@ -380,49 +450,99 @@ def llm_sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_NPROBE = 2  # query-side probes: own cell + next-nearest cell
+
+
+def _ivf_train_centroids(e: DataFrame, n: int, n_cells: int):
+    """Seeded k-means centroids trained on a BOUNDED deterministic sample
+    (~20 rows/cell picked by hash of vec_id — sample size scales with
+    n_cells, never with n, so the driver-side step stays O(√n) at 100 TB;
+    this is the standard IVF training recipe: train on sample, assign
+    distributed). k-means++ init + 10 Lloyd rounds, all from a fixed-seed
+    rng → identical centroids every run. Returns an L2-normalized float64
+    (n_cells × dim) matrix."""
+    import numpy as np
+
+    mod = max(1, n // (20 * n_cells))
+    samp = (e.where(F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0)
+            .select("embedding").toPandas())
+    mat = np.vstack(samp["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.default_rng(42)
+    k = min(n_cells, len(mat))
+    # k-means++ seeding on the unit sphere (euclidean == cosine ordering)
+    cent = [mat[rng.integers(len(mat))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [np.sum((mat - c) ** 2, axis=1) for c in cent], axis=0)
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        cent.append(mat[rng.choice(len(mat), p=probs)])
+    cent = np.vstack(cent)
+    for _ in range(10):  # Lloyd
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    return cent
+
+
 @register("llm_sim_ann_ivf", oracle=None)
 def llm_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse quantization to deterministic per-label mean
-    centroids, then exact top-3 within the assigned cell only.
+    """IVF ANN with a real inverted-file structure: ~√n k-means cells
+    (seeded, trained on a bounded sample) + multi-probe search.
 
-    100 TB path: centroid table is broadcast; each vector probes one cell,
-    so the pair space shrinks by ~n_cells×. Recall vs brute force is
+    Each vector is INDEXED under its nearest centroid only; each QUERY
+    probes its nprobe=2 nearest cells. Candidate volume is therefore
+    n · nprobe · (n / n_cells) ≈ 2·n^1.5 — genuinely sub-quadratic, and the
+    cell count grows with the data (the r1 version had 10 fixed cells,
+    leaving the within-cell join O(n²/10)). Centroid matrix rides to
+    executors in the task closure (√n × dim floats — broadcast-sized by
+    construction). Recall vs brute force and the pair-volume bound are
     asserted in tests/test_llm_quality.py. Rows-only: the iterative
-    centroid step is the part SQL can't express cleanly (SURVEY §5)."""
+    k-means step is the part SQL can't express (SURVEY §5)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
     from pyspark.sql import Window
 
-    e = load_table(spark, "embeddings", sf_dir)
-    # deterministic centroids: decimal-space per-dimension mean by label
-    dims = e.select("label", F.posexplode("embedding").alias("pos", "v"))
-    cent = (
-        dims.groupBy("label", "pos")
-        .agg((F.sum(F.col("v").cast("decimal(38,9)")).cast("double")
-              / F.count("v")).alias("c"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select(F.col("label").alias("cell"),
-                F.transform("pc", lambda s: s.getField("c")).alias("centroid"))
-    )
-    # assign each vector to its nearest centroid (cosine)
-    assign_cos = _cosine_spark(F.col("embedding"), F.col("centroid"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("assign_cos").desc(), F.col("cell"))
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "cell", assign_cos.alias("assign_cos"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
-    )
-    # exact top-3 neighbors within the cell
-    a = assigned.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("emb_a"),
-                        "cell")
-    b = assigned.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("emb_b"),
-                        F.col("cell").alias("cell_b"))
-    cos = _cosine_spark(F.col("emb_a"), F.col("emb_b"))
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    n = e.count()
+    n_cells = max(2, round(math.sqrt(n)))
+    cent = _ivf_train_centroids(e, n, n_cells)
+
+    def assign(batches):
+        for pdf in batches:
+            ids, mat = _norm_block(pdf)
+            sims = mat @ cent.T
+            # top-2 cells per vector: argpartition then exact order
+            top2 = np.argsort(-sims, axis=1)[:, :_IVF_NPROBE]
+            yield pd.DataFrame({
+                "vec_id": ids,
+                "cell": top2[:, 0].astype("int32"),
+                "cell2": top2[:, -1].astype("int32"),
+                "nemb": list(mat),  # normalized → cosine becomes a plain dot
+            })
+
+    assigned = e.mapInPandas(
+        assign,
+        schema="vec_id bigint, cell int, cell2 int, nemb array<double>",
+    ).localCheckpoint(eager=False)  # feeds both index and probe sides
+
+    index = assigned.select(
+        F.col("vec_id").alias("b_id"), "cell", F.col("nemb").alias("emb_b"))
+    probes = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        F.explode(F.array("cell", "cell2")).alias("cell"),
+        F.col("nemb").alias("emb_a"))
+    cos = _dot_spark(F.col("emb_a"), F.col("emb_b"))
     w_top = Window.partitionBy("a_id").orderBy(F.col("cosine").desc(), F.col("b_id"))
     return (
-        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("a_id") != F.col("b_id")))
+        probes.join(index, "cell")
+        .where(F.col("a_id") != F.col("b_id"))
         .select("a_id", "b_id", cos.alias("cosine"))
         .withColumn("rn", F.row_number().over(w_top))
         .where(F.col("rn") <= 3)
@@ -784,41 +904,52 @@ SELECT a_id, b_id, rn FROM (
 def llm_sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query exact top-3 neighbors for EVERY vector (the retrieval-shaped
     ANN baseline, vs llm_sim_knn_bruteforce's global top pairs). Same
-    broadcast-GEMM kernel; each partition emits its rows' top-3 directly —
-    no global shuffle at all, output is n×3 rows."""
+    distributed block-pair GEMM scaffold: each (i, j) tile emits tile-local
+    top-3 candidates for its left rows AND (when i ≠ j) its right rows, then
+    one window merges per-query candidates exactly — every candidate b lives
+    in exactly one tile with a, so the union of tile-local top-3 sets
+    contains the true top-3. Output is n×3 rows; no driver collect."""
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    collected = e.toPandas()
-    ids = collected["vec_id"].to_numpy()
-    mat = np.vstack(collected["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    sc = spark.sparkContext
-    b_ids = sc.broadcast(ids)
-    b_mat = sc.broadcast(mat)
+    from pyspark.sql import Window
+
     k = 3
 
-    def topk(batches):
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            q_ids = pdf["vec_id"].to_numpy()
-            q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ all_mat.T
-            out_a, out_b, out_r = [], [], []
-            for i, qa in enumerate(q_ids):
-                s = sims[i].copy()
-                s[all_ids == qa] = -np.inf  # exclude self
-                # top-k by (sim desc, id asc) — matches the oracle's ordering
-                idx = np.lexsort((all_ids, -s))[:k]
-                out_a.extend([qa] * k)
-                out_b.extend(all_ids[idx])
-                out_r.extend(range(1, k + 1))
-            yield pd.DataFrame({"a_id": out_a, "b_id": out_b, "rn": out_r})
+    def tile_topk(key, lpdf, rpdf):
+        bi, bj = key
+        cols = {"a_id": [], "b_id": [], "cosine": []}
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame(cols).astype(
+                {"a_id": "int64", "b_id": "int64", "cosine": "float64"})
+        il, ml = _norm_block(lpdf)
+        ir, mr = _norm_block(rpdf)
+        sims = ml @ mr.T
 
-    return e.repartition(32, "vec_id").mapInPandas(
-        topk, schema="a_id bigint, b_id bigint, rn int")
+        def emit(q_ids, c_ids, s):
+            # per query row: local top-k by (sim desc, id asc) — the
+            # oracle's ROW_NUMBER ordering, applied tile-locally
+            for i, qa in enumerate(q_ids):
+                valid = c_ids != qa  # exclude self (i == j tiles)
+                row, ids2 = s[i][valid], c_ids[valid]
+                take = min(k, len(ids2))
+                idx = np.lexsort((ids2, -row))[:take]
+                cols["a_id"].extend([qa] * take)
+                cols["b_id"].extend(ids2[idx])
+                cols["cosine"].extend(row[idx])
+
+        emit(il, ir, sims)
+        if bi != bj:
+            emit(ir, il, sims.T)
+        return pd.DataFrame(cols)
+
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    cand = _block_pair_cogroup(
+        e, tile_topk, "a_id bigint, b_id bigint, cosine double")
+    w = Window.partitionBy("a_id").orderBy(F.col("cosine").desc(), F.col("b_id"))
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("a_id", "b_id", F.col("rn").cast("int").alias("rn")))
 
 
 _PIPELINE_ORACLE = f"""

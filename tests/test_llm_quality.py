@@ -30,10 +30,10 @@ def test_lsh_approx_recall(spark, duck):
 
 
 def test_ivf_ann_recall(spark, duck):
-    """IVF top-3 (single-probe) must agree with brute-force top-3 for a
-    reasonable share of query vectors. Single-probe IVF on unclustered
-    random data has limited recall by nature — the gate is a floor, and the
-    measured value is printed for the bench record."""
+    """IVF top-3 (k-means cells, nprobe=2) must agree with brute-force
+    top-3 for a reasonable share of query vectors. Multi-probe IVF on
+    unclustered random data has limited recall by nature — the gate is a
+    floor, and the measured value is printed for the bench record."""
     ivf = registry.get("llm_sim_ann_ivf").fn(spark, SF_DIR)
     ivf_pairs = _pairs(ivf)
     exact = duck.execute("""
@@ -52,9 +52,116 @@ def test_ivf_ann_recall(spark, duck):
     assert recall >= 0.2, f"IVF recall@3 {recall:.2f} below floor"
 
 
+def test_ivf_cells_scale_and_prune(spark):
+    """The IVF index must be a real index: cell count ~ √n (not a constant),
+    and the probed candidate-pair volume must be a small fraction of the n²
+    brute-force space — the r1 version's fixed 10 cells left O(n²/10)."""
+    import math
+
+    import numpy as np
+
+    from lambdatotheslaughter_spark.operators.llm import (
+        _IVF_NPROBE, _ivf_train_centroids)
+    from lambdatotheslaughter_spark.tables import load_table
+
+    e = load_table(spark, "embeddings", SF_DIR).select("vec_id", "embedding")
+    n = e.count()
+    n_cells = max(2, round(math.sqrt(n)))
+    assert n_cells >= 20, f"cell count {n_cells} did not scale with n={n}"
+    cent = _ivf_train_centroids(e, n, n_cells)
+    assert cent.shape[0] == n_cells
+
+    pdf = e.toPandas()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ cent.T
+    order = np.argsort(-sims, axis=1)
+    cell_sizes = np.bincount(order[:, 0], minlength=n_cells)
+    # candidate volume: every query probes its top-nprobe cells
+    volume = sum(int(cell_sizes[order[i, p]])
+                 for i in range(n) for p in range(_IVF_NPROBE))
+    frac = volume / (n * n)
+    print(f"IVF candidate fraction = {frac:.4f} ({volume}/{n * n})")
+    assert frac <= 4.0 * _IVF_NPROBE / n_cells, (
+        f"probed volume {frac:.3f} of n² — cells are not pruning")
+
+
 def test_minhash_recall_is_exact(spark, duck):
     """The LSH-banded minhash pipeline must recover the full exact pair set
     at tau=0.5 (its oracle asserts equality; this asserts the count is the
     planted 25 so a silently-empty result can never pass)."""
     res = registry.get("llm_dedup_fuzzy_minhash").fn(spark, SF_DIR).collect()
     assert len(res) == 25, f"expected the 25 planted near-dup pairs, got {len(res)}"
+
+
+def test_lsh_hot_bucket_cap_is_not_quadratic(spark):
+    """Adversarial corpus: 1000 identical documents → every doc lands in the
+    same band bucket for all 16 bands. Without the hot-bucket cap the
+    candidate set is n(n-1)/2 = 499,500 pairs; with chaining it must stay
+    O(n) — and the chain must keep the bucket transitively connected so
+    cluster-level dedup still collapses it to one survivor."""
+    from pyspark.sql import functions as F
+
+    from lambdatotheslaughter_spark.functions.text import shingles3, tokens
+    from lambdatotheslaughter_spark.operators.llm import _lsh_candidate_pairs
+
+    n = 1000
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(n)],
+        "doc_id long, text string")
+    sh = docs.select("doc_id", tokens().alias("toks")) \
+        .select("doc_id", shingles3("toks").alias("sh"))
+    cand = _lsh_candidate_pairs(sh).collect()
+    assert len(cand) < 5 * n, (
+        f"{len(cand)} candidate pairs for a degenerate bucket — quadratic")
+    # connectivity: union-find over the emitted pairs must give ONE component
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for r in cand:
+        parent[find(r.a_id)] = find(r.b_id)
+    roots = {find(i) for i in range(n)}
+    assert len(roots) == 1, f"chained candidates split into {len(roots)} components"
+
+
+def test_knn_never_collects_to_driver(spark, monkeypatch):
+    """The exact-kNN pair must stay distributed: building AND executing the
+    queries with DataFrame.toPandas poisoned proves no full-table driver
+    collect exists on the path (the r1 implementation had one)."""
+    import pyspark.sql
+
+    def _boom(self):
+        raise AssertionError("driver-side toPandas() on the kNN path")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "toPandas", _boom)
+    n = registry.get("llm_sim_knn_bruteforce").fn(spark, SF_DIR).count()
+    assert n == 10
+    n = registry.get("llm_sim_knn_per_query").fn(spark, SF_DIR).count()
+    assert n > 0
+
+
+def test_knn_tiled_merge_matches_single_tile(spark, monkeypatch):
+    """Force tiny 64-row blocks (sf0.01 → 8 blocks, 36 tiles) and assert the
+    multi-tile merge reproduces the default (single-tile at this SF) result
+    exactly — the tile-local top-k + global merge must be lossless."""
+    from lambdatotheslaughter_spark.operators import llm
+
+    def rows(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    base_global = rows(registry.get("llm_sim_knn_bruteforce").fn(spark, SF_DIR),
+                       ("a_id", "b_id", "cosine"))
+    base_pq = rows(registry.get("llm_sim_knn_per_query").fn(spark, SF_DIR),
+                   ("a_id", "b_id", "rn"))
+    monkeypatch.setattr(llm, "_KNN_BLOCK_ROWS", 64)
+    tiled_global = rows(registry.get("llm_sim_knn_bruteforce").fn(spark, SF_DIR),
+                        ("a_id", "b_id", "cosine"))
+    tiled_pq = rows(registry.get("llm_sim_knn_per_query").fn(spark, SF_DIR),
+                    ("a_id", "b_id", "rn"))
+    assert tiled_global == base_global
+    assert tiled_pq == base_pq
