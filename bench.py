@@ -53,6 +53,14 @@ def main() -> None:
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1)) if sf_match else -1.0
     spark = get_spark("lts-bench")
+    # Silence the benign 'Failed to update accumulator (Unknown class)'
+    # DAGScheduler stacks (an AQE/accumulator-GC race on reused plans;
+    # results are unaffected, rc=0) so a REAL failure stays visible in
+    # stderr. Scoped to bench only — tests keep full logging.
+    jvm = spark.sparkContext._jvm
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.scheduler.DAGScheduler",
+        jvm.org.apache.logging.log4j.Level.FATAL)
     queries = registry.all_queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

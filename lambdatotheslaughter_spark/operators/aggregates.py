@@ -16,9 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lambdatotheslaughter_spark.determinism import (
-    cavg, charge_csum, csum, davg, disc_price_csum, dsum, oracle_cavg,
-    oracle_charge_csum, oracle_csum, oracle_davg, oracle_disc_price_csum,
-    oracle_dsum)
+    cavg, charge_csum, csum, davg, disc_price_csum, dsum, estimate_rows,
+    money_aggs, oracle_cavg, oracle_charge_csum, oracle_csum, oracle_davg,
+    oracle_disc_price_csum, oracle_dsum)
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
 
@@ -49,21 +49,24 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scan → filter (pushed to parquet row groups) → hash agg on the 6-group
     key. At 100 TB this is the canonical map-side-combine query: the shuffle
     carries only (2-key × partial-agg) rows, a few KB per task. Money sums
-    run on the exact int64-cents fast path (2-decimal inputs, measured ~2×
-    faster than decimal space and still bit-exact vs the oracle).
+    auto-select by scale (:func:`money_aggs`): the exact int64-cents fast
+    path (measured ~2× faster, bit-exact vs the oracle) below the overflow
+    bound, the unbounded decimal path past ~1e7 rows (sf10+) — same values
+    either way, so the static oracle holds at every scale.
     """
+    m = money_aggs(estimate_rows(sf_dir, "lineitem"))
     li = load_table(spark, "lineitem", sf_dir)
     return (
         li.where(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            csum("l_quantity").alias("sum_qty"),
-            csum("l_extendedprice").alias("sum_base_price"),
-            disc_price_csum("l_extendedprice", "l_discount").alias("sum_disc_price"),
-            charge_csum("l_extendedprice", "l_discount", "l_tax").alias("sum_charge"),
-            cavg("l_quantity").alias("avg_qty"),
-            cavg("l_extendedprice").alias("avg_price"),
-            cavg("l_discount").alias("avg_disc"),
+            m["sum"]("l_quantity").alias("sum_qty"),
+            m["sum"]("l_extendedprice").alias("sum_base_price"),
+            m["disc_price"]("l_extendedprice", "l_discount").alias("sum_disc_price"),
+            m["charge"]("l_extendedprice", "l_discount", "l_tax").alias("sum_charge"),
+            m["avg"]("l_quantity").alias("avg_qty"),
+            m["avg"]("l_extendedprice").alias("avg_price"),
+            m["avg"]("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

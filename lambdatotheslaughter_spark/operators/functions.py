@@ -289,3 +289,123 @@ def str_pad_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("s_name", "#").cast("bigint").alias("hash_pos"),
         F.element_at(F.split("s_name", "#"), 2).alias("after_hash"),
     )
+
+
+@register("type_decimal_arith", oracle="""
+SELECT l_returnflag,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(30,4)))
+                 AS DECIMAL(38,4)) AS VARCHAR) AS sum_prod,
+       CAST(MIN(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(30,4)))
+            AS VARCHAR) AS min_prod,
+       CAST(MAX(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(30,4)))
+            AS VARCHAR) AS max_prod,
+       CAST(CAST(SUM(round(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(30,4)),
+                           1)) AS DECIMAL(38,4)) AS VARCHAR) AS sum_rounded,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def type_decimal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType arithmetic end-to-end (SURVEY §1.2): cast doubles into
+    DECIMAL(12,2), multiply with explicit result scale, SUM/MIN/MAX in
+    decimal space (exact, associative — the scale-out guarantee), and
+    decimal-native HALF_UP rounding (round-to-1dp of the 4dp product; a
+    double→decimal quantization column was tried and removed: Spark casts
+    the SHORTEST decimal repr of a double while DuckDB casts its binary
+    value, so long-tail division results disagree in the last decimal —
+    decimal-in/decimal-out arithmetic is the portable surface). Outputs
+    are decimal STRINGS — scale-faithful rendering ('5019.0000') is part
+    of the type surface under test."""
+    li = load_table(spark, "lineitem", sf_dir)
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    prod = (ext * qty).cast("decimal(30,4)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(prod).cast("decimal(38,4)").cast("string").alias("sum_prod"),
+        F.min(prod).cast("string").alias("min_prod"),
+        F.max(prod).cast("string").alias("max_prod"),
+        F.sum(F.round(prod, 1)).cast("decimal(38,4)").cast("string")
+         .alias("sum_rounded"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("type_map_aggregate", oracle="""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(COUNT(*) AS INT) AS n_types,
+       coalesce(string_agg(CASE WHEN n >= 3
+                                THEN event_type || '=' || CAST(n * 10 AS VARCHAR)
+                           END, ',' ORDER BY event_type), '') AS big_counts_x10,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM c
+GROUP BY user_id
+""")
+def type_map_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType as a computed value (SURVEY §1.2 — beyond map_ops's literal
+    construction): per-user map event_type→count via
+    map_from_entries∘collect_list, pruned with map_filter, rescaled with
+    transform_values, flattened via map_entries for stable hashing. The
+    oracle never builds a map — an independent relational formulation of
+    the same answer. Scale shape: one groupBy cascade, map stays
+    row-local (bounded by the event-type vocabulary)."""
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("event_type", "n"))))
+    per_user = counts.groupBy("user_id").agg(
+        m.alias("m"), F.sum("n").cast("bigint").alias("n_events"))
+    big = F.transform_values(
+        F.map_filter(F.col("m"), lambda k, v: v >= 3), lambda k, v: v * 10)
+    return per_user.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.array_join(
+            F.transform(F.map_entries(big),
+                        lambda e: F.concat(e.getField("key"), F.lit("="),
+                                           e.getField("value").cast("string"))),
+            ",").alias("big_counts_x10"),
+        "n_events",
+    )
+
+
+@register("type_interval_arith", oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d %H:%M:%S') AS plus_month,
+       strftime(o_orderdate + INTERVAL 1 MONTH + INTERVAL 15 DAY + INTERVAL 6 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS plus_mixed,
+       strftime(o_orderdate - INTERVAL 45 DAY, '%Y-%m-%d %H:%M:%S') AS minus_days,
+       strftime(last_day(o_orderdate) + INTERVAL 1 MONTH, '%Y-%m-%d') AS month_end_plus,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 YEAR, '%Y-%m-%d') AS plus_years
+FROM orders
+WHERE o_orderkey % 97 = 0
+""")
+def type_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CalendarInterval arithmetic edge cases (SURVEY §1.2): year-month
+    intervals clamp to month end (Jan 31 + 1 month = Feb 28/29 — both
+    engines agree), mixed month+day+hour intervals apply months first,
+    day-time subtraction, and last_day()+1 month (always another month
+    end). Timestamps emitted as ISO strings (date/timestamp cells hash
+    differently across engines — SURVEY §2 caveats)."""
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_orderkey") % 97 == 0)
+    ts = F.col("o_orderdate")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return o.select(
+        "o_orderkey",
+        F.date_format(ts + F.expr("INTERVAL 1 MONTH"), fmt).alias("plus_month"),
+        F.date_format(
+            ts + F.expr("INTERVAL 1 MONTH") + F.expr("INTERVAL 15 DAYS")
+            + F.expr("INTERVAL 6 HOURS"), fmt).alias("plus_mixed"),
+        F.date_format(ts - F.expr("INTERVAL 45 DAYS"), fmt).alias("minus_days"),
+        F.date_format(F.last_day(ts) + F.expr("INTERVAL 1 MONTH"),
+                      "yyyy-MM-dd").alias("month_end_plus"),
+        F.date_format(ts.cast("date") + F.expr("INTERVAL 2 YEARS"),
+                      "yyyy-MM-dd").alias("plus_years"),
+    )

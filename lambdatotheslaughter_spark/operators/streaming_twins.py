@@ -193,35 +193,53 @@ def stream_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 load_table(spark, "customer", sf_dir))
 
 
-_WATERMARK_ORACLE = """
-WITH arr AS (
-  SELECT event_type, ts,
-         MAX(ts) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+_WM_CHUNK = 1000  # arrival micro-batch size (event_id order)
+
+_WATERMARK_ORACLE = f"""
+WITH chunked AS (
+  SELECT event_type, ts, event_id // {_WM_CHUNK} AS chunk FROM events
+), chunk_max AS (
+  SELECT chunk, MAX(ts) AS mx FROM chunked GROUP BY chunk
+), wm AS (
+  SELECT chunk,
+         MAX(mx) OVER (ORDER BY chunk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            - INTERVAL 10 MINUTE AS wm
-  FROM events
+  FROM chunk_max
 )
 SELECT event_type,
-       COUNT(*) FILTER (WHERE ts >= wm) AS n_kept,
-       COUNT(*) FILTER (WHERE ts < wm) AS n_dropped_late
-FROM arr
+       COUNT(*) FILTER (WHERE wm.wm IS NULL OR ts >= wm.wm) AS n_kept,
+       COUNT(*) FILTER (WHERE ts < wm.wm) AS n_dropped_late
+FROM chunked JOIN wm USING (chunk)
 GROUP BY event_type
 """
 
 
 @register("stream_watermark_late", oracle=_WATERMARK_ORACLE)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark late-data policy, replayed deterministically: arrival order
-    is event_id order, watermark = running max(ts) - 10 min; events behind
-    the watermark at arrival are counted as dropped. The live-stream
-    behavior (append mode actually discarding them) is asserted in
-    tests/test_streaming.py."""
-    ev = load_table(spark, "events", sf_dir)
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding,
-                                               Window.currentRow)
-    wm = F.max("ts").over(w) - F.expr("INTERVAL 10 MINUTE")
-    marked = ev.select("event_type", "ts", wm.alias("wm"))
+    """Watermark late-data policy, replayed deterministically at Structured
+    Streaming's actual granularity: arrival order is event_id order chunked
+    into micro-batches of _WM_CHUNK rows; the watermark a row sees is
+    max(ts) over all PRIOR chunks minus 10 min (Spark advances watermarks
+    at batch boundaries, never mid-batch — so this is the faithful replay;
+    the r1 per-row running max was both stricter than the engine and a
+    single-task scan). Scale shape: per-chunk maxes are one map-side
+    combinable groupBy; the running max runs over the CHUNK SUMMARY (4-5
+    orders of magnitude smaller than the data — thousands of rows at
+    100 TB), and rejoins via broadcast. The full events table never passes
+    through a single-partition window. Live append-mode dropping is
+    asserted in tests/test_streaming.py."""
+    ev = load_table(spark, "events", sf_dir) \
+        .withColumn("chunk", F.floor(F.col("event_id") / _WM_CHUNK))
+    chunk_max = ev.groupBy("chunk").agg(F.max("ts").alias("mx"))
+    w = Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
+    wm_df = chunk_max.select(
+        "chunk",
+        (F.max("mx").over(w) - F.expr("INTERVAL 10 MINUTE")).alias("wm"))
+    marked = ev.join(F.broadcast(wm_df), "chunk")
     return marked.groupBy("event_type").agg(
-        F.count(F.when(F.col("ts") >= F.col("wm"), 1)).alias("n_kept"),
+        F.count(F.when(F.col("wm").isNull() | (F.col("ts") >= F.col("wm")), 1))
+         .alias("n_kept"),
         F.count(F.when(F.col("ts") < F.col("wm"), 1)).alias("n_dropped_late"),
     )
 

@@ -57,7 +57,12 @@ def has_take_ordered(df: DataFrame) -> bool:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    return executed_plan(df).count("Exchange ")
+    """All-to-all exchanges only (hash/range/single-partition). A
+    BroadcastExchange is deliberately NOT counted: it moves one small side
+    once, never repartitions the big side — counting it would penalize
+    exactly the broadcast rewrites these tests exist to protect."""
+    plan = executed_plan(df)
+    return plan.count("Exchange ") - plan.count("BroadcastExchange ")
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:

@@ -79,3 +79,53 @@ def test_csum_family_semantics_vs_plain_double_sums(spark):
     ).collect()[0]
     for k in ("s_price", "s_disc", "s_charge", "a_qty"):
         assert abs(got[k] - ref[k]) <= 1e-6 * abs(ref[k]), (k, got[k], ref[k])
+
+
+def test_money_paths_are_bit_identical(spark):
+    """The adaptive selector's claim: csum-family and dsum-family results
+    are BIT-identical for 2-decimal money (per-row DECIMAL(38,6) cast of
+    the double product recovers the exact rational), so auto-switching at
+    the overflow bound can never change a query's answer — including under
+    adversarial extremes (max price, 99% discount/tax)."""
+    from lambdatotheslaughter_spark.determinism import (
+        cavg, charge_csum, charge_dsum, csum, davg, disc_price_csum,
+        disc_price_dsum, dsum)
+    from lambdatotheslaughter_spark.tables import load_table
+
+    li = load_table(spark, "lineitem", "/root/testdata/sf0.01")
+    synth = spark.range(10_000).select(
+        F.lit(99999.99).alias("l_extendedprice"),
+        F.lit(0.99).alias("l_discount"),
+        F.lit(0.99).alias("l_tax"),
+        F.lit(50.0).alias("l_quantity"))
+    for df in (li, synth):
+        row = df.agg(
+            csum("l_extendedprice").alias("c_sum"),
+            dsum("l_extendedprice").alias("d_sum"),
+            disc_price_csum("l_extendedprice", "l_discount").alias("c_dp"),
+            disc_price_dsum("l_extendedprice", "l_discount").alias("d_dp"),
+            charge_csum("l_extendedprice", "l_discount", "l_tax").alias("c_ch"),
+            charge_dsum("l_extendedprice", "l_discount", "l_tax").alias("d_ch"),
+            cavg("l_quantity").alias("c_avg"),
+            davg("l_quantity").alias("d_avg"),
+        ).collect()[0]
+        assert row["c_sum"] == row["d_sum"], (row["c_sum"], row["d_sum"])
+        assert row["c_dp"] == row["d_dp"], (row["c_dp"], row["d_dp"])
+        assert row["c_ch"] == row["d_ch"], (row["c_ch"], row["d_ch"])
+        assert row["c_avg"] == row["d_avg"], (row["c_avg"], row["d_avg"])
+
+
+def test_money_selector_flips_at_bound():
+    """Selection must be csum-family up to CSUM_SAFE_ROWS and dsum-family
+    past it; the size-based row estimate must overestimate (conservative)."""
+    from lambdatotheslaughter_spark.determinism import (
+        CSUM_SAFE_ROWS, csum, dsum, estimate_rows, money_aggs)
+
+    assert money_aggs(CSUM_SAFE_ROWS)["sum"] is csum
+    assert money_aggs(CSUM_SAFE_ROWS + 1)["sum"] is dsum
+    import duckdb
+    real = duckdb.sql(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet')"
+    ).fetchone()[0]
+    est = estimate_rows("/root/testdata/sf0.01", "lineitem")
+    assert est >= real, f"estimate {est} under real {real} — bound not conservative"

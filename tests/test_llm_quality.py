@@ -165,3 +165,19 @@ def test_knn_tiled_merge_matches_single_tile(spark, monkeypatch):
                     ("a_id", "b_id", "rn"))
     assert tiled_global == base_global
     assert tiled_pq == base_pq
+
+
+def test_approx_distinct_within_tolerance(spark, duck):
+    """agg_approx_distinct is rows-only at the driver (SURVEY §2.4: never
+    hash-match HLL) — this is its quantitative gate instead: HLL++ at
+    rsd=0.02 must land within ±5% of the exact distinct count per group."""
+    res = registry.get("agg_approx_distinct").fn(spark, SF_DIR).collect()
+    exact = dict(duck.execute(
+        "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1"
+    ).fetchall())
+    assert len(res) == len(exact)
+    for r in res:
+        err = abs(r.approx_users - exact[r.event_type]) / exact[r.event_type]
+        assert err <= 0.05, (
+            f"{r.event_type}: HLL {r.approx_users} vs exact "
+            f"{exact[r.event_type]} — {err:.1%} off")

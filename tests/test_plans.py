@@ -82,6 +82,27 @@ def test_partition_pruning_reads_3_of_30_dirs():
         f"date bounds not in PartitionFilters (planning-time pruning lost): {pf}")
 
 
+def test_watermark_replay_has_no_full_table_single_partition_window():
+    """The watermark replay's only single-partition stage must be the
+    chunk-summary window: every 'Exchange SinglePartition' in the executed
+    plan must sit above a HashAggregate (the per-chunk max), never directly
+    above an events scan — the r1 shape ran all events through one task."""
+    df = _df("stream_watermark_late")
+    df.collect()  # AQE final plan
+    plan = checks.executed_plan(df)
+    lines = plan.splitlines()
+    sp_idx = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    assert sp_idx, "expected the chunk-summary window's single-partition exchange"
+    for i in sp_idx:
+        # in toString children print BELOW parents: between this exchange and
+        # the scan that feeds it there must be an aggregation
+        below = "\n".join(lines[i:])
+        agg_pos = below.find("HashAggregate")
+        scan_pos = below.find("FileScan")
+        assert agg_pos != -1 and agg_pos < scan_pos, (
+            f"single-partition exchange fed by a raw scan:\n{plan}")
+
+
 def test_minhash_signature_is_shuffle_free():
     """The minhash signature stage must not shuffle (array_min formulation);
     the only exchanges allowed are the LSH candidate join + verify joins."""
