@@ -228,3 +228,26 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         typed_sum("purchase").alias("purchase_value"),
         F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
     )
+
+
+@register("agg_cube_grouping_id", oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       {oracle_dsum('o_totalprice')} AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def agg_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with grouping_id to disambiguate the
+    NULLs Expand synthesizes from real NULLs — the full 2^k subtotal
+    lattice (rollup covers only the prefix chain; agg_grouping_sets has
+    that). Scale: Expand multiplies rows 4× BEFORE the shuffle but
+    partial aggregation collapses each grouping set map-side, so the
+    exchange carries ~4× the tiny group-key space, not 4× the data."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )

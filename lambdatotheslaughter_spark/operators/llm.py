@@ -1157,3 +1157,185 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         sample_frames,
         schema="doc_id bigint, frame_idx int, n_frames int, frame_checksum int")
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: sampling, contamination, packing, scrubbing
+# ---------------------------------------------------------------------------
+
+# per-language sampling rates in permille — the training-mix shape: keep
+# half of everything non-English, downsample the dominant language 10×
+_SAMPLE_PERMILLE = {"en": 100, "de": 500, "es": 500, "fr": 500, "zh": 500}
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 1000 <
+      CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_PERMILLE.items())}
+      ELSE 0 END
+"""
+
+
+@register("llm_sample_stratified", oracle=_SAMPLE_ORACLE)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling by language with DETERMINISTIC membership:
+    a doc is kept iff md5(doc_id) mod 1000 < rate_permille(lang). Unlike
+    rand()-based sampleBy, re-runs (and retried tasks — Spark may recompute
+    partitions after executor loss, re-rolling any rand()) always select the
+    SAME documents, which is what a reproducible training run needs.
+    Scale shape: a pure map-side filter — no shuffle, no state, trivially
+    parallel at 100 TB; the rate table compiles into the expression."""
+    d = load_table(spark, "documents", sf_dir)
+    bucket = md5_int60(F.col("doc_id").cast("string")) % 1000
+    rate = F.lit(0)
+    for k, v in _SAMPLE_PERMILLE.items():
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    return d.where(bucket < rate).select("doc_id", "lang", "source")
+
+
+_CONTAM_ORACLE = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({_SHINGLE3_SQL}) AS s FROM documents
+  WHERE source = 'src0' AND len(string_split(text, ' ')) >= 3
+), train AS (
+  SELECT doc_id, unnest({_SHINGLE3_SQL}) AS s FROM documents
+  WHERE source <> 'src0' AND len(string_split(text, ' ')) >= 3
+), hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_shared
+  FROM train t JOIN bench b USING (s)
+  GROUP BY t.doc_id
+), totals AS (
+  SELECT doc_id, CAST(len({_SHINGLE3_SQL}) AS BIGINT) AS n_shingles
+  FROM documents
+  WHERE source <> 'src0' AND len(string_split(text, ' ')) >= 3
+)
+SELECT t.doc_id, hits.n_shared, t.n_shingles,
+       CAST(hits.n_shared AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) AS contamination
+FROM totals t JOIN hits USING (doc_id)
+WHERE CAST(hits.n_shared AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) >= 0.2
+"""
+
+
+@register("llm_contamination_ngram", oracle=_CONTAM_ORACLE)
+def llm_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: flag training documents whose
+    3-gram shingles overlap a held-out benchmark set (source 'src0' stands
+    in for the benchmark corpus) above 20%. This is the decontamination
+    pass every pretraining pipeline runs before training.
+
+    Scale shape: the benchmark shingle set is small by nature (benchmarks
+    are thousands of docs, the corpus is billions) — build it distinct and
+    BROADCAST it; the corpus-side explode then filters map-side and only
+    the per-doc hit counts aggregate. The corpus is never shuffled by
+    shingle."""
+    d = load_table(spark, "documents", sf_dir).where(F.size(_tokens()) >= 3)
+    sh = d.select("doc_id", "source",
+                  _shingles3(_tokens()).alias("sh")) \
+        .localCheckpoint(eager=False)  # feeds bench set + train explode + totals
+    bench = (sh.where(F.col("source") == "src0")
+             .select(F.explode("sh").alias("s")).distinct())
+    train = sh.where(F.col("source") != "src0")
+    hits = (train.select("doc_id", F.explode("sh").alias("s"))
+            .join(F.broadcast(bench), "s")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared")))
+    totals = train.select("doc_id", F.size("sh").cast("bigint").alias("n_shingles"))
+    contamination = F.col("n_shared").cast("double") / F.col("n_shingles").cast("double")
+    return (totals.join(hits, "doc_id")
+            .select("doc_id", "n_shared", "n_shingles",
+                    contamination.alias("contamination"))
+            .where(F.col("contamination") >= 0.2))
+
+
+_PACK_BUDGET = 256  # tokens per packed training sequence
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), placed AS (
+  SELECT lang, n_tokens,
+         CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens)
+              // {_PACK_BUDGET} AS BIGINT) AS seq_id
+  FROM toks
+)
+SELECT lang, seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+FROM placed
+GROUP BY lang, seq_id
+"""
+
+
+@register("llm_pack_sequences", oracle=_PACK_ORACLE)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: concatenate documents (in stable
+    doc_id order, per language) into fixed-budget sequences; a document
+    belongs to the sequence where its first token lands. Reports per-
+    sequence document count and token fill — the packing-efficiency
+    numbers a data loader needs.
+
+    Scale shape: the running token sum partitions by language, so the
+    window never funnels the corpus through one task; at 100 TB you'd
+    sub-partition by (lang, shard) with per-shard budgets — same plan
+    shape, one more key column."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", "lang",
+                    F.size(_tokens()).cast("bigint").alias("n_tokens"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("lang").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    placed = toks.select("lang", "n_tokens",
+                         F.floor(start / _PACK_BUDGET).alias("seq_id"))
+    return placed.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"))
+
+
+_PII_ORACLE = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+              || ' ref ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+[a-z0-9]')) AS INT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+[a-z0-9]',
+                                         '<EMAIL>', 'g'),
+                          '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM aug
+"""
+
+
+@register("llm_pii_scrub", oracle=_PII_ORACLE)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email addresses and phone-shaped
+    numbers with engine-native regexes (JVM-side, codegen — NOT a Python
+    UDF; regex redaction is the textbook case where the built-in keeps
+    100 TB map-side and a row-at-a-time UDF would be 10-100× slower).
+    The corpus is synthetic lowercase words, so deterministic PII is
+    injected from doc_id first — the oracle applies the identical
+    augmentation, and the scrubbed text is compared by md5."""
+    d = load_table(spark, "documents", sf_dir)
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        (F.col("doc_id") % 9000 + 1000).cast("string"),
+        F.lit(" ref "), F.col("doc_id").cast("string"))
+    email_re = "[a-z0-9.]+@[a-z0-9.]+[a-z0-9]"
+    phone_re = "[0-9]{3}-[0-9]{4}"
+    t = d.select("doc_id", aug.alias("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", email_re, "<EMAIL>"), phone_re, "<PHONE>")
+    return t.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(email_re)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(phone_re)).cast("int").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
