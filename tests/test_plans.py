@@ -127,3 +127,32 @@ def test_salted_join_spreads_hot_key():
     df = _df("join_skew_salted")
     plan = checks.optimized_plan(df)
     assert "salt" in plan, plan
+
+
+def test_stratified_sample_is_map_only():
+    """Deterministic sampling must stay a pure map-side filter: zero
+    all-to-all exchanges — the property that makes it free at 100 TB."""
+    df = _df("llm_sample_stratified")
+    df.collect()
+    assert checks.count_shuffles(df) == 0, checks.executed_plan(df)
+
+
+def test_contamination_broadcasts_benchmark_set():
+    """The benchmark shingle set must broadcast; the corpus-side explode
+    must never sort-merge on shingle (that would shuffle the corpus by
+    n-gram — the anti-pattern decontamination exists to avoid)."""
+    df = _df("llm_contamination_ngram")
+    df.collect()
+    plan = checks.executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pack_sequences_window_is_partitioned():
+    """Sequence packing must never run the corpus through one task: no
+    single-partition exchange anywhere (the cumsum window partitions by
+    lang; the final groupBy hashes on (lang, seq_id))."""
+    df = _df("llm_pack_sequences")
+    df.collect()
+    assert "Exchange SinglePartition" not in checks.executed_plan(df), \
+        checks.executed_plan(df)
