@@ -42,6 +42,10 @@ HEADLINE = [
     "llm_pipeline_end_to_end",  # quality->dedup->near-dup->stats chain
     "join_bucketed_colocated",  # shuffle-free bucketed fact-fact join
     "ts_resample_gapfill",      # calendar-spine resample
+    "llm_sample_stratified",    # deterministic stratified sampling
+    "llm_contamination_ngram",  # benchmark-contamination flagging
+    "llm_pack_sequences",       # token-budget sequence packing
+    "llm_pii_scrub",            # regex PII redaction
 ]
 
 

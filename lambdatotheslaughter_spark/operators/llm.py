@@ -1230,8 +1230,8 @@ def llm_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc hit counts aggregate. The corpus is never shuffled by
     shingle."""
     d = load_table(spark, "documents", sf_dir).where(F.size(_tokens()) >= 3)
-    sh = d.select("doc_id", "source",
-                  _shingles3(_tokens()).alias("sh")) \
+    sh = d.select("doc_id", "source", _tokens().alias("toks")) \
+        .select("doc_id", "source", _shingles3("toks").alias("sh")) \
         .localCheckpoint(eager=False)  # feeds bench set + train explode + totals
     bench = (sh.where(F.col("source") == "src0")
              .select(F.explode("sh").alias("s")).distinct())
