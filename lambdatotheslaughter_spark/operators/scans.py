@@ -190,3 +190,76 @@ def source_kafka_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.get_json_object(F.col("j.props"), "$.k").cast("bigint")))
          .cast("bigint").alias("good_prop_k_sum"),
     )
+
+
+_JSONL_ORACLE = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("source_jsonl", oracle=_JSONL_ORACLE)
+def source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines connector round trip: write documents as JSONL, read back
+    with an EXPLICIT schema, aggregate. The explicit schema is the 100 TB
+    discipline — schema inference re-reads the whole input once before the
+    real scan even starts (a full extra pass over the lake), and a drifted
+    field would silently widen types mid-pipeline. JSONL sources also get
+    no row-group statistics: filters evaluate post-parse, which is why the
+    lake's canonical format is parquet and JSON stays at the ingest edge."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"lts_docs_jsonl_{sf_tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, "documents", sf_dir).write.mode("overwrite").json(out)
+    schema = ("doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+_CSV_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("source_csv", oracle=_CSV_ORACLE)
+def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV connector round trip with explicit schema + header. Money travels
+    the CSV boundary as exact cents (printf %.2f → ×100 on read): a
+    double→text→double round trip is where float drift sneaks into
+    pipelines, so the op proves the cents path is lossless against the
+    parquet-side oracle. Timestamps ride ISO-8601. Explicit schema, FAILFAST
+    mode — a malformed row should kill the job at the ingest edge, not
+    poison the lake downstream (the permissive path is source_kafka_malformed)."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"lts_orders_csv_{sf_tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    o = load_table(spark, "orders", sf_dir)
+    if not os.path.exists(marker):
+        (o.select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            F.format_string("%.2f", "o_totalprice").alias("o_totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"))
+         .write.mode("overwrite").option("header", True).csv(out))
+    schema = ("o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+              "o_totalprice string, o_orderdate timestamp")
+    back = (spark.read.schema(schema).option("header", True)
+            .option("mode", "FAILFAST").csv(out))
+    cents = F.round(F.col("o_totalprice").cast("double") * 100, 0).cast("bigint")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+        F.sum(cents).cast("bigint").alias("price_cents"),
+    )
