@@ -344,3 +344,49 @@ def stream_stateful_state_op(spark: SparkSession, sf_dir: str) -> DataFrame:
          .format("memory").queryName(name).start())
     q.awaitTermination(timeout=300)
     return spark.table(name)
+
+
+def interval_pair_join(views: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Shared by the batch twin and the LIVE stream-stream join test
+    (identical join condition — the twin is the same plan over a bounded
+    source). view→click attribution within 30 minutes per user."""
+    v = views.select(F.col("event_id").alias("view_id"), "user_id",
+                     F.col("ts").alias("view_ts"))
+    c = clicks.select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("click_ts"))
+    return (v.join(c, (v.user_id == c.c_user)
+                   & (F.col("click_ts") >= F.col("view_ts"))
+                   & (F.col("click_ts") <= F.col("view_ts")
+                      + F.expr("INTERVAL 30 MINUTES")))
+            .select("view_id", "click_id", "user_id",
+                    # exact micros diff: casting each ts to whole seconds
+                    # first truncates per-side and disagrees with the
+                    # oracle's fractional epoch by ±1 on sub-second data
+                    (F.unix_micros("click_ts")
+                     - F.unix_micros("view_ts")).alias("delay_us")))
+
+
+_INTERVAL_JOIN_ORACLE = """
+SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS delay_us
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+"""
+
+
+@register("stream_interval_join", oracle=_INTERVAL_JOIN_ORACLE)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch-twin form: view→click pairs
+    within 30 minutes per user. The live form (tests/test_streaming.py)
+    runs the SAME interval_pair_join over two watermarked readStream
+    branches — Spark's state store keeps only rows inside
+    watermark + interval, so state is bounded no matter how long the
+    streams run. Batch shape: one shuffle on user_id, then the time
+    predicate filters within co-partitioned groups — the equi key carries
+    the join; the range condition never degenerates to a cross product."""
+    ev = load_table(spark, "events", sf_dir)
+    return interval_pair_join(ev.where(F.col("event_type") == "view"),
+                              ev.where(F.col("event_type") == "click"))

@@ -165,3 +165,25 @@ def test_kafka_envelope_streaming_parse(spark, harness):
                       output_mode="append")
     want = parse_envelope(to_envelope(load_table(spark, "events", SMOKE_SF_DIR)))
     _assert_same(out, want, "kafka_envelope_stream")
+
+
+def test_stream_stream_interval_join_twin(spark, harness):
+    """LIVE stream-stream join: two watermarked branches of the micro-batch
+    file stream, inner-joined on user + 30-min interval, append mode.
+    Must equal the batch twin exactly — including pairs whose view and
+    click arrive in different micro-batches (the buffered-state case the
+    in_order harness exercises, since chunks split by event_id while the
+    interval spans arbitrary event_ids)."""
+    from lambdatotheslaughter_spark.operators.streaming_twins import (
+        interval_pair_join, stream_interval_join)
+
+    def xform(s):
+        views = s.where(F.col("event_type") == "view").withWatermark("ts", "1 hour")
+        clicks = s.where(F.col("event_type") == "click").withWatermark("ts", "1 hour")
+        return interval_pair_join(views, clicks)
+
+    live = harness.run(xform, output_mode="append")
+    batch = stream_interval_join(spark, SMOKE_SF_DIR)
+    cols = ["view_id", "click_id", "user_id", "delay_us"]
+    assert sorted(map(tuple, live.select(cols).collect())) == \
+        sorted(map(tuple, batch.select(cols).collect()))
