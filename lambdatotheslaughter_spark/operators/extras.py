@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lambdatotheslaughter_spark.determinism import (
-    cavg, csum, oracle_cavg, oracle_csum)
+    cavg, csum, dsum, oracle_cavg, oracle_csum, oracle_dsum)
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
 
@@ -355,3 +355,188 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  retained(7).alias("d7"),
                  retained(14).alias("d14"))
             .withColumn("cohort_day", F.col("cohort_day").cast("string")))
+
+
+_ROLLUP_ORACLE = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS o_quarter,
+       CAST(GROUPING(CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)) * 2
+            + GROUPING(CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT))
+            AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       {oracle_dsum('o_totalprice')} AS revenue
+FROM orders
+GROUP BY ROLLUP (CAST(EXTRACT(year FROM o_orderdate) AS BIGINT),
+                 CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT))
+"""
+
+
+@register("agg_rollup", oracle=_ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the (year, quarter) time hierarchy — the prefix-chain
+    subtotal lattice (year totals + grand total, without cube's
+    quarter-only cut). grouping_id disambiguates Expand's synthesized
+    NULLs from real ones. Scale shape: Expand emits 3 grouping sets
+    BEFORE the shuffle but partial agg collapses each set map-side, so
+    the exchange carries ~3× the small key space, not 3× the rows."""
+    o = load_table(spark, "orders", sf_dir)
+    yr = F.year("o_orderdate").cast("bigint").alias("o_year")
+    qtr = F.quarter("o_orderdate").cast("bigint").alias("o_quarter")
+    return o.select(yr, qtr, "o_totalprice").rollup("o_year", "o_quarter").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
+_MINMAX_BY_ORACLE = """
+WITH ranked AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment,
+       MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_orderkey,
+       MAX(CASE WHEN rmax = 1 THEN o_totalprice END) AS top_price,
+       MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS bottom_orderkey,
+       MAX(CASE WHEN rmin = 1 THEN o_totalprice END) AS bottom_price
+FROM ranked GROUP BY c_mktsegment
+"""
+
+
+@register("agg_minmax_by", oracle=_MINMAX_BY_ORACLE)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) per segment, tie-pinned by ordering on
+    struct(price, orderkey) — Spark compares structs lexicographically, so
+    frequency ties can never flip the answer between runs or partial-agg
+    orders. ONE shuffle (the groupBy); the oracle's two window passes show
+    what max_by saves: no per-group sort ever happens, each partial keeps
+    a single running champion row. That constant-state property is what
+    makes argmax safe on a 100 TB fact table."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    key = F.struct("o_totalprice", "o_orderkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.max_by("o_orderkey", key).alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+        F.min_by("o_orderkey", key).alias("bottom_orderkey"),
+        F.min("o_totalprice").alias("bottom_price"),
+    )
+
+
+_CORR_ORACLE = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covp,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covs,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_corr_covar", oracle=_CORR_ORACLE)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (corr / covar_pop / covar_samp /
+    regr_slope) per return flag. Both engines use one-pass co-moment
+    updates whose partial-merge order differs, so results are rounded
+    (corr is O(1): 6 dp; covariances are O(1e4): 4 dp — both leave >10³
+    headroom over the ~1e-8 accumulated ulp drift). Scale shape: constant
+    per-group state (5 running moments), map-side combinable."""
+    li = load_table(spark, "lineitem", sf_dir)
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(q, p), 6).alias("qty_price_corr"),
+        F.round(F.covar_pop(q, p), 4).alias("qty_price_covp"),
+        F.round(F.covar_samp(q, p), 4).alias("qty_price_covs"),
+        F.round(F.regr_slope(p, q), 4).alias("price_per_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_RANGE_WIN_ORACLE = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_trailing_1h,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+         AS cents_trailing_1h
+FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("win_range_interval", oracle=_RANGE_WIN_ORACLE)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, count + exact-cents sum of events
+    in the trailing hour — a VALUE-based frame (rows whose timestamp is
+    within 3600 s), not a row-count frame, so ties share identical frames
+    in both engines by definition. Ordering key is epoch seconds (cast
+    truncates identically in both). Scale shape: one shuffle on user_id;
+    frames never materialize — Spark keeps a sliding aggregate as it walks
+    each partition in ts order."""
+    ev = load_table(spark, "events", sf_dir)
+    sec = F.col("ts").cast("long")
+    w = (Window.partitionBy("user_id").orderBy(sec)
+         .rangeBetween(-3600, Window.currentRow))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(cents).over(w).cast("bigint").alias("cents_trailing_1h"),
+    )
+
+
+_POSEXPLODE_ORACLE = """
+SELECT * FROM (
+  SELECT doc_id,
+         CAST(unnest(range(len(string_split(text, ' ')))) AS BIGINT) AS pos,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id < 40
+) WHERE pos < 8
+"""
+
+
+@register("explode_posexplode", oracle=_POSEXPLODE_ORACLE)
+def explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (explode WITH ORDINALITY): tokenize and keep each token's
+    position — the order-preserving flatten that plain explode loses.
+    DuckDB's zipped-unnest idiom is the oracle twin. Generators run inside
+    whole-stage codegen (no UDF); the doc_id/pos filters land before/after
+    the generate respectively, and column pruning drops `text` right after
+    the split."""
+    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 40)
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " "))
+                 .alias("pos", "token"))
+        .where(F.col("pos") < 8)
+        .withColumn("pos", F.col("pos").cast("bigint"))
+    )
+
+
+_REGEXP_ALL_ORACLE = """
+SELECT doc_id,
+       COALESCE(array_to_string(regexp_extract_all(text, 's\\w+'), ' '), '')
+         AS s_words,
+       CAST(len(regexp_extract_all(text, 's\\w+')) AS INTEGER) AS n_s_words
+FROM documents
+"""
+
+
+@register("str_regexp_extract_all", oracle=_REGEXP_ALL_ORACLE)
+def str_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all: every s-prefixed token per document, flattened to
+    a joined string (arrays stringified for repr-stable hashing, the house
+    convention). Both regex engines agree on this portable \\w+ subset.
+    JVM-side codegen — the regex never leaves the executor row loop."""
+    d = load_table(spark, "documents", sf_dir)
+    arr = F.regexp_extract_all("text", F.lit(r"s\w+"), 0)
+    return d.select(
+        "doc_id",
+        F.array_join(arr, " ").alias("s_words"),
+        F.size(arr).alias("n_s_words"),
+    )

@@ -263,3 +263,78 @@ def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_custkey").cast("bigint").alias("cust_sum"),
         F.sum(cents).cast("bigint").alias("price_cents"),
     )
+
+
+_ORC_ORACLE = """
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents
+GROUP BY source, lang
+"""
+
+
+@register("source_orc", oracle=_ORC_ORACLE)
+def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC connector round trip — the second columnar lake format. Same
+    pushdown machinery as parquet (column pruning + predicate pushdown into
+    stripe/row-group stats), so a lake standardized on ORC loses nothing:
+    the engine treats format as a leaf-node detail, every plan above the
+    scan is identical. Checksummed per (source, lang) against the parquet
+    originals to prove the round trip is lossless."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"lts_docs_orc_{sf_tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, "documents", sf_dir).write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+_SORTED_SINK_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2001-11-01 00:00:00'
+"""
+
+
+@register("sink_sorted_data_skipping", oracle=_SORTED_SINK_ORACLE)
+def sink_sorted_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-for-skipping sink: rewrite lineitem range-partitioned by
+    shipdate (disjoint time interval per file) and sorted by shipdate
+    WITHIN each file, then filter the read-back. Sorting makes every
+    parquet row-group's (min,max) shipdate interval narrow, so the
+    pushed-down filter skips whole files and row groups via footer stats
+    alone — the zone-map effect. On a 100 TB fact table this layout
+    (cluster-by time, sort-within-files) is the difference between
+    scanning 3 files and scanning 3,000; same mechanism Delta/Iceberg
+    call data skipping. The explicit partition count pins a multi-file
+    layout (AQE would coalesce this test-scale shuffle to one file);
+    content round-trips exactly, so the op gets a full oracle; tests
+    assert via the real parquet footers that the filter range lands in a
+    minority of files."""
+    li = load_table(spark, "lineitem", sf_dir)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"lts_lineitem_sorted_{sf_tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        # INT96 (the legacy default) carries NO parquet statistics — footer
+        # min/max, and with them all skipping, exist only for INT64 µs.
+        ts_conf = "spark.sql.parquet.outputTimestampType"
+        prev = spark.conf.get(ts_conf)
+        spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
+        try:
+            (li.select("l_orderkey", "l_linenumber", "l_shipdate",
+                       "l_extendedprice")
+             .repartitionByRange(8, "l_shipdate")
+             .sortWithinPartitions("l_shipdate")
+             .write.mode("overwrite").parquet(out))
+        finally:
+            spark.conf.set(ts_conf, prev)
+    back = spark.read.parquet(out)
+    return back.where(
+        F.col("l_shipdate") >= F.lit("2001-11-01").cast("timestamp"))

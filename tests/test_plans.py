@@ -156,3 +156,55 @@ def test_pack_sequences_window_is_partitioned():
     df.collect()
     assert "Exchange SinglePartition" not in checks.executed_plan(df), \
         checks.executed_plan(df)
+
+
+def test_rollup_expands_before_one_shuffle():
+    """ROLLUP = Expand (3 grouping sets) + ONE hash-agg exchange; map-side
+    partial aggregation must collapse each set before the wire."""
+    df = _df("agg_rollup")
+    df.collect()
+    plan = checks.executed_plan(df)
+    assert "Expand" in plan, plan
+    assert checks.count_shuffles(df) <= 2, plan
+
+
+def test_range_interval_window_is_partitioned():
+    """The trailing-1h RANGE frame partitions by user_id — a global-order
+    window here would serialize the whole events table through one task."""
+    df = _df("win_range_interval")
+    df.collect()
+    assert "Exchange SinglePartition" not in checks.executed_plan(df), \
+        checks.executed_plan(df)
+
+
+def test_sorted_sink_layout_enables_file_skipping():
+    """The sort-within-files layout must (a) keep the shipdate filter pushed
+    to the scan and (b) concentrate late shipdates in a minority of files —
+    footer (min,max) stats then let the reader skip the rest. Checked
+    against the real parquet footers, not the plan string."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    df = _df("sink_sorted_data_skipping")
+    df.collect()
+    assert checks.has_pushed_filter(df, "GreaterThanOrEqual(l_shipdate"), \
+        checks.executed_plan(df)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"lts_lineitem_sorted_{os.path.basename(SF_DIR.rstrip('/'))}")
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert len(files) >= 4, f"expected a multi-file layout, got {len(files)}"
+    cutoff = datetime.datetime(2001, 11, 1, tzinfo=datetime.timezone.utc)
+    overlapping = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        fmax = max(md.row_group(i).column(2).statistics.max
+                   for i in range(md.num_row_groups))
+        if fmax.tzinfo is None:
+            fmax = fmax.replace(tzinfo=datetime.timezone.utc)
+        if fmax >= cutoff:
+            overlapping += 1
+    assert overlapping <= len(files) / 2, (
+        f"{overlapping}/{len(files)} files overlap the filter — "
+        "month-clustering failed, no file can be skipped")
