@@ -46,6 +46,8 @@ HEADLINE = [
     "llm_contamination_ngram",  # benchmark-contamination flagging
     "llm_pack_sequences",       # token-budget sequence packing
     "llm_pii_scrub",            # regex PII redaction
+    "llm_repetition_score",     # dup-word/top-bigram quality filter
+    "llm_sim_radius_search",    # exact cosine range join (tiled GEMM)
 ]
 
 

@@ -112,10 +112,14 @@ _LSH_BUCKET_CAP = 64  # all-pairs only below this; measured max bucket ~3 at sf0
 def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
     """MinHash signatures + LSH banding → candidate (a_id, b_id) pairs.
 
-    Signature stage is shuffle-free: array_min over a per-seed transform
-    stays inside the scan stage (measured 7× faster than explode+groupBy).
-    NB: the transform lambda must be single-arg — a second parameter (even
-    a bound default) makes Spark pass the array INDEX into it.
+    Signature stage: pre-hash each shingle once (ONE interpreted HOF pass),
+    then explode and take the 32 per-seed minima as codegen MIN aggregates.
+    Measured 2× faster than the previous array_min(transform(...)) chain —
+    higher-order lambdas evaluate interpreted, and CollapseProject inlines
+    the shared pre-hash into all 32 of them, while the explode keeps every
+    per-seed mix inside whole-stage codegen. The extra groupBy shuffle
+    carries only 32 longs per document (partial agg collapses map-side),
+    noise next to the corpus itself at any scale.
 
     Hot-bucket guard: a band bucket of size s yields s²/2 candidate pairs,
     so one degenerate bucket (boilerplate text, a template corpus) goes
@@ -129,16 +133,11 @@ def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    def _seeded(i: int):
-        # mixes the PRE-HASHED shingle (a long) with the seed: one string
-        # hash per shingle total, then 32 cheap long-mixes — measured ~25%
-        # faster than hashing the string per seed (32× string traversals)
-        return lambda h: F.xxhash64(F.lit(i), h)
-
     hashed = sh.select(
-        "doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
-    mh = hashed.select("doc_id", *[
-        F.array_min(F.transform("hs", _seeded(i))).alias(f"mh{i}")
+        "doc_id",
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("h"))
+    mh = hashed.groupBy("doc_id").agg(*[
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
         for i in range(_MINHASH_SEEDS)])
     bands = mh.select("doc_id", F.explode(F.array(*[
         F.xxhash64(F.lit(b), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
@@ -381,10 +380,15 @@ def _block_pair_cogroup(e: DataFrame, kernel, schema: str) -> DataFrame:
         F.col("blk").alias("bi"),
         F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("bj"),
         "vec_id", "embedding")
+    # re-alias the right branch's payload columns: both branches descend
+    # from the same `v`, and shared attribute ids across cogroup children
+    # mis-prune the right side's payload under some actions (observed:
+    # right batches arriving with only (bi, bj)). Alias() mints fresh ids.
     right = v.select(
         F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
         F.col("blk").alias("bj"),
-        "vec_id", "embedding")
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("embedding"))
     return (left.groupBy("bi", "bj").cogroup(right.groupBy("bi", "bj"))
             .applyInPandas(kernel, schema=schema))
 
@@ -1339,3 +1343,210 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(phone_re)).cast("int").alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(parts)),
+                               i -> parts[i] || ' ' || parts[i + 1])) AS bg
+  FROM toks WHERE len(parts) >= 2
+), top_bg AS (
+  SELECT doc_id, MAX(cnt) AS top_bigram_count FROM (
+    SELECT doc_id, bg, COUNT(*) AS cnt FROM grams GROUP BY doc_id, bg
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       round(1.0 - CAST(len(list_distinct(parts)) AS DOUBLE) / len(parts), 6)
+         AS dup_word_frac,
+       round(CAST(b.top_bigram_count AS DOUBLE) / (len(parts) - 1), 6)
+         AS top_bigram_frac,
+       CAST(len(parts) AS BIGINT) AS n_tokens
+FROM toks t JOIN top_bg b USING (doc_id)
+WHERE 1.0 - CAST(len(list_distinct(parts)) AS DOUBLE) / len(parts) > 0.5
+   OR CAST(b.top_bigram_count AS DOUBLE) / (len(parts) - 1) > 0.1
+"""
+
+
+@register("llm_repetition_score", oracle=_REPETITION_ORACLE)
+def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher-rules signal family):
+    flag documents whose duplicate-word fraction or most-frequent-bigram
+    share crosses a threshold — boilerplate and degenerate generations
+    score high on both; real prose doesn't. Only the MAX bigram count is
+    needed, never which bigram, so frequency ties cannot make the result
+    nondeterministic.
+
+    Scale shape: dup-word fraction is pure per-row column math (map-side).
+    The bigram mode aggregates (doc_id, bigram) then doc_id — both keys
+    are doc-local, so partial aggregation collapses nearly everything
+    map-side and the key space cannot skew (no bigram is shared across
+    docs' keys). At 100 TB this is the relational form of a per-doc pass;
+    a fused mapInPandas scan would save one shuffle at the cost of
+    leaving codegen — measured slower at test scale."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", _tokens().alias("parts")) \
+        .where(F.size("parts") >= 2)
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(slice(parts, 1, size(parts) - 1), "
+            "(x, i) -> concat(x, ' ', parts[i + 1]))")).alias("bg"))
+    top_bg = (grams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+              .groupBy("doc_id").agg(F.max("cnt").alias("top_bigram_count")))
+    n = F.size("parts")
+    dup_frac = 1.0 - F.size(F.array_distinct("parts")).cast("double") / n
+    top_frac = (F.col("top_bigram_count").cast("double") / (n - 1))
+    return (
+        toks.join(top_bg, "doc_id")
+        .select("doc_id",
+                F.round(dup_frac, 6).alias("dup_word_frac"),
+                F.round(top_frac, 6).alias("top_bigram_frac"),
+                n.cast("bigint").alias("n_tokens"),
+                dup_frac.alias("_d"), top_frac.alias("_t"))
+        .where((F.col("_d") > 0.5) | (F.col("_t") > 0.1))
+        .drop("_d", "_t")
+    )
+
+
+# target training-mix permille per source: the benchmark-adjacent source is
+# kept whole, even-numbered sources are downweighted 4x, odd kept at 3/4
+_MIX_RATE_SQL = """CASE WHEN source = 'src0' THEN 1000
+     WHEN CAST(substring(source, 4) AS INT) % 2 = 0 THEN 250
+     ELSE 750 END"""
+
+_DOMAIN_MIX_ORACLE = f"""
+SELECT source,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE bucket < rate) AS n_kept,
+       CAST(COALESCE(SUM(doc_id) FILTER (WHERE bucket < rate), 0) AS BIGINT)
+         AS kept_id_sum
+FROM (
+  SELECT doc_id, source,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000 AS bucket,
+         {_MIX_RATE_SQL} AS rate
+  FROM documents
+)
+GROUP BY source
+"""
+
+
+@register("llm_domain_mix", oracle=_DOMAIN_MIX_ORACLE)
+def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: resample each source toward a target
+    mix (the pretraining knob that turns a crawl's natural distribution
+    into the training distribution). Membership is the same deterministic
+    md5-permille rule as llm_sample_stratified — reproducible under task
+    retry — but here the rates come from a RATE TABLE broadcast-joined on
+    source rather than a compiled CASE: the form that scales to thousands
+    of domains and lets the mix change without a plan rebuild. Reports
+    kept/total per source so the achieved mix is auditable against the
+    target."""
+    d = load_table(spark, "documents", sf_dir)
+    rates = (d.select("source").distinct()
+             .withColumn("rate", F.when(F.col("source") == "src0", 1000)
+                         .when(F.substring("source", 4, 10).cast("int") % 2 == 0,
+                               250)
+                         .otherwise(750)))
+    bucket = md5_int60(F.col("doc_id").cast("string")) % 1000
+    kept = F.col("bucket") < F.col("rate")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .select("doc_id", "source", bucket.alias("bucket"), "rate")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_total"),
+             F.count(F.when(kept, 1)).alias("n_kept"),
+             F.coalesce(F.sum(F.when(kept, F.col("doc_id"))), F.lit(0))
+              .cast("bigint").alias("kept_id_sum"))
+    )
+
+
+_LENGTH_BUCKETS_ORACLE = """
+SELECT lang,
+       CAST(least(len(string_split(text, ' ')) // 16, 8) AS BIGINT)
+         AS len_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang, CAST(least(len(string_split(text, ' ')) // 16, 8) AS BIGINT)
+"""
+
+
+@register("llm_length_buckets", oracle=_LENGTH_BUCKETS_ORACLE)
+def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram per language (16-token buckets, capped):
+    the curriculum/length-filter diagnostic — shows at a glance where a
+    min-length cutoff lands per language and feeds length-balanced batch
+    construction. One shuffle on a tiny (lang, bucket) key space; the
+    token count is computed once map-side."""
+    d = load_table(spark, "documents", sf_dir)
+    n_tok = F.size(_tokens())
+    bucket = F.least(F.floor(n_tok / 16), F.lit(8)).cast("bigint")
+    return (
+        d.select("lang", "n_chars", n_tok.alias("n_tok"),
+                 bucket.alias("len_bucket"))
+        .groupBy("lang", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").cast("bigint").alias("total_tokens"),
+             F.min("n_chars").cast("bigint").alias("min_chars"),
+             F.max("n_chars").cast("bigint").alias("max_chars"))
+    )
+
+
+_RADIUS_ORACLE = f"""
+SELECT a_id, b_id, round(cosine, 6) AS cosine FROM (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+)
+WHERE cosine >= 0.35
+"""
+
+
+@register("llm_sim_radius_search", oracle=_RADIUS_ORACLE)
+def llm_sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) similarity search: ALL embedding pairs with cosine ≥
+    0.35 — the similarity-join primitive behind near-dup audits and
+    retrieval-contamination sweeps, where top-k is the wrong contract
+    because a query can have zero or fifty true neighbors.
+
+    Exact, on the same distributed block-pair GEMM scaffold as the kNN ops
+    (:func:`_block_pair_cogroup`): every unordered pair is computed in
+    exactly one tile, each tile emits only its over-threshold pairs (the
+    output is sparse — the whole point of a radius query), and nothing
+    funnels through the driver. At 100 TB you'd put the LSH-bucketed
+    variant (llm_sim_lsh_approx) in front as a candidate filter and keep
+    this kernel as the exact verifier on candidates; the kernel is
+    identical either way."""
+    import numpy as np
+    import pandas as pd
+
+    threshold = 0.35
+
+    def tile_radius(key, lpdf, rpdf):
+        bi, bj = key
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cosine": "float64"})
+        il, ml = _norm_block(lpdf)
+        ir, mr = _norm_block(rpdf)
+        sims = ml @ mr.T
+        a = np.minimum.outer(il, ir).ravel()
+        b = np.maximum.outer(il, ir).ravel()
+        c = sims.ravel()
+        keep = (a < b) & (c >= threshold)
+        if bi == bj:
+            keep &= (np.subtract.outer(il, ir) < 0).ravel()
+        return pd.DataFrame({"a_id": a[keep], "b_id": b[keep],
+                             "cosine": c[keep]})
+
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    pairs = _block_pair_cogroup(
+        e, tile_radius, "a_id bigint, b_id bigint, cosine double")
+    return pairs.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
