@@ -390,3 +390,32 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return interval_pair_join(ev.where(F.col("event_type") == "view"),
                               ev.where(F.col("event_type") == "click"))
+
+
+_UPSERT_ORACLE = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register("stream_upsert_latest", oracle=_UPSERT_ORACLE)
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-upsert serving view: the latest event per user — what the
+    foreachBatch parquet-merge sink (streaming/harness.py
+    upsert_foreach_batch, live-tested in tests/test_streaming.py) converges
+    to after draining the stream. Batch twin and merge share ONE
+    latest_per_user definition, ties pinned by event_id, so the speed
+    layer and batch layer provably serve the same rows. Scale shape: one
+    shuffle on user_id; at 100 TB the serving store would be a key-value
+    table (the Kudu role) and the merge an idempotent MERGE INTO —
+    identical semantics, different sink."""
+    from lambdatotheslaughter_spark.streaming.harness import latest_per_user
+
+    ev = load_table(spark, "events", sf_dir)
+    return latest_per_user(ev).select(
+        "user_id", "event_id", "ts", "event_type", "value")

@@ -99,20 +99,30 @@ class EventStreamHarness:
         shutil.rmtree(self.input_dir, ignore_errors=True)
 
 
+def latest_per_user(df: DataFrame) -> DataFrame:
+    """Keyed-latest view: one row per user, newest ts wins, ties pinned by
+    event_id desc (a bare ts ordering would pick an arbitrary row among
+    same-timestamp events — nondeterministic under retry/replay). Shared
+    by the foreachBatch merge and the oracled batch twin so the serving
+    table and the lambda-architecture batch view cannot drift."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
 def upsert_foreach_batch(serving_path: str):
     """The Kudu-upsert analog (SURVEY §3 entry 2): each micro-batch is
     merged into a keyed parquet serving table, latest row per key wins.
     Idempotent per batch — replays overwrite with identical content."""
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        from pyspark.sql import Window
         new = batch_df
         if os.path.exists(serving_path):
             old = spark.read.parquet(serving_path)
             new = old.unionByName(new)
-        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
-        latest = (new.withColumn("_rn", F.row_number().over(w))
-                  .where(F.col("_rn") == 1).drop("_rn"))
+        latest = latest_per_user(new)
         tmp = serving_path + ".tmp"
         latest.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(serving_path, ignore_errors=True)

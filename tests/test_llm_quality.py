@@ -181,3 +181,21 @@ def test_approx_distinct_within_tolerance(spark, duck):
         assert err <= 0.05, (
             f"{r.event_type}: HLL {r.approx_users} vs exact "
             f"{exact[r.event_type]} — {err:.1%} off")
+
+
+def test_radius_search_tiled_matches_single_tile(spark, monkeypatch):
+    """Radius search on forced 64-row blocks must emit exactly the same
+    over-threshold pair set as the single-tile run: every unordered pair
+    lives in exactly one tile, so tiling must be invisible in the output.
+    Also guards the cogroup column-pruning fix — a mis-pruned right branch
+    fails loudly here."""
+    from lambdatotheslaughter_spark.operators import llm
+
+    def rows(df):
+        return sorted((r["a_id"], r["b_id"], r["cosine"]) for r in df.collect())
+
+    base = rows(registry.get("llm_sim_radius_search").fn(spark, SF_DIR))
+    assert len(base) > 0
+    monkeypatch.setattr(llm, "_KNN_BLOCK_ROWS", 64)
+    tiled = rows(registry.get("llm_sim_radius_search").fn(spark, SF_DIR))
+    assert tiled == base
