@@ -540,3 +540,30 @@ def str_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(arr, " ").alias("s_words"),
         F.size(arr).alias("n_s_words"),
     )
+
+
+_BITWISE_ORACLE = """
+SELECT l_returnflag,
+       CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS and_ln,
+       CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS or_ln,
+       CAST(bit_xor(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS xor_key,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("agg_bitwise", oracle=_BITWISE_ORACLE)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates — flag-mask consolidation and the
+    XOR-checksum idiom (a missing-row detector: XOR of a key column is
+    order-independent and cancels on pairs). Exact integer ops, fully
+    associative/commutative — deterministic under any partial-agg order,
+    no rounding discipline needed."""
+    li = load_table(spark, "lineitem", sf_dir)
+    ln = F.col("l_linenumber").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(ln).alias("and_ln"),
+        F.bit_or(ln).alias("or_ln"),
+        F.bit_xor(F.col("l_orderkey").cast("bigint")).alias("xor_key"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lambdatotheslaughter_spark.determinism import davg, oracle_davg
+from lambdatotheslaughter_spark.determinism import DEC, davg, oracle_davg
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
 
@@ -1550,3 +1550,96 @@ def llm_sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _block_pair_cogroup(
         e, tile_radius, "a_id bigint, b_id bigint, cosine double")
     return pairs.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+
+
+_LM_SCORE_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), freq AS (
+  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+), total AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq
+)
+SELECT doc_id,
+       round(AVG(ln(freq.c / total.n)), 6) AS avg_logprob,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM tok JOIN freq USING (t) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
+@register("llm_lm_score", oracle=_LM_SCORE_ORACLE)
+def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (the perplexity proxy): average token
+    log-probability under the corpus's own unigram distribution. Docs full
+    of rare garbage score low, template boilerplate scores implausibly
+    high — the cheap first-pass filter before a real LM scores the
+    survivors. Rounded to 6 dp: the two engines sum the per-token logs in
+    different orders (~1e-13 drift on a ≤200-token doc).
+
+    Scale shape: the frequency table is a map-side-combinable groupBy on
+    token; the per-doc score joins tokens to it and re-aggregates by
+    doc_id. The vocabulary is bounded (Heaps' law) while the corpus is
+    not, so freq broadcasts at any corpus size that fits a cluster."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(_tokens()).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        tok.join(F.broadcast(freq), "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log(F.col("c") / F.col("n"))), 6)
+              .alias("avg_logprob"),
+             F.count(F.lit(1)).alias("n_tokens"))
+    )
+
+
+_OUTLIER_ORACLE = """
+WITH dims AS (
+  SELECT vec_id, label,
+         CAST(unnest(range(len(embedding))) AS INT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), centroid AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS c
+  FROM dims GROUP BY label, dim
+)
+SELECT vec_id, label,
+       round(CAST(SUM(CAST((v - c) * (v - c) AS DECIMAL(38,6))) AS DOUBLE), 4)
+         AS sq_dist_to_centroid
+FROM dims JOIN centroid USING (label, dim)
+GROUP BY vec_id, label
+"""
+
+
+@register("llm_embedding_outliers", oracle=_OUTLIER_ORACLE)
+def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier score: squared distance from each vector to its
+    label's centroid — the mislabeled/garbage-embedding detector that runs
+    before clustering or ANN-index builds. Centroids are per-dimension
+    decimal-space means (order-independent, so both engines agree
+    bit-for-bit before the final rounding); distances sum in decimal space
+    too.
+
+    Scale shape: centroids aggregate to labels×dims rows — tiny however
+    big the corpus — and broadcast back; the per-vector distance is then a
+    map-side join + one groupBy on vec_id. No vector ever visits the
+    driver."""
+    e = load_table(spark, "embeddings", sf_dir)
+    dims = e.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("dim", "v")).select(
+        "vec_id", "label", F.col("dim").cast("int").alias("dim"),
+        F.col("v").cast("double").alias("v"))
+    centroid = dims.groupBy("label", "dim").agg(
+        (F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1)))
+        .alias("c"))
+    diff = F.col("v") - F.col("c")
+    return (
+        dims.join(F.broadcast(centroid), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sum((diff * diff).cast(DEC)).cast("double"), 4)
+              .alias("sq_dist_to_centroid"))
+    )
