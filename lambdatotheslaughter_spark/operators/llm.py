@@ -117,7 +117,11 @@ def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
     Measured 2× faster than the previous array_min(transform(...)) chain —
     higher-order lambdas evaluate interpreted, and CollapseProject inlines
     the shared pre-hash into all 32 of them, while the explode keeps every
-    per-seed mix inside whole-stage codegen. The extra groupBy shuffle
+    per-seed mix inside whole-stage codegen. (A Kirsch–Mitzenmacher
+    affine family from two base hashes was tried to cut the per-seed
+    xxhash64s — masked to 32 bits it degraded recall below the exact-recall
+    gate, and unmasked it trips ANSI overflow; full-width per-seed hashing
+    stays.) The groupBy shuffle
     carries only 32 longs per document (partial agg collapses map-side),
     noise next to the corpus itself at any scale.
 
@@ -144,7 +148,11 @@ def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
         for b in range(_LSH_BANDS)])).alias("bh")) \
         .localCheckpoint(eager=False)  # self-join + hot-list + chain reuse
     # hot-bucket ids: map-side-combined count, output tiny (normally empty),
-    # broadcast both ways so the main band flow never re-shuffles for it
+    # broadcast both ways so the main band flow never re-shuffles for it.
+    # (A fused count+lead window over bh was tried instead — one shuffle on
+    # paper — but sorting every band row made it ~1 s slower at sf0.1 and
+    # it would sort the whole banded corpus at scale; the groupBy's partial
+    # aggregation never moves more than the distinct bucket ids.)
     hot = (bands.groupBy("bh").agg(F.count(F.lit(1)).alias("bsz"))
            .where(F.col("bsz") > _LSH_BUCKET_CAP).select("bh")
            .localCheckpoint(eager=False))
