@@ -567,3 +567,29 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(F.col("l_orderkey").cast("bigint")).alias("xor_key"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+_BOOL_ORACLE = """
+SELECT o_orderstatus,
+       bool_and(o_totalprice > 1000.0) AS all_over_1k,
+       bool_or(o_totalprice > 400000.0) AS any_over_400k,
+       CAST(count_if(o_totalprice > 100000.0) AS BIGINT) AS n_over_100k,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("agg_boolean", oracle=_BOOL_ORACLE)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates: bool_and / bool_or (ANSI EVERY/ANY) and
+    count_if — the assertion-style data-quality checks ("every order
+    positive", "any outlier present") pushed into one aggregation pass.
+    Associative/commutative, deterministic under any partial-agg order."""
+    o = load_table(spark, "orders", sf_dir)
+    p = F.col("o_totalprice")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(p > 1000.0).alias("all_over_1k"),
+        F.bool_or(p > 400000.0).alias("any_over_400k"),
+        F.count_if(p > 100000.0).cast("bigint").alias("n_over_100k"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -1651,3 +1651,68 @@ def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum((diff * diff).cast(DEC)).cast("double"), 4)
               .alias("sq_dist_to_centroid"))
     )
+
+
+_BM25_TERMS = ("spark", "query", "fast")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), doclen AS (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avg_dl FROM doclen
+), tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+  WHERE t IN {_BM25_TERMS!r} GROUP BY doc_id, t
+), df AS (
+  SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY t
+)
+SELECT tf.doc_id,
+       round(SUM(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * ({_BM25_K1} + 1.0)
+                 / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * doclen.dl / stats.avg_dl))), 6) AS bm25,
+       CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+FROM tf
+JOIN df USING (t) JOIN doclen USING (doc_id) CROSS JOIN stats
+GROUP BY tf.doc_id
+"""
+
+
+@register("llm_bm25_rank", oracle=_BM25_ORACLE)
+def llm_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring of the corpus against a fixed query — the
+    lexical-retrieval primitive behind hard-negative mining and
+    deduplication-by-retrieval in training-data pipelines. Standard
+    Robertson/Okapi form (k1=1.2, b=0.75, +1-smoothed idf). Rounded to
+    6 dp: per-doc scores sum ≤3 per-term floats in engine-specific order.
+
+    Scale shape: doc lengths and term tf are map-side-combinable groupBys;
+    df and the (n_docs, avg_dl) scalars are tiny and broadcast. The corpus
+    is never shuffled by term — only the ≤|query| matching rows per doc
+    move. A real retrieval system would precompute doclen/df once per
+    corpus snapshot; the plan shape is identical."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(_tokens()).alias("t"))
+    doclen = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = doclen.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                       F.avg("dl").alias("avg_dl"))
+    tf = (tok.where(F.col("t").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "t").agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    df_ = tf.groupBy("t").agg(
+        F.countDistinct("doc_id").cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = (F.col("tf") + _BM25_K1 * (1.0 - _BM25_B
+             + _BM25_B * F.col("dl") / F.col("avg_dl")))
+    term_score = idf * F.col("tf") * (_BM25_K1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(df_), "t")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"),
+             F.count(F.lit(1)).alias("n_matched_terms"))
+    )

@@ -60,6 +60,19 @@ _loaded = False
 # rows-only-by-design ops (llm_sim_lsh_approx, llm_sim_ann_ivf,
 # llm_multimodal_decode) are deliberately NOT listed — a driver slot adds
 # nothing over their pytest determinism/recall gates.
+#
+# ROUND 3 ROTATION PLAN: swap this list for the queries that have never
+# held a driver slot — everything registered during round 2: source_jsonl,
+# source_csv, source_orc, sink_sorted_data_skipping, type_decimal_arith,
+# type_map_aggregate, type_interval_arith, stream_interval_join,
+# stream_upsert_latest, agg_cube_grouping_id, agg_rollup, agg_minmax_by,
+# agg_corr_covar, agg_bitwise, agg_boolean, win_range_interval,
+# explode_posexplode, str_regexp_extract_all, llm_sample_stratified,
+# llm_contamination_ngram, llm_pack_sequences, llm_pii_scrub,
+# llm_repetition_score, llm_domain_mix, llm_length_buckets,
+# llm_sim_radius_search, llm_lm_score, llm_embedding_outliers,
+# llm_bm25_rank (~29 slots; backfill the rest with round-1 relational
+# keys for re-confirmation). Update the pinned window test when rotating.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # functions tail (§2.7 collection/json ops)
     "array_ops", "arr_higher_order", "map_ops", "json_extract",
