@@ -69,3 +69,38 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.where((F.col("event_type") == "view") & (F.col("ts") < cutoff)).select("user_id")
     b = ev.where((F.col("event_type") == "purchase") & (F.col("ts") < cutoff)).select("user_id")
     return a.subtract(b)
+
+
+@register("set_intersect_all", oracle="""
+SELECT user_id FROM events
+WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00'
+INTERSECT ALL
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-05 00:00:00'
+""")
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection (INTERSECT ALL): each user_id appears
+    min(count_left, count_right) times — the multiplicity-aware form both
+    engines implement by hashing full rows with counters; one shuffle."""
+    ev = load_table(spark, "events", sf_dir)
+    cutoff = F.lit("2024-01-05").cast("timestamp")
+    a = ev.where((F.col("event_type") == "click") & (F.col("ts") < cutoff)).select("user_id")
+    b = ev.where((F.col("event_type") == "purchase") & (F.col("ts") < cutoff)).select("user_id")
+    return a.intersectAll(b)
+
+
+@register("set_except_all", oracle="""
+SELECT user_id FROM events
+WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-05 00:00:00'
+EXCEPT ALL
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-05 00:00:00'
+""")
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (EXCEPT ALL): multiplicities subtract instead of the
+    set form's all-or-nothing — views in excess of purchases per user."""
+    ev = load_table(spark, "events", sf_dir)
+    cutoff = F.lit("2024-01-05").cast("timestamp")
+    a = ev.where((F.col("event_type") == "view") & (F.col("ts") < cutoff)).select("user_id")
+    b = ev.where((F.col("event_type") == "purchase") & (F.col("ts") < cutoff)).select("user_id")
+    return a.exceptAll(b)

@@ -208,3 +208,17 @@ def test_sorted_sink_layout_enables_file_skipping():
     assert overlapping <= len(files) / 2, (
         f"{overlapping}/{len(files)} files overlap the filter — "
         "month-clustering failed, no file can be skipped")
+
+
+def test_bm25_corpus_never_shuffled_by_term():
+    """BM25's df table and corpus stats must broadcast; the only sort-merge
+    joins allowed are on doc_id (doclen join) — a term-keyed shuffle of
+    the corpus would be the scale anti-pattern retrieval scoring exists
+    to avoid."""
+    df = _df("llm_bm25_rank")
+    df.collect()
+    plan = checks.executed_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    for frag in plan.split("SortMergeJoin")[1:]:
+        keys = frag.split("\n")[0]
+        assert "doc_id" in keys, f"sort-merge join not on doc_id: {keys}"

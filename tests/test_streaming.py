@@ -141,10 +141,9 @@ def test_foreach_batch_upsert_serving_table(spark, harness):
     harness.run(lambda s: s, output_mode="append",
                 foreach_batch=upsert_foreach_batch(serving))
     got = spark.read.parquet(serving).select("user_id", "event_id", "ts")
-    want = (load_table(spark, "events", SMOKE_SF_DIR)
-            .groupBy("user_id")
-            .agg(F.max_by("event_id", "ts").alias("event_id"),
-                 F.max("ts").alias("ts")))
+    from lambdatotheslaughter_spark.streaming.harness import latest_per_user
+    want = latest_per_user(load_table(spark, "events", SMOKE_SF_DIR)) \
+        .select("user_id", "event_id", "ts")
     _assert_same(got, want, "foreach_batch_upsert")
     shutil.rmtree(serving, ignore_errors=True)
 
