@@ -30,7 +30,7 @@ def test_lsh_approx_recall(spark, duck):
 
 
 def test_ivf_ann_recall(spark, duck):
-    """IVF top-3 (k-means cells, nprobe=2) must agree with brute-force
+    """IVF top-3 (k-means cells, nprobe=4) must agree with brute-force
     top-3 for a reasonable share of query vectors. Multi-probe IVF on
     unclustered random data has limited recall by nature — the gate is a
     floor, and the measured value is printed for the bench record."""
@@ -49,7 +49,7 @@ def test_ivf_ann_recall(spark, duck):
     exact_pairs = set(exact)
     recall = len(ivf_pairs & exact_pairs) / len(exact_pairs)
     print(f"IVF recall@3 = {recall:.3f}")
-    assert recall >= 0.2, f"IVF recall@3 {recall:.2f} below floor"
+    assert recall >= 0.4, f"IVF recall@3 {recall:.2f} below floor"
 
 
 def test_ivf_cells_scale_and_prune(spark):
