@@ -409,3 +409,37 @@ def type_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(ts.cast("date") + F.expr("INTERVAL 2 YEARS"),
                       "yyyy-MM-dd").alias("plus_years"),
     )
+
+
+_VARIANT_ORACLE = """
+SELECT CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+         AS k_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_max
+FROM events
+GROUP BY CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+"""
+
+
+@register("type_variant_json", oracle=_VARIANT_ORACLE)
+def type_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType (Spark 4's open semi-structured type): parse the props
+    JSON once into a variant, then extract typed fields with variant_get —
+    the shredded-JSON path that replaces per-access get_json_object
+    re-parsing (one parse per row instead of one per extraction, and the
+    binary variant encoding is columnar-friendly). Extractions are cast to
+    plain types before output; the variant itself never crosses the
+    oracle boundary."""
+    ev = load_table(spark, "events", sf_dir)
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        ev.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("k").cast("bigint").alias("k_sum"),
+             F.max("k").cast("bigint").alias("k_max"))
+    )
