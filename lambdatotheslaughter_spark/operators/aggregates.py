@@ -251,3 +251,28 @@ def agg_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+_MULTI_DISTINCT_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_multi_distinct", oracle=_MULTI_DISTINCT_ORACLE)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) over different columns in one aggregation —
+    Catalyst plans this with Expand (one replica of each row per distinct
+    column) + two-phase aggregation, so it stays a single shuffle rather
+    than one job per distinct. The plan doubles pre-shuffle rows; partial
+    aggregation collapses them to the distinct key space map-side. At
+    extreme cardinality the HLL form (agg_approx_distinct) replaces it."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )

@@ -1718,3 +1718,88 @@ def llm_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(term_score), 6).alias("bm25"),
              F.count(F.lit(1)).alias("n_matched_terms"))
     )
+
+
+_ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY doc_id, t
+), dl AS (
+  SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n FROM tf GROUP BY doc_id
+)
+SELECT tf.doc_id,
+       round(-SUM((c / n) * ln(c / n)), 6) AS token_entropy,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens
+FROM tf JOIN dl USING (doc_id)
+GROUP BY tf.doc_id
+"""
+
+
+@register("llm_token_entropy", oracle=_ENTROPY_ORACLE)
+def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    information-density quality signal: near-zero for degenerate repeats,
+    ~ln(n) for fully diverse text; pairs with llm_repetition_score (which
+    catches local repetition, where entropy catches global skew). Rounded
+    6 dp (per-doc float sums merge in engine order).
+
+    Scale shape: (doc, token) counts then per-doc rollup — both keys
+    doc-local, partial-agg collapses map-side, no cross-doc key exists to
+    skew."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    tf = (d.select("doc_id", F.explode(_tokens()).alias("t"))
+          .groupBy("doc_id", "t")
+          .agg(F.count(F.lit(1)).cast("double").alias("c")))
+    p = F.col("c") / F.col("n")
+    return (
+        tf.withColumn("n", F.sum("c").over(Window.partitionBy("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy"),
+             F.count(F.lit(1)).alias("n_distinct_tokens"))
+    )
+
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24  # 32-token windows, 8-token overlap
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(range(((n_tok - 1) // {_CHUNK_STRIDE}) + 1)) AS BIGINT)
+         AS chunk_idx,
+       CAST(unnest(range(((n_tok - 1) // {_CHUNK_STRIDE}) + 1))
+            * {_CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+       CAST(least(unnest(range(((n_tok - 1) // {_CHUNK_STRIDE}) + 1))
+                  * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n_tok)
+            - unnest(range(((n_tok - 1) // {_CHUNK_STRIDE}) + 1))
+            * {_CHUNK_STRIDE} AS BIGINT) AS chunk_len
+FROM toks
+"""
+
+
+@register("llm_chunk_overlap", oracle=_CHUNK_ORACLE)
+def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (32-token windows, stride 24):
+    the long-document counterpart to sequence packing — every token is
+    covered, consecutive chunks share 8 tokens of context, and chunk
+    boundaries are pure arithmetic on the token count (no text movement at
+    planning time; the actual slice happens wherever the chunk is
+    consumed). One generator expression per row, zero shuffles — at
+    100 TB chunking is free until the chunks themselves are materialized."""
+    d = load_table(spark, "documents", sf_dir)
+    n_tok = F.size(_tokens()).cast("bigint")
+    n_chunks = ((n_tok - 1) / _CHUNK_STRIDE).cast("bigint") + 1
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    return (
+        d.select("doc_id", n_tok.alias("n_tok"),
+                 F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                      n_chunks - 1)).alias("chunk_idx"))
+        .select("doc_id", "chunk_idx", start.alias("chunk_start"),
+                (F.least(start + _CHUNK_SIZE, F.col("n_tok")) - start)
+                .alias("chunk_len"))
+    )

@@ -71,8 +71,11 @@ _loaded = False
 # llm_contamination_ngram, llm_pack_sequences, llm_pii_scrub,
 # llm_repetition_score, llm_domain_mix, llm_length_buckets,
 # llm_sim_radius_search, llm_lm_score, llm_embedding_outliers,
-# llm_bm25_rank (~29 slots; backfill the rest with round-1 relational
-# keys for re-confirmation). Update the pinned window test when rotating.
+# llm_bm25_rank, agg_boolean, set_intersect_all, set_except_all,
+# type_variant_json, llm_token_entropy, llm_chunk_overlap,
+# agg_multi_distinct (~35 slots; backfill the rest with round-1
+# relational keys for re-confirmation). Update the pinned window test
+# when rotating.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # functions tail (§2.7 collection/json ops)
     "array_ops", "arr_higher_order", "map_ops", "json_extract",
