@@ -338,3 +338,89 @@ def sink_sorted_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     return back.where(
         F.col("l_shipdate") >= F.lit("2001-11-01").cast("timestamp"))
+
+
+_EVOLUTION_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                     THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                END) AS BIGINT) AS evolved_cents,
+       CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+         AS n_evolved
+FROM orders
+"""
+
+
+@register("scan_schema_evolution", oracle=_EVOLUTION_ORACLE)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches written with DIFFERENT
+    schemas into one dataset (the second adds a cents column), read back
+    with mergeSchema — rows from the old batch surface NULL for the new
+    column instead of failing the scan. This is how a 100 TB lake absorbs
+    a producer-side schema change without rewriting history. mergeSchema
+    is a read option here, not the session default: footer-merging every
+    scan is an extra planning pass you only pay when evolution actually
+    happened."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"lts_orders_evolved_{sf_tag}")
+    done = os.path.join(out, "_BATCHES_DONE")
+    o = load_table(spark, "orders", sf_dir)
+    if not os.path.exists(done):
+        (o.where(F.col("o_orderkey") % 2 == 0)
+         .select("o_orderkey", "o_custkey")
+         .write.mode("overwrite").parquet(out))
+        (o.where(F.col("o_orderkey") % 2 == 1)
+         .select("o_orderkey", "o_custkey",
+                 F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                 .alias("o_cents"))
+         .write.mode("append").parquet(out))
+        open(done, "w").close()
+    back = spark.read.option("mergeSchema", True).parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+        F.sum("o_cents").cast("bigint").alias("evolved_cents"),
+        F.count("o_cents").cast("bigint").alias("n_evolved"),
+    )
+
+
+_DYN_OVERWRITE_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM events
+WHERE event_type <> 'click' OR event_id % 3 = 0
+GROUP BY event_type
+"""
+
+
+@register("sink_dynamic_partition_overwrite", oracle=_DYN_OVERWRITE_ORACLE)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: rewrite ONLY the partitions present in
+    the incoming batch (here: a compacted 'click' slice), leaving every
+    other partition untouched — the idempotent daily-reprocess pattern on
+    a partitioned lake. STATIC mode (the default) would have dropped the
+    whole table first; the conf is scoped to this write and restored.
+    Read-back proves clicks were replaced and nothing else moved."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"lts_events_dynover_{sf_tag}")
+    done = os.path.join(out, "_DYN_DONE")
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type")
+    if not os.path.exists(done):
+        (ev.write.mode("overwrite").partitionBy("event_type").parquet(out))
+        mode_conf = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(mode_conf)
+        spark.conf.set(mode_conf, "dynamic")
+        try:
+            (ev.where((F.col("event_type") == "click")
+                      & (F.col("event_id") % 3 == 0))
+             .write.mode("overwrite").partitionBy("event_type").parquet(out))
+        finally:
+            spark.conf.set(mode_conf, prev)
+        open(done, "w").close()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+    )
