@@ -1803,3 +1803,53 @@ def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.least(start + _CHUNK_SIZE, F.col("n_tok")) - start)
                 .alias("chunk_len"))
     )
+
+
+_MM_EMBED_ORACLE = """
+SELECT doc_id,
+       CAST(concat('0x', substring(md5(text), 1, 4)) AS INT) / 65535.0 AS d0,
+       CAST(concat('0x', substring(md5(text), 5, 4)) AS INT) / 65535.0 AS d1,
+       CAST(concat('0x', substring(md5(text), 9, 4)) AS INT) / 65535.0 AS d2,
+       CAST(concat('0x', substring(md5(text), 13, 4)) AS INT) / 65535.0 AS d3,
+       CAST(concat('0x', substring(md5(text), 17, 4)) AS INT) / 65535.0 AS d4,
+       CAST(concat('0x', substring(md5(text), 21, 4)) AS INT) / 65535.0 AS d5,
+       CAST(concat('0x', substring(md5(text), 25, 4)) AS INT) / 65535.0 AS d6,
+       CAST(concat('0x', substring(md5(text), 29, 4)) AS INT) / 65535.0 AS d7
+FROM documents WHERE n_chars > 150
+"""
+
+
+@register("llm_multimodal_embed", oracle=_MM_EMBED_ORACLE)
+def llm_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction: binary payload → embedding vector via
+    Arrow-batched mapInPandas — the shape that bridges the multimodal
+    column family to the similarity-search family (the produced
+    array<double> column is exactly what the kNN/LSH/IVF operators
+    consume). The extractor body is a clearly-marked deterministic fake
+    (md5-derived dims — no vision models in this container), which is
+    precisely what makes the op fully oracle-checkable: DuckDB reproduces
+    the same md5 arithmetic, so the whole Python-worker round trip
+    (binary in, Arrow batches, vector out) is value-verified, not just
+    row-counted. Swap the body for a real encoder and nothing else
+    changes. Metadata filter prunes before payload bytes move."""
+    import hashlib
+
+    import pandas as pd
+
+    d = load_table(spark, "documents", sf_dir).where(F.col("n_chars") > 150) \
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def embed_batches(batches):
+        for pdf in batches:
+            embs = []
+            for payload in pdf["payload"]:
+                # STUB: stands in for a real image/audio encoder.
+                h = hashlib.md5(bytes(payload)).hexdigest()
+                embs.append([int(h[4 * i:4 * i + 4], 16) / 65535.0
+                             for i in range(8)])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": embs})
+
+    out = d.mapInPandas(embed_batches,
+                        schema="doc_id bigint, embedding array<double>")
+    e = F.col("embedding")
+    return out.select("doc_id", *[e[i].alias(f"d{i}") for i in range(8)])
