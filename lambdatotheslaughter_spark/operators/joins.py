@@ -284,3 +284,45 @@ def join_self_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+_NULLSAFE_ORACLE = """
+WITH a AS (
+  SELECT event_id, CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS k
+  FROM events WHERE event_type = 'click' AND event_id < 3000
+), b AS (
+  SELECT event_id, CASE WHEN event_id % 5 = 0 THEN NULL ELSE user_id END AS k
+  FROM events WHERE event_type = 'purchase' AND event_id < 3000
+)
+SELECT a.k AS k, COUNT(*) AS n_pairs,
+       CAST(SUM(a.event_id + b.event_id) AS BIGINT) AS id_sum
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k
+"""
+
+
+@register("join_null_safe_eq", oracle=_NULLSAFE_ORACLE)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics needed when NULL
+    is a real category (unknown attribution bucket) rather than absence.
+    Still a hash-equi join: `<=>` is an equi comparison Catalyst plans as
+    BroadcastHashJoin/SMJ, NOT a nested loop (the planner treats the
+    null-safe operator as a join key). NULL becomes a hot key by nature —
+    at scale the salting pattern (join_skew_salted) applies to it."""
+    ev = load_table(spark, "events", sf_dir).where(F.col("event_id") < 3000)
+    a = (ev.where(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("a_id"),
+                 F.when(F.col("event_id") % 7 == 0, None)
+                  .otherwise(F.col("user_id")).alias("k")))
+    b = (ev.where(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("b_id"),
+                 F.when(F.col("event_id") % 5 == 0, None)
+                  .otherwise(F.col("user_id")).alias("bk")))
+    return (
+        a.join(b, a.k.eqNullSafe(b.bk))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             (F.sum(F.col("a_id") + F.col("b_id"))).cast("bigint")
+             .alias("id_sum"))
+    )

@@ -107,3 +107,23 @@ def udtf_explode_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT r.r_regionkey, r.r_name, t.seq
         FROM lts_region_v r, LATERAL lts_expand_seq(r.r_regionkey) t
     """)
+
+
+@register("udf_arrow_optimized", oracle="""
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) % 97 AS price_mod97
+FROM orders WHERE o_orderkey < 3000
+""")
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (``useArrow=True``): same per-row Python
+    signature as the classic UDF, but arguments travel as Arrow batches
+    instead of pickled rows — the drop-in migration path for UDFs not yet
+    rewritten as pandas UDFs (measured 2-10x serde savings upstream; the
+    compute stays per-row Python, which is why the vectorized pandas form
+    remains the real target). Capped input, SQL oracle."""
+    @F.udf("bigint", useArrow=True)
+    def price_mod(p: float) -> int:
+        return int(round(p * 100)) % 97
+
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_orderkey") < 3000)
+    return o.select("o_orderkey", price_mod("o_totalprice").alias("price_mod97"))

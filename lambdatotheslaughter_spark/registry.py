@@ -74,9 +74,10 @@ _loaded = False
 # llm_bm25_rank, agg_boolean, set_intersect_all, set_except_all,
 # type_variant_json, llm_token_entropy, llm_chunk_overlap,
 # agg_multi_distinct, scan_schema_evolution,
-# sink_dynamic_partition_overwrite, llm_multimodal_embed (~38 slots;
-# backfill the rest with round-1 relational keys for re-confirmation).
-# Update the pinned window test when rotating.
+# sink_dynamic_partition_overwrite, llm_multimodal_embed,
+# join_null_safe_eq, udf_arrow_optimized (~40 slots; backfill the rest
+# with round-1 relational keys for re-confirmation). Update the pinned
+# window test when rotating.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # functions tail (§2.7 collection/json ops)
     "array_ops", "arr_higher_order", "map_ops", "json_extract",

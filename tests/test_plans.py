@@ -222,3 +222,44 @@ def test_bm25_corpus_never_shuffled_by_term():
     for frag in plan.split("SortMergeJoin")[1:]:
         keys = frag.split("\n")[0]
         assert "doc_id" in keys, f"sort-merge join not on doc_id: {keys}"
+
+
+def test_null_safe_join_is_hash_not_nested_loop():
+    """`<=>` must plan as an equi hash/sort-merge join — a nested loop here
+    means the planner stopped treating the null-safe operator as a key."""
+    df = _df("join_null_safe_eq")
+    df.collect()
+    plan = checks.executed_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan), plan
+
+
+def test_chunk_overlap_is_shuffle_free():
+    """Chunk-boundary derivation is pure per-row arithmetic + a generator:
+    zero all-to-all exchanges."""
+    df = _df("llm_chunk_overlap")
+    df.collect()
+    assert checks.count_shuffles(df) == 0, checks.executed_plan(df)
+
+
+def test_multi_distinct_single_expand_shuffle():
+    """Two COUNT(DISTINCT) columns must share one Expand-based aggregation,
+    not run one job per distinct column."""
+    df = _df("agg_multi_distinct")
+    df.collect()
+    plan = checks.executed_plan(df)
+    assert "Expand" in plan, plan
+    # two real exchanges (expand-key partial, final by group key); the AQE
+    # final-plan toString prints the reused subtree twice, so the string
+    # count doubles
+    assert checks.count_shuffles(df) <= 4, plan
+
+
+def test_domain_mix_broadcasts_rate_table():
+    """The per-source rate table must broadcast — re-shuffling the corpus
+    to meet a 20-row rates dim would be the anti-pattern."""
+    df = _df("llm_domain_mix")
+    df.collect()
+    plan = checks.executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
