@@ -129,3 +129,35 @@ def test_money_selector_flips_at_bound():
     ).fetchone()[0]
     est = estimate_rows("/root/testdata/sf0.01", "lineitem")
     assert est >= real, f"estimate {est} under real {real} — bound not conservative"
+
+
+def test_rounded_float_queries_stable_across_partitioning(spark):
+    """The rounded-float operators (corr/covar, LM score, token entropy,
+    embedding outliers, BM25) claim their rounding margin dominates
+    partial-merge-order drift. Prove it for real: run each at two very
+    different shuffle widths in THIS session by repartitioning the inputs
+    implicitly via spark.sql.shuffle.partitions, and require bit-identical
+    output multisets.
+
+    getOrCreate() caches the session, so the conf flip applies to new
+    plans (shuffle.partitions is read at planning time) — no second
+    session needed."""
+    from lambdatotheslaughter_spark import registry
+    from tests.conftest import SF_DIR
+
+    names = ["agg_corr_covar", "llm_lm_score", "llm_token_entropy",
+             "llm_embedding_outliers", "llm_bm25_rank"]
+    conf = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf)
+    results = {}
+    try:
+        for parts in ("5", "97"):
+            spark.conf.set(conf, parts)
+            for n in names:
+                rows = registry.get(n).fn(spark, SF_DIR).collect()
+                key = sorted(tuple(r) for r in rows)
+                results.setdefault(n, []).append(key)
+    finally:
+        spark.conf.set(conf, prev)
+    for n, (a, b) in results.items():
+        assert a == b, f"{n}: output depends on shuffle partitioning"
