@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Scale probe: materialize a 10x copy of sf0.1 (6M lineitem rows, 20k
+embeddings, 50k documents) in /tmp and measure headline operators at both
+scales. The point is the SHAPE of the scaling curve, not absolute time: a
+partition-parallel operator should grow roughly linearly in data (or
+better, while overhead still dominates); any super-linear jump is a scale
+bug the 100 TB claim can't survive.
+
+Fact keys are shifted per copy so fact-fact joins keep 1:N fan-out
+(l_orderkey/o_orderkey/event_id/doc_id/vec_id += i*BASE); dimension tables
+stay 1x, as at 100 TB (dims grow with entities, facts with activity).
+Repeated documents/embeddings make the near-dup operators face a 10x
+duplicate corpus — the hot-bucket guard and tile paths get exercised for
+real (20k vectors = 5 GEMM blocks, 15 tile pairs vs 1 at sf0.1).
+
+Usage: python tools/scale_probe.py [n_copies]   (default 10)
+Writes nothing outside /tmp; prints one result line per (query, scale).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from lambdatotheslaughter_spark import registry
+from lambdatotheslaughter_spark.session import get_spark
+from lambdatotheslaughter_spark.tables import load_table
+
+SRC = "/root/testdata/sf0.1"
+KEY_BASE = 10_000_000
+
+# (table, key columns to shift per copy)
+SHIFTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+PROBE_QUERIES = [
+    "agg_pricing_summary",      # scan+agg: pure map-side scaling
+    "topk_global",              # join + TakeOrdered
+    "join_multiway_star",       # star join, dims broadcast
+    "agg_distinct",             # Expand distinct
+    "win_topk_per_group",       # window
+    "llm_dedup_exact",          # corpus-wide groupBy
+    "llm_dedup_fuzzy_minhash",  # LSH + hot-bucket guard under 10x dups
+    "llm_sim_knn_bruteforce",   # multi-tile GEMM (5 blocks, 15 tiles)
+    "llm_sim_radius_search",    # same scaffold, dense output
+]
+
+
+def materialize(spark, n_copies: int) -> str:
+    out = f"/tmp/lts_scale_{n_copies}x"
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for t, keys in SHIFTS.items():
+        src = load_table(spark, t, SRC)  # ns-timestamp shim lives here
+        copies = []
+        for i in range(n_copies):
+            c = src
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * KEY_BASE))
+            copies.append(c)
+        df = copies[0]
+        for c in copies[1:]:
+            df = df.unionByName(c)
+        df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+    for t in DIMS:
+        load_table(spark, t, SRC).write.mode("overwrite") \
+            .parquet(os.path.join(out, f"{t}.parquet"))
+    open(marker, "w").close()
+    return out
+
+
+def drain(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("lts-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    big = materialize(spark, n_copies)
+    qs = registry.all_queries()
+    print(f"scale probe: sf0.1 vs {n_copies}x ({big})")
+    for name in PROBE_QUERIES:
+        fn = qs[name]
+        row = [name]
+        for sf_dir in (SRC, big):
+            drain(fn(spark, sf_dir))               # cold
+            warm = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                drain(fn(spark, sf_dir))
+                warm.append(time.perf_counter() - t0)
+            row.append(round(min(warm), 3))
+        ratio = round(row[2] / row[1], 1) if row[1] else float("nan")
+        print(f"RESULT {row[0]}: sf0.1={row[1]}s {n_copies}x={row[2]}s "
+              f"ratio={ratio}")
+
+
+if __name__ == "__main__":
+    main()
