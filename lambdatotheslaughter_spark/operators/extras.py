@@ -593,3 +593,189 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(p > 100000.0).cast("bigint").alias("n_over_100k"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+_INTERP_ORACLE = """
+WITH spine AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-29',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+), known AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE EXTRACT(day FROM CAST(ts AS DATE)) % 3 <> 0
+  GROUP BY CAST(ts AS DATE)
+), marked AS (
+  SELECT spine.day, known.cents,
+         CAST(datediff('day', DATE '2024-01-01', spine.day) AS BIGINT) AS dn,
+         CASE WHEN known.cents IS NOT NULL
+              THEN CAST(datediff('day', DATE '2024-01-01', spine.day) AS BIGINT)
+         END AS dnk
+  FROM spine LEFT JOIN known ON spine.day = known.day
+), bounds AS (
+  SELECT day, cents, dn,
+         last_value(cents IGNORE NULLS) OVER
+           (ORDER BY dn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS pv,
+         last_value(dnk IGNORE NULLS) OVER
+           (ORDER BY dn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS pd,
+         first_value(cents IGNORE NULLS) OVER
+           (ORDER BY dn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS nv,
+         first_value(dnk IGNORE NULLS) OVER
+           (ORDER BY dn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS nd
+  FROM marked
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       cents IS NOT NULL AS observed,
+       round(CASE
+         WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+         WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+         WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+         ELSE pv + CAST((nv - pv) * (dn - pd) AS DOUBLE) / (nd - pd)
+       END / 100.0, 6) AS value_interp
+FROM bounds
+"""
+
+
+@register("ts_interpolate_linear", oracle=_INTERP_ORACLE)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over time-series gaps: days divisible by 3 are
+    withheld as 'missing', then reconstructed from the neighboring known
+    points (flat extrapolation at the edges) — the imputation step between
+    zero-fill (ts_resample_gapfill) and a model. Known values are exact
+    int cents, the interpolation ratio is an integer-over-integer double,
+    rounded 6 dp.
+
+    Scale shape: the forward/backward scans are two frames over ONE
+    date-ordered window; at 100 TB the series would partition by entity
+    (per-metric, per-device) exactly like win_range_interval — the global
+    order here exists only because a calendar spine is 29 rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    spine = spark.range(1).select(F.explode(F.sequence(
+        F.lit("2024-01-01").cast("date"), F.lit("2024-01-29").cast("date"),
+        F.expr("INTERVAL 1 DAY"))).alias("day"))
+    known = (ev.where(F.dayofmonth(F.to_date("ts")) % 3 != 0)
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                  .cast("bigint").alias("cents")))
+    marked = (spine.join(known, "day", "left")
+              .withColumn("dn", F.datediff("day", F.lit("2024-01-01"))
+                          .cast("bigint")))
+    dn_if_known = F.when(F.col("cents").isNotNull(), F.col("dn"))
+    w_prev = Window.orderBy("dn").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("dn").rowsBetween(0, Window.unboundedFollowing)
+    b = marked.select(
+        "day", "cents", "dn",
+        F.last("cents", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(dn_if_known, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("cents", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(dn_if_known, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    interp = (F.when(F.col("cents").isNotNull(), F.col("cents").cast("double"))
+              .when(F.col("pv").isNull(), F.col("nv").cast("double"))
+              .when(F.col("nv").isNull(), F.col("pv").cast("double"))
+              .otherwise(F.col("pv") + ((F.col("nv") - F.col("pv"))
+                         * (F.col("dn") - F.col("pd"))).cast("double")
+                         / (F.col("nd") - F.col("pd"))))
+    return b.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("cents").isNotNull().alias("observed"),
+        F.round(interp / 100.0, 6).alias("value_interp"),
+    )
+
+
+_STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS dn
+  FROM events
+), grp AS (
+  SELECT user_id, dn,
+         dn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dn) AS g
+  FROM days
+), runs AS (
+  SELECT user_id, g, COUNT(*) AS run_len, MIN(dn) AS run_start
+  FROM grp GROUP BY user_id, g
+)
+SELECT user_id,
+       MAX(run_len) AS longest_streak,
+       CAST(MIN(CASE WHEN run_len = ms THEN run_start END) AS BIGINT)
+         AS streak_start_dn,
+       COUNT(*) AS n_runs
+FROM (SELECT *, MAX(run_len) OVER (PARTITION BY user_id) AS ms FROM runs)
+GROUP BY user_id
+"""
+
+
+@register("win_streaks_islands", oracle=_STREAK_ORACLE)
+def win_streaks_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-active-day streak per user via
+    the classic dn − row_number() grouping trick (consecutive days share
+    the difference). Earliest start pins the tie when two streaks share
+    the max length. Scale shape: everything partitions by user_id — one
+    shuffle, bounded per-user state, no cross-user dependency."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    days = (ev.select("user_id",
+                      F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+                      .cast("bigint").alias("dn"))
+            .distinct())
+    g = F.col("dn") - F.row_number().over(
+        Window.partitionBy("user_id").orderBy("dn"))
+    runs = (days.withColumn("g", g)
+            .groupBy("user_id", "g")
+            .agg(F.count(F.lit(1)).alias("run_len"),
+                 F.min("dn").alias("run_start")))
+    ms = F.max("run_len").over(Window.partitionBy("user_id"))
+    return (runs.withColumn("ms", ms)
+            .groupBy("user_id")
+            .agg(F.max("run_len").alias("longest_streak"),
+                 F.min(F.when(F.col("run_len") == F.col("ms"),
+                              F.col("run_start"))).cast("bigint")
+                  .alias("streak_start_dn"),
+                 F.count(F.lit(1)).alias("n_runs")))
+
+
+_SEQ_PATTERN_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, COUNT(*) AS n_matches,
+       CAST(MIN(event_id) AS BIGINT) AS first_match_event
+FROM ordered
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+GROUP BY user_id
+"""
+
+
+@register("seq_pattern_match", oracle=_SEQ_PATTERN_ORACLE)
+def seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern matching: strictly consecutive view→click→
+    purchase triples in each user's event stream (MATCH_RECOGNIZE-lite,
+    expressed with lead) — stricter than the funnel, which allows
+    arbitrary events between steps. Ordering is (ts, event_id): unique,
+    so both engines see identical sequences. One shuffle on user_id."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "event_id", "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"))
+    return (o.where((F.col("event_type") == "view") & (F.col("t1") == "click")
+                    & (F.col("t2") == "purchase"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_matches"),
+                 F.min("event_id").cast("bigint").alias("first_match_event")))

@@ -75,7 +75,8 @@ _loaded = False
 # type_variant_json, llm_token_entropy, llm_chunk_overlap,
 # agg_multi_distinct, scan_schema_evolution,
 # sink_dynamic_partition_overwrite, llm_multimodal_embed,
-# join_null_safe_eq, udf_arrow_optimized (~40 slots; backfill the rest
+# join_null_safe_eq, udf_arrow_optimized, ts_interpolate_linear,
+# win_streaks_islands, seq_pattern_match (~43 slots; backfill the rest
 # with round-1 relational keys for re-confirmation). Update the pinned
 # window test when rotating.
 _DRIVER_PRIORITY: tuple[str, ...] = (
