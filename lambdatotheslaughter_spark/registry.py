@@ -51,61 +51,54 @@ _loaded = False
 
 # Driver-slot ordering. The driver's CORRECTNESS report verifies the FIRST
 # 50 entries of ``queries()`` (dict insertion order) per round. Round 1
-# covered the relational core (scans/filters/joins/aggs/windows/sorts/
-# setops/functions head) — all green. This list rotates the OTHER 50
-# oracled queries (functions tail, streaming, udfs, llm, skew, extras)
-# into the verified window for round 2; everything else follows in
-# registration order and stays covered by tests/test_oracle_parity.py,
-# the in-repo replica of the driver's DuckDB check. The three
-# rows-only-by-design ops (llm_sim_lsh_approx, llm_sim_ann_ivf,
-# llm_multimodal_decode) are deliberately NOT listed — a driver slot adds
-# nothing over their pytest determinism/recall gates.
+# covered the relational core; round 2 rotated in a disjoint window
+# (functions tail, streaming, udfs, llm core, skew, extras) — 100 distinct
+# queries driver-verified across r1+r2, zero failures. ROUND 3 (this list)
+# rotates in the 43 oracled keys that have never held a driver slot (all
+# of §2.12's round-2 additions plus set_intersect_all/set_except_all/
+# stream_upsert_latest), backfilled to 50 with seven round-1 relational
+# keys for re-confirmation. Everything else follows in registration order
+# and stays covered by tests/test_oracle_parity.py, the in-repo replica of
+# the driver's DuckDB check. Rows-only-by-design ops (llm_sim_lsh_approx,
+# llm_sim_ann_ivf, llm_multimodal_decode, agg_approx_distinct,
+# agg_distinct_sketch_rollup) are deliberately NOT listed — a driver slot
+# adds nothing over their pytest determinism/recall gates.
 #
-# ROUND 3 ROTATION PLAN: swap this list for the queries that have never
-# held a driver slot — everything registered during round 2: source_jsonl,
-# source_csv, source_orc, sink_sorted_data_skipping, type_decimal_arith,
-# type_map_aggregate, type_interval_arith, stream_interval_join,
-# stream_upsert_latest, agg_cube_grouping_id, agg_rollup, agg_minmax_by,
-# agg_corr_covar, agg_bitwise, agg_boolean, win_range_interval,
-# explode_posexplode, str_regexp_extract_all, llm_sample_stratified,
-# llm_contamination_ngram, llm_pack_sequences, llm_pii_scrub,
-# llm_repetition_score, llm_domain_mix, llm_length_buckets,
-# llm_sim_radius_search, llm_lm_score, llm_embedding_outliers,
-# llm_bm25_rank, agg_boolean, set_intersect_all, set_except_all,
-# type_variant_json, llm_token_entropy, llm_chunk_overlap,
-# agg_multi_distinct, scan_schema_evolution,
-# sink_dynamic_partition_overwrite, llm_multimodal_embed,
-# join_null_safe_eq, udf_arrow_optimized, ts_interpolate_linear,
-# win_streaks_islands, seq_pattern_match (~43 slots; backfill the rest
-# with round-1 relational keys for re-confirmation). Update the pinned
-# window test when rotating.
+# ROUND 4 ROTATION PLAN: after r3 lands green, every oracled key
+# registered up to round 2 will have at least one hard CORRECTNESS row.
+# Fill round 4's window with (a) any key added during round 3, then
+# (b) round-2-window keys for re-confirmation, oldest verification first.
+# Update tests/test_survey_coverage.py's pinned window when rotating.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # functions tail (§2.7 collection/json ops)
-    "array_ops", "arr_higher_order", "map_ops", "json_extract",
-    "str_pad_translate",
-    # streaming twins (§2.9 + §2.1 memory sink)
-    "stream_tumbling_agg", "stream_sliding_agg", "stream_session_window",
-    "stream_dedup", "stream_stateful_running", "stream_join_enrich",
-    "stream_watermark_late", "sink_stream_console_memory",
-    "stream_stateful_state_op",
-    # UDF surface (§2.11)
-    "udf_python_scalar", "udf_pandas_vectorized", "udaf_pandas_grouped",
-    "udtf_explode_sessions",
-    # LLM-data-pipeline family (§2.10 + training-data additions)
-    "llm_dedup_exact", "llm_dedup_fuzzy_minhash", "llm_dedup_ngram_jaccard",
-    "llm_dedup_simhash", "llm_dedup_embedding_cosine",
-    "llm_sim_knn_bruteforce", "llm_text_stats", "llm_text_tfidf_top_terms",
-    "llm_lang_partition_skew", "llm_multimodal_schema", "llm_lang_id",
-    "llm_quality_score", "llm_token_count", "llm_fingerprint",
-    "llm_sim_knn_per_query", "llm_pipeline_end_to_end", "llm_dedup_cluster",
-    "llm_multimodal_frames",
-    # physical-layout joins
-    "join_skew_salted", "join_bucketed_colocated",
-    # beyond-§2 extras
-    "agg_percentiles", "agg_mode_deterministic", "pivot_wide",
-    "unpivot_long", "sub_scalar", "sub_correlated", "win_percent_rank_cume",
-    "ts_resample_gapfill", "ts_moving_avg", "sql_api_entry",
-    "funnel_view_click_purchase", "retention_cohorts",
+    # sources / sinks / physical layout (§2.12 round-2 additions)
+    "source_jsonl", "source_csv", "source_orc",
+    "sink_sorted_data_skipping", "scan_schema_evolution",
+    "sink_dynamic_partition_overwrite",
+    # types (§2.12)
+    "type_decimal_arith", "type_map_aggregate", "type_interval_arith",
+    "type_variant_json",
+    # set ops that missed the r1/r2 windows
+    "set_intersect_all", "set_except_all",
+    # aggregates (§2.12)
+    "agg_cube_grouping_id", "agg_rollup", "agg_minmax_by", "agg_corr_covar",
+    "agg_bitwise", "agg_boolean", "agg_multi_distinct",
+    # windows / shapes (§2.12)
+    "win_range_interval", "explode_posexplode", "str_regexp_extract_all",
+    "ts_interpolate_linear", "win_streaks_islands", "seq_pattern_match",
+    # streaming twins that missed the r2 window
+    "stream_interval_join", "stream_upsert_latest",
+    # joins / udf surface (§2.12)
+    "join_null_safe_eq", "udf_arrow_optimized",
+    # LLM curation ops (§2.12 round-2 additions)
+    "llm_sample_stratified", "llm_contamination_ngram", "llm_pack_sequences",
+    "llm_pii_scrub", "llm_repetition_score", "llm_domain_mix",
+    "llm_length_buckets", "llm_sim_radius_search", "llm_lm_score",
+    "llm_embedding_outliers", "llm_bm25_rank", "llm_token_entropy",
+    "llm_chunk_overlap", "llm_multimodal_embed",
+    # backfill: round-1 relational keys for re-confirmation (7 slots)
+    "scan_parquet", "join_inner_equi", "agg_pricing_summary",
+    "win_topk_per_group", "sort_multi_key_nulls", "set_union_all",
+    "str_basic",
 )
 
 
