@@ -351,13 +351,55 @@ _KNN_BLOCK_ROWS = 4096  # GEMM tile height: 4096×4096 pairs × 64-d ≈ 1 Gflop
 
 
 def _norm_block(pdf):
-    """(ids, L2-normalized float64 matrix) from an Arrow batch."""
+    """(ids, L2-normalized float64 matrix) from an Arrow batch.
+
+    Zero-norm rows divide by 1 instead of 0 — the row stays all-zero, so
+    its cosine against anything is exactly 0.0 rather than NaN. Without
+    this, one zero embedding would poison the kernels' value-threshold
+    pre-select (np.partition ranks NaN as largest: >= k NaNs in a tile
+    would make the k-th value NaN and ``c >= kth`` drop the entire tile)."""
     import numpy as np
 
     ids = pdf["vec_id"].to_numpy()
     mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat /= np.where(norms == 0.0, 1.0, norms)
     return ids, mat
+
+
+_KNN_FASTPATH_ROWS = 8192  # ≤ 2 blocks (~4 MB of 64-d float64 payload):
+# below this the table is broadcast-sized and the cogroup machinery
+# (two-sided shuffle + pair explode) costs more than it parallelizes.
+
+
+def _broadcast_pair_fastpath(e: DataFrame, kernel, schema: str) -> DataFrame:
+    """Small-table kernel dispatch: broadcast the whole vector table to
+    executors and stream the same tile kernel over input batches as
+    ``kernel((0, 0), batch, full)``.
+
+    Exact for every kernel built on the (bi == bj) tile contract —
+    "emit pairs with left_id < right_id" for the pair kernels (each
+    unordered pair is emitted exactly once, by the batch that owns the
+    smaller id) and "left rows are the queries, right rows the candidate
+    pool" for the per-query kernel (each query is scored against the full
+    pool exactly once, by its own batch). Restores round-1's measured-
+    faster broadcast shape (0.54 s vs 0.78 s per-query kNN at sf0.1)
+    without giving up the tiled path at scale: `_block_pair_cogroup`
+    dispatches here only under `_KNN_FASTPATH_ROWS`, so the 10x scale
+    probe (20k vectors) still exercises the multi-tile scaffold."""
+    spark = e.sparkSession
+    full = e.select("vec_id", "embedding").toPandas()  # bounded by dispatch
+    bc = spark.sparkContext.broadcast(full)
+
+    def run(batches):
+        pool = bc.value
+        for pdf in batches:
+            out = kernel((0, 0), pdf, pool)
+            if len(out):
+                yield out
+
+    par = spark.sparkContext.defaultParallelism
+    return e.repartition(par).mapInPandas(run, schema=schema)
 
 
 def _block_pair_cogroup(e: DataFrame, kernel, schema: str) -> DataFrame:
@@ -373,10 +415,17 @@ def _block_pair_cogroup(e: DataFrame, kernel, schema: str) -> DataFrame:
     inherent, but it is tiled across executors (replication factor B on the
     input, GEMM per tile) instead of funneled through one process. The same
     scaffold serves global-top-k, per-query-top-k, and IVF residual search.
+
+    Below `_KNN_FASTPATH_ROWS` the table is broadcast-sized and the
+    two-sided cogroup shuffle is pure overhead, so dispatch to
+    :func:`_broadcast_pair_fastpath` (the one place a bounded `toPandas()`
+    is the RIGHT call — the dispatch threshold is what keeps it bounded).
     """
     import math
 
     n = e.count()  # metadata-cheap scalar; sizes the tiling
+    if n <= _KNN_FASTPATH_ROWS:
+        return _broadcast_pair_fastpath(e, kernel, schema)
     n_blocks = max(1, math.ceil(n / _KNN_BLOCK_ROWS))
     v = e.select(
         "vec_id", "embedding",
