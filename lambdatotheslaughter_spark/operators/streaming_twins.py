@@ -255,23 +255,11 @@ def sink_stream_console_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     name = f"lts_mem_{uuid.uuid4().hex[:8]}"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # stream straight from the sf parquet (ts int64-nanos → µs, as load_table)
-    from pyspark.sql import types as T
-    ns_schema = T.StructType([
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ])
-    # file-stream sources require a directory: stream the sf dir but glob
-    # down to the single events file
-    src = (spark.readStream.schema(ns_schema)
-           .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir)
-           .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    # stream straight from the sf parquet (footer-dispatched ns/µs ts
+    # normalization shared with load_table)
+    from lambdatotheslaughter_spark.tables import events_reader
+
+    src = events_reader(spark, sf_dir, streaming=True)
     q = (tumbling_agg(src)
          .writeStream.outputMode("complete")
          .option("checkpointLocation", f"/tmp/lts_ckpt_{name}")
@@ -308,19 +296,9 @@ def stream_stateful_state_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     name = f"lts_state_{uuid.uuid4().hex[:8]}"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ns_schema = T.StructType([
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ])
-    src = (spark.readStream.schema(ns_schema)
-           .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir)
-           .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    from lambdatotheslaughter_spark.tables import events_reader
+
+    src = events_reader(spark, sf_dir, streaming=True)
 
     def accumulate(key, pdf_iter, state):
         total, n = state.get if state.exists else (0.0, 0)

@@ -67,9 +67,13 @@ SCHEMAS: dict[str, T.StructType] = {
         T.StructField("l_linestatus", T.StringType()),
         T.StructField("l_shipdate", T.TimestampType()),
     ]),
-    # events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-    # timestamp; read it as raw int64 nanos (legacy.parquet.nanosAsLong)
-    # and truncate to µs in load_table (DuckDB does the same truncation).
+    # events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (rounds 1-2)
+    # and TIMESTAMP(MICROS) (regenerated testdata) — the physical unit is
+    # detected per-dataset from the parquet footer (events_ts_unit) and the
+    # matching read schema picked in events_reader. This entry is the
+    # NANOS-era variant: Spark has no nanosecond timestamp, so ts reads as
+    # raw int64 (legacy.parquet.nanosAsLong) and truncates to µs (DuckDB
+    # does the same truncation).
     "events": T.StructType([
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", T.LongType()),
@@ -94,6 +98,62 @@ SCHEMAS: dict[str, T.StructType] = {
 
 TABLE_NAMES = tuple(SCHEMAS)
 
+# micros-era events schema: ts reads directly as a (naive-UTC) timestamp
+_EVENTS_US_SCHEMA = T.StructType([
+    T.StructField("ts", T.TimestampType()) if f.name == "ts" else f
+    for f in SCHEMAS["events"]
+])
+
+_EVENTS_TS_UNIT: dict[str, str] = {}
+
+
+def events_ts_unit(sf_dir: str) -> str:
+    """Physical unit ('ns' or 'us') of events.ts in this testdata
+    generation, read once per dataset from the parquet footer. The
+    testdata generator has shipped both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) variants; hardcoding either unit silently shifts
+    every events timestamp 1000× (all of January 2024 collapses onto
+    1970-01-20), so the footer is the only safe source of truth."""
+    path = os.path.join(sf_dir, "events.parquet")
+    key = os.path.abspath(path)
+    if key not in _EVENTS_TS_UNIT:
+        import pyarrow.parquet as pq
+
+        f = path
+        if os.path.isdir(path):
+            for dp, _, fs in sorted(os.walk(path)):
+                cand = sorted(x for x in fs if x.endswith(".parquet"))
+                if cand:
+                    f = os.path.join(dp, cand[0])
+                    break
+        _EVENTS_TS_UNIT[key] = pq.ParquetFile(f).schema_arrow.field("ts").type.unit
+    return _EVENTS_TS_UNIT[key]
+
+
+def events_reader(spark: SparkSession, sf_dir: str,
+                  streaming: bool = False) -> DataFrame:
+    """events with a normalized µs `ts` timestamp, batch or file-stream.
+    Shared by load_table and the live Structured Streaming sources so the
+    ns/µs footer dispatch lives in exactly one place."""
+    unit = events_ts_unit(sf_dir)
+    if unit == "ns":
+        # runtime-settable SQL conf; works on any session the driver hands us
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = SCHEMAS["events"]
+    else:
+        schema = _EVENTS_US_SCHEMA
+    if streaming:
+        # file-stream sources require a directory: stream the sf dir but
+        # glob down to the single events file
+        df = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    else:
+        df = spark.read.schema(schema).parquet(
+            os.path.join(sf_dir, "events.parquet"))
+    if unit == "ns":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one table. Explicit schema keeps column pruning / filter pushdown
@@ -104,12 +164,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # don't control. UTC keeps timestamp values aligned with the DuckDB
     # oracle (naive-UTC); both confs are runtime-settable.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # runtime-settable SQL conf; works on any session the driver hands us
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.schema(SCHEMAS[name]).parquet(path)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return events_reader(spark, sf_dir)
+    path = os.path.join(sf_dir, f"{name}.parquet")
     return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
