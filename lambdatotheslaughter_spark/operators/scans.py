@@ -9,8 +9,11 @@ scan from reading 100 TB.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -18,6 +21,56 @@ from pyspark.sql import functions as F
 from lambdatotheslaughter_spark.determinism import dsum, oracle_dsum
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
+
+
+def _source_fingerprint(sf_dir: str, table: str) -> str:
+    """12-hex fingerprint of a source table's files (relative path, size,
+    mtime_ns per file). Part of every cache key below: regenerating the
+    testdata changes the fingerprint, so a stale cache is simply never
+    addressed again — no marker-file staleness to reason about."""
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    paths = [root]
+    if os.path.isdir(root):
+        paths = sorted(
+            os.path.join(dp, f) for dp, _, fs in os.walk(root) for f in fs)
+    h = hashlib.sha256()
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{os.path.relpath(p, sf_dir)}|{st.st_size}|"
+                 f"{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()[:12]
+
+
+def cached_dataset_path(tag: str, sf_dir: str, table: str) -> str:
+    """Deterministic cache location for a derived round-trip dataset —
+    shared by the operators and the plan tests that inspect the files."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    fp = _source_fingerprint(sf_dir, table)
+    return os.path.join(tempfile.gettempdir(), f"lts_{tag}_{sf_tag}_{fp}")
+
+
+def _cached_dataset(tag: str, sf_dir: str, table: str, build) -> str:
+    """Build-once cache for the sink/source round-trip fixtures.
+
+    ``build(tmp_path)`` writes the complete dataset into a private temp
+    directory, which is then atomically renamed to the fingerprinted final
+    path. Concurrent builders (pytest-xdist worker, bench running beside
+    tests) each build into their own temp dir; the rename loser gets
+    ENOTEMPTY, discards its copy, and reads the winner's — no process ever
+    observes a half-written dataset, because the final path only ever
+    appears complete."""
+    final = cached_dataset_path(tag, sf_dir, table)
+    ready = os.path.join(final, "_LTS_READY")
+    if os.path.exists(ready):
+        return final
+    tmp = f"{final}.build-{uuid.uuid4().hex[:8]}"
+    build(tmp)
+    open(os.path.join(tmp, "_LTS_READY"), "w").close()
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
 
 _SCAN_ORACLE = f"""
 SELECT COUNT(*) AS n_rows,
@@ -136,12 +189,11 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition filter prunes at PLANNING time: only those directories are
     listed/read. tests/test_plans.py asserts the pruned file count."""
     ev = load_table(spark, "events", sf_dir)
-    part_dir = os.path.join(tempfile.gettempdir(),
-                            f"lts_events_by_date_{os.path.basename(sf_dir.rstrip('/'))}")
-    marker = os.path.join(part_dir, "_SUCCESS")
-    if not os.path.exists(marker):
-        (ev.withColumn("event_date", F.to_date("ts"))
-         .write.mode("overwrite").partitionBy("event_date").parquet(part_dir))
+    part_dir = _cached_dataset(
+        "events_by_date", sf_dir, "events",
+        lambda tmp: (ev.withColumn("event_date", F.to_date("ts"))
+                     .write.mode("overwrite").partitionBy("event_date")
+                     .parquet(tmp)))
     part = spark.read.parquet(part_dir)
     return (
         part.where(F.col("event_date").between("2024-01-10", "2024-01-12"))
@@ -210,11 +262,10 @@ def source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     field would silently widen types mid-pipeline. JSONL sources also get
     no row-group statistics: filters evaluate post-parse, which is why the
     lake's canonical format is parquet and JSON stays at the ingest edge."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"lts_docs_jsonl_{sf_tag}")
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        load_table(spark, "documents", sf_dir).write.mode("overwrite").json(out)
+    out = _cached_dataset(
+        "docs_jsonl", sf_dir, "documents",
+        lambda tmp: (load_table(spark, "documents", sf_dir)
+                     .write.mode("overwrite").json(tmp)))
     schema = ("doc_id bigint, text string, lang string, source string, "
               "n_chars bigint")
     back = spark.read.schema(schema).json(out)
@@ -243,16 +294,14 @@ def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet-side oracle. Timestamps ride ISO-8601. Explicit schema, FAILFAST
     mode — a malformed row should kill the job at the ingest edge, not
     poison the lake downstream (the permissive path is source_kafka_malformed)."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"lts_orders_csv_{sf_tag}")
-    marker = os.path.join(out, "_SUCCESS")
     o = load_table(spark, "orders", sf_dir)
-    if not os.path.exists(marker):
-        (o.select(
+    out = _cached_dataset(
+        "orders_csv", sf_dir, "orders",
+        lambda tmp: (o.select(
             "o_orderkey", "o_custkey", "o_orderstatus",
             F.format_string("%.2f", "o_totalprice").alias("o_totalprice"),
             F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"))
-         .write.mode("overwrite").option("header", True).csv(out))
+         .write.mode("overwrite").option("header", True).csv(tmp)))
     schema = ("o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
               "o_totalprice string, o_orderdate timestamp")
     back = (spark.read.schema(schema).option("header", True)
@@ -282,11 +331,10 @@ def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine treats format as a leaf-node detail, every plan above the
     scan is identical. Checksummed per (source, lang) against the parquet
     originals to prove the round trip is lossless."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"lts_docs_orc_{sf_tag}")
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        load_table(spark, "documents", sf_dir).write.mode("overwrite").orc(out)
+    out = _cached_dataset(
+        "docs_orc", sf_dir, "documents",
+        lambda tmp: (load_table(spark, "documents", sf_dir)
+                     .write.mode("overwrite").orc(tmp)))
     back = spark.read.orc(out)
     return back.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -318,10 +366,8 @@ def sink_sorted_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert via the real parquet footers that the filter range lands in a
     minority of files."""
     li = load_table(spark, "lineitem", sf_dir)
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"lts_lineitem_sorted_{sf_tag}")
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+
+    def build(tmp: str) -> None:
         # INT96 (the legacy default) carries NO parquet statistics — footer
         # min/max, and with them all skipping, exist only for INT64 µs.
         ts_conf = "spark.sql.parquet.outputTimestampType"
@@ -332,9 +378,11 @@ def sink_sorted_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "l_extendedprice")
              .repartitionByRange(8, "l_shipdate")
              .sortWithinPartitions("l_shipdate")
-             .write.mode("overwrite").parquet(out))
+             .write.mode("overwrite").parquet(tmp))
         finally:
             spark.conf.set(ts_conf, prev)
+
+    out = _cached_dataset("lineitem_sorted", sf_dir, "lineitem", build)
     back = spark.read.parquet(out)
     return back.where(
         F.col("l_shipdate") >= F.lit("2001-11-01").cast("timestamp"))
@@ -362,20 +410,19 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a read option here, not the session default: footer-merging every
     scan is an extra planning pass you only pay when evolution actually
     happened."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"lts_orders_evolved_{sf_tag}")
-    done = os.path.join(out, "_BATCHES_DONE")
     o = load_table(spark, "orders", sf_dir)
-    if not os.path.exists(done):
+
+    def build(tmp: str) -> None:
         (o.where(F.col("o_orderkey") % 2 == 0)
          .select("o_orderkey", "o_custkey")
-         .write.mode("overwrite").parquet(out))
+         .write.mode("overwrite").parquet(tmp))
         (o.where(F.col("o_orderkey") % 2 == 1)
          .select("o_orderkey", "o_custkey",
                  F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
                  .alias("o_cents"))
-         .write.mode("append").parquet(out))
-        open(done, "w").close()
+         .write.mode("append").parquet(tmp))
+
+    out = _cached_dataset("orders_evolved", sf_dir, "orders", build)
     back = spark.read.option("mergeSchema", True).parquet(out)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -402,23 +449,22 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     a partitioned lake. STATIC mode (the default) would have dropped the
     whole table first; the conf is scoped to this write and restored.
     Read-back proves clicks were replaced and nothing else moved."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"lts_events_dynover_{sf_tag}")
-    done = os.path.join(out, "_DYN_DONE")
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "user_id", "event_type")
-    if not os.path.exists(done):
-        (ev.write.mode("overwrite").partitionBy("event_type").parquet(out))
+
+    def build(tmp: str) -> None:
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
         mode_conf = "spark.sql.sources.partitionOverwriteMode"
         prev = spark.conf.get(mode_conf)
         spark.conf.set(mode_conf, "dynamic")
         try:
             (ev.where((F.col("event_type") == "click")
                       & (F.col("event_id") % 3 == 0))
-             .write.mode("overwrite").partitionBy("event_type").parquet(out))
+             .write.mode("overwrite").partitionBy("event_type").parquet(tmp))
         finally:
             spark.conf.set(mode_conf, prev)
-        open(done, "w").close()
+
+    out = _cached_dataset("events_dynover", sf_dir, "events", build)
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

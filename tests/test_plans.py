@@ -72,9 +72,8 @@ def test_codegen_covers_relational_core():
 def test_partition_pruning_reads_3_of_30_dirs():
     # make sure the partitioned copy exists (the query creates it on demand)
     _df("scan_partition_pruning").collect()
-    part_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"lts_events_by_date_{os.path.basename(SF_DIR.rstrip('/'))}")
+    from lambdatotheslaughter_spark.operators.scans import cached_dataset_path
+    part_dir = cached_dataset_path("events_by_date", SF_DIR, "events")
     all_parts = len(glob.glob(os.path.join(part_dir, "event_date=*")))
     assert all_parts >= 28, f"partitioned copy missing: {all_parts} dirs"
     pf = checks.partition_filters(_df("scan_partition_pruning"))
@@ -190,9 +189,8 @@ def test_sorted_sink_layout_enables_file_skipping():
     df.collect()
     assert checks.has_pushed_filter(df, "GreaterThanOrEqual(l_shipdate"), \
         checks.executed_plan(df)
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"lts_lineitem_sorted_{os.path.basename(SF_DIR.rstrip('/'))}")
+    from lambdatotheslaughter_spark.operators.scans import cached_dataset_path
+    out = cached_dataset_path("lineitem_sorted", SF_DIR, "lineitem")
     files = glob.glob(os.path.join(out, "*.parquet"))
     assert len(files) >= 4, f"expected a multi-file layout, got {len(files)}"
     cutoff = datetime.datetime(2001, 11, 1, tzinfo=datetime.timezone.utc)
