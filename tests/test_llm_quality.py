@@ -30,10 +30,12 @@ def test_lsh_approx_recall(spark, duck):
 
 
 def test_ivf_ann_recall(spark, duck):
-    """IVF top-3 (k-means cells, nprobe=4) must agree with brute-force
-    top-3 for a reasonable share of query vectors. Multi-probe IVF on
-    unclustered random data has limited recall by nature — the gate is a
-    floor, and the measured value is printed for the bench record."""
+    """IVF top-3 (k-means cells, nprobe=8) must agree with brute-force
+    top-3 for >= 70% of query vectors. Multi-probe IVF on unclustered
+    random data is the hardest case (no cluster structure to exploit) —
+    nprobe=8 is the measured dial that clears 0.7 on this corpus
+    (0.39/0.48/0.56/0.74 for nprobe 2/3/4/8); the measured value is
+    printed for the bench record."""
     ivf = registry.get("llm_sim_ann_ivf").fn(spark, SF_DIR)
     ivf_pairs = _pairs(ivf)
     exact = duck.execute("""
@@ -49,24 +51,29 @@ def test_ivf_ann_recall(spark, duck):
     exact_pairs = set(exact)
     recall = len(ivf_pairs & exact_pairs) / len(exact_pairs)
     print(f"IVF recall@3 = {recall:.3f}")
-    assert recall >= 0.4, f"IVF recall@3 {recall:.2f} below floor"
+    assert recall >= 0.7, f"IVF recall@3 {recall:.2f} below floor"
 
 
 def test_ivf_cells_scale_and_prune(spark):
     """The IVF index must be a real index: cell count ~ √n (not a constant),
     and the probed candidate-pair volume must be a small fraction of the n²
     brute-force space — the r1 version's fixed 10 cells left O(n²/10)."""
-    import math
-
     import numpy as np
 
     from lambdatotheslaughter_spark.operators.llm import (
-        _IVF_NPROBE, _ivf_train_centroids)
+        _IVF_MAX_CELLS, _IVF_NPROBE, _ivf_n_cells, _ivf_train_centroids)
     from lambdatotheslaughter_spark.tables import load_table
+
+    # the √n rule and its driver-safety cap (VERDICT r2 #6): cells grow
+    # with the corpus until the training sample would outgrow the driver,
+    # then stop — the comment's bound is enforced, not aspirational
+    assert _ivf_n_cells(10_000) == 100
+    assert _ivf_n_cells(10**12) == _IVF_MAX_CELLS
+    assert _ivf_n_cells(3) == 2
 
     e = load_table(spark, "embeddings", SF_DIR).select("vec_id", "embedding")
     n = e.count()
-    n_cells = max(2, round(math.sqrt(n)))
+    n_cells = _ivf_n_cells(n)
     assert n_cells >= 20, f"cell count {n_cells} did not scale with n={n}"
     cent = _ivf_train_centroids(e, n, n_cells)
     assert cent.shape[0] == n_cells
