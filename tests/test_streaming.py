@@ -186,3 +186,65 @@ def test_stream_stream_interval_join_twin(spark, harness):
     cols = ["view_id", "click_id", "user_id", "delay_us"]
     assert sorted(map(tuple, live.select(cols).collect())) == \
         sorted(map(tuple, batch.select(cols).collect()))
+
+
+def test_checkpoint_recovery_exactly_once(spark):
+    """Crash-recovery for the speed layer: run a stateful streaming
+    aggregation over part of the input, STOP the query (the crash analog),
+    make more input arrive while it is down, then restart a brand-new query
+    from the SAME checkpoint. The restart must (a) recover the aggregation
+    state and offsets from the checkpoint — not reprocess the already-
+    committed micro-batches — and (b) converge to exactly the batch twin
+    over the full input. This is the lambda-genre behavior no other test
+    covers: exactly-once across a process boundary."""
+    import uuid
+
+    h = EventStreamHarness(spark, SMOKE_SF_DIR, n_chunks=4)
+    hold_dir = tempfile.mkdtemp(prefix="lts_heldback_")
+    ckpt = os.path.join(tempfile.gettempdir(),
+                        f"lts_ckpt_recov_{uuid.uuid4().hex[:8]}")
+    try:
+        files = sorted(f for f in os.listdir(h.input_dir)
+                       if f.endswith(".parquet"))
+        assert len(files) == 4
+        # phase 1 sees only the first two chunks
+        for f in files[2:]:
+            shutil.move(os.path.join(h.input_dir, f),
+                        os.path.join(hold_dir, f))
+
+        def start(name):
+            return (tw.tumbling_agg(h.source())
+                    .writeStream.outputMode("complete")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .format("memory").queryName(name).start())
+
+        q1 = start(f"lts_recov1_{uuid.uuid4().hex[:6]}")
+        q1.awaitTermination(timeout=300)  # drains chunks 0-1, then "crashes"
+
+        # the held-back chunks arrive while the query is down
+        for f in files[2:]:
+            shutil.move(os.path.join(hold_dir, f),
+                        os.path.join(h.input_dir, f))
+
+        name2 = f"lts_recov2_{uuid.uuid4().hex[:6]}"
+        q2 = start(name2)
+        q2.awaitTermination(timeout=300)
+
+        # exactly-once convergence: restarted query's final complete-mode
+        # emission equals the oracled batch twin over ALL events
+        _assert_same(spark.table(name2),
+                     tw.stream_tumbling_agg(spark, SMOKE_SF_DIR),
+                     "checkpoint_recovery")
+
+        # no reprocessing: the restart must resume from recorded offsets,
+        # reading only the two new chunks (not the whole topic again)
+        p2_rows = sum(int(p.numInputRows) for p in q2.recentProgress)
+        total = load_table(spark, "events", SMOKE_SF_DIR).count()
+        assert 0 < p2_rows < total, (
+            f"restart read {p2_rows} of {total} rows — offsets were not "
+            "recovered from the checkpoint")
+    finally:
+        h.cleanup()
+        shutil.rmtree(hold_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
