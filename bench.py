@@ -50,6 +50,8 @@ HEADLINE = [
     "llm_pii_scrub",            # regex PII redaction
     "llm_repetition_score",     # dup-word/top-bigram quality filter
     "llm_sim_radius_search",    # exact cosine range join (tiled GEMM)
+    "llm_dedup_ngram_jaccard",  # exact inverted-index similarity join
+    "llm_dedup_cluster",        # connected-components dedup clustering
 ]
 
 
