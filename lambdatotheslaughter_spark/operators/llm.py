@@ -209,39 +209,140 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+_NGRAM_DENSE_VOCAB_MAX = 4096  # dictionary-GEMM path while the distinct-
+# shingle count fits a dense binary matrix column space; above it, the
+# PPJoin prefix-filtered inverted index takes over (open-vocabulary corpora)
+
+
 @register("llm_dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT bigram-shingle Jaccard pairs (τ=0.4) via an inverted-index
-    similarity join: explode shingles, equi-join on the shingle, and the
-    per-pair match count IS the intersection size. Only pairs sharing at
-    least one shingle ever exist — pairs with zero overlap (jaccard 0) are
-    never materialized, so cost scales with shared-shingle volume, not n².
-    (The naive array-pair formulation measured 453 s at sf0.1; this one
-    ~3 s, same exact results.) The DuckDB oracle stays brute-force — an
-    independent formulation cross-checking the algorithm, not just the
-    arithmetic."""
+    """EXACT bigram-shingle Jaccard pairs (τ=0.4), algorithm dispatched on
+    the measured vocabulary size — both paths exact, same oracle:
+
+    • BOUNDED vocabulary (≤4096 distinct shingles — template/boilerplate
+      corpora; this testdata has 931): dictionary-encode shingles to dense
+      ids and run the intersection as a BINARY GEMM on the shared tile
+      scaffold (:func:`_block_pair_cogroup`) — |A∩B| = (M_a · M_bᵀ) over
+      0/1 doc×vocab matrices, exact in float64 (integer counts ≪ 2⁵³),
+      Jaccard = inter/(n_a+n_b−inter) with the same int→double division
+      DuckDB folds, so membership can't flake. The plain inverted-index
+      join measured 26.6 s at sf0.1 on this corpus (931 shingles × df up
+      to 338 → 36.6M join rows through a shuffle); the GEMM does the same
+      arithmetic in-register: measured 2.1 s warm, identical output
+      (a 13× win). A prefix-filtered PPJoin was measured too — 68 s here,
+      because with 931 shingles over 5,000 docs even rarest-first prefixes
+      collide broadly (6.8M candidates); it stays as the open-vocab path
+      where it is asymptotically right.
+
+    • OPEN vocabulary (> 4096): PPJoin-style prefix-filtered inverted
+      index. Sort each doc's shingles by GLOBAL frequency (rarest first),
+      index only the first ⌊(1−τ)·n⌋+1 per doc — sets with J ≥ τ must
+      share a prefix element — plus the length filter
+      (τ·max(n_a,n_b) ≤ min(n_a,n_b)) and the positional filter (first
+      common element at (p_a,p_b) bounds overlap by
+      1 + min(n_a−p_a, n_b−p_b) ≥ ⌈τ/(1+τ)(n_a+n_b)⌉; later matches pass
+      spuriously — harmless, survivors are only candidates), then one
+      exact verify join with the corpus arrays broadcast. At 100 TB this
+      is what keeps the inverted index from melting on boilerplate
+      n-grams, where the hottest shingles never enter a prefix.
+
+    The DuckDB oracle stays brute-force — an independent formulation
+    cross-checking the algorithm, not just the arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    tau = 0.4
     d = load_table(spark, "documents", sf_dir).where(F.size(_tokens()) >= 2)
     sh = d.select("doc_id", _tokens().alias("toks")) \
         .select("doc_id", _shingles2("toks").alias("sh")) \
         .localCheckpoint(eager=False)
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    x = ex.select(F.col("doc_id").alias("a_id"), "s")
-    y = ex.select(F.col("doc_id").alias("b_id"), F.col("s").alias("s2"))
-    inter = (
-        x.join(y, (x.s == y.s2) & (x.a_id < y.b_id))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    n_vocab = freq.count()
+    if n_vocab > _NGRAM_DENSE_VOCAB_MAX:
+        return _ngram_jaccard_prefix_filter(sh, ex, freq, tau)
+
+    # ---- dense dictionary-GEMM path ----
+    from pyspark.sql import Window
+
+    # global dictionary: tiny by dispatch (≤4096 rows), one narrow window
+    vocab = freq.select(
+        "s", (F.row_number().over(Window.orderBy("s")) - 1).alias("sid"))
+    docs = (ex.join(F.broadcast(vocab), "s")
+            .groupBy("doc_id")
+            .agg(F.collect_list("sid").alias("sids"))
+            .select(F.col("doc_id").alias("vec_id"),
+                    F.col("sids").alias("embedding")))
+    nv = n_vocab
+
+    def tile_jaccard(key, lpdf, rpdf):
+        bi, bj = key
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame(
+                {"a_id": [], "b_id": [], "jaccard": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "jaccard": "float64"})
+
+        def dense(pdf):
+            ids = pdf["vec_id"].to_numpy()
+            m = np.zeros((len(ids), nv), dtype=np.float64)
+            for i, sids in enumerate(pdf["embedding"]):
+                m[i, np.asarray(sids, dtype=np.int64)] = 1.0
+            return ids, m
+
+        il, ml = dense(lpdf)
+        ir, mr = _pdf_cached(rpdf, "_lts_ngram_dense", dense)
+        inter = ml @ mr.T                      # exact integer counts
+        na = ml.sum(axis=1)
+        nb = mr.sum(axis=1)
+        union = na[:, None] + nb[None, :] - inter
+        jac = inter / union                    # same int→double fold as SQL
+        a = np.minimum.outer(il, ir).ravel()
+        b = np.maximum.outer(il, ir).ravel()
+        j = jac.ravel()
+        keep = (a < b) & (j >= tau)
+        if bi == bj:
+            keep &= (np.subtract.outer(il, ir) < 0).ravel()
+        return pd.DataFrame({"a_id": a[keep], "b_id": b[keep],
+                             "jaccard": j[keep]})
+
+    return _block_pair_cogroup(
+        docs, tile_jaccard, "a_id bigint, b_id bigint, jaccard double")
+
+
+def _ngram_jaccard_prefix_filter(sh: DataFrame, ex: DataFrame,
+                                 freq: DataFrame, tau: float) -> DataFrame:
+    """Open-vocabulary exact path: PPJoin prefix + length + positional
+    filters over a frequency-ranked inverted index, exact-verify join with
+    the corpus arrays broadcast (see llm_dedup_ngram_jaccard)."""
+    from pyspark.sql import Window
+
+    sized = sh.select("doc_id", F.size("sh").alias("n"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (
+        ex.join(freq, "s").join(sized, "doc_id")
+        .withColumn("pos", F.row_number().over(w_doc))
+        .where(F.col("pos") <= F.floor((1.0 - tau) * F.col("n")) + 1)
+        .select("doc_id", "n", "s", "pos")
     )
-    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
-    jac = (F.col("inter").cast("double")
-           / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"))
-    return (
-        inter.join(na, "a_id").join(nb, "b_id")
-        .select("a_id", "b_id", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= 0.4)
+    x = prefix.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"),
+                      "s", F.col("pos").alias("p_a"))
+    y = prefix.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"),
+                      F.col("s").alias("s2"), F.col("pos").alias("p_b"))
+    alpha = F.ceil((tau / (1.0 + tau)) * (x.n_a + y.n_b))
+    cand = (
+        x.join(y, (x.s == y.s2) & (x.a_id < y.b_id)
+               # Jaccard ≥ τ forces τ·max(n_a,n_b) ≤ min(n_a,n_b)
+               & (x.n_a * tau <= y.n_b) & (y.n_b * tau <= x.n_a)
+               # positional overlap upper bound vs required overlap α
+               & (F.lit(1) + F.least(x.n_a - x.p_a, y.n_b - y.p_b) >= alpha))
+        .select("a_id", "b_id").distinct()
     )
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    jac = _jaccard_spark(F.col("sh_a"), F.col("sh_b"))
+    return (cand.join(F.broadcast(sa), "a_id").join(F.broadcast(sb), "b_id")
+            .select("a_id", "b_id", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= tau))
 
 
 def _simhash_bits_sql() -> str:
@@ -357,8 +458,27 @@ _KNN_BLOCK_ROWS = 4096  # GEMM tile height: 4096×4096 pairs × 64-d ≈ 1 Gflop
 # small enough that a tile pair (~4 MB + 128 MB sims) fits executor memory
 
 
+def _pdf_cached(pdf, key: str, fn):
+    """Memoize ``fn(pdf)`` on the DataFrame object itself (pandas
+    ``.attrs``). The broadcast pool in :func:`_broadcast_pair_fastpath` is
+    deserialized ONCE per worker process and handed to every input batch's
+    kernel call — without this, each of the ~32 batches re-runs the whole
+    pool's vstack+normalize (or densify), which dominates the fastpath.
+    Fresh per-tile Arrow batches have empty attrs, so for them this is a
+    plain call."""
+    try:
+        cache = pdf.attrs
+    except AttributeError:  # non-pandas input in tests
+        return fn(pdf)
+    if key not in cache:
+        cache[key] = fn(pdf)
+    return cache[key]
+
+
 def _norm_block(pdf):
-    """(ids, L2-normalized float64 matrix) from an Arrow batch.
+    """(ids, L2-normalized float64 matrix) from an Arrow batch, memoized
+    per DataFrame object (see _pdf_cached — the broadcast pool is reused
+    across batches).
 
     Zero-norm rows divide by 1 instead of 0 — the row stays all-zero, so
     its cosine against anything is exactly 0.0 rather than NaN. Without
@@ -367,11 +487,14 @@ def _norm_block(pdf):
     would make the k-th value NaN and ``c >= kth`` drop the entire tile)."""
     import numpy as np
 
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    mat /= np.where(norms == 0.0, 1.0, norms)
-    return ids, mat
+    def compute(p):
+        ids = p["vec_id"].to_numpy()
+        mat = np.vstack(p["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat /= np.where(norms == 0.0, 1.0, norms)
+        return ids, mat
+
+    return _pdf_cached(pdf, "_lts_norm", compute)
 
 
 _KNN_FASTPATH_ROWS = 8192  # ≤ 2 blocks (~4 MB of 64-d float64 payload):
@@ -405,7 +528,10 @@ def _broadcast_pair_fastpath(e: DataFrame, kernel, schema: str) -> DataFrame:
             if len(out):
                 yield out
 
-    par = spark.sparkContext.defaultParallelism
+    # batch sizing: each task pays fixed Arrow+broadcast-fetch overhead, so
+    # below ~256 rows/task the fan-out costs more than it parallelizes —
+    # cap task count at n/256 (still >= 8-way parallel at fastpath sizes)
+    par = max(1, min(spark.sparkContext.defaultParallelism, len(full) // 256))
     return e.repartition(par).mapInPandas(run, schema=schema)
 
 
@@ -510,8 +636,11 @@ def llm_sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     tops = _block_pair_cogroup(
         e, tile_topk, "a_id bigint, b_id bigint, cosine double")
+    # order on the 12-dp-rounded cosine: tile-shape GEMM noise (~1 ulp)
+    # must not outrank the (a_id, b_id) tie-break on a duplicate-heavy
+    # corpus where exact ties are common (see llm_sim_knn_per_query)
     return (
-        tops.orderBy(F.col("cosine").desc(), "a_id", "b_id")
+        tops.orderBy(F.round(F.col("cosine"), 12).desc(), "a_id", "b_id")
         .limit(k)
         .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
     )
@@ -1038,22 +1167,34 @@ def llm_sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims = ml @ mr.T
 
         def emit(q_ids, c_ids, s):
-            # per query row: local top-k by (sim desc, id asc) — the
-            # oracle's ROW_NUMBER ordering, applied tile-locally. Same
-            # value-threshold pre-select as the global kernel: ties all
-            # survive the >= cut, so the small lexsort stays exact.
-            for i, qa in enumerate(q_ids):
-                valid = c_ids != qa  # exclude self (i == j tiles)
-                row, ids2 = s[i][valid], c_ids[valid]
-                take = min(k, len(ids2))
-                if len(row) > 4 * k:
-                    kth = np.partition(row, len(row) - take)[len(row) - take]
-                    m = row >= kth
-                    row, ids2 = row[m], ids2[m]
-                idx = np.lexsort((ids2, -row))[:take]
-                cols["a_id"].extend([qa] * take)
-                cols["b_id"].extend(ids2[idx])
-                cols["cosine"].extend(row[idx])
+            # tile-local top-k per query by (sim desc, id asc) — the
+            # oracle's ROW_NUMBER ordering — fully VECTORIZED: the former
+            # per-query python loop (2,000 small partition+lexsort calls
+            # per batch) dominated the fastpath at ~0.3 s/run. Value-
+            # threshold pre-select per row (ties all survive the >= cut),
+            # one global lexsort groups by query and orders exactly, and a
+            # run-length rank truncates to k — identical output, ~20×
+            # fewer python-level iterations.
+            n_c = s.shape[1]
+            not_self = q_ids[:, None] != c_ids[None, :]
+            sm = np.where(not_self, s, -np.inf)
+            if n_c > k:
+                kth = np.partition(sm, n_c - k, axis=1)[:, n_c - k]
+                mask = (sm >= kth[:, None]) & not_self
+            else:
+                mask = not_self
+            qi, ci = np.nonzero(mask)
+            vals = s[qi, ci]
+            qa, cb = q_ids[qi], c_ids[ci]
+            order = np.lexsort((cb, -vals, qa))
+            qa, cb, vals = qa[order], cb[order], vals[order]
+            starts = np.r_[0, np.flatnonzero(qa[1:] != qa[:-1]) + 1]
+            sizes = np.diff(np.r_[starts, len(qa)])
+            rank = np.arange(len(qa)) - np.repeat(starts, sizes)
+            keep = rank < k
+            cols["a_id"].extend(qa[keep])
+            cols["b_id"].extend(cb[keep])
+            cols["cosine"].extend(vals[keep])
 
         emit(il, ir, sims)
         if bi != bj:
@@ -1063,7 +1204,17 @@ def llm_sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     cand = _block_pair_cogroup(
         e, tile_topk, "a_id bigint, b_id bigint, cosine double")
-    w = Window.partitionBy("a_id").orderBy(F.col("cosine").desc(), F.col("b_id"))
+    # merge on the 12-dp-ROUNDED cosine: the same pair computed in
+    # different tile shapes (tiled vs broadcast dispatch, different GEMM
+    # blocking) can differ by ~1 ulp, and a 10x-duplicated corpus makes
+    # EXACT ties common — ranking on raw floats then lets tile noise beat
+    # the b_id tie-break (caught by the 10x probe: tiled and broadcast
+    # paths returned different rank-1 neighbors for replicated vectors).
+    # 12 dp is far below any true cosine gap in the corpus and far above
+    # GEMM noise, so true ties collapse to the deterministic id order the
+    # oracle uses and true distinctions survive.
+    w = Window.partitionBy("a_id").orderBy(
+        F.round(F.col("cosine"), 12).desc(), F.col("b_id"))
     return (cand.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
             .select("a_id", "b_id", F.col("rn").cast("int").alias("rn")))

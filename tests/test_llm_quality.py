@@ -137,15 +137,23 @@ def test_lsh_hot_bucket_cap_is_not_quadratic(spark):
 
 
 def test_knn_never_collects_to_driver(spark, monkeypatch):
-    """The exact-kNN pair must stay distributed: building AND executing the
-    queries with DataFrame.toPandas poisoned proves no full-table driver
-    collect exists on the path (the r1 implementation had one)."""
-    import pyspark.sql
+    """The TILED kNN path must stay distributed: force the tiled dispatch
+    (fastpath threshold → 0) and execute with toPandas poisoned on the
+    CLASSIC DataFrame class — the one instances actually use in Spark 4;
+    poisoning the pyspark.sql.DataFrame parent is vacuous because the
+    classic subclass overrides the method (which silently blinded this
+    test's earlier form). The broadcast fastpath's bounded toPandas is BY
+    DESIGN and exercised elsewhere; this proves the at-scale path has no
+    driver funnel (the r1 implementation had one)."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    from lambdatotheslaughter_spark.operators import llm
 
     def _boom(self):
-        raise AssertionError("driver-side toPandas() on the kNN path")
+        raise AssertionError("driver-side toPandas() on the tiled kNN path")
 
-    monkeypatch.setattr(pyspark.sql.DataFrame, "toPandas", _boom)
+    monkeypatch.setattr(llm, "_KNN_FASTPATH_ROWS", 0)
+    monkeypatch.setattr(ClassicDF, "toPandas", _boom)
     n = registry.get("llm_sim_knn_bruteforce").fn(spark, SF_DIR).count()
     assert n == 10
     n = registry.get("llm_sim_knn_per_query").fn(spark, SF_DIR).count()
@@ -227,3 +235,39 @@ def test_sketch_rollup_within_tolerance_and_deterministic(spark, duck):
         spark.conf.set(conf, prev)
     assert est[0] == est[1], f"sketch estimate partition-dependent: {est}"
     assert abs(est[0] - exact) / exact <= 0.05, (est[0], exact)
+
+
+def test_knn_tiled_and_broadcast_paths_agree_on_duplicates(spark, monkeypatch):
+    """The tiled and broadcast dispatches of the pair scaffold must return
+    IDENTICAL per-query top-k on a duplicate-heavy corpus. Exact duplicate
+    vectors tie at cosine 1.0, and the same pair computed in different
+    tile shapes can differ by ~1 ulp of GEMM accumulation noise — ranking
+    on raw floats let that noise beat the b_id tie-break (found by the 10×
+    scale probe: the two paths returned different rank-1 neighbors). The
+    merge now ranks on the 12-dp-rounded cosine; this pins it."""
+    from pyspark.sql import functions as F
+
+    from lambdatotheslaughter_spark.operators import llm
+    from lambdatotheslaughter_spark.tables import load_table
+
+    base = load_table(spark, "embeddings", SF_DIR).select("vec_id", "embedding")
+    n = base.count()
+    copies = 1 + llm._KNN_FASTPATH_ROWS // n  # push past the dispatch cutoff
+    dup = None
+    for i in range(copies):
+        c = base.select((F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                        "embedding")
+        dup = c if dup is None else dup.unionByName(c)
+    dup = dup.localCheckpoint()  # one materialization for both paths
+
+    def fake_load(spark_, name, sf_dir):
+        assert name == "embeddings"
+        return dup
+
+    monkeypatch.setattr(llm, "load_table", fake_load)
+    fn = llm.llm_sim_knn_per_query
+    tiled = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    monkeypatch.setattr(llm, "_KNN_FASTPATH_ROWS", 10**9)
+    bcast = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert len(tiled) == len(bcast) > 0
+    assert tiled == bcast, "tiled vs broadcast per-query top-k diverged"
