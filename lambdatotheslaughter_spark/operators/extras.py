@@ -779,3 +779,49 @@ def seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_matches"),
                  F.min("event_id").cast("bigint").alias("first_match_event")))
+
+
+_SLIDING_DISTINCT_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), days AS (
+  SELECT DISTINCT day FROM du
+)
+SELECT CAST(d.day AS VARCHAR) AS t_day,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users_7d
+FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+"""
+
+
+@register("agg_sliding_distinct_users", oracle=_SLIDING_DISTINCT_ORACLE)
+def agg_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day (rolling MAU/WAU shape) —
+    COUNT(DISTINCT) over a sliding window, which no SQL window frame can
+    express (DISTINCT isn't frameable) and the naive form computes as one
+    self-join per day. The scalable shape is contribute-then-count:
+    dedup to (day, user), explode each observation to the ≤7 target days
+    it influences (a forward date `sequence` — pure arithmetic, no join),
+    dedup (target_day, user) again since a user active on several source
+    days still counts once, and count per target day. Three
+    map-side-combinable distinct/count aggregations, zero self-joins,
+    volume bounded by 7× the daily-active table — the same pattern
+    extends to any trailing-k-period distinct. Target days are clamped to
+    observed days with a broadcast semi-join (~30 rows). Day emitted as
+    an ISO string (DATE cells cross the Spark/DuckDB pandas boundary as
+    different types)."""
+    ev = load_table(spark, "events", sf_dir)
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select(F.col("day").alias("t_day")).distinct()
+    contrib = (
+        du.select(
+            F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6)))
+             .alias("t_day"),
+            "user_id")
+        .join(F.broadcast(days), "t_day", "left_semi")
+        .distinct()
+    )
+    return (contrib.groupBy("t_day")
+            .agg(F.count(F.lit(1)).alias("n_users_7d"))
+            .select(F.col("t_day").cast("string").alias("t_day"),
+                    "n_users_7d"))

@@ -470,3 +470,109 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n_events"),
         F.sum("event_id").cast("bigint").alias("id_sum"),
     )
+
+
+_COMPACTION_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(l_linenumber) AS BIGINT) AS line_sum
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@register("sink_compaction_small_files", oracle=_COMPACTION_ORACLE)
+def sink_compaction_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the #1 operational disease of a streaming
+    lake: every micro-batch commits a file, and a year of minute-batches is
+    ~500k files whose footer reads and task startup dominate planning long
+    before any data is scanned. The op materializes a deliberately
+    fragmented dataset (64 shards of a lineitem slice), compacts it with a
+    single ``coalesce`` pass — a NARROW dependency: files merge locally,
+    no shuffle moves a row — and proves content identity on the read-back.
+    At 100 TB this runs per partition directory (compact yesterday's 1,440
+    micro-batch files while today streams), which is exactly the
+    OPTIMIZE/rewrite-data-files job Delta and Iceberg schedule; the
+    file-count collapse is pinned against real directory listings in
+    tests/test_plans.py."""
+    li = (load_table(spark, "lineitem", sf_dir)
+          .where(F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp"))
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"))
+    frag = _cached_dataset(
+        "lineitem_fragmented", sf_dir, "lineitem",
+        lambda tmp: li.repartition(64).write.mode("overwrite").parquet(tmp))
+    compacted = _cached_dataset(
+        "lineitem_compacted", sf_dir, "lineitem",
+        lambda tmp: (spark.read.parquet(frag).coalesce(4)
+                     .write.mode("overwrite").parquet(tmp)))
+    back = spark.read.parquet(compacted)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").cast("bigint").alias("key_sum"),
+        F.sum("l_linenumber").cast("bigint").alias("line_sum"),
+    )
+
+
+_TIME_TRAVEL_ORACLE = """
+SELECT 1 AS snapshot_id, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT 2 AS snapshot_id, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+FROM orders
+"""
+
+
+@register("scan_time_travel_manifest", oracle=_TIME_TRAVEL_ORACLE)
+def scan_time_travel_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel on plain parquet via manifest
+    files — the mechanism under Delta/Iceberg stripped to its core: every
+    commit writes IMMUTABLE data files plus a manifest listing the files
+    visible in that snapshot, and readers plan from the manifest, never
+    from directory listing. Commit 1 loads the even-keyed orders; commit 2
+    appends the odd-keyed batch without touching commit 1's files — so
+    reading manifest v1 after v2 landed still returns exactly the v1 table
+    (time travel for free, because nothing is ever rewritten). The
+    manifest is driver-side metadata like a Delta log entry: bytes read
+    scale with file count, not data size, and the file list feeds
+    ``spark.read.parquet(*files)`` so pushdown/pruning work unchanged."""
+    import glob
+    import json
+
+    o = load_table(spark, "orders", sf_dir)
+
+    def build(tmp: str) -> None:
+        (o.where(F.col("o_orderkey") % 2 == 0)
+         .write.mode("overwrite").parquet(os.path.join(tmp, "data_c1")))
+        (o.where(F.col("o_orderkey") % 2 == 1)
+         .write.mode("overwrite").parquet(os.path.join(tmp, "data_c2")))
+        v1 = sorted(glob.glob(os.path.join(tmp, "data_c1", "*.parquet")))
+        v2 = v1 + sorted(glob.glob(os.path.join(tmp, "data_c2", "*.parquet")))
+        # manifests store paths relative to the table root: the cache dir
+        # is renamed into its final location after build
+        for i, files in ((1, v1), (2, v2)):
+            with open(os.path.join(tmp, f"manifest_v{i}.json"), "w") as f:
+                json.dump({"snapshot_id": i,
+                           "files": [os.path.basename(os.path.dirname(p))
+                                     + "/" + os.path.basename(p)
+                                     for p in files]}, f)
+
+    root = _cached_dataset("orders_manifest_tt", sf_dir, "orders", build)
+
+    def read_snapshot(version: int) -> DataFrame:
+        with open(os.path.join(root, f"manifest_v{version}.json")) as f:
+            man = json.load(f)
+        paths = [os.path.join(root, rel) for rel in man["files"]]
+        return (spark.read.schema(load_table(spark, "orders", sf_dir).schema)
+                .parquet(*paths)
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+                     F.sum("o_custkey").cast("bigint").alias("cust_sum"))
+                .select(F.lit(version).alias("snapshot_id"), "n_rows",
+                        "key_sum", "cust_sum"))
+
+    return read_snapshot(1).unionByName(read_snapshot(2))

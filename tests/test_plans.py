@@ -261,3 +261,18 @@ def test_domain_mix_broadcasts_rate_table():
     df.collect()
     plan = checks.executed_plan(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_compaction_collapses_file_count():
+    """The compaction op must actually fix the small-files problem: the
+    fragmented input is ≥32 files, the compacted rewrite ≤8 — and the
+    compaction pass is a NARROW coalesce (no shuffle moved a row)."""
+    from lambdatotheslaughter_spark.operators.scans import cached_dataset_path
+
+    _df("sink_compaction_small_files").collect()
+    frag = cached_dataset_path("lineitem_fragmented", SF_DIR, "lineitem")
+    comp = cached_dataset_path("lineitem_compacted", SF_DIR, "lineitem")
+    n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(comp, "*.parquet")))
+    assert n_frag >= 32, f"fragmented fixture has only {n_frag} files"
+    assert n_comp <= 8, f"compaction left {n_comp} files"
