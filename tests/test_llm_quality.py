@@ -271,3 +271,44 @@ def test_knn_tiled_and_broadcast_paths_agree_on_duplicates(spark, monkeypatch):
     bcast = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     assert len(tiled) == len(bcast) > 0
     assert tiled == bcast, "tiled vs broadcast per-query top-k diverged"
+
+
+def test_ngram_jaccard_dense_and_prefix_paths_agree(spark, monkeypatch):
+    """The two exact ngram-jaccard algorithms (bounded-vocab dictionary
+    GEMM vs open-vocab PPJoin prefix filter) must return identical pairs
+    on the same corpus. Runs both on a synthetic high-vocabulary corpus
+    (each doc draws from its own word id space, with planted near-dup
+    pairs), dispatch forced each way via the vocab threshold — this is the
+    only coverage the prefix path gets on testdata whose real vocabulary
+    (931 bigrams) always selects the dense path."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from lambdatotheslaughter_spark.operators import llm
+    from lambdatotheslaughter_spark.tables import load_table
+
+    rows = []
+    for i in range(120):
+        words = [f"w{i}_{j}" for j in range(30)]  # per-doc vocab: open space
+        rows.append((2 * i, " ".join(words)))
+        # planted near-dup: drop the last two words -> high bigram overlap
+        rows.append((2 * i + 1, " ".join(words[:-2])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def fake_load(spark_, name, sf_dir):
+        assert name == "documents"
+        return docs
+
+    monkeypatch.setattr(llm, "load_table", fake_load)
+    fn = llm.llm_dedup_ngram_jaccard
+
+    monkeypatch.setattr(llm, "_NGRAM_DENSE_VOCAB_MAX", 10**9)  # force dense
+    dense = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    monkeypatch.setattr(llm, "_NGRAM_DENSE_VOCAB_MAX", 0)      # force prefix
+    prefix = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+
+    assert len(dense) >= 120, f"planted near-dups missing: {len(dense)}"
+    assert [p[:2] for p in dense] == [p[:2] for p in prefix]
+    for (_, _, jd), (_, _, jp) in zip(dense, prefix):
+        assert abs(jd - jp) < 1e-12, "jaccard values diverged between paths"
