@@ -54,6 +54,8 @@ PROBE_QUERIES = [
     "llm_dedup_fuzzy_minhash",  # LSH + hot-bucket guard under 10x dups
     "llm_sim_knn_bruteforce",   # multi-tile GEMM (5 blocks, 15 tiles)
     "llm_sim_radius_search",    # same scaffold, dense output
+    "llm_dedup_ngram_jaccard",  # vocab-dictionary GEMM at 50k docs / 78 tiles
+    "llm_dedup_cluster",        # iterative CC over a 10x duplicate graph
 ]
 
 
