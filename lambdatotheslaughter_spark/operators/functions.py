@@ -443,3 +443,56 @@ def type_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("k").cast("bigint").alias("k_sum"),
              F.max("k").cast("bigint").alias("k_max"))
     )
+
+
+_STRUCT_ORACLE = """
+WITH ranked AS (
+  SELECT o_custkey,
+         o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn_asc,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_desc
+  FROM orders
+)
+SELECT o_custkey AS custkey,
+       MAX(CASE WHEN rn_asc = 1 THEN o_orderkey END) AS first_orderkey,
+       MAX(CASE WHEN rn_asc = 1 THEN cents END) AS first_cents,
+       MAX(CASE WHEN rn_desc = 1 THEN o_orderkey END) AS last_orderkey,
+       COUNT(*) AS n_orders
+FROM ranked
+GROUP BY o_custkey
+"""
+
+
+@register("type_struct_nested", oracle=_STRUCT_ORACLE)
+def type_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested StructType end-to-end (§2.8 type surface): pack each order
+    into a struct, collect an array<struct> per customer, ``sort_array``
+    it — struct ordering is LEXICOGRAPHIC BY FIELD POSITION, so putting
+    (o_orderdate, o_orderkey, cents) in the struct makes the sort a
+    composite (date, key) order with a deterministic tie-break — then
+    extract fields from the first/last elements with dot paths. The
+    oracle reformulates relationally (ROW_NUMBER both directions), so the
+    struct build/sort/extract semantics are cross-checked against an
+    engine with no struct involved at all. Scale shape: one groupBy on
+    the customer key; per-group arrays are bounded by orders-per-customer
+    (~10), so collect_list here is per-key state, not a corpus collect."""
+    o = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    packed = o.select(
+        "o_custkey",
+        F.struct(F.col("o_orderdate"), F.col("o_orderkey"),
+                 cents.alias("cents")).alias("rec"))
+    arr = (packed.groupBy("o_custkey")
+           .agg(F.sort_array(F.collect_list("rec")).alias("orders")))
+    first = F.col("orders")[0]
+    last = F.element_at("orders", -1)
+    return arr.select(
+        F.col("o_custkey").alias("custkey"),
+        first["o_orderkey"].alias("first_orderkey"),
+        first["cents"].alias("first_cents"),
+        last["o_orderkey"].alias("last_orderkey"),
+        F.size("orders").cast("bigint").alias("n_orders"),
+    )

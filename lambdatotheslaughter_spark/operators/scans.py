@@ -576,3 +576,36 @@ def scan_time_travel_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "key_sum", "cust_sum"))
 
     return read_snapshot(1).unionByName(read_snapshot(2))
+
+
+@register("scan_metadata_columns", oracle=None)
+def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden `_metadata` file columns (`_metadata.file_name`,
+    `_metadata.row_index`) — the lineage/debugging surface a 100 TB lake
+    operator lives on: which physical file did a corrupt row come from,
+    how are rows distributed across files, did a writer produce skewed
+    file sizes. Reads the multi-file fragmented fixture (so file_name is
+    discriminating) and aggregates per file; row_index is additionally
+    checksummed per file (sum of 0..n-1 = n(n-1)/2) so the per-file row
+    numbering is value-verified, not just present. Rows-only + pytest
+    value gate: DuckDB's `filename=true` virtual column could oracle the
+    name/count half, but `_metadata.row_index` has no DuckDB equivalent
+    and the point of the op is the Spark-native metadata surface; the
+    pytest gate (tests/test_plans.py) asserts the row_index checksum
+    identity instead."""
+    frag = _cached_dataset(
+        "lineitem_fragmented", sf_dir, "lineitem",
+        lambda tmp: (load_table(spark, "lineitem", sf_dir)
+                     .where(F.col("l_shipdate")
+                            >= F.lit("2001-01-01").cast("timestamp"))
+                     .select("l_orderkey", "l_linenumber", "l_returnflag",
+                             "l_shipdate")
+                     .repartition(64).write.mode("overwrite").parquet(tmp)))
+    back = spark.read.parquet(frag)
+    return (back.select("l_orderkey", F.col("_metadata.file_name").alias("file_name"),
+                        F.col("_metadata.row_index").alias("row_index"))
+            .groupBy("file_name")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("l_orderkey").cast("bigint").alias("key_sum"),
+                 F.sum("row_index").cast("bigint").alias("row_index_sum"))
+            .orderBy("file_name"))

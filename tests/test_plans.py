@@ -276,3 +276,23 @@ def test_compaction_collapses_file_count():
     n_comp = len(glob.glob(os.path.join(comp, "*.parquet")))
     assert n_frag >= 32, f"fragmented fixture has only {n_frag} files"
     assert n_comp <= 8, f"compaction left {n_comp} files"
+
+
+def test_metadata_columns_row_index_checksums(spark_also=None):
+    """scan_metadata_columns is rows-only (no DuckDB `_metadata` analog);
+    this is its value gate: per file, sum(row_index) must equal
+    n(n-1)/2 — the exact checksum of a correct 0..n-1 per-file numbering —
+    and the file names must cover the fragmented fixture's real listing."""
+    df = _df("scan_metadata_columns")
+    rows = df.collect()
+    assert len(rows) >= 32, f"expected >=32 fragment files, got {len(rows)}"
+    for r in rows:
+        n = r["n_rows"]
+        assert r["row_index_sum"] == n * (n - 1) // 2, (
+            f"{r['file_name']}: row_index sum {r['row_index_sum']} != "
+            f"{n * (n - 1) // 2} for {n} rows")
+    from lambdatotheslaughter_spark.operators.scans import cached_dataset_path
+    frag = cached_dataset_path("lineitem_fragmented", SF_DIR, "lineitem")
+    listed = {os.path.basename(p)
+              for p in glob.glob(os.path.join(frag, "*.parquet"))}
+    assert {r["file_name"] for r in rows} == listed

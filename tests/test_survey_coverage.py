@@ -39,7 +39,10 @@ def test_oracle_coverage_ratio():
     qs, oracles = registry.all_queries(), registry.all_oracles()
     rows_only = sorted(set(qs) - set(oracles))
     allowed = {"agg_approx_distinct", "llm_sim_lsh_approx", "llm_sim_ann_ivf",
-               "llm_multimodal_decode", "agg_distinct_sketch_rollup"}
+               "llm_multimodal_decode", "agg_distinct_sketch_rollup",
+               # _metadata.row_index has no DuckDB equivalent; the per-file
+               # row-numbering is value-gated in test_plans.py instead
+               "scan_metadata_columns"}
     assert set(rows_only) <= allowed, f"unexpected rows-only queries: {rows_only}"
 
 
