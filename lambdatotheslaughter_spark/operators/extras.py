@@ -825,3 +825,45 @@ def agg_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_users_7d"))
             .select(F.col("t_day").cast("string").alias("t_day"),
                     "n_users_7d"))
+
+
+_OHLC_ORACLE = """
+SELECT event_type,
+       CAST(time_bucket(INTERVAL 6 HOURS, ts) AS VARCHAR) AS bucket,
+       round(arg_min(value, ts + INTERVAL (event_id % 1000000) MICROSECONDS), 6) AS open,
+       round(MAX(value), 6) AS high,
+       round(MIN(value), 6) AS low,
+       round(arg_max(value, ts + INTERVAL (event_id % 1000000) MICROSECONDS), 6) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type, time_bucket(INTERVAL 6 HOURS, ts)
+"""
+
+
+@register("ts_ohlc_resample", oracle=_OHLC_ORACLE)
+def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) resampling per (series, 6-hour bucket) —
+    the canonical financial/metrics downsample. open/close are
+    ``min_by``/``max_by`` on a TOTAL order (ts is not unique per type at
+    µs grain, so the order key is ts perturbed by event_id micros — the
+    same tie-pinning discipline as agg_minmax_by; both engines use the
+    identical composite key, making first/last deterministic instead of
+    arrival-order luck). Single map-side-combinable groupBy: min_by/
+    max_by carry one (key, value) pair of state per group, so the shape
+    is one shuffle of 4-tuples regardless of corpus size."""
+    ev = load_table(spark, "events", sf_dir)
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / (6 * 3600)).cast("bigint") * (6 * 3600))
+    order_key = F.timestamp_micros(
+        F.unix_micros("ts") + F.col("event_id") % 1_000_000)
+    return (
+        ev.select("event_type", bucket.alias("bucket"), "value",
+                  order_key.alias("ok"))
+        .groupBy("event_type", "bucket")
+        .agg(F.round(F.min_by("value", "ok"), 6).alias("open"),
+             F.round(F.max("value"), 6).alias("high"),
+             F.round(F.min("value"), 6).alias("low"),
+             F.round(F.max_by("value", "ok"), 6).alias("close"),
+             F.count(F.lit(1)).alias("n_events"))
+        .withColumn("bucket", F.col("bucket").cast("string"))
+    )

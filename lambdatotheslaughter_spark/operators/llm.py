@@ -2104,3 +2104,54 @@ def llm_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
                         schema="doc_id bigint, embedding array<double>")
     e = F.col("embedding")
     return out.select("doc_id", *[e[i].alias(f"d{i}") for i in range(8)])
+
+
+_INCR_DEDUP_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(lower(trim(text)), ' ')[1:8], ' ')) AS fp
+  FROM documents
+), existing AS (
+  SELECT fp FROM keyed WHERE doc_id % 2 = 0
+), incoming AS (
+  SELECT doc_id, fp FROM keyed WHERE doc_id % 2 = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_incoming,
+       CAST(COUNT(*) FILTER (WHERE fp IN (SELECT fp FROM existing))
+            AS BIGINT) AS n_already_indexed,
+       CAST(COUNT(*) FILTER (WHERE fp NOT IN (SELECT fp FROM existing))
+            AS BIGINT) AS n_new,
+       CAST(SUM(doc_id) FILTER (WHERE fp NOT IN (SELECT fp FROM existing))
+            AS BIGINT) AS new_id_sum
+FROM incoming
+"""
+
+
+@register("llm_dedup_incremental", oracle=_INCR_DEDUP_ORACLE)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the production shape full-corpus dedup ops
+    don't cover: an incoming batch (today's crawl) is deduplicated against
+    an existing INDEX of content fingerprints (the historical corpus),
+    not against itself. Split the documents table by doc_id parity into
+    existing/incoming halves sharing llm_dedup_exact's normalized-prefix
+    fingerprint, LEFT ANTI join incoming against the index (the only scan
+    of history is its fingerprint column — at 100 TB the index is a
+    compact fp-only table, bucketed by fp so tomorrow's anti-join
+    co-locates without shuffling history), and report survivors +
+    checksum. One anti-join + one semi-join, both on the fingerprint key,
+    corpus text never moves."""
+    d = load_table(spark, "documents", sf_dir)
+    fp = F.md5(F.array_join(
+        F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 8), " "))
+    keyed = d.select("doc_id", fp.alias("fp"))
+    existing = keyed.where(F.col("doc_id") % 2 == 0).select("fp")
+    incoming = keyed.where(F.col("doc_id") % 2 == 1)
+    new = incoming.join(existing, "fp", "left_anti")
+    dup = incoming.join(existing, "fp", "left_semi")
+    return (
+        incoming.agg(F.count(F.lit(1)).alias("n_incoming"))
+        .crossJoin(dup.agg(F.count(F.lit(1)).alias("n_already_indexed")))
+        .crossJoin(new.agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum("doc_id").cast("bigint").alias("new_id_sum")))
+    )
