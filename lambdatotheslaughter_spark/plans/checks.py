@@ -71,3 +71,64 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     first."""
     df.collect()
     return executed_plan(df).count("*(")
+
+
+def _metric_nodes(df: DataFrame):
+    """AQE-final plan nodes with populated SQLMetrics; QueryStage wrappers
+    unwrapped (their subtree hides behind .plan()), reused exchanges
+    followed. The query must have been EXECUTED on this exact DataFrame
+    (collect, not a separate write action) or every metric reads zero."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.executedPlan()
+    nodes = []
+
+    def walk(n):
+        cls = n.getClass().getSimpleName()
+        if cls.endswith("QueryStageExec"):
+            walk(n.plan())
+            return
+        if cls == "ReusedExchangeExec":
+            walk(n.child())
+            return
+        nodes.append(n)
+        it = n.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(plan)
+    return nodes
+
+
+def execution_metrics(df: DataFrame) -> dict[str, int]:
+    """Measured counters off the executed plan: parquet bytes/rows/files
+    actually read, shuffle bytes/records actually written, broadcast bytes
+    shipped. The hard numbers behind METRICS.md and the shuffle-volume
+    regression tests."""
+    agg = {"input_bytes": 0, "input_rows": 0, "files": 0,
+           "shuffle_bytes": 0, "shuffle_records": 0, "broadcast_bytes": 0}
+    for n in _metric_nodes(df):
+        node = n.nodeName()
+        mit = n.metrics().iterator()
+        while mit.hasNext():
+            e = mit.next()
+            sm = e._2()
+            nm = sm.name()
+            nm = nm.get() if hasattr(nm, "get") and not isinstance(nm, str) else nm
+            v = sm.value()
+            if v <= 0:
+                continue
+            if node.startswith("Scan"):
+                if nm == "size of files read":
+                    agg["input_bytes"] += v
+                elif nm == "number of output rows":
+                    agg["input_rows"] += v
+                elif nm == "number of files read":
+                    agg["files"] += v
+            if nm == "shuffle bytes written":
+                agg["shuffle_bytes"] += v
+            elif nm == "shuffle records written":
+                agg["shuffle_records"] += v
+            if node.startswith("BroadcastExchange") and nm == "data size":
+                agg["broadcast_bytes"] += v
+    return agg

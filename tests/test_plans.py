@@ -296,3 +296,40 @@ def test_metadata_columns_row_index_checksums(spark_also=None):
     listed = {os.path.basename(p)
               for p in glob.glob(os.path.join(frag, "*.parquet"))}
     assert {r["file_name"] for r in rows} == listed
+
+
+def test_q1_shuffle_volume_is_group_state_only():
+    """MEASURED shuffle-volume gate (not a plan-string read): q1 must
+    collapse its 600k input rows to per-group partial-agg state before the
+    wire — a few hundred bytes, not megabytes. If partial aggregation ever
+    stops collapsing map-side (expression change, codegen fallback), this
+    catches it as a 5-orders-of-magnitude jump."""
+    df = _df("agg_pricing_summary")
+    df.collect()
+    m = checks.execution_metrics(df)
+    assert m["input_rows"] >= 10_000, m  # 60k lineitem rows at test SF
+    assert 0 < m["shuffle_bytes"] < 64 * 1024, (
+        f"q1 shuffled {m['shuffle_bytes']} bytes — map-side collapse lost")
+    assert m["shuffle_records"] <= 64, m
+
+
+def test_star_join_ships_dims_not_facts():
+    """The 6-table star must move dimensions by broadcast and (with
+    partial aggregation) almost nothing by shuffle — measured, the fact
+    table's megabytes never hit the wire."""
+    df = _df("join_multiway_star")
+    df.collect()
+    m = checks.execution_metrics(df)
+    assert m["broadcast_bytes"] > 0, m
+    assert m["shuffle_bytes"] < 64 * 1024, (
+        f"star join shuffled {m['shuffle_bytes']} bytes — a fact-side "
+        "shuffle crept in")
+
+
+def test_stratified_sample_moves_zero_shuffle_bytes():
+    """llm_sample_stratified claims pure map-side; assert the measured
+    counter, not just the plan string."""
+    df = _df("llm_sample_stratified")
+    df.collect()
+    m = checks.execution_metrics(df)
+    assert m["shuffle_bytes"] == 0, m
