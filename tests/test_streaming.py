@@ -248,3 +248,59 @@ def test_checkpoint_recovery_exactly_once(spark):
         h.cleanup()
         shutil.rmtree(hold_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_foreach_batch_upsert_survives_restart(spark):
+    """Crash-recovery for the SERVING-TABLE path (the Kudu-upsert analog):
+    drain half the chunks into the keyed serving table via foreachBatch,
+    stop, land the rest, restart from the same checkpoint. The restarted
+    query must resume from recorded offsets, and the serving table must
+    converge to exactly the batch latest-per-user view — the end-to-end
+    exactly-once property a lambda serving layer promises (idempotent
+    merge + offset tracking, not just stream-side state recovery)."""
+    import uuid
+
+    from lambdatotheslaughter_spark.streaming.harness import latest_per_user
+
+    h = EventStreamHarness(spark, SMOKE_SF_DIR, n_chunks=4)
+    hold_dir = tempfile.mkdtemp(prefix="lts_heldback_fb_")
+    serving = os.path.join(tempfile.gettempdir(),
+                           f"lts_serving_recov_{uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(tempfile.gettempdir(),
+                        f"lts_ckpt_fbrecov_{uuid.uuid4().hex[:8]}")
+    try:
+        files = sorted(f for f in os.listdir(h.input_dir)
+                       if f.endswith(".parquet"))
+        for f in files[2:]:
+            shutil.move(os.path.join(h.input_dir, f),
+                        os.path.join(hold_dir, f))
+
+        def start():
+            return (h.source().writeStream
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .outputMode("append")
+                    .foreachBatch(upsert_foreach_batch(serving)).start())
+
+        q1 = start()
+        q1.awaitTermination(timeout=300)
+        for f in files[2:]:
+            shutil.move(os.path.join(hold_dir, f),
+                        os.path.join(h.input_dir, f))
+        q2 = start()
+        q2.awaitTermination(timeout=300)
+
+        got = spark.read.parquet(serving).select("user_id", "event_id", "ts")
+        want = latest_per_user(load_table(spark, "events", SMOKE_SF_DIR)) \
+            .select("user_id", "event_id", "ts")
+        _assert_same(got, want, "foreach_batch_restart")
+
+        p2_rows = sum(int(p.numInputRows) for p in q2.recentProgress)
+        total = load_table(spark, "events", SMOKE_SF_DIR).count()
+        assert 0 < p2_rows < total, (
+            f"restart read {p2_rows} of {total} rows — offsets not recovered")
+    finally:
+        h.cleanup()
+        shutil.rmtree(hold_dir, ignore_errors=True)
+        shutil.rmtree(serving, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
