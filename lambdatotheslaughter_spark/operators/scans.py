@@ -609,3 +609,49 @@ def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("l_orderkey").cast("bigint").alias("key_sum"),
                  F.sum("row_index").cast("bigint").alias("row_index_sum"))
             .orderBy("file_name"))
+
+
+_OBSERVE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN o_totalprice <= 900.0 THEN 1 END) AS BIGINT)
+         AS n_suspect_price,
+       CAST(COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END) AS BIGINT)
+         AS n_null_date,
+       CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 END)
+            AS BIGINT) AS n_bad_status
+FROM orders
+"""
+
+
+@register("scan_observe_quality", oracle=_OBSERVE_ORACLE)
+def scan_observe_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight data-quality observation (`DataFrame.observe` +
+    `Observation`): null/range/domain counters computed as accumulator-
+    style metrics DURING the single pass the job was already making — the
+    production pattern for monitoring a 100 TB ingest without paying a
+    second scan (the naive form runs a separate validation query per
+    metric). The observed values are returned as the result row, so the
+    oracle proves the observation API reports exactly what a direct
+    aggregation would."""
+    import uuid
+
+    from pyspark.sql import Observation
+
+    o = load_table(spark, "orders", sf_dir)
+    obs = Observation(f"quality_{uuid.uuid4().hex[:8]}")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") <= 900.0, 1))
+         .alias("n_suspect_price"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("n_null_date"),
+        F.count(F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1))
+         .alias("n_bad_status"),
+    )
+    observed.count()  # the one real pass; metrics ride along
+    got = obs.get
+    return spark.createDataFrame(
+        [(got["n_rows"], got["n_suspect_price"], got["n_null_date"],
+          got["n_bad_status"])],
+        "n_rows bigint, n_suspect_price bigint, n_null_date bigint, "
+        "n_bad_status bigint")
