@@ -52,6 +52,8 @@ HEADLINE = [
     "llm_sim_radius_search",    # exact cosine range join (tiled GEMM)
     "llm_dedup_ngram_jaccard",  # exact inverted-index similarity join
     "llm_dedup_cluster",        # connected-components dedup clustering
+    "scd2_dimension_merge",     # type-2 SCD window build (round 3)
+    "join_interval_binned",     # binned interval equi-join (round 3)
 ]
 
 

@@ -867,3 +867,83 @@ def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.lit(1)).alias("n_events"))
         .withColumn("bucket", F.col("bucket").cast("string"))
     )
+
+
+_SCD2_ORACLE = """
+WITH feed AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+), chg AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey FROM feed
+  WHERE prev IS NULL OR prev <> o_orderpriority
+)
+SELECT o_custkey AS custkey, o_orderpriority AS priority,
+       CAST(o_orderdate AS VARCHAR) AS valid_from,
+       CAST(LEAD(o_orderdate) OVER w AS VARCHAR) AS valid_to,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       (LEAD(o_orderdate) OVER w IS NULL) AS is_current
+FROM chg
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("scd2_dimension_merge", oracle=_SCD2_ORACLE)
+def scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build — the warehouse MERGE shape:
+    a change feed (orders as per-customer priority observations) collapses
+    into versioned half-open validity ranges [valid_from, valid_to) with an
+    `is_current` flag. Two window passes over the SAME (custkey) partition
+    and (date, orderkey) sort: lag() drops consecutive no-op observations,
+    then lead()/row_number() assign ranges and versions — Catalyst reuses
+    one shuffle + sort for both (a single Exchange in the plan). At 100 TB
+    this is one shuffle of the change feed, no self-joins; the incremental
+    variant (merge today's feed into yesterday's dimension) follows by
+    unioning the open-ended current rows with the new feed and re-running
+    the same two windows over only the affected keys. Tie-break on
+    (o_orderdate, o_orderkey) makes same-day flip-flops deterministic in
+    both engines. Dates emitted as ISO strings (timestamp cells cross the
+    Spark/DuckDB pandas boundary as different types)."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (o.select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+           .withColumn("prev", F.lag("o_orderpriority").over(w))
+           .where(F.col("prev").isNull()
+                  | (F.col("prev") != F.col("o_orderpriority")))
+           .drop("prev"))
+    return (
+        chg.withColumn("version", F.row_number().over(w).cast("bigint"))
+        .withColumn("valid_to_ts", F.lead("o_orderdate").over(w))
+        .select(F.col("o_custkey").alias("custkey"),
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_orderdate").cast("string").alias("valid_from"),
+                F.col("valid_to_ts").cast("string").alias("valid_to"),
+                "version",
+                F.col("valid_to_ts").isNull().alias("is_current"))
+    )
+
+
+_EXISTS_ORACLE = """
+SELECT c.c_custkey, c.c_mktsegment, round(c.c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '5-LOW')
+"""
+
+
+@register("sub_exists_not_exists", oracle=_EXISTS_ORACLE)
+def sub_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries — the remaining subquery
+    surface beyond sub_scalar/sub_correlated: customers with at least one
+    big-ticket order and zero low-priority orders. IDENTICAL SQL text runs
+    on both engines (dialect-portable subset). Catalyst rewrites the pair
+    into a LEFT SEMI + LEFT ANTI join on o_custkey — hash joins, not
+    per-row subquery execution, so the shape is two shuffles of the
+    (filtered, column-pruned) orders key column at any scale."""
+    for name in ("orders", "customer"):
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+    return spark.sql(_EXISTS_ORACLE)

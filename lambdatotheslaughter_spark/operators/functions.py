@@ -496,3 +496,50 @@ def type_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         last["o_orderkey"].alias("last_orderkey"),
         F.size("orders").cast("bigint").alias("n_orders"),
     )
+
+
+_COLLATION_ORACLE = """
+WITH mixed AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+              ELSE lower(c_mktsegment) END AS seg_mixed
+  FROM customer
+)
+SELECT CAST(COUNT(*) FILTER (WHERE lower(seg_mixed) = 'building')
+            AS BIGINT) AS n_building_ci,
+       CAST(COUNT(*) FILTER (WHERE seg_mixed = 'BUILDING')
+            AS BIGINT) AS n_building_cs,
+       CAST(COUNT(DISTINCT lower(seg_mixed)) AS BIGINT) AS n_segments_ci,
+       CAST(COUNT(DISTINCT seg_mixed) AS BIGINT) AS n_segments_cs
+FROM mixed
+"""
+
+
+@register("str_collation_lcase", oracle=_COLLATION_ORACLE)
+def str_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 collations): a mixed-case
+    segment column (upper for even keys, lower for odd) is compared and
+    distinct-counted under UTF8_LCASE — equality, and therefore grouping
+    and DISTINCT, become case-insensitive WITHOUT materializing a
+    lowercased copy of the column. The engine-level point: collation
+    travels with the data type, so every comparison operator (=, GROUP
+    BY, DISTINCT, joins) picks it up, and at scale the hash/shuffle keys
+    hash the collation key directly rather than a derived lower() column
+    doubling the string bytes. The oracle is the classic lower()-twin —
+    proving the collated semantics equal the explicit normalization.
+    Output is count-only: collated GROUP BY keys pick an arbitrary
+    representative casing per group, which is exactly the
+    nondeterminism this engine's determinism discipline avoids exposing."""
+    c = load_table(spark, "customer", sf_dir)
+    mixed = (F.when(F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment"))
+             .otherwise(F.lower("c_mktsegment")))
+    m = c.select("c_custkey", mixed.alias("seg_mixed"))
+    ci = F.expr("collate(seg_mixed, 'UTF8_LCASE')")
+    return m.agg(
+        F.count(F.when(ci == F.lit("Building"), 1))
+        .alias("n_building_ci"),
+        F.count(F.when(F.col("seg_mixed") == "BUILDING", 1))
+        .alias("n_building_cs"),
+        F.countDistinct(ci).alias("n_segments_ci"),
+        F.countDistinct("seg_mixed").alias("n_segments_cs"),
+    )

@@ -326,3 +326,58 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.sum(F.col("a_id") + F.col("b_id"))).cast("bigint")
              .alias("id_sum"))
     )
+
+
+_BINNED_W_US = 300_000_000  # 5-minute attribution window, in µs
+
+_BINNED_ORACLE = """
+SELECT v.event_id AS view_event_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       MIN(p.event_id) AS first_purchase_id
+FROM events v JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) > epoch_us(v.ts)
+ AND epoch_us(p.ts) <= epoch_us(v.ts) + 300000000
+GROUP BY v.event_id
+"""
+
+
+@register("join_interval_binned", oracle=_BINNED_ORACLE)
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned (bucketized) interval join — the EQUI-join scale path for
+    bounded-length interval overlap, complementing join_interval_overlap's
+    theta form: views open a 5-minute attribution window, purchases are
+    points, and the question is purchases per view window.
+
+    Because the window length is bounded by one bin width, each interval
+    overlaps exactly 2 time bins (arithmetic `sequence` explode — no
+    join), while each point lives in exactly 1 bin — so a pair can only
+    meet in the point's bin and needs no post-dedup. The join becomes a
+    plain hash equi-join on (user_id, bin): shuffles partition on a
+    composite key with bounded per-key cardinality instead of a per-user
+    theta join whose hot user goes quadratic. This is the shape that
+    survives 100 TB — 2× the interval rows through an exchange, zero
+    nested-loop tasks (plan pinned equi-hash in tests/test_plans.py). All
+    time math in integer µs (`unix_micros` / DuckDB `epoch_us`) — no
+    float time, no timezone."""
+    ev = load_table(spark, "events", sf_dir)
+    v = (ev.where(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("view_event_id"), "user_id",
+                 F.unix_micros("ts").alias("v_us")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("p_id"),
+                 F.col("user_id").alias("p_user"),
+                 F.unix_micros("ts").alias("p_us")))
+    vb = v.withColumn("bin", F.explode(F.sequence(
+        F.expr(f"v_us DIV {_BINNED_W_US}"),
+        F.expr(f"v_us DIV {_BINNED_W_US}") + 1)))
+    pb = p.withColumn("bin", F.expr(f"p_us DIV {_BINNED_W_US}"))
+    return (
+        vb.join(pb, (vb.user_id == pb.p_user) & (vb.bin == pb.bin))
+        .where((F.col("p_us") > F.col("v_us"))
+               & (F.col("p_us") <= F.col("v_us") + _BINNED_W_US))
+        .groupBy("view_event_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"),
+             F.min("p_id").alias("first_purchase_id"))
+    )

@@ -116,6 +116,23 @@ def llm_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSH_BUCKET_CAP = 64  # all-pairs only below this; measured max bucket ~3 at sf0.1
 
 
+def _lsh_bands(sh: DataFrame) -> DataFrame:
+    """MinHash signature → (doc_id, band-hash) rows. The signature stage
+    shared by full-corpus LSH (`_lsh_candidate_pairs`) and incremental
+    batch-vs-history LSH (`llm_dedup_incremental_fuzzy`): pre-hash each
+    shingle once, explode, take per-seed minima as codegen MIN aggregates
+    (see `_lsh_candidate_pairs` for the measured rationale)."""
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("h"))
+    mh = hashed.groupBy("doc_id").agg(*[
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
+        for i in range(_MINHASH_SEEDS)])
+    return mh.select("doc_id", F.explode(F.array(*[
+        F.xxhash64(F.lit(b), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+        for b in range(_LSH_BANDS)])).alias("bh"))
+
+
 def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
     """MinHash signatures + LSH banding → candidate (a_id, b_id) pairs.
 
@@ -144,15 +161,7 @@ def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    hashed = sh.select(
-        "doc_id",
-        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("h"))
-    mh = hashed.groupBy("doc_id").agg(*[
-        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
-        for i in range(_MINHASH_SEEDS)])
-    bands = mh.select("doc_id", F.explode(F.array(*[
-        F.xxhash64(F.lit(b), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
-        for b in range(_LSH_BANDS)])).alias("bh")) \
+    bands = _lsh_bands(sh) \
         .localCheckpoint(eager=False)  # self-join + hot-list + chain reuse
     # hot-bucket ids: map-side-combined count, output tiny (normally empty),
     # broadcast both ways so the main band flow never re-shuffles for it.
@@ -2155,3 +2164,73 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_new"),
             F.sum("doc_id").cast("bigint").alias("new_id_sum")))
     )
+
+
+_INCR_FUZZY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_SHINGLE3_SQL} AS sh FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), pairs AS (
+  SELECT i.doc_id AS incoming_id, h.doc_id AS history_id,
+         {_jaccard_sql('i.sh', 'h.sh')} AS jaccard
+  FROM t i, t h
+  WHERE i.doc_id % 2 = 1 AND h.doc_id % 2 = 0
+    AND {_jaccard_sql('i.sh', 'h.sh')} >= 0.5
+)
+SELECT incoming_id, history_id, jaccard FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY incoming_id
+                               ORDER BY jaccard DESC, history_id) AS rn
+  FROM pairs
+) WHERE rn = 1
+"""
+
+
+@register("llm_dedup_incremental_fuzzy", oracle=_INCR_FUZZY_ORACLE)
+def llm_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup — `llm_dedup_incremental`'s production
+    shape lifted from exact fingerprints to MinHash-LSH: an incoming batch
+    (odd doc_ids) is near-dup-checked against a historical corpus (even
+    doc_ids), never against itself. Both sides share one signature
+    pipeline (`_lsh_bands`); candidates come from an LSH band equi-join of
+    incoming bands against history bands, then exact 3-gram Jaccard
+    verifies each candidate and row_number keeps the best history match
+    per incoming doc (tie-pinned on jaccard desc, history_id asc — jaccard
+    is an int/int division, bit-identical across engines).
+
+    Scale shape: a daily batch is orders of magnitude smaller than the
+    history, so the INCOMING band rows broadcast and the history-side band
+    and shingle tables stream map-side — history never shuffles, and at
+    100 TB its signatures are a precomputed compact index (the minhash
+    twin of the fp index in llm_dedup_incremental), appended to daily
+    rather than recomputed. The oracle brute-forces all cross pairs; LSH
+    miss probability at the corpus's planted near-dups (jaccard >= 0.8)
+    is ~2.8e-4 per pair (see llm_dedup_fuzzy_minhash)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir).where(F.size(_tokens()) >= 3)
+    sh = d.select("doc_id", _tokens().alias("toks")) \
+        .select("doc_id", _shingles3("toks").alias("sh")) \
+        .localCheckpoint(eager=False)
+    bands = _lsh_bands(sh)
+    inc_b = (bands.where(F.col("doc_id") % 2 == 1)
+             .select(F.col("doc_id").alias("incoming_id"), "bh"))
+    hist_b = (bands.where(F.col("doc_id") % 2 == 0)
+              .select(F.col("doc_id").alias("history_id"),
+                      F.col("bh").alias("bh_h")))
+    cand = (hist_b.join(F.broadcast(inc_b), hist_b.bh_h == inc_b.bh)
+            .select("incoming_id", "history_id").distinct())
+    si = sh.select(F.col("doc_id").alias("incoming_id"),
+                   F.col("sh").alias("sh_i"))
+    shh = sh.select(F.col("doc_id").alias("history_id"),
+                    F.col("sh").alias("sh_h"))
+    withi = si.join(F.broadcast(cand), "incoming_id")
+    verified = (shh.join(F.broadcast(withi), "history_id")
+                .select("incoming_id", "history_id",
+                        _jaccard_spark(F.col("sh_i"), F.col("sh_h"))
+                        .alias("jaccard"))
+                .where(F.col("jaccard") >= 0.5))
+    w = Window.partitionBy("incoming_id").orderBy(
+        F.col("jaccard").desc(), "history_id")
+    return (verified.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("incoming_id", "history_id", "jaccard"))

@@ -111,3 +111,69 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
              csum("l_extendedprice").alias("order_value"))
         .select("o_orderkey", "o_orderdate", "n_items", "order_value")
     )
+
+
+_BLOOM_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       (CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        / 100.0) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+GROUP BY l_returnflag
+"""
+
+
+@register("join_runtime_bloom_filter", oracle=_BLOOM_ORACLE)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter row pruning (the third shuffle lever after
+    salting and bucketing): a selective dim-side filter (~2% of orders)
+    is turned by Catalyst's InjectRuntimeFilter into a `might_contain`
+    bloom predicate ON THE FACT SCAN — lineitem rows that cannot join are
+    dropped BEFORE the shuffle, so the exchange carries ~2% of the fact
+    table instead of all of it. This is what saves a shuffle join neither
+    broadcast (dim too big) nor bucketing (ad-hoc key) can.
+
+    Conf scoping: the fact side is far below the 10 GB application-side
+    threshold at test SF (at 100 TB the defaults fire on their own), so
+    the thresholds are lowered and the broadcast fallback pinned off for
+    this query only — and because injection happens at OPTIMIZATION time,
+    the plan is materialized (eager localCheckpoint of the 3-row result)
+    inside the conf scope, then the session confs restored. The
+    `might_contain` predicate's presence on the fact-scan filter is
+    pinned in tests/test_plans.py; the oracle proves pruning loses no
+    rows."""
+    prev = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
+    for k, v in BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return _bloom_join(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter"
+    ".applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-materialized join; shared with tests/test_plans.py so the
+    `might_contain` assertion inspects exactly the operator's plan."""
+    o = (load_table(spark, "orders", sf_dir)
+         .where((F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_orderstatus") == "F"))
+         .select("o_orderkey"))
+    li = load_table(spark, "lineitem", sf_dir) \
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 csum("l_extendedprice").alias("revenue")))

@@ -333,3 +333,37 @@ def test_stratified_sample_moves_zero_shuffle_bytes():
     df.collect()
     m = checks.execution_metrics(df)
     assert m["shuffle_bytes"] == 0, m
+
+
+def test_runtime_bloom_filter_prunes_fact_scan():
+    """The selective dim filter must be injected as a `might_contain`
+    bloom predicate on the fact side — the runtime-filter lever that cuts
+    a shuffle join's exchange to the joinable rows. Asserted on the
+    un-materialized plan under the operator's own conf scope."""
+    from lambdatotheslaughter_spark.operators import skew
+
+    spark = spark_global
+    prev = {k: spark.conf.get(k, None) for k in skew.BLOOM_CONFS}
+    for k, v in skew.BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        plan = checks.optimized_plan(skew._bloom_join(spark, SF_DIR))
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan, plan
+
+
+def test_interval_binned_join_is_equi_hash():
+    """The binned interval join must plan as a hash/sort-merge EQUI join
+    on (user, bin) — a nested-loop or cartesian node means the bin
+    rewrite silently degraded to the theta form it exists to replace."""
+    df = _df("join_interval_binned")
+    df.collect()
+    plan = checks.executed_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan), plan
