@@ -947,3 +947,114 @@ def sub_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("orders", "customer"):
         load_table(spark, name, sf_dir).createOrReplaceTempView(name)
     return spark.sql(_EXISTS_ORACLE)
+
+
+_CDC_ORACLE = """
+WITH last AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1
+)
+SELECT COALESCE(c.c_custkey, l.user_id) AS key,
+       round(CASE WHEN l.user_id IS NULL THEN c.c_acctbal
+                  ELSE l.value END, 6) AS value,
+       CASE WHEN l.user_id IS NULL THEN 'base' ELSE 'cdc' END AS src
+FROM customer c FULL JOIN last l ON c.c_custkey = l.user_id
+WHERE l.user_id IS NULL OR l.event_type <> 'purchase'
+"""
+
+
+@register("cdc_apply_changelog", oracle=_CDC_ORACLE)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply — the MERGE INTO shape completing the
+    warehouse trio (scd2_dimension_merge keeps history,
+    stream_upsert_latest serves the stream, this APPLIES a change batch
+    to a base snapshot): events act as a changelog keyed by user
+    (purchase = delete, anything else = upsert of `value`), customers are
+    the base. Latest-wins per key (total order ts desc, event_id desc),
+    then a FULL OUTER join merges: unchanged base rows pass through,
+    upserts replace or insert, deletes drop the key. Scale shape: one
+    window shuffle on the changelog key + one co-partitioned outer join —
+    the changelog never amplifies, and in production the same dataflow is
+    the idempotent MERGE a transactional table format executes."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    last = (ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type", "value"))
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_acctbal")
+    m = c.join(last, c.c_custkey == last.user_id, "full_outer")
+    return (
+        m.where(F.col("user_id").isNull() | (F.col("event_type") != "purchase"))
+        .select(
+            F.coalesce("c_custkey", "user_id").alias("key"),
+            F.round(F.when(F.col("user_id").isNull(), F.col("c_acctbal"))
+                    .otherwise(F.col("value")), 6).alias("value"),
+            F.when(F.col("user_id").isNull(), F.lit("base"))
+            .otherwise(F.lit("cdc")).alias("src"))
+    )
+
+
+_LISTAGG_SPARK = """
+SELECT c_mktsegment,
+       listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names,
+       COUNT(*) AS n
+FROM customer WHERE c_custkey <= 200
+GROUP BY c_mktsegment
+"""
+
+_LISTAGG_ORACLE = """
+SELECT c_mktsegment,
+       string_agg(c_name, ',' ORDER BY c_name) AS names,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer WHERE c_custkey <= 200
+GROUP BY c_mktsegment
+"""
+
+
+@register("agg_listagg_ordered", oracle=_LISTAGG_ORACLE)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2016 LISTAGG ... WITHIN GROUP,
+    Spark 4): concatenate group members in a PINNED order — without the
+    WITHIN GROUP clause the concatenation order is partition-arrival
+    luck, the exact nondeterminism this engine's discipline forbids
+    (same reason agg_collect_sorted sorts its arrays). DuckDB's dialect
+    spells it string_agg(x, sep ORDER BY x) — one of the few places the
+    portable-SQL twin needs different text for identical semantics.
+    Scale: the per-group string grows with group size — LISTAGG is for
+    bounded groups (the c_custkey cap here stands in for that contract);
+    unbounded concatenation belongs in arrays/files, not a cell."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer")
+    return spark.sql(_LISTAGG_SPARK)
+
+
+_MOVMED_ORACLE = """
+SELECT user_id, event_id,
+       round(quantile_cont(value, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+FROM events
+"""
+
+
+@register("win_moving_median", oracle=_MOVMED_ORACLE)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-row moving MEDIAN per user — robust smoothing where
+    ts_moving_avg's mean is outlier-hostage. Spark's `median()` refuses a
+    window frame, but `percentile(x, 0.5)` over a ROWS frame is the same
+    interpolated statistic and IS frameable. The frame is anchored on a
+    TOTAL order (ts, event_id — unique per user), so both engines see
+    identical 5-row windows; rounded to 6 dp because the two engines'
+    linear interpolation can differ in the last ulp (same discipline as
+    agg_percentiles). Scale: one shuffle on user_id, per-row O(frame)
+    work — frame-bounded order statistics, not a per-group sort."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros("ts"), "event_id")
+         .rowsBetween(-4, 0))
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias("med5"))
