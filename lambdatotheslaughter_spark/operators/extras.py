@@ -1058,3 +1058,29 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id",
         F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias("med5"))
+
+
+_IN_SUBQ_ORACLE = """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderstatus = 'P')
+GROUP BY n_name
+"""
+
+
+@register("sub_in_not_in", oracle=_IN_SUBQ_ORACLE)
+def sub_in_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subqueries — the membership-subquery surface
+    completing sub_scalar / sub_correlated / sub_exists_not_exists:
+    per-nation count of customers with a big-ticket order and no pending
+    order. IDENTICAL SQL text on both engines. Catalyst plans IN as LEFT
+    SEMI and NOT IN as null-aware LEFT ANTI — hash joins on the
+    (filtered, pruned) key column. NOT IN's three-valued logic is the
+    trap (one NULL in the subquery empties the result); o_custkey is
+    non-nullable here, and at scale the null-aware anti join is why NOT
+    IN on a nullable key forces a broadcast — prefer NOT EXISTS there."""
+    for name in ("orders", "customer", "nation"):
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+    return spark.sql(_IN_SUBQ_ORACLE)

@@ -543,3 +543,43 @@ def str_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(ci).alias("n_segments_ci"),
         F.countDistinct("seg_mixed").alias("n_segments_cs"),
     )
+
+
+_URL_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/' || lang || '/doc/' ||
+         CAST(doc_id AS VARCHAR) || '?ref=' || lang AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^https://([^/]+)', 1) AS host,
+       regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query,
+       regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref_param
+FROM u
+"""
+
+
+@register("str_url_parse", oracle=_URL_ORACLE)
+def str_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with the engine's native `parse_url` (HOST /
+    PATH / QUERY / named query param) — the crawl-pipeline primitive
+    behind domain mixing, per-site dedup, and robots filtering. URLs are
+    synthesized deterministically from document columns (the corpus has
+    no URL field); the oracle decomposes the SAME urls with regexes,
+    proving the dedicated parser agrees with first-principles parsing.
+    Pure per-row JVM string work — map-side, zero shuffles, no UDF."""
+    d = load_table(spark, "documents", sf_dir)
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/"), F.col("lang"), F.lit("/doc/"),
+                   F.col("doc_id").cast("string"),
+                   F.lit("?ref="), F.col("lang"))
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    )

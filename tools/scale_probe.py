@@ -56,6 +56,9 @@ PROBE_QUERIES = [
     "llm_sim_radius_search",    # same scaffold, dense output
     "llm_dedup_ngram_jaccard",  # vocab-dictionary GEMM at 50k docs / 78 tiles
     "llm_dedup_cluster",        # iterative CC over a 10x duplicate graph
+    "llm_dedup_incremental_fuzzy",  # batch-vs-history LSH (round 3)
+    "join_interval_binned",     # binned equi interval join (round 3)
+    "scd2_dimension_merge",     # shared-shuffle double window (round 3)
 ]
 
 
