@@ -161,3 +161,61 @@ def test_rounded_float_queries_stable_across_partitioning(spark):
         spark.conf.set(conf, prev)
     for n, (a, b) in results.items():
         assert a == b, f"{n}: output depends on shuffle partitioning"
+
+
+def test_scd2_ranges_partition_the_timeline(spark):
+    """SCD2 output invariants, independent of the oracle: per key,
+    versions are 1..n dense, exactly one open (is_current) range, ranges
+    chain exactly (valid_to == next valid_from), and priorities never
+    repeat consecutively (the lag-collapse worked)."""
+    from collections import defaultdict
+
+    from lambdatotheslaughter_spark import registry
+    from tests.conftest import SF_DIR
+
+    rows = registry.get("scd2_dimension_merge").fn(spark, SF_DIR).collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r.custkey].append(r)
+    assert by_key, "scd2 produced no rows"
+    for key, rs in by_key.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1)), key
+        assert sum(r.is_current for r in rs) == 1, key
+        assert rs[-1].is_current and rs[-1].valid_to is None, key
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from, key
+            assert a.priority != b.priority, key
+
+
+def test_cdc_apply_respects_changelog_semantics(spark):
+    """CDC-apply invariants: every deleted key (latest op = purchase) is
+    absent; every cdc-sourced key carries its latest non-delete value;
+    base keys untouched by the changelog pass through with src='base'."""
+    from lambdatotheslaughter_spark import registry
+    from lambdatotheslaughter_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    import pyspark.sql.functions as F
+
+    out = {r.key: r for r in
+           registry.get("cdc_apply_changelog").fn(spark, SF_DIR).collect()}
+    ev = load_table(spark, "events", SF_DIR)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    last = (ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).collect())
+    base = {r.c_custkey for r in
+            load_table(spark, "customer", SF_DIR)
+            .select("c_custkey").collect()}
+    changed = {r.user_id for r in last}
+    deleted = {r.user_id for r in last if r.event_type == "purchase"}
+    for k in deleted:
+        assert k not in out, f"deleted key {k} survived"
+    for r in last:
+        if r.event_type != "purchase":
+            assert out[r.user_id].src == "cdc"
+            assert out[r.user_id].value == round(r.value, 6)
+    for k in base - changed:
+        assert out[k].src == "base", k
