@@ -70,6 +70,12 @@ def materialize(spark, n_copies: int) -> str:
     os.makedirs(out, exist_ok=True)
     for t, keys in SHIFTS.items():
         src = load_table(spark, t, SRC)  # ns-timestamp shim lives here
+        if t == "events":
+            # write ts as TIMESTAMP_NTZ micros like the real testdata:
+            # a plain TimestampType write comes out INT96, whose footer
+            # pyarrow reports as ns — events_ts_unit would then take the
+            # nanosAsLong path and fail the read back
+            src = src.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
         copies = []
         for i in range(n_copies):
             c = src
