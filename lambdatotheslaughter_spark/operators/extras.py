@@ -1084,3 +1084,78 @@ def sub_in_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("orders", "customer", "nation"):
         load_table(spark, name, sf_dir).createOrReplaceTempView(name)
     return spark.sql(_IN_SUBQ_ORACLE)
+
+
+_LATERAL_ORACLE = """
+SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_custkey <= 300
+"""
+
+
+@register("join_lateral_topn", oracle=_LATERAL_ORACLE)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL subquery (correlated derived table): top-2 orders PER
+    customer written the way an analyst writes it — identical SQL text
+    on both engines. The tie on o_totalprice is pinned by o_orderkey in
+    the lateral ORDER BY, making LIMIT deterministic. Catalyst rewrites
+    the lateral into the same window/topk-per-group machinery as
+    win_topk_per_group (DomainJoin → rank filter), so the declarative
+    per-row subquery costs one partitioned window at scale, not a
+    per-customer re-execution."""
+    for name in ("orders", "customer"):
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+    return spark.sql(_LATERAL_ORACLE)
+
+
+_EWMA_K = 8
+_EWMA_DECAY = 0.75  # 1 - alpha, alpha = 0.25
+
+_EWMA_ORACLE = f"""
+WITH t AS (
+  SELECT user_id, event_id,
+         list(value) OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN {_EWMA_K - 1} PRECEDING
+                                    AND CURRENT ROW) AS l
+  FROM events
+)
+SELECT user_id, event_id,
+       round(list_sum(list_transform(
+               l, (x, i) -> x * {_EWMA_DECAY} ** (len(l) - i)))
+             / ((1 - {_EWMA_DECAY} ** len(l)) / {1 - _EWMA_DECAY}), 6)
+         AS ewma8
+FROM t
+"""
+
+
+@register("ts_ewma_bounded", oracle=_EWMA_ORACLE)
+def ts_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon EWMA (α=0.25 over the trailing 8 observations per
+    user) — the streaming-metrics smoother. TRUE EWMA is a recursion no
+    SQL window frame can express; truncating at K observations makes it
+    a frame computation with < (1-α)^K ≈ 10% residual weight, and the
+    truncated form re-normalizes so weights always sum to 1. The frame's
+    collect_list preserves frame order on a TOTAL order (ts, event_id),
+    weights come from an indexed transform (Spark indexes 0-based, DuckDB
+    1-based — the exponent is written per-engine so the weight vectors
+    are identical), and the normalizer is the closed-form geometric sum.
+    Both engines fold the same ≤8 doubles in the same order; 6-dp
+    rounding absorbs the last ulp. One shuffle on user_id, O(K) per row."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros("ts"), "event_id")
+         .rowsBetween(-( _EWMA_K - 1), 0))
+    lst = ev.select("user_id", "event_id",
+                    F.collect_list("value").over(w).alias("l"))
+    n = F.size("l")
+    decay = F.lit(_EWMA_DECAY)
+    num = F.aggregate(
+        F.transform("l", lambda x, i: x * F.pow(decay, n - 1 - i)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    den = (F.lit(1.0) - F.pow(decay, n)) / F.lit(1 - _EWMA_DECAY)
+    return lst.select("user_id", "event_id",
+                      F.round(num / den, 6).alias("ewma8"))

@@ -583,3 +583,38 @@ def str_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
     )
+
+
+_TRY_ORACLE = """
+SELECT o_orderkey,
+       round(o_totalprice / nullif(o_custkey % 5, 0), 6) AS safe_div,
+       CASE WHEN o_orderkey % 2 = 1 THEN NULL
+            ELSE 9223372036854775807 END AS safe_add,
+       TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN '12x'
+                     ELSE CAST(o_orderkey AS VARCHAR) END AS INTEGER)
+         AS safe_cast
+FROM orders WHERE o_orderkey <= 400
+"""
+
+
+@register("math_try_arith", oracle=_TRY_ORACLE)
+def math_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic under ANSI mode: `try_divide` / `try_add` /
+    `try_cast` return NULL where strict evaluation would kill the job
+    (divide-by-zero, bigint overflow, malformed cast) — the per-cell
+    quarantine that keeps a 100 TB batch from dying on row
+    3,141,592,653. The oracle builds the same NULLs from first
+    principles (nullif divisor, overflow predicate, TRY_CAST), proving
+    the try_* family equals explicit guards. Pure map-side row
+    arithmetic, fully codegen'd."""
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_orderkey") <= 400)
+    max_long = F.lit(9223372036854775807)
+    return o.select(
+        "o_orderkey",
+        F.round(F.try_divide("o_totalprice", F.col("o_custkey") % 5), 6)
+        .alias("safe_div"),
+        F.try_add(max_long, F.col("o_orderkey") % 2).alias("safe_add"),
+        F.expr("try_cast(CASE WHEN o_orderkey % 3 = 0 THEN '12x' "
+               "ELSE CAST(o_orderkey AS STRING) END AS INT)")
+        .alias("safe_cast"),
+    )

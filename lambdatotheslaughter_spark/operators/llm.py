@@ -2234,3 +2234,69 @@ def llm_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (verified.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("incoming_id", "history_id", "jaccard"))
+
+
+_LM_BIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i])) AS t1,
+         unnest(list_transform(range(1, len(l)),
+                               i -> l[i] || ' ' || l[i + 1])) AS b
+  FROM toks
+), uni AS (
+  SELECT doc_id, unnest(l) AS t FROM toks
+), c1 AS (
+  SELECT t, COUNT(*) AS c FROM uni GROUP BY t
+), c2 AS (
+  SELECT b, COUNT(*) AS c FROM bg GROUP BY b
+), v AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_vocab FROM c1
+)
+SELECT bg.doc_id,
+       round(AVG(ln((c2.c + 0.5) / (c1.c + 0.5 * v.n_vocab))), 6)
+         AS avg_logprob2,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams
+FROM bg JOIN c2 USING (b) JOIN c1 ON bg.t1 = c1.t CROSS JOIN v
+GROUP BY bg.doc_id
+"""
+
+
+@register("llm_lm_score_bigram", oracle=_LM_BIGRAM_ORACLE)
+def llm_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score with add-k smoothing (k=0.5): average
+    conditional log-probability ln P(w2|w1) under the corpus's own
+    bigram statistics — one order sharper than llm_lm_score's unigram
+    proxy (catches scrambled-but-common-token garbage the unigram model
+    scores well). P = (c(w1w2)+k) / (c(w1)+k·V).
+
+    Scale shape mirrors the unigram op: bigram and unigram count tables
+    are map-side-combinable groupBys whose size is vocabulary-bounded
+    (Heaps' law) while the corpus is not, so both broadcast; the per-doc
+    score is one re-aggregation by doc_id. Rounded to 6 dp (cross-engine
+    float sum order). Bigrams keep multiplicity (this is a language
+    model, not a shingle SET — contrast _shingles2's array_distinct)."""
+    d = load_table(spark, "documents", sf_dir).where(F.size(_tokens()) >= 2)
+    toks = d.select("doc_id", _tokens().alias("l"))
+    bigram = F.concat_ws(" ", F.element_at("l", F.col("i")),
+                         F.element_at("l", F.col("i") + 1))
+    bg = (toks.select("doc_id", F.explode(
+            F.sequence(F.lit(1), F.size("l") - 1)).alias("i"), "l")
+          .select("doc_id", F.element_at("l", F.col("i")).alias("t1"),
+                  bigram.alias("b")))
+    uni = toks.select("doc_id", F.explode("l").alias("t"))
+    c1 = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c2"))
+    v = c1.agg(F.count(F.lit(1)).cast("double").alias("n_vocab"))
+    return (
+        bg.join(F.broadcast(c2), "b")
+        .join(F.broadcast(c1), F.col("t1") == F.col("t"))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log((F.col("c2") + 0.5)
+                                 / (F.col("c1") + 0.5 * F.col("n_vocab")))), 6)
+             .alias("avg_logprob2"),
+             F.count(F.lit(1)).alias("n_bigrams"))
+    )
