@@ -2300,3 +2300,60 @@ def llm_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("avg_logprob2"),
              F.count(F.lit(1)).alias("n_bigrams"))
     )
+
+
+_BPE_STEPS = 8
+
+
+@register("llm_tokenizer_bpe_train")
+def llm_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (rows-only: ITERATIVE by nature —
+    each merge step conditions on the previous one, so no single SQL
+    oracle exists; the full merge table is instead value-pinned against
+    a pure-Python reference BPE in tests/test_llm_quality.py): learn the
+    first 8 byte-pair merges of a tokenizer from the corpus.
+
+    The scale-critical trick is classic BPE: train on the WORD-FREQUENCY
+    table, not the corpus — one explode+groupBy reduces 100 TB of text
+    to a Heaps-law-bounded (word, count) table, and every subsequent
+    iteration touches only that. Per step, distributed and deterministic:
+    (1) adjacent symbol pairs exploded with word weights, map-side-
+    combined into pair counts; (2) argmax pair with a total tie-break
+    (count desc, pair lex asc) — one tiny driver .first(), the same
+    bounded per-round driver action as llm_dedup_cluster's convergence
+    check; (3) leftmost-greedy non-overlapping merge applied to every
+    word's symbol array via a codegen-free but vocab-sized fold
+    (F.aggregate), localCheckpoint per round to truncate lineage. Output
+    is the 8-row merge table (step, left, right, merged, pair_count) —
+    the artifact a tokenizer ships."""
+    d = load_table(spark, "documents", sf_dir)
+    words = (d.select(F.explode(_tokens()).alias("w"))
+             .where(F.length("w") > 0)
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wc")))
+    cur = words.select("wc", F.split("w", "").alias("s")) \
+        .localCheckpoint(eager=True)
+    merges = []
+    for step in range(1, _BPE_STEPS + 1):
+        pair_idx = F.when(
+            F.size("s") > 1, F.sequence(F.lit(1), F.size("s") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = (cur.select("wc", F.explode(pair_idx).alias("i"), "s")
+                 .select("wc", F.element_at("s", F.col("i")).alias("a"),
+                         F.element_at("s", F.col("i") + 1).alias("b"))
+                 .groupBy("a", "b").agg(F.sum("wc").alias("c")))
+        top = pairs.orderBy(F.col("c").desc(), "a", "b").first()
+        if top is None:
+            break
+        merges.append((step, top.a, top.b, top.a + top.b, int(top.c)))
+        la, lb = F.lit(top.a), F.lit(top.b)
+        folded = F.aggregate(
+            "s", F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (s == lb),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.concat(la, lb)))
+            ).otherwise(F.concat(acc, F.array(s))))
+        cur = cur.select("wc", folded.alias("s")).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, "
+                "pair_count bigint")

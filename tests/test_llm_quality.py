@@ -312,3 +312,50 @@ def test_ngram_jaccard_dense_and_prefix_paths_agree(spark, monkeypatch):
     assert [p[:2] for p in dense] == [p[:2] for p in prefix]
     for (_, _, jd), (_, _, jp) in zip(dense, prefix):
         assert abs(jd - jp) < 1e-12, "jaccard values diverged between paths"
+
+
+def test_bpe_merge_table_matches_reference(spark):
+    """llm_tokenizer_bpe_train is rows-only (iterative — no single SQL
+    oracle can express conditioning each merge on the previous one), so
+    pin its ENTIRE output against an independent pure-Python reference
+    BPE over the same corpus: identical word-frequency base, identical
+    leftmost-greedy non-overlapping merge, identical (count desc, pair
+    lex asc) tie-break."""
+    from collections import Counter
+
+    import duckdb
+
+    from lambdatotheslaughter_spark import registry
+    from tests.conftest import SF_DIR
+
+    got = [tuple(r) for r in
+           registry.get("llm_tokenizer_bpe_train").fn(spark, SF_DIR)
+           .collect()]
+
+    words = Counter()
+    con = duckdb.connect()
+    for (w, c) in con.execute(
+            "SELECT t, COUNT(*) FROM (SELECT unnest(string_split(text,' '))"
+            f" AS t FROM read_parquet('{SF_DIR}/documents.parquet'))"
+            " WHERE len(t) > 0 GROUP BY t").fetchall():
+        words[w] = c
+    vocab = {w: list(w) for w in words}
+    expected = []
+    for step in range(1, 9):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += words[w]
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((step, a, b, a + b, c))
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = out
+    assert got == expected, (got, expected)
