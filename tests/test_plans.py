@@ -367,3 +367,49 @@ def test_interval_binned_join_is_equi_hash():
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
             or "ShuffledHashJoin" in plan), plan
+
+
+def test_scd2_windows_share_one_exchange():
+    """scd2_dimension_merge's lag-collapse and lead/version windows use
+    the SAME (partition, order) spec — Catalyst must plan ONE hash
+    exchange on custkey, not one per window pass (the docstring's
+    shared-shuffle claim)."""
+    df = _df("scd2_dimension_merge")
+    df.collect()
+    plan = checks.executed_plan(df)
+    # one real exchange; the AQE toString prints initial+final sections,
+    # so the string count doubles (same convention as multi_distinct)
+    assert checks.count_shuffles(df) <= 2, plan
+    # and both window passes sit above it: two Window nodes per section
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Window ") >= 2, plan
+
+
+def test_lateral_topn_rewrites_to_window_not_loop():
+    """The correlated LATERAL subquery must decorrelate into window/
+    rank machinery — a nested-loop or cartesian node means per-customer
+    re-execution of the inner query."""
+    df = _df("join_lateral_topn")
+    df.collect()
+    plan = checks.executed_plan(df)
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+    assert "Window" in plan or "TakeOrdered" in plan, plan
+
+
+def test_ewma_is_single_shuffle():
+    """The bounded EWMA is one partitioned window: exactly one hash
+    exchange on user_id, everything else per-row frame arithmetic."""
+    df = _df("ts_ewma_bounded")
+    df.collect()
+    # one real exchange, doubled by the AQE initial+final plan printing
+    assert checks.count_shuffles(df) <= 2, checks.executed_plan(df)
+
+
+def test_bigram_lm_broadcasts_count_tables():
+    """Both LM count tables (bigram, unigram) are vocabulary-bounded and
+    must broadcast — shuffling the exploded corpus to meet them is the
+    anti-pattern the docstring forbids."""
+    df = _df("llm_lm_score_bigram")
+    df.collect()
+    plan = checks.executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
