@@ -906,22 +906,35 @@ def scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines. Dates emitted as ISO strings (timestamp cells cross the
     Spark/DuckDB pandas boundary as different types)."""
     o = load_table(spark, "orders", sf_dir)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    chg = (o.select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
-           .withColumn("prev", F.lag("o_orderpriority").over(w))
-           .where(F.col("prev").isNull()
-                  | (F.col("prev") != F.col("o_orderpriority")))
+    feed = o.select("o_custkey", "o_orderpriority", "o_orderdate",
+                    "o_orderkey")
+    scd = scd2_collapse(feed, key="o_custkey", attr="o_orderpriority",
+                        ord_cols=["o_orderdate", "o_orderkey"],
+                        valid_col="o_orderdate")
+    return scd.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        "version",
+        "is_current")
+
+
+def scd2_collapse(feed: DataFrame, key: str, attr: str,
+                  ord_cols: list, valid_col: str) -> DataFrame:
+    """The SCD2 core, shared by the batch operator and the streaming
+    foreachBatch incremental merge (tests/test_streaming.py): collapse a
+    change feed into versioned ranges. Output keeps the feed columns and
+    adds version / valid_to (the NEXT range's `valid_col`) / is_current.
+    Both window passes share one (key) shuffle + one sort — plan-pinned
+    in tests/test_plans.py."""
+    w = Window.partitionBy(key).orderBy(*ord_cols)
+    chg = (feed.withColumn("prev", F.lag(attr).over(w))
+           .where(F.col("prev").isNull() | (F.col("prev") != F.col(attr)))
            .drop("prev"))
-    return (
-        chg.withColumn("version", F.row_number().over(w).cast("bigint"))
-        .withColumn("valid_to_ts", F.lead("o_orderdate").over(w))
-        .select(F.col("o_custkey").alias("custkey"),
-                F.col("o_orderpriority").alias("priority"),
-                F.col("o_orderdate").cast("string").alias("valid_from"),
-                F.col("valid_to_ts").cast("string").alias("valid_to"),
-                "version",
-                F.col("valid_to_ts").isNull().alias("is_current"))
-    )
+    return (chg.withColumn("version", F.row_number().over(w).cast("bigint"))
+            .withColumn("valid_to", F.lead(valid_col).over(w))
+            .withColumn("is_current", F.col("valid_to").isNull()))
 
 
 _EXISTS_ORACLE = """
