@@ -1172,3 +1172,38 @@ def ts_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = (F.lit(1.0) - F.pow(decay, n)) / F.lit(1 - _EWMA_DECAY)
     return lst.select("user_id", "event_id",
                       F.round(num / den, 6).alias("ewma8"))
+
+
+_NTH_ORACLE = """
+SELECT c_mktsegment,
+       o_orderkey,
+       nth_value(o_orderkey, 3) OVER w AS third_orderkey,
+       first_value(o_orderkey) OVER w AS first_orderkey
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey <= 2000
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("win_nth_value", oracle=_NTH_ORACLE)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value / first_value over a running frame — the remaining
+    window-navigation surface beyond win_first_last's lead/lag/last:
+    'the 3rd-biggest order seen so far per segment'. NULL until the
+    frame holds 3 rows (both engines agree on the NULL prefix by
+    definition). Total order (price desc, orderkey) pins ties; the
+    frame is the default running frame so nth_value scans no further
+    than the current row. One shuffle on the window partition key."""
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_orderkey") <= 2000)
+    c = load_table(spark, "customer", sf_dir)
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = (Window.partitionBy("c_mktsegment")
+         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return j.select(
+        "c_mktsegment", "o_orderkey",
+        F.nth_value("o_orderkey", 3).over(w).alias("third_orderkey"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+    )

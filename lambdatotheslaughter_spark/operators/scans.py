@@ -655,3 +655,37 @@ def scan_observe_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
           got["n_bad_status"])],
         "n_rows bigint, n_suspect_price bigint, n_null_date bigint, "
         "n_bad_status bigint")
+
+
+_TEXT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       MIN(md5(text)) AS min_line_md5
+FROM documents
+"""
+
+
+@register("source_text_lines", oracle=_TEXT_ORACLE)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text connector (`spark.read.text`) — the rawest
+    ingest format in any crawl pipeline: one line, one record, schema is
+    a single `value` string. Round trip: documents.text written via
+    write.text (corpus is newline-free by construction — a newline IN a
+    record is the format's known failure mode and belongs to the escaped
+    CSV/JSONL paths), read back as lines, and summarized with an md5
+    witness so the oracle proves BYTE-exact line fidelity, not just
+    counts. Scale: text splits by line across tasks like any file
+    source; the aggregation is one map-side-combinable pass."""
+    d = load_table(spark, "documents", sf_dir)
+    out = _cached_dataset(
+        "documents_txt", sf_dir, "documents",
+        lambda tmp: d.select("text").write.mode("overwrite").text(tmp))
+    back = spark.read.text(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+        F.sum(F.size(F.split("value", " "))).cast("bigint")
+        .alias("total_tokens"),
+        F.min(F.md5("value")).alias("min_line_md5"),
+    )
