@@ -1207,3 +1207,47 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 3).over(w).alias("third_orderkey"),
         F.first("o_orderkey").over(w).alias("first_orderkey"),
     )
+
+
+_REPORT_SQL = """
+WITH seg_rev AS (
+  SELECT c_mktsegment AS segment, c_custkey,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents,
+         COUNT(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, c_custkey
+), seg_stats AS (
+  SELECT segment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS seg_cents
+  FROM seg_rev GROUP BY segment
+), ranked AS (
+  SELECT segment, c_custkey, cents,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY cents DESC, c_custkey) AS rn
+  FROM seg_rev
+)
+SELECT s.segment, s.n_customers, s.seg_cents,
+       (CAST(s.seg_cents AS DOUBLE) / s.n_customers / 100.0)
+         AS avg_cust_revenue,
+       r.c_custkey AS top_custkey,
+       (CAST(r.cents AS DOUBLE) / 100.0) AS top_cust_revenue
+FROM seg_stats s JOIN ranked r ON s.segment = r.segment AND r.rn = 1
+"""
+
+
+@register("sql_report_cte_chain", oracle=_REPORT_SQL)
+def sql_report_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analyst-report shape: a 3-CTE chain (per-customer revenue →
+    per-segment stats → tie-pinned top customer) joined into one result,
+    IDENTICAL SQL text on both engines — sql_api_entry's single-block
+    portability claim extended to the multi-CTE programs real dashboards
+    run. Money stays in exact integer cents through every CTE and
+    converts to double exactly once at the edge (the engine's
+    determinism discipline, expressed in portable SQL). Catalyst plans
+    the chain as ordinary nested plans — CTEs are not materialization
+    barriers — so the whole report is one optimizable tree: segment agg
+    reuses the seg_rev shuffle, the window tops it, no CTE re-execution."""
+    for name in ("orders", "customer"):
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+    return spark.sql(_REPORT_SQL)
