@@ -2357,3 +2357,118 @@ def llm_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, "
                 "pair_count bigint")
+
+
+def _mm_dim_sql(expr: str, pos: int) -> str:
+    return (f"CAST(concat('0x', substring(md5({expr}), {pos}, 8)) AS BIGINT)")
+
+
+_MM_PIPELINE_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, source, text,
+         unnest(generate_series(0, CAST(n_chars % 5 AS BIGINT))) AS fi
+  FROM documents WHERE n_chars > 200
+), e AS (
+  SELECT doc_id, source,
+         CAST(COUNT(*) AS BIGINT) AS n_frames,
+         SUM({_mm_dim_sql("text || ':' || CAST(fi AS VARCHAR)", 1)}) AS h0,
+         SUM({_mm_dim_sql("text || ':' || CAST(fi AS VARCHAR)", 9)}) AS h1,
+         SUM({_mm_dim_sql("text || ':' || CAST(fi AS VARCHAR)", 17)}) AS h2,
+         SUM({_mm_dim_sql("text || ':' || CAST(fi AS VARCHAR)", 25)}) AS h3
+  FROM f GROUP BY doc_id, source
+), v AS (
+  SELECT doc_id, source, n_frames,
+         CAST(h0 AS DOUBLE) / n_frames AS d0,
+         CAST(h1 AS DOUBLE) / n_frames AS d1,
+         CAST(h2 AS DOUBLE) / n_frames AS d2,
+         CAST(h3 AS DOUBLE) / n_frames AS d3
+  FROM e
+), p AS (
+  SELECT a.doc_id AS doc_id, a.n_frames, b.doc_id AS nn_doc_id,
+         (a.d0*b.d0 + a.d1*b.d1 + a.d2*b.d2 + a.d3*b.d3)
+         / (sqrt(a.d0*a.d0 + a.d1*a.d1 + a.d2*a.d2 + a.d3*a.d3)
+            * sqrt(b.d0*b.d0 + b.d1*b.d1 + b.d2*b.d2 + b.d3*b.d3)) AS cos_raw
+  FROM v a JOIN v b ON a.source = b.source AND a.doc_id <> b.doc_id
+)
+SELECT doc_id, n_frames, nn_doc_id, round(cos_raw, 6) AS cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY cos_raw DESC, nn_doc_id) AS rn
+  FROM p
+) WHERE rn = 1
+"""
+
+
+@register("llm_multimodal_pipeline", oracle=_MM_PIPELINE_ORACLE)
+def llm_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal END-TO-END: payload → frame sampling (1→N decode) →
+    per-frame feature extraction → exact integer-space mean-pool to a
+    doc vector → nearest neighbor among same-source docs. The composite
+    that strings the whole multimodal family into one dataflow the way
+    llm_pipeline_end_to_end does for text, and — because the stub codecs
+    are md5-reproducible — the ENTIRE chain is value-exact oracled, the
+    cross-engine guarantee a real-codec pipeline can't have.
+
+    Determinism by construction: frames pool as an exact BIGINT sum of
+    per-frame hash dims (no float aggregation order anywhere), the
+    single int→double division happens once per doc, and every pair's
+    cosine is then an identical scalar expression in both engines — so
+    even the UNROUNDED top-1 ranking agrees (tie-pinned by neighbor id).
+    Scale shape: one mapInPandas pass moves payload bytes exactly once,
+    pooling is a map-side-combinable groupBy, and the NN search is the
+    label-blocked self-join pattern (llm_dedup_embedding_cosine) —
+    swap in the tiled kNN scaffold when blocks outgrow it."""
+    import hashlib
+
+    import pandas as pd
+
+    d = (load_table(spark, "documents", sf_dir)
+         .where(F.col("n_chars") > 200)
+         .select("doc_id", "source", F.encode("text", "utf-8").alias("payload")))
+
+    def frame_embed(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "source": [], "h0": [], "h1": [],
+                    "h2": [], "h3": []}
+            for doc_id, source, payload in zip(
+                    pdf["doc_id"], pdf["source"], pdf["payload"]):
+                # STUB codec: n_frames and per-frame dims derived only from
+                # payload bytes (no media libs here), md5-reproducible
+                n_frames = len(payload) % 5 + 1
+                for fi in range(n_frames):
+                    h = hashlib.md5(payload + b":" + str(fi).encode()).hexdigest()
+                    rows["doc_id"].append(doc_id)
+                    rows["source"].append(source)
+                    for k in range(4):
+                        rows[f"h{k}"].append(int(h[8 * k:8 * k + 8], 16))
+            yield pd.DataFrame(rows)
+
+    frames = d.mapInPandas(
+        frame_embed,
+        schema="doc_id bigint, source string, h0 bigint, h1 bigint, "
+               "h2 bigint, h3 bigint")
+    pooled = (frames.groupBy("doc_id", "source")
+              .agg(F.count(F.lit(1)).alias("n_frames"),
+                   *[F.sum(f"h{k}").alias(f"h{k}") for k in range(4)]))
+    v = pooled.select(
+        "doc_id", "source", "n_frames",
+        *[(F.col(f"h{k}").cast("double") / F.col("n_frames")).alias(f"d{k}")
+          for k in range(4)])
+    a = v.select(F.col("doc_id").alias("a_id"), "source", "n_frames",
+                 *[F.col(f"d{k}").alias(f"a{k}") for k in range(4)])
+    b = v.select(F.col("doc_id").alias("nn_doc_id"),
+                 F.col("source").alias("b_source"),
+                 *[F.col(f"d{k}").alias(f"b{k}") for k in range(4)])
+    dot = sum(F.col(f"a{k}") * F.col(f"b{k}") for k in range(4))
+    na = F.sqrt(sum(F.col(f"a{k}") * F.col(f"a{k}") for k in range(4)))
+    nb = F.sqrt(sum(F.col(f"b{k}") * F.col(f"b{k}") for k in range(4)))
+    pairs = (a.join(b, (a.source == b.b_source)
+                    & (F.col("a_id") != F.col("nn_doc_id")))
+             .select(F.col("a_id").alias("doc_id"), "n_frames", "nn_doc_id",
+                     (dot / (na * nb)).alias("cos_raw")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cos_raw").desc(), "nn_doc_id")
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("doc_id", "n_frames", "nn_doc_id",
+                    F.round("cos_raw", 6).alias("cosine")))

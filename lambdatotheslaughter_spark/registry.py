@@ -66,7 +66,7 @@ _loaded = False
 #
 # ROUND 4 ROTATION PLAN: after r3 lands green, every oracled key
 # registered up to round 2 will have at least one hard CORRECTNESS row.
-# Fill round 4's window with (a) the TWENTY-FIVE oracled keys added during
+# Fill round 4's window with (a) the TWENTY-SIX oracled keys added during
 # round 3 — sink_compaction_small_files, scan_time_travel_manifest,
 # agg_sliding_distinct_users, type_struct_nested, llm_dedup_incremental,
 # ts_ohlc_resample, scan_observe_quality, scd2_dimension_merge,
@@ -75,12 +75,12 @@ _loaded = False
 # cdc_apply_changelog, agg_listagg_ordered, win_moving_median,
 # str_url_parse, sub_in_not_in, join_lateral_topn, ts_ewma_bounded,
 # math_try_arith, llm_lm_score_bigram, source_text_lines,
-# win_nth_value, sql_report_cte_chain — twenty-five in all; more than
-# fills one 50-slot window alongside the (b) re-confirmations, so spill
-# the overflow into round 5
-# (scan_metadata_columns is rows-only by design and needs no slot) —
-# then (b) round-2-window keys for re-confirmation, oldest verification
-# first.
+# win_nth_value, sql_report_cte_chain, llm_multimodal_pipeline —
+# twenty-six in all (scan_metadata_columns and llm_tokenizer_bpe_train
+# are rows-only by design and need no slot); that more than fills one
+# 50-slot window, so take (b) round-2-window keys for re-confirmation
+# (oldest verification first) only if slots remain, and spill any
+# overflow of (a) into round 5.
 # Update tests/test_survey_coverage.py's pinned window when rotating.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # sources / sinks / physical layout (§2.12 round-2 additions)
