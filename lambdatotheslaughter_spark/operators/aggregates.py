@@ -299,3 +299,28 @@ def agg_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("bigint").alias("n_events"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+@register("agg_quantile_sketch")
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles per segment via the mergeable GK sketch
+    (`percentile_approx`, accuracy=10000) — the third sketch family next
+    to HLL distinct (agg_distinct_sketch_rollup) and bloom membership
+    (join_runtime_bloom_filter). Rows-only by design (SURVEY §5: never
+    hash-match a sketch); its quantitative gate in test_llm_quality.py
+    bounds the RANK error of each reported quantile at n/accuracy
+    against the exact order statistics. At 100 TB this is the only
+    quantile you can afford: map-side sketches merge associatively, so
+    the shuffle carries one bounded sketch per (partition, group)
+    instead of the column itself — and the same sketch persists for
+    incremental rollups exactly like the HLL pattern."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    pa = F.percentile_approx("o_totalprice", [0.5, 0.95], 10000)
+    return (j.groupBy("c_mktsegment")
+            .agg(pa.alias("q"), F.count(F.lit(1)).alias("n_orders"))
+            .select("c_mktsegment",
+                    F.col("q")[0].alias("p50_approx"),
+                    F.col("q")[1].alias("p95_approx"),
+                    "n_orders"))

@@ -359,3 +359,35 @@ def test_bpe_merge_table_matches_reference(spark):
                     out.append(s)
             vocab[w] = out
     assert got == expected, (got, expected)
+
+
+def test_quantile_sketch_rank_error_bounded(spark, duck):
+    """agg_quantile_sketch is rows-only at the driver (sketches never
+    hash-match) — this gate bounds its RANK error instead: each reported
+    quantile must be an actual column value whose rank among its
+    segment's sorted prices is within max(2, n/accuracy) of the target
+    rank (the GK guarantee at accuracy=10000)."""
+    from lambdatotheslaughter_spark import registry
+    from tests.conftest import SF_DIR
+
+    res = registry.get("agg_quantile_sketch").fn(spark, SF_DIR).collect()
+    assert len(res) == 5
+    for r in res:
+        vals = [v for (v,) in duck.execute(
+            "SELECT o_totalprice FROM orders JOIN customer"
+            " ON o_custkey = c_custkey WHERE c_mktsegment = ?"
+            " ORDER BY o_totalprice", [r.c_mktsegment]).fetchall()]
+        n = len(vals)
+        assert n == r.n_orders
+        tol = max(2, n // 10000 + 1)
+        for q, got in ((0.5, r.p50_approx), (0.95, r.p95_approx)):
+            import bisect
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got) - 1
+            assert lo <= n, r
+            target = q * n
+            dist = 0 if lo <= target <= hi else min(
+                abs(target - lo), abs(target - hi))
+            assert dist <= tol, (
+                f"{r.c_mktsegment} q={q}: value {got} rank [{lo},{hi}] "
+                f"vs target {target:.0f} (tol {tol})")

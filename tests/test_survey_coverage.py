@@ -46,7 +46,10 @@ def test_oracle_coverage_ratio():
                # iterative (each merge conditions on the last) — the full
                # merge table is value-pinned against a pure-Python
                # reference BPE in test_llm_quality.py instead
-               "llm_tokenizer_bpe_train"}
+               "llm_tokenizer_bpe_train",
+               # GK quantile sketch — rank-error gate in
+               # test_llm_quality.py instead of a hash match
+               "agg_quantile_sketch"}
     assert set(rows_only) <= allowed, f"unexpected rows-only queries: {rows_only}"
 
 
