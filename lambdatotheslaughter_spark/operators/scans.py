@@ -689,3 +689,71 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_tokens"),
         F.min(F.md5("value")).alias("min_line_md5"),
     )
+
+
+_POSDEL_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(l_linenumber) AS BIGINT) AS line_sum
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+  AND CAST(concat('0x', substring(md5(l_orderkey || ':' || l_linenumber), 1, 15))
+      AS BIGINT) % 20 <> 0
+GROUP BY l_returnflag
+"""
+
+
+@register("scan_position_deletes", oracle=_POSDEL_ORACLE)
+def scan_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read POSITION deletes (the Iceberg-v2 / Delta deletion-vector
+    pattern): data files stay immutable; a DELETE writes a small side file of
+    (file_name, row_index) positions, and readers subtract those positions at
+    scan time. This is how a 100 TB lake deletes 5% of rows without
+    rewriting 100 TB — the rewrite is deferred to compaction
+    (`sink_compaction_small_files` is the other half of that lifecycle).
+
+    Build: the DELETE's content predicate (a portable md5 rule on the
+    record key, ~5% selectivity) is evaluated ONCE against the fragmented
+    multi-file fixture and persisted as a parquet position-delete file of
+    `_metadata`-derived (file_name, row_index) pairs. Read: the merge-on-read
+    scan knows nothing of the original predicate — it anti-joins positions
+    only, with the small delete side broadcast so the data never shuffles.
+    The oracle recomputes the surviving aggregate from the content rule, so
+    parity proves the position mapping (file identity + per-file row
+    numbering) is exact, not just that some rows vanished."""
+    frag = _cached_dataset(
+        "lineitem_fragmented", sf_dir, "lineitem",
+        lambda tmp: (load_table(spark, "lineitem", sf_dir)
+                     .where(F.col("l_shipdate")
+                            >= F.lit("2001-01-01").cast("timestamp"))
+                     .select("l_orderkey", "l_linenumber", "l_returnflag",
+                             "l_shipdate")
+                     .repartition(64).write.mode("overwrite").parquet(tmp)))
+
+    from lambdatotheslaughter_spark.functions.text import md5_int60
+
+    def build_deletes(tmp: str) -> None:
+        doomed = md5_int60(
+            F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))) % 20 == 0
+        (spark.read.parquet(frag)
+         .select(F.col("_metadata.file_name").alias("file_name"),
+                 F.col("_metadata.row_index").alias("row_index"),
+                 "l_orderkey", "l_linenumber")
+         .where(doomed)
+         .select("file_name", "row_index")
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+
+    posdel = _cached_dataset("lineitem_posdel", sf_dir, "lineitem",
+                             build_deletes)
+    data = (spark.read.parquet(frag)
+            .select("l_orderkey", "l_linenumber", "l_returnflag",
+                    F.col("_metadata.file_name").alias("file_name"),
+                    F.col("_metadata.row_index").alias("row_index")))
+    deletes = spark.read.parquet(posdel)
+    survivors = data.join(F.broadcast(deletes), ["file_name", "row_index"],
+                          "left_anti")
+    return (survivors.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("l_orderkey").cast("bigint").alias("key_sum"),
+                 F.sum("l_linenumber").cast("bigint").alias("line_sum")))
