@@ -1,5 +1,9 @@
 """Mimic the driver: import __spark_entry__, smoke entry(), then run each
-queries()[k] at sf0.01 vs oracle_sql()[k] in DuckDB (count+schema+value hash)."""
+queries()[k] at sf0.01 vs oracle_sql()[k] in DuckDB (count+schema+value hash).
+
+Usage: python tools/drive_driver.py [name ...] — with args, only queries
+whose key equals (or contains) an arg are run; no args = the full sweep.
+"""
 import sys, hashlib, math
 sys.path.insert(0, "/root/repo")
 import duckdb, pandas as pd
@@ -28,12 +32,19 @@ def vhash(df):
     return hashlib.md5(str(cells).encode()).hexdigest()
 
 qs, os_ = e.queries(), e.oracle_sql()
+sel = sys.argv[1:]
+if sel:
+    qs = {k: v for k, v in qs.items()
+          if any(s == k or s in k for s in sel)}
 print(f"{len(qs)} queries, {len(os_)} oracles")
+bad = 0
 for k, fn in qs.items():
     sp = fn(spark, "/root/testdata/sf0.01").toPandas()
     if k in os_:
         dk = con.execute(os_[k]).df()
         ok = (len(sp)==len(dk)) and sorted(sp.columns)==sorted(dk.columns) and vhash(sp)==vhash(dk)
+        bad += 0 if ok else 1
         print(f"{k}: rows {len(sp)}/{len(dk)} hash_match={vhash(sp)==vhash(dk)} -> {'MATCH' if ok else 'MISMATCH'}")
     else:
         print(f"{k}: rows-only {len(sp)}")
+sys.exit(1 if bad else 0)
