@@ -757,3 +757,74 @@ def scan_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum("l_orderkey").cast("bigint").alias("key_sum"),
                  F.sum("l_linenumber").cast("bigint").alias("line_sum")))
+
+
+def _morton16(a, b):
+    """Interleave the low 16 bits of two non-negative int columns into a
+    32-bit Z-value (a in odd bits, b in even). 32 shift/mask terms — all
+    inside whole-stage codegen, no UDF."""
+    z = F.lit(0).cast("bigint")
+    for i in range(16):
+        z = (z
+             + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+             + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i))
+    return z
+
+
+_ZORDER_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+         AS qty_cents
+FROM lineitem
+WHERE (l_partkey BETWEEN 100 AND 300) OR (l_suppkey BETWEEN 10 AND 20)
+"""
+
+
+@register("sink_zorder_interleave", oracle=_ZORDER_ORACLE)
+def sink_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering (the Delta `OPTIMIZE ZORDER BY` / Iceberg
+    `rewrite_data_files(strategy => 'sort', sort_order => 'zorder(..)')`
+    job): lay a table out so footer min/max stats prune files for filters
+    on EITHER of two columns. A plain sort clusters one column perfectly
+    and leaves the other uniform across every file (no file skippable);
+    interleaving the bits of both keys into a Morton code and
+    range-partitioning + sorting on it bounds every file's extent in BOTH
+    dimensions — the 2-D locality that makes multi-predicate scans on a
+    100 TB lake skip most of it.
+
+    Build: normalize each key to a 16-bit grid (span measured in the same
+    layout pass — DDL-time stats), interleave to a z-value, then
+    `repartitionByRange(16, z) + sortWithinPartitions(z)` so file = z-range.
+    The oracle proves the rewrite is content-preserving on a two-sided
+    filter; tests/test_plans.py reads the real parquet footers and asserts
+    the per-file extent of BOTH l_partkey and l_suppkey is a fraction of
+    the domain (the skipping guarantee itself)."""
+    cols = ("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    li = load_table(spark, "lineitem", sf_dir).select(*cols)
+
+    def build(tmp: str) -> None:
+        st = li.agg(F.min("l_partkey"), F.max("l_partkey"),
+                    F.min("l_suppkey"), F.max("l_suppkey")).first()
+        plo, phi, slo, shi = int(st[0]), int(st[1]), int(st[2]), int(st[3])
+
+        def grid(col: str, lo: int, hi: int):
+            span = max(hi - lo + 1, 1)
+            return ((F.col(col) - F.lit(lo)).cast("bigint")
+                    * F.lit(65536) / F.lit(span)).cast("bigint")
+
+        z = _morton16(grid("l_partkey", plo, phi), grid("l_suppkey", slo, shi))
+        (li.withColumn("z", z)
+         .repartitionByRange(16, "z")
+         .sortWithinPartitions("z")
+         .drop("z")
+         .write.mode("overwrite").parquet(tmp))
+
+    out = _cached_dataset("lineitem_zorder", sf_dir, "lineitem", build)
+    back = spark.read.parquet(out)
+    return (back.where(F.col("l_partkey").between(100, 300)
+                       | F.col("l_suppkey").between(10, 20))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("l_orderkey").cast("bigint").alias("key_sum"),
+                 F.sum(F.round(F.col("l_quantity") * 100, 0).cast("bigint"))
+                 .cast("bigint").alias("qty_cents")))

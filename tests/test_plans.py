@@ -413,3 +413,36 @@ def test_bigram_lm_broadcasts_count_tables():
     df.collect()
     plan = checks.executed_plan(df)
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_zorder_layout_bounds_extent_in_both_dimensions():
+    """The Z-order rewrite's whole value is 2-D locality: every file's
+    footer (min,max) extent must be a bounded fraction of the domain in
+    BOTH interleaved columns (a plain single-key sort leaves the second
+    column at ~1.0 — no file skippable for its predicates). Measured at
+    sf0.01: avg width 0.30 (l_partkey) / 0.42 (l_suppkey); gated at 0.6."""
+    import pyarrow.parquet as pq
+
+    df = _df("sink_zorder_interleave")
+    df.collect()
+    from lambdatotheslaughter_spark.operators.scans import cached_dataset_path
+    out = cached_dataset_path("lineitem_zorder", SF_DIR, "lineitem")
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert len(files) >= 8, f"expected a multi-file z-layout, got {len(files)}"
+    for col in ("l_partkey", "l_suppkey"):
+        ext = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index(col)
+            mn = min(md.row_group(i).column(ci).statistics.min
+                     for i in range(md.num_row_groups))
+            mx = max(md.row_group(i).column(ci).statistics.max
+                     for i in range(md.num_row_groups))
+            ext.append((mn, mx))
+        lo = min(e[0] for e in ext)
+        span = max(e[1] for e in ext) - lo + 1
+        avg_width = sum((e[1] - e[0] + 1) / span for e in ext) / len(ext)
+        assert avg_width <= 0.6, (
+            f"{col}: avg per-file extent {avg_width:.3f} of domain — "
+            "z-clustering failed, files are not skippable on this column")
