@@ -1,0 +1,109 @@
+"""Graph operators over derived edge tables (SURVEY.md §2.12).
+
+The lambda-genre batch layer routinely computes graph rollups over
+relational facts (co-purchase graphs, session transition graphs); the
+representative here is PageRank, the canonical ITERATIVE dataflow — each
+round is one join + one groupBy, which is exactly the shape that must stay
+shuffle-bounded at 100 TB (no driver-side adjacency, no collect).
+
+Determinism discipline: plain PageRank sums doubles in data order and can
+never hash-match across engines. These operators run in FIXED-POINT integer
+arithmetic (rank mass scaled by 1e12, damping as integer 85/100 splits, all
+divisions integral) — every contribution sum is a BIGINT sum, exact and
+order-independent, so a 3-iteration rank vector is bit-identical in Spark
+and DuckDB. The same trick the money paths use (determinism.py), applied to
+an iterative algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lambdatotheslaughter_spark.registry import register
+from lambdatotheslaughter_spark.tables import load_table
+
+_SCALE = 10**12
+_ITERS = 3
+
+# Directed multigraph: within each order (on a TOTAL order — the testdata's
+# (l_orderkey, l_linenumber) is not unique, so linenumber alone would make
+# lead() engine-dependent; (linenumber, partkey, suppkey) is verified
+# unique), an edge from each part to the next part picked — a "picked
+# together, in sequence" transition graph. Linear in lineitem rows (one
+# lead() window), unlike the O(k^2)-per-order co-occurrence expansion.
+_EDGES_SQL = """
+  SELECT src, dst FROM (
+    SELECT l_partkey AS src,
+           lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_linenumber, l_partkey, l_suppkey)
+             AS dst
+    FROM lineitem)
+  WHERE dst IS NOT NULL
+"""
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-point PageRank CTE chain (same integer arithmetic as
+    the Spark side; `//` is DuckDB's integral floor division)."""
+    parts = [f"""
+WITH edges AS ({_EDGES_SQL}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS c FROM nodes),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST({_SCALE} AS BIGINT) // c AS r FROM nodes CROSS JOIN nn)"""]
+    for i in range(1, _ITERS + 1):
+        parts.append(f""",
+c{i} AS (
+  SELECT e.dst AS node, SUM(p.r // deg.d) AS s
+  FROM edges e
+  JOIN r{i - 1} p ON e.src = p.node
+  JOIN deg ON e.src = deg.src
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT n.node,
+         (15 * CAST({_SCALE} AS BIGINT)) // (100 * nn.c)
+           + (85 * COALESCE(c{i}.s, 0)) // 100 AS r
+  FROM nodes n CROSS JOIN nn LEFT JOIN c{i} ON n.node = c{i}.node)""")
+    # final CAST: DuckDB SUM(BIGINT) is HUGEINT, which pandas renders as
+    # float64 — the BIGINT cast keeps both engines' dtypes integral
+    parts.append(f"""
+SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r{_ITERS}""")
+    return "".join(parts)
+
+
+@register("graph_pagerank_fixed", oracle=_pagerank_oracle())
+def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank (damping 0.85) over the part-transition graph,
+    in 1e-12 fixed point. Scale shape per round: edges ⋈ ranks (key = src —
+    co-partitioned with deg after the first shuffle), one groupBy(dst) with
+    map-side partial sums, one left join back to the node set; the rank
+    vector is O(nodes) and never collected. At 100 TB the edge table
+    dominates and each round is a bounded pair of shuffles — the classic
+    Pregel-as-dataflow shape, with AQE free to broadcast the rank vector
+    while it is small."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    edges = (li.select(F.col("l_partkey").alias("src"),
+                       F.lead("l_partkey").over(w).alias("dst"))
+             .where(F.col("dst").isNotNull()))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select("dst")).distinct())
+    n = nodes.count()  # one scalar; the driver never sees row data
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edges_deg = edges.join(deg, "src").localCheckpoint()
+
+    ranks = nodes.withColumn("r", F.lit(_SCALE // n).cast("bigint"))
+    teleport = (15 * _SCALE) // (100 * n)
+    for _ in range(_ITERS):
+        contrib = (edges_deg.join(ranks, edges_deg.src == ranks.node)
+                   .select("dst", F.expr("r div d").alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("s")))
+        ranks = (nodes.join(contrib, nodes.node == contrib.dst, "left")
+                 .select("node",
+                         (F.lit(teleport)
+                          + F.expr("(85 * coalesce(s, 0)) div 100"))
+                         .cast("bigint").alias("r")))
+    return ranks.select("node", F.col("r").alias("rank_fp"))

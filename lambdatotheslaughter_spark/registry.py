@@ -45,6 +45,7 @@ _MODULES = (
     "lambdatotheslaughter_spark.operators.udfs",
     "lambdatotheslaughter_spark.operators.extras",
     "lambdatotheslaughter_spark.operators.skew",
+    "lambdatotheslaughter_spark.operators.graph",
 )
 
 _loaded = False
