@@ -324,3 +324,68 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("q")[0].alias("p50_approx"),
                     F.col("q")[1].alias("p95_approx"),
                     "n_orders"))
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 2048
+
+_CMS_ORACLE = f"""
+WITH pairs AS (
+  SELECT s.seed, e.user_id
+  FROM events e CROSS JOIN (SELECT unnest(range({_CMS_DEPTH})) AS seed) s
+), sketch AS (
+  SELECT seed,
+         CAST(concat('0x', substring(md5(seed || ':' || user_id), 1, 15))
+              AS BIGINT) % {_CMS_WIDTH} AS col,
+         COUNT(*) AS cnt
+  FROM pairs GROUP BY 1, 2
+), keys AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id <= 50
+), probes AS (
+  SELECT k.user_id, s.seed,
+         CAST(concat('0x', substring(md5(s.seed || ':' || k.user_id), 1, 15))
+              AS BIGINT) % {_CMS_WIDTH} AS col
+  FROM keys k CROSS JOIN (SELECT unnest(range({_CMS_DEPTH})) AS seed) s
+)
+SELECT p.user_id, CAST(MIN(sk.cnt) AS BIGINT) AS est_count
+FROM probes p JOIN sketch sk ON sk.seed = p.seed AND sk.col = p.col
+GROUP BY p.user_id
+"""
+
+
+@register("agg_freq_sketch_cms", oracle=_CMS_ORACLE)
+def agg_freq_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch — the fourth sketch family (HLL =
+    distinct, GK = quantiles, bloom = membership, CMS = frequency /
+    heavy hitters). Built as a plain groupBy over (seed, hashed-column)
+    pairs: depth×width = 4×2048 counters, map-side combinable, so at
+    100 TB the shuffle carries one bounded 8k-cell grid per partition
+    instead of the keys — and two days' sketches MERGE by cell-wise
+    addition, the same persisted-sketch incremental pattern as the HLL
+    rollup. Point estimate = min over the depth rows of the probed
+    cells; CMS guarantees est >= true (one-sided error bounded by
+    eps·N, gated in pytest).
+
+    Unlike library sketches (opaque binary, rows-only checks), the
+    portable-md5 construction makes the ENTIRE sketch + estimate path
+    value-exact across engines — the oracle builds the identical grid
+    in SQL and must agree on every estimated count."""
+    ev = load_table(spark, "events", sf_dir).select("user_id")
+    seed = F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("seed")
+
+    from lambdatotheslaughter_spark.functions.text import md5_int60
+
+    def col_of(seed_col, key_col):
+        return (md5_int60(F.concat_ws(":", seed_col, key_col))
+                % _CMS_WIDTH).alias("col")
+
+    sketch = (ev.select("user_id", seed)
+              .select("seed", col_of(F.col("seed"), F.col("user_id")))
+              .groupBy("seed", "col").agg(F.count(F.lit(1)).alias("cnt")))
+    keys = ev.where(F.col("user_id") <= 50).distinct()
+    probes = (keys.select("user_id", seed)
+              .select("user_id", "seed",
+                      col_of(F.col("seed"), F.col("user_id"))))
+    return (probes.join(F.broadcast(sketch), ["seed", "col"])
+            .groupBy("user_id")
+            .agg(F.min("cnt").cast("bigint").alias("est_count")))

@@ -391,3 +391,31 @@ def test_quantile_sketch_rank_error_bounded(spark, duck):
             assert dist <= tol, (
                 f"{r.c_mktsegment} q={q}: value {got} rank [{lo},{hi}] "
                 f"vs target {target:.0f} (tol {tol})")
+
+
+def test_cms_estimates_are_one_sided_and_tight(spark, duck):
+    """agg_freq_sketch_cms IS value-oracled (portable-md5 cells), but the
+    oracle only proves both engines build the same grid — this gate proves
+    the grid is a CORRECT count-min sketch: every estimate >= the true
+    frequency (the one-sided CMS guarantee, which holds with certainty),
+    and the total overestimate stays under the eps*N*depth collision
+    budget (eps = e/width)."""
+    import math
+
+    from lambdatotheslaughter_spark import registry
+    from tests.conftest import SF_DIR
+
+    est = {r.user_id: r.est_count
+           for r in registry.get("agg_freq_sketch_cms").fn(spark, SF_DIR).collect()}
+    true = dict(duck.execute(
+        "SELECT user_id, COUNT(*) FROM events WHERE user_id <= 50"
+        " GROUP BY user_id").fetchall())
+    n_events = duck.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    assert set(est) == set(true)
+    over = 0
+    for k, e in est.items():
+        assert e >= true[k], f"user {k}: est {e} < true {true[k]} — not a CMS"
+        over += e - true[k]
+    eps = math.e / 2048
+    assert over <= eps * n_events * len(est), (
+        f"total overestimate {over} exceeds the collision budget")
