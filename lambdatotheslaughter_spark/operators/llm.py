@@ -2472,3 +2472,57 @@ def llm_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") == 1)
             .select("doc_id", "n_frames", "nn_doc_id",
                     F.round("cos_raw", 6).alias("cosine")))
+
+
+_CONTAIN_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, {_SHINGLE3_SQL} AS sh FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) AS containment
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE 10 * len(list_intersect(a.sh, b.sh)) >= 8 * least(len(a.sh), len(b.sh))
+"""
+
+
+@register("llm_dedup_containment", oracle=_CONTAIN_ORACLE)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs: C(A,B) =
+    |A∩B| / min(|A|,|B|) >= 0.8 over distinct 3-gram shingles. Jaccard
+    (symmetric, normalized by the union) goes blind exactly when dedup
+    needs it most — a short doc quoted whole inside a much longer one has
+    J ≈ |A|/|B| ≈ 0 but C = 1; containment is the standard fix for
+    quote/boilerplate/subset duplication in crawl corpora.
+
+    Shape: inverted-index intersection counts (explode → equi-join on the
+    shingle → groupBy pair), never all-pairs; join volume is Σ_s df(s)²,
+    bounded here because 3-gram shingles are near-unique (measured max df
+    ≪ corpus size, unlike bigrams — the reason llm_dedup_ngram_jaccard
+    needs its GEMM/prefix-filter machinery and this op doesn't). Sizes
+    join back via broadcast; the threshold is applied as integer
+    cross-multiplication (10·inter >= 8·min) so membership can't flake on
+    a float ulp, and the reported containment is a single int/int→double
+    division, bit-identical across engines. The oracle recomputes pairs
+    brute-force — an independent algorithm, not just the arithmetic."""
+    d = load_table(spark, "documents", sf_dir).where(F.size(_tokens()) >= 3)
+    sh = (d.select("doc_id", _tokens().alias("toks"))
+          .select("doc_id", _shingles3("toks").alias("sh")))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("a_id"),
+                      F.col("b.doc_id").alias("b_id"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
+    return (inter.join(F.broadcast(na), "a_id").join(F.broadcast(nb), "b_id")
+            .where(10 * F.col("inter") >= 8 * F.least("n_a", "n_b"))
+            .select("a_id", "b_id", F.col("inter").cast("bigint").alias("inter"),
+                    (F.col("inter").cast("double")
+                     / F.least("n_a", "n_b").cast("double"))
+                    .alias("containment")))
