@@ -1251,3 +1251,50 @@ def sql_report_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("orders", "customer"):
         load_table(spark, name, sf_dir).createOrReplaceTempView(name)
     return spark.sql(_REPORT_SQL)
+
+
+_ZSCORE_ORACLE = """
+WITH scored AS (
+  SELECT event_id, event_type, ts, value,
+         COUNT(*) OVER wp AS n_prior,
+         AVG(value) OVER wp AS mu,
+         STDDEV_SAMP(value) OVER wp AS sigma
+  FROM events
+  WINDOW wp AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, ts, value,
+       round((value - mu) / sigma, 6) AS z
+FROM scored
+WHERE n_prior >= 10 AND sigma > 0
+  AND abs(round((value - mu) / sigma, 6)) >= 2.5
+"""
+
+
+@register("ts_anomaly_zscore", oracle=_ZSCORE_ORACLE)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per event-type series: each value
+    scored against the mean/stddev of the 20 PRIOR observations (frame ends
+    at 1 PRECEDING — the online-monitoring form, where the current point
+    must not contaminate its own baseline), flagged at |z| >= 2.5 once the
+    baseline has >= 10 points. One window pass over a (series, time) sort —
+    the same single-shuffle shape as the other ts_* ops, embarrassingly
+    parallel across series at 100 TB.
+
+    Determinism: the frame is anchored on the (ts, event_id) total order;
+    the threshold is applied to the 6-dp-ROUNDED z on both engines (the
+    radius-search discipline — an unrounded comparison could admit a pair
+    on one engine and not the other within one ulp)."""
+    ev = load_table(spark, "events", sf_dir)
+    wp = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+          .rowsBetween(-20, -1))
+    scored = ev.select(
+        "event_id", "event_type", "ts", "value",
+        F.count(F.lit(1)).over(wp).alias("n_prior"),
+        F.avg("value").over(wp).alias("mu"),
+        F.stddev_samp("value").over(wp).alias("sigma"))
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
+    return (scored
+            .where((F.col("n_prior") >= 10) & (F.col("sigma") > 0)
+                   & (F.abs(z) >= 2.5))
+            .select("event_id", "event_type", "ts", "value", z.alias("z")))
