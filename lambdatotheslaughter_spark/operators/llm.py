@@ -2526,3 +2526,62 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("inter").cast("double")
                      / F.least("n_a", "n_b").cast("double"))
                     .alias("containment")))
+
+
+_QUANT_ORACLE = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding,
+                                          x -> abs(CAST(x AS DOUBLE)))),
+                  1e-30) / 127.0 AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+                                  AS INTEGER)) AS qv
+  FROM base
+)
+SELECT vec_id, scale,
+       CAST(list_sum(qv) AS BIGINT) AS qsum,
+       CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                                    i -> CAST(qv[i] AS BIGINT) * i))
+            AS BIGINT) AS wsum,
+       CAST(list_min(qv) AS INTEGER) AS qmin,
+       CAST(list_max(qv) AS INTEGER) AS qmax
+FROM q
+"""
+
+
+@register("llm_embed_quantize_int8", oracle=_QUANT_ORACLE)
+def llm_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the storage path that turns
+    a 100 TB float32 vector store into 25 TB (+1 scale per vector) with
+    ~0.4% max reconstruction error: scale = max|x|/127, q = round(x/scale).
+    Pure per-row array arithmetic (higher-order functions, zero shuffle,
+    zero UDF) — quantization is a map stage in front of the ANN family.
+
+    Exactness discipline: rounding is floor(x/scale + 0.5), NOT round() —
+    Spark rounds doubles HALF_UP, DuckDB HALF_EVEN, floor is identical in
+    both; float32→double widening and double division are IEEE-exact, so
+    the full quantized vector is bit-identical across engines (the oracle
+    pins it via value sum, position-weighted sum, and min/max; the
+    round-trip error bound err <= scale/2 is gated in pytest)."""
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    scale = (F.greatest(F.array_max(F.transform(xd, F.abs)), F.lit(1e-30))
+             / F.lit(127.0))
+    base = e.select("vec_id", xd.alias("xd"), scale.alias("scale"))
+    qv = F.transform(
+        "xd", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"))
+    q = base.select("vec_id", "scale", qv.alias("qv"))
+    wsum = F.aggregate(
+        F.zip_with("qv", F.sequence(F.lit(1), F.size("qv")),
+                   lambda a, i: a.cast("bigint") * i),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    qsum = F.aggregate("qv", F.lit(0).cast("bigint"),
+                       lambda acc, x: acc + x.cast("bigint"))
+    return q.select(
+        "vec_id", "scale",
+        qsum.alias("qsum"), wsum.alias("wsum"),
+        F.array_min("qv").alias("qmin"), F.array_max("qv").alias("qmax"))

@@ -419,3 +419,27 @@ def test_cms_estimates_are_one_sided_and_tight(spark, duck):
     eps = math.e / 2048
     assert over <= eps * n_events * len(est), (
         f"total overestimate {over} exceeds the collision budget")
+
+
+def test_int8_quantization_roundtrip_error_bounded(spark, duck):
+    """llm_embed_quantize_int8's oracle proves both engines quantize
+    identically; this gate proves the quantization is CORRECT: every code
+    is inside int8 range and the dequantized reconstruction error of every
+    dimension is within scale/2 (the symmetric-quantizer guarantee)."""
+    import numpy as np
+
+    from lambdatotheslaughter_spark import registry
+    from tests.conftest import SF_DIR
+
+    rows = {r.vec_id: r for r in registry.get("llm_embed_quantize_int8")
+            .fn(spark, SF_DIR).collect()}
+    vecs = duck.execute(
+        "SELECT vec_id, embedding FROM embeddings").fetchall()
+    assert len(rows) == len(vecs)
+    for vec_id, emb in vecs:
+        r = rows[vec_id]
+        assert -127 <= r.qmin <= r.qmax <= 127, r
+        x = np.asarray(emb, dtype=np.float64)
+        q = np.floor(x / r.scale + 0.5)
+        err = np.abs(x - q * r.scale).max()
+        assert err <= r.scale / 2 * (1 + 1e-9), (vec_id, err, r.scale)
