@@ -389,3 +389,35 @@ def agg_freq_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (probes.join(F.broadcast(sketch), ["seed", "col"])
             .groupBy("user_id")
             .agg(F.min("cnt").cast("bigint").alias("est_count")))
+
+
+@register("agg_sketch_set_intersection", oracle=None)
+def agg_sketch_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from SKETCHES ALONE: |clickers ∩
+    purchasers| ≈ |A| + |B| − |A∪B| by inclusion–exclusion, where all
+    three terms come from HLL sketches (the union via `hll_union` of the
+    two stored blobs — never re-reading raw history). This is the
+    segment-overlap / reach-dedup question every audience system answers
+    at 100 TB, and it composes from exactly the per-segment sketches
+    agg_distinct_sketch_rollup already persists; the subtraction
+    amplifies HLL's relative error, so the pytest gate
+    (tests/test_llm_quality.py) bounds the estimate against the exact
+    overlap at ±15% of the LARGER set — the honest bound for an
+    inclusion–exclusion of two ±2.3% sketches. Rows-only by design."""
+    ev = load_table(spark, "events", sf_dir)
+    per_type = (ev.where(F.col("event_type").isin("click", "purchase"))
+                .groupBy("event_type")
+                .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    # two sketch blobs in, three estimates out — no raw data touched
+    paired = per_type.agg(
+        F.hll_sketch_estimate(
+            F.max(F.when(F.col("event_type") == "click", F.col("sk"))))
+         .alias("n_click"),
+        F.hll_sketch_estimate(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("sk"))))
+         .alias("n_purchase"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_union"))
+    return paired.select(
+        "n_click", "n_purchase", "n_union",
+        (F.col("n_click") + F.col("n_purchase") - F.col("n_union"))
+        .alias("n_overlap_est"))

@@ -443,3 +443,29 @@ def test_int8_quantization_roundtrip_error_bounded(spark, duck):
         q = np.floor(x / r.scale + 0.5)
         err = np.abs(x - q * r.scale).max()
         assert err <= r.scale / 2 * (1 + 1e-9), (vec_id, err, r.scale)
+
+
+def test_hll_intersection_estimate_within_bound(spark, duck):
+    """agg_sketch_set_intersection is rows-only (sketch estimates never
+    hash-match); this gate bounds the inclusion–exclusion overlap estimate
+    at ±15% of the larger input set vs the exact overlap — the error
+    budget for subtracting two ±2.3%-rsd HLL estimates."""
+    from lambdatotheslaughter_spark import registry
+    from tests.conftest import SF_DIR
+
+    row = registry.get("agg_sketch_set_intersection") \
+        .fn(spark, SF_DIR).collect()[0]
+    exact = duck.execute("""
+        SELECT COUNT(*) FROM (
+          SELECT user_id FROM events WHERE event_type = 'click'
+          INTERSECT
+          SELECT user_id FROM events WHERE event_type = 'purchase')
+    """).fetchone()[0]
+    larger = max(
+        duck.execute("SELECT COUNT(DISTINCT user_id) FROM events"
+                     " WHERE event_type = 'click'").fetchone()[0],
+        duck.execute("SELECT COUNT(DISTINCT user_id) FROM events"
+                     " WHERE event_type = 'purchase'").fetchone()[0])
+    assert abs(row.n_overlap_est - exact) <= 0.15 * larger, (
+        f"overlap est {row.n_overlap_est} vs exact {exact} "
+        f"(bound ±{0.15 * larger:.0f})")

@@ -49,7 +49,10 @@ def test_oracle_coverage_ratio():
                "llm_tokenizer_bpe_train",
                # GK quantile sketch — rank-error gate in
                # test_llm_quality.py instead of a hash match
-               "agg_quantile_sketch"}
+               "agg_quantile_sketch",
+               # HLL inclusion–exclusion overlap — ±15%-of-larger-set gate
+               # in test_llm_quality.py instead of a hash match
+               "agg_sketch_set_intersection"}
     assert set(rows_only) <= allowed, f"unexpected rows-only queries: {rows_only}"
 
 
