@@ -1149,21 +1149,14 @@ SELECT a_id, b_id, rn FROM (
 """
 
 
-@register("llm_sim_knn_per_query", oracle=_KNN_PQ_ORACLE)
-def llm_sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query exact top-3 neighbors for EVERY vector (the retrieval-shaped
-    ANN baseline, vs llm_sim_knn_bruteforce's global top pairs). Same
-    distributed block-pair GEMM scaffold: each (i, j) tile emits tile-local
-    top-3 candidates for its left rows AND (when i ≠ j) its right rows, then
-    one window merges per-query candidates exactly — every candidate b lives
-    in exactly one tile with a, so the union of tile-local top-3 sets
-    contains the true top-3. Output is n×3 rows; no driver collect."""
+def _tile_topk_kernel(k: int):
+    """Tile kernel factory for per-query top-k: each (i, j) tile emits
+    tile-local top-k candidates for its left rows AND (when i ≠ j) its
+    right rows. Shared by the float path (llm_sim_knn_per_query) and the
+    int8-code path (llm_sim_knn_quantized) — the kernel only assumes
+    "embedding" vstacks to a numeric matrix."""
     import numpy as np
     import pandas as pd
-
-    from pyspark.sql import Window
-
-    k = 3
 
     def tile_topk(key, lpdf, rpdf):
         bi, bj = key
@@ -1210,9 +1203,18 @@ def llm_sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             emit(ir, il, sims.T)
         return pd.DataFrame(cols)
 
-    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    return tile_topk
+
+
+def _perquery_topk(e: DataFrame, k: int) -> DataFrame:
+    """Exact per-query top-k over any (vec_id, embedding) table: tile
+    candidates via the block-pair scaffold, then one window merges them —
+    every candidate b lives in exactly one tile with a, so the union of
+    tile-local top-k sets contains the true top-k."""
+    from pyspark.sql import Window
+
     cand = _block_pair_cogroup(
-        e, tile_topk, "a_id bigint, b_id bigint, cosine double")
+        e, _tile_topk_kernel(k), "a_id bigint, b_id bigint, cosine double")
     # merge on the 12-dp-ROUNDED cosine: the same pair computed in
     # different tile shapes (tiled vs broadcast dispatch, different GEMM
     # blocking) can differ by ~1 ulp, and a 10x-duplicated corpus makes
@@ -1227,6 +1229,66 @@ def llm_sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
             .select("a_id", "b_id", F.col("rn").cast("int").alias("rn")))
+
+
+@register("llm_sim_knn_per_query", oracle=_KNN_PQ_ORACLE)
+def llm_sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query exact top-3 neighbors for EVERY vector (the retrieval-shaped
+    ANN baseline, vs llm_sim_knn_bruteforce's global top pairs). Distributed
+    block-pair GEMM scaffold + one exact merge window (see _perquery_topk);
+    output is n×3 rows, no driver collect."""
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    return _perquery_topk(e, 3)
+
+
+_KNN_Q_SCALE_SQL = ("greatest(list_max(list_transform(embedding, "
+                    "y -> abs(CAST(y AS DOUBLE)))), 1e-30) / 127.0")
+
+_KNN_QUANT_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE)
+                                        / ({_KNN_Q_SCALE_SQL}) + 0.5)
+                                  AS DOUBLE)) AS qv
+  FROM embeddings
+)
+SELECT a_id, b_id, rn FROM (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_cosine_sql('a.qv', 'b.qv')} DESC,
+                                     b.vec_id) AS rn
+  FROM q a, q b
+  WHERE a.vec_id <> b.vec_id
+) WHERE rn <= 3
+"""
+
+
+@register("llm_sim_knn_quantized", oracle=_KNN_QUANT_ORACLE)
+def llm_sim_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query top-3 retrieval over INT8-QUANTIZED codes — the compute
+    side of the llm_embed_quantize_int8 storage story: per-vector scales
+    cancel inside cosine, so search runs on the 4×-smaller codes with no
+    dequantization, and at 100 TB the GEMM reads a quarter of the bytes.
+    Same tile scaffold and merge window as the float path (shared
+    _perquery_topk) — only the map stage differs.
+
+    Value-exact despite being "approximate": int8 dot products are sums of
+    integers ≤ 127²·64 — exact in float64 regardless of summation order —
+    so numpy GEMM and DuckDB's sequential list fold produce bit-identical
+    cosines, and the full quantized ranking hash-matches the oracle. The
+    pytest recall gate (test_llm_quality.py) measures what quantization
+    actually costs vs the float-exact top-3."""
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    scale = (F.greatest(F.array_max(F.transform(xd, F.abs)), F.lit(1e-30))
+             / F.lit(127.0))
+    base = e.select("vec_id", xd.alias("xd"), scale.alias("scale"))
+    codes = base.select(
+        "vec_id",
+        F.transform("xd", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)))
+        .alias("embedding"))
+    return _perquery_topk(codes, 3)
 
 
 _PIPELINE_ORACLE = f"""

@@ -469,3 +469,21 @@ def test_hll_intersection_estimate_within_bound(spark, duck):
     assert abs(row.n_overlap_est - exact) <= 0.15 * larger, (
         f"overlap est {row.n_overlap_est} vs exact {exact} "
         f"(bound ±{0.15 * larger:.0f})")
+
+
+def test_quantized_knn_recall_vs_float_exact(spark):
+    """llm_sim_knn_quantized is value-oracled (its int8 ranking is exact in
+    both engines) — this gate measures what quantization COSTS: recall@3 of
+    the int8 top-3 against the float-exact top-3 must stay >= 0.9 (int8
+    symmetric quantization perturbs 64-d cosines by ~1e-2, well under
+    typical neighbor gaps)."""
+    from lambdatotheslaughter_spark import registry
+    from tests.conftest import SF_DIR
+
+    exact = {(r.a_id, r.b_id) for r in registry.get("llm_sim_knn_per_query")
+             .fn(spark, SF_DIR).collect()}
+    quant = {(r.a_id, r.b_id) for r in registry.get("llm_sim_knn_quantized")
+             .fn(spark, SF_DIR).collect()}
+    recall = len(exact & quant) / len(exact)
+    print(f"int8 kNN recall@3 = {recall:.3f}")
+    assert recall >= 0.9, f"quantized recall {recall:.3f} < 0.9"
