@@ -397,3 +397,54 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return latest_per_user(ev).select(
         "user_id", "event_id", "ts", "event_type", "value")
+
+
+def windowed_counts(events: DataFrame) -> DataFrame:
+    """Maintained aggregate under topk_per_window — the streaming-safe
+    half (pure windowed groupBy, runs in complete/update mode)."""
+    return (events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events"))
+
+
+def topk_per_window(counts: DataFrame, k: int = 2) -> DataFrame:
+    """Serving-layer rank over the maintained counts — the batch half
+    (row_number is not incrementally computable, so it runs against the
+    sink, not inside the stream)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type"))
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("window_start", "event_type", "n_events",
+                    F.col("rn").cast("int").alias("rn")))
+
+
+_TOPK_WINDOW_ORACLE = """
+SELECT window_start, event_type, n_events, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         COUNT(*) AS n_events,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events
+  GROUP BY date_trunc('hour', ts), event_type
+) WHERE rn <= 2
+"""
+
+
+@register("stream_topk_per_window", oracle=_TOPK_WINDOW_ORACLE)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-now: top-2 event types per 1-hour tumbling window. The
+    lambda split is the point: the WINDOWED COUNT is incrementally
+    maintainable and runs inside the stream (update/complete mode, state =
+    one counter per (window, type)); the RANK is not (a late event can
+    demote a previously-emitted leader), so it runs as a cheap batch query
+    over the maintained sink — the classic speed-layer/serving-layer
+    boundary, exercised live in tests/test_streaming.py where the
+    stream-maintained counts are ranked and must equal this batch twin
+    row-for-row. Rank state is O(windows × types); the heavy shuffle is
+    the count, map-side combinable."""
+    ev = load_table(spark, "events", sf_dir)
+    return topk_per_window(windowed_counts(ev))

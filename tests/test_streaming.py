@@ -368,3 +368,16 @@ def test_scd2_incremental_foreachbatch_converges(spark, harness):
         "user_id", "event_type", ["event_id"], "event_id")
     _assert_same(maintained, reference, "scd2_incremental")
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_topk_per_window_twin(spark, harness):
+    """Counts maintained by the STREAM (complete mode), rank applied to the
+    sink table — must equal the batch twin exactly. This pins the lambda
+    split in stream_topk_per_window: incremental half in-stream,
+    non-incremental rank at serving time."""
+    counts = harness.run(tw.windowed_counts, output_mode="complete")
+    _assert_same(
+        tw.topk_per_window(counts),
+        tw.topk_per_window(
+            tw.windowed_counts(load_table(spark, "events", SMOKE_SF_DIR))),
+        "topk_per_window")
