@@ -617,7 +617,10 @@ def llm_sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"a_id": "int64", "b_id": "int64", "cosine": "float64"})
         il, ml = _norm_block(lpdf)
         ir, mr = _norm_block(rpdf)
-        sims = ml @ mr.T
+        # 12-dp rounding BEFORE tile-local selection, matching the global
+        # merge's rounded order — see _tile_topk_kernel: truncating on raw
+        # values lets GEMM noise evict a true tie member inside one tile.
+        sims = np.round(ml @ mr.T, 12)
         # orient every pair as (smaller id, larger id); keep strict a < b
         a = np.minimum.outer(il, ir).ravel()
         b = np.maximum.outer(il, ir).ravel()
@@ -1166,7 +1169,14 @@ def _tile_topk_kernel(k: int):
                 {"a_id": "int64", "b_id": "int64", "cosine": "float64"})
         il, ml = _norm_block(lpdf)
         ir, mr = _norm_block(rpdf)
-        sims = ml @ mr.T
+        # round to 12 dp HERE, before tile-local selection: the global
+        # merge ranks on the 12-dp-rounded cosine, and truncating the
+        # tile-local top-k on RAW values lets ~1-ulp GEMM noise evict the
+        # true (smallest-id) member of an exact tie from the tile's top-k
+        # before the merge ever sees it (caught on a 5x-duplicated corpus:
+        # >= 4 cosine-1.0 candidates in ONE tile, noise ranked the wrong
+        # three above the cut). Selection and merge must share one order.
+        sims = np.round(ml @ mr.T, 12)
 
         def emit(q_ids, c_ids, s):
             # tile-local top-k per query by (sim desc, id asc) — the
