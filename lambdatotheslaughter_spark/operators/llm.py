@@ -2657,3 +2657,91 @@ def llm_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "scale",
         qsum.alias("qsum"), wsum.alias("wsum"),
         F.array_min("qv").alias("qmin"), F.array_max("qv").alias("qmax"))
+
+
+_SPAN_W = 8  # span width in tokens: long enough that natural-language
+# collisions are rare, short enough that the synthetic corpus (10-100
+# tokens/doc) carries real signal (measured sf0.01: 23,665 spans, 1,015
+# duplicated, 2,430 covered positions)
+
+_SPAN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t
+), s AS (
+  SELECT doc_id, unnest(range(1, len(toks) - {_SPAN_W - 2})) AS pos, toks
+  FROM t WHERE len(toks) >= {_SPAN_W}
+), sp AS (
+  SELECT doc_id, pos,
+         CAST(concat('0x', substring(md5(array_to_string(
+              toks[pos:pos + {_SPAN_W - 1}], ' ')), 1, 15)) AS BIGINT) AS h
+  FROM s
+), dup AS (
+  SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= 2
+), cov AS (
+  SELECT DISTINCT sp.doc_id, u.p
+  FROM sp JOIN dup USING (h),
+       unnest(range(sp.pos, sp.pos + {_SPAN_W})) AS u(p)
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_pos FROM cov GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(a.n_dup_pos, 0) AS n_dup_pos,
+       round(CAST(COALESCE(a.n_dup_pos, 0) AS DOUBLE)
+             / CAST(b.n_tokens AS DOUBLE), 6) AS dup_frac
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("llm_dedup_span_exact", oracle=_SPAN_ORACLE)
+def llm_dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT repeated-span detection: every 8-token span occurring >= 2
+    times anywhere in the corpus is flagged, and each doc reports the
+    fraction of its token positions covered by at least one such span —
+    the distributed reformulation of exact-substring training-data dedup
+    (suffix-array approaches are single-node; a span/n-gram inventory is
+    one explode + one groupBy and shards to any cluster size).
+
+    Differs from the whole-doc family (minhash/simhash/jaccard score DOC
+    pairs) and from llm_contamination_ngram (set-overlap vs a benchmark):
+    this finds POSITIONAL duplication — boilerplate headers, quoted
+    passages, templated spans — and localizes it, the signal used to cut
+    repeated text out of documents rather than drop whole documents.
+
+    Scale shape: span inventory = one narrow explode (n_tokens rows/doc,
+    same volume as tokenization); duplicated-span detection is one
+    map-side-combinable count groupBy on a 60-bit span hash (the hash —
+    not the span text — is what shuffles); the surviving duplicated-span
+    set is tiny (4% of spans here) and joins back BROADCAST, so the
+    corpus-sized span table never reshuffles; coverage is an arithmetic
+    sequence explode + distinct bounded by W x dup occurrences. Joining
+    on the shared 60-bit md5 keeps both engines' pair sets identical even
+    under (vanishingly unlikely) hash collisions."""
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", _tokens("text").alias("toks"))
+    base = d.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    s = (d.where(F.size("toks") >= _SPAN_W)
+         .select("doc_id", "toks",
+                 F.explode(F.sequence(
+                     F.lit(1), F.size("toks") - (_SPAN_W - 1))).alias("pos")))
+    sp = s.select(
+        "doc_id", "pos",
+        md5_int60(F.concat_ws(
+            " ", F.slice("toks", F.col("pos"), _SPAN_W))).alias("h"))
+    dup = (sp.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+           .where(F.col("occ") >= 2).select("h"))
+    cov = (sp.join(F.broadcast(dup), "h")
+           .select("doc_id", F.explode(
+               F.sequence(F.col("pos"), F.col("pos") + (_SPAN_W - 1)))
+               .alias("p"))
+           .distinct())
+    agg = cov.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint")
+                                    .alias("n_dup_pos"))
+    return (base.join(agg, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("n_dup_pos", F.lit(0).cast("bigint"))
+                    .alias("n_dup_pos"),
+                    F.round(F.coalesce("n_dup_pos", F.lit(0)).cast("double")
+                            / F.col("n_tokens").cast("double"), 6)
+                    .alias("dup_frac")))

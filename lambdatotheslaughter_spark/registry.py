@@ -76,12 +76,16 @@ _loaded = False
 # cdc_apply_changelog, agg_listagg_ordered, win_moving_median,
 # str_url_parse, sub_in_not_in, join_lateral_topn, ts_ewma_bounded,
 # math_try_arith, llm_lm_score_bigram, source_text_lines,
-# win_nth_value, sql_report_cte_chain, llm_multimodal_pipeline —
-# twenty-six in all (scan_metadata_columns and llm_tokenizer_bpe_train
-# are rows-only by design and need no slot); that more than fills one
-# 50-slot window, so take (b) round-2-window keys for re-confirmation
-# (oldest verification first) only if slots remain, and spill any
-# overflow of (a) into round 5.
+# win_nth_value, sql_report_cte_chain, llm_multimodal_pipeline,
+# plus the late-round-3 additions scan_position_deletes,
+# sink_zorder_interleave, graph_pagerank_fixed, agg_freq_sketch_cms,
+# llm_dedup_containment, ts_anomaly_zscore, llm_embed_quantize_int8,
+# llm_sim_knn_quantized, stream_topk_per_window, llm_dedup_span_exact —
+# thirty-six in all (scan_metadata_columns, llm_tokenizer_bpe_train,
+# agg_quantile_sketch, and agg_sketch_set_intersection are rows-only by
+# design and need no slot); that fills most of one 50-slot window, so
+# take (b) round-2-window keys for re-confirmation (oldest verification
+# first) only for the remaining slots.
 # Update tests/test_survey_coverage.py's pinned window when rotating.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # sources / sinks / physical layout (§2.12 round-2 additions)
