@@ -2745,3 +2745,118 @@ def llm_dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.coalesce("n_dup_pos", F.lit(0)).cast("double")
                             / F.col("n_tokens").cast("double"), 6)
                     .alias("dup_frac")))
+
+
+_BLOOM_M = 16384  # bloom bits: ~10 bits/key at sf0.1's 2.5k-fp history
+_BLOOM_K = 4      # hash functions: FP rate (1-e^(-kn/m))^k ~ 4% at sf0.1
+
+_BLOOM_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(lower(trim(text)), ' ')[1:8], ' ')) AS fp
+  FROM documents
+), existing AS (
+  SELECT DISTINCT fp FROM keyed WHERE doc_id % 2 = 0
+), incoming AS (
+  SELECT doc_id, fp FROM keyed WHERE doc_id % 2 = 1
+), bits AS (
+  SELECT DISTINCT CAST(concat('0x', substring(md5(
+           concat('b', CAST(i AS VARCHAR), ':', fp)), 1, 15)) AS BIGINT)
+         % {_BLOOM_M} AS pos
+  FROM existing, unnest(range(0, {_BLOOM_K})) AS u(i)
+), probe AS (
+  SELECT doc_id, fp,
+         bool_and(CAST(concat('0x', substring(md5(
+             concat('b', CAST(i AS VARCHAR), ':', fp)), 1, 15)) AS BIGINT)
+           % {_BLOOM_M} IN (SELECT pos FROM bits)) AS bloom_pos
+  FROM incoming, unnest(range(0, {_BLOOM_K})) AS u(i)
+  GROUP BY doc_id, fp
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM incoming) AS n_incoming,
+  CAST(COUNT(*) FILTER (WHERE NOT bloom_pos) AS BIGINT) AS n_bloom_negative,
+  CAST(COUNT(*) FILTER (WHERE bloom_pos) AS BIGINT) AS n_bloom_positive,
+  CAST(COUNT(*) FILTER (WHERE bloom_pos
+       AND fp IN (SELECT fp FROM existing)) AS BIGINT) AS n_dup,
+  CAST(COUNT(*) FILTER (WHERE bloom_pos
+       AND fp NOT IN (SELECT fp FROM existing)) AS BIGINT) AS n_false_positive,
+  CAST(COUNT(*) FILTER (WHERE fp NOT IN (SELECT fp FROM existing))
+       AS BIGINT) AS n_new,
+  CAST(SUM(doc_id) FILTER (WHERE fp NOT IN (SELECT fp FROM existing))
+       AS BIGINT) AS new_id_sum,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bloom_bits_set,
+  (SELECT CAST(SUM(pos) AS BIGINT) FROM bits) AS bloom_pos_sum
+FROM probe
+"""
+
+
+@register("llm_dedup_bloom_prefilter", oracle=_BLOOM_ORACLE)
+def llm_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-PREFILTERED incremental dedup — llm_dedup_incremental's join
+    against the history index, with the join input first cut down by a
+    compact membership sketch: build a bloom filter over the history
+    fingerprints once, broadcast it (2 KB here; MBs at 100 TB — vs the
+    multi-TB fp index), and let incoming docs whose bits aren't all set
+    skip the exact join entirely. Blooms have NO false negatives, so only
+    bloom-POSITIVE docs (true dups + a tunable ~4% of new docs) pay the
+    shuffle; the result is byte-identical to the unfiltered path — the
+    sketch buys the daily-crawl join a ~25x input reduction for free.
+
+    Spark's built-in BloomFilter (bloom_filter_agg / the runtime-injected
+    might_contain of join_runtime_bloom_filter) is JVM-internal and
+    hash-private; this op instead hand-rolls the bloom from k=4 salted
+    portable-md5 bit positions (the count-min construction next door,
+    agg_freq_sketch_cms), which makes the SKETCH ITSELF value-exact: the
+    oracle pins set-bit count, set-bit position sum, the per-doc
+    bloom verdicts, and the final exact counts. All-bits-set is evaluated
+    as min(hit) over a left join against the broadcast bit set —
+    collision-safe when a doc's k positions coincide. The exact-confirm
+    joins run ONLY over bloom positives; new_id_sum proves the
+    prefiltered path returns exactly the unfiltered answer."""
+    d = load_table(spark, "documents", sf_dir)
+    fp = F.md5(F.array_join(
+        F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 8), " "))
+    keyed = d.select("doc_id", fp.alias("fp"))
+    existing = keyed.where(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    incoming = keyed.where(F.col("doc_id") % 2 == 1)
+
+    def positions(c: Column) -> list[Column]:
+        return [F.pmod(md5_int60(F.concat(F.lit(f"b{i}:"), c)),
+                       F.lit(_BLOOM_M)) for i in range(_BLOOM_K)]
+
+    bits = (existing
+            .select(F.explode(F.array(*positions(F.col("fp")))).alias("pos"))
+            .distinct())
+    probe = incoming.select(
+        "doc_id", "fp",
+        F.explode(F.array(*positions(F.col("fp")))).alias("pos"))
+    perdoc = (probe
+              .join(F.broadcast(bits.withColumn("hit", F.lit(1))),
+                    "pos", "left")
+              .groupBy("doc_id", "fp")
+              .agg(F.min(F.coalesce("hit", F.lit(0))).alias("bp")))
+    pos_docs = perdoc.where(F.col("bp") == 1)
+    neg = perdoc.where(F.col("bp") == 0)
+    dups = pos_docs.join(existing, "fp", "left_semi")
+    false_pos = pos_docs.join(existing, "fp", "left_anti")
+    out = (incoming.agg(F.count(F.lit(1)).alias("n_incoming"))
+           .crossJoin(neg.agg(
+               F.count(F.lit(1)).alias("n_bloom_negative"),
+               F.sum("doc_id").cast("bigint").alias("_neg_sum")))
+           .crossJoin(pos_docs.agg(
+               F.count(F.lit(1)).alias("n_bloom_positive")))
+           .crossJoin(dups.agg(F.count(F.lit(1)).alias("n_dup")))
+           .crossJoin(false_pos.agg(
+               F.count(F.lit(1)).alias("n_false_positive"),
+               F.sum("doc_id").cast("bigint").alias("_fp_sum")))
+           .crossJoin(bits.agg(
+               F.count(F.lit(1)).alias("bloom_bits_set"),
+               F.sum("pos").cast("bigint").alias("bloom_pos_sum"))))
+    return out.select(
+        "n_incoming", "n_bloom_negative", "n_bloom_positive", "n_dup",
+        "n_false_positive",
+        (F.col("n_bloom_negative") + F.col("n_false_positive"))
+        .alias("n_new"),
+        (F.coalesce("_neg_sum", F.lit(0)) + F.coalesce("_fp_sum", F.lit(0)))
+        .cast("bigint").alias("new_id_sum"),
+        "bloom_bits_set", "bloom_pos_sum")
