@@ -324,10 +324,14 @@ def stream_stateful_state_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-def interval_pair_join(views: DataFrame, clicks: DataFrame) -> DataFrame:
-    """Shared by the batch twin and the LIVE stream-stream join test
+def interval_pair_join(views: DataFrame, clicks: DataFrame,
+                       how: str = "inner") -> DataFrame:
+    """Shared by the batch twins and the LIVE stream-stream join tests
     (identical join condition — the twin is the same plan over a bounded
-    source). view→click attribution within 30 minutes per user."""
+    source). view→click attribution within 30 minutes per user.
+    how='left_outer' keeps unmatched views with NULL click — in the live
+    watermarked form Spark emits those rows only once the watermark
+    proves no in-window click can still arrive (state-eviction time)."""
     v = views.select(F.col("event_id").alias("view_id"), "user_id",
                      F.col("ts").alias("view_ts"))
     c = clicks.select(F.col("event_id").alias("click_id"),
@@ -336,7 +340,7 @@ def interval_pair_join(views: DataFrame, clicks: DataFrame) -> DataFrame:
     return (v.join(c, (v.user_id == c.c_user)
                    & (F.col("click_ts") >= F.col("view_ts"))
                    & (F.col("click_ts") <= F.col("view_ts")
-                      + F.expr("INTERVAL 30 MINUTES")))
+                      + F.expr("INTERVAL 30 MINUTES")), how)
             .select("view_id", "click_id", "user_id",
                     # exact micros diff: casting each ts to whole seconds
                     # first truncates per-side and disagrees with the
@@ -368,6 +372,36 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return interval_pair_join(ev.where(F.col("event_type") == "view"),
                               ev.where(F.col("event_type") == "click"))
+
+
+_INTERVAL_OUTER_ORACLE = """
+SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS delay_us
+FROM events v LEFT JOIN events c
+  ON v.user_id = c.user_id AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view'
+"""
+
+
+@register("stream_interval_join_outer", oracle=_INTERVAL_OUTER_ORACLE)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, LEFT OUTER form: every view appears,
+    unanswered views with NULL click — the funnel-drop-off shape (views
+    that never converted within the window) the inner join can't report.
+    This is the semantically hardest streaming join: the null verdict is
+    NEGATIVE information, provable only once the watermark passes
+    view_ts + 30 min, so the live form (tests/test_streaming.py) emits
+    matches as they arrive and null rows at state-EVICTION time; rows
+    whose window is still open when the stream pauses stay in state —
+    the live test pins exactly that split against this batch twin.
+    Batch shape: same single user_id shuffle as the inner twin; the
+    click-side filter lives in the JOIN condition, not a WHERE (a WHERE
+    would turn the outer join back into an inner one)."""
+    ev = load_table(spark, "events", sf_dir)
+    return interval_pair_join(ev.where(F.col("event_type") == "view"),
+                              ev.where(F.col("event_type") == "click"),
+                              how="left_outer")
 
 
 _UPSERT_ORACLE = """

@@ -91,6 +91,10 @@ class EventStreamHarness:
         else:
             q = writer.outputMode(output_mode).format("memory").queryName(name).start()
         q.awaitTermination(timeout=300)
+        # expose the drained query for tests that need its progress
+        # telemetry (e.g. the final event-time watermark, which decides
+        # which outer-join null rows were evictable before shutdown)
+        self.last_query = q
         result = self.spark.table(name) if foreach_batch is None else None
         shutil.rmtree(ckpt, ignore_errors=True)
         return result

@@ -188,6 +188,49 @@ def test_stream_stream_interval_join_twin(spark, harness):
         sorted(map(tuple, batch.select(cols).collect()))
 
 
+def test_stream_stream_interval_join_outer_twin(spark, harness):
+    """LIVE LEFT OUTER stream-stream join: matches emit on arrival; a
+    view's NULL row is negative information, emitted only once the
+    watermark proves no in-window click can still arrive. So the live
+    result must be (a) exactly the twin's matched pairs, plus (b) a
+    subset of the twin's null rows — and every twin null row whose
+    no-match verdict became provable before shutdown (view_ts + 30 min
+    < final watermark) MUST be present; later views legitimately stay
+    buffered in state when the stream pauses."""
+    from lambdatotheslaughter_spark.operators.streaming_twins import (
+        interval_pair_join, stream_interval_join_outer)
+
+    def xform(s):
+        views = s.where(F.col("event_type") == "view").withWatermark("ts", "1 hour")
+        clicks = s.where(F.col("event_type") == "click").withWatermark("ts", "1 hour")
+        return interval_pair_join(views, clicks, how="left_outer")
+
+    live = harness.run(xform, output_mode="append").toPandas()
+    wm = harness.last_query.lastProgress["eventTime"].get("watermark")
+    assert wm, "no watermark in final progress"
+    wm_ts = pd.Timestamp(wm.replace("T", " ").replace("Z", ""))
+
+    batch = stream_interval_join_outer(spark, SMOKE_SF_DIR).toPandas()
+    cols = ["view_id", "click_id", "user_id", "delay_us"]
+    def key(df):
+        return sorted(tuple(-1 if pd.isna(x) else int(x) for x in row)
+                      for row in df[cols].itertuples(index=False, name=None))
+
+    # (a) matched pairs: exact
+    assert key(live[live.click_id.notna()]) == key(batch[batch.click_id.notna()])
+    # (b) null rows: live ⊆ twin, and all provably-evictable twin nulls present
+    live_null = set(live[live.click_id.isna()].view_id)
+    twin_null = batch[batch.click_id.isna()]
+    assert live_null <= set(twin_null.view_id)
+    ev = load_table(spark, "events", SMOKE_SF_DIR).toPandas()
+    ts_by_id = dict(zip(ev.event_id, ev.ts))
+    evictable = {v for v in twin_null.view_id
+                 if ts_by_id[v] + pd.Timedelta(minutes=30) < wm_ts}
+    missing = evictable - live_null
+    assert not missing, f"evictable null rows never emitted: {sorted(missing)[:5]}"
+    assert len(live_null) > 0, "no null rows emitted at all"
+
+
 def test_checkpoint_recovery_exactly_once(spark):
     """Crash-recovery for the speed layer: run a stateful streaming
     aggregation over part of the input, STOP the query (the crash analog),
