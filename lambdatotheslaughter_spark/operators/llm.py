@@ -2860,3 +2860,104 @@ def llm_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("_neg_sum", F.lit(0)) + F.coalesce("_fp_sum", F.lit(0)))
         .cast("bigint").alias("new_id_sum"),
         "bloom_bits_set", "bloom_pos_sum")
+
+
+_PCA_K = 8          # components kept: 64-d store -> 8-d index vectors
+_PCA_FP = 10 ** 6   # input fixed-point scale; Gram sums are then EXACT
+# int64 arithmetic (coords ~1e6, products ~1e12, per-partition sums ~1e16
+# << 2^63) and therefore independent of partitioning and accumulation
+# order — the same order-invariance trick as the int-cents money path.
+# At true 100 TB row counts the partial sums outgrow int64; the same
+# shape holds with decimal(38,0) partials at ~2x shuffle width.
+
+
+def _pca_model(spark: SparkSession, sf_dir: str):
+    """Train the PCA model distributively: per-partition integer Gram
+    matrix + coordinate sums via mapInPandas (a tree-reduce of 64x64
+    partials — bytes shuffled scale with partitions, not rows), exact
+    bigint merge in one groupBy, then a driver-side 64x64 eigh on the
+    assembled covariance (4,161 scalars — bounded regardless of corpus
+    size). Eigenvector sign is pinned (largest-|coeff| entry positive,
+    first index on ties) so the model is reproducible run to run.
+    Returns (n, mu, eigvals, components) as numpy arrays."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, "embeddings", sf_dir).select("embedding")
+    dim = 64
+
+    def partials(it):
+        S = np.zeros((dim, dim), dtype=np.int64)
+        s1 = np.zeros(dim, dtype=np.int64)
+        cnt = 0
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Xq = np.rint(X * _PCA_FP).astype(np.int64)
+            S += Xq.T @ Xq
+            s1 += Xq.sum(axis=0)
+            cnt += len(pdf)
+        i, j = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+        yield pd.DataFrame({
+            "i": np.r_[i.ravel(), np.arange(dim), [-1]],
+            "j": np.r_[j.ravel(), np.full(dim, -1), [-1]],
+            "s": np.r_[S.ravel(), s1, [cnt]]})
+
+    rows = (e.mapInPandas(partials, schema="i int, j int, s long")
+            .groupBy("i", "j").agg(F.sum("s").alias("s")).collect())
+    S = np.zeros((dim, dim))
+    s1 = np.zeros(dim)
+    n = 0
+    for r in rows:
+        if r.i == -1:
+            n = r.s
+        elif r.j == -1:
+            s1[r.i] = r.s
+        else:
+            S[r.i, r.j] = r.s
+    mu_q = s1 / n
+    cov = (S / n - np.outer(mu_q, mu_q)) / (_PCA_FP ** 2)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:_PCA_K]
+    eigvals, V = eigvals[order], eigvecs[:, order]
+    for j in range(V.shape[1]):           # sign pinning
+        if V[np.argmax(np.abs(V[:, j])), j] < 0:
+            V[:, j] = -V[:, j]
+    return n, mu_q / _PCA_FP, eigvals, V
+
+
+@register("llm_embedding_pca_project", oracle=None)
+def llm_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction for the vector store: project 64-d
+    embeddings onto the top-8 principal components — the standard
+    pre-ANN compression (an 8-d index vector is 1/8 the scan bytes; IVF
+    cells or LSH buckets built on the projection keep most of the
+    variance). Rows-only by design (an eigendecomposition is not
+    SQL-expressible); pytest gates pin orthonormality, variance capture
+    vs the eigenvalues, and run-to-run determinism instead.
+
+    Scale split: the covariance is learned by mapInPandas partial Gram
+    matrices (int64 fixed-point — bit-identical under any partitioning)
+    merged in one 4k-row groupBy; only the 64x64 matrix ever reaches the
+    driver, the corpus does not. The projection itself runs JVM-side as
+    sequential higher-order-function folds over literal component
+    arrays: fixed accumulation order, so projected values are
+    bit-deterministic (GEMM batch-shape noise can't appear)."""
+    import numpy as np
+
+    _, mu, _, V = _pca_model(spark, sf_dir)
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", "embedding")
+    mu_arr = F.array(*[F.lit(float(m)) for m in mu])
+    centered = F.zip_with(
+        F.transform("embedding", lambda x: x.cast("double")), mu_arr,
+        lambda x, m: x - m)
+    d = e.select("vec_id", "label", centered.alias("xc"))
+    proj = [
+        F.round(F.aggregate(
+            F.zip_with("xc", F.array(*[F.lit(float(v)) for v in V[:, j]]),
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x), 6).alias(f"p{j}")
+        for j in range(_PCA_K)]
+    return d.select("vec_id", "label", *proj)

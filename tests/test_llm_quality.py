@@ -487,3 +487,38 @@ def test_quantized_knn_recall_vs_float_exact(spark):
     recall = len(exact & quant) / len(exact)
     print(f"int8 kNN recall@3 = {recall:.3f}")
     assert recall >= 0.9, f"quantized recall {recall:.3f} < 0.9"
+
+
+def test_pca_projection_gates(spark):
+    """llm_embedding_pca_project is rows-only (eigh is not SQL); these
+    gates replace the oracle: (a) loading columns orthonormal; (b)
+    eigenvalues sorted descending and the projected per-component
+    variance equals them (the projection really is onto the principal
+    axes); (c) captured variance ratio consistent with the trace; (d)
+    bit-determinism across two runs — the int64 fixed-point Gram makes
+    the covariance partition-order-invariant and the HOF fold projection
+    has a fixed accumulation order, so values must repeat EXACTLY."""
+    import numpy as np
+
+    from lambdatotheslaughter_spark.operators import llm
+
+    n, mu, ev, V = llm._pca_model(spark, SF_DIR)
+    k = llm._PCA_K
+    assert np.abs(V.T @ V - np.eye(k)).max() < 1e-9, "components not orthonormal"
+    assert np.all(np.diff(ev) <= 1e-15) and ev[-1] > 0, "eigvals not descending"
+
+    fn = registry.get("llm_embedding_pca_project").fn
+    pdf = fn(spark, SF_DIR).toPandas().sort_values("vec_id")
+    assert len(pdf) == n
+    P = pdf[[f"p{j}" for j in range(k)]].to_numpy()
+    var = P.var(axis=0, ddof=0)
+    # 6-dp output rounding perturbs a variance ~ev by < 1e-5 absolute
+    assert np.abs(var - ev).max() < 1e-4, f"projected variance != eigvals: {var} vs {ev}"
+    total_var = np.trace(np.cov(np.vstack(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .toPandas()["embedding"].to_numpy()).astype(float).T, ddof=0))
+    ratio = ev.sum() / total_var
+    assert 0.0 < ratio <= 1.0 + 1e-9, f"captured-variance ratio {ratio} out of range"
+
+    again = fn(spark, SF_DIR).toPandas().sort_values("vec_id")
+    assert (pdf.values == again.values).all(), "PCA projection not deterministic"

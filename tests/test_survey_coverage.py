@@ -52,7 +52,10 @@ def test_oracle_coverage_ratio():
                "agg_quantile_sketch",
                # HLL inclusion–exclusion overlap — ±15%-of-larger-set gate
                # in test_llm_quality.py instead of a hash match
-               "agg_sketch_set_intersection"}
+               "agg_sketch_set_intersection",
+               # eigendecomposition is not SQL-expressible — orthonormality/
+               # variance/determinism gates in test_llm_quality.py instead
+               "llm_embedding_pca_project"}
     assert set(rows_only) <= allowed, f"unexpected rows-only queries: {rows_only}"
 
 
