@@ -2398,11 +2398,26 @@ def llm_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     (F.aggregate), localCheckpoint per round to truncate lineage. Output
     is the 8-row merge table (step, left, right, merged, pair_count) —
     the artifact a tokenizer ships."""
+    merges, _ = _bpe_learn(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, "
+                "pair_count bigint")
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Run the distributed BPE merge loop (see llm_tokenizer_bpe_train for
+    the algorithm notes); returns (merges, vocab) where merges is the
+    learned table and vocab the final (w, wc, s) word-frequency table with
+    each word's fully-merged symbol sequence — which IS the BPE encoding
+    of every word: applying merges sequentially in rank order equals the
+    lowest-rank-first encode loop, because a merge's parts can only be
+    produced by EARLIER merges (later ranks can never create an earlier
+    rank's pair)."""
     d = load_table(spark, "documents", sf_dir)
     words = (d.select(F.explode(_tokens()).alias("w"))
              .where(F.length("w") > 0)
              .groupBy("w").agg(F.count(F.lit(1)).alias("wc")))
-    cur = words.select("wc", F.split("w", "").alias("s")) \
+    cur = words.select("w", "wc", F.split("w", "").alias("s")) \
         .localCheckpoint(eager=True)
     merges = []
     for step in range(1, _BPE_STEPS + 1):
@@ -2425,10 +2440,38 @@ def llm_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.slice(acc, 1, F.size(acc) - 1),
                          F.array(F.concat(la, lb)))
             ).otherwise(F.concat(acc, F.array(s))))
-        cur = cur.select("wc", folded.alias("s")).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "step int, left string, right string, merged string, "
-                "pair_count bigint")
+        cur = cur.select("w", "wc", folded.alias("s")) \
+            .localCheckpoint(eager=True)
+    return merges, cur
+
+
+@register("llm_tokenizer_bpe_apply", oracle=None)
+def llm_tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE — the apply half of llm_tokenizer_bpe_train:
+    segment every document with the learned merge table and report
+    per-doc symbol counts and compression (whitespace words in, BPE
+    symbols out). Rows-only like training (the encoding conditions on
+    the iteratively-learned merges); the per-doc output is value-pinned
+    against a pure-Python reference encoder in tests/test_llm_quality.py.
+
+    The scale trick mirrors training: encode the VOCABULARY, not the
+    corpus — training's final word-frequency state already holds every
+    word's merged symbol sequence, so corpus encoding is one explode +
+    one broadcast-sized (Heaps-law-bounded) dictionary join + one
+    groupBy; the documents' text bytes are tokenized once and never
+    re-folded."""
+    _, vocab = _bpe_learn(spark, sf_dir)
+    dic = vocab.select("w", F.size("s").alias("n_sym"))
+    d = load_table(spark, "documents", sf_dir)
+    toks = (d.select("doc_id", F.explode(_tokens()).alias("w"))
+            .where(F.length("w") > 0))
+    return (toks.join(F.broadcast(dic), "w")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                 F.sum("n_sym").cast("bigint").alias("n_symbols"))
+            .withColumn("symbols_per_word",
+                        F.round(F.col("n_symbols").cast("double")
+                                / F.col("n_words").cast("double"), 6)))
 
 
 def _mm_dim_sql(expr: str, pos: int) -> str:

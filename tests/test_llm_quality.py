@@ -522,3 +522,56 @@ def test_pca_projection_gates(spark):
 
     again = fn(spark, SF_DIR).toPandas().sort_values("vec_id")
     assert (pdf.values == again.values).all(), "PCA projection not deterministic"
+
+
+def test_bpe_apply_matches_reference_encoder(spark):
+    """llm_tokenizer_bpe_apply is rows-only (it conditions on the
+    iteratively-learned merges); pin its ENTIRE per-doc output against a
+    pure-Python reference: learn the same 8 merges independently (same
+    construction as test_bpe_merge_table_matches_reference), encode every
+    word, and recompute each doc's word/symbol counts."""
+    from collections import Counter
+
+    import duckdb
+
+    from lambdatotheslaughter_spark import registry
+    from tests.conftest import SF_DIR
+
+    got = {r.doc_id: (r.n_words, r.n_symbols, r.symbols_per_word)
+           for r in registry.get("llm_tokenizer_bpe_apply").fn(spark, SF_DIR)
+           .collect()}
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    words = Counter()
+    for _, text in docs:
+        for w in text.split(" "):
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    for _ in range(8):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += words[w]
+        if not pc:
+            break
+        (a, b), _c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = out
+
+    assert len(got) == len(docs)
+    for doc_id, text in docs:
+        ws = [w for w in text.split(" ") if w]
+        n_words = len(ws)
+        n_syms = sum(len(vocab[w]) for w in ws)
+        exp = (n_words, n_syms, round(n_syms / n_words, 6))
+        assert got[doc_id] == exp, f"doc {doc_id}: {got[doc_id]} != {exp}"

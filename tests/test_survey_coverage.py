@@ -55,7 +55,10 @@ def test_oracle_coverage_ratio():
                "agg_sketch_set_intersection",
                # eigendecomposition is not SQL-expressible — orthonormality/
                # variance/determinism gates in test_llm_quality.py instead
-               "llm_embedding_pca_project"}
+               "llm_embedding_pca_project",
+               # encode conditions on the iteratively-learned merges —
+               # pinned vs the pure-Python reference encoder instead
+               "llm_tokenizer_bpe_apply"}
     assert set(rows_only) <= allowed, f"unexpected rows-only queries: {rows_only}"
 
 
