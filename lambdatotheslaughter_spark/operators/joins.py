@@ -381,3 +381,76 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_purchases"),
              F.min("p_id").alias("first_purchase_id"))
     )
+
+
+_NEAREST_TOL_US = 15 * 60 * 1_000_000  # ±15 min, integer microseconds
+
+_ASOF_NEAREST_ORACLE = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT event_id AS view_id, user_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT purchase_id, p.user_id, purchase_ts, view_id, view_ts,
+         abs(epoch_us(view_ts) - epoch_us(purchase_ts)) AS adiff_us
+  FROM p JOIN v ON p.user_id = v.user_id
+   AND abs(epoch_us(view_ts) - epoch_us(purchase_ts)) <= {_NEAREST_TOL_US}
+)
+SELECT purchase_id, user_id, purchase_ts, view_id, view_ts, adiff_us
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY purchase_id
+                               ORDER BY adiff_us, view_ts, view_id) AS rn
+  FROM c
+) WHERE rn = 1
+"""
+
+
+@register("join_asof_nearest_tolerance", oracle=_ASOF_NEAREST_ORACLE)
+def join_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction with a tolerance: each purchase
+    matched to the closest view within ±15 min — before OR after — the
+    pandas merge_asof(direction='nearest') semantics that the
+    backward-only window formulation (join_asof_event_order) cannot
+    express, because 'nearest' needs candidates from the future of the
+    probe row. Ties (equidistant before/after) pinned earlier-view-first,
+    then view_id.
+
+    Scale shape: join_interval_binned's trick, symmetric — ±tolerance
+    spans at most 3 tolerance-width bins, so the purchase side explodes
+    to 3 bin rows (each view keeps its 1 bin → every candidate pair meets
+    exactly once, no post-dedup) and the join is a plain hash equi-join
+    on (user_id, bin). The per-purchase winner is then ONE map-side-
+    combinable min_by on the composite (adiff, view_ts, view_id) order —
+    no window sort over the candidate set. All time math in integer µs;
+    the oracle's independent ROW_NUMBER formulation cross-checks the
+    argmin."""
+    ev = load_table(spark, "events", sf_dir)
+    v = (ev.where(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("view_id"),
+                 F.col("user_id").alias("v_user"),
+                 F.col("ts").alias("view_ts"),
+                 F.unix_micros("ts").alias("v_us")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"), "user_id",
+                 F.col("ts").alias("purchase_ts"),
+                 F.unix_micros("ts").alias("p_us")))
+    vb = v.withColumn("bin", F.expr(f"v_us DIV {_NEAREST_TOL_US}"))
+    pb = p.withColumn("bin", F.explode(F.sequence(
+        F.expr(f"p_us DIV {_NEAREST_TOL_US}") - 1,
+        F.expr(f"p_us DIV {_NEAREST_TOL_US}") + 1)))
+    adiff = F.abs(F.col("v_us") - F.col("p_us"))
+    cand = (pb.join(vb, (pb.user_id == vb.v_user) & (pb.bin == vb.bin))
+            .where(adiff <= _NEAREST_TOL_US)
+            .select("purchase_id", "user_id", "purchase_ts",
+                    adiff.alias("adiff_us"), "view_id", "view_ts"))
+    best = (cand.groupBy("purchase_id", "user_id", "purchase_ts")
+            .agg(F.min_by(F.struct("view_id", "view_ts", "adiff_us"),
+                          F.struct("adiff_us", "view_ts", "view_id"))
+                 .alias("m")))
+    return best.select(
+        "purchase_id", "user_id", "purchase_ts",
+        F.col("m.view_id").alias("view_id"),
+        F.col("m.view_ts").alias("view_ts"),
+        F.col("m.adiff_us").cast("bigint").alias("adiff_us"))

@@ -894,3 +894,27 @@ def scan_incremental_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFram
                     .alias("n_rows_v2"),
                     (F.col("_v1_keys") + F.col("key_sum_added"))
                     .cast("bigint").alias("key_sum_v2")))
+
+
+@register("scan_count_metadata_only", oracle="""
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_lineitem,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_events
+""")
+def scan_count_metadata_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) as a ZERO-column scan — the row-count query every
+    freshness check, reconciliation job, and planner-statistics pass
+    fires constantly. With no column referenced, pruning collapses the
+    parquet ReadSchema to the empty struct (pinned in
+    tests/test_plans.py), so the reader serves batch sizes from
+    row-group metadata instead of decoding any page: on a 100 TB table
+    the count costs footer reads, not a data scan. Three tables counted
+    in one query; each count is a map-side pass into a single-row
+    aggregate, joined driver-free via 1×1 cross joins."""
+    def cnt(table: str, alias: str) -> DataFrame:
+        return (load_table(spark, table, sf_dir)
+                .agg(F.count(F.lit(1)).alias(alias)))
+
+    return (cnt("lineitem", "n_lineitem")
+            .crossJoin(cnt("orders", "n_orders"))
+            .crossJoin(cnt("events", "n_events")))

@@ -446,3 +446,11 @@ def test_zorder_layout_bounds_extent_in_both_dimensions():
         assert avg_width <= 0.6, (
             f"{col}: avg per-file extent {avg_width:.3f} of domain — "
             "z-clustering failed, files are not skippable on this column")
+
+
+def test_count_metadata_only_reads_zero_columns():
+    """scan_count_metadata_only's three scans must each prune to the EMPTY
+    read schema — the reader then answers from row-group metadata without
+    decoding any page, which is what makes COUNT(*) footer-cost at 100 TB."""
+    plan = checks.executed_plan(_df("scan_count_metadata_only"))
+    assert plan.count("ReadSchema: struct<>") == 3, plan
