@@ -918,3 +918,58 @@ def scan_count_metadata_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cnt("lineitem", "n_lineitem")
             .crossJoin(cnt("orders", "n_orders"))
             .crossJoin(cnt("events", "n_events")))
+
+
+_CACHED_VIEW_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM rev) AS n_customers,
+  (SELECT CAST(SUM(rev_cents) AS BIGINT) FROM rev) AS total_rev_cents,
+  (SELECT CAST(SUM(n_orders) AS BIGINT) FROM rev) AS total_orders,
+  (SELECT o_custkey FROM rev
+   ORDER BY rev_cents DESC, o_custkey LIMIT 1) AS top_custkey,
+  (SELECT rev_cents FROM rev
+   ORDER BY rev_cents DESC, o_custkey LIMIT 1) AS top_rev_cents
+"""
+
+
+def cached_revenue_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cached per-customer revenue serving view shared by
+    scan_cached_view_reuse and its plan test. Integer-cents money so the
+    cached rows — and everything derived from them — are exact. persist()
+    is idempotent: repeated calls return the same cached plan."""
+    o = load_table(spark, "orders", sf_dir)
+    rev = (o.groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                .cast("bigint").alias("rev_cents"),
+                F.count(F.lit(1)).alias("n_orders")))
+    return rev.persist()
+
+
+@register("scan_cached_view_reuse", oracle=_CACHED_VIEW_ORACLE)
+def scan_cached_view_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized serving-view reuse — the lambda serving layer's cache
+    discipline: an expensive base view (per-customer revenue — at 100 TB
+    the one shuffle worth paying once) is persisted, and BOTH downstream
+    serving queries (fleet-wide totals; the tie-pinned top customer) read
+    the in-memory columnar copy instead of re-aggregating orders —
+    `InMemoryTableScan` in both downstream plans is pinned in
+    tests/test_plans.py. The cache is executor-memory distributed (the
+    serving analog of a Kudu materialization), sized by the GROUP's
+    cardinality, not the fact table's; eviction hands back to recompute,
+    never to wrong answers."""
+    rev = cached_revenue_view(spark, sf_dir)
+    totals = rev.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev_cents").cast("bigint").alias("total_rev_cents"),
+        F.sum("n_orders").cast("bigint").alias("total_orders"))
+    top = (rev.orderBy(F.col("rev_cents").desc(), "o_custkey").limit(1)
+           .select(F.col("o_custkey").alias("top_custkey"),
+                   F.col("rev_cents").alias("top_rev_cents")))
+    return totals.crossJoin(top)

@@ -454,3 +454,21 @@ def test_count_metadata_only_reads_zero_columns():
     decoding any page, which is what makes COUNT(*) footer-cost at 100 TB."""
     plan = checks.executed_plan(_df("scan_count_metadata_only"))
     assert plan.count("ReadSchema: struct<>") == 3, plan
+
+
+def test_cached_view_feeds_both_downstream_plans():
+    """Both serving queries over the persisted revenue view must read the
+    in-memory columnar cache (InMemoryTableScan), not re-aggregate orders:
+    cache reuse is the point of materializing a serving view."""
+    from lambdatotheslaughter_spark.operators.scans import cached_revenue_view
+
+    rev = cached_revenue_view(spark_global, SF_DIR)
+    try:
+        plan = checks.executed_plan(_df("scan_cached_view_reuse"))
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        # the base aggregation must appear only inside the cached relation:
+        # the downstream plans themselves contain no orders scan
+        head, *_ = plan.split("InMemoryRelation", 1)
+        assert "orders.parquet" not in head, head
+    finally:
+        rev.unpersist(blocking=True)
