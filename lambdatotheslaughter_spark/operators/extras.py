@@ -1298,3 +1298,75 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where((F.col("n_prior") >= 10) & (F.col("sigma") > 0)
                    & (F.abs(z) >= 2.5))
             .select("event_id", "event_type", "ts", "value", z.alias("z")))
+
+
+_SCD2_PIT_ORACLE = """
+WITH feed AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+), chg AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey FROM feed
+  WHERE prev IS NULL OR prev <> o_orderpriority
+), dim AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+         o_orderdate AS valid_from,
+         LEAD(o_orderdate) OVER w AS valid_to,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+  FROM chg
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT f.o_orderkey AS fact_key, f.o_custkey AS custkey,
+       CAST(f.o_orderdate AS VARCHAR) AS fact_date,
+       d.version, d.priority AS dim_priority,
+       (f.o_orderpriority = d.priority) AS priority_matches
+FROM orders f JOIN dim d
+  ON f.o_custkey = d.custkey
+ AND f.o_orderdate >= d.valid_from
+ AND (d.valid_to IS NULL OR f.o_orderdate < d.valid_to)
+"""
+
+
+@register("join_scd2_point_in_time", oracle=_SCD2_PIT_ORACLE)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the query SCD2 exists FOR: each
+    fact row joined to the dimension version that was valid at the fact's
+    own date (valid_from <= t < valid_to, open current range matches
+    everything after valid_from). Half-open ranges tile the timeline, so
+    every fact matches EXACTLY one version — no post-dedup, and the
+    `priority_matches` flag surfaces the one honest subtlety (same-day
+    flip-flops: a fact can predate its date's final version in the
+    (date, orderkey) feed order).
+
+    Scale shape: the EQUI key (custkey) carries the join — one shuffle,
+    hash or sort-merge — and the range predicate filters inside each
+    key's version list (bounded by versions-per-key, typically a
+    handful); never a time-theta join across keys. Shares scd2_collapse
+    with the dimension build and the streaming incremental merge, so
+    serving lookups and dimension maintenance cannot drift."""
+    o = load_table(spark, "orders", sf_dir)
+    feed = o.select("o_custkey", "o_orderpriority", "o_orderdate",
+                    "o_orderkey")
+    dim = (scd2_collapse(feed, key="o_custkey", attr="o_orderpriority",
+                         ord_cols=["o_orderdate", "o_orderkey"],
+                         valid_col="o_orderdate")
+           .select(F.col("o_custkey").alias("custkey"),
+                   F.col("o_orderpriority").alias("dim_priority"),
+                   F.col("o_orderdate").alias("valid_from"),
+                   "valid_to", "version"))
+    facts = o.select(F.col("o_orderkey").alias("fact_key"),
+                     F.col("o_custkey").alias("custkey"),
+                     F.col("o_orderdate").alias("fact_date"),
+                     F.col("o_orderpriority").alias("fact_priority"))
+    return (facts.join(
+                dim,
+                (facts.custkey == dim.custkey)
+                & (F.col("fact_date") >= F.col("valid_from"))
+                & (F.col("valid_to").isNull()
+                   | (F.col("fact_date") < F.col("valid_to"))))
+            .select("fact_key", facts.custkey.alias("custkey"),
+                    F.col("fact_date").cast("string").alias("fact_date"),
+                    "version", "dim_priority",
+                    (F.col("fact_priority") == F.col("dim_priority"))
+                    .alias("priority_matches")))

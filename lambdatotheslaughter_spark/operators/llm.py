@@ -3004,3 +3004,87 @@ def llm_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0), lambda acc, x: acc + x), 6).alias(f"p{j}")
         for j in range(_PCA_K)]
     return d.select("vec_id", "label", *proj)
+
+
+_FILTER_STACK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, n_chars FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(list_max(list_transform(list_distinct(toks),
+              d -> len(list_filter(toks, t -> t = d)))) AS BIGINT) AS top_cnt
+  FROM t
+), r AS (
+  SELECT doc_id, n_tokens, n_distinct, top_cnt,
+         (n_tokens >= 30 AND n_tokens <= 5000) AS r_word_count,
+         (n_chars - (n_tokens - 1) >= 3 * n_tokens
+          AND n_chars - (n_tokens - 1) <= 10 * n_tokens) AS r_mean_word_len,
+         (5 * (n_tokens - n_distinct) <= 3 * n_tokens) AS r_dup_word_frac,
+         (8 * top_cnt <= n_tokens) AS r_top_word_share
+  FROM m
+)
+SELECT doc_id, n_tokens, r_word_count, r_mean_word_len, r_dup_word_frac,
+       r_top_word_share,
+       (r_word_count AND r_mean_word_len AND r_dup_word_frac
+        AND r_top_word_share) AS keep,
+       concat_ws(',',
+         CASE WHEN NOT r_word_count THEN 'word_count' END,
+         CASE WHEN NOT r_mean_word_len THEN 'mean_word_len' END,
+         CASE WHEN NOT r_dup_word_frac THEN 'dup_word_frac' END,
+         CASE WHEN NOT r_top_word_share THEN 'top_word_share' END)
+         AS reject_reasons
+FROM r
+"""
+
+
+@register("llm_quality_filter_stack", oracle=_FILTER_STACK_ORACLE)
+def llm_quality_filter_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-STACK quality filter (the Gopher/C4 operational shape): each
+    doc is judged by named, independently-reportable rules — word-count
+    band, mean-word-length band, duplicate-word fraction, top-word share
+    — and carries a keep verdict plus the comma-joined list of FAILED
+    rules. The reasons column is the production point: corpus curation
+    tunes thresholds from per-rule rejection rates, which a single fused
+    score (llm_quality_score) cannot give.
+
+    Every rule is INTEGER cross-multiplied arithmetic (e.g. duplicate
+    fraction <= 0.6 as 5*(n - n_distinct) <= 3*n), so no rule can flake
+    on a float ulp between engines. Doc-local top-word count runs as a
+    per-row higher-order fold (distinct x occurrences, ~2k codegen ops on
+    this corpus) — zero shuffles in the whole op; at 100 TB it is a pure
+    map stage in front of the dedup pipeline."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = _tokens()
+    m = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.col("n_chars").cast("bigint").alias("nc"),
+        F.array_max(F.transform(
+            F.array_distinct(toks),
+            lambda dd: F.size(F.filter(toks, lambda t: t == dd))))
+        .cast("bigint").alias("top_cnt"))
+    nt, nd = F.col("n_tokens"), F.col("n_distinct")
+    chars_in_words = F.col("nc") - (nt - 1)
+    rules = m.select(
+        "doc_id", "n_tokens",
+        ((nt >= 30) & (nt <= 5000)).alias("r_word_count"),
+        ((chars_in_words >= 3 * nt)
+         & (chars_in_words <= 10 * nt)).alias("r_mean_word_len"),
+        (5 * (nt - nd) <= 3 * nt).alias("r_dup_word_frac"),
+        (8 * F.col("top_cnt") <= nt).alias("r_top_word_share"))
+    keep = (F.col("r_word_count") & F.col("r_mean_word_len")
+            & F.col("r_dup_word_frac") & F.col("r_top_word_share"))
+    reasons = F.concat_ws(
+        ",",
+        F.when(~F.col("r_word_count"), F.lit("word_count")),
+        F.when(~F.col("r_mean_word_len"), F.lit("mean_word_len")),
+        F.when(~F.col("r_dup_word_frac"), F.lit("dup_word_frac")),
+        F.when(~F.col("r_top_word_share"), F.lit("top_word_share")))
+    return rules.select(
+        "doc_id", "n_tokens", "r_word_count", "r_mean_word_len",
+        "r_dup_word_frac", "r_top_word_share",
+        keep.alias("keep"), reasons.alias("reject_reasons"))
