@@ -973,3 +973,58 @@ def scan_cached_view_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("o_custkey").alias("top_custkey"),
                    F.col("rev_cents").alias("top_rev_cents")))
     return totals.crossJoin(top)
+
+
+_DPP_ORACLE = f"""
+WITH dim AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+), tagged AS (
+  SELECT d, CAST(concat('0x', substring(md5(CAST(d AS VARCHAR)), 1, 15))
+               AS BIGINT) % 7 AS tag
+  FROM dim
+)
+SELECT CAST(f.d AS VARCHAR) AS event_date,
+       COUNT(*) AS n_events, {oracle_dsum('f.value')} AS sum_value
+FROM (SELECT CAST(ts AS DATE) AS d, value FROM events) f
+JOIN tagged t ON f.d = t.d
+WHERE t.tag = 3
+GROUP BY f.d
+"""
+
+
+@register("scan_dynamic_partition_pruning", oracle=_DPP_ORACLE)
+def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the star-schema complement of
+    scan_partition_pruning's static case: the fact filter isn't known at
+    planning time because it lives on a DIM attribute (a stored tag
+    column, not derivable from the join key in-plan), so Catalyst injects
+    a runtime subquery into the fact scan's PartitionFilters
+    (`dynamicpruning#...`, pinned in tests/test_plans.py) that waits for
+    the broadcast dim, collects its surviving join keys, and lists only
+    those partition directories. On a 100 TB date-partitioned lake this
+    is THE mechanism that keeps 'revenue for promo dates' from scanning
+    every day: bytes read scale with the dim's selectivity, decided at
+    run time. The dim is materialized as its own parquet fixture (dates +
+    portable-md5 tag) so the tag really is opaque to static pruning; the
+    oracle recomputes the same tag arithmetic from the date."""
+    from lambdatotheslaughter_spark.functions.text import md5_int60
+
+    ev = load_table(spark, "events", sf_dir)
+    part_dir = _cached_dataset(
+        "events_by_date", sf_dir, "events",
+        lambda tmp: (ev.withColumn("event_date", F.to_date("ts"))
+                     .write.mode("overwrite").partitionBy("event_date")
+                     .parquet(tmp)))
+    part = spark.read.parquet(part_dir)
+    dim_dir = _cached_dataset(
+        "date_dim_tagged", sf_dir, "events",
+        lambda tmp: (ev.select(F.to_date("ts").alias("d")).distinct()
+                     .withColumn("tag", F.pmod(
+                         md5_int60(F.col("d").cast("string")), F.lit(7)))
+                     .coalesce(1).write.mode("overwrite").parquet(tmp)))
+    dim = spark.read.parquet(dim_dir).where(F.col("tag") == 3)
+    return (part.join(F.broadcast(dim), part.event_date == dim.d)
+            .groupBy("event_date")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value").alias("sum_value"))
+            .withColumn("event_date", F.col("event_date").cast("string")))

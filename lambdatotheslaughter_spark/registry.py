@@ -80,12 +80,17 @@ _loaded = False
 # plus the late-round-3 additions scan_position_deletes,
 # sink_zorder_interleave, graph_pagerank_fixed, agg_freq_sketch_cms,
 # llm_dedup_containment, ts_anomaly_zscore, llm_embed_quantize_int8,
-# llm_sim_knn_quantized, stream_topk_per_window, llm_dedup_span_exact —
-# thirty-six in all (scan_metadata_columns, llm_tokenizer_bpe_train,
-# agg_quantile_sketch, and agg_sketch_set_intersection are rows-only by
-# design and need no slot); that fills most of one 50-slot window, so
-# take (b) round-2-window keys for re-confirmation (oldest verification
-# first) only for the remaining slots.
+# llm_sim_knn_quantized, stream_topk_per_window, llm_dedup_span_exact,
+# llm_dedup_bloom_prefilter, stream_interval_join_outer,
+# scan_incremental_manifest_diff, join_asof_nearest_tolerance,
+# scan_count_metadata_only, scan_cached_view_reuse,
+# join_scd2_point_in_time, llm_quality_filter_stack — forty-four in all
+# (scan_metadata_columns, llm_tokenizer_bpe_train, agg_quantile_sketch,
+# agg_sketch_set_intersection, llm_embedding_pca_project, and
+# llm_tokenizer_bpe_apply are rows-only by design and need no slot);
+# that fills most of one 50-slot window, so take (b) round-2-window keys
+# for re-confirmation (oldest verification first) only for the remaining
+# slots.
 # Update tests/test_survey_coverage.py's pinned window when rotating.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # sources / sinks / physical layout (§2.12 round-2 additions)

@@ -472,3 +472,12 @@ def test_cached_view_feeds_both_downstream_plans():
         assert "orders.parquet" not in head, head
     finally:
         rev.unpersist(blocking=True)
+
+
+def test_dynamic_partition_pruning_injects_runtime_filter():
+    """The fact scan's PartitionFilters must carry a dynamicpruning
+    subquery: the surviving partition list is decided at RUN time from the
+    broadcast dim's join keys — static pruning cannot see through the
+    stored tag column."""
+    plan = checks.executed_plan(_df("scan_dynamic_partition_pruning"))
+    assert "dynamicpruning" in plan.lower(), plan
