@@ -3088,3 +3088,51 @@ def llm_quality_filter_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "r_word_count", "r_mean_word_len",
         "r_dup_word_frac", "r_top_word_share",
         keep.alias("keep"), reasons.alias("reject_reasons"))
+
+
+_LANG_CONF_ORACLE = f"""
+WITH scored AS ({_LANG_ID_ORACLE}),
+cm AS (
+  SELECT lang AS true_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM scored GROUP BY lang, predicted_lang
+)
+SELECT true_lang, predicted_lang, n,
+       round(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY true_lang), 6) AS recall_share,
+       round(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY predicted_lang), 6) AS precision_share
+FROM cm
+"""
+
+
+@register("llm_lang_id_confusion", oracle=_LANG_CONF_ORACLE)
+def llm_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix over the lang-id heuristic —
+    the QA artifact every routing classifier ships with: per (true,
+    predicted) cell counts plus each cell's share of its true-class row
+    (recall decomposition) and predicted-class column (precision
+    decomposition). Off-diagonal hot spots are the curation signal: which
+    language pairs the n-gram heuristic confuses, hence where routed
+    training data is contaminated. (It earns its keep on THIS corpus: at
+    sf0.1 the matrix shows the heuristic collapsing to all-'en' — the
+    languages share one synthetic vocabulary there, so every token's
+    majority lang is the plurality class; at sf0.01 the same heuristic is
+    diagonal-perfect. A single accuracy number would hide that cliff.)
+
+    Shape: reuses llm_lang_id's prediction dataflow (one shared
+    definition — the metric can't drift from the model), then one tiny
+    groupBy to |langs|² cells and two window passes over that bounded
+    matrix. All heavy lifting stays in the prediction pipeline; the
+    evaluation adds no corpus-scale shuffle."""
+    pred = llm_lang_id(spark, sf_dir)
+    cm = (pred.groupBy(F.col("lang").alias("true_lang"), "predicted_lang")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    from pyspark.sql import Window
+    w_t = Window.partitionBy("true_lang")
+    w_p = Window.partitionBy("predicted_lang")
+    return cm.select(
+        "true_lang", "predicted_lang", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_t), 6)
+        .alias("recall_share"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_p), 6)
+        .alias("precision_share"))
