@@ -1431,19 +1431,31 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
              .localCheckpoint(eager=True))
     labels = edges.select(F.col("src").alias("doc_id")).distinct() \
         .withColumn("label", F.col("doc_id"))
-    for _ in range(15):  # cap; converges in O(diameter) rounds
+    for _ in range(15):  # cap; pointer jumping converges in O(log diameter)
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src").agg(F.min("label").alias("nbr_label")))
+        # pointer jumping: also adopt label(label(v)) — labels only ever
+        # decrease, so the grand-label is <= the label and the fixpoint
+        # (component min) is unchanged, but chains collapse in O(log d)
+        # rounds instead of O(d) (matters exactly when the LSH hot-bucket
+        # cap emits long chained components)
+        ptr = labels.select(F.col("doc_id").alias("p_id"),
+                            F.col("label").alias("grand"))
         new_labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .join(ptr, labels.label == ptr.p_id, "left")
             .select("doc_id",
-                    F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+                    F.least("label", F.coalesce("nbr_label", "label"),
+                            F.coalesce("grand", "label")).alias("label"),
+                    (F.least("label", F.coalesce("nbr_label", "label"),
+                             F.coalesce("grand", "label")) != F.col("label"))
+                    .alias("chg"))
             .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .where(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
+        # convergence check reads the just-checkpointed partitions — no
+        # join against the previous round's table
+        changed = new_labels.where("chg").count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
