@@ -54,6 +54,8 @@ HEADLINE = [
     "llm_dedup_cluster",        # connected-components dedup clustering
     "scd2_dimension_merge",     # type-2 SCD window build (round 3)
     "join_interval_binned",     # binned interval equi-join (round 3)
+    "llm_dedup_span_exact",     # exact repeated-span dedup (round 3)
+    "llm_dedup_bloom_prefilter",  # bloom-prefiltered incremental dedup (round 3)
 ]
 
 

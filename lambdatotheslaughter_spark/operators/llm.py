@@ -2784,6 +2784,12 @@ def llm_dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "pos",
         md5_int60(F.concat_ws(
             " ", F.slice("toks", F.col("pos"), _SPAN_W))).alias("h"))
+    # the inventory feeds BOTH the duplicate count and the coverage join;
+    # Catalyst does not share subplans across join branches, so without
+    # this the tokenize+md5 pass runs twice (measured 0.6 s of the 2.0 s
+    # at sf0.1). At scale this is the materialize-reused-intermediate
+    # call, same as the BPE word table.
+    sp = sp.localCheckpoint(eager=True)
     dup = (sp.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
            .where(F.col("occ") >= 2).select("h"))
     cov = (sp.join(F.broadcast(dup), "h")

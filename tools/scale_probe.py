@@ -59,6 +59,10 @@ PROBE_QUERIES = [
     "llm_dedup_incremental_fuzzy",  # batch-vs-history LSH (round 3)
     "join_interval_binned",     # binned equi interval join (round 3)
     "scd2_dimension_merge",     # shared-shuffle double window (round 3)
+    "llm_dedup_span_exact",     # span inventory + hash groupBy (round 3)
+    "llm_dedup_bloom_prefilter",  # broadcast bloom + confirm joins (round 3)
+    "join_asof_nearest_tolerance",  # 3-bin probe + min_by argmin (round 3)
+    "llm_embedding_pca_project",  # int64 partial Gram + HOF projection (round 3)
 ]
 
 
@@ -99,12 +103,13 @@ def drain(df) -> None:
 
 def main() -> None:
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sel = sys.argv[2:]  # optional: probe only the named queries
     spark = get_spark("lts-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     big = materialize(spark, n_copies)
     qs = registry.all_queries()
     print(f"scale probe: sf0.1 vs {n_copies}x ({big})")
-    for name in PROBE_QUERIES:
+    for name in (sel or PROBE_QUERIES):
         fn = qs[name]
         row = [name]
         for sf_dir in (SRC, big):
