@@ -1370,3 +1370,74 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "version", "dim_priority",
                     (F.col("fact_priority") == F.col("dim_priority"))
                     .alias("priority_matches")))
+
+
+_RCTE_SQL = """
+WITH RECURSIVE chain(custkey, root, k) AS (
+  SELECT o_custkey, o_orderkey, o_orderkey FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM orders p
+                    WHERE p.o_custkey = o.o_custkey
+                      AND p.o_orderkey = o.o_orderkey - 1)
+  UNION ALL
+  SELECT c.custkey, c.root, n.o_orderkey
+  FROM chain c JOIN orders n
+    ON n.o_custkey = c.custkey AND n.o_orderkey = c.k + 1
+)
+SELECT custkey, root AS chain_start, CAST(COUNT(*) AS BIGINT) AS chain_len,
+       CAST(MAX(k) AS BIGINT) AS chain_end
+FROM chain GROUP BY custkey, root
+"""
+
+
+@register("sql_recursive_cte", oracle=_RCTE_SQL)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (SQL:1999, new in Spark 4) running the IDENTICAL
+    query text on both engines: per-customer chains of CONSECUTIVE order
+    keys, found by anchoring on chain heads (no predecessor key for the
+    same customer — a portable NOT EXISTS) and recursively extending by
+    key+1. Genuine fixpoint recursion — iteration depth is the longest
+    chain in the data, not a constant — where every prior iterative op
+    (PageRank, BPE, CC) had to drive the loop from Python; this moves the
+    loop INTO the engine. Each recursive step is an equi-join of the
+    frontier against orders; termination is structural (keys strictly
+    increase and are finite). Scale: the frontier shrinks every round and
+    joins on the (custkey, key) composite — a bounded-fan hash join per
+    step, embarrassingly parallel across chains."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(_RCTE_SQL)
+
+
+_PIPE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS rev_cents,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_pipe_syntax", oracle=_PIPE_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's `|>` operator chaining — the
+    FROM-first dataflow form): filter → aggregate → project reads in
+    EXECUTION order instead of inside-out SQL. Same Catalyst plan as the
+    classic formulation — pipes are pure surface syntax, so pushdown,
+    partial aggregation, and codegen are unchanged; the DuckDB oracle IS
+    the classic formulation of the same query (pipe syntax is
+    Spark-side), making the op a two-dialect equivalence check. Money in
+    integer cents end-to-end."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql("""
+FROM orders
+|> WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+|> AGGREGATE COUNT(*) AS n_orders,
+             SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents,
+             COUNT(DISTINCT o_custkey) AS n_customers
+   GROUP BY o_orderpriority
+|> SELECT o_orderpriority, CAST(n_orders AS BIGINT) AS n_orders,
+          CAST(rev_cents AS BIGINT) AS rev_cents,
+          CAST(n_customers AS BIGINT) AS n_customers
+""")
