@@ -127,3 +127,134 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, "orders", sf_dir).where(F.col("o_orderkey") < 3000)
     return o.select("o_orderkey", price_mod("o_totalprice").alias("price_mod97"))
+
+
+_TICKS_ORACLE = """
+WITH src AS (
+  SELECT CAST(p AS INTEGER) AS part_id, CAST(i AS INTEGER) AS seq,
+         CAST((p * 31 + i * 7) % 1000 AS INTEGER) AS value
+  FROM (SELECT unnest(range(0, 8)) AS p),
+       (SELECT unnest(range(0, 1000)) AS i)
+)
+SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(value) AS BIGINT) AS value_sum,
+       CAST(SUM(seq * value) AS BIGINT) AS weighted_sum
+FROM src GROUP BY part_id
+"""
+
+
+@register("source_python_datasource", oracle=_TICKS_ORACLE)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via Spark 4's Python DataSource API — the
+    extension point for systems with no built-in source (REST feeds,
+    proprietary stores): a registered `DataSource` class whose
+    `partitions()` list drives genuinely parallel reads (one Spark task
+    per InputPartition calling `read()` independently — the
+    Kafka-partition / shard-parallel distribution shape). The source
+    generates deterministic ticks as a pure function of (partition, seq),
+    so the DuckDB oracle regenerates the identical table from range
+    arithmetic and the whole connector round trip is value-exact.
+    Registration is idempotent per session; at 100 TB the per-partition
+    iterator is the backpressure boundary — Spark pulls batches, the
+    connector never materializes its feed."""
+    from lambdatotheslaughter_spark.sources.python_ds import TicksDataSource
+
+    try:
+        spark.dataSource.register(TicksDataSource)
+    except Exception:
+        pass  # already registered in this session
+    ticks = (spark.read.format("lts_ticks")
+             .option("parts", 8).option("rows", 1000).load())
+    return (ticks.groupBy("part_id")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("value").cast("bigint").alias("value_sum"),
+                 F.sum(F.col("seq") * F.col("value")).cast("bigint")
+                 .alias("weighted_sum")))
+
+
+_ARROW_MAP_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge
+FROM lineitem WHERE l_orderkey < 1000
+"""
+
+
+@register("udf_map_in_arrow", oracle=_ARROW_MAP_ORACLE)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` — the lowest-overhead Python boundary: the UDF sees
+    raw Arrow RecordBatches and computes with `pyarrow.compute` kernels
+    (C++ vectorized, zero pandas materialization — no index, no object
+    boxing; the right tier when the logic is columnar arithmetic but must
+    live in Python, e.g. calling a C library with an Arrow interface).
+    The charge expression evaluates in float64 with a fixed op order, so
+    it is bit-identical to the SQL oracle's, then 6-dp rounded by the
+    shared discipline. Capped input like the other §2.11 surface demos."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def charge_batches(it):
+        for batch in it:
+            p = batch.column("l_extendedprice")
+            d = batch.column("l_discount")
+            t = batch.column("l_tax")
+            charge = pc.round(
+                pc.multiply(pc.multiply(p, pc.subtract(pa.scalar(1.0), d)),
+                            pc.add(pa.scalar(1.0), t)),
+                ndigits=6)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), batch.column("l_linenumber"),
+                 charge],
+                names=["l_orderkey", "l_linenumber", "charge"])
+
+    li = (load_table(spark, "lineitem", sf_dir)
+          .where(F.col("l_orderkey") < 1000)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice",
+                  "l_discount", "l_tax"))
+    return li.mapInArrow(
+        charge_batches,
+        "l_orderkey bigint, l_linenumber int, charge double")
+
+
+_UDTF_DYN_ORACLE = """
+SELECT doc_id,
+       string_split(text, ' ')[1] AS tok0,
+       string_split(text, ' ')[2] AS tok1,
+       string_split(text, ' ')[3] AS tok2
+FROM documents
+"""
+
+
+@register("udtf_dynamic_schema", oracle=_UDTF_DYN_ORACLE)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 `analyze()` static method): the
+    OUTPUT SCHEMA is computed at plan time from the constant `k` argument
+    — `prefix_tokens(text, 3)` emits columns tok0..tok2, a different call
+    site with k=5 would emit five. This is the table-function
+    counterpart of schema-on-read: the planner asks Python for the shape
+    before any data moves (one analyze round trip, then ordinary
+    distributed eval). Applied per-row via LATERAL correlated invocation;
+    the oracle is the equivalent static projection."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    @udtf
+    class PrefixTokens:
+        @staticmethod
+        def analyze(text, k):
+            schema = StructType()
+            for i in range(int(k.value)):
+                schema = schema.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, k):
+            toks = (text or "").split(" ")
+            yield tuple(toks[i] if i < len(toks) else None
+                        for i in range(int(k)))
+
+    spark.udtf.register("lts_prefix_tokens", PrefixTokens)
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("docs_udtf")
+    return spark.sql("""
+        SELECT d.doc_id, s.*
+        FROM docs_udtf d, LATERAL lts_prefix_tokens(d.text, 3) s
+    """)
