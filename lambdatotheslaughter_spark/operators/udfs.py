@@ -258,3 +258,55 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, s.*
         FROM docs_udtf d, LATERAL lts_prefix_tokens(d.text, 3) s
     """)
+
+
+_COUNTER_STREAM_ORACLE = """
+SELECT CAST(i AS INTEGER) AS i, CAST(i * 3 AS INTEGER) AS v
+FROM (SELECT unnest(range(0, 900)) AS i)
+"""
+
+
+@register("source_python_datasource_stream", oracle=_COUNTER_STREAM_ORACLE)
+def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom connector via the Python DataSource API — the
+    Kafka-replacement story end-to-end: an offset-tracked
+    SimpleDataSourceStreamReader is drained through repeated AvailableNow
+    runs sharing ONE checkpoint, each restart recovering the committed
+    offset (so the drain loop itself exercises restart-from-checkpoint
+    several times), with `readBetweenOffsets` supplying exact replay for
+    any committed-but-unflushed batch. Each micro-batch lands in its own
+    batchId-keyed parquet directory via foreachBatch (overwrite-by-batch
+    = idempotent under retry), and the read-back of all batches must be
+    value-exact against the regenerated feed — proving exactly-once
+    across process-restart boundaries for a from-scratch connector."""
+    import glob as _glob
+    import os
+    import tempfile
+    import uuid
+
+    from lambdatotheslaughter_spark.sources.python_ds import (
+        CounterStreamDataSource)
+
+    try:
+        spark.dataSource.register(CounterStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    run = uuid.uuid4().hex[:8]
+    out = os.path.join(tempfile.gettempdir(), f"lts_pyds_stream_{run}")
+    ckpt = os.path.join(out, "_ckpt")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_{batch_id}"))
+
+    for _ in range(8):  # bound: feed is 900 rows / 450-row chunks
+        q = (spark.readStream.format("lts_counter_stream").load()
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(timeout=120)
+        p = q.lastProgress
+        if not p or p["numInputRows"] == 0:
+            break
+    dirs = sorted(_glob.glob(os.path.join(out, "batch_*")))
+    return spark.read.parquet(*dirs).select("i", "v")

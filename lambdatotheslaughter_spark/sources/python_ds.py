@@ -42,3 +42,49 @@ class TicksDataSource(DataSource):
 
     def reader(self, schema):
         return _TicksReader(self.options)
+
+
+class _CounterStreamReader:
+    """SimpleDataSourceStreamReader over a bounded deterministic feed:
+    offsets are {"pos": n}, read() serves at most CHUNK rows past the
+    committed offset, readBetweenOffsets() replays any committed-but-
+    unflushed range exactly — the contract that makes restart-from-
+    checkpoint exactly-once for a custom connector."""
+
+    N = 900
+    CHUNK = 450
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = start["pos"]
+        end = min(pos + self.CHUNK, self.N)
+        return iter(self._rows(pos, end)), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(start["pos"], end["pos"]))
+
+    @staticmethod
+    def _rows(a: int, b: int):
+        return [(i, i * 3) for i in range(a, b)]
+
+
+class CounterStreamDataSource(DataSource):
+    """Streaming Python DataSource (Spark 4): the custom-connector analog
+    of a Kafka topic — offset-tracked, checkpointable, replayable."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lts_counter_stream"
+
+    def schema(self) -> str:
+        return "i int, v int"
+
+    def simpleStreamReader(self, schema):
+        from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+        class R(_CounterStreamReader, SimpleDataSourceStreamReader):
+            pass
+
+        return R()
