@@ -1441,3 +1441,86 @@ FROM orders
           CAST(rev_cents AS BIGINT) AS rev_cents,
           CAST(n_customers AS BIGINT) AS n_customers
 """)
+
+
+_PARAM_SQL_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
+  AND o_totalprice < 150000.0
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_parameterized", oracle=_PARAM_SQL_ORACLE)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named parameter markers, Spark >= 3.4): the
+    query text carries `:cutoff` / `:price_cap` placeholders and values
+    arrive via `args` — the injection-safe templating surface every
+    dashboard and report runner needs (string-concatenated literals are
+    both a correctness and a security bug at that layer). The markers
+    bind as typed literals BEFORE analysis, so constant folding and
+    pushdown see real constants — same plan as hand-inlined literals;
+    the oracle is the literal-inlined twin."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders
+        WHERE o_orderdate >= :cutoff AND o_totalprice < :price_cap
+        GROUP BY o_orderpriority
+        """,
+        args={"cutoff": "1996-06-01 00:00:00", "price_cap": 150000.0})
+
+
+_TRANSPOSE_ORACLE = """
+WITH m AS (
+  SELECT r_name,
+         CAST(COUNT(*) AS DOUBLE) AS n_nations,
+         CAST(SUM(n_nationkey) AS DOUBLE) AS key_sum
+  FROM region JOIN nation ON r_regionkey = n_regionkey
+  GROUP BY r_name
+)
+SELECT 'n_nations' AS key,
+       MAX(CASE WHEN r_name = 'AFRICA' THEN n_nations END) AS "AFRICA",
+       MAX(CASE WHEN r_name = 'AMERICA' THEN n_nations END) AS "AMERICA",
+       MAX(CASE WHEN r_name = 'ASIA' THEN n_nations END) AS "ASIA",
+       MAX(CASE WHEN r_name = 'EUROPE' THEN n_nations END) AS "EUROPE",
+       MAX(CASE WHEN r_name = 'MIDDLE EAST' THEN n_nations END) AS "MIDDLE EAST"
+FROM m
+UNION ALL
+SELECT 'key_sum',
+       MAX(CASE WHEN r_name = 'AFRICA' THEN key_sum END),
+       MAX(CASE WHEN r_name = 'AMERICA' THEN key_sum END),
+       MAX(CASE WHEN r_name = 'ASIA' THEN key_sum END),
+       MAX(CASE WHEN r_name = 'EUROPE' THEN key_sum END),
+       MAX(CASE WHEN r_name = 'MIDDLE EAST' THEN key_sum END)
+FROM m
+"""
+
+
+@register("df_transpose", oracle=_TRANSPOSE_ORACLE)
+def df_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (new in Spark 4): flip a small per-region
+    metrics table so metrics become rows and regions become columns —
+    the report-orientation swap analysts otherwise hand-write as N CASE
+    projections (the oracle IS that hand-written form, making this a
+    semantics cross-check of the new API). Contractually driver-bounded:
+    the transposed schema = one column per input ROW, so it is for
+    aggregate summaries (here 5 regions), never fact tables; metric
+    values are cast to a common double type since a transposed column
+    mixes former row cells."""
+    r = load_table(spark, "region", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    m = (r.join(n, r.r_regionkey == n.n_regionkey)
+         .groupBy("r_name")
+         .agg(F.count(F.lit(1)).cast("double").alias("n_nations"),
+              F.sum("n_nationkey").cast("double").alias("key_sum"))
+         .orderBy("r_name"))
+    return m.transpose(F.col("r_name"))

@@ -482,3 +482,60 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the count, map-side combinable."""
     ev = load_table(spark, "events", sf_dir)
     return topk_per_window(windowed_counts(ev))
+
+
+_DYN_GAP_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE event_type WHEN 'view' THEN 2700000000
+                         WHEN 'click' THEN 1800000000
+                         ELSE 900000000 END AS gap_us
+  FROM events
+), marked AS (
+  SELECT user_id, ts, gap_us,
+         MAX(epoch_us(ts) + gap_us) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM g
+), numbered AS (
+  SELECT user_id, ts, gap_us,
+         SUM(CASE WHEN prev_end IS NULL
+                    OR epoch_us(ts) >= prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       make_timestamp(MAX(epoch_us(ts) + gap_us)) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+@register("stream_session_window_dynamic_gap", oracle=_DYN_GAP_ORACLE)
+def stream_session_window_dynamic_gap(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Sessionization with a PER-EVENT gap (Spark's dynamic-gap
+    session_window): a view keeps its session alive 45 min, a click 30,
+    anything else 15 — the engagement-weighted timeout real attribution
+    systems use, inexpressible with a constant gap. Each event
+    contributes the interval [ts, ts+gap(event)); sessions are unions of
+    overlapping intervals, so session_end is the MAX of per-event ends,
+    not last-event + constant.
+
+    The oracle generalizes the classic sessionization: the lag-only
+    boundary test is WRONG under variable gaps (an earlier long-gap
+    event can outlast its successor), so it uses the running MAX of
+    prior interval ends — new session iff ts >= that max. Same single
+    (user, time) shuffle shape as the static twin; streaming-safe (state
+    per open session, watermark-evictable)."""
+    ev = load_table(spark, "events", sf_dir)
+    gap = (F.when(F.col("event_type") == "view", F.lit("45 minutes"))
+           .when(F.col("event_type") == "click", F.lit("30 minutes"))
+           .otherwise(F.lit("15 minutes")))
+    return (ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events"))

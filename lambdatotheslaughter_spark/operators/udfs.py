@@ -174,7 +174,7 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ARROW_MAP_ORACLE = """
 SELECT l_orderkey, l_linenumber,
-       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
 FROM lineitem WHERE l_orderkey < 1000
 """
 
@@ -187,8 +187,9 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     boxing; the right tier when the logic is columnar arithmetic but must
     live in Python, e.g. calling a C library with an Arrow interface).
     The charge expression evaluates in float64 with a fixed op order, so
-    it is bit-identical to the SQL oracle's, then 6-dp rounded by the
-    shared discipline. Capped input like the other §2.11 surface demos."""
+    it is bit-identical to the SQL oracle's and ships UNROUNDED (pyarrow's
+    round scales differently from DuckDB's and lands 1 ulp off). Capped
+    input like the other §2.11 surface demos."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -197,10 +198,12 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             p = batch.column("l_extendedprice")
             d = batch.column("l_discount")
             t = batch.column("l_tax")
-            charge = pc.round(
-                pc.multiply(pc.multiply(p, pc.subtract(pa.scalar(1.0), d)),
-                            pc.add(pa.scalar(1.0), t)),
-                ndigits=6)
+            # UNROUNDED by design: the product evaluates in float64 with
+            # a fixed op order, bit-identical to the SQL oracle's — while
+            # pc.round's scaling algorithm lands 1 ulp off DuckDB's round
+            # on some values (caught by the bit-strict parity replica)
+            charge = pc.multiply(pc.multiply(p, pc.subtract(pa.scalar(1.0), d)),
+                                 pc.add(pa.scalar(1.0), t))
             yield pa.RecordBatch.from_arrays(
                 [batch.column("l_orderkey"), batch.column("l_linenumber"),
                  charge],
