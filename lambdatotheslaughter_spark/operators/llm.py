@@ -2877,7 +2877,12 @@ def llm_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     fp = F.md5(F.array_join(
         F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 8), " "))
-    keyed = d.select("doc_id", fp.alias("fp"))
+    # fingerprint the corpus ONCE: six downstream aggregate branches fan
+    # out from keyed, and without this each re-scans the parquet and
+    # re-hashes (METRICS.md showed a 12x input-bytes blowup). In
+    # production keyed IS a stored table (the fp index), so the
+    # checkpoint mirrors the real shape, not just a local fix.
+    keyed = d.select("doc_id", fp.alias("fp")).localCheckpoint(eager=True)
     existing = keyed.where(F.col("doc_id") % 2 == 0).select("fp").distinct()
     incoming = keyed.where(F.col("doc_id") % 2 == 1)
 
