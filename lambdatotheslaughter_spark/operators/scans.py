@@ -1028,3 +1028,76 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             .agg(F.count(F.lit(1)).alias("n_events"),
                  dsum("value").alias("sum_value"))
             .withColumn("event_date", F.col("event_date").cast("string")))
+
+
+_BINARY_FILES_ORACLE = """
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS payload_len,
+       md5(text) AS payload_md5
+FROM documents WHERE doc_id % 100 = 0
+"""
+
+
+@register("source_binary_files", oracle=_BINARY_FILES_ORACLE)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source — THE multimodal ingestion path: a directory
+    of opaque media files becomes (path, length, content) rows with the
+    payload as a BinaryType column, which is exactly where the
+    llm_multimodal_* family picks up (decode → features → embed). The
+    fixture materializes every 100th document's text as a standalone
+    .bin file (fingerprint-cached); the read-back must reproduce each
+    payload byte-exactly — verified by length + md5 of the content
+    column against the source table. At 100 TB the reader lists once and
+    streams file bytes per task (one row per file; `pathGlobFilter` and
+    partitioned directory layouts bound the listing), and the binary
+    column feeds Arrow batches without copies."""
+    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") % 100 == 0)
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        for r in d.select("doc_id", "text").collect():
+            with open(os.path.join(tmp, f"{r.doc_id:012d}.bin"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+
+    root = _cached_dataset("doc_binfiles", sf_dir, "documents", build)
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.bin").load(root))
+    return files.select(
+        F.regexp_extract(F.col("path"), r"(\d{12})\.bin$", 1)
+        .cast("bigint").alias("doc_id"),
+        F.col("length").cast("bigint").alias("payload_len"),
+        F.md5("content").alias("payload_md5"))
+
+
+_CORRUPT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderkey % 2 = 0
+"""
+
+
+@register("scan_ignore_corrupt_files", oracle=_CORRUPT_ORACLE)
+def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file resilience: a dataset directory containing one file
+    of garbage bytes next to the good parquet — the operational reality
+    of any large lake (truncated uploads, torn writes, bit rot). With
+    `spark.sql.files.ignoreCorruptFiles` the scan logs and SKIPS the
+    unreadable file instead of killing the job; the result is exactly
+    the good files' content (oracle = the even-keyed half that was
+    written as real parquet). The conf is set per-READ via the
+    DataFrameReader option, not session-wide — silently skipping corrupt
+    data is a per-job decision (a backfill wants the failure; a
+    best-effort report wants the skip)."""
+    o = load_table(spark, "orders", sf_dir)
+
+    def build(tmp: str) -> None:
+        (o.where(F.col("o_orderkey") % 2 == 0)
+         .write.mode("overwrite").parquet(tmp))
+        with open(os.path.join(tmp, "part-corrupt.parquet"), "wb") as f:
+            f.write(b"PAR1 this is not a parquet file \x00\xff" * 64)
+
+    root = _cached_dataset("orders_with_corrupt", sf_dir, "orders", build)
+    good = (spark.read.option("ignoreCorruptFiles", "true")
+            .schema(o.schema).parquet(root))
+    return good.agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("o_orderkey").cast("bigint").alias("key_sum"))

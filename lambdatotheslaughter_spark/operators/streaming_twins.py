@@ -530,12 +530,17 @@ def stream_session_window_dynamic_gap(spark: SparkSession,
     event can outlast its successor), so it uses the running MAX of
     prior interval ends — new session iff ts >= that max. Same single
     (user, time) shuffle shape as the static twin; streaming-safe (state
-    per open session, watermark-evictable)."""
-    ev = load_table(spark, "events", sf_dir)
+    per open session, watermark-evictable — the live form runs in
+    tests/test_streaming.py over the same shared dataflow)."""
+    return dynamic_gap_session_agg(load_table(spark, "events", sf_dir))
+
+
+def dynamic_gap_session_agg(events: DataFrame) -> DataFrame:
+    """Shared by the batch twin and the live micro-batch test."""
     gap = (F.when(F.col("event_type") == "view", F.lit("45 minutes"))
            .when(F.col("event_type") == "click", F.lit("30 minutes"))
            .otherwise(F.lit("15 minutes")))
-    return (ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+    return (events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
             .agg(F.count(F.lit(1)).alias("n_events"))
             .select("user_id", F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"), "n_events"))

@@ -424,3 +424,16 @@ def test_topk_per_window_twin(spark, harness):
         tw.topk_per_window(
             tw.windowed_counts(load_table(spark, "events", SMOKE_SF_DIR))),
         "topk_per_window")
+
+
+def test_session_window_dynamic_gap_twin(spark, harness):
+    """Live micro-batch run of the PER-EVENT-gap sessionization must equal
+    its batch twin — the dynamic gap exercises session-merge logic the
+    constant-gap test can't (merging decisions depend on each buffered
+    event's own horizon, so state merges across micro-batches are
+    gap-heterogeneous)."""
+    out = harness.run(tw.dynamic_gap_session_agg, output_mode="complete")
+    _assert_same(out,
+                 tw.dynamic_gap_session_agg(
+                     load_table(spark, "events", SMOKE_SF_DIR)),
+                 "session_window_dynamic_gap")
