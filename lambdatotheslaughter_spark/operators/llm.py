@@ -3159,3 +3159,66 @@ def llm_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recall_share"),
         F.round(F.col("n").cast("double") / F.sum("n").over(w_p), 6)
         .alias("precision_share"))
+
+
+_SPLIT_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         md5(array_to_string(string_split(lower(trim(text)), ' ')[1:8], ' ')) AS fp
+  FROM documents
+), assigned AS (
+  SELECT doc_id, n_chars, fp,
+         CAST(concat('0x', substring(md5(concat('split:', fp)), 1, 15))
+              AS BIGINT) % 1000 AS bucket
+  FROM keyed
+), labeled AS (
+  SELECT doc_id, n_chars, fp,
+         CASE WHEN bucket < 800 THEN 'train'
+              WHEN bucket < 900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM assigned
+), leak AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaked FROM (
+    SELECT fp FROM labeled GROUP BY fp HAVING COUNT(DISTINCT split) > 1)
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(n_chars) AS BIGINT) AS char_sum,
+       (SELECT n_leaked FROM leak) AS n_leaked_fp
+FROM labeled GROUP BY split
+"""
+
+
+@register("llm_split_train_val_test", oracle=_SPLIT_ORACLE)
+def llm_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split — keyed on the CONTENT
+    fingerprint, not the doc id: exact-duplicate documents hash to the
+    same bucket and therefore the same split, so duplicated text can
+    never leak from train into test (the id-keyed split every naive
+    pipeline starts with has exactly that leak; this corpus has real
+    duplicates, so the distinction is live). The split is a pure
+    map-side md5-permille filter — reproducible under retry, no rand(),
+    the llm_sample_stratified discipline — and the output carries
+    n_leaked_fp, the count of fingerprints straddling splits, which the
+    construction forces to ZERO and the oracle re-derives independently.
+    At 100 TB: zero shuffles for assignment; the leak audit is one
+    fp-keyed map-side-combinable groupBy."""
+    d = load_table(spark, "documents", sf_dir)
+    fp = F.md5(F.array_join(
+        F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 8), " "))
+    bucket = F.pmod(md5_int60(F.concat(F.lit("split:"), F.col("fp"))),
+                    F.lit(1000))
+    labeled = (d.select("doc_id", "n_chars", fp.alias("fp"))
+               .withColumn("split",
+                           F.when(bucket < 800, "train")
+                           .when(bucket < 900, "val")
+                           .otherwise("test")))
+    leak = (labeled.groupBy("fp")
+            .agg(F.countDistinct("split").alias("ns"))
+            .where(F.col("ns") > 1)
+            .agg(F.count(F.lit(1)).alias("n_leaked_fp")))
+    return (labeled.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").cast("bigint").alias("id_sum"),
+                 F.sum("n_chars").cast("bigint").alias("char_sum"))
+            .crossJoin(leak))
