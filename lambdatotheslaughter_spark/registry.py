@@ -84,13 +84,19 @@ _loaded = False
 # llm_dedup_bloom_prefilter, stream_interval_join_outer,
 # scan_incremental_manifest_diff, join_asof_nearest_tolerance,
 # scan_count_metadata_only, scan_cached_view_reuse,
-# join_scd2_point_in_time, llm_quality_filter_stack — forty-four in all
-# (scan_metadata_columns, llm_tokenizer_bpe_train, agg_quantile_sketch,
+# join_scd2_point_in_time, llm_quality_filter_stack,
+# scan_dynamic_partition_pruning, llm_lang_id_confusion,
+# sql_recursive_cte, sql_pipe_syntax, source_python_datasource,
+# udf_map_in_arrow, udtf_dynamic_schema, source_python_datasource_stream,
+# stream_session_window_dynamic_gap, sql_parameterized, df_transpose,
+# source_binary_files, scan_ignore_corrupt_files,
+# llm_split_train_val_test — fifty-eight in all (scan_metadata_columns,
+# llm_tokenizer_bpe_train, agg_quantile_sketch,
 # agg_sketch_set_intersection, llm_embedding_pca_project, and
 # llm_tokenizer_bpe_apply are rows-only by design and need no slot);
-# that fills most of one 50-slot window, so take (b) round-2-window keys
-# for re-confirmation (oldest verification first) only for the remaining
-# slots.
+# that OVERFILLS one 50-slot window: fill round 4 with the first fifty
+# in the order above and spill the remainder (plus any re-confirmation
+# backfill) into round 5.
 # Update tests/test_survey_coverage.py's pinned window when rotating.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # sources / sinks / physical layout (§2.12 round-2 additions)
