@@ -527,12 +527,17 @@ FROM orders
 """
 
 
-def _orders_manifest_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Two-commit manifest table shared by scan_time_travel_manifest and
-    scan_incremental_manifest_diff: commit 1 = even-keyed orders, commit 2
-    appends the odd-keyed batch as new immutable files; manifest_v{1,2}
-    list the files visible in each snapshot, paths relative to the table
-    root (the cache dir is renamed into place after build)."""
+def _orders_manifest_fixture(spark: SparkSession, sf_dir: str,
+                             tag: str = "orders_manifest_tt",
+                             n_orphans: int = 0) -> str:
+    """Two-commit manifest table shared by scan_time_travel_manifest,
+    scan_incremental_manifest_diff, and scan_vacuum_orphan_files:
+    commit 1 = even-keyed orders, commit 2 appends the odd-keyed batch as
+    new immutable files; manifest_v{1,2} list the files visible in each
+    snapshot, paths relative to the table root (the cache dir is renamed
+    into place after build). ``n_orphans`` plants that many unreferenced
+    .tmp files beside commit 1 — failed-writer debris for the vacuum op
+    (a distinct ``tag`` keeps orphan-bearing fixtures separate)."""
     import glob
     import json
 
@@ -551,8 +556,12 @@ def _orders_manifest_fixture(spark: SparkSession, sf_dir: str) -> str:
                            "files": [os.path.basename(os.path.dirname(p))
                                      + "/" + os.path.basename(p)
                                      for p in files]}, f)
+        for i in range(n_orphans):
+            with open(os.path.join(tmp, "data_c1", f"orphan-{i:02d}.tmp"),
+                      "wb") as f:
+                f.write(b"\x00" * 128)
 
-    return _cached_dataset("orders_manifest_tt", sf_dir, "orders", build)
+    return _cached_dataset(tag, sf_dir, "orders", build)
 
 
 def _manifest_files(root: str, version: int) -> list[str]:
@@ -1101,3 +1110,52 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             .schema(o.schema).parquet(root))
     return good.agg(F.count(F.lit(1)).alias("n_rows"),
                     F.sum("o_orderkey").cast("bigint").alias("key_sum"))
+
+
+_VACUUM_ORACLE = """
+SELECT CAST(2 AS BIGINT) AS n_orphans,
+       'orphan-00.tmp,orphan-01.tmp' AS orphan_names,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_live_rows,
+       (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders) AS live_key_sum
+"""
+
+
+@register("scan_vacuum_orphan_files", oracle=_VACUUM_ORACLE)
+def scan_vacuum_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM (dry run) — the missing quarter of the manifest lifecycle
+    (commit → time travel → incremental diff → vacuum): list the table
+    directory, subtract every file any manifest references, and report
+    the ORPHANS — debris from failed/abandoned writes that directory
+    listing sees but no snapshot does. Orphans are exactly why
+    manifest-planned reads are load-bearing: a reader that globbed the
+    directory would silently include them. The fixture plants two
+    orphan .tmp files beside a committed two-snapshot orders table; the
+    audit must name precisely those two AND prove the live table is
+    untouched (row count + key checksum via the v2 manifest read).
+    Deliberately a DRY RUN: the deletion itself is a trivial `rm` per
+    name, and a registered query must not mutate shared fixtures. At
+    100 TB the listing is the expensive half — it shards by directory
+    prefix; the manifest side is metadata."""
+    import glob
+
+    o = load_table(spark, "orders", sf_dir)
+    root = _orders_manifest_fixture(spark, sf_dir,
+                                    tag="orders_manifest_vacuum",
+                                    n_orphans=2)
+    referenced = set()
+    for v in (1, 2):
+        referenced.update(_manifest_files(root, v))
+    on_disk = set()
+    for sub in ("data_c1", "data_c2"):
+        for p in glob.glob(os.path.join(root, sub, "*")):
+            if not os.path.basename(p).startswith(("_", ".")):
+                on_disk.add(f"{sub}/{os.path.basename(p)}")
+    orphans = sorted(os.path.basename(p) for p in on_disk - referenced)
+    live_paths = [os.path.join(root, rel) for rel in _manifest_files(root, 2)]
+    live = spark.read.schema(o.schema).parquet(*live_paths).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_live_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("live_key_sum"))
+    return live.select(
+        F.lit(len(orphans)).cast("bigint").alias("n_orphans"),
+        F.lit(",".join(orphans)).alias("orphan_names"),
+        "n_live_rows", "live_key_sum")
