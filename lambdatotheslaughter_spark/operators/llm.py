@@ -1961,7 +1961,7 @@ WITH dims AS (
   FROM dims GROUP BY label, dim
 )
 SELECT vec_id, label,
-       round(CAST(SUM(CAST((v - c) * (v - c) AS DECIMAL(38,6))) AS DOUBLE), 4)
+       CAST(SUM(CAST((v - c) * (v - c) AS DECIMAL(38,6))) AS DOUBLE)
          AS sq_dist_to_centroid
 FROM dims JOIN centroid USING (label, dim)
 GROUP BY vec_id, label
@@ -1974,8 +1974,8 @@ def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     label's centroid — the mislabeled/garbage-embedding detector that runs
     before clustering or ANN-index builds. Centroids are per-dimension
     decimal-space means (order-independent, so both engines agree
-    bit-for-bit before the final rounding); distances sum in decimal space
-    too.
+    bit-for-bit); distances sum in decimal space too and ship unrounded —
+    the exact decimal → double cast is already deterministic.
 
     Scale shape: centroids aggregate to labels×dims rows — tiny however
     big the corpus — and broadcast back; the per-vector distance is then a
@@ -1994,7 +1994,13 @@ def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dims.join(F.broadcast(centroid), ["label", "dim"])
         .groupBy("vec_id", "label")
-        .agg(F.round(F.sum((diff * diff).cast(DEC)).cast("double"), 4)
+        # UNROUNDED on purpose: the decimal(38,6) sum is already exact and
+        # bit-identical in both engines; a second round(x, 4) on the double
+        # reintroduced a .XXXX50-boundary coin flip (Spark rounds the
+        # shortest decimal repr HALF_UP, DuckDB rounds the binary double) —
+        # one sf0.1 row landed exactly on 1.001850 and flaked the parity
+        # sweep. Casting the exact decimal to double is deterministic.
+        .agg(F.sum((diff * diff).cast(DEC)).cast("double")
               .alias("sq_dist_to_centroid"))
     )
 
