@@ -1524,3 +1524,33 @@ def df_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sum("n_nationkey").cast("double").alias("key_sum"))
          .orderBy("r_name"))
     return m.transpose(F.col("r_name"))
+
+
+@register("agg_sliding_distinct_hll", oracle=None)
+def agg_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from PERSISTED per-day HLL
+    sketches — the approximate twin of agg_sliding_distinct_users and
+    the shape that actually survives 100 TB of history: the exact op
+    re-reads 7 days of raw (day, user) observations per answer, while
+    this one stores ONE mergeable sketch per day (a few KB) and answers
+    any trailing window by unioning ≤7 sketches. The union runs as a
+    bounded range join against the days-sized sketch store (7 tiny rows
+    per output day — the raw events never move), so re-answering a year
+    of rolling MAU touches 365 sketches, not the lake.
+
+    Rows-only by design (HLL estimates are approximate); the pytest gate
+    pins every day's estimate within ±5% of the exact op's answer and
+    determinism across runs (sketches are deterministic for a given
+    input set). Day emitted as ISO string like the exact twin."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = (ev.select(F.to_date("ts").alias("day"), "user_id")
+             .groupBy("day")
+             .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    a, b = daily.alias("a"), daily.alias("b")
+    return (a.join(b, (F.col("b.day") <= F.col("a.day"))
+                   & (F.col("b.day") >= F.date_sub(F.col("a.day"), 6)))
+            .groupBy(F.col("a.day").alias("t_day"))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("b.sk")))
+                 .cast("bigint").alias("n_users_7d_est"))
+            .select(F.col("t_day").cast("string").alias("t_day"),
+                    "n_users_7d_est"))

@@ -544,3 +544,37 @@ def dynamic_gap_session_agg(events: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"))
             .select("user_id", F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"), "n_events"))
+
+
+@register("sink_stream_to_table", oracle=_TUMBLING_ORACLE)
+def sink_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming into a CATALOG table (`writeStream.toTable`) — the
+    managed serving-layer streaming sink: where sink_stream_console_memory
+    lands in session-scoped memory, this commits micro-batches into a
+    warehouse table other sessions and batch jobs can read by name (the
+    Hive/Kudu serving-table analog, reached directly from the stream
+    instead of via foreachBatch). A parquet-backed catalog table only
+    supports APPEND mode, which forces the production split: the stream
+    appends immutable raw micro-batches into the table (the master-
+    dataset ingest), and the aggregate runs at READ time through the
+    catalog — exactly the lambda batch-layer contract, and the appended
+    table provably converges to the same oracle as the batch twin.
+    Fresh table + checkpoint per run, dropped after the read-back."""
+    import shutil
+    import uuid
+
+    from lambdatotheslaughter_spark.tables import events_reader
+
+    run = uuid.uuid4().hex[:8]
+    table = f"lts_stream_serving_{run}"
+    ckpt = f"/tmp/lts_ckpt_{table}"
+    src = events_reader(spark, sf_dir, streaming=True)
+    q = (src.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .toTable(table))
+    q.awaitTermination(timeout=300)
+    out = tumbling_agg(spark.table(table)).localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

@@ -575,3 +575,23 @@ def test_bpe_apply_matches_reference_encoder(spark):
         n_syms = sum(len(vocab[w]) for w in ws)
         exp = (n_words, n_syms, round(n_syms / n_words, 6))
         assert got[doc_id] == exp, f"doc {doc_id}: {got[doc_id]} != {exp}"
+
+
+def test_sliding_hll_tracks_exact_within_5pct(spark):
+    """agg_sliding_distinct_hll (per-day persisted sketches, trailing
+    union) must track the exact contribute-then-count answer within ±5%
+    on EVERY day, and repeat exactly across runs."""
+    from lambdatotheslaughter_spark import registry
+    from tests.conftest import SF_DIR
+
+    est_fn = registry.get("agg_sliding_distinct_hll").fn
+    est = {r.t_day: r.n_users_7d_est for r in est_fn(spark, SF_DIR).collect()}
+    exact = {r.t_day: r.n_users_7d
+             for r in registry.get("agg_sliding_distinct_users")
+             .fn(spark, SF_DIR).collect()}
+    assert set(est) == set(exact)
+    for day, n in exact.items():
+        assert abs(est[day] - n) <= max(1, 0.05 * n), \
+            f"{day}: est {est[day]} vs exact {n}"
+    again = {r.t_day: r.n_users_7d_est for r in est_fn(spark, SF_DIR).collect()}
+    assert again == est, "sketch estimates not deterministic"
