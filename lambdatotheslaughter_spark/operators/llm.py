@@ -3228,3 +3228,70 @@ def llm_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("doc_id").cast("bigint").alias("id_sum"),
                  F.sum("n_chars").cast("bigint").alias("char_sum"))
             .crossJoin(leak))
+
+
+_URL_CANON_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://site-' || CAST((doc_id // 4) % 20 AS VARCHAR)
+                       || '.example.com/page/' || CAST(doc_id // 4 AS VARCHAR)
+           WHEN 1 THEN 'https://site-' || CAST((doc_id // 4) % 20 AS VARCHAR)
+                       || '.example.com/page/' || CAST(doc_id // 4 AS VARCHAR)
+                       || '?utm_source=feed&utm_campaign=x'
+           WHEN 2 THEN 'https://SITE-' || CAST((doc_id // 4) % 20 AS VARCHAR)
+                       || '.EXAMPLE.COM/page/' || CAST(doc_id // 4 AS VARCHAR)
+                       || '/'
+           ELSE 'https://site-' || CAST((doc_id // 4) % 20 AS VARCHAR)
+                       || '.example.com/page/' || CAST(doc_id // 4 AS VARCHAR)
+                       || '?utm_medium=y#section-2'
+         END AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_replace(url, '[?#].*$', '')),
+                        '/$', '') AS curl
+  FROM u
+)
+SELECT curl AS canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM canon GROUP BY curl
+"""
+
+
+@register("llm_dedup_url_canonical", oracle=_URL_CANON_ORACLE)
+def llm_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the cheapest, highest-yield dedup in
+    any crawl pipeline and the one that runs BEFORE content hashing:
+    the same logical page arrives under tracking-parameter, host-case,
+    trailing-slash, and fragment variants (synthesized here: four
+    consecutive doc_ids share one logical page id, each dressed
+    differently), and
+    canonicalizing — strip query+fragment, lowercase, strip trailing
+    slash — collapses them without reading a byte of page content.
+    Map-side regex chain + one groupBy on the canonical key; keeper =
+    min doc_id per group (deterministic survivor). Keeping the regexes
+    dialect-portable lets the oracle run the IDENTICAL normalization —
+    the canonical-form definition, not just the counts, is what's
+    cross-checked."""
+    d = load_table(spark, "documents", sf_dir)
+    page = F.floor(F.col("doc_id") / 4).cast("long")
+    site = (page % 20).cast("string")
+    base = F.concat(F.lit("https://site-"), site, F.lit(".example.com/page/"),
+                    page.cast("string"))
+    base_up = F.concat(F.lit("https://SITE-"), site,
+                       F.lit(".EXAMPLE.COM/page/"), page.cast("string"))
+    url = (F.when(F.col("doc_id") % 4 == 0, base)
+           .when(F.col("doc_id") % 4 == 1,
+                 F.concat(base, F.lit("?utm_source=feed&utm_campaign=x")))
+           .when(F.col("doc_id") % 4 == 2, F.concat(base_up, F.lit("/")))
+           .otherwise(F.concat(base, F.lit("?utm_medium=y#section-2"))))
+    canon = F.regexp_replace(
+        F.lower(F.regexp_replace(url, r"[?#].*$", "")), r"/$", "")
+    return (d.select("doc_id", canon.alias("curl"))
+            .groupBy(F.col("curl").alias("canonical_url"))
+            .agg(F.count(F.lit(1)).alias("n_variants"),
+                 F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+                 F.sum("doc_id").cast("bigint").alias("id_sum")))
