@@ -90,10 +90,12 @@ _loaded = False
 # udf_map_in_arrow, udtf_dynamic_schema, source_python_datasource_stream,
 # stream_session_window_dynamic_gap, sql_parameterized, df_transpose,
 # source_binary_files, scan_ignore_corrupt_files,
-# llm_split_train_val_test — fifty-eight in all (scan_metadata_columns,
-# llm_tokenizer_bpe_train, agg_quantile_sketch,
-# agg_sketch_set_intersection, llm_embedding_pca_project, and
-# llm_tokenizer_bpe_apply are rows-only by design and need no slot);
+# llm_split_train_val_test, scan_vacuum_orphan_files,
+# sink_stream_to_table, llm_dedup_url_canonical — sixty-one in all
+# (scan_metadata_columns, llm_tokenizer_bpe_train, agg_quantile_sketch,
+# agg_sketch_set_intersection, llm_embedding_pca_project,
+# llm_tokenizer_bpe_apply, and agg_sliding_distinct_hll are rows-only by
+# design and need no slot);
 # that OVERFILLS one 50-slot window: fill round 4 with the first fifty
 # in the order above and spill the remainder (plus any re-confirmation
 # backfill) into round 5.
