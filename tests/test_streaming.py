@@ -437,3 +437,97 @@ def test_session_window_dynamic_gap_twin(spark, harness):
                  tw.dynamic_gap_session_agg(
                      load_table(spark, "events", SMOKE_SF_DIR)),
                  "session_window_dynamic_gap")
+
+
+def test_timer_based_sessionizer_converges(spark, harness):
+    """State-store TIMERS — the one stateful-streaming feature no other
+    test touches: a hand-rolled sessionizer in applyInPandasWithState
+    with EventTimeTimeout. State holds the user's OPEN sessions (packed
+    arrays); each invocation merges new events, splits on the 30-min
+    gap, and closes exactly the sessions whose end + gap the current
+    WATERMARK has passed (anything older arrives as droppable late
+    data, so no event can extend them); the event-time timer re-arms on
+    the earliest open end so silent users still close via the timeout
+    path. Sessions provably closable before the last batch's watermark
+    must all be emitted and match the session_window twin row-for-row;
+    later sessions legitimately remain buffered at shutdown."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    GAP_MS = 30 * 60 * 1000
+
+    def sessionize(s):
+        def fn(key, pdf_iter, state):
+            wm = state.getCurrentWatermarkMs()
+            sessions = []
+            if state.exists:
+                starts, ends, ns = state.get
+                sessions = list(zip(starts, ends, ns))
+            ts_ms = []
+            for pdf in pdf_iter:
+                ts_ms.extend(int(t.value // 1_000_000)
+                             for t in pd.to_datetime(pdf["ts"]))
+            for t in sorted(ts_ms):
+                if sessions and t <= sessions[-1][1] + GAP_MS:
+                    st, en, n = sessions[-1]
+                    sessions[-1] = (st, max(en, t), n + 1)
+                else:
+                    sessions.append((t, t, 1))
+            sessions.sort()
+            closed = [x for x in sessions if x[1] + GAP_MS <= wm]
+            open_ = [x for x in sessions if x[1] + GAP_MS > wm]
+            if open_:
+                state.update(([x[0] for x in open_], [x[1] for x in open_],
+                              [x[2] for x in open_]))
+                state.setTimeoutTimestamp(open_[0][1] + GAP_MS)
+            elif state.exists:
+                state.remove()
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(closed),
+                "session_start_ms": [x[0] for x in closed],
+                "session_end_ms": [x[1] + GAP_MS for x in closed],
+                "n_events": [x[2] for x in closed]}).astype(
+                {"user_id": "int64", "session_start_ms": "int64",
+                 "session_end_ms": "int64", "n_events": "int64"})
+
+        return (s.withWatermark("ts", "1 hour")
+                .groupBy("user_id")
+                .applyInPandasWithState(
+                    fn,
+                    outputStructType=("user_id bigint, session_start_ms bigint, "
+                                      "session_end_ms bigint, n_events bigint"),
+                    stateStructType=("starts array<bigint>, ends array<bigint>, "
+                                     "ns array<bigint>"),
+                    outputMode="append",
+                    timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+    live = harness.run(sessionize, output_mode="append").toPandas()
+    prog = harness.last_query.recentProgress
+    wms = [p["eventTime"].get("watermark") for p in prog
+           if p.get("eventTime", {}).get("watermark")]
+    assert wms, "no watermark in progress"
+
+    def to_ms(w):
+        return int(pd.Timestamp(w.replace("T", " ").replace("Z", "")).value
+                   // 1_000_000)
+
+    wm_final = to_ms(wms[-1])
+    wm_prev = to_ms(wms[-2]) if len(wms) > 1 else 0
+
+    twin = tw.session_window_agg(
+        load_table(spark, "events", SMOKE_SF_DIR)).toPandas()
+    twin["start_ms"] = pd.to_datetime(twin.session_start).astype("int64") // 1_000_000
+    twin["end_ms"] = pd.to_datetime(twin.session_end).astype("int64") // 1_000_000
+
+    def rows(df, cols):
+        return set(map(tuple, df[cols].astype("int64")
+                       .itertuples(index=False, name=None)))
+
+    got = rows(live, ["user_id", "session_start_ms", "session_end_ms",
+                      "n_events"])
+    twin_all = rows(twin, ["user_id", "start_ms", "end_ms", "n_events"])
+    must_close = rows(twin[twin.end_ms <= wm_prev],
+                      ["user_id", "start_ms", "end_ms", "n_events"])
+    assert got <= twin_all, f"spurious sessions: {sorted(got - twin_all)[:3]}"
+    assert len(must_close) > 0, "no provably-closable sessions — harness broken"
+    missing = must_close - got
+    assert not missing, f"closable sessions never emitted: {sorted(missing)[:3]}"
