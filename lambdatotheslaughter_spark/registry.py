@@ -51,85 +51,55 @@ _MODULES = (
 _loaded = False
 
 # Driver-slot ordering. The driver's CORRECTNESS report verifies the FIRST
-# 50 entries of ``queries()`` (dict insertion order) per round. Round 1
-# covered the relational core; round 2 rotated in a disjoint window
-# (functions tail, streaming, udfs, llm core, skew, extras) — 100 distinct
-# queries driver-verified across r1+r2, zero failures. ROUND 3 (this list)
-# rotates in the 43 oracled keys that have never held a driver slot (all
-# of §2.12's round-2 additions plus set_intersect_all/set_except_all/
-# stream_upsert_latest), backfilled to 50 with seven round-1 relational
-# keys for re-confirmation. Everything else follows in registration order
-# and stays covered by tests/test_oracle_parity.py, the in-repo replica of
-# the driver's DuckDB check. Rows-only-by-design ops (llm_sim_lsh_approx,
+# 50 entries of ``queries()`` (dict insertion order) per round. Rounds 1-3
+# rotated three disjoint windows through the relational core, the
+# streaming/udf/llm families, and §2.12's round-2 additions — 143 distinct
+# keys driver-verified across r1-r3 with zero hash failures. ROUND 4 (this
+# list) rotates in the first FIFTY of the sixty-one oracled keys that were
+# registered during round 3 and have never held a driver slot, in
+# registration order. Everything else follows in registration order and
+# stays covered by tests/test_oracle_parity.py, the in-repo replica of the
+# driver's DuckDB check. Rows-only-by-design ops (llm_sim_lsh_approx,
 # llm_sim_ann_ivf, llm_multimodal_decode, agg_approx_distinct,
-# agg_distinct_sketch_rollup) are deliberately NOT listed — a driver slot
-# adds nothing over their pytest determinism/recall gates.
+# agg_distinct_sketch_rollup, scan_metadata_columns, llm_tokenizer_bpe_train,
+# llm_tokenizer_bpe_apply, agg_quantile_sketch, agg_sketch_set_intersection,
+# llm_embedding_pca_project, agg_sliding_distinct_hll) are deliberately NOT
+# listed — a driver slot adds nothing over their pytest
+# determinism/recall/tolerance gates.
 #
-# ROUND 4 ROTATION PLAN: after r3 lands green, every oracled key
-# registered up to round 2 will have at least one hard CORRECTNESS row.
-# Fill round 4's window with (a) the TWENTY-SIX oracled keys added during
-# round 3 — sink_compaction_small_files, scan_time_travel_manifest,
-# agg_sliding_distinct_users, type_struct_nested, llm_dedup_incremental,
-# ts_ohlc_resample, scan_observe_quality, scd2_dimension_merge,
-# sub_exists_not_exists, llm_dedup_incremental_fuzzy,
-# join_runtime_bloom_filter, str_collation_lcase, join_interval_binned,
-# cdc_apply_changelog, agg_listagg_ordered, win_moving_median,
-# str_url_parse, sub_in_not_in, join_lateral_topn, ts_ewma_bounded,
-# math_try_arith, llm_lm_score_bigram, source_text_lines,
-# win_nth_value, sql_report_cte_chain, llm_multimodal_pipeline,
-# plus the late-round-3 additions scan_position_deletes,
-# sink_zorder_interleave, graph_pagerank_fixed, agg_freq_sketch_cms,
-# llm_dedup_containment, ts_anomaly_zscore, llm_embed_quantize_int8,
-# llm_sim_knn_quantized, stream_topk_per_window, llm_dedup_span_exact,
-# llm_dedup_bloom_prefilter, stream_interval_join_outer,
-# scan_incremental_manifest_diff, join_asof_nearest_tolerance,
-# scan_count_metadata_only, scan_cached_view_reuse,
-# join_scd2_point_in_time, llm_quality_filter_stack,
-# scan_dynamic_partition_pruning, llm_lang_id_confusion,
-# sql_recursive_cte, sql_pipe_syntax, source_python_datasource,
-# udf_map_in_arrow, udtf_dynamic_schema, source_python_datasource_stream,
+# ROUND 5 ROTATION PLAN: the 11 round-3 keys that overfilled this window —
+# udtf_dynamic_schema, source_python_datasource_stream,
 # stream_session_window_dynamic_gap, sql_parameterized, df_transpose,
-# source_binary_files, scan_ignore_corrupt_files,
-# llm_split_train_val_test, scan_vacuum_orphan_files,
-# sink_stream_to_table, llm_dedup_url_canonical — sixty-one in all
-# (scan_metadata_columns, llm_tokenizer_bpe_train, agg_quantile_sketch,
-# agg_sketch_set_intersection, llm_embedding_pca_project,
-# llm_tokenizer_bpe_apply, and agg_sliding_distinct_hll are rows-only by
-# design and need no slot);
-# that OVERFILLS one 50-slot window: fill round 4 with the first fifty
-# in the order above and spill the remainder (plus any re-confirmation
-# backfill) into round 5.
+# source_binary_files, scan_ignore_corrupt_files, llm_split_train_val_test,
+# scan_vacuum_orphan_files, sink_stream_to_table, llm_dedup_url_canonical —
+# go first, then any oracled keys added during round 4, then
+# re-confirmation backfill from the r1/r2 windows. After r5 every oracled
+# key in the repo has at least one hard CORRECTNESS row.
 # Update tests/test_survey_coverage.py's pinned window when rotating.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # sources / sinks / physical layout (§2.12 round-2 additions)
-    "source_jsonl", "source_csv", "source_orc",
-    "sink_sorted_data_skipping", "scan_schema_evolution",
-    "sink_dynamic_partition_overwrite",
-    # types (§2.12)
-    "type_decimal_arith", "type_map_aggregate", "type_interval_arith",
-    "type_variant_json",
-    # set ops that missed the r1/r2 windows
-    "set_intersect_all", "set_except_all",
-    # aggregates (§2.12)
-    "agg_cube_grouping_id", "agg_rollup", "agg_minmax_by", "agg_corr_covar",
-    "agg_bitwise", "agg_boolean", "agg_multi_distinct",
-    # windows / shapes (§2.12)
-    "win_range_interval", "explode_posexplode", "str_regexp_extract_all",
-    "ts_interpolate_linear", "win_streaks_islands", "seq_pattern_match",
-    # streaming twins that missed the r2 window
-    "stream_interval_join", "stream_upsert_latest",
-    # joins / udf surface (§2.12)
-    "join_null_safe_eq", "udf_arrow_optimized",
-    # LLM curation ops (§2.12 round-2 additions)
-    "llm_sample_stratified", "llm_contamination_ngram", "llm_pack_sequences",
-    "llm_pii_scrub", "llm_repetition_score", "llm_domain_mix",
-    "llm_length_buckets", "llm_sim_radius_search", "llm_lm_score",
-    "llm_embedding_outliers", "llm_bm25_rank", "llm_token_entropy",
-    "llm_chunk_overlap", "llm_multimodal_embed",
-    # backfill: round-1 relational keys for re-confirmation (7 slots)
-    "scan_parquet", "join_inner_equi", "agg_pricing_summary",
-    "win_topk_per_group", "sort_multi_key_nulls", "set_union_all",
-    "str_basic",
+    # sources / sinks / physical layout (round-3 additions)
+    "sink_compaction_small_files", "scan_time_travel_manifest",
+    "agg_sliding_distinct_users", "type_struct_nested",
+    "llm_dedup_incremental", "ts_ohlc_resample", "scan_observe_quality",
+    "scd2_dimension_merge", "sub_exists_not_exists",
+    "llm_dedup_incremental_fuzzy", "join_runtime_bloom_filter",
+    "str_collation_lcase", "join_interval_binned", "cdc_apply_changelog",
+    "agg_listagg_ordered", "win_moving_median", "str_url_parse",
+    "sub_in_not_in", "join_lateral_topn", "ts_ewma_bounded",
+    "math_try_arith", "llm_lm_score_bigram", "source_text_lines",
+    "win_nth_value", "sql_report_cte_chain", "llm_multimodal_pipeline",
+    # late-round-3 additions
+    "scan_position_deletes", "sink_zorder_interleave",
+    "graph_pagerank_fixed", "agg_freq_sketch_cms", "llm_dedup_containment",
+    "ts_anomaly_zscore", "llm_embed_quantize_int8", "llm_sim_knn_quantized",
+    "stream_topk_per_window", "llm_dedup_span_exact",
+    "llm_dedup_bloom_prefilter", "stream_interval_join_outer",
+    "scan_incremental_manifest_diff", "join_asof_nearest_tolerance",
+    "scan_count_metadata_only", "scan_cached_view_reuse",
+    "join_scd2_point_in_time", "llm_quality_filter_stack",
+    "scan_dynamic_partition_pruning", "llm_lang_id_confusion",
+    "sql_recursive_cte", "sql_pipe_syntax", "source_python_datasource",
+    "udf_map_in_arrow",
 )
 
 

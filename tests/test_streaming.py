@@ -467,7 +467,10 @@ def test_timer_based_sessionizer_converges(spark, harness):
                 ts_ms.extend(int(t.value // 1_000_000)
                              for t in pd.to_datetime(pdf["ts"]))
             for t in sorted(ts_ms):
-                if sessions and t <= sessions[-1][1] + GAP_MS:
+                # strict <: session_window's windows are half-open
+                # [start, end+gap) — an event landing exactly on the
+                # boundary starts a NEW session in Spark's semantics
+                if sessions and t < sessions[-1][1] + GAP_MS:
                     st, en, n = sessions[-1]
                     sessions[-1] = (st, max(en, t), n + 1)
                 else:

@@ -67,11 +67,11 @@ def test_oracle_coverage_ratio():
 
 def test_driver_priority_window_is_fully_oracled():
     """The driver hash-verifies the FIRST 50 entries of queries() per round.
-    Round 3 rotates in every oracled key that never held a driver slot
-    (the 43 'pass (replica)' rows of VERDICT.md round 2); every slot must
-    carry an oracle (a rows-only op in the window wastes a verification
-    slot), every listed name must exist, and the window must contain every
-    §2 key that rounds 1-2 left replica-only."""
+    Round 4 rotates in the first fifty of the 61 oracled keys registered
+    during round 3 that never held a driver slot (VERDICT.md r3 'awaiting
+    r4 driver slot' rows); every slot must carry an oracle (a rows-only op
+    in the window wastes a verification slot), every listed name must
+    exist, and no key already driver-verified in r1-r3 may waste a slot."""
     qs = list(registry.all_queries())
     oracles = registry.all_oracles()
     prio = registry._DRIVER_PRIORITY
@@ -81,24 +81,12 @@ def test_driver_priority_window_is_fully_oracled():
     assert qs[:50] == list(prio), "queries() does not lead with the priority window"
     unoracled = [n for n in qs[:50] if n not in oracles]
     assert not unoracled, f"rows-only queries occupy driver slots: {unoracled}"
-    # §2 keys graded 'pass (replica; no driver slot yet)' in VERDICT.md r2
-    r2_replica_s2 = {
-        "set_intersect_all", "set_except_all", "stream_upsert_latest",
-        "llm_sample_stratified", "llm_contamination_ngram",
-        "llm_pack_sequences", "llm_pii_scrub", "type_decimal_arith",
-        "type_map_aggregate", "type_interval_arith", "type_variant_json",
-        "agg_cube_grouping_id", "stream_interval_join", "source_jsonl",
-        "source_csv", "source_orc", "sink_sorted_data_skipping",
-        "scan_schema_evolution", "sink_dynamic_partition_overwrite",
-        "agg_rollup", "agg_minmax_by", "agg_corr_covar",
-        "win_range_interval", "explode_posexplode", "str_regexp_extract_all",
-        "llm_repetition_score", "llm_domain_mix", "llm_length_buckets",
-        "llm_sim_radius_search", "llm_lm_score", "llm_embedding_outliers",
-        "agg_bitwise", "agg_boolean", "llm_bm25_rank", "llm_token_entropy",
-        "llm_chunk_overlap", "agg_multi_distinct", "llm_multimodal_embed",
-        "join_null_safe_eq", "udf_arrow_optimized", "ts_interpolate_linear",
-        "win_streaks_islands", "seq_pattern_match",
+    # Sanity: the window contains only keys with no prior hard CORRECTNESS
+    # row — spot-check a few keys known to be driver-green in r1-r3.
+    already_verified = {
+        "scan_parquet", "agg_pricing_summary", "join_inner_equi",
+        "llm_dedup_fuzzy_minhash", "source_jsonl", "type_decimal_arith",
+        "llm_sample_stratified", "win_topk_per_group",
     }
-    assert len(r2_replica_s2) == 43
-    uncovered = sorted(r2_replica_s2 - set(qs[:50]))
-    assert not uncovered, f"r2 replica-only §2 keys outside driver window: {uncovered}"
+    wasted = sorted(already_verified & set(qs[:50]))
+    assert not wasted, f"already driver-verified keys waste r4 slots: {wasted}"
