@@ -969,11 +969,23 @@ def scan_cached_view_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving queries (fleet-wide totals; the tie-pinned top customer) read
     the in-memory columnar copy instead of re-aggregating orders —
     `InMemoryTableScan` in both downstream plans is pinned in
-    tests/test_plans.py. The cache is executor-memory distributed (the
-    serving analog of a Kudu materialization), sized by the GROUP's
-    cardinality, not the fact table's; eviction hands back to recompute,
-    never to wrong answers."""
+    tests/test_plans.py (via revenue_serving_queries on a live cache).
+    The cache is executor-memory distributed (the serving analog of a
+    Kudu materialization), sized by the GROUP's cardinality, not the
+    fact table's; eviction hands back to recompute, never to wrong
+    answers. The registered op materializes the 1-row serving result
+    eagerly (localCheckpoint) and unpersists before returning, so a full
+    registry sweep does not leave the cached relation resident in
+    executor memory for the rest of the run."""
     rev = cached_revenue_view(spark, sf_dir)
+    res = revenue_serving_queries(rev).localCheckpoint(eager=True)
+    rev.unpersist()
+    return res
+
+
+def revenue_serving_queries(rev: DataFrame) -> DataFrame:
+    """Both downstream serving queries over the (persisted) revenue view —
+    shared by scan_cached_view_reuse and the InMemoryTableScan plan test."""
     totals = rev.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("rev_cents").cast("bigint").alias("total_rev_cents"),

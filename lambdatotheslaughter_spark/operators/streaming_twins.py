@@ -492,16 +492,19 @@ WITH g AS (
                          ELSE 900000000 END AS gap_us
   FROM events
 ), marked AS (
-  SELECT user_id, ts, gap_us,
+  SELECT user_id, event_id, ts, gap_us,
          MAX(epoch_us(ts) + gap_us) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
   FROM g
 ), numbered AS (
+  -- ORDER BY ts, event_id: BOTH windows must share one deterministic
+  -- total order, else a duplicate-ts boundary row can be numbered into
+  -- the wrong session (DuckDB's tie order is unspecified)
   SELECT user_id, ts, gap_us,
          SUM(CASE WHEN prev_end IS NULL
                     OR epoch_us(ts) >= prev_end THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS session_no
   FROM marked
 )

@@ -284,6 +284,7 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
     across process-restart boundaries for a from-scratch connector."""
     import glob as _glob
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -307,9 +308,18 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
              .writeStream.foreachBatch(sink)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination(timeout=120)
+        if not q.awaitTermination(timeout=120):
+            # timed-out run: stop it before the next loop iteration
+            # starts a second query on the same checkpoint (would throw)
+            q.stop()
+            q.awaitTermination(timeout=30)
         p = q.lastProgress
         if not p or p["numInputRows"] == 0:
             break
     dirs = sorted(_glob.glob(os.path.join(out, "batch_*")))
-    return spark.read.parquet(*dirs).select("i", "v")
+    # localCheckpoint so the per-run /tmp output dir can be removed now
+    # instead of leaking across sweeps (same discipline as
+    # sink_stream_to_table); eager=True pins the 900 rows in block storage
+    res = spark.read.parquet(*dirs).select("i", "v").localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return res

@@ -460,11 +460,12 @@ def test_cached_view_feeds_both_downstream_plans():
     """Both serving queries over the persisted revenue view must read the
     in-memory columnar cache (InMemoryTableScan), not re-aggregate orders:
     cache reuse is the point of materializing a serving view."""
-    from lambdatotheslaughter_spark.operators.scans import cached_revenue_view
+    from lambdatotheslaughter_spark.operators.scans import (
+        cached_revenue_view, revenue_serving_queries)
 
     rev = cached_revenue_view(spark_global, SF_DIR)
     try:
-        plan = checks.executed_plan(_df("scan_cached_view_reuse"))
+        plan = checks.executed_plan(revenue_serving_queries(rev))
         assert plan.count("InMemoryTableScan") >= 2, plan
         # the base aggregation must appear only inside the cached relation:
         # the downstream plans themselves contain no orders scan
