@@ -17,6 +17,8 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -272,11 +274,14 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _ngram_jaccard_prefix_filter(sh, ex, freq, tau)
 
     # ---- dense dictionary-GEMM path ----
-    from pyspark.sql import Window
 
-    # global dictionary: tiny by dispatch (≤4096 rows), one narrow window
-    vocab = freq.select(
-        "s", (F.row_number().over(Window.orderBy("s")) - 1).alias("sid"))
+    # global dictionary: tiny by dispatch (≤4096 rows). Single partition
+    # BY CONSTRUCTION — monotonically_increasing_id over one coalesced,
+    # sorted partition yields 0..n-1 without a global window, so the
+    # 'WindowExec: No Partition Defined' warning stays out of the bench
+    # tail and keeps its signal value for real global-window regressions.
+    vocab = (freq.select("s").coalesce(1).sortWithinPartitions("s")
+             .withColumn("sid", F.monotonically_increasing_id().cast("int")))
     # materialize once: the scaffold's sizing count and the fastpath's
     # bounded collect would otherwise each re-run explode+join+collect_list
     # (measured ~0.5 s of the 2-3 s at sf0.1)
@@ -1414,6 +1419,96 @@ FROM reach GROUP BY doc_id
 """
 
 
+_CC_FASTPATH_MAX_EDGES = 65536  # driver union-find below; distributed loop above
+
+
+def _union_find_clusters(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Exact connected components on a BOUNDED pair list: collect the
+    (already checkpointed) candidate pairs once, path-compressed
+    union-find on the driver, ship the FINISHED (doc_id, cluster_id,
+    cluster_size) table back in one createDataFrame — sizes computed
+    locally too, so the fastpath costs zero distributed shuffles beyond
+    the pair generation itself. Union always attaches the larger root
+    under the smaller, so every root — and thus every label — is its
+    component's minimum id regardless of edge order: deterministic by
+    construction. ~65k pairs ≈ 1 MB collected; nothing else ever reaches
+    the driver."""
+    from collections import Counter
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in pairs.collect():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    labels = [(v, find(v)) for v in parent]
+    sizes = Counter(lbl for _, lbl in labels)
+    return spark.createDataFrame(
+        [(d, lbl, sizes[lbl]) for d, lbl in labels],
+        "doc_id bigint, cluster_id bigint, cluster_size bigint")
+
+
+def _pointer_jump_labels(edges: DataFrame) -> DataFrame:
+    """Distributed min-label propagation with pointer jumping over a
+    symmetric, localCheckpoint-ed edge list — the at-scale CC path.
+    Round 0 is free: every vertex occurs as src, so min(self,
+    min(neighbors)) is one propagation. Each driver sync then executes
+    TWO fused propagation steps in one checkpointed plan; convergence is
+    judged on the second step alone (sound: if the latest step changed
+    nothing, the fixpoint was already reached)."""
+    labels = (edges.groupBy("src")
+              .agg(F.min("dst").alias("nbr0"))
+              .select(F.col("src").alias("doc_id"),
+                      F.least("src", "nbr0").alias("label")))
+
+    def propagate(lbl: DataFrame) -> DataFrame:
+        """One min-label round + pointer jumping. Name-keyed joins so two
+        rounds can be fused lazily without self-join attribute ambiguity.
+        Pointer jumping: also adopt label(label(v)) — labels only ever
+        decrease, so the grand-label is <= the label and the fixpoint
+        (component min) is unchanged, but chains collapse in O(log d)
+        rounds instead of O(d) (matters exactly when the LSH hot-bucket
+        cap emits long chained components)."""
+        nbr = (edges
+               .join(lbl.select(F.col("doc_id").alias("dst"),
+                                F.col("label").alias("dst_label")), "dst")
+               .groupBy("src").agg(F.min("dst_label").alias("nbr_label"))
+               .withColumnRenamed("src", "doc_id"))
+        ptr = lbl.select(F.col("doc_id").alias("label"),
+                         F.col("label").alias("grand"))
+        new = F.least("label", F.coalesce("nbr_label", "label"),
+                      F.coalesce("grand", "label"))
+        return (lbl.join(nbr, "doc_id", "left")
+                .join(ptr, "label", "left")
+                .select("doc_id", new.alias("label"),
+                        (new != F.col("label")).alias("chg")))
+
+    for _ in range(8):  # cap: 1 init + 8×2 fused rounds; log2(diameter) syncs
+        new_labels = (propagate(propagate(labels).drop("chg"))
+                      .localCheckpoint(eager=True))
+        # convergence check reads the just-checkpointed partitions — no
+        # join against the previous round's table
+        changed = new_labels.where("chg").count()
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            break
+    return labels
+
+
 @register("llm_dedup_cluster", oracle=_CLUSTER_ORACLE)
 def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph — the final dedup
@@ -1426,42 +1521,40 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm pattern SQL can't express, which is why the oracle uses a
     recursive CTE: a genuinely different formulation). Each round is one
     join + one groupBy; at 100 TB this is the standard large-graph CC
-    (GraphX/Pregel shape) over broadcast-eligible candidate edges."""
-    pairs = llm_dedup_fuzzy_minhash(spark, sf_dir).select("a_id", "b_id")
+    (GraphX/Pregel shape) over broadcast-eligible candidate edges.
+
+    Dispatch (same discipline as the kNN broadcast fastpath llm.py §sim):
+    the candidate-pair graph is TINY relative to the corpus — LSH already
+    reduced n docs to the near-dup survivors — so when the pair count is
+    bounded (≤ _CC_FASTPATH_MAX_EDGES, env-overridable) an exact
+    driver-side union-find solves it in one collect: deterministic,
+    iteration-order-independent (roots are always component minima), and
+    free of per-round job overhead. Above the cap — a 100 TB corpus whose
+    pair graph itself is distributed-sized — the pointer-jumping loop
+    runs: round 0 folded into the label initialization (min(self,
+    neighbors) — one propagation for free), TWO fused propagation steps
+    per driver sync, convergence judged on the second step alone (sound:
+    if the latest step changed nothing, the fixpoint was already
+    reached). tools/scale_probe.py forces this loop path via
+    SPARK_GRAFT_CC_FASTPATH_MAX=0 so the scaling curve always measures
+    the at-scale algorithm."""
+    # lazy checkpoint: the dispatch count below materializes the pair
+    # blocks in the same job that computes them; collect/edges then read
+    # the blocks without re-running the minhash pipeline
+    pairs = (llm_dedup_fuzzy_minhash(spark, sf_dir).select("a_id", "b_id")
+             .localCheckpoint(eager=False))
+    cap = int(os.environ.get("SPARK_GRAFT_CC_FASTPATH_MAX",
+                             _CC_FASTPATH_MAX_EDGES))
+    if pairs.count() <= cap:
+        return _union_find_clusters(spark, pairs)
+    # at-scale path: symmetrize + dedupe the checkpointed pairs (cheap
+    # relative to the pair generation) and iterate distributed
     edges = (pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
              .unionByName(pairs.select(F.col("b_id").alias("src"),
                                        F.col("a_id").alias("dst")))
              .distinct()
              .localCheckpoint(eager=True))
-    labels = edges.select(F.col("src").alias("doc_id")).distinct() \
-        .withColumn("label", F.col("doc_id"))
-    for _ in range(15):  # cap; pointer jumping converges in O(log diameter)
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src").agg(F.min("label").alias("nbr_label")))
-        # pointer jumping: also adopt label(label(v)) — labels only ever
-        # decrease, so the grand-label is <= the label and the fixpoint
-        # (component min) is unchanged, but chains collapse in O(log d)
-        # rounds instead of O(d) (matters exactly when the LSH hot-bucket
-        # cap emits long chained components)
-        ptr = labels.select(F.col("doc_id").alias("p_id"),
-                            F.col("label").alias("grand"))
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .join(ptr, labels.label == ptr.p_id, "left")
-            .select("doc_id",
-                    F.least("label", F.coalesce("nbr_label", "label"),
-                            F.coalesce("grand", "label")).alias("label"),
-                    (F.least("label", F.coalesce("nbr_label", "label"),
-                             F.coalesce("grand", "label")) != F.col("label"))
-                    .alias("chg"))
-            .localCheckpoint(eager=True))
-        # convergence check reads the just-checkpointed partitions — no
-        # join against the previous round's table
-        changed = new_labels.where("chg").count()
-        labels = new_labels.drop("chg")
-        if changed == 0:
-            break
+    labels = _pointer_jump_labels(edges)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (labels.join(sizes, "label")
             .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size"))

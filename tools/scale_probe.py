@@ -104,6 +104,10 @@ def drain(df) -> None:
 def main() -> None:
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sel = sys.argv[2:]  # optional: probe only the named queries
+    # force llm_dedup_cluster onto the distributed pointer-jumping path:
+    # the probe's job is the at-scale algorithm's curve, not the bounded
+    # driver union-find fastpath a 10x candidate graph would still fit
+    os.environ.setdefault("SPARK_GRAFT_CC_FASTPATH_MAX", "0")
     spark = get_spark("lts-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     big = materialize(spark, n_copies)
