@@ -136,7 +136,15 @@ def estimate_rows(sf_dir: str, table: str, bytes_per_row: int = 8) -> int:
     import os
 
     path = os.path.join(sf_dir, f"{table}.parquet")
-    return os.path.getsize(path) // bytes_per_row
+    if os.path.isdir(path):
+        # directory-style dataset (e.g. scale_probe materializations):
+        # sum the part files — getsize() on the dir itself would return
+        # the dirent size and silently report a tiny table
+        size = sum(os.path.getsize(os.path.join(path, f))
+                   for f in os.listdir(path) if f.endswith(".parquet"))
+    else:
+        size = os.path.getsize(path)
+    return size // bytes_per_row
 
 
 def money_aggs(n_rows_bound: int) -> dict[str, object]:

@@ -22,7 +22,8 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lambdatotheslaughter_spark.determinism import DEC, davg, oracle_davg
+from lambdatotheslaughter_spark.determinism import (
+    DEC, davg, estimate_rows, oracle_davg)
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
 
@@ -2389,10 +2390,24 @@ def llm_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     and shingle tables stream map-side — history never shuffles, and at
     100 TB its signatures are a precomputed compact index (the minhash
     twin of the fp index in llm_dedup_incremental), appended to daily
-    rather than recomputed. The oracle brute-forces all cross pairs; LSH
-    miss probability at the corpus's planted near-dups (jaccard >= 0.8)
-    is ~2.8e-4 per pair (see llm_dedup_fuzzy_minhash)."""
+    rather than recomputed. The broadcast hints are SIZE-GATED on the
+    metadata row estimate: this test shape makes "incoming" half the
+    corpus, so an unconditionally-broadcast incoming side grows with the
+    data — the 100x scale probe caught exactly that as a driver
+    notEnoughMemoryToBuildAndBroadcastTable failure. Past the gate the
+    hints drop away and AQE plans ordinary shuffle joins; values are
+    identical either way (hints are physical-only). The oracle
+    brute-forces all cross pairs; LSH miss probability at the corpus's
+    planted near-dups (jaccard >= 0.8) is ~2.8e-4 per pair (see
+    llm_dedup_fuzzy_minhash)."""
     from pyspark.sql import Window
+
+    # ≤ ~1M estimated docs ⇒ incoming ≈ ≤35k real docs ⇒ candidate
+    # shingle-array broadcast stays well under driver memory
+    small = estimate_rows(sf_dir, "documents") <= 1_000_000
+
+    def maybe_broadcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
 
     d = load_table(spark, "documents", sf_dir).where(F.size(_tokens()) >= 3)
     sh = d.select("doc_id", _tokens().alias("toks")) \
@@ -2404,14 +2419,14 @@ def llm_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist_b = (bands.where(F.col("doc_id") % 2 == 0)
               .select(F.col("doc_id").alias("history_id"),
                       F.col("bh").alias("bh_h")))
-    cand = (hist_b.join(F.broadcast(inc_b), hist_b.bh_h == inc_b.bh)
+    cand = (hist_b.join(maybe_broadcast(inc_b), hist_b.bh_h == inc_b.bh)
             .select("incoming_id", "history_id").distinct())
     si = sh.select(F.col("doc_id").alias("incoming_id"),
                    F.col("sh").alias("sh_i"))
     shh = sh.select(F.col("doc_id").alias("history_id"),
                     F.col("sh").alias("sh_h"))
-    withi = si.join(F.broadcast(cand), "incoming_id")
-    verified = (shh.join(F.broadcast(withi), "history_id")
+    withi = si.join(maybe_broadcast(cand), "incoming_id")
+    verified = (shh.join(maybe_broadcast(withi), "history_id")
                 .select("incoming_id", "history_id",
                         _jaccard_spark(F.col("sh_i"), F.col("sh_h"))
                         .alias("jaccard"))

@@ -66,13 +66,47 @@ PROBE_QUERIES = [
 ]
 
 
-def materialize(spark, n_copies: int) -> str:
+# fact tables each probe query actually scans — lets a high-copy tier
+# (100x documents = 500k docs) skip materializing 60M lineitem rows it
+# will never read. Unknown queries fall back to "all tables".
+QUERY_TABLES = {
+    "agg_pricing_summary": {"lineitem"},
+    "topk_global": {"lineitem", "orders"},
+    "join_multiway_star": {"lineitem", "orders"},
+    "agg_distinct": {"events"},
+    "win_topk_per_group": {"orders"},
+    "llm_dedup_exact": {"documents"},
+    "llm_dedup_fuzzy_minhash": {"documents"},
+    "llm_sim_knn_bruteforce": {"embeddings"},
+    "llm_sim_radius_search": {"embeddings"},
+    "llm_dedup_ngram_jaccard": {"documents"},
+    "llm_dedup_cluster": {"documents"},
+    "llm_dedup_incremental_fuzzy": {"documents"},
+    "join_interval_binned": {"events"},
+    "scd2_dimension_merge": {"events"},
+    "llm_dedup_span_exact": {"documents"},
+    "llm_dedup_bloom_prefilter": {"documents"},
+    "join_asof_nearest_tolerance": {"events"},
+    "llm_embedding_pca_project": {"embeddings"},
+}
+
+
+def tables_needed(queries) -> set[str]:
+    need: set[str] = set()
+    for q in queries:
+        need |= QUERY_TABLES.get(q, set(SHIFTS))
+    return need
+
+
+def materialize(spark, n_copies: int, tables: set[str] | None = None) -> str:
     out = f"/tmp/lts_scale_{n_copies}x"
-    marker = os.path.join(out, "_DONE")
-    if os.path.exists(marker):
-        return out
     os.makedirs(out, exist_ok=True)
     for t, keys in SHIFTS.items():
+        if tables is not None and t not in tables:
+            continue
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            continue  # per-table resume: a later run can add more tables
         src = load_table(spark, t, SRC)  # ns-timestamp shim lives here
         if t == "events":
             # write ts as TIMESTAMP_NTZ micros like the real testdata:
@@ -89,11 +123,11 @@ def materialize(spark, n_copies: int) -> str:
         df = copies[0]
         for c in copies[1:]:
             df = df.unionByName(c)
-        df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+        df.write.mode("overwrite").parquet(dst)
     for t in DIMS:
-        load_table(spark, t, SRC).write.mode("overwrite") \
-            .parquet(os.path.join(out, f"{t}.parquet"))
-    open(marker, "w").close()
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+            load_table(spark, t, SRC).write.mode("overwrite").parquet(dst)
     return out
 
 
@@ -110,7 +144,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CC_FASTPATH_MAX", "0")
     spark = get_spark("lts-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    big = materialize(spark, n_copies)
+    big = materialize(spark, n_copies, tables_needed(sel or PROBE_QUERIES))
     qs = registry.all_queries()
     print(f"scale probe: sf0.1 vs {n_copies}x ({big})")
     for name in (sel or PROBE_QUERIES):
