@@ -1,0 +1,405 @@
+"""Round-4 corpus-curation / retrieval operators (SURVEY.md §2.13).
+
+The training-data pipeline's second ring: once dedup/quality/similarity
+(llm.py) have shaped the corpus, these build the artifacts a data team
+actually ships — survivor selection per duplicate cluster, winnowing
+fingerprints for plagiarism/contamination audits, inverted postings for
+retrieval, per-language n-gram tables, vocabulary-coverage curves for
+tokenizer sizing, PMI collocations, and per-class embedding centroids.
+
+Determinism discipline matches the house rules: integer counts everywhere
+possible, decimal-space sums for float aggregation (determinism.py), string
+packing where a (hash, pos) argmin must cross the window boundary, and
+int→double divisions only (single correctly-rounded IEEE ops, bit-identical
+across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lambdatotheslaughter_spark.functions.text import (
+    SHINGLE2_SQL, md5_int60, shingles2, tokens)
+from lambdatotheslaughter_spark.operators.llm import (
+    _CLUSTER_ORACLE, llm_dedup_cluster)
+from lambdatotheslaughter_spark.registry import register
+from lambdatotheslaughter_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# survivor selection per near-dup cluster
+# ---------------------------------------------------------------------------
+
+_SURVIVOR_ORACLE = f"""
+WITH clusters AS ({_CLUSTER_ORACLE})
+SELECT c.doc_id, c.cluster_id,
+       FIRST_VALUE(c.doc_id) OVER (
+         PARTITION BY c.cluster_id
+         ORDER BY d.n_chars DESC, c.doc_id) AS survivor_id,
+       c.doc_id = FIRST_VALUE(c.doc_id) OVER (
+         PARTITION BY c.cluster_id
+         ORDER BY d.n_chars DESC, c.doc_id) AS is_survivor
+FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+"""
+
+
+@register("llm_dedup_survivorship", oracle=_SURVIVOR_ORACLE)
+def llm_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection — the step that turns dedup CLUSTERS into a
+    KEEP/DROP decision: per near-dup cluster keep exactly one canonical
+    document (longest text, doc_id as the tie-break) and mark the rest
+    for removal. Real pipelines pick by quality score; the policy is one
+    `max_by` expression swap.
+
+    Scale shape: the cluster table is LSH-survivor-sized (tiny vs the
+    corpus), so the n_chars join hits documents once and the per-cluster
+    argmax is a combinable max-of-struct aggregate — one small shuffle on
+    cluster_id, then a broadcast-sized survivor map joined back."""
+    clusters = llm_dedup_cluster(spark, sf_dir).select("doc_id", "cluster_id")
+    nchars = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    c = clusters.join(nchars, "doc_id")
+    # argmax by (n_chars, smallest doc_id): struct max with negated id
+    surv = (c.groupBy("cluster_id")
+            .agg(F.max(F.struct(F.col("n_chars"),
+                                (-F.col("doc_id")).alias("neg_id")))
+                 .alias("m"))
+            .select("cluster_id", (-F.col("m.neg_id")).alias("survivor_id")))
+    return (c.join(F.broadcast(surv), "cluster_id")
+            .select("doc_id", "cluster_id", "survivor_id",
+                    (F.col("doc_id") == F.col("survivor_id"))
+                    .alias("is_survivor")))
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 4   # token k-gram length
+_WINNOW_W = 4   # window of consecutive k-gram hashes
+
+_KGRAM4_SQL = ("list_transform(range(1, len(string_split(text,' ')) - 2), "
+               "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]"
+               " || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])")
+
+_WINNOW_ORACLE = f"""
+WITH kg AS (
+  SELECT doc_id,
+         unnest({_KGRAM4_SQL}) AS g,
+         unnest(range(1, len(string_split(text,' ')) - 2)) AS kpos
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {_WINNOW_K}
+), hashed AS (
+  SELECT doc_id, kpos,
+         lpad(CAST(CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
+                   AS VARCHAR), 19, '0')
+           || ':' || lpad(CAST(kpos AS VARCHAR), 6, '0') AS hk
+  FROM kg
+), sel AS (
+  SELECT DISTINCT doc_id,
+         MIN(hk) OVER (PARTITION BY doc_id ORDER BY kpos
+                       ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS s
+  FROM hashed
+  QUALIFY kpos >= {_WINNOW_W}
+)
+SELECT doc_id,
+       CAST(substring(s, 1, 19) AS BIGINT) AS sel_hash,
+       CAST(substring(s, 21, 6) AS INT) AS sel_pos
+FROM sel
+"""
+
+
+@register("llm_fingerprint_winnow", oracle=_WINNOW_ORACLE)
+def llm_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS scheme): hash every token 4-gram,
+    slide a window of 4 consecutive k-gram hashes, and record the minimum
+    (hash, position) of each window, deduped — guarantees any shared run
+    of ≥ k+w-1 tokens between two documents shares at least one selected
+    fingerprint, at ~1/w the density of llm_fingerprint's full shingle
+    set. The (hash, pos) argmin crosses the window as ONE zero-padded
+    string key so both engines pick the identical leftmost-minimum
+    (a struct MIN over a frame is not portable SQL).
+
+    Scale shape: per-document windows — partitioned by doc_id, never
+    global; output density n_tokens/w per doc, the index a cross-corpus
+    plagiarism/contamination audit joins on."""
+    d = load_table(spark, "documents", sf_dir) \
+        .where(F.size(tokens()) >= _WINNOW_K)
+    toks = d.select("doc_id", tokens().alias("toks"))
+    kgrams = toks.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (_WINNOW_K - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j)
+                                         for j in range(_WINNOW_K)])))
+        .alias("pos0", "g"))
+    hashed = kgrams.select(
+        "doc_id", (F.col("pos0") + 1).alias("kpos"),
+        F.concat(F.lpad(md5_int60("g").cast("string"), 19, "0"),
+                 F.lit(":"),
+                 F.lpad((F.col("pos0") + 1).cast("string"), 6, "0"))
+        .alias("hk"))
+    w = Window.partitionBy("doc_id").orderBy("kpos") \
+        .rowsBetween(-(_WINNOW_W - 1), 0)
+    sel = (hashed.withColumn("s", F.min("hk").over(w))
+           .where(F.col("kpos") >= _WINNOW_W)
+           .select("doc_id", "s").distinct())
+    return sel.select(
+        "doc_id",
+        F.substring("s", 1, 19).cast("bigint").alias("sel_hash"),
+        F.substring("s", 21, 6).cast("int").alias("sel_pos"))
+
+
+# ---------------------------------------------------------------------------
+# inverted postings index
+# ---------------------------------------------------------------------------
+
+_POSTINGS_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS tf,
+       array_to_string(list_sort(list(DISTINCT doc_id))[1:8], ',')
+         AS posting_head
+FROM tok
+GROUP BY term
+"""
+
+
+@register("llm_index_inverted_postings", oracle=_POSTINGS_ORACLE)
+def llm_index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build — the retrieval-side artifact (BM25 scoring in
+    llm_bm25_rank assumes exactly this structure exists): per term, the
+    document frequency, total term frequency, and the head of the sorted
+    posting list (serialized to a string: array cells cross the
+    Spark/DuckDB/pandas boundary unstably, driver-contract gotcha).
+
+    Scale shape: one explode + one groupBy on term — the same map-side
+    combinable shuffle as word count; posting heads bound the per-term
+    payload so a stop-word's full posting list never materializes in one
+    row (full lists would be written partitioned by term-range instead)."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(tokens()).alias("term"))
+    return tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.array_join(F.slice(F.sort_array(F.collect_set("doc_id")), 1, 8), ",")
+        .alias("posting_head"))
+
+
+# ---------------------------------------------------------------------------
+# per-language n-gram top-k
+# ---------------------------------------------------------------------------
+
+_NGRAM_TOPK_K = 5
+
+_NGRAM_TOPK_ORACLE = f"""
+WITH bg AS (
+  SELECT lang, unnest({SHINGLE2_SQL}) AS bigram FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), counted AS (
+  SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM bg GROUP BY lang, bigram
+)
+SELECT lang, bigram, n_docs, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY n_docs DESC, bigram) AS rn
+  FROM counted
+) WHERE rn <= {_NGRAM_TOPK_K}
+"""
+
+
+@register("llm_ngram_topk_per_lang", oracle=_NGRAM_TOPK_ORACLE)
+def llm_ngram_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 bigrams by document frequency — the corpus
+    profile a mixture-design review reads (which boilerplate dominates
+    each language slice; a common first signal of template contamination).
+    Distinct-per-doc bigrams (shingle semantics), so a single spammy doc
+    can't dominate the table.
+
+    Scale shape: explode + (lang, bigram) count-combine, then top-k per
+    lang — the window partitions on lang, and the counted table is
+    vocab-sized, orders smaller than the corpus."""
+    d = load_table(spark, "documents", sf_dir).where(F.size(tokens()) >= 2)
+    bg = (d.select("lang", tokens().alias("toks"))
+          .select("lang", F.explode(shingles2("toks")).alias("bigram")))
+    counted = bg.groupBy("lang", "bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    w = Window.partitionBy("lang").orderBy(F.col("n_docs").desc(), "bigram")
+    return (counted.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _NGRAM_TOPK_K))
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+_COVERAGE_NS = (10, 100, 1000)
+
+_COVERAGE_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+), freq AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t
+), total AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq
+)
+{" UNION ALL ".join(f'''
+SELECT {n} AS n_top,
+       (SELECT CAST(SUM(c) AS BIGINT) FROM
+         (SELECT c FROM freq ORDER BY c DESC, t LIMIT {n})) AS covered,
+       (SELECT n FROM total) AS total_tokens,
+       CAST((SELECT CAST(SUM(c) AS BIGINT) FROM
+         (SELECT c FROM freq ORDER BY c DESC, t LIMIT {n})) AS DOUBLE)
+         / CAST((SELECT n FROM total) AS DOUBLE) AS coverage
+''' for n in _COVERAGE_NS)}
+"""
+
+
+@register("llm_vocab_coverage", oracle=_COVERAGE_ORACLE)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-sizing question: what
+    fraction of all token OCCURRENCES do the top-{10,100,1000} types
+    cover? Exact integer counts; the single double division at the end is
+    one correctly-rounded IEEE op, bit-identical across engines.
+
+    Scale shape: per-N top-k via TakeOrdered (orderBy().limit(n) compiles
+    to a partial per-partition top-k + driver merge of n rows — NO global
+    sort and no unpartitioned window over the vocabulary), then a scalar
+    sum; three tiny branches crossJoin the one-row total."""
+    d = load_table(spark, "documents", sf_dir)
+    freq = (d.select(F.explode(tokens()).alias("t"))
+            .groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .localCheckpoint(eager=False))  # three branches + total share it
+    total = freq.agg(F.sum("c").cast("bigint").alias("total_tokens"))
+    branches = []
+    for n in _COVERAGE_NS:
+        top = (freq.orderBy(F.col("c").desc(), "t").limit(n)
+               .agg(F.sum("c").cast("bigint").alias("covered"))
+               .withColumn("n_top", F.lit(n)))
+        branches.append(top.crossJoin(total))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        "n_top", "covered", "total_tokens",
+        (F.col("covered").cast("double") /
+         F.col("total_tokens").cast("double")).alias("coverage"))
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence (PMI-ratio) collocations
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_PAIR = 10
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS l FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), pair AS (
+  SELECT unnest(list_transform(range(1, len(l)), i -> l[i])) AS w1,
+         unnest(list_transform(range(1, len(l)), i -> l[i + 1])) AS w2
+  FROM toks
+), uni AS (
+  SELECT unnest(l) AS t FROM toks
+), cp AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM pair GROUP BY w1, w2
+), cu AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY t
+), nt AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM cu
+)
+SELECT cp.w1, cp.w2, cp.n_ab,
+       a.c AS n_a, b.c AS n_b,
+       (CAST(cp.n_ab AS DOUBLE) * CAST(nt.n AS DOUBLE))
+         / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS pmi_ratio
+FROM cp JOIN cu a ON cp.w1 = a.t JOIN cu b ON cp.w2 = b.t CROSS JOIN nt
+WHERE cp.n_ab >= {_PMI_MIN_PAIR}
+"""
+
+
+@register("llm_cooccurrence_pmi", oracle=_PMI_ORACLE)
+def llm_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token collocation strength — PMI in RATIO form,
+    p(ab)/(p(a)·p(b)) = n_ab·N / (n_a·n_b), the embedding-era phrase
+    detector (word2vec's phrase pass uses exactly this statistic). The
+    ratio stays in exact integers until two multiplies and one divide in
+    double — each a single correctly-rounded IEEE op with a fixed
+    evaluation order, so no ln() portability risk (libm log differs
+    across engines; the ratio orders pairs identically).
+
+    Scale shape: two word-count shuffles (pairs, unigrams) + two joins of
+    the pair table against the vocab table — both vocab-sized; the ≥10
+    support filter bounds the output before any join."""
+    d = load_table(spark, "documents", sf_dir).where(F.size(tokens()) >= 2)
+    toks = d.select(tokens().alias("l")).localCheckpoint(eager=False)
+    pair = toks.select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.size("l") - 1),
+        lambda i: F.struct(F.element_at("l", i).alias("w1"),
+                           F.element_at("l", i + 1).alias("w2")))).alias("p")) \
+        .select("p.w1", "p.w2")
+    uni = toks.select(F.explode("l").alias("t"))
+    cp = (pair.groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+          .where(F.col("n_ab") >= _PMI_MIN_PAIR))
+    cu = uni.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    nt = cu.agg(F.sum("c").cast("bigint").alias("n"))
+    a = cu.select(F.col("t").alias("w1"), F.col("c").alias("n_a"))
+    b = cu.select(F.col("t").alias("w2"), F.col("c").alias("n_b"))
+    return (cp.join(a, "w1").join(b, "w2").crossJoin(nt)
+            .select("w1", "w2", "n_ab", "n_a", "n_b",
+                    ((F.col("n_ab").cast("double") * F.col("n").cast("double"))
+                     / (F.col("n_a").cast("double") *
+                        F.col("n_b").cast("double"))).alias("pmi_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# per-label embedding centroids
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+WITH ev AS (
+  SELECT label,
+         unnest(embedding) AS val,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       CAST(SUM(CAST(round(CAST(val AS DOUBLE) * 1000000, 0) AS BIGINT))
+            AS DOUBLE)
+         / CAST(COUNT(*) * 1000000 AS DOUBLE) AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM ev
+GROUP BY label, dim
+"""
+
+
+@register("llm_embedding_centroids", oracle=_CENTROID_ORACLE)
+def llm_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the class prototypes that seed
+    semantic dedup, outlier scoring (llm_embedding_outliers consumes
+    exactly this shape), and IVF coarse quantizers. Each float is scaled
+    to an exact integer micro-unit BEFORE aggregation (round in double —
+    a DECIMAL cast is NOT portable here: Spark truncates the float's
+    exact binary expansion while DuckDB casts via its shortest decimal
+    string, diverging in the 6th decimal), so the sum is an associative
+    BIGINT sum and the centroid is bit-identical regardless of partition
+    count or aggregation order — the same fixed-point discipline as the
+    int8 quantizer and fixed-point PageRank.
+
+    Scale shape: posexplode turns n vectors × 64 dims into a tall table,
+    but the shuffle carries only the (label, dim) PARTIAL sums — 10×64
+    groups regardless of corpus size; map-side combine does the rest."""
+    e = load_table(spark, "embeddings", sf_dir)
+    ev = e.select("label", F.posexplode("embedding").alias("dim", "val"))
+    micro = F.round(F.col("val").cast("double") * 1000000, 0).cast("bigint")
+    return (ev.groupBy("label", "dim")
+            .agg((F.sum(micro).cast("double") /
+                  (F.count(F.lit(1)) * 1000000).cast("double"))
+                 .alias("centroid"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+            .select("label", F.col("dim").cast("int").alias("dim"),
+                    "centroid", "n_vecs"))

@@ -1554,3 +1554,59 @@ def agg_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("n_users_7d_est"))
             .select(F.col("t_day").cast("string").alias("t_day"),
                     "n_users_7d_est"))
+
+
+# ---------------------------------------------------------------------------
+# month-over-month growth (round 4)
+# ---------------------------------------------------------------------------
+
+_MOM_ORACLE = """
+WITH monthly AS (
+  SELECT n_name,
+         date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, date_trunc('month', o_orderdate)
+)
+SELECT n_name, month, rev_cents,
+       LAG(rev_cents) OVER (PARTITION BY n_name ORDER BY month)
+         AS prev_rev_cents,
+       CAST(rev_cents AS DOUBLE)
+         / CAST(LAG(rev_cents) OVER (PARTITION BY n_name ORDER BY month)
+                AS DOUBLE) AS growth
+FROM monthly
+"""
+
+
+@register("ts_mom_growth", oracle=_MOM_ORACLE)
+def ts_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per nation — the standard KPI
+    report shape: calendar rollup, then a lag ratio along each entity's
+    monthly series (NULL on the first month: no prior period, not 0%).
+    Money stays in exact integer cents through the rollup; the final
+    growth ratio is one int→double division per row, bit-identical
+    across engines.
+
+    Scale shape: the dims broadcast into the orders scan, the rollup
+    shuffles only (nation, month) partial sums — group count is
+    25 nations × months regardless of fact size — and the lag window
+    partitions by nation over that already-tiny table."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name",
+                 F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+             .cast("bigint").alias("rev_cents")))
+    w = Window.partitionBy("n_name").orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        "n_name", "month", "rev_cents", prev.alias("prev_rev_cents"),
+        (F.col("rev_cents").cast("double") / prev.cast("double"))
+        .alias("growth"))

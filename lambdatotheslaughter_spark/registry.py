@@ -46,6 +46,7 @@ _MODULES = (
     "lambdatotheslaughter_spark.operators.extras",
     "lambdatotheslaughter_spark.operators.skew",
     "lambdatotheslaughter_spark.operators.graph",
+    "lambdatotheslaughter_spark.operators.corpus",
 )
 
 _loaded = False
