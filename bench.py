@@ -56,6 +56,9 @@ HEADLINE = [
     "join_interval_binned",     # binned interval equi-join (round 3)
     "llm_dedup_span_exact",     # exact repeated-span dedup (round 3)
     "llm_dedup_bloom_prefilter",  # bloom-prefiltered incremental dedup (round 3)
+    "llm_fingerprint_winnow",   # winnowing fingerprint index (round 4)
+    "llm_cooccurrence_pmi",     # PMI-ratio collocations (round 4)
+    "ts_mom_growth",            # month-over-month growth report (round 4)
 ]
 
 

@@ -73,7 +73,11 @@ _loaded = False
 # stream_session_window_dynamic_gap, sql_parameterized, df_transpose,
 # source_binary_files, scan_ignore_corrupt_files, llm_split_train_val_test,
 # scan_vacuum_orphan_files, sink_stream_to_table, llm_dedup_url_canonical —
-# go first, then any oracled keys added during round 4, then
+# go first, then the NINE oracled round-4 additions (operators/corpus.py:
+# llm_dedup_survivorship, llm_fingerprint_winnow,
+# llm_index_inverted_postings, llm_ngram_topk_per_lang,
+# llm_vocab_coverage, llm_cooccurrence_pmi, llm_embedding_centroids,
+# plus graph_triangle_count and ts_mom_growth), then 30 slots of
 # re-confirmation backfill from the r1/r2 windows. After r5 every oracled
 # key in the repo has at least one hard CORRECTNESS row.
 # Update tests/test_survey_coverage.py's pinned window when rotating.
