@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lambdatotheslaughter_spark.determinism import estimate_rows
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
 
@@ -171,14 +172,25 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("e"))
                 .select("e.u", "e.w")
                 .localCheckpoint(eager=False))  # wedge build + probe share it
+    # wedge build: pivot self-join of the oriented edges. (An
+    # adjacency-list variant — groupBy u + nested-transform pair
+    # expansion — was measured 2× SLOWER at sf0.1: higher-order lambdas
+    # evaluate interpreted, the same lesson the minhash signature stage
+    # recorded; the equi-join stays in whole-stage codegen.)
     e1 = oriented.select(F.col("u").alias("pivot"), F.col("w").alias("x"))
     e2 = oriented.select(F.col("u").alias("pivot"), F.col("w").alias("y"))
     wedges = (e1.join(e2, "pivot").where(F.col("x") < F.col("y")))
-    # canonicalize the closing-edge lookup to the id-ordered pair so the
-    # probe stays a pure two-key equi-join (an OR over orientations would
-    # push Spark off the hash-join path)
+    # the closing-edge lookup joins on the id-ordered pair so the probe
+    # stays a pure two-key equi-join (an OR over orientations would push
+    # Spark off the hash-join path). The probe side is the EDGE list —
+    # Θ(√E·E) wedges stream past it, so ship the small side to the
+    # wedges, not the wedges to a shuffle: broadcast while the edge list
+    # is broadcast-sized (metadata-gated like the incremental-dedup
+    # joins), plain shuffle join beyond.
     probe = oriented.select(F.least("u", "w").alias("x"),
                             F.greatest("u", "w").alias("y"))
+    if estimate_rows(sf_dir, "lineitem") <= 10_000_000:
+        probe = F.broadcast(probe)
     tri = wedges.join(probe, ["x", "y"])
     n_tri = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     n_edges = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))

@@ -482,3 +482,51 @@ def test_dynamic_partition_pruning_injects_runtime_filter():
     stored tag column."""
     plan = checks.executed_plan(_df("scan_dynamic_partition_pruning"))
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_triangle_count_stays_on_hash_joins():
+    """The wedge build and the closing-edge probe must remain equi-joins
+    (hash-joinable) — an OR-of-orientations probe predicate would fall off
+    the hash-join path into a nested-loop over millions of wedges. The
+    only nested-loop joins allowed are the final 1-row scalar crossJoins
+    (n_vertices × n_edges × n_triangles)."""
+    plan = checks.executed_plan(_df("graph_triangle_count"))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # pivot join + probe
+    # nested-loop joins may only combine the three single-row aggregates:
+    # every BNLJ line in this plan must be a Cross of build-right scalars
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "Cross" in ln, plan
+
+
+def test_vocab_coverage_uses_take_ordered_not_global_window():
+    """Per-N top-k must compile to TakeOrderedAndProject (partial
+    per-partition top-k + driver merge of N rows) — a global row_number
+    window over the vocabulary would single-partition it."""
+    plan = checks.executed_plan(_df("llm_vocab_coverage"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_winnow_window_is_partitioned_by_doc():
+    """The winnowing min-window must partition by doc_id — per-document
+    frames, never a global window over the k-gram stream."""
+    plan = checks.executed_plan(_df("llm_fingerprint_winnow"))
+    assert "Window" in plan, plan
+    assert "windowspecdefinition(doc_id" in plan, plan
+
+
+def test_centroids_aggregate_partially_map_side():
+    """The (label, dim) centroid sums must run as partial + final hash
+    aggregation: the shuffle carries 640 partial rows, not n×64 values."""
+    plan = checks.executed_plan(_df("llm_embedding_centroids"))
+    assert "partial_sum" in plan or "partial_" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_mom_growth_broadcasts_dims():
+    """customer and nation must broadcast into the orders scan — the
+    rollup's shuffle is (nation, month) partial sums only."""
+    plan = checks.executed_plan(_df("ts_mom_growth"))
+    assert plan.count("BroadcastHashJoin") >= 2, plan

@@ -63,6 +63,12 @@ PROBE_QUERIES = [
     "llm_dedup_bloom_prefilter",  # broadcast bloom + confirm joins (round 3)
     "join_asof_nearest_tolerance",  # 3-bin probe + min_by argmin (round 3)
     "llm_embedding_pca_project",  # int64 partial Gram + HOF projection (round 3)
+    "llm_fingerprint_winnow",   # per-doc windowed min selection (round 4)
+    "llm_cooccurrence_pmi",     # two word-count shuffles + vocab joins (round 4)
+    "llm_index_inverted_postings",  # term-keyed combinable groupBy (round 4)
+    "graph_triangle_count",     # degree-ordered wedge probe (round 4)
+    "llm_embedding_centroids",  # fixed-point (label, dim) partial sums (round 4)
+    "ts_mom_growth",            # broadcast-dim rollup + lag window (round 4)
 ]
 
 
@@ -88,6 +94,12 @@ QUERY_TABLES = {
     "llm_dedup_bloom_prefilter": {"documents"},
     "join_asof_nearest_tolerance": {"events"},
     "llm_embedding_pca_project": {"embeddings"},
+    "llm_fingerprint_winnow": {"documents"},
+    "llm_cooccurrence_pmi": {"documents"},
+    "llm_index_inverted_postings": {"documents"},
+    "graph_triangle_count": {"lineitem"},
+    "llm_embedding_centroids": {"embeddings"},
+    "ts_mom_growth": {"orders"},
 }
 
 
