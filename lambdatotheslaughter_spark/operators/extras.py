@@ -1610,3 +1610,115 @@ def ts_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name", "month", "rev_cents", prev.alias("prev_rev_cents"),
         (F.col("rev_cents").cast("double") / prev.cast("double"))
         .alias("growth"))
+
+
+# ---------------------------------------------------------------------------
+# seasonal decomposition + percent-of-total (round 4)
+# ---------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS day_cents
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+), framed AS (
+  SELECT event_type, day, day_cents,
+         SUM(day_cents) OVER w AS frame_sum,
+         COUNT(*) OVER w AS frame_n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+)
+SELECT event_type, day, day_cents,
+       CAST(frame_sum AS DOUBLE) / 7.0 AS trend_cents,
+       CAST(day_cents AS DOUBLE) - CAST(frame_sum AS DOUBLE) / 7.0
+         AS seasonal_cents
+FROM framed WHERE frame_n = 7
+"""
+
+
+@register("ts_seasonal_decompose_ma", oracle=_SEASONAL_ORACLE)
+def ts_seasonal_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition, the moving-average form: per
+    event_type daily series, trend = CENTERED 7-observation mean (only
+    complete frames — edges carry no honest trend), seasonal residual =
+    observation − trend. Money stays integer cents through the rollup
+    and the frame sum; the two double ops at the end (one divide by the
+    literal 7.0, one subtract) are each single correctly-rounded IEEE
+    operations, bit-identical across engines.
+
+    Scale shape: the daily rollup shuffles (type, day) partial sums — the
+    grain is calendar-bounded regardless of event volume — and the
+    centered frame is a per-type ROWS window over that tiny series."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = (ev.groupBy("event_type",
+                         F.date_trunc("day", "ts").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+                  .cast("bigint").alias("day_cents")))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    framed = daily.select(
+        "event_type", "day", "day_cents",
+        F.sum("day_cents").over(w).alias("frame_sum"),
+        F.count(F.lit(1)).over(w).alias("frame_n"))
+    trend = F.col("frame_sum").cast("double") / F.lit(7.0)
+    return (framed.where(F.col("frame_n") == 7)
+            .select("event_type", "day", "day_cents",
+                    trend.alias("trend_cents"),
+                    (F.col("day_cents").cast("double") - trend)
+                    .alias("seasonal_cents")))
+
+
+_PCT_TOTAL_ORACLE = """
+WITH monthly AS (
+  SELECT n_name, date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, date_trunc('month', o_orderdate)
+), tot AS (
+  SELECT CAST(SUM(rev_cents) AS BIGINT) AS grand_cents FROM monthly
+)
+SELECT n_name, month, rev_cents,
+       CAST(rev_cents AS DOUBLE)
+         / CAST(SUM(rev_cents) OVER (PARTITION BY n_name) AS DOUBLE)
+         AS share_of_nation,
+       CAST(rev_cents AS DOUBLE) / CAST(grand_cents AS DOUBLE)
+         AS share_of_total
+FROM monthly CROSS JOIN tot
+"""
+
+
+@register("win_pct_of_total", oracle=_PCT_TOTAL_ORACLE)
+def win_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation-month's revenue as a share of its
+    nation's total AND of the grand total. The nation share is a
+    partitioned window sum; the grand total is a 1-row aggregate
+    crossJoined in — NOT an empty-partition window, which would
+    single-task the table (the same discipline as llm_vocab_coverage).
+    Integer cents throughout; each share is one int→double division.
+
+    Scale shape: one (nation, month) rollup shuffle, a nation-partitioned
+    window over the calendar-bounded result, and a broadcast-sized scalar."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+             .cast("bigint").alias("rev_cents"))
+        .localCheckpoint(eager=False))  # window branch + grand total share it
+    tot = monthly.agg(F.sum("rev_cents").cast("bigint").alias("grand_cents"))
+    w = Window.partitionBy("n_name")
+    return (monthly.crossJoin(tot)
+            .select("n_name", "month", "rev_cents",
+                    (F.col("rev_cents").cast("double") /
+                     F.sum("rev_cents").over(w).cast("double"))
+                    .alias("share_of_nation"),
+                    (F.col("rev_cents").cast("double") /
+                     F.col("grand_cents").cast("double"))
+                    .alias("share_of_total")))

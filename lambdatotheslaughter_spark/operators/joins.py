@@ -454,3 +454,49 @@ def join_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.view_id").alias("view_id"),
         F.col("m.view_ts").alias("view_ts"),
         F.col("m.adiff_us").cast("bigint").alias("adiff_us"))
+
+
+_ASOF_FWD_ORACLE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id AS click_id, c.user_id,
+       c.ts AS click_ts, p.event_id AS purchase_id, p.ts AS purchase_ts
+FROM clicks c
+JOIN purchases p
+  ON p.user_id = c.user_id
+ AND p.ts = (SELECT MIN(p2.ts) FROM purchases p2
+             WHERE p2.user_id = c.user_id AND p2.ts > c.ts)
+"""
+
+
+@register("join_asof_forward", oracle=_ASOF_FWD_ORACLE)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click matched to the user's NEXT strictly-
+    later purchase — conversion attribution, the mirror of
+    `join_asof_event_order`'s backward enrichment (DuckDB's native ASOF
+    only looks backward, so the oracle is a correlated-MIN formulation —
+    a genuinely different shape). Same scalable union+window plan: one
+    shuffle on user_id, a single per-user sort, `first(ignorenulls)` over
+    the strictly-following frame — linear in events where a pair-join
+    would be quadratic per user. (ts values are unique per user —
+    verified — so no tie-break is needed.)"""
+    ev = load_table(spark, "events", sf_dir)
+    tagged = ev.where(F.col("event_type").isin("purchase", "click"))
+    w = Window.partitionBy("user_id").orderBy("ts") \
+        .rowsBetween(1, Window.unboundedFollowing)
+    is_p = F.col("event_type") == "purchase"
+    enriched = tagged.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.first(F.when(is_p, F.col("event_id")), ignorenulls=True).over(w)
+        .alias("purchase_id"),
+        F.first(F.when(is_p, F.col("ts")), ignorenulls=True).over(w)
+        .alias("purchase_ts"))
+    return (enriched
+            .where((F.col("event_type") == "click")
+                   & F.col("purchase_id").isNotNull())
+            .select(F.col("event_id").alias("click_id"), "user_id",
+                    F.col("ts").alias("click_ts"), "purchase_id",
+                    "purchase_ts"))

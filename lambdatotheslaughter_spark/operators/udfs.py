@@ -323,3 +323,61 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
     res = spark.read.parquet(*dirs).select("i", "v").localCheckpoint(eager=True)
     shutil.rmtree(out, ignore_errors=True)
     return res
+
+
+_COGROUP_ORACLE = """
+SELECT o_orderkey,
+       CAST(COUNT(l_orderkey) AS BIGINT) AS n_items,
+       CAST(COALESCE(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)), 0)
+            AS BIGINT) AS sum_qty_cents,
+       CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+            - COALESCE(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)), 0)
+            AS BIGINT) AS price_gap_cents
+FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey % 100 = 0
+GROUP BY o_orderkey, o_totalprice
+"""
+
+
+@register("udf_cogrouped_map", oracle=_COGROUP_ORACLE)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup().applyInPandas — the two-sided Arrow boundary §2.11 hasn't
+    exercised: per order key, BOTH the order row and its lineitems arrive
+    as aligned pandas frames in one call (the reconciliation shape — here
+    an order-vs-items audit: item count, quantity total, and the gap
+    between the order's total price and the sum of its line prices, all
+    in exact integer cents). Keys are sampled (o_orderkey % 100 = 0) so
+    the demo stays a bounded ~1% of keys: per-group pandas overhead is
+    the API's real cost and a full-corpus run belongs on the JVM
+    aggregate path (the oracle IS that one-liner).
+
+    Scale shape: cogroup shuffles both sides once on the key — the same
+    exchange a join would pay — and each group's frames are
+    order-size-bounded; nothing driver-side."""
+    o = (load_table(spark, "orders", sf_dir)
+         .where(F.col("o_orderkey") % 100 == 0)
+         .select("o_orderkey", "o_totalprice"))
+    li = (load_table(spark, "lineitem", sf_dir)
+          .where(F.col("l_orderkey") % 100 == 0)
+          .select(F.col("l_orderkey").alias("o_orderkey"),
+                  "l_quantity", "l_extendedprice"))
+
+    def audit(key, opdf: pd.DataFrame, lpdf: pd.DataFrame):
+        if opdf.empty:
+            return pd.DataFrame({"o_orderkey": [], "n_items": [],
+                                 "sum_qty_cents": [], "price_gap_cents": []}
+                                ).astype("int64")
+        total_cents = int(round(float(opdf["o_totalprice"].iloc[0]) * 100))
+        qty = int((lpdf["l_quantity"] * 100).round().astype("int64").sum()) \
+            if len(lpdf) else 0
+        price = int((lpdf["l_extendedprice"] * 100).round().astype("int64")
+                    .sum()) if len(lpdf) else 0
+        return pd.DataFrame({
+            "o_orderkey": [key[0]], "n_items": [len(lpdf)],
+            "sum_qty_cents": [qty],
+            "price_gap_cents": [total_cents - price]})
+
+    return (o.groupBy("o_orderkey").cogroup(li.groupBy("o_orderkey"))
+            .applyInPandas(audit, schema=("o_orderkey bigint, n_items bigint, "
+                                          "sum_qty_cents bigint, "
+                                          "price_gap_cents bigint")))
