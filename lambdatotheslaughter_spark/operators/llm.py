@@ -359,7 +359,12 @@ def _ngram_jaccard_prefix_filter(sh: DataFrame, ex: DataFrame,
     sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
     jac = _jaccard_spark(F.col("sh_a"), F.col("sh_b"))
-    return (cand.join(F.broadcast(sa), "a_id").join(F.broadcast(sb), "b_id")
+    # broadcast the CANDIDATE set into the streaming corpus, never the
+    # corpus into the candidates — the same join order as the minhash
+    # verify (_verified_near_dup_pairs): candidates are prefix-filter
+    # survivors (bounded), the shingle table is the corpus (unbounded)
+    withsa = sa.join(F.broadcast(cand), "a_id")
+    return (sb.join(F.broadcast(withsa), "b_id")
             .select("a_id", "b_id", jac.alias("jaccard"))
             .where(F.col("jaccard") >= tau))
 
@@ -2765,6 +2770,16 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("inter")))
     na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
+    if estimate_rows(sf_dir, "documents") > 1_000_000:
+        # per-doc size table grows with the corpus: past broadcast scale
+        # let AQE plan shuffle joins (physical-only, value-identical)
+        return (inter.join(na, "a_id").join(nb, "b_id")
+                .where(10 * F.col("inter") >= 8 * F.least("n_a", "n_b"))
+                .select("a_id", "b_id",
+                        F.col("inter").cast("bigint").alias("inter"),
+                        (F.col("inter").cast("double")
+                         / F.least("n_a", "n_b").cast("double"))
+                        .alias("containment")))
     return (inter.join(F.broadcast(na), "a_id").join(F.broadcast(nb), "b_id")
             .where(10 * F.col("inter") >= 8 * F.least("n_a", "n_b"))
             .select("a_id", "b_id", F.col("inter").cast("bigint").alias("inter"),
