@@ -421,3 +421,41 @@ def agg_sketch_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_click", "n_purchase", "n_union",
         (F.col("n_click") + F.col("n_purchase") - F.col("n_union"))
         .alias("n_overlap_est"))
+
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round(ANY_VALUE(med.m), 6) AS median_value,
+       round(quantile_cont(abs(e.value - med.m), 0.5), 6) AS mad,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN med ON e.event_type = med.event_type
+GROUP BY e.event_type
+"""
+
+
+@register("agg_mad_robust", oracle=_MAD_ORACLE)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust dispersion
+    measure outlier gates use when stddev is poisoned by the outliers
+    themselves. Two-pass: per-group exact median (one shuffle), broadcast
+    the tiny median table back, then the median of absolute deviations.
+    Both engines interpolate even-count medians ((a+b)/2 vs a+(b-a)*0.5 —
+    1-ulp apart), so both levels round to 6 dp, the udaf_pandas_grouped
+    precedent.
+
+    Scale shape: exact medians need a per-group sort — Spark's
+    percentile() aggregates within the group partition; group count is
+    event-type-bounded so the broadcast-back join is trivially small."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("m"))
+    j = ev.join(F.broadcast(med), "event_type")
+    return (j.groupBy("event_type")
+            .agg(F.round(F.any_value("m"), 6).alias("median_value"),
+                 F.round(F.percentile(F.abs(F.col("value") - F.col("m")),
+                                      F.lit(0.5)), 6).alias("mad"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_events")))

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from lambdatotheslaughter_spark.functions.text import (
     SHINGLE2_SQL, md5_int60, shingles2, tokens)
 from lambdatotheslaughter_spark.operators.llm import (
-    _CLUSTER_ORACLE, llm_dedup_cluster)
+    _CLUSTER_ORACLE, _cosine_spark, _cosine_sql, llm_dedup_cluster)
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
 
@@ -403,3 +403,117 @@ def llm_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
             .select("label", F.col("dim").cast("int").alias("dim"),
                     "centroid", "n_vecs"))
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 2: importance sampling + semantic dedup
+# ---------------------------------------------------------------------------
+
+_QUALITY_SCORE_SQL = """
+  0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+  + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE))
+  + 0.3 * least((CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0)
+"""
+
+_IMPORTANCE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(floor(({_QUALITY_SCORE_SQL}) * 1000) AS BIGINT) AS permille
+  FROM documents
+)
+SELECT doc_id, lang, permille FROM scored
+WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) % 1000 < permille
+"""
+
+
+@register("llm_sample_importance_weighted", oracle=_IMPORTANCE_ORACLE)
+def llm_sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted sampling: each document's keep-probability IS
+    its quality score (llm_quality_score's composite, scaled to permille)
+    — the quality-weighted training-mix draw, upgrade of
+    llm_sample_stratified's per-language constants. Membership is
+    DETERMINISTIC (md5(doc_id) mod 1000 < permille), so re-runs and
+    retried tasks select the same documents; the score arithmetic is
+    pure IEEE double (identical in both engines — proven by
+    llm_quality_score's hash match) and floor() is exact on doubles.
+
+    Scale shape: a pure map-side filter — no shuffle, no state; the
+    score and the hash both compute from the row itself."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = tokens()
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    avg_len = (F.col("n_chars").cast("bigint") - (n_tokens - 1)).cast("double") \
+        / n_tokens.cast("double")
+    score = (0.4 * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+             + 0.3 * (n_distinct.cast("double") / n_tokens.cast("double"))
+             + 0.3 * F.least(avg_len / 8.0, F.lit(1.0)))
+    permille = F.floor(score * 1000).cast("bigint")
+    bucket = md5_int60(F.col("doc_id").cast("string")) % 1000
+    return (d.select("doc_id", "lang", permille.alias("permille"),
+                     bucket.alias("b"))
+            .where(F.col("b") < F.col("permille"))
+            .select("doc_id", "lang", "permille"))
+
+
+_SEMANTIC_ORACLE = f"""
+WITH cells AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
+  FROM embeddings
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {{cos}} >= 0.95
+)
+SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+       d.vec_id IS NULL AS is_kept
+FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+"""
+
+
+@register("llm_dedup_semantic",
+          oracle=_SEMANTIC_ORACLE.format(
+              cos=_cosine_sql("a.embedding", "b.embedding")))
+def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (the SemDeDup shape): embeddings are coarsely
+    quantized into sign-pattern cells (first 4 dims → 16 cells — a
+    deterministic, SQL-expressible stand-in for the k-means coarse
+    quantizer; same cell ⇒ same orthant, where near-identical vectors
+    must land), and within each cell any vector whose cosine to a
+    LOWER-id cellmate is ≥ 0.95 is dropped. Cosines use the sequential
+    left-fold dot product (bit-identical to DuckDB's list_reduce —
+    llm_dedup_embedding_cosine's proven arithmetic), so threshold
+    membership cannot flake on an ulp.
+
+    Scale shape: the cell id is the partition key — the quadratic
+    within-cell comparison is bounded per cell (more sign bits ⇒ smaller
+    cells; production uses the IVF centroids from llm_sim_ann_ivf), and
+    cells compare independently, embarrassingly parallel. The output
+    keeps every vector with its keep/drop verdict — the downstream
+    filter is one `where(is_kept)`."""
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    cell = sum(
+        F.when(F.element_at("embedding", k + 1) >= 0, 1 << k).otherwise(0)
+        for k in range(4))
+    cells = e.select("vec_id", "embedding", cell.alias("cell")) \
+        .localCheckpoint(eager=False)  # both sides of the pair join share it
+    a = cells.select(F.col("vec_id").alias("a_id"),
+                     F.col("embedding").alias("ea"), "cell")
+    b = cells.select(F.col("vec_id").alias("b_id"),
+                     F.col("embedding").alias("eb"),
+                     F.col("cell").alias("cell_b"))
+    cos = _cosine_spark(F.col("ea"), F.col("eb"))
+    dropped = (a.join(b, (a.cell == b.cell_b) & (a.a_id < b.b_id))
+               .where(cos >= 0.95)
+               .select(F.col("b_id").alias("vec_id")).distinct())
+    return (cells.join(dropped.withColumn("hit", F.lit(1)), "vec_id", "left")
+            .select("vec_id", F.col("cell").cast("int").alias("cell"),
+                    F.col("hit").isNull().alias("is_kept")))

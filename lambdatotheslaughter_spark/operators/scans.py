@@ -1171,3 +1171,45 @@ def scan_vacuum_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(orphans)).cast("bigint").alias("n_orphans"),
         F.lit(",".join(orphans)).alias("orphan_names"),
         "n_live_rows", "live_key_sum")
+
+
+_JSONL_SINK_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents WHERE lang = 'en'
+"""
+
+
+@register("sink_jsonl_roundtrip", oracle=_JSONL_SINK_ORACLE)
+def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines SINK + schema-pinned read-back — the export half of the
+    source_jsonl connector (interchange with tools that speak only
+    JSONL: annotation UIs, tokenizer trainers, review samples). The
+    English slice is written once per (sf, fingerprint) to a cached
+    dataset path, read back through an EXPLICIT schema (never
+    inferSchema on the serving path), and the aggregate must reproduce
+    the source-of-truth numbers — proving values survive the
+    string-typed round trip. Schema note: JSON has no int64-vs-double
+    distinction, which is why the read-back schema pins LongType before
+    any arithmetic.
+
+    Scale shape: the write is one pass, partitioned like any sink; the
+    read-back aggregate is map-side combinable."""
+    def build(tmp: str) -> None:
+        (load_table(spark, "documents", sf_dir)
+         .where(F.col("lang") == "en")
+         .write.mode("overwrite").json(tmp))
+
+    out = _cached_dataset("documents_en_jsonl", sf_dir, "documents", build)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint").json(out)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"))

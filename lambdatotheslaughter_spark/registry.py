@@ -77,11 +77,13 @@ _loaded = False
 # llm_dedup_survivorship, llm_fingerprint_winnow,
 # llm_index_inverted_postings, llm_ngram_topk_per_lang,
 # llm_vocab_coverage, llm_cooccurrence_pmi, llm_embedding_centroids,
-# plus graph_triangle_count and ts_mom_growth), then the FOUR batch-2
+# plus graph_triangle_count and ts_mom_growth), then the EIGHT later
 # round-4 keys (udf_cogrouped_map, join_asof_forward,
-# ts_seasonal_decompose_ma, win_pct_of_total), then re-confirmation
-# backfill from the r1/r2 windows. After r5 every oracled key in the
-# repo has at least one hard CORRECTNESS row.
+# ts_seasonal_decompose_ma, win_pct_of_total,
+# llm_sample_importance_weighted, llm_dedup_semantic, agg_mad_robust,
+# sink_jsonl_roundtrip), then re-confirmation backfill from the r1/r2
+# windows. After r5 every oracled key in the repo has at least one hard
+# CORRECTNESS row (11 + 17 round-4 keys = 28, leaving 22 backfill slots).
 # Update tests/test_survey_coverage.py's pinned window when rotating.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # sources / sinks / physical layout (round-3 additions)
