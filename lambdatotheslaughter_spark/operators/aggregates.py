@@ -459,3 +459,114 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.percentile(F.abs(F.col("value") - F.col("m")),
                                       F.lit(0.5)), 6).alias("mad"),
                  F.count(F.lit(1)).cast("bigint").alias("n_events")))
+
+
+_SKEW_KURT_ORACLE = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS HUGEINT) AS xc FROM events
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(xc) AS s1, SUM(xc * xc) AS s2,
+         SUM(xc * xc * xc) AS s3, SUM(xc * xc * xc * xc) AS s4
+  FROM c GROUP BY event_type
+), a AS (
+  -- HUGEINT -> DOUBLE via VARCHAR: DuckDB's direct hugeint cast is NOT
+  -- correctly rounded past 2^53 (measured 1 ulp off on sigma-x^4), while
+  -- strtod and Spark's BigDecimal.doubleValue both round correctly
+  SELECT event_type, n,
+         CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS a1,
+         CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS a2,
+         CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS a3,
+         CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS a4
+  FROM s
+)
+SELECT event_type, n,
+       a1 / 100.0 AS mean_value,
+       a2 - a1 * a1 AS m2_cents2,
+       (a3 - 3.0 * a1 * a2 + 2.0 * a1 * a1 * a1)
+         / ((a2 - a1 * a1) * sqrt(a2 - a1 * a1)) AS skewness,
+       (a4 - 4.0 * a1 * a3 + 6.0 * a1 * a1 * a2 - 3.0 * a1 * a1 * a1 * a1)
+         / ((a2 - a1 * a1) * (a2 - a1 * a1)) - 3.0 AS excess_kurtosis
+FROM a
+"""
+
+
+@register("agg_skew_kurt_exact", oracle=_SKEW_KURT_ORACLE)
+def agg_skew_kurt_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per event type — the distribution-
+    shape diagnostics a quality gate reads before trusting a z-score.
+    Built-in skewness()/kurtosis() aggregate doubles in partition order
+    and can never hash-match across engines; instead the EXACT integer
+    power sums Σx, Σx², Σx³, Σx⁴ are aggregated in wide-decimal/HUGEINT
+    space (cents⁴ ≈ 1e20 per row — past int64, inside decimal(38));
+    the moments then assemble in DOUBLE through an expression tree
+    written IDENTICALLY in both engines (each step one correctly-rounded
+    IEEE op; m2^1.5 spelled m2·sqrt(m2) because libm pow() is not
+    portable; the oracle's HUGEINT sums reach double via a VARCHAR hop —
+    DuckDB's direct hugeint→double cast is 1 ulp off correct rounding
+    past 2^53, found by the sf0.01 parity gate). Skew/kurtosis are
+    scale-invariant, so computing them in cents equals computing them on
+    the raw values.
+
+    Scale shape: one map-side-combinable groupBy carrying four decimal
+    partial sums per group — the same single-shuffle shape as any Q1-
+    style aggregate, exact at any partition count."""
+    ev = load_table(spark, "events", sf_dir)
+    xc = F.round(F.col("value") * 100, 0).cast("decimal(38,0)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xc).alias("s1"),
+        F.sum(xc * xc).alias("s2"),
+        F.sum(xc * xc * xc).alias("s3"),
+        F.sum(xc * xc * xc * xc).alias("s4"))
+    nd = F.col("n").cast("double")
+    a1 = F.col("s1").cast("double") / nd
+    a2 = F.col("s2").cast("double") / nd
+    a3 = F.col("s3").cast("double") / nd
+    a4 = F.col("s4").cast("double") / nd
+    m2 = a2 - a1 * a1
+    m3 = a3 - F.lit(3.0) * a1 * a2 + F.lit(2.0) * a1 * a1 * a1
+    m4 = (a4 - F.lit(4.0) * a1 * a3 + F.lit(6.0) * a1 * a1 * a2
+          - F.lit(3.0) * a1 * a1 * a1 * a1)
+    return s.select(
+        "event_type", "n",
+        (a1 / F.lit(100.0)).alias("mean_value"),
+        m2.alias("m2_cents2"),
+        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        (m4 / (m2 * m2) - F.lit(3.0)).alias("excess_kurtosis"))
+
+
+_HIST_ORACLE = """
+SELECT event_type,
+       CAST(least(floor(value / 50.0), 19) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(MAX(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS max_cents,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY event_type, CAST(least(floor(value / 50.0), 19) AS BIGINT)
+"""
+
+
+@register("agg_hist_fixed_buckets", oracle=_HIST_ORACLE)
+def agg_hist_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram (width-50 buckets, capped at 19 —
+    the width_bucket shape) of event values per type, with exact
+    integer-cents min/max/sum per bucket: the distribution profile a
+    monitoring dashboard renders. Bucket assignment is floor(value/50) —
+    one exact double division + floor, identical in both engines.
+
+    Scale shape: pure map-side bucket tag + one combinable groupBy on a
+    (type × 20)-bounded key space; no sort, no window — the histogram
+    never sees the data ordered."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    bucket = F.least(F.floor(F.col("value") / 50.0), F.lit(19)).cast("bigint")
+    return (ev.select("event_type", bucket.alias("bucket"),
+                      cents.alias("cents"))
+            .groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.min("cents").cast("bigint").alias("min_cents"),
+                 F.max("cents").cast("bigint").alias("max_cents"),
+                 F.sum("cents").cast("bigint").alias("sum_cents")))

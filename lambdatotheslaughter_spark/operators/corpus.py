@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lambdatotheslaughter_spark.functions.text import (
-    SHINGLE2_SQL, md5_int60, shingles2, tokens)
+    SHINGLE2_SQL, SHINGLE3_SQL, md5_int60, shingles2, shingles3, tokens)
 from lambdatotheslaughter_spark.operators.llm import (
     _CLUSTER_ORACLE, _cosine_spark, _cosine_sql, llm_dedup_cluster)
 from lambdatotheslaughter_spark.registry import register
@@ -517,3 +517,61 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cells.join(dropped.withColumn("hit", F.lit(1)), "vec_id", "left")
             .select("vec_id", F.col("cell").cast("int").alias("cell"),
                     F.col("hit").isNull().alias("is_kept")))
+
+
+# ---------------------------------------------------------------------------
+# template / boilerplate detection
+# ---------------------------------------------------------------------------
+
+_TEMPLATE_DF_MIN = 20
+
+_TEMPLATE_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({{sh3}}) AS s FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), df AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s
+)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(*) FILTER (WHERE df.df >= {_TEMPLATE_DF_MIN}) AS BIGINT)
+         AS n_boiler,
+       CAST(COUNT(*) FILTER (WHERE df.df >= {_TEMPLATE_DF_MIN}) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS boiler_share,
+       2 * COUNT(*) FILTER (WHERE df.df >= {_TEMPLATE_DF_MIN}) >= COUNT(*)
+         AS is_template
+FROM sh JOIN df ON sh.s = df.s
+GROUP BY sh.doc_id
+"""
+
+
+@register("llm_prompt_template_detect",
+          oracle=_TEMPLATE_ORACLE.format(sh3=SHINGLE3_SQL))
+def llm_prompt_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection: the share of a document's distinct
+    3-gram shingles that are CORPUS-COMMON (document frequency ≥ 20) —
+    the signal that separates templated pages (cookie banners, forum
+    scaffolding, generated listings) from organic text before any
+    near-dup machinery runs. `is_template` uses the integer
+    cross-multiplied form (2·boiler ≥ total) so the verdict cannot flake
+    on a float ulp; the reported share is one int→double division.
+
+    Scale shape: shingle explode + one df groupBy (vocab-sized), then the
+    df table joins back — the same dictionary-join shape as BM25; the
+    per-doc aggregate is map-side combinable."""
+    d = load_table(spark, "documents", sf_dir).where(F.size(tokens()) >= 3)
+    sh = (d.select("doc_id", tokens().alias("toks"))
+          .select("doc_id", F.explode(shingles3("toks")).alias("s"))
+          .localCheckpoint(eager=False))  # df build + join-back share it
+    df_tab = sh.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    boiler = (F.col("df") >= _TEMPLATE_DF_MIN).cast("long")
+    return (sh.join(F.broadcast(df_tab), "s")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+                 F.sum(boiler).cast("bigint").alias("n_boiler"))
+            .select("doc_id", "n_shingles", "n_boiler",
+                    (F.col("n_boiler").cast("double")
+                     / F.col("n_shingles").cast("double"))
+                    .alias("boiler_share"),
+                    (2 * F.col("n_boiler") >= F.col("n_shingles"))
+                    .alias("is_template")))

@@ -81,9 +81,10 @@ _loaded = False
 # round-4 keys (udf_cogrouped_map, join_asof_forward,
 # ts_seasonal_decompose_ma, win_pct_of_total,
 # llm_sample_importance_weighted, llm_dedup_semantic, agg_mad_robust,
-# sink_jsonl_roundtrip), then re-confirmation backfill from the r1/r2
+# sink_jsonl_roundtrip, llm_prompt_template_detect, agg_skew_kurt_exact,
+# agg_hist_fixed_buckets), then re-confirmation backfill from the r1/r2
 # windows. After r5 every oracled key in the repo has at least one hard
-# CORRECTNESS row (11 + 17 round-4 keys = 28, leaving 22 backfill slots).
+# CORRECTNESS row (11 + 20 round-4 keys = 31, leaving 19 backfill slots).
 # Update tests/test_survey_coverage.py's pinned window when rotating.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # sources / sinks / physical layout (round-3 additions)
