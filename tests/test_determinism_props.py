@@ -219,3 +219,24 @@ def test_cdc_apply_respects_changelog_semantics(spark):
             assert out[r.user_id].value == round(r.value, 6)
     for k in base - changed:
         assert out[k].src == "base", k
+
+
+def test_exact_moment_ops_are_partition_invariant(spark):
+    """The round-4 exact-arithmetic aggregates (decimal power sums, fixed-
+    point centroid sums) must be BIT-identical under a radically different
+    shuffle partitioning — the property that makes them reproducible
+    across cluster sizes and AQE re-plans, not just across engines."""
+    from lambdatotheslaughter_spark import registry
+    from tests.conftest import SF_DIR
+
+    for name in ("agg_skew_kurt_exact", "llm_embedding_centroids",
+                 "ts_seasonal_decompose_ma"):
+        fn = registry.get(name).fn
+        base = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "97")
+        try:
+            churned = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert base == churned, f"{name}: partition-count-dependent values"
