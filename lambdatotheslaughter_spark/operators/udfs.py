@@ -8,6 +8,8 @@ of preference at scale: built-ins ≫ pandas_udf (Arrow-batched) ≫ Python UDF
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -381,3 +383,116 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             .applyInPandas(audit, schema=("o_orderkey bigint, n_items bigint, "
                                           "sum_qty_cents bigint, "
                                           "price_gap_cents bigint")))
+
+
+_ITER_UDF_ORACLE = """
+SELECT doc_id,
+       0.25 * (CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+       + 0.5 * (CAST(n_chars AS DOUBLE) / 1000.0)
+       + 0.25 AS inference_score
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@register("udf_pandas_iter", oracle=_ITER_UDF_ORACLE)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas UDF (Iterator[Series] → Iterator[Series]) —
+    the BATCH-INFERENCE shape: expensive per-worker state (a model, a
+    tokenizer) initializes ONCE per partition before the batch loop, then
+    every Arrow batch reuses it. The "model" here is an honestly-fake
+    linear scorer with fixed weights (no ML libs in this container), so
+    the oracle can replay the arithmetic exactly; in production only the
+    init block changes (load weights, pin to GPU). This is THE pattern
+    that makes Python-side LLM scoring viable at 100 TB — per-batch
+    amortization instead of per-row or per-call model loads."""
+    # Iterator/Tuple come from module scope: postponed annotations make
+    # the hints strings, and PySpark resolves them via function GLOBALS —
+    # a function-local import would be invisible to get_type_hints
+    @F.pandas_udf("double")
+    def score(batches: Iterator[Tuple[pd.Series, pd.Series]]) \
+            -> Iterator[pd.Series]:
+        # per-partition init: stands in for model = load_model(...)
+        weights = {"w_tok": 0.25, "w_chars": 0.5, "bias": 0.25}
+        for n_tok, n_chars in batches:
+            yield (weights["w_tok"] * (n_tok / 100.0)
+                   + weights["w_chars"] * (n_chars / 1000.0)
+                   + weights["bias"])
+
+    d = (load_table(spark, "documents", sf_dir)
+         .where(F.col("doc_id") % 10 == 0)
+         .select("doc_id",
+                 F.size(F.split("text", " ")).cast("double").alias("n_tok"),
+                 F.col("n_chars").cast("double").alias("n_chars")))
+    return d.select(
+        "doc_id", score("n_tok", "n_chars").alias("inference_score"))
+
+
+_GROUPED_AGG_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT) * user_id) AS DOUBLE)
+         / CAST(SUM(user_id) AS DOUBLE) / 100.0 AS weighted_mean_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@register("udaf_grouped_agg_pandas", oracle=_GROUPED_AGG_ORACLE)
+def udaf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the scalar-per-group form usable directly
+    inside groupBy().agg() beside built-ins (applyInPandas replaces the
+    whole group; this composes). Computes a user-id-weighted mean in
+    exact integer space inside numpy (int64 sums are associative), with
+    the two final double ops ordered identically to the oracle.
+
+    Scale caveat, stated honestly: GROUPED_AGG has NO partial
+    aggregation — each group's full columns reach one executor, so it
+    belongs on bounded groups (event types) and the exact int64 trick
+    makes it at least deterministic there; unbounded keys should use the
+    built-in aggregate path instead."""
+    @F.pandas_udf("double")
+    def wmean_cents(cents: pd.Series, w: pd.Series) -> float:
+        num = int((cents.astype("int64") * w.astype("int64")).sum())
+        den = int(w.astype("int64").sum())
+        return float(num) / float(den)
+
+    # Spark refuses to mix GROUPED_AGG pandas UDFs with JVM aggregates in
+    # one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a
+    # second pandas aggregate rather than a built-in count
+    @F.pandas_udf("long")
+    def n_rows(cents: pd.Series) -> int:
+        return len(cents)
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", "user_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"))
+    return (ev.groupBy("event_type")
+            .agg((wmean_cents("cents", "user_id") / F.lit(100.0))
+                 .alias("weighted_mean_value"),
+                 n_rows("cents").cast("bigint").alias("n_events")))
+
+
+_SQL_UDF_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+            THEN 'expedite' ELSE 'routine' END AS lane
+FROM orders WHERE o_orderkey < 2000
+"""
+
+
+@register("udf_sql_registered", oracle=_SQL_UDF_ORACLE)
+def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF registered INTO THE SQL CATALOG (`spark.udf.register`) and
+    invoked from SQL text — the surface that lets analysts call Python
+    extensions from plain SQL without touching the DataFrame API. The
+    registration is session-idempotent; the logic is trivially re-expressed
+    in the oracle because the boundary, not the body, is the point."""
+    def lane(p: str) -> str:
+        return "expedite" if p and p[0] in ("1", "2") else "routine"
+
+    spark.udf.register("lts_priority_lane", lane, "string")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("lts_orders_v")
+    return spark.sql("""
+        SELECT o_orderkey, o_orderpriority,
+               lts_priority_lane(o_orderpriority) AS lane
+        FROM lts_orders_v WHERE o_orderkey < 2000
+    """)
