@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lambdatotheslaughter_spark.determinism import estimate_rows
 from lambdatotheslaughter_spark.functions.text import (
     SHINGLE2_SQL, SHINGLE3_SQL, md5_int60, shingles2, shingles3, tokens)
 from lambdatotheslaughter_spark.operators.llm import (
@@ -556,16 +557,20 @@ def llm_prompt_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplied form (2·boiler ≥ total) so the verdict cannot flake
     on a float ulp; the reported share is one int→double division.
 
-    Scale shape: shingle explode + one df groupBy (vocab-sized), then the
-    df table joins back — the same dictionary-join shape as BM25; the
-    per-doc aggregate is map-side combinable."""
+    Scale shape: shingle explode + one df groupBy, then the df table
+    joins back — the dictionary-join shape BM25 uses, but a 3-gram
+    SHINGLE dictionary grows much faster than a token vocabulary, so the
+    broadcast is estimate-gated (past ~1M docs AQE plans a shuffle
+    join); the per-doc aggregate is map-side combinable."""
     d = load_table(spark, "documents", sf_dir).where(F.size(tokens()) >= 3)
     sh = (d.select("doc_id", tokens().alias("toks"))
           .select("doc_id", F.explode(shingles3("toks")).alias("s"))
           .localCheckpoint(eager=False))  # df build + join-back share it
     df_tab = sh.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    if estimate_rows(sf_dir, "documents") <= 1_000_000:
+        df_tab = F.broadcast(df_tab)
     boiler = (F.col("df") >= _TEMPLATE_DF_MIN).cast("long")
-    return (sh.join(F.broadcast(df_tab), "s")
+    return (sh.join(df_tab, "s")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
                  F.sum(boiler).cast("bigint").alias("n_boiler"))
