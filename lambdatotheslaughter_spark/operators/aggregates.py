@@ -570,3 +570,64 @@ def agg_hist_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("cents").cast("bigint").alias("min_cents"),
                  F.max("cents").cast("bigint").alias("max_cents"),
                  F.sum("cents").cast("bigint").alias("sum_cents")))
+
+
+_WEIGHTED_STATS_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity, 0) AS HUGEINT) AS w,
+         CAST(round(l_extendedprice * 100, 0) AS HUGEINT) AS p
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(w) AS BIGINT) AS wt,
+         SUM(w * p) AS s1, SUM(w * p * p) AS s2
+  FROM c GROUP BY l_returnflag, l_linestatus
+), a AS (
+  -- HUGEINT -> DOUBLE via VARCHAR: correctly rounded (see skew/kurt note)
+  SELECT l_returnflag, l_linestatus, n, wt,
+         CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(wt AS DOUBLE) AS b1,
+         CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(wt AS DOUBLE) AS b2
+  FROM s
+)
+SELECT l_returnflag, l_linestatus, n, wt AS weight_total,
+       b1 / 100.0 AS wmean_price,
+       b2 - b1 * b1 AS wvar_cents2,
+       sqrt(b2 - b1 * b1) AS wstd_cents
+FROM a
+"""
+
+
+@register("agg_weighted_stats", oracle=_WEIGHTED_STATS_ORACLE)
+def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price mean/variance per (returnflag, linestatus)
+    — the weighted-moment aggregate behind any "average unit price
+    weighted by volume" report, and the same shape as token-weighted
+    quality averaging over a corpus. Like agg_skew_kurt_exact, the
+    weighted power sums Σw, Σw·p, Σw·p² aggregate EXACTLY in
+    decimal(38)/HUGEINT space (w·p² ≈ 5e15 per row — int64 would wrap
+    at ~2k rows per group), then the moments assemble in an identical
+    double expression tree; the oracle's HUGEINT→DOUBLE hop goes via
+    VARCHAR because DuckDB's direct cast is 1 ulp off past 2^53.
+
+    Scale shape: one map-side-combinable groupBy carrying two decimal
+    partials + two longs per group — single shuffle, exact at any
+    partition count and any scale factor."""
+    li = load_table(spark, "lineitem", sf_dir)
+    wq = F.round(F.col("l_quantity"), 0).cast("decimal(38,0)")
+    p = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(38,0)")
+    s = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(wq).cast("bigint").alias("wt"),
+        F.sum(wq * p).alias("s1"),
+        F.sum(wq * p * p).alias("s2"))
+    wd = F.col("wt").cast("double")
+    b1 = F.col("s1").cast("double") / wd
+    b2 = F.col("s2").cast("double") / wd
+    return s.select(
+        "l_returnflag", "l_linestatus", "n",
+        F.col("wt").alias("weight_total"),
+        (b1 / F.lit(100.0)).alias("wmean_price"),
+        (b2 - b1 * b1).alias("wvar_cents2"),
+        F.sqrt(b2 - b1 * b1).alias("wstd_cents"))

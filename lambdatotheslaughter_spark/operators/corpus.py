@@ -580,3 +580,153 @@ def llm_prompt_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("boiler_share"),
                     (2 * F.col("n_boiler") >= F.col("n_shingles"))
                     .alias("is_template")))
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 3: training-order shuffle, epoch up-sampling, dim stats
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SEED = 42
+_SHUFFLE_SHARDS = 8
+
+_SHUFFLE_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SEED}') AS skey
+  FROM documents
+)
+SELECT doc_id, skey,
+       CAST(ROW_NUMBER() OVER (ORDER BY skey) AS BIGINT) AS pos,
+       CAST((ROW_NUMBER() OVER (ORDER BY skey) - 1) % {_SHUFFLE_SHARDS}
+            AS BIGINT) AS shard
+FROM k
+"""
+
+
+@register("llm_shuffle_deterministic", oracle=_SHUFFLE_ORACLE)
+def llm_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic training-order shuffle: every document gets a
+    GLOBAL position in a pseudo-random order (md5 of doc_id + seed) plus
+    a round-robin shard assignment — the "shuffle the corpus, split it
+    across data-loader workers" step every training run needs, made
+    reproducible (same seed ⇒ same order on any cluster, any partition
+    count).
+
+    Scale shape: a naive ROW_NUMBER() OVER (ORDER BY key) collapses the
+    corpus onto ONE task. Instead the rank is computed in two scalable
+    passes: (1) row_number within each of 256 hash-prefix buckets — a
+    bucket-bounded window; (2) bucket counts (256 rows) turn into prefix
+    offsets via a broadcast self-join, added back with a broadcast join.
+    No global sort, no single-partition window, one shuffle by bucket —
+    the standard distributed zipWithIndex."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit(f":{_SHUFFLE_SEED}"))).alias("skey"))
+    keyed = keyed.withColumn("b", F.substring("skey", 1, 2))
+    cnt = keyed.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    # 256-row prefix sum as a broadcast self-join (no global window)
+    off = (cnt.alias("x")
+           .join(F.broadcast(cnt.alias("y")), F.col("y.b") < F.col("x.b"),
+                 "left")
+           .groupBy(F.col("x.b").alias("b"))
+           .agg(F.coalesce(F.sum("y.c"), F.lit(0)).alias("off")))
+    rn = F.row_number().over(Window.partitionBy("b").orderBy("skey"))
+    pos = (F.col("off") + rn).cast("bigint")
+    return (keyed.join(F.broadcast(off), "b")
+            .select("doc_id", "skey", pos.alias("pos"),
+                    ((pos - 1) % _SHUFFLE_SHARDS).cast("bigint")
+                    .alias("shard")))
+
+
+_MIX_ORACLE = """
+WITH w AS (
+  SELECT doc_id, source,
+         CASE WHEN CAST(SUBSTR(source, 4) AS INTEGER) < 4 THEN 3
+              WHEN CAST(SUBSTR(source, 4) AS INTEGER) < 10 THEN 2
+              ELSE 1 END AS weight
+  FROM documents
+)
+SELECT doc_id, source, CAST(weight AS INT) AS weight,
+       CAST(e AS BIGINT) AS epoch
+FROM (SELECT doc_id, source, weight,
+             unnest(range(1, weight + 1)) AS e
+      FROM w) t
+"""
+
+
+@register("llm_mix_epoch_upsample", oracle=_MIX_ORACLE)
+def llm_mix_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix epoch up-sampling: high-quality sources are repeated
+    for several training epochs (weight 3), mid-tier twice, the long
+    tail once — the standard way a 100-TB corpus realizes a target
+    domain mixture without physically copying bytes (each repeat is one
+    extra row carrying doc_id + epoch index; the text itself is joined
+    in by the pack/loader stage). Weights derive from the source id so
+    the policy is a pure map-side expression.
+
+    Scale shape: explode(sequence(1, w)) is a narrow 1→w flatMap — no
+    shuffle at all; output size is exactly sum(w), the epoch-weighted
+    token budget, and downstream repartitioning is the loader's choice."""
+    src_num = F.substring("source", 4, 8).cast("int")
+    w = (F.when(src_num < 4, 3).when(src_num < 10, 2).otherwise(1)
+         .cast("int"))
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", w.alias("weight"))
+    return (d.select("doc_id", "source", "weight",
+                     F.explode(F.sequence(F.lit(1), F.col("weight")))
+                     .alias("e"))
+            .select("doc_id", "source", "weight",
+                    F.col("e").cast("bigint").alias("epoch")))
+
+
+_DIM_STATS_ORACLE = """
+WITH ev AS (
+  SELECT unnest(range(len(embedding))) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+), fp AS (
+  SELECT dim,
+         CAST(round(CAST(val AS DOUBLE) * 1000000, 0) AS BIGINT) AS v
+  FROM ev
+)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE)
+         AS mean_val,
+       CAST(MIN(v) AS BIGINT) AS min_fp,
+       CAST(MAX(v) AS BIGINT) AS max_fp,
+       CAST(COUNT(*) FILTER (WHERE v > 0) AS BIGINT) AS n_pos
+FROM fp GROUP BY dim
+"""
+
+
+@register("llm_embedding_dim_stats", oracle=_DIM_STATS_ORACLE)
+def llm_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (mean / min / max / sign
+    balance) — the feature-scaling profile read before normalization,
+    quantizer calibration (llm_embed_quantize_int8 needs exactly these
+    min/max ranges), and dead-dimension detection. Means use the proven
+    micro-unit fixed-point discipline (float → double → round → BIGINT,
+    associative sum); min/max of the fixed-point values are exact by
+    construction.
+
+    Scale shape: posexplode fans n vectors into n·64 rows, but the
+    shuffle carries only 64 partial-aggregate groups — map-side combine
+    reduces everything; identical to llm_embedding_centroids' shape
+    with a corpus-wide grain."""
+    e = load_table(spark, "embeddings", sf_dir)
+    ev = e.select(F.posexplode("embedding").alias("dim", "val"))
+    v = F.round(F.col("val").cast("double") * 1000000, 0).cast("bigint")
+    return (ev.select("dim", v.alias("v"))
+            .groupBy("dim")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 (F.sum("v").cast("double")
+                  / (F.count(F.lit(1)) * 1000000).cast("double"))
+                 .alias("mean_val"),
+                 F.min("v").cast("bigint").alias("min_fp"),
+                 F.max("v").cast("bigint").alias("max_fp"),
+                 F.sum((F.col("v") > 0).cast("long")).cast("bigint")
+                 .alias("n_pos"))
+            .select(F.col("dim").cast("int").alias("dim"), "n", "mean_val",
+                    "min_fp", "max_fp", "n_pos"))

@@ -1722,3 +1722,81 @@ def win_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("rev_cents").cast("double") /
                      F.col("grand_cents").cast("double"))
                     .alias("share_of_total")))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift / drawdown
+# ---------------------------------------------------------------------------
+
+_DRIFT_K_CENTS = 100_000  # |cum deviation| > 1000.00 x n flags drift
+
+_CUSUM_ORACLE = f"""
+WITH c AS (
+  SELECT event_id, event_type, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS vc
+  FROM events
+), g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(vc) AS BIGINT) AS s
+  FROM c GROUP BY event_type
+), d AS (
+  SELECT c.event_id, c.event_type, c.ts, c.vc * g.n - g.s AS dev, g.n
+  FROM c JOIN g USING (event_type)
+), r AS (
+  SELECT event_id, event_type, ts, n,
+         CAST(SUM(dev) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum_fp
+  FROM d
+), m AS (
+  SELECT event_id, event_type, n, cusum_fp,
+         CAST(MAX(cusum_fp) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS runmax_fp
+  FROM r
+)
+SELECT event_id, event_type, cusum_fp,
+       runmax_fp - cusum_fp AS drawdown_fp,
+       abs(cusum_fp) > {_DRIFT_K_CENTS} * n AS is_drift
+FROM m
+"""
+
+
+@register("ts_cusum_drift", oracle=_CUSUM_ORACLE)
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM-style drift detection per event type: the running sum of
+    each observation's deviation from the series mean, plus the running
+    peak and the drawdown from it — the change-detection primitive a
+    quality dashboard runs over ingestion metrics. All arithmetic is
+    integral: deviations are cross-multiplied (vc·n − S instead of
+    vc − S/n) so the cumulative sum is an exact BIGINT at every row and
+    the drift verdict (|cum| > K·n) cannot flake on a float ulp.
+    Int64 bound: |vc·n| ≈ 5e4·n cents — safe past 1e7 rows per type;
+    beyond that the same expressions lift to decimal(38,0) unchanged.
+
+    Scale shape: one combinable groupBy for (n, S), broadcast back, then
+    a per-type ordered running frame — partitioned by event_type, the
+    same bounded-window shape as win_running_frame; a single dominant
+    type would call for the range-bucketed two-pass rank instead
+    (llm_shuffle_deterministic shows it)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"))
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("vc").cast("bigint").alias("s"))
+    d = ev.join(F.broadcast(g), "event_type").select(
+        "event_id", "event_type", "ts", "n",
+        (F.col("vc") * F.col("n") - F.col("s")).alias("dev"))
+    w = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r = d.select("event_id", "event_type", "ts", "n",
+                 F.sum("dev").over(w).cast("bigint").alias("cusum_fp"))
+    r = r.select("event_id", "event_type", "n", "cusum_fp",
+                 F.max("cusum_fp").over(w).cast("bigint")
+                 .alias("runmax_fp"))
+    return r.select(
+        "event_id", "event_type", "cusum_fp",
+        (F.col("runmax_fp") - F.col("cusum_fp")).alias("drawdown_fp"),
+        (F.abs(F.col("cusum_fp")) > _DRIFT_K_CENTS * F.col("n"))
+        .alias("is_drift"))

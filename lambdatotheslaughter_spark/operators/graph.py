@@ -198,3 +198,64 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
               .distinct()
               .agg(F.count(F.lit(1)).cast("bigint").alias("n_vertices")))
     return n_vert.crossJoin(n_edges).crossJoin(n_tri)
+
+
+# ---------------------------------------------------------------------------
+# breadth-first distance
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_D = 3
+_BFS_SEED_MOD = 50
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE raw AS ({_EDGES_SQL}),
+edges AS (SELECT DISTINCT src, dst FROM raw),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+seeds AS (SELECT node FROM nodes WHERE node % {_BFS_SEED_MOD} = 0),
+walk(node, d) AS (
+  SELECT node, 0 FROM seeds
+  UNION ALL
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.d < {_BFS_MAX_D}
+)
+SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY node
+"""
+
+
+@register("graph_bfs_distance", oracle=_BFS_ORACLE)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first distance from a seed set (nodes ≡ 0 mod 50)
+    over the deduplicated part-transition graph — the "k-hop
+    neighborhood" primitive behind blast-radius, influence, and
+    recommendation-candidate queries. Each level is one frontier ⋈ edges
+    join, a distinct, and an anti-join against the visited set, so a
+    node's distance is final the first time it appears — min() semantics
+    by construction, no per-node re-relaxation (this is BFS, not
+    Bellman-Ford). The oracle is the same walk as a depth-capped
+    recursive CTE with MIN(d).
+
+    Scale shape: per level one equi-join shuffle on src plus one
+    anti-join on node id; frontier and visited sets are O(nodes), never
+    collected. Depth is a fixed small constant, so lineage stays
+    shallow without checkpoints; the frontier is lazily checkpointed
+    because two consumers (union + next level) share it."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    edges = (li.select(F.col("l_partkey").alias("src"),
+                       F.lead("l_partkey").over(w).alias("dst"))
+             .where(F.col("dst").isNotNull())
+             .distinct().localCheckpoint())  # reused every level
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select("dst")).distinct())
+    frontier = nodes.where(F.col("node") % _BFS_SEED_MOD == 0)
+    dist = frontier.withColumn("dist", F.lit(0).cast("bigint"))
+    for lvl in range(1, _BFS_MAX_D + 1):
+        nbr = (frontier.join(edges, frontier.node == edges.src)
+               .select(F.col("dst").alias("node")).distinct())
+        frontier = (nbr.join(dist.select("node"), "node", "left_anti")
+                    .localCheckpoint(eager=False))
+        dist = dist.union(
+            frontier.withColumn("dist", F.lit(lvl).cast("bigint")))
+    return dist

@@ -83,9 +83,12 @@ _loaded = False
 # llm_sample_importance_weighted, llm_dedup_semantic, agg_mad_robust,
 # sink_jsonl_roundtrip, llm_prompt_template_detect, agg_skew_kurt_exact,
 # agg_hist_fixed_buckets, udf_pandas_iter, udaf_grouped_agg_pandas,
-# udf_sql_registered), then re-confirmation backfill from the r1/r2
+# udf_sql_registered), then the SIX round-4 batch-3 keys
+# (llm_shuffle_deterministic, llm_mix_epoch_upsample,
+# llm_embedding_dim_stats, graph_bfs_distance, agg_weighted_stats,
+# ts_cusum_drift), then re-confirmation backfill from the r1/r2
 # windows. After r5 every oracled key in the repo has at least one hard
-# CORRECTNESS row (11 + 23 round-4 keys = 34, leaving 16 backfill slots).
+# CORRECTNESS row (11 + 29 round-4 keys = 40, leaving 10 backfill slots).
 # Update tests/test_survey_coverage.py's pinned window when rotating.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # sources / sinks / physical layout (round-3 additions)
