@@ -530,3 +530,56 @@ def test_mom_growth_broadcasts_dims():
     rollup's shuffle is (nation, month) partial sums only."""
     plan = checks.executed_plan(_df("ts_mom_growth"))
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_shuffle_order_window_is_bucket_partitioned():
+    """The global-order rank must come from the two-pass bucketed scheme:
+    the only window partitions by the hash-prefix bucket `b` — a naive
+    ROW_NUMBER() OVER (ORDER BY key) would single-partition the corpus.
+    The 256-row prefix-offset self-join may be a broadcast nested loop
+    (bounded 256x256); the offset join back must be a broadcast."""
+    plan = checks.executed_plan(_df("llm_shuffle_deterministic"))
+    assert "windowspecdefinition(b" in plan, plan
+    assert plan.count("Window") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_epoch_upsample_is_shuffle_free():
+    """Epoch up-sampling is a pure 1-to-w flatMap: the executed plan must
+    contain a Generate (explode) and ZERO exchanges."""
+    plan = checks.executed_plan(_df("llm_mix_epoch_upsample"))
+    assert "Generate explode" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_dim_stats_aggregate_partially_map_side():
+    """n x 64 exploded rows must reduce to 64 partial groups before the
+    single shuffle — partial + final hash aggregation."""
+    plan = checks.executed_plan(_df("llm_embedding_dim_stats"))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_weighted_stats_single_shuffle():
+    """The weighted power sums are one map-side-combinable groupBy:
+    exactly one exchange, partial + final aggregation."""
+    plan = checks.executed_plan(_df("agg_weighted_stats"))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_cusum_windows_are_type_partitioned_and_stats_broadcast():
+    """Both running frames must partition by event_type (no global
+    window), and the per-type (n, S) stats must broadcast back."""
+    plan = checks.executed_plan(_df("ts_cusum_drift"))
+    assert "windowspecdefinition(event_type" in plan, plan
+    assert "windowspecdefinition(ts" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bfs_stays_on_hash_joins():
+    """Frontier expansion and visited-set subtraction must be hash
+    equi-joins — no cartesian/nested-loop anywhere in the level plans."""
+    plan = checks.executed_plan(_df("graph_bfs_distance"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
