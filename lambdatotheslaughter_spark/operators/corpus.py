@@ -730,3 +730,82 @@ def llm_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_pos"))
             .select(F.col("dim").cast("int").alias("dim"), "n", "mean_val",
                     "min_fp", "max_fp", "n_pos"))
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 4: blocklist filter + fixed-k hash sample
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ("slow", "dup", "big")
+
+_BLOCKLIST_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN {_BLOCKLIST!r})) AS BIGINT) AS n_hits,
+       COALESCE(array_to_string(
+         list_sort(list_intersect(list_distinct(string_split(text, ' ')),
+                                  {list(_BLOCKLIST)!r})), ','), '')
+         AS matched,
+       len(list_filter(string_split(text, ' '),
+                       t -> t IN {_BLOCKLIST!r})) > 0 AS is_blocked
+FROM documents
+"""
+
+
+@register("llm_filter_blocklist", oracle=_BLOCKLIST_ORACLE)
+def llm_filter_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering (the C4 badwords gate): per document, the
+    occurrence count of blocklisted tokens, the sorted distinct set of
+    matched rules (the audit trail a curation pipeline must emit — WHY
+    was this doc dropped), and the boolean verdict. Matched rules are
+    sorted and comma-joined on BOTH engines: intersection order is
+    engine-specific, and a string cell hash-compares identically under
+    every pandas conversion path (Arrow returns ndarray, non-Arrow
+    returns list).
+
+    Scale shape: pure map-side higher-order functions over the token
+    array — zero shuffles, no UDF; the rule set rides inside the plan
+    as a literal (a large production list would broadcast a lookup
+    table into an array_intersect or join on exploded tokens)."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = tokens()
+    hits = F.filter(toks, lambda t: t.isin(*_BLOCKLIST))
+    matched = F.concat_ws(",", F.array_sort(
+        F.array_intersect(F.array_distinct(toks),
+                          F.array([F.lit(x) for x in _BLOCKLIST]))))
+    return d.select(
+        "doc_id",
+        F.size(hits).cast("bigint").alias("n_hits"),
+        matched.alias("matched"),
+        (F.size(hits) > 0).alias("is_blocked"))
+
+
+_SAMPLE_K = 100
+
+_FIXED_K_ORACLE = f"""
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':sample') AS skey
+FROM documents
+ORDER BY skey
+LIMIT {_SAMPLE_K}
+"""
+
+
+@register("llm_sample_fixed_k", oracle=_FIXED_K_ORACLE)
+def llm_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample: exactly k documents, chosen as the
+    bottom-k by a seeded hash — the distributed equivalent of reservoir
+    sampling (every doc equally likely under the random-oracle hash),
+    but deterministic and mergeable: bottom-k of a union is the
+    bottom-k of the per-partition bottom-k's, which is why it compiles
+    to TakeOrderedAndProject (per-partition top-k + a k-row driver
+    merge) instead of a global sort.
+
+    Scale shape: one narrow pass, k rows cross the wire per partition;
+    contrast llm_sample_stratified (fraction-based, unbounded output)
+    and llm_sample_importance_weighted (probability-proportional)."""
+    d = load_table(spark, "documents", sf_dir)
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample")))
+        .alias("skey"))
+    return keyed.orderBy("skey").limit(_SAMPLE_K)

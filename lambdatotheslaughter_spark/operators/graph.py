@@ -259,3 +259,50 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.union(
             frontier.withColumn("dist", F.lit(lvl).cast("bigint")))
     return dist
+
+
+# ---------------------------------------------------------------------------
+# degree distribution
+# ---------------------------------------------------------------------------
+
+_DEGREE_ORACLE = f"""
+WITH raw AS ({_EDGES_SQL}),
+edges AS (SELECT DISTINCT src, dst FROM raw),
+outd AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         FROM edges GROUP BY src),
+ind AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges GROUP BY dst)
+SELECT 'out' AS direction, deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM outd GROUP BY deg
+UNION ALL
+SELECT 'in' AS direction, deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM ind GROUP BY deg
+"""
+
+
+@register("graph_degree_histogram", oracle=_DEGREE_ORACLE)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In/out degree distribution of the deduplicated part-transition
+    graph — the first thing a graph health check reads (skew tells you
+    whether pagerank/triangle/BFS will hit hot keys; the salting
+    threshold comes straight from this table).
+
+    Scale shape: two cascaded combinable groupBys per direction (node →
+    degree, degree → count); the second input is one row per node and
+    the output is one row per distinct degree — both shuffles shrink
+    the data, nothing is ever wide."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    edges = (li.select(F.col("l_partkey").alias("src"),
+                       F.lead("l_partkey").over(w).alias("dst"))
+             .where(F.col("dst").isNotNull())
+             .distinct().localCheckpoint(eager=False))  # both directions
+    def hist(col: str, label: str) -> DataFrame:
+        return (edges.groupBy(F.col(col).alias("node"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+                .groupBy("deg")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+                .select(F.lit(label).alias("direction"), "deg", "n_nodes"))
+    return hist("src", "out").unionAll(hist("dst", "in"))

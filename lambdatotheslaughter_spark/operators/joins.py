@@ -500,3 +500,63 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("event_id").alias("click_id"), "user_id",
                     F.col("ts").alias("click_ts"), "purchase_id",
                     "purchase_ts"))
+
+
+# ---------------------------------------------------------------------------
+# fuzzy entity-resolution join via deletion-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH k AS (
+  SELECT c_custkey, c_name,
+         unnest(range(1, len(c_name) + 1)) AS i
+  FROM customer
+), b AS (
+  SELECT c_custkey, c_name, i,
+         substring(c_name, 1, i - 1) || '#' || substring(c_name, i + 1)
+           AS blk
+  FROM k
+)
+SELECT DISTINCT a.c_name AS a_name, bb.c_name AS b_name
+FROM b a JOIN b bb
+  ON a.i = bb.i AND a.blk = bb.blk AND a.c_custkey < bb.c_custkey
+WHERE levenshtein(a.c_name, bb.c_name) = 1
+"""
+
+
+@register("join_fuzzy_levenshtein_blocked", oracle=_FUZZY_ORACLE)
+def join_fuzzy_levenshtein_blocked(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Fuzzy entity-resolution self-join: all customer-name pairs within
+    ONE substitution, found WITHOUT the quadratic all-pairs scan.
+    Blocking key = (position, name with that position masked): two
+    equal-length names are within 1 substitution iff they share a
+    masked key, so the candidate set is exactly the true-positive set
+    plus nothing — an equi-join, verified by a levenshtein filter
+    (which also keeps the contract honest if variable-length names
+    appear; the deletion-neighborhood generalizes with per-length
+    deletes).
+
+    Scale shape: each name explodes into len(name) keys — a bounded
+    ~18× blow-up; every block holds at most |alphabet| names, so
+    per-block pairs are constant-bounded and the join stays hash-
+    shaped at any corpus size. This is the standard large-scale
+    alternative to a levenshtein theta-join (which would be a
+    cartesian product)."""
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    k = c.select(
+        "c_custkey", "c_name",
+        F.posexplode(F.split(F.col("c_name"), "(?!^)")).alias("i0", "_ch"))
+    b = k.select(
+        "c_custkey", "c_name", (F.col("i0") + 1).alias("i"),
+        F.concat(F.expr("substring(c_name, 1, i0)"), F.lit("#"),
+                 F.expr("substring(c_name, i0 + 2)")).alias("blk"))
+    a = b.select(F.col("c_custkey").alias("a_key"),
+                 F.col("c_name").alias("a_name"), "i", "blk")
+    bb = b.select(F.col("c_custkey").alias("b_key"),
+                  F.col("c_name").alias("b_name"),
+                  F.col("i").alias("i2"), F.col("blk").alias("blk2"))
+    return (a.join(bb, (a.i == bb.i2) & (a.blk == bb.blk2)
+                   & (a.a_key < bb.b_key))
+            .where(F.levenshtein("a_name", "b_name") == 1)
+            .select("a_name", "b_name").distinct())

@@ -86,9 +86,11 @@ _loaded = False
 # udf_sql_registered), then the SIX round-4 batch-3 keys
 # (llm_shuffle_deterministic, llm_mix_epoch_upsample,
 # llm_embedding_dim_stats, graph_bfs_distance, agg_weighted_stats,
-# ts_cusum_drift), then re-confirmation backfill from the r1/r2
+# ts_cusum_drift), then the FOUR batch-4 keys (llm_filter_blocklist,
+# llm_sample_fixed_k, join_fuzzy_levenshtein_blocked,
+# graph_degree_histogram), then re-confirmation backfill from the r1/r2
 # windows. After r5 every oracled key in the repo has at least one hard
-# CORRECTNESS row (11 + 29 round-4 keys = 40, leaving 10 backfill slots).
+# CORRECTNESS row (11 + 33 round-4 keys = 44, leaving 6 backfill slots).
 # Update tests/test_survey_coverage.py's pinned window when rotating.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # sources / sinks / physical layout (round-3 additions)
