@@ -583,3 +583,37 @@ def test_bfs_stays_on_hash_joins():
     plan = checks.executed_plan(_df("graph_bfs_distance"))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_blocklist_is_shuffle_free():
+    """The badwords gate is pure map-side higher-order functions: zero
+    exchanges, no UDF, no aggregation."""
+    plan = checks.executed_plan(_df("llm_filter_blocklist"))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_fixed_k_sample_fuses_to_take_ordered():
+    """Bottom-k-by-hash must compile to TakeOrderedAndProject (per-
+    partition top-k + k-row driver merge) — a global Sort + Limit would
+    single-partition the corpus."""
+    plan = checks.executed_plan(_df("llm_sample_fixed_k"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange") == 0, plan
+
+
+def test_fuzzy_join_is_hash_equi_never_cartesian():
+    """Deletion-neighborhood blocking exists to avoid the quadratic
+    levenshtein theta-join: the plan must contain an equi hash join and
+    no cartesian/nested-loop anywhere."""
+    plan = checks.executed_plan(_df("join_fuzzy_levenshtein_blocked"))
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_degree_histogram_aggregates_shrink():
+    """Both cascaded groupBys must run partial + final — the shuffles
+    carry per-node then per-degree partials, never raw edges."""
+    plan = checks.executed_plan(_df("graph_degree_histogram"))
+    assert plan.count("HashAggregate") >= 4, plan
