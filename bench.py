@@ -59,6 +59,9 @@ HEADLINE = [
     "llm_fingerprint_winnow",   # winnowing fingerprint index (round 4)
     "llm_cooccurrence_pmi",     # PMI-ratio collocations (round 4)
     "ts_mom_growth",            # month-over-month growth report (round 4)
+    "llm_shuffle_deterministic",  # two-pass global training order (round 4)
+    "agg_weighted_stats",       # exact weighted moments (round 4)
+    "graph_bfs_distance",       # iterative bounded BFS (round 4)
 ]
 
 

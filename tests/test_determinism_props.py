@@ -230,7 +230,9 @@ def test_exact_moment_ops_are_partition_invariant(spark):
     from tests.conftest import SF_DIR
 
     for name in ("agg_skew_kurt_exact", "llm_embedding_centroids",
-                 "ts_seasonal_decompose_ma"):
+                 "ts_seasonal_decompose_ma", "agg_weighted_stats",
+                 "ts_cusum_drift", "llm_embedding_dim_stats",
+                 "llm_shuffle_deterministic", "graph_bfs_distance"):
         fn = registry.get(name).fn
         base = sorted(map(tuple, fn(spark, SF_DIR).collect()))
         prev = spark.conf.get("spark.sql.shuffle.partitions")
