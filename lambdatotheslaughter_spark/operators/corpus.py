@@ -55,7 +55,10 @@ def llm_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the cluster table is LSH-survivor-sized (tiny vs the
     corpus), so the n_chars join hits documents once and the per-cluster
     argmax is a combinable max-of-struct aggregate — one small shuffle on
-    cluster_id, then a broadcast-sized survivor map joined back."""
+    cluster_id, then the survivor map joins back. The map has one row
+    per CLUSTER, which grows with the duplicated share of the corpus,
+    so its broadcast is estimate-gated like the other incremental-dedup
+    joins (past ~1M docs AQE picks the strategy)."""
     clusters = llm_dedup_cluster(spark, sf_dir).select("doc_id", "cluster_id")
     nchars = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
     c = clusters.join(nchars, "doc_id")
@@ -65,7 +68,9 @@ def llm_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (-F.col("doc_id")).alias("neg_id")))
                  .alias("m"))
             .select("cluster_id", (-F.col("m.neg_id")).alias("survivor_id")))
-    return (c.join(F.broadcast(surv), "cluster_id")
+    if estimate_rows(sf_dir, "documents") <= 1_000_000:
+        surv = F.broadcast(surv)
+    return (c.join(surv, "cluster_id")
             .select("doc_id", "cluster_id", "survivor_id",
                     (F.col("doc_id") == F.col("survivor_id"))
                     .alias("is_survivor")))
