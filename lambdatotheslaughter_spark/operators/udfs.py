@@ -496,3 +496,47 @@ def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
                lts_priority_lane(o_orderpriority) AS lane
         FROM lts_orders_v WHERE o_orderkey < 2000
     """)
+
+
+@register("udf_apply_in_arrow", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""")
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInArrow (Spark 4): per-group pyarrow.Table in, Table
+    out — the zero-copy sibling of applyInPandas that skips the pandas
+    conversion entirely, which is the right boundary when the Python
+    side is itself Arrow-native (polars, duckdb, arrow compute). The
+    body aggregates in exact int64 (round-to-cents before summing), so
+    the result hash-matches plain SQL.
+
+    Scale shape: groupBy ships each (returnflag, linestatus) group to
+    one task as Arrow record batches — group cardinality is 6, so the
+    parallelism bound is the group count, exactly like any grouped-map
+    op; the arithmetic itself is vectorized C++ (pyarrow.compute)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def agg(tbl: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(tbl["l_quantity"], 0), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(tbl["l_extendedprice"], pa.scalar(100.0)),
+                     0), pa.int64())
+        return pa.table({
+            "l_returnflag": [tbl["l_returnflag"][0].as_py()],
+            "l_linestatus": [tbl["l_linestatus"][0].as_py()],
+            "n": pa.array([tbl.num_rows], pa.int64()),
+            "sum_qty": pa.array([pc.sum(qty).as_py()], pa.int64()),
+            "sum_price_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+        })
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+    return li.groupBy("l_returnflag", "l_linestatus").applyInArrow(
+        agg, schema=("l_returnflag string, l_linestatus string, n bigint, "
+                     "sum_qty bigint, sum_price_cents bigint"))
