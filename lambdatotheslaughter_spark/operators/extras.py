@@ -1800,3 +1800,63 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("runmax_fp") - F.col("cusum_fp")).alias("drawdown_fp"),
         (F.abs(F.col("cusum_fp")) > _DRIFT_K_CENTS * F.col("n"))
         .alias("is_drift"))
+
+
+# ---------------------------------------------------------------------------
+# exact discrete percentiles
+# ---------------------------------------------------------------------------
+
+_PCTL_DISC_ORACLE = """
+WITH r AS (
+  SELECT c_mktsegment, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice, o_orderkey) AS rk,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment,
+       MIN(o_totalprice) FILTER (WHERE rk >= (n + 1) // 2) AS p50_disc,
+       MIN(o_totalprice) FILTER (WHERE rk >= (9 * n + 9) // 10) AS p90_disc,
+       MIN(o_totalprice) FILTER (WHERE rk >= (99 * n + 99) // 100)
+         AS p99_disc,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM r GROUP BY c_mktsegment
+"""
+
+
+@register("agg_percentile_disc_exact", oracle=_PCTL_DISC_ORACLE)
+def agg_percentile_disc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC per market segment — the discrete complement to
+    agg_percentiles' interpolated quantiles. The percentile is an ACTUAL
+    data value (the one at rank ceil(p·n)), so the result is bit-exact
+    with NO rounding caveat: rank thresholds are pure integer
+    arithmetic (ceil(k·n/d) = (k·n + k) DIV d, valid because each
+    numerator k here equals d − 1), and the pick is a conditional MIN
+    over the ranked rows — identical semantics in both engines, no
+    interpolation ulp to round away.
+
+    Scale shape: one window shuffle partitioned by segment (rank + count
+    share the exchange), then a combinable conditional-MIN groupBy; the
+    same single-exchange shape as any partitioned ranking. A segment
+    with billions of rows would switch to the two-pass bucketed rank
+    (llm_shuffle_deterministic's scheme) per segment."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    wp = Window.partitionBy("c_mktsegment")
+    r = j.select(
+        "c_mktsegment", "o_totalprice",
+        F.row_number().over(wp.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n"))
+    def pick(num: int, den: int, name: str):
+        # integer DIV keeps the ceil exact at any n (no double rounding)
+        thresh = F.expr(f"({num} * n + {num}) div {den}")
+        return F.min(F.when(F.col("rk") >= thresh,
+                            F.col("o_totalprice"))).alias(name)
+    return (r.groupBy("c_mktsegment")
+            .agg(pick(1, 2, "p50_disc"), pick(9, 10, "p90_disc"),
+                 pick(99, 100, "p99_disc"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_orders")))

@@ -88,10 +88,11 @@ _loaded = False
 # llm_embedding_dim_stats, graph_bfs_distance, agg_weighted_stats,
 # ts_cusum_drift), then the FOUR batch-4 keys (llm_filter_blocklist,
 # llm_sample_fixed_k, join_fuzzy_levenshtein_blocked,
-# graph_degree_histogram, udf_apply_in_arrow), then re-confirmation
-# backfill from the r1/r2 windows. After r5 every oracled key in the repo
-# has at least one hard CORRECTNESS row (11 + 34 round-4 keys = 45,
-# leaving 5 backfill slots).
+# graph_degree_histogram, udf_apply_in_arrow,
+# agg_percentile_disc_exact), then re-confirmation backfill from the
+# r1/r2 windows. After r5 every oracled key in the repo has at least one
+# hard CORRECTNESS row (11 + 35 round-4 keys = 46, leaving 4 backfill
+# slots).
 # Update tests/test_survey_coverage.py's pinned window when rotating.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # sources / sinks / physical layout (round-3 additions)
