@@ -673,7 +673,10 @@ def llm_mix_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: explode(sequence(1, w)) is a narrow 1→w flatMap — no
     shuffle at all; output size is exactly sum(w), the epoch-weighted
     token budget, and downstream repartitioning is the loader's choice."""
-    src_num = F.substring("source", 4, 8).cast("int")
+    # two-arg substring (to end-of-string) matches the oracle's
+    # SUBSTR(source, 4); a fixed length-8 slice would silently truncate a
+    # longer numeric suffix on the Spark side only
+    src_num = F.expr("substring(source, 4)").cast("int")
     w = (F.when(src_num < 4, 3).when(src_num < 10, 2).otherwise(1)
          .cast("int"))
     d = load_table(spark, "documents", sf_dir).select(

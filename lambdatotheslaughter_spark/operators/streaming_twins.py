@@ -90,8 +90,12 @@ def session_window_agg(events: DataFrame) -> DataFrame:
 _SESSION_ORACLE = """
 WITH marked AS (
   SELECT user_id, ts,
-         CASE WHEN ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         + INTERVAL 30 MINUTE
+         -- strict >: Spark's session_window MERGES an event landing
+         -- exactly at prev_end + gap (touching windows coalesce —
+         -- verified empirically, tests/test_streaming.py boundary-tie
+         -- fixture), so only a strictly later event opens a session
+         CASE WHEN ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        + INTERVAL 30 MINUTE
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS is_new
   FROM events
@@ -500,10 +504,13 @@ WITH g AS (
 ), numbered AS (
   -- ORDER BY ts, event_id: BOTH windows must share one deterministic
   -- total order, else a duplicate-ts boundary row can be numbered into
-  -- the wrong session (DuckDB's tie order is unspecified)
+  -- the wrong session (DuckDB's tie order is unspecified).
+  -- Strict >: an event at exactly prev_end MERGES in Spark's
+  -- session_window (touching windows coalesce), so only strictly-later
+  -- events open a new session.
   SELECT user_id, ts, gap_us,
          SUM(CASE WHEN prev_end IS NULL
-                    OR epoch_us(ts) >= prev_end THEN 1 ELSE 0 END)
+                    OR epoch_us(ts) > prev_end THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS session_no
   FROM marked
@@ -531,7 +538,9 @@ def stream_session_window_dynamic_gap(spark: SparkSession,
     The oracle generalizes the classic sessionization: the lag-only
     boundary test is WRONG under variable gaps (an earlier long-gap
     event can outlast its successor), so it uses the running MAX of
-    prior interval ends — new session iff ts >= that max. Same single
+    prior interval ends — new session iff ts is STRICTLY past that max
+    (a tie merges, matching session_window's coalescing of touching
+    intervals). Same single
     (user, time) shuffle shape as the static twin; streaming-safe (state
     per open session, watermark-evictable — the live form runs in
     tests/test_streaming.py over the same shared dataflow)."""

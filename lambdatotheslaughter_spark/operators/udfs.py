@@ -8,8 +8,10 @@ of preference at scale: built-ins ≫ pandas_udf (Arrow-batched) ≫ Python UDF
 
 from __future__ import annotations
 
+import math
 from typing import Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -125,7 +127,9 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
     remains the real target). Capped input, SQL oracle."""
     @F.udf("bigint", useArrow=True)
     def price_mod(p: float) -> int:
-        return int(round(p * 100)) % 97
+        # floor(x+0.5): tie-safe for non-negative money (Python round()
+        # is half-to-even; the oracle's round() is half-away-from-zero)
+        return int(math.floor(p * 100 + 0.5)) % 97
 
     o = load_table(spark, "orders", sf_dir).where(F.col("o_orderkey") < 3000)
     return o.select("o_orderkey", price_mod("o_totalprice").alias("price_mod97"))
@@ -369,11 +373,14 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame({"o_orderkey": [], "n_items": [],
                                  "sum_qty_cents": [], "price_gap_cents": []}
                                 ).astype("int64")
-        total_cents = int(round(float(opdf["o_totalprice"].iloc[0]) * 100))
-        qty = int((lpdf["l_quantity"] * 100).round().astype("int64").sum()) \
-            if len(lpdf) else 0
-        price = int((lpdf["l_extendedprice"] * 100).round().astype("int64")
-                    .sum()) if len(lpdf) else 0
+        # tie-safe half-away-from-zero for non-negative money: floor(x+0.5)
+        # matches DuckDB/F.round, unlike Python/numpy half-to-even round()
+        total_cents = int(math.floor(
+            float(opdf["o_totalprice"].iloc[0]) * 100 + 0.5))
+        qty = int(np.floor(lpdf["l_quantity"] * 100 + 0.5)
+                  .astype("int64").sum()) if len(lpdf) else 0
+        price = int(np.floor(lpdf["l_extendedprice"] * 100 + 0.5)
+                    .astype("int64").sum()) if len(lpdf) else 0
         return pd.DataFrame({
             "o_orderkey": [key[0]], "n_items": [len(lpdf)],
             "sum_qty_cents": [qty],
@@ -451,8 +458,11 @@ def udaf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in aggregate path instead."""
     @F.pandas_udf("double")
     def wmean_cents(cents: pd.Series, w: pd.Series) -> float:
-        num = int((cents.astype("int64") * w.astype("int64")).sum())
-        den = int(w.astype("int64").sum())
+        # accumulate in arbitrary-precision Python ints: numpy int64 would
+        # WRAP silently on cents*w overflow while the DuckDB oracle's SUM
+        # promotes to HUGEINT — object dtype keeps both sides exact
+        num = int((cents.astype(object) * w.astype(object)).sum())
+        den = int(w.astype(object).sum())
         return float(num) / float(den)
 
     # Spark refuses to mix GROUPED_AGG pandas UDFs with JVM aggregates in
@@ -523,10 +533,14 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.compute as pc
 
     def agg(tbl: pa.Table) -> pa.Table:
-        qty = pc.cast(pc.round(tbl["l_quantity"], 0), pa.int64())
+        # tie-safe floor(x+0.5) for non-negative money — pc.round is
+        # half-to-even while DuckDB round()/F.round are half-away-from-zero
+        qty = pc.cast(pc.floor(pc.add(tbl["l_quantity"], pa.scalar(0.5))),
+                      pa.int64())
         cents = pc.cast(
-            pc.round(pc.multiply(tbl["l_extendedprice"], pa.scalar(100.0)),
-                     0), pa.int64())
+            pc.floor(pc.add(pc.multiply(tbl["l_extendedprice"],
+                                        pa.scalar(100.0)),
+                            pa.scalar(0.5))), pa.int64())
         return pa.table({
             "l_returnflag": [tbl["l_returnflag"][0].as_py()],
             "l_linestatus": [tbl["l_linestatus"][0].as_py()],

@@ -467,10 +467,11 @@ def test_timer_based_sessionizer_converges(spark, harness):
                 ts_ms.extend(int(t.value // 1_000_000)
                              for t in pd.to_datetime(pdf["ts"]))
             for t in sorted(ts_ms):
-                # strict <: session_window's windows are half-open
-                # [start, end+gap) — an event landing exactly on the
-                # boundary starts a NEW session in Spark's semantics
-                if sessions and t < sessions[-1][1] + GAP_MS:
+                # <= : session_window COALESCES touching windows — an
+                # event landing exactly at prev_end + gap MERGES into the
+                # session (verified empirically in the boundary-tie
+                # fixture below; a strict < here splits it and diverges)
+                if sessions and t <= sessions[-1][1] + GAP_MS:
                     st, en, n = sessions[-1]
                     sessions[-1] = (st, max(en, t), n + 1)
                 else:
@@ -534,3 +535,60 @@ def test_timer_based_sessionizer_converges(spark, harness):
     assert len(must_close) > 0, "no provably-closable sessions — harness broken"
     missing = must_close - got
     assert not missing, f"closable sessions never emitted: {sorted(missing)[:3]}"
+
+
+def test_session_boundary_tie_merges(spark):
+    """Pin Spark's session tie semantics EMPIRICALLY: an event landing
+    exactly at session_end + gap MERGES into the session, because
+    session_window coalesces touching windows (intervals [a, b) and
+    [b, c) union). This was discovered by this fixture — the r4 code
+    shipped the opposite strict-< rule and no real event ever landed on
+    an exact microsecond boundary to expose it. The fixture goes RED
+    under a strict-< fold (splits the boundary event into its own
+    session) and RED under a `>=`-new-session SQL oracle, pinning both
+    the Python sessionizers and the DuckDB oracles to Spark forever."""
+    GAP_MS = 30 * 60 * 1000
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    ts = [t0, t0 + pd.Timedelta(minutes=10),
+          # exactly prev-session end (10 min) + the 30-min gap
+          t0 + pd.Timedelta(minutes=40)]
+    df = spark.createDataFrame(pd.DataFrame({"user_id": [1, 1, 1], "ts": ts}))
+    sess = (df.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                       "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("user_id", F.col("w.start").alias("s"),
+                    F.col("w.end").alias("e"), "n")
+            .orderBy("s").collect())
+    # ground truth: ONE session — the boundary event merges
+    assert len(sess) == 1, f"session_window gave {len(sess)} sessions"
+    assert sess[0]["n"] == 3
+    # end = boundary event + gap = 0:40 + 30 min = 1:10
+    assert sess[0]["e"] == (t0 + pd.Timedelta(minutes=70)).to_pydatetime()
+
+    def fold(ts_ms, merges):
+        sessions = []
+        for t in sorted(ts_ms):
+            if sessions and merges(t, sessions[-1][1] + GAP_MS):
+                st, en, n = sessions[-1]
+                sessions[-1] = (st, max(en, t), n + 1)
+            else:
+                sessions.append((t, t, 1))
+        return sessions
+
+    ms = [int(t.value // 1_000_000) for t in ts]
+    shipped = fold(ms, lambda a, end: a <= end)  # merge-on-tie (correct)
+    strict = fold(ms, lambda a, end: a < end)    # the r4 bug
+    assert len(shipped) == 1, "<= fold must match session_window"
+    assert len(strict) == 2, "fixture not discriminating: < should split"
+    assert shipped[0] == (ms[0], ms[2], 3)
+
+    # the _SESSION_ORACLE formulation must agree on the tie too: run the
+    # same lag+cumsum SQL over this 3-row fixture in DuckDB
+    import duckdb as _dd
+    con = _dd.connect()
+    con.register("events", pd.DataFrame({"user_id": [1, 1, 1], "ts": ts}))
+    oracle_rows = con.execute(tw._SESSION_ORACLE).df()
+    assert len(oracle_rows) == 1, \
+        f"oracle splits the boundary tie: {oracle_rows}"
+    assert int(oracle_rows.n_events.iloc[0]) == 3
+    con.close()

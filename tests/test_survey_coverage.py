@@ -67,11 +67,13 @@ def test_oracle_coverage_ratio():
 
 def test_driver_priority_window_is_fully_oracled():
     """The driver hash-verifies the FIRST 50 entries of queries() per round.
-    Round 4 rotates in the first fifty of the 61 oracled keys registered
-    during round 3 that never held a driver slot (VERDICT.md r3 'awaiting
-    r4 driver slot' rows); every slot must carry an oracle (a rows-only op
-    in the window wastes a verification slot), every listed name must
-    exist, and no key already driver-verified in r1-r3 may waste a slot."""
+    Round 5 closes the coverage story: the 46 oracled keys never driver
+    -slotted in r1-r4 (11 round-3 spill keys + 35 round-4 additions, the
+    three highest-risk families ordered early per VERDICT r4 #5) plus 4
+    designated re-confirmation backfill slots (VERDICT r4 #8). Every slot
+    must carry an oracle (a rows-only op in the window wastes a
+    verification slot), every listed name must exist, and only the 4
+    designated backfill keys may repeat a prior driver-green row."""
     qs = list(registry.all_queries())
     oracles = registry.all_oracles()
     prio = registry._DRIVER_PRIORITY
@@ -81,12 +83,16 @@ def test_driver_priority_window_is_fully_oracled():
     assert qs[:50] == list(prio), "queries() does not lead with the priority window"
     unoracled = [n for n in qs[:50] if n not in oracles]
     assert not unoracled, f"rows-only queries occupy driver slots: {unoracled}"
-    # Sanity: the window contains only keys with no prior hard CORRECTNESS
-    # row — spot-check a few keys known to be driver-green in r1-r3.
+    # The 4 backfill slots are deliberate re-confirmations; nothing ELSE in
+    # the window may repeat a key already driver-green in r1-r4.
+    backfill = {"agg_pricing_summary", "join_multiway_star",
+                "llm_dedup_fuzzy_minhash", "join_asof_event_order"}
+    assert backfill <= set(prio[-4:]), "backfill keys must occupy the last 4 slots"
     already_verified = {
-        "scan_parquet", "agg_pricing_summary", "join_inner_equi",
-        "llm_dedup_fuzzy_minhash", "source_jsonl", "type_decimal_arith",
-        "llm_sample_stratified", "win_topk_per_group",
+        "scan_parquet", "join_inner_equi", "source_jsonl",
+        "type_decimal_arith", "llm_sample_stratified", "win_topk_per_group",
+        "sink_compaction_small_files", "graph_pagerank_fixed",
+        "llm_dedup_bloom_prefilter", "udf_map_in_arrow",
     }
     wasted = sorted(already_verified & set(qs[:50]))
-    assert not wasted, f"already driver-verified keys waste r4 slots: {wasted}"
+    assert not wasted, f"already driver-verified keys waste r5 slots: {wasted}"
