@@ -57,9 +57,22 @@ def oracle_davg(expr: str) -> str:
 # past that, fall back to dsum/davg (decimal space, unbounded).
 
 
+def iround(v: Column) -> Column:
+    """round-half-away-from-zero(v) → long as sign(v)·floor(|v|+0.5).
+
+    Algebraically identical to DuckDB's round() / Spark's F.round for any
+    sign (and null-propagating), but stays in pure double/long codegen:
+    Spark's Round expression routes every row through BigDecimal.setScale,
+    which measured ~1.9× on Q1's hot aggregate — this floor form cut the
+    whole determinism tax to ~15% (BASELINE.md). Exact while |v| < 2^53,
+    far above the int64 fixed-point overflow bounds that gate the callers."""
+    return (F.signum(v) * F.floor(F.abs(v) + F.lit(0.5))).cast("long")
+
+
 def _scaled(col: Column | str, dp: int) -> Column:
+    """Exact dp-decimal → integer recovery (see :func:`iround`)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * (10 ** dp), 0).cast("long")
+    return iround(c * (10 ** dp))
 
 
 def csum(col: Column | str, dp: int = 2) -> Column:

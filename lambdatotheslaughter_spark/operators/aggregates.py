@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lambdatotheslaughter_spark.determinism import (
+    iround,
     cavg, charge_csum, csum, davg, disc_price_csum, dsum, estimate_rows,
     money_aggs, oracle_cavg, oracle_charge_csum, oracle_csum, oracle_davg,
     oracle_disc_price_csum, oracle_dsum)
@@ -561,7 +562,7 @@ def agg_hist_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type × 20)-bounded key space; no sort, no window — the histogram
     never sees the data ordered."""
     ev = load_table(spark, "events", sf_dir)
-    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    cents = iround(F.col("value") * 100)
     bucket = F.least(F.floor(F.col("value") / 50.0), F.lit(19)).cast("bigint")
     return (ev.select("event_type", bucket.alias("bucket"),
                       cents.alias("cents"))

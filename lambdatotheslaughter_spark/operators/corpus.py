@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lambdatotheslaughter_spark.determinism import estimate_rows
+from lambdatotheslaughter_spark.determinism import iround, estimate_rows
 from lambdatotheslaughter_spark.functions.text import (
     SHINGLE2_SQL, SHINGLE3_SQL, md5_int60, shingles2, shingles3, tokens)
 from lambdatotheslaughter_spark.operators.llm import (
@@ -401,7 +401,7 @@ def llm_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups regardless of corpus size; map-side combine does the rest."""
     e = load_table(spark, "embeddings", sf_dir)
     ev = e.select("label", F.posexplode("embedding").alias("dim", "val"))
-    micro = F.round(F.col("val").cast("double") * 1000000, 0).cast("bigint")
+    micro = iround(F.col("val").cast("double") * 1000000)
     return (ev.groupBy("label", "dim")
             .agg((F.sum(micro).cast("double") /
                   (F.count(F.lit(1)) * 1000000).cast("double"))
@@ -725,7 +725,7 @@ def llm_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a corpus-wide grain."""
     e = load_table(spark, "embeddings", sf_dir)
     ev = e.select(F.posexplode("embedding").alias("dim", "val"))
-    v = F.round(F.col("val").cast("double") * 1000000, 0).cast("bigint")
+    v = iround(F.col("val").cast("double") * 1000000)
     return (ev.select("dim", v.alias("v"))
             .groupBy("dim")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lambdatotheslaughter_spark.determinism import (
+    iround,
     cavg, csum, dsum, oracle_cavg, oracle_csum, oracle_dsum)
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
@@ -155,7 +156,7 @@ def sub_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     form."""
     p = load_table(spark, "part", sf_dir)
     w = Window.partitionBy("p_brand")
-    brand_avg = (F.sum(F.round(F.col("p_retailprice") * 100, 0).cast("long")).over(w)
+    brand_avg = (F.sum(iround(F.col("p_retailprice") * 100)).over(w)
                  .cast("double") / 100.0
                  / F.count(F.lit(1)).over(w))
     return (
@@ -239,7 +240,7 @@ def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window frame, so the moving sums are exact at any frame position."""
     ev = load_table(spark, "events", sf_dir)
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+        F.sum(iround(F.col("value") * 100)).alias("cents"))
     w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
     mov_cents = F.sum("cents").over(w).cast("double") / 100.0
     return daily.select(
@@ -483,7 +484,7 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sec = F.col("ts").cast("long")
     w = (Window.partitionBy("user_id").orderBy(sec)
          .rangeBetween(-3600, Window.currentRow))
-    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cents = iround(F.col("value") * 100)
     return ev.select(
         "event_id", "user_id",
         F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
@@ -661,7 +662,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("INTERVAL 1 DAY"))).alias("day"))
     known = (ev.where(F.dayofmonth(F.to_date("ts")) % 3 != 0)
              .groupBy(F.to_date("ts").alias("day"))
-             .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+             .agg(F.sum(iround(F.col("value") * 100))
                   .cast("bigint").alias("cents")))
     marked = (spine.join(known, "day", "left")
               .withColumn("dn", F.datediff("day", F.lit("2024-01-01"))
@@ -1602,7 +1603,7 @@ def ts_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy("n_name",
                  F.date_trunc("month", "o_orderdate").alias("month"))
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .agg(F.sum(iround(F.col("o_totalprice") * 100))
              .cast("bigint").alias("rev_cents")))
     w = Window.partitionBy("n_name").orderBy("month")
     prev = F.lag("rev_cents").over(w)
@@ -1654,7 +1655,7 @@ def ts_seasonal_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     daily = (ev.groupBy("event_type",
                          F.date_trunc("day", "ts").alias("day"))
-             .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+             .agg(F.sum(iround(F.col("value") * 100))
                   .cast("bigint").alias("day_cents")))
     w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
     framed = daily.select(
@@ -1709,7 +1710,7 @@ def win_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("month"))
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .agg(F.sum(iround(F.col("o_totalprice") * 100))
              .cast("bigint").alias("rev_cents"))
         .localCheckpoint(eager=False))  # window branch + grand total share it
     tot = monthly.agg(F.sum("rev_cents").cast("bigint").alias("grand_cents"))
@@ -1781,7 +1782,7 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llm_shuffle_deterministic shows it)."""
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "event_type", "ts",
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"))
+        iround(F.col("value") * 100).alias("vc"))
     g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("vc").cast("bigint").alias("s"))

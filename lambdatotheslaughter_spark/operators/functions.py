@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lambdatotheslaughter_spark.determinism import iround
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
 
@@ -480,7 +481,7 @@ def type_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     the customer key; per-group arrays are bounded by orders-per-customer
     (~10), so collect_list here is per-key state, not a corpus collect."""
     o = load_table(spark, "orders", sf_dir)
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    cents = iround(F.col("o_totalprice") * 100)
     packed = o.select(
         "o_custkey",
         F.struct(F.col("o_orderdate"), F.col("o_orderkey"),

@@ -18,7 +18,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lambdatotheslaughter_spark.determinism import dsum, oracle_dsum
+from lambdatotheslaughter_spark.determinism import iround, dsum, oracle_dsum
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
 
@@ -306,7 +306,7 @@ def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
               "o_totalprice string, o_orderdate timestamp")
     back = (spark.read.schema(schema).option("header", True)
             .option("mode", "FAILFAST").csv(out))
-    cents = F.round(F.col("o_totalprice").cast("double") * 100, 0).cast("bigint")
+    cents = iround(F.col("o_totalprice").cast("double") * 100)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_custkey").cast("bigint").alias("cust_sum"),
@@ -418,7 +418,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
          .write.mode("overwrite").parquet(tmp))
         (o.where(F.col("o_orderkey") % 2 == 1)
          .select("o_orderkey", "o_custkey",
-                 F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                 iround(F.col("o_totalprice") * 100)
                  .alias("o_cents"))
          .write.mode("append").parquet(tmp))
 
@@ -848,7 +848,7 @@ def sink_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
                        | F.col("l_suppkey").between(10, 20))
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum("l_orderkey").cast("bigint").alias("key_sum"),
-                 F.sum(F.round(F.col("l_quantity") * 100, 0).cast("bigint"))
+                 F.sum(iround(F.col("l_quantity") * 100))
                  .cast("bigint").alias("qty_cents")))
 
 
@@ -955,7 +955,7 @@ def cached_revenue_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     is idempotent: repeated calls return the same cached plan."""
     o = load_table(spark, "orders", sf_dir)
     rev = (o.groupBy("o_custkey")
-           .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+           .agg(F.sum(iround(F.col("o_totalprice") * 100))
                 .cast("bigint").alias("rev_cents"),
                 F.count(F.lit(1)).alias("n_orders")))
     return rev.persist()

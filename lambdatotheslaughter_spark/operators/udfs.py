@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lambdatotheslaughter_spark.determinism import iround
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
 
@@ -474,7 +475,7 @@ def udaf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir).select(
         "event_type", "user_id",
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"))
+        iround(F.col("value") * 100).alias("cents"))
     return (ev.groupBy("event_type")
             .agg((wmean_cents("cents", "user_id") / F.lit(100.0))
                  .alias("weighted_mean_value"),
