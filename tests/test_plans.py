@@ -604,8 +604,9 @@ def test_fixed_k_sample_fuses_to_take_ordered():
 
 def test_fuzzy_join_is_hash_equi_never_cartesian():
     """Deletion-neighborhood blocking exists to avoid the quadratic
-    levenshtein theta-join: the plan must contain an equi hash join and
-    no cartesian/nested-loop anywhere."""
+    levenshtein theta-join: candidate pairing happens inside grouped
+    blocks (plus a broadcast hash join against the corpus-adaptive
+    varying-position filter) — never a cartesian/nested-loop."""
     plan = checks.executed_plan(_df("join_fuzzy_levenshtein_blocked"))
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
     assert "CartesianProduct" not in plan, plan
