@@ -817,3 +817,158 @@ def llm_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample")))
         .alias("skey"))
     return keyed.orderBy("skey").limit(_SAMPLE_K)
+
+
+# ---------------------------------------------------------------------------
+# fixed-k per-stratum sampling (round 5)
+# ---------------------------------------------------------------------------
+
+_K_PER_GROUP = 20
+
+_FIXED_K_GROUP_ORACLE = f"""
+SELECT lang, doc_id, skey
+FROM (
+  SELECT lang, doc_id,
+         md5(CAST(doc_id AS VARCHAR) || ':kpg') AS skey,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':kpg'))
+           AS rn
+  FROM documents
+) t
+WHERE rn <= {_K_PER_GROUP}
+"""
+
+
+@register("llm_sample_fixed_k_per_group", oracle=_FIXED_K_GROUP_ORACLE)
+def llm_sample_fixed_k_per_group(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Exactly k documents PER LANGUAGE by seeded-hash order — the
+    per-stratum companion of llm_sample_fixed_k (global bottom-k) and
+    llm_sample_stratified (fraction-per-stratum, unbounded counts):
+    the shape used to build balanced eval sets from skewed corpora.
+    md5 keys are collision-free on doc ids, so the per-group order is a
+    total order and both engines pick the identical k.
+
+    Scale shape: rank-k within groups is the windowed row_number — one
+    shuffle on lang; Spark's WindowGroupLimit pushes the k-cutoff into
+    the sort (partial top-k per task) rather than ranking every row,
+    the per-group analogue of TakeOrdered's per-partition heads."""
+    d = load_table(spark, "documents", sf_dir)
+    keyed = d.select(
+        "lang", "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":kpg")))
+        .alias("skey"))
+    w = Window.partitionBy("lang").orderBy("skey")
+    return (keyed.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _K_PER_GROUP)
+            .select("lang", "doc_id", "skey"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram recall vs an eval set (contamination measurement, round 5)
+# ---------------------------------------------------------------------------
+
+_EVAL_MOD = 50
+_RECALL_MIN_COMMON = 2
+
+_EVAL_RECALL_ORACLE = f"""
+WITH ev AS (
+  SELECT doc_id AS eval_id, {SHINGLE3_SQL} AS s FROM documents
+  WHERE doc_id % {_EVAL_MOD} = 0 AND len(string_split(text, ' ')) >= 3
+), co AS (
+  SELECT doc_id, {SHINGLE3_SQL} AS s FROM documents
+  WHERE doc_id % {_EVAL_MOD} <> 0 AND len(string_split(text, ' ')) >= 3
+)
+SELECT e.eval_id, c.doc_id,
+       CAST(len(list_intersect(e.s, c.s)) AS BIGINT) AS n_common,
+       CAST(len(e.s) AS BIGINT) AS n_eval_grams,
+       CAST(len(list_intersect(e.s, c.s)) AS DOUBLE)
+         / CAST(len(e.s) AS DOUBLE) AS recall
+FROM ev e, co c
+WHERE len(list_intersect(e.s, c.s)) >= {_RECALL_MIN_COMMON}
+"""
+
+
+@register("llm_eval_ngram_recall", oracle=_EVAL_RECALL_ORACLE)
+def llm_eval_ngram_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-style 3-gram RECALL of every eval-set document against every
+    training candidate that shares ≥3 shingles — the quantitative form
+    of llm_contamination_ngram (which only flags): recall ≈ 1 means the
+    eval item is effectively inside the training corpus. The oracle
+    brute-forces eval × corpus; the Spark side goes through the
+    inverted shingle index, so only docs that actually share a shingle
+    ever meet — the same candidates-then-verify discipline as the dedup
+    family, with the eval set (tiny by construction) as the broadcast
+    side.
+
+    Scale shape: corpus side explodes to (shingle, doc) once; the join
+    key is the shingle string; per-pair counts are combinable. A
+    benchmark-frequency hot shingle caps out at |eval| pairs per
+    occurrence — bounded by the eval set, not the corpus."""
+    d = load_table(spark, "documents", sf_dir) \
+        .where(F.size(tokens()) >= 3)
+    ev = (d.where(F.col("doc_id") % _EVAL_MOD == 0)
+          .select(F.col("doc_id").alias("eval_id"),
+                  shingles3(tokens()).alias("s")))
+    ev_grams = ev.select(
+        "eval_id", F.size("s").cast("bigint").alias("n_eval_grams"),
+        F.explode("s").alias("g"))
+    co_grams = (d.where(F.col("doc_id") % _EVAL_MOD != 0)
+                .select("doc_id", F.explode(shingles3(tokens())).alias("g")))
+    hits = (co_grams.join(F.broadcast(ev_grams), "g")
+            .groupBy("eval_id", "doc_id", "n_eval_grams")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+            .where(F.col("n_common") >= _RECALL_MIN_COMMON))
+    return hits.select(
+        "eval_id", "doc_id", "n_common", "n_eval_grams",
+        (F.col("n_common").cast("double")
+         / F.col("n_eval_grams").cast("double")).alias("recall"))
+
+
+# ---------------------------------------------------------------------------
+# bag-of-words (word-order-invariant) dedup (round 5)
+# ---------------------------------------------------------------------------
+
+_BAG_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+           AS bag_fp
+  FROM documents
+), grp AS (
+  SELECT doc_id, bag_fp,
+         MIN(doc_id) OVER (PARTITION BY bag_fp) AS canonical_id,
+         COUNT(*) OVER (PARTITION BY bag_fp) AS n_bag_dups
+  FROM fp
+)
+SELECT doc_id, bag_fp, CAST(canonical_id AS BIGINT) AS canonical_id,
+       CAST(n_bag_dups AS BIGINT) AS n_bag_dups,
+       doc_id = canonical_id AS is_canonical
+FROM grp
+"""
+
+
+@register("llm_dedup_bag_of_words", oracle=_BAG_ORACLE)
+def llm_dedup_bag_of_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-order-invariant exact dedup: the key is the SORTED token
+    multiset, so shuffled/reordered copies — which llm_dedup_exact's
+    raw-text hash misses and MinHash only catches probabilistically —
+    collapse to one canonical doc deterministically. This is the
+    standard cheap middle rung between exact and fuzzy dedup for
+    template-permuted spam.
+
+    Scale shape: per-row sort of an in-memory token array (no shuffle),
+    then one hash-keyed window over the 16-byte fingerprint — same
+    physical shape as llm_dedup_exact, fingerprint-sized exchange."""
+    d = load_table(spark, "documents", sf_dir)
+    fp = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(tokens()))).alias("bag_fp"))
+    w = Window.partitionBy("bag_fp")
+    return (fp.select(
+        "doc_id", "bag_fp",
+        F.min("doc_id").over(w).cast("bigint").alias("canonical_id"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_bag_dups"))
+        .select("doc_id", "bag_fp", "canonical_id", "n_bag_dups",
+                (F.col("doc_id") == F.col("canonical_id"))
+                .alias("is_canonical")))

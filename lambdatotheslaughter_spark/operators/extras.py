@@ -1861,3 +1861,210 @@ def agg_percentile_disc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(pick(1, 2, "p50_disc"), pick(9, 10, "p90_disc"),
                  pick(99, 100, "p99_disc"),
                  F.count(F.lit(1)).cast("bigint").alias("n_orders")))
+
+
+# ---------------------------------------------------------------------------
+# ANY/ALL quantified-comparison subqueries (round 5)
+# ---------------------------------------------------------------------------
+
+_ANY_ALL_ORACLE = """
+SELECT s_suppkey, s_acctbal,
+       s_acctbal > ALL (SELECT s_acctbal FROM supplier s2
+                        JOIN nation n ON s2.s_nationkey = n.n_nationkey
+                        WHERE n.n_name = 'NATION_7') AS beats_all_n7,
+       s_acctbal > ANY (SELECT s_acctbal FROM supplier s2
+                        JOIN nation n ON s2.s_nationkey = n.n_nationkey
+                        WHERE n.n_name = 'NATION_3') AS beats_any_n3
+FROM supplier
+WHERE s_suppkey <= 500
+"""
+
+
+@register("sub_any_all_rewrite", oracle=_ANY_ALL_ORACLE)
+def sub_any_all_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparisons (`> ALL` / `> ANY`) — SQL surface Spark's
+    parser does NOT accept, so the engine provides the standard rewrite:
+    for a null-free subquery set, ``x > ALL S ⟺ S = ∅ OR x > max(S)``
+    and ``x > ANY S ⟺ S ≠ ∅ AND x > min(S)``. The extrema and the row
+    counts (the empty-set legs) are scalar aggregates broadcast as a
+    1-row cross join, exactly how a correlated decorrelation pass would
+    plan it; the oracle runs DuckDB's NATIVE ALL/ANY, so the rewrite is
+    value-verified, not self-certified.
+
+    Scale shape: one tiny scalar-aggregate pass (map-side combine to one
+    row) + a broadcast nested-loop of width 1 — no shuffle of the outer
+    table at any scale."""
+    s = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_acctbal", "s_nationkey")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    in_a = F.col("n_name") == "NATION_7"
+    in_b = F.col("n_name") == "NATION_3"
+    extrema = sn.agg(
+        F.max(F.when(in_a, F.col("s_acctbal"))).alias("max_a"),
+        F.count(F.when(in_a, F.lit(1))).alias("n_a"),
+        F.min(F.when(in_b, F.col("s_acctbal"))).alias("min_b"),
+        F.count(F.when(in_b, F.lit(1))).alias("n_b"))
+    return (s.where(F.col("s_suppkey") <= 500)
+            .crossJoin(F.broadcast(extrema))
+            .select("s_suppkey", "s_acctbal",
+                    F.when(F.col("n_a") == 0, F.lit(True))
+                    .otherwise(F.col("s_acctbal") > F.col("max_a"))
+                    .alias("beats_all_n7"),
+                    F.when(F.col("n_b") == 0, F.lit(False))
+                    .otherwise(F.col("s_acctbal") > F.col("min_b"))
+                    .alias("beats_any_n3")))
+
+
+# ---------------------------------------------------------------------------
+# conditional / boolean / any_value aggregate surface (round 5)
+# ---------------------------------------------------------------------------
+
+_COUNT_IF_ORACLE = """
+SELECT l_returnflag,
+       CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+       bool_and(l_quantity > 0) AS all_positive,
+       bool_or(l_discount > 0.05) AS some_discounted,
+       any_value(substring(l_returnflag, 1, 1)) AS flag_initial,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_count_if_any_value", oracle=_COUNT_IF_ORACLE)
+def agg_count_if_any_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The predicate-aggregate quartet: count_if / bool_and / bool_or /
+    any_value. any_value is nondeterministic BY CONTRACT (either engine
+    may pick any row), so the hash-matched usage here applies it to an
+    expression constant within each group — the one shape where it is
+    both legal and reproducible; arbitrary-column any_value belongs
+    behind min_by/max_by (agg_minmax_by) when determinism matters.
+
+    Scale shape: all four are partial-aggregatable (AND/OR/count are
+    semilattice folds), so the shuffle carries one row per group."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (li.groupBy("l_returnflag")
+            .agg(F.count_if(F.col("l_quantity") > 25).cast("bigint")
+                 .alias("n_bulk"),
+                 F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+                 F.bool_or(F.col("l_discount") > 0.05)
+                 .alias("some_discounted"),
+                 F.any_value(F.substring("l_returnflag", 1, 1))
+                 .alias("flag_initial"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_rows")))
+
+
+# ---------------------------------------------------------------------------
+# exact rolling correlation (round 5)
+# ---------------------------------------------------------------------------
+
+_ROLLING_CORR_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         SUM(CAST(round(value * 100, 0) AS BIGINT)) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), sums AS (
+  -- HUGEINT moments: BIGINT x*x would overflow two orders of scale out
+  SELECT event_type, h, x, y,
+         CAST(COUNT(*) OVER w AS BIGINT) AS k,
+         SUM(CAST(x AS HUGEINT)) OVER w AS sx,
+         SUM(CAST(y AS HUGEINT)) OVER w AS sy,
+         SUM(CAST(x AS HUGEINT) * x) OVER w AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) OVER w AS syy,
+         SUM(CAST(x AS HUGEINT) * y) OVER w AS sxy
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, h, CAST(x AS BIGINT) AS x, y,
+       CAST(CAST(k * sxy - sx * sy AS DOUBLE)
+            / NULLIF(sqrt(CAST(k * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(k * syy - sy * sy AS DOUBLE)), 0.0)
+         AS DOUBLE) AS rolling_corr
+FROM sums
+WHERE k = 6
+"""
+
+
+@register("ts_rolling_corr", oracle=_ROLLING_CORR_ORACLE)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 6-hour Pearson correlation between hourly revenue and
+    hourly event count, per event type — the co-movement monitor behind
+    'is spend tracking traffic?' dashboards. Bit-exact despite being a
+    float statistic: every frame moment (Σx, Σy, Σxx, Σyy, Σxy) is an
+    int64 sum of fixed-point cents, and the final Pearson ratio is the
+    same three-operation double expression in both engines (numerator /
+    (sqrt·sqrt)), so each step is a single correctly-rounded IEEE op.
+    Frames shorter than the full 6 hours are suppressed (k = 6), which
+    also dodges the 0/0 warm-up edge.
+
+    Scale shape: the hourly pre-aggregate is the only corpus-sized
+    shuffle (map-side combinable); the window runs over (type, hour)
+    rows — thousands per type, not events."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.sum(iround(F.col("value") * 100)).alias("x"),
+                   F.count(F.lit(1)).cast("bigint").alias("y")))
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(-5, 0))
+    # decimal moments (the HUGEINT twin): int64 x*x would overflow once
+    # hourly cents pass ~3e9 — two orders of scale from here, which is
+    # exactly where this has to keep working
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    sums = hourly.select(
+        "event_type", "h", "x", "y",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("k"),
+        F.sum(xd).over(w).alias("sx"), F.sum(yd).over(w).alias("sy"),
+        F.sum(xd * xd).over(w).alias("sxx"),
+        F.sum(yd * yd).over(w).alias("syy"),
+        F.sum(xd * yd).over(w).alias("sxy"))
+    num = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    den = (F.sqrt((F.col("k") * F.col("sxx")
+                   - F.col("sx") * F.col("sx")).cast("double"))
+           * F.sqrt((F.col("k") * F.col("syy")
+                     - F.col("sy") * F.col("sy")).cast("double")))
+    return (sums.where(F.col("k") == 6)
+            .select("event_type", "h", F.col("x").cast("bigint").alias("x"),
+                    "y",
+                    (num / F.nullif(den, F.lit(0.0))).cast("double")
+                    .alias("rolling_corr")))
+
+
+# ---------------------------------------------------------------------------
+# deterministic stride downsampling (round 5)
+# ---------------------------------------------------------------------------
+
+_STRIDE_ORACLE = """
+SELECT event_id, event_type, ts, value
+FROM (
+  SELECT event_id, event_type, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) t
+WHERE (rn - 1) % 5 = 0
+"""
+
+
+@register("ts_downsample_stride", oracle=_STRIDE_ORACLE)
+def ts_downsample_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-5th-point downsampling per (event_type, day) — the
+    deterministic thinning used to cap chart/monitor cardinality while
+    keeping temporal coverage (contrast llm_sample_* which sample by
+    hash, losing time structure). Partitioning by day, not just type,
+    keeps the row_number partitions bounded (one day of one type) so no
+    single task ever owns a whole series — the scale property a naive
+    PARTITION BY type stride loses.
+
+    (ts, event_id) is the tie-safe total order on both sides."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type", F.date_trunc("day", "ts")) \
+        .orderBy("ts", "event_id")
+    return (ev.select("event_id", "event_type", "ts", "value",
+                      F.row_number().over(w).alias("rn"))
+            .where((F.col("rn") - 1) % 5 == 0)
+            .select("event_id", "event_type", "ts", "value"))

@@ -306,3 +306,175 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
                 .select(F.lit(label).alias("direction"), "deg", "n_nodes"))
     return hist("src", "out").unionAll(hist("dst", "in"))
+
+
+# ---------------------------------------------------------------------------
+# connected components (round 5)
+# ---------------------------------------------------------------------------
+
+# Sparser subgraph (every 4th order) so the component structure is
+# non-trivial — the full transition graph is one giant component.
+_CC_EDGES_SQL = """
+  SELECT src, dst FROM (
+    SELECT l_partkey AS src,
+           lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_linenumber, l_partkey, l_suppkey)
+             AS dst
+    FROM lineitem WHERE l_orderkey % 4 = 0)
+  WHERE dst IS NOT NULL AND src <> dst
+"""
+
+_CC_ORACLE = f"""
+WITH RECURSIVE raw AS ({_CC_EDGES_SQL}),
+sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)
+), reach AS (
+  SELECT src AS node, src AS r FROM sym
+  UNION
+  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+)
+SELECT node, CAST(MIN(r) AS BIGINT) AS component_id,
+       CAST(COUNT(DISTINCT r) AS BIGINT) AS component_size
+FROM reach GROUP BY node
+"""
+
+
+@register("graph_connected_components", oracle=_CC_ORACLE)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over an (intentionally sparse) part-transition
+    subgraph — the standalone graph-surface form of the pointer-jumping
+    labeler the dedup clusterer runs on its pair graph
+    (llm.py:_pointer_jump_labels, reused verbatim): min-label
+    propagation with label(label(v)) chain collapsing, O(log diameter)
+    driver syncs, every step an equi-join + combinable min-aggregate.
+    The oracle is the transitive-closure recursive CTE — exponentially
+    more expensive, which is exactly the point of having the
+    distributed algorithm.
+
+    Scale shape: per round, edges ⋈ labels (key src — co-partitioned
+    across rounds), a min-agg whose shuffle carries one row per vertex,
+    and a label-keyed self-join for the pointer jump; the edge list is
+    localCheckpoint-ed once. Component size is one more combinable
+    count keyed by label."""
+    from lambdatotheslaughter_spark.operators.llm import _pointer_jump_labels
+
+    li = (load_table(spark, "lineitem", sf_dir)
+          .where(F.col("l_orderkey") % 4 == 0)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    raw = (li.select(F.col("l_partkey").alias("src"),
+                     F.lead("l_partkey").over(w).alias("dst"))
+           .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst"))))
+    sym = (raw.unionAll(raw.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+           .distinct().localCheckpoint(eager=False))
+    labels = _pointer_jump_labels(sym)   # (doc_id, label)
+    sizes = (labels.groupBy("label")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("component_size")))
+    return (labels.join(sizes, "label")
+            .select(F.col("doc_id").alias("node"),
+                    F.col("label").cast("bigint").alias("component_id"),
+                    "component_size"))
+
+
+# ---------------------------------------------------------------------------
+# neighbor-overlap (Jaccard) link similarity (round 5)
+# ---------------------------------------------------------------------------
+
+_JACCARD_NBR_ORACLE = f"""
+WITH raw AS ({_EDGES_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst
+), sym AS (
+  SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und
+), deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY v
+), common AS (
+  SELECT u.a, u.b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM und u
+  JOIN sym s1 ON s1.v = u.a
+  JOIN sym s2 ON s2.v = u.b AND s2.w = s1.w
+  GROUP BY u.a, u.b
+)
+SELECT u.a, u.b,
+       COALESCE(c.c, 0) AS n_common,
+       CAST(COALESCE(c.c, 0) AS DOUBLE)
+         / CAST(da.d + db.d - COALESCE(c.c, 0) AS DOUBLE) AS jaccard
+FROM und u
+LEFT JOIN common c ON u.a = c.a AND u.b = c.b
+JOIN deg da ON da.v = u.a
+JOIN deg db ON db.v = u.b
+"""
+
+
+@register("graph_jaccard_neighbors", oracle=_JACCARD_NBR_ORACLE)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-overlap (Jaccard) similarity for every EDGE of the
+    undirected part-transition graph — the classic link-prediction /
+    community-strength score. The key identity that keeps it scalable:
+    the common-neighbor count of an adjacent pair equals the number of
+    triangles through that edge, so the degree-ordered oriented wedge
+    probe (graph_triangle_count's machinery, Θ(E^1.5) bound) computes
+    every numerator — each triangle credits its three edges — while the
+    naive Σdeg² wedge expansion the oracle runs would melt at a hub.
+    J = common / (deg(a) + deg(b) − common); numerator and denominator
+    are exact int64, the final division the single portable double op.
+
+    Scale shape: orientation bounds the wedge table; the per-edge credit
+    explode is 3 rows per triangle; degree join is vertex-sized."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    raw = (li.select(F.col("l_partkey").alias("src"),
+                     F.lead("l_partkey").over(w).alias("dst"))
+           .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst"))))
+    und = (raw.select(F.least("src", "dst").alias("a"),
+                      F.greatest("src", "dst").alias("b"))
+           .distinct().localCheckpoint(eager=False))
+    deg = (und.select(F.col("a").alias("v")).unionAll(und.select("b"))
+           .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d")))
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("d_b"))
+    oriented = (und.join(da, "a").join(db, "b")
+                .select(F.when((F.col("d_a") < F.col("d_b"))
+                               | ((F.col("d_a") == F.col("d_b"))
+                                  & (F.col("a") < F.col("b"))),
+                               F.struct(F.col("a").alias("u"),
+                                        F.col("b").alias("w")))
+                        .otherwise(F.struct(F.col("b").alias("u"),
+                                            F.col("a").alias("w")))
+                        .alias("e"))
+                .select("e.u", "e.w")
+                .localCheckpoint(eager=False))
+    e1 = oriented.select(F.col("u").alias("pivot"), F.col("w").alias("x"))
+    e2 = oriented.select(F.col("u").alias("pivot"), F.col("w").alias("y"))
+    wedges = e1.join(e2, "pivot").where(F.col("x") < F.col("y"))
+    probe = oriented.select(F.least("u", "w").alias("x"),
+                            F.greatest("u", "w").alias("y"))
+    if estimate_rows(sf_dir, "lineitem") <= 10_000_000:
+        probe = F.broadcast(probe)
+    tri = wedges.join(probe, ["x", "y"])     # (pivot, x, y) triangles
+    # each triangle is one common neighbor for each of its three edges
+    edge_credit = tri.select(F.explode(F.array(
+        F.struct(F.least("pivot", "x").alias("a"),
+                 F.greatest("pivot", "x").alias("b")),
+        F.struct(F.least("pivot", "y").alias("a"),
+                 F.greatest("pivot", "y").alias("b")),
+        F.struct(F.col("x").alias("a"), F.col("y").alias("b"))))
+        .alias("e")).select("e.a", "e.b")
+    common = (edge_credit.groupBy("a", "b")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    out = (und.join(common, ["a", "b"], "left")
+           .join(da, "a").join(db, "b")
+           .select("a", "b",
+                   F.coalesce("c", F.lit(0)).cast("bigint")
+                   .alias("n_common"),
+                   (F.coalesce("c", F.lit(0)).cast("double")
+                    / (F.col("d_a") + F.col("d_b")
+                       - F.coalesce("c", F.lit(0))).cast("double"))
+                   .alias("jaccard")))
+    return out

@@ -1213,3 +1213,44 @@ def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
         F.max("doc_id").cast("bigint").alias("max_doc_id"),
         F.countDistinct("source").cast("bigint").alias("n_sources"))
+
+
+# ---------------------------------------------------------------------------
+# parquet bloom-filter layout (round 5)
+# ---------------------------------------------------------------------------
+
+_BLOOM_KEY = 7
+
+_BLOOM_SINK_ORACLE = f"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_custkey = {_BLOOM_KEY}
+"""
+
+
+@register("sink_parquet_bloom_filter", oracle=_BLOOM_SINK_ORACLE)
+def sink_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet BLOOM FILTER layout: rewrite orders with a bloom filter on
+    the point-lookup key (o_custkey) in every file, then serve an
+    equality probe from the read-back. Zone maps (min/max stats) are
+    useless for a high-cardinality key scattered uniformly through the
+    table — every row group's [min,max] contains every probe — so the
+    bloom filter is THE skipping structure for needle-in-haystack reads:
+    at 100 TB a `custkey = ?` probe consults a few KB of bloom bits per
+    row group and touches only the groups that might match, the same
+    mechanism engines market as file-level point-lookup indexes. The
+    filter is written via the standard parquet writer options
+    (per-column enable + expected NDV), so any parquet reader benefits;
+    content round-trips exactly, hence the full value oracle."""
+    o = load_table(spark, "orders", sf_dir)
+
+    def build(tmp: str) -> None:
+        (o.select("o_orderkey", "o_custkey", "o_totalprice")
+         .repartition(4, "o_orderkey")
+         .write.mode("overwrite")
+         .option("parquet.bloom.filter.enabled#o_custkey", "true")
+         .option("parquet.bloom.filter.expected.ndv#o_custkey", "100000")
+         .parquet(tmp))
+
+    out = _cached_dataset("orders_bloom", sf_dir, "orders", build)
+    back = spark.read.parquet(out)
+    return back.where(F.col("o_custkey") == _BLOOM_KEY)

@@ -100,6 +100,10 @@ QUERY_TABLES = {
     "graph_triangle_count": {"lineitem"},
     "llm_embedding_centroids": {"embeddings"},
     "ts_mom_growth": {"orders"},
+    "graph_bfs_distance": {"lineitem"},
+    "graph_degree_histogram": {"lineitem"},
+    "graph_pagerank_fixed": {"lineitem"},
+    "join_fuzzy_levenshtein_blocked": set(),  # customer is a 1x dim
 }
 
 
