@@ -1240,7 +1240,15 @@ def sink_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanism engines market as file-level point-lookup indexes. The
     filter is written via the standard parquet writer options
     (per-column enable + expected NDV), so any parquet reader benefits;
-    content round-trips exactly, hence the full value oracle."""
+    content round-trips exactly, hence the full value oracle.
+
+    Dictionary encoding is disabled in the build: parquet-mr only emits
+    a bloom filter when a column chunk falls back off the dictionary
+    path (a fully-dictionary-encoded chunk IS its own exact filter), and
+    at test scale every chunk would stay dictionary-encoded — at 100 TB
+    the key column blows the dictionary page limit and the bloom filter
+    takes over, which is the regime this models. tests/test_plans.py
+    asserts the bloom offset exists in the real footers."""
     o = load_table(spark, "orders", sf_dir)
 
     def build(tmp: str) -> None:
@@ -1249,6 +1257,7 @@ def sink_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
          .write.mode("overwrite")
          .option("parquet.bloom.filter.enabled#o_custkey", "true")
          .option("parquet.bloom.filter.expected.ndv#o_custkey", "100000")
+         .option("parquet.enable.dictionary", "false")
          .parquet(tmp))
 
     out = _cached_dataset("orders_bloom", sf_dir, "orders", build)

@@ -618,3 +618,42 @@ def test_degree_histogram_aggregates_shrink():
     carry per-node then per-degree partials, never raw edges."""
     plan = checks.executed_plan(_df("graph_degree_histogram"))
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_bloom_filter_sink_pushes_point_lookup():
+    """The bloom-layout read-back must push the equality probe into the
+    parquet scan (where the bloom bits live) — and the written files
+    must actually carry a bloom filter for o_custkey (pyarrow exposes
+    the per-column bloom filter offset in the parquet metadata)."""
+    df = _df("sink_parquet_bloom_filter")
+    assert checks.has_pushed_filter(df, "EqualTo(o_custkey"), \
+        checks.executed_plan(df)
+    from lambdatotheslaughter_spark.operators.scans import cached_dataset_path
+    out = cached_dataset_path("orders_bloom", SF_DIR, "orders")
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert files, out
+    # pyarrow 16 / this duckdb don't surface bloom offsets — read the
+    # footer through Spark's own parquet-mr (the writer that made it)
+    jvm = spark_global._jvm
+    conf = spark_global._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(files[0])
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        path, conf)
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        offsets = {c.getPath().toDotString(): c.getBloomFilterOffset()
+                   for c in reader.getFooter().getBlocks().get(0).getColumns()}
+    finally:
+        reader.close()
+    assert offsets.get("o_custkey", -1) > 0, \
+        f"no bloom filter for o_custkey: {offsets}"
+    assert offsets.get("o_totalprice", -1) == -1, \
+        f"bloom unexpectedly enabled beyond the keyed column: {offsets}"
+
+
+def test_fixed_k_per_group_uses_window_group_limit():
+    """Per-stratum top-k must engage Spark's WindowGroupLimit pushdown
+    (partial per-task group limits before the shuffle) — a full
+    rank-everything window would sort every row of every group."""
+    plan = checks.executed_plan(_df("llm_sample_fixed_k_per_group"))
+    assert "WindowGroupLimit" in plan, plan
