@@ -972,3 +972,120 @@ def llm_dedup_bag_of_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "bag_fp", "canonical_id", "n_bag_dups",
                 (F.col("doc_id") == F.col("canonical_id"))
                 .alias("is_canonical")))
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion (round 5)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOP = 10
+
+_RRF_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS r_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_tokens DESC, doc_id) AS r_tokens
+  FROM scored
+), fused AS (
+  SELECT doc_id, lang, r_chars, r_tokens,
+         1.0 / ({_RRF_K} + r_chars) + 1.0 / ({_RRF_K} + r_tokens) AS rrf
+  FROM ranked
+)
+SELECT lang, doc_id, CAST(r_chars AS BIGINT) AS r_chars,
+       CAST(r_tokens AS BIGINT) AS r_tokens, rrf
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY rrf DESC, doc_id) AS rn
+      FROM fused) t
+WHERE rn <= {_RRF_TOP}
+"""
+
+
+@register("llm_rank_fusion_rrf", oracle=_RRF_ORACLE)
+def llm_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, k=60) of two per-language document
+    rankings — the standard way hybrid retrieval merges lexical (BM25)
+    and dense (cosine) result lists without score calibration: only the
+    RANKS enter, fused as Σ 1/(k+r). The two signals here (char-length
+    and token-count order, deterministically tie-broken) stand in for
+    any two rankers; swapping in llm_bm25_rank / llm_sim_knn_per_query
+    outputs changes one select. The fused score is a sum of two
+    correctly-rounded IEEE divisions evaluated in the same order in
+    both engines — bit-identical, so even the double can be hashed.
+
+    Scale shape: two window ranks + the fusion select share ONE
+    exchange on lang (Spark reuses the partitioning); the final top-10
+    is a WindowGroupLimit, not a global sort."""
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars", F.size(tokens()).alias("n_tokens"))
+    w_chars = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), "doc_id")
+    w_tokens = Window.partitionBy("lang").orderBy(
+        F.col("n_tokens").desc(), "doc_id")
+    ranked = d.select(
+        "doc_id", "lang",
+        F.row_number().over(w_chars).alias("r_chars"),
+        F.row_number().over(w_tokens).alias("r_tokens"))
+    fused = ranked.withColumn(
+        "rrf", F.lit(1.0) / (_RRF_K + F.col("r_chars"))
+        + F.lit(1.0) / (_RRF_K + F.col("r_tokens")))
+    w_f = Window.partitionBy("lang").orderBy(F.col("rrf").desc(), "doc_id")
+    return (fused.withColumn("rn", F.row_number().over(w_f))
+            .where(F.col("rn") <= _RRF_TOP)
+            .select("lang", "doc_id",
+                    F.col("r_chars").cast("bigint").alias("r_chars"),
+                    F.col("r_tokens").cast("bigint").alias("r_tokens"),
+                    "rrf"))
+
+
+# ---------------------------------------------------------------------------
+# corpus dashboard report over grouping sets (round 5)
+# ---------------------------------------------------------------------------
+
+_CORPUS_REPORT_ORACLE = """
+SELECT COALESCE(source, '<all>') AS source,
+       COALESCE(lang, '<all>') AS lang,
+       CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_chars,
+       CAST(count_if(n_chars < 200) AS BIGINT) AS n_short
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+"""
+
+
+@register("llm_corpus_report", oracle=_CORPUS_REPORT_ORACLE)
+def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus dashboard: docs / token volume / mean length / short-doc
+    count at FOUR grains in one pass — (source × lang), per-source,
+    per-lang, and grand total via GROUPING SETS, the report a data-mix
+    owner refreshes after every pipeline run. grouping_id distinguishes
+    a real 'NULL-valued group' from a rollup row; COALESCE labels keep
+    the output schema flat strings.
+
+    Scale shape: one Expand (4 grouping sets) + ONE combinable hash
+    aggregate — identical physical shape to agg_grouping_sets, over the
+    documents corpus; integer token counts, int/int → double mean."""
+    d = load_table(spark, "documents", sf_dir).select(
+        "source", "lang", "n_chars", F.size(tokens()).alias("n_tokens"))
+    g = (d.groupingSets([["source", "lang"], ["source"], ["lang"], []],
+                        "source", "lang")
+         .agg(F.grouping_id().cast("bigint").alias("gid"),
+              F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+              F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+              (F.sum("n_chars").cast("double")
+               / F.count(F.lit(1)).cast("double")).alias("mean_chars"),
+              F.count_if(F.col("n_chars") < 200).cast("bigint")
+              .alias("n_short")))
+    return g.select(
+        F.coalesce("source", F.lit("<all>")).alias("source"),
+        F.coalesce("lang", F.lit("<all>")).alias("lang"),
+        "gid", "n_docs", "total_tokens", "mean_chars", "n_short")

@@ -2068,3 +2068,33 @@ def ts_downsample_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.row_number().over(w).alias("rn"))
             .where((F.col("rn") - 1) % 5 == 0)
             .select("event_id", "event_type", "ts", "value"))
+
+
+# ---------------------------------------------------------------------------
+# EXECUTE IMMEDIATE (round 5)
+# ---------------------------------------------------------------------------
+
+_EXEC_IMM_ORACLE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders WHERE o_orderkey < 500 AND o_orderpriority = '1-URGENT'
+"""
+
+
+@register("sql_execute_immediate", oracle=_EXEC_IMM_ORACLE)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4 SQL scripting surface): a query held as
+    a STRING, executed with positional parameters — the dynamic-SQL
+    entry point migrations from stored-procedure warehouses expect.
+    Complements sql_parameterized (API-level spark.sql(args=...)): here
+    the parameter binding happens inside the SQL language itself, so a
+    pure-SQL client can do it. Parameters are real bind values, not
+    string splices — the injection-safe path."""
+    load_table(spark, "orders", sf_dir) \
+        .createOrReplaceTempView("lts_orders_exec_v")
+    return spark.sql("""
+        EXECUTE IMMEDIATE
+          'SELECT o_orderkey, o_orderpriority, o_totalprice
+           FROM lts_orders_exec_v
+           WHERE o_orderkey < ? AND o_orderpriority = ?'
+          USING 500, '1-URGENT'
+    """)

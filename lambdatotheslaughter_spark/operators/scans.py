@@ -1263,3 +1263,46 @@ def sink_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _cached_dataset("orders_bloom", sf_dir, "orders", build)
     back = spark.read.parquet(out)
     return back.where(F.col("o_custkey") == _BLOOM_KEY)
+
+
+# ---------------------------------------------------------------------------
+# nested-struct schema pruning (round 5)
+# ---------------------------------------------------------------------------
+
+_NESTED_ORACLE = """
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+@register("scan_nested_struct_pruning", oracle=_NESTED_ORACLE)
+def scan_nested_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED schema pruning: a parquet dataset whose rows are deep
+    structs (header/meta/money sub-records, the shape real event lakes
+    have), read back touching ONE leaf — Spark's nested-schema-pruning
+    rewrites the scan's ReadSchema to just ``money.cents`` inside the
+    struct, so the columnar reader materializes one leaf column, not the
+    whole record. At 100 TB of 500-field event structs this is the
+    difference between reading 1% and 100% of the bytes: column pruning
+    must reach INTO structs, not stop at top level. The plan test pins
+    the pruned ReadSchema; content round-trips, hence the value oracle."""
+    o = load_table(spark, "orders", sf_dir)
+
+    def build(tmp: str) -> None:
+        nested = o.select(
+            "o_orderkey",
+            F.struct(
+                F.struct(F.col("o_orderstatus").alias("status"),
+                         F.col("o_orderpriority").alias("priority"))
+                .alias("header"),
+                F.struct(F.col("o_totalprice").alias("total"),
+                         iround(F.col("o_totalprice") * 100).alias("cents"))
+                .alias("money"),
+                F.col("o_orderdate").alias("placed_at")).alias("rec"))
+        nested.write.mode("overwrite").parquet(tmp)
+
+    out = _cached_dataset("orders_nested", sf_dir, "orders", build)
+    back = spark.read.parquet(out)
+    return (back.where(F.col("o_orderkey") % 3 == 0)
+            .select("o_orderkey", F.col("rec.money.cents").alias("cents")))

@@ -17,6 +17,31 @@ from lambdatotheslaughter_spark.determinism import csum
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
 
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Create (once per warehouse) the 16-bucket orders/lineitem tables
+    shared by the co-located join and the bucket-pruning scan. Bucket
+    layout is a WRITE-time contract, so every reader benefits."""
+    import shutil
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    o_tbl, l_tbl = f"lts_orders_b_{sf_tag}", f"lts_lineitem_b_{sf_tag}"
+    catalog = spark.catalog
+    if not (catalog.tableExists(o_tbl) and catalog.tableExists(l_tbl)):
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for tbl in (o_tbl, l_tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            loc = os.path.join(wh, tbl)
+            if os.path.isdir(loc):  # orphan from a previous process
+                shutil.rmtree(loc, ignore_errors=True)
+        (load_table(spark, "orders", sf_dir).write
+         .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").saveAsTable(o_tbl))
+        (load_table(spark, "lineitem", sf_dir).write
+         .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+         .mode("overwrite").saveAsTable(l_tbl))
+    return o_tbl, l_tbl
+
+
 _SALT_N = 8
 
 _SALTED_ORACLE = """
@@ -78,24 +103,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Hive/Kudu-era answer that Spark inherits natively.
     tests/test_plans.py asserts the executed plan has no Exchange above the
     bucketed scans."""
-    import shutil
-
-    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    o_tbl, l_tbl = f"lts_orders_b_{sf_tag}", f"lts_lineitem_b_{sf_tag}"
-    catalog = spark.catalog
-    if not (catalog.tableExists(o_tbl) and catalog.tableExists(l_tbl)):
-        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-        for tbl in (o_tbl, l_tbl):
-            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-            loc = os.path.join(wh, tbl)
-            if os.path.isdir(loc):  # orphan from a previous process
-                shutil.rmtree(loc, ignore_errors=True)
-        (load_table(spark, "orders", sf_dir).write
-         .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
-         .mode("overwrite").saveAsTable(o_tbl))
-        (load_table(spark, "lineitem", sf_dir).write
-         .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
-         .mode("overwrite").saveAsTable(l_tbl))
+    o_tbl, l_tbl = ensure_bucketed_tables(spark, sf_dir)
     o = spark.table(o_tbl).where(F.col("o_orderstatus") == "F")
     li = spark.table(l_tbl)
     # group ONLY by the bucket key: the aggregation's required partitioning
@@ -177,3 +185,63 @@ def _bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("l_returnflag")
             .agg(F.count(F.lit(1)).alias("n_items"),
                  csum("l_extendedprice").alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# bucket pruning on read (round 5)
+# ---------------------------------------------------------------------------
+
+_BUCKET_PRUNE_KEY = 100
+
+_BUCKET_PRUNE_ORACLE = f"""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_orderkey = {_BUCKET_PRUNE_KEY}
+"""
+
+
+BUCKET_SCAN_CONFS = {
+    # Spark's auto-bucketed-scan turns the bucketed layout OFF for plans
+    # with no distribution requirement — which also forfeits bucket
+    # pruning. Pin it on for this query (at 100 TB a planner that owns
+    # the tradeoff would keep it on for any selective bucket-key probe).
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
+}
+
+
+def _bucket_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-materialized probe; shared with tests/test_plans.py so the
+    SelectedBucketsCount assertion inspects exactly this plan (under
+    BUCKET_SCAN_CONFS)."""
+    _, l_tbl = ensure_bucketed_tables(spark, sf_dir)
+    return (spark.table(l_tbl)
+            .where(F.col("l_orderkey") == _BUCKET_PRUNE_KEY)
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+                    "l_extendedprice"))
+
+
+@register("scan_bucket_pruning", oracle=_BUCKET_PRUNE_ORACLE)
+def scan_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket PRUNING on read — the scan-side payoff of the same bucket
+    layout the co-located join exploits: an equality probe on the bucket
+    key hashes the literal to ONE bucket, so the scan opens 1/16th of
+    the files before any row is read (the executed plan prints
+    ``SelectedBucketsCount: 1 out of 16``, pinned in tests). Combined
+    with the join use, this is why bucketing the biggest fact table by
+    its hottest key pays twice at 100 TB: shuffle-free joins AND
+    point-lookup file pruning from the same write-time contract.
+
+    Conf scoping mirrors join_runtime_bloom_filter: pruning happens at
+    planning time, so the result is materialized (eager localCheckpoint
+    of a handful of rows) inside the conf scope, then session confs are
+    restored."""
+    prev = {k: spark.conf.get(k, None) for k in BUCKET_SCAN_CONFS}
+    for k, v in BUCKET_SCAN_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return _bucket_prune_scan(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -657,3 +657,36 @@ def test_fixed_k_per_group_uses_window_group_limit():
     rank-everything window would sort every row of every group."""
     plan = checks.executed_plan(_df("llm_sample_fixed_k_per_group"))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_bucket_pruning_selects_one_bucket():
+    """The equality probe on the bucket key must prune the scan to ONE of
+    the 16 buckets before reading any row (under the operator's pinned
+    confs — the registered op materializes inside the same scope)."""
+    from lambdatotheslaughter_spark.operators import skew
+    prev = {k: spark_global.conf.get(k, None) for k in skew.BUCKET_SCAN_CONFS}
+    for k, v in skew.BUCKET_SCAN_CONFS.items():
+        spark_global.conf.set(k, v)
+    try:
+        plan = checks.executed_plan(
+            skew._bucket_prune_scan(spark_global, SF_DIR))
+    finally:
+        for k, v in prev.items():
+            spark_global.conf.unset(k) if v is None \
+                else spark_global.conf.set(k, v)
+    assert "SelectedBucketsCount: 1 out of 16" in plan, plan
+
+
+def test_nested_struct_pruning_reads_one_leaf():
+    """Schema pruning must reach INTO the struct: the scan's ReadSchema
+    carries only money.cents (plus the top-level key), not the whole
+    record."""
+    df = _df("scan_nested_struct_pruning")
+    plan = checks.executed_plan(df)
+    import re
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m, plan
+    schema = m.group(1)
+    assert "cents" in schema, schema
+    for dropped in ("status", "priority", "total", "placed_at"):
+        assert dropped not in schema, schema

@@ -104,6 +104,15 @@ QUERY_TABLES = {
     "graph_degree_histogram": {"lineitem"},
     "graph_pagerank_fixed": {"lineitem"},
     "join_fuzzy_levenshtein_blocked": set(),  # customer is a 1x dim
+    "graph_connected_components": {"lineitem"},
+    "graph_jaccard_neighbors": {"lineitem"},
+    "llm_dedup_bag_of_words": {"documents"},
+    "llm_eval_ngram_recall": {"documents"},
+    "llm_rank_fusion_rrf": {"documents"},
+    "llm_corpus_report": {"documents"},
+    "ts_rolling_corr": {"events"},
+    "ts_downsample_stride": {"events"},
+    "llm_sample_fixed_k_per_group": {"documents"},
 }
 
 
