@@ -2758,8 +2758,13 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, bit-identical across engines. The oracle recomputes pairs
     brute-force — an independent algorithm, not just the arithmetic."""
     d = load_table(spark, "documents", sf_dir).where(F.size(_tokens()) >= 3)
+    # the checkpoint is a collapse barrier: without it Catalyst's
+    # InferFiltersFromGenerate pushes a size(sh)>0 guard below the
+    # projects, re-expanding the shingle transform over raw split() per
+    # input row (measured ~6x on the explode; same guard as minhash)
     sh = (d.select("doc_id", _tokens().alias("toks"))
-          .select("doc_id", _shingles3("toks").alias("sh")))
+          .select("doc_id", _shingles3("toks").alias("sh"))
+          .localCheckpoint(eager=False))
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
