@@ -63,7 +63,7 @@ HEADLINE = [
     "agg_weighted_stats",       # exact weighted moments (round 4)
     "graph_bfs_distance",       # iterative bounded BFS (round 4)
     "join_fuzzy_levenshtein_blocked",  # blocked fuzzy entity join (round 5 rewrite)
-    "graph_connected_components",  # pointer-jumping CC (round 5)
+    "llm_eval_ngram_recall",    # eval-set contamination recall (round 5)
     "llm_rank_fusion_rrf",      # hybrid-retrieval RRF fusion (round 5)
     "ts_rolling_corr",          # exact rolling Pearson correlation (round 5)
     "llm_dedup_bag_of_words",   # order-invariant exact dedup (round 5)

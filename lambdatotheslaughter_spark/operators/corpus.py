@@ -1099,3 +1099,121 @@ def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("source", F.lit("<all>")).alias("source"),
         F.coalesce("lang", F.lit("<all>")).alias("lang"),
         "gid", "n_docs", "total_tokens", "mean_chars", "n_short")
+
+
+# ---------------------------------------------------------------------------
+# chat-template rendering (round 5)
+# ---------------------------------------------------------------------------
+
+_CHAT_ORACLE = """
+WITH r AS (
+  SELECT doc_id,
+         '<|system|>' || chr(10) ||
+         'You are a careful assistant. Answer in ' || lang || '.' ||
+         chr(10) || '<|user|>' || chr(10) ||
+         'Summarize the following document from ' || source || ':' ||
+         chr(10) || text || chr(10) || '<|assistant|>' || chr(10)
+           AS rendered
+  FROM documents
+)
+SELECT doc_id, md5(rendered) AS render_fp,
+       CAST(length(rendered) AS BIGINT) AS n_chars_rendered,
+       CAST(len(string_split(rendered, ' ')) AS BIGINT) AS n_tokens_ws
+FROM r
+"""
+
+
+@register("llm_format_chat_template", oracle=_CHAT_ORACLE)
+def llm_format_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT prompt rendering: every document becomes a chat-format training
+    string (system / user / assistant markers, metadata interpolated into
+    the instruction) — the step between a curated corpus and a
+    supervised-fine-tuning dataset. Output is fingerprinted (md5 + char
+    and whitespace-token counts) rather than shipped raw, the budget
+    numbers a packing stage consumes.
+
+    Scale shape: pure map-side string concat — zero shuffle, scan-rate
+    bound; the template is a column expression, so swapping ChatML /
+    Llama / custom markers is a one-line change."""
+    d = load_table(spark, "documents", sf_dir)
+    nl = F.lit("\n")
+    rendered = F.concat(
+        F.lit("<|system|>"), nl,
+        F.lit("You are a careful assistant. Answer in "), F.col("lang"),
+        F.lit("."), nl, F.lit("<|user|>"), nl,
+        F.lit("Summarize the following document from "), F.col("source"),
+        F.lit(":"), nl, F.col("text"), nl, F.lit("<|assistant|>"), nl)
+    return d.select(
+        "doc_id", F.md5(rendered).alias("render_fp"),
+        F.length(rendered).cast("bigint").alias("n_chars_rendered"),
+        F.size(F.split(rendered, " ")).cast("bigint").alias("n_tokens_ws"))
+
+
+# ---------------------------------------------------------------------------
+# DPO preference-pair construction (round 5)
+# ---------------------------------------------------------------------------
+
+_DPO_PAIRS = 5
+
+_DPO_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, source,
+         CAST(n_chars AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS quality
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, quality,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id) AS r_top,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality ASC, doc_id DESC) AS r_bot
+  FROM q
+)
+SELECT t.source, CAST(t.r_top AS BIGINT) AS pair_no,
+       t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+       t.quality - b.quality AS margin
+FROM ranked t
+JOIN ranked b ON t.source = b.source AND t.r_top = b.r_bot
+WHERE t.r_top <= {_DPO_PAIRS} AND t.doc_id <> b.doc_id
+  AND t.quality > b.quality
+"""
+
+
+@register("llm_dpo_pair_builder", oracle=_DPO_ORACLE)
+def llm_dpo_pair_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (DPO/RLHF data prep): per source,
+    pair the i-th BEST document with the i-th WORST (i ≤ 5) under a
+    quality score, emitting (chosen, rejected, margin) — the standard
+    extremes-pairing that maximizes preference margin per pair. The
+    score here is mean token length (chars/tokens, an int/int double —
+    portable); production swaps in the model-based score, same plan.
+    Guards: a doc can't be paired with itself (odd group sizes meet in
+    the middle) and zero-margin pairs are dropped (no learning signal).
+
+    Scale shape: both rankings share one exchange on source; the join
+    is (source, rank)-keyed on two k-row-per-source sides."""
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source",
+        (F.col("n_chars").cast("double")
+         / F.size(tokens()).cast("double")).alias("quality"))
+    w_top = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), "doc_id")
+    w_bot = Window.partitionBy("source").orderBy(
+        F.col("quality").asc(), F.col("doc_id").desc())
+    ranked = d.select(
+        "doc_id", "source", "quality",
+        F.row_number().over(w_top).alias("r_top"),
+        F.row_number().over(w_bot).alias("r_bot"))
+    top = (ranked.where(F.col("r_top") <= _DPO_PAIRS)
+           .select("source", F.col("r_top").alias("pair_no"),
+                   F.col("doc_id").alias("chosen_id"),
+                   F.col("quality").alias("q_c")))
+    bot = ranked.select("source", F.col("r_bot").alias("pair_no"),
+                        F.col("doc_id").alias("rejected_id"),
+                        F.col("quality").alias("q_r"))
+    return (top.join(bot, ["source", "pair_no"])
+            .where((F.col("chosen_id") != F.col("rejected_id"))
+                   & (F.col("q_c") > F.col("q_r")))
+            .select("source", F.col("pair_no").cast("bigint").alias("pair_no"),
+                    "chosen_id", "rejected_id",
+                    (F.col("q_c") - F.col("q_r")).alias("margin")))

@@ -2098,3 +2098,103 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHERE o_orderkey < ? AND o_orderpriority = ?'
           USING 500, '1-URGENT'
     """)
+
+
+# ---------------------------------------------------------------------------
+# Gini impurity of categorical distributions (round 5)
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH c AS (
+  SELECT user_id % 50 AS bucket, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_i
+  FROM events GROUP BY user_id % 50, event_type
+)
+SELECT bucket,
+       CAST(SUM(n_i) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       1.0 - CAST(SUM(CAST(n_i AS HUGEINT) * n_i) AS DOUBLE)
+           / CAST(CAST(SUM(n_i) AS HUGEINT) * SUM(n_i) AS DOUBLE) AS gini
+FROM c GROUP BY bucket
+"""
+
+
+@register("agg_gini_impurity", oracle=_GINI_ORACLE)
+def agg_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity (1 − Σpᵢ²) of each user-bucket's event-type mix —
+    the category-concentration statistic behind split scoring, audience
+    homogeneity, and mixture drift alerts. Chosen over Shannon entropy
+    DELIBERATELY: entropy needs ln(), and libm rounding differs across
+    engines, while Gini is pure integer counts until one division —
+    hash-exact with no tolerance.
+
+    Scale shape: two cascaded combinable groupBys, both shrinking
+    ((bucket, type) → bucket); decimal moments so n_i² can't wrap."""
+    ev = load_table(spark, "events", sf_dir)
+    c = (ev.groupBy((F.col("user_id") % 50).alias("bucket"), "event_type")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_i")))
+    ni = F.col("n_i").cast("decimal(19,0)")
+    return (c.groupBy("bucket")
+            .agg(F.sum("n_i").cast("bigint").alias("n"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_types"),
+                 (F.lit(1.0) - F.sum(ni * ni).cast("double")
+                  / (F.sum(ni) * F.sum(ni)).cast("double")).alias("gini")))
+
+
+# ---------------------------------------------------------------------------
+# per-group linear trend slope (round 5)
+# ---------------------------------------------------------------------------
+
+_TREND_ORACLE = """
+WITH pts AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(date_part('hour', ts) AS BIGINT) AS x,
+         CAST(round(value * 100, 0) AS BIGINT) AS y
+  FROM events
+), m AS (
+  SELECT event_type, day,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM pts GROUP BY event_type, day
+)
+SELECT event_type, day, k,
+       CAST(CAST(k * sxy - sx * sy AS DOUBLE)
+            / NULLIF(CAST(k * sxx - sx * sx AS DOUBLE), 0.0) AS DOUBLE)
+         AS slope_cents_per_hour
+FROM m
+"""
+
+
+@register("ts_trend_slope", oracle=_TREND_ORACLE)
+def ts_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, day) least-squares TREND SLOPE of value against
+    hour-of-day — 'is spend rising through the day?' as one number per
+    series. Spark ships regr_slope, but its internal double sums are
+    aggregation-order-dependent; this computes the same β̂ =
+    (kΣxy−ΣxΣy)/(kΣxx−(Σx)²) from EXACT integer moments (decimal /
+    HUGEINT — overflow-proof at any scale) with the division as the
+    single double op, so the slope is bit-identical across engines,
+    partition counts, and AQE re-plans.
+
+    Scale shape: one combinable groupBy; moments are 5 numbers per
+    group regardless of group size."""
+    ev = load_table(spark, "events", sf_dir)
+    pts = ev.select(
+        "event_type", F.date_trunc("day", "ts").alias("day"),
+        F.hour("ts").cast("bigint").alias("x"),
+        iround(F.col("value") * 100).alias("y"))
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    m = (pts.groupBy("event_type", "day")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("k"),
+              F.sum(xd).alias("sx"), F.sum(yd).alias("sy"),
+              F.sum(xd * xd).alias("sxx"), F.sum(xd * yd).alias("sxy")))
+    num = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    den = (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        .cast("double")
+    return m.select("event_type", "day", "k",
+                    (num / F.nullif(den, F.lit(0.0))).cast("double")
+                    .alias("slope_cents_per_hour"))

@@ -312,6 +312,8 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # connected components (round 5)
 # ---------------------------------------------------------------------------
 
+_GRAPH_CC_FASTPATH_MAX_EDGES = 1_000_000  # ≈16 MB of edge pairs collected
+
 # Sparser subgraph (every 4th order) so the component structure is
 # non-trivial — the full transition graph is one giant component.
 _CC_EDGES_SQL = """
@@ -352,12 +354,26 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     more expensive, which is exactly the point of having the
     distributed algorithm.
 
-    Scale shape: per round, edges ⋈ labels (key src — co-partitioned
-    across rounds), a min-agg whose shuffle carries one row per vertex,
-    and a label-keyed self-join for the pointer jump; the edge list is
-    localCheckpoint-ed once. Component size is one more combinable
-    count keyed by label."""
-    from lambdatotheslaughter_spark.operators.llm import _pointer_jump_labels
+    Dispatch mirrors llm_dedup_cluster exactly (same
+    SPARK_GRAFT_CC_FASTPATH_MAX env override, which the scale probe sets
+    to 0 so the curve always measures the distributed loop): a bounded
+    unique-edge list goes to the driver union-find — one collect, zero
+    extra shuffles, labels = component minima by construction — while a
+    distributed-sized graph runs the pointer-jumping loop. The graph
+    cap is higher than the dedup one (1M edges ≈ 16 MB collected): an
+    explicit EDGE LIST is far smaller than the corpus it came from,
+    and per-sync job overhead dominates under ~1M edges (measured
+    3.3 s → 0.9 s at sf0.1 on this dispatch).
+
+    Scale shape (distributed path): per round, edges ⋈ labels (key src
+    — co-partitioned across rounds), a min-agg whose shuffle carries
+    one row per vertex, and a label-keyed self-join for the pointer
+    jump; the edge list is localCheckpoint-ed once. Component size is
+    one more combinable count keyed by label."""
+    import os
+
+    from lambdatotheslaughter_spark.operators.llm import (
+        _pointer_jump_labels, _union_find_clusters)
 
     li = (load_table(spark, "lineitem", sf_dir)
           .where(F.col("l_orderkey") % 4 == 0)
@@ -367,9 +383,21 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (li.select(F.col("l_partkey").alias("src"),
                      F.lead("l_partkey").over(w).alias("dst"))
            .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst"))))
-    sym = (raw.unionAll(raw.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst")))
+    und = (raw.select(F.least("src", "dst").alias("a"),
+                      F.greatest("src", "dst").alias("b"))
            .distinct().localCheckpoint(eager=False))
+    cap = int(os.environ.get("SPARK_GRAFT_CC_FASTPATH_MAX",
+                             _GRAPH_CC_FASTPATH_MAX_EDGES))
+    if und.count() <= cap:
+        labels = _union_find_clusters(spark, und)
+        return labels.select(
+            F.col("doc_id").alias("node"),
+            F.col("cluster_id").cast("bigint").alias("component_id"),
+            F.col("cluster_size").cast("bigint").alias("component_size"))
+    sym = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+           .unionAll(und.select(F.col("b").alias("src"),
+                                F.col("a").alias("dst")))
+           .localCheckpoint(eager=False))
     labels = _pointer_jump_labels(sym)   # (doc_id, label)
     sizes = (labels.groupBy("label")
              .agg(F.count(F.lit(1)).cast("bigint").alias("component_size")))

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lambdatotheslaughter_spark.determinism import (
@@ -3427,3 +3427,67 @@ def llm_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_variants"),
                  F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
                  F.sum("doc_id").cast("bigint").alias("id_sum")))
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (round 5)
+# ---------------------------------------------------------------------------
+
+_HARDNEG_MOD = 20
+_HARDNEG_K = 3
+
+_HARDNEG_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE vec_id % {_HARDNEG_MOD} = 0
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+         q.label AS query_label, c.label AS neg_label,
+         round({_cosine_sql('q.embedding', 'c.embedding')}, 12) AS cosine_r
+  FROM q JOIN embeddings c ON q.label <> c.label
+)
+SELECT query_id, neg_id, query_label, neg_label, cosine_r,
+       CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_r DESC, neg_id) AS rn
+      FROM scored) t
+WHERE rn <= {_HARDNEG_K}
+"""
+
+
+@register("llm_hard_negative_mining", oracle=_HARDNEG_ORACLE)
+def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-3 most-similar vectors with a DIFFERENT label — the
+    near-miss examples that teach an embedding model its decision
+    boundary (random negatives are too easy; same-label neighbors are
+    positives). Cosine is the shared sequential fold, rounded to 12 dp
+    BEFORE ranking on both sides so GEMM-noise ties rank identically —
+    the same discipline the kNN tile kernel pins.
+
+    Scale shape: the query set (1/20th of vectors) broadcasts against
+    the corpus — a map-side theta join on label inequality; per-query
+    top-k is a WindowGroupLimit. At full scale the corpus side streams
+    and the query side stays the broadcast by construction (eval/probe
+    sets are small); for corpus×corpus mining the IVF/LSH candidate
+    generators above replace the exhaustive pass."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q = (e.where(F.col("vec_id") % _HARDNEG_MOD == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("label").alias("query_label")))
+    c = e.select(F.col("vec_id").alias("neg_id"),
+                 F.col("embedding").alias("c_emb"),
+                 F.col("label").alias("neg_label"))
+    scored = (c.join(F.broadcast(q),
+                     F.col("query_label") != F.col("neg_label"))
+              .select("query_id", "neg_id", "query_label", "neg_label",
+                      F.round(_cosine_spark(F.col("q_emb"),
+                                            F.col("c_emb")), 12)
+                      .alias("cosine_r")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), "neg_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _HARDNEG_K)
+            .select("query_id", "neg_id", "query_label", "neg_label",
+                    "cosine_r", F.col("rank").cast("bigint").alias("rank")))
