@@ -1217,3 +1217,53 @@ def llm_dpo_pair_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", F.col("pair_no").cast("bigint").alias("pair_no"),
                     "chosen_id", "rejected_id",
                     (F.col("q_c") - F.col("q_r")).alias("margin")))
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty vs the earlier corpus (round 5)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({SHINGLE3_SQL}) AS g FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), firsts AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(count_if(f.first_doc = s.doc_id) AS BIGINT) AS n_novel,
+       CAST(count_if(f.first_doc = s.doc_id) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM sh s JOIN firsts f ON s.g = f.g
+GROUP BY s.doc_id
+"""
+
+
+@register("llm_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything ingested before it
+    (ingestion order = doc_id): the share of a doc's 3-gram shingles
+    whose FIRST corpus occurrence is this doc. Low novelty ⇒ boilerplate
+    / near-dup / template mass even when no single pair crosses a dedup
+    threshold — the curation signal that catches diffuse duplication.
+
+    Scale shape: one shingle→min(doc_id) combinable aggregate (the
+    'first seen' index, reusable across runs as an incremental-ingest
+    artifact), joined back to the exploded shingles on the shingle key;
+    per-doc counts are combinable. Inline explode over the materialized
+    token column (the InferFiltersFromGenerate lesson)."""
+    d = (load_table(spark, "documents", sf_dir)
+         .select("doc_id", tokens().alias("toks"))
+         .where(F.size("toks") >= 3))
+    sh = d.select("doc_id", F.explode(shingles3("toks")).alias("g")) \
+        .localCheckpoint(eager=False)   # firsts + join both read it
+    firsts = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(firsts, "g")
+    return (j.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                 F.count_if(F.col("first_doc") == F.col("doc_id"))
+                 .cast("bigint").alias("n_novel"))
+            .select("doc_id", "n_grams", "n_novel",
+                    (F.col("n_novel").cast("double")
+                     / F.col("n_grams").cast("double")).alias("novelty")))

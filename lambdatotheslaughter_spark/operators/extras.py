@@ -2198,3 +2198,174 @@ def ts_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("event_type", "day", "k",
                     (num / F.nullif(den, F.lit(0.0))).cast("double")
                     .alias("slope_cents_per_hour"))
+
+
+# ---------------------------------------------------------------------------
+# time-series gap detection (round 5)
+# ---------------------------------------------------------------------------
+
+_GAP_MINUTES = 180
+
+_GAP_ORACLE = f"""
+SELECT user_id,
+       prev_ts AS gap_start, ts AS gap_end,
+       CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_seconds
+FROM (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events
+) t
+WHERE prev_ts IS NOT NULL
+  AND ts > prev_ts + INTERVAL {_GAP_MINUTES} MINUTE
+"""
+
+
+@register("ts_gap_detection", oracle=_GAP_ORACLE)
+def ts_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-gap detection: per-user intervals with no events for over
+    3 hours — the monitoring primitive behind sensor-dropout, churn-risk
+    and pipeline-stall alerts (sessionization's complement: it reports
+    the HOLES, not the activity). Strict > on the boundary: a gap of
+    exactly the threshold is not an alert, matching the oracle's
+    interval comparison.
+
+    Scale shape: one lag window partitioned by user (the same single
+    (user, time) exchange the sessionizers use); output is gap-sized,
+    not event-sized."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts"))
+    return (lagged
+            .where(F.col("prev_ts").isNotNull()
+                   & (F.col("ts") > F.col("prev_ts")
+                      + F.expr(f"INTERVAL {_GAP_MINUTES} MINUTE")))
+            .select("user_id", F.col("prev_ts").alias("gap_start"),
+                    F.col("ts").alias("gap_end"),
+                    (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts"))
+                    .cast("bigint").alias("gap_seconds")))
+
+
+# ---------------------------------------------------------------------------
+# forward fill (last observation carried forward, round 5)
+# ---------------------------------------------------------------------------
+
+_FFILL_ORACLE = """
+WITH sampled AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_id % 3 = 0
+              THEN CAST(round(value * 100, 0) AS BIGINT) END AS reading
+  FROM events
+)
+SELECT user_id, ts, event_id, reading,
+       LAST_VALUE(reading IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM sampled
+"""
+
+
+@register("ts_forward_fill", oracle=_FFILL_ORACLE)
+def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF): carry each user's last non-null reading
+    forward over the rows where the sensor was silent (every 3rd event
+    carries a reading here; the rest are the gaps to fill) — the
+    standard sparse-telemetry densification, complementing
+    ts_interpolate_linear (which needs BOTH endpoints; LOCF is causal
+    and streaming-safe). Readings are integer cents so the fill is
+    hash-exact; leading rows before a user's first reading stay NULL
+    in both engines.
+
+    Scale shape: one user-partitioned window, running last(ignorenulls)
+    over a growing frame — O(1) state per row, the same shape a
+    stateful streaming LOCF keeps per key."""
+    ev = load_table(spark, "events", sf_dir)
+    reading = F.when(F.col("event_id") % 3 == 0,
+                     iround(F.col("value") * 100))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (ev.select("user_id", "ts", "event_id",
+                      reading.alias("reading"))
+            .withColumn("filled",
+                        F.last("reading", ignorenulls=True).over(w)))
+
+
+# ---------------------------------------------------------------------------
+# SQL-language scalar function DDL (round 5)
+# ---------------------------------------------------------------------------
+
+_SQL_FN_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_discount,
+       CASE WHEN l_discount < 0.02 THEN 'low'
+            WHEN l_discount < 0.06 THEN 'mid'
+            ELSE 'high' END AS disc_band
+FROM lineitem WHERE l_orderkey < 2000
+"""
+
+
+@register("sql_scalar_function_ddl", oracle=_SQL_FN_ORACLE)
+def sql_scalar_function_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language scalar function (CREATE FUNCTION … RETURN expr,
+    Spark 3.5 SQL UDFs): the analyst extension point that needs NO
+    Python at all — the body is an expression the catalyst inlines into
+    the calling plan, so unlike udf_python_scalar (same banding logic,
+    serde boundary) this stays in whole-stage codegen; it is the
+    preferred form for any UDF expressible as SQL. Registration is
+    session-idempotent via OR REPLACE."""
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION lts_disc_band(d DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN d < 0.02 THEN 'low'
+                    WHEN d < 0.06 THEN 'mid'
+                    ELSE 'high' END
+    """)
+    load_table(spark, "lineitem", sf_dir) \
+        .createOrReplaceTempView("lts_lineitem_fn_v")
+    return spark.sql("""
+        SELECT l_orderkey, l_linenumber, l_discount,
+               lts_disc_band(l_discount) AS disc_band
+        FROM lts_lineitem_fn_v WHERE l_orderkey < 2000
+    """)
+
+
+# ---------------------------------------------------------------------------
+# numeric RANGE window frame (round 5)
+# ---------------------------------------------------------------------------
+
+_RANGE_NUM_ORACLE = """
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority, cents,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_within_100,
+       CAST(SUM(cents) OVER w AS BIGINT) AS cents_within_100
+FROM c
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents
+             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("win_range_between_numeric", oracle=_RANGE_NUM_ORACLE)
+def win_range_between_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based RANGE frame on a NUMERIC key (win_range_interval's
+    sibling is time-based): per priority class, how many orders — and
+    how much money — sit within $100 BELOW each order's price. RANGE
+    frames are tie-safe by definition (peers enter the frame together,
+    so no ORDER BY tie-break is needed — the property ROWS frames lack);
+    integer cents keep the running sums hash-exact.
+
+    Scale shape: one exchange on the partition key, one sort per
+    partition, frame maintained by two pointers — same cost class as
+    any windowed aggregate."""
+    o = load_table(spark, "orders", sf_dir)
+    c = o.select("o_orderkey", "o_orderpriority",
+                 iround(F.col("o_totalprice") * 100).alias("cents"))
+    w = (Window.partitionBy("o_orderpriority").orderBy("cents")
+         .rangeBetween(-10000, 0))
+    return c.select(
+        "o_orderkey", "o_orderpriority", "cents",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_within_100"),
+        F.sum("cents").over(w).cast("bigint").alias("cents_within_100"))

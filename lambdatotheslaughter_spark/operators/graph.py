@@ -506,3 +506,87 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
                        - F.coalesce("c", F.lit(0))).cast("double"))
                    .alias("jaccard")))
     return out
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition, bounded peeling (round 5)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling rounds (same fixed count as the Spark loop): each
+    round drops vertices whose CURRENT degree < k and recomputes degrees
+    on the surviving edge set. tests pin that the fixed round count has
+    converged at test scale, so 'membership after N rounds' equals true
+    k-core membership there."""
+    # every CTE is MATERIALIZED: each round references its predecessor
+    # multiple times (degree union + two keep joins), so inlining would
+    # expand the window-over-lineitem base exponentially in the round
+    # count — observed as a DuckDB OOM at only 4 rounds
+    parts = [f"""
+WITH raw AS MATERIALIZED ({_EDGES_SQL}),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst
+)"""]
+    prev = "e0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM {prev} UNION ALL SELECT b FROM {prev}) t
+  GROUP BY v),
+keep{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE deg >= {_KCORE_K}),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN keep{i} ka ON e.a = ka.v JOIN keep{i} kb ON e.b = kb.v)""")
+        prev = f"e{i}"
+    parts.append(f"""
+SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+  SELECT a AS v FROM {prev} UNION ALL SELECT b FROM {prev}) t
+GROUP BY v""")
+    return "".join(parts)
+
+
+@register("graph_k_core", oracle=_kcore_oracle())
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) by iterative peeling: repeatedly drop
+    vertices with degree < k and recompute — the standard
+    dense-subgraph / spam-ring / community-seed extractor. The round
+    count is FIXED and identical in both engines (the oracle unrolls
+    the same peeling as CTEs), and a pytest gate asserts one extra
+    round changes nothing at test scale, so the fixed-round output IS
+    the converged k-core there.
+
+    Scale shape per round: one degree aggregate (combinable, one row
+    per vertex) + two semi-join-shaped edge filters against the keep
+    set — the Pregel peeling shape; edges only ever shrink, and the
+    loop materializes each survivor set with a checkpoint so round n+1
+    reads round n's output, not a growing lineage."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    raw = (li.select(F.col("l_partkey").alias("src"),
+                     F.lead("l_partkey").over(w).alias("dst"))
+           .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst"))))
+    edges = (raw.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+             .distinct().localCheckpoint(eager=False))
+    for _ in range(_KCORE_ROUNDS):
+        deg = (edges.select(F.col("a").alias("v"))
+               .unionAll(edges.select("b"))
+               .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
+        keep = deg.where(F.col("deg") >= _KCORE_K).select("v")
+        edges = (edges
+                 .join(keep.select(F.col("v").alias("a")), "a", "left_semi")
+                 .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
+                 .select("a", "b")
+                 .localCheckpoint(eager=False))
+    return (edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select("b"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree")))

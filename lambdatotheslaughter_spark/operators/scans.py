@@ -1306,3 +1306,100 @@ def scan_nested_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     return (back.where(F.col("o_orderkey") % 3 == 0)
             .select("o_orderkey", F.col("rec.money.cents").alias("cents")))
+
+
+# ---------------------------------------------------------------------------
+# catalog statistics (ANALYZE TABLE) round trip (round 5)
+# ---------------------------------------------------------------------------
+
+_ANALYZE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_stats,
+       CAST(COUNT(*) AS BIGINT) AS n_rows_actual,
+       TRUE AS stats_match
+FROM orders
+"""
+
+
+@register("catalog_analyze_stats", oracle=_ANALYZE_ORACLE)
+def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE COMPUTE STATISTICS round trip: write a managed
+    table, collect catalog statistics, and read the ROW COUNT back out
+    of the catalog — verified against the actual count. Catalog stats
+    are what feed Catalyst's cost-based decisions (join reordering,
+    broadcast thresholds) when file-level estimates lie; at 100 TB an
+    un-ANALYZEd lake silently disables half the optimizer. Byte sizes
+    are environment-dependent and excluded; the row count is exact."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tbl = f"lts_orders_stats_{sf_tag}"
+    if not spark.catalog.tableExists(tbl):
+        load_table(spark, "orders", sf_dir).write.mode("overwrite") \
+            .saveAsTable(tbl)
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+    desc = spark.sql(f"DESC EXTENDED {tbl}").collect()
+    stats = {r.col_name: r.data_type for r in desc}
+    import re as _re
+    m = _re.search(r"(\d+)\s+rows", stats.get("Statistics", ""))
+    n_stats = int(m.group(1)) if m else -1
+    actual = spark.table(tbl).count()
+    return spark.createDataFrame(
+        [(n_stats, actual, n_stats == actual)],
+        "n_rows_stats bigint, n_rows_actual bigint, stats_match boolean")
+
+
+# ---------------------------------------------------------------------------
+# PERMISSIVE CSV with corrupt-record capture (round 5)
+# ---------------------------------------------------------------------------
+
+_N_BAD_LINES = 7
+
+_CSV_PERMISSIVE_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+       CAST({_N_BAD_LINES} AS BIGINT) AS n_corrupt,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS good_cents
+FROM orders WHERE o_orderkey % 5 = 0
+"""
+
+
+@register("scan_csv_permissive_corrupt", oracle=_CSV_PERMISSIVE_ORACLE)
+def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion with corrupt-record capture: a feed whose
+    producer occasionally emits garbage lines is read with an explicit
+    schema plus `_corrupt_record` — bad lines land intact in the audit
+    column (null fields elsewhere) instead of killing the job
+    (FAILFAST) or vanishing (DROPMALFORMED). The returned reconciliation
+    row proves no good row was lost and every bad line was captured —
+    the at-scale policy where one malformed line in 100 TB must neither
+    abort nor silently drop. Quarantined lines go to a dead-letter
+    table in production; the count is the monitoring signal.
+
+    The corrupt column must be materialized via a checkpoint before
+    filtering on it: Spark refuses queries that filter ONLY on
+    _corrupt_record over a raw scan (the column is populated during
+    parsing, not pushdown-safe)."""
+    o = (load_table(spark, "orders", sf_dir)
+         .where(F.col("o_orderkey") % 5 == 0)
+         .select("o_orderkey", "o_totalprice"))
+
+    def build(tmp: str) -> None:
+        o.coalesce(1).write.mode("overwrite").csv(tmp)
+        import glob as _glob
+        part = _glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+        with open(part, "a") as fh:
+            for i in range(_N_BAD_LINES):
+                fh.write(f"garbage_line_{i},not,a,number,{{x}}\n")
+
+    out = _cached_dataset("orders_csv_corrupt", sf_dir, "orders", build)
+    schema = ("o_orderkey BIGINT, o_totalprice DOUBLE, "
+              "_corrupt_record STRING")
+    back = (spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(out)
+            .localCheckpoint(eager=False))
+    good = F.col("_corrupt_record").isNull()
+    return back.agg(
+        F.count(F.when(good, F.lit(1))).cast("bigint").alias("n_good"),
+        F.count(F.when(~good, F.lit(1))).cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(good, iround(F.col("o_totalprice") * 100)))
+        .cast("bigint").alias("good_cents"))

@@ -595,3 +595,38 @@ def test_sliding_hll_tracks_exact_within_5pct(spark):
             f"{day}: est {est[day]} vs exact {n}"
     again = {r.t_day: r.n_users_7d_est for r in est_fn(spark, SF_DIR).collect()}
     assert again == est, "sketch estimates not deterministic"
+
+
+def test_kcore_fixed_rounds_have_converged(spark):
+    """graph_k_core peels a FIXED number of rounds (oracle unrolls the
+    same count); this gate proves one EXTRA round changes nothing at
+    test scale, so fixed-round membership == converged k-core here."""
+    from pyspark.sql import Window, functions as F
+
+    from lambdatotheslaughter_spark.operators import graph as g
+    from lambdatotheslaughter_spark.tables import load_table
+
+    li = load_table(spark, "lineitem", SF_DIR).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    raw = (li.select(F.col("l_partkey").alias("src"),
+                     F.lead("l_partkey").over(w).alias("dst"))
+           .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst"))))
+    edges = (raw.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+             .distinct().localCheckpoint(eager=False))
+
+    def peel(e, rounds):
+        for _ in range(rounds):
+            deg = (e.select(F.col("a").alias("v")).unionAll(e.select("b"))
+                   .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
+            keep = deg.where(F.col("deg") >= g._KCORE_K).select("v")
+            e = (e.join(keep.select(F.col("v").alias("a")), "a", "left_semi")
+                 .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
+                 .select("a", "b").localCheckpoint(eager=False))
+        return {tuple(r) for r in e.collect()}
+
+    n = g._KCORE_ROUNDS
+    assert peel(edges, n) == peel(edges, n + 1), \
+        f"{n} peeling rounds have not converged at test scale"

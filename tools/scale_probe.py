@@ -113,6 +113,11 @@ QUERY_TABLES = {
     "ts_rolling_corr": {"events"},
     "ts_downsample_stride": {"events"},
     "llm_sample_fixed_k_per_group": {"documents"},
+    "llm_hard_negative_mining": {"embeddings"},
+    "agg_gini_impurity": {"events"},
+    "ts_trend_slope": {"events"},
+    "llm_format_chat_template": {"documents"},
+    "llm_dpo_pair_builder": {"documents"},
 }
 
 
