@@ -1388,6 +1388,10 @@ def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(part, "a") as fh:
             for i in range(_N_BAD_LINES):
                 fh.write(f"garbage_line_{i},not,a,number,{{x}}\n")
+        # the append invalidates Hadoop's sidecar checksums — drop them
+        # (the LocalFS reader otherwise fails the whole file)
+        for crc in _glob.glob(os.path.join(tmp, ".*.crc")):
+            os.remove(crc)
 
     out = _cached_dataset("orders_csv_corrupt", sf_dir, "orders", build)
     schema = ("o_orderkey BIGINT, o_totalprice DOUBLE, "
