@@ -1267,3 +1267,84 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_grams", "n_novel",
                     (F.col("n_novel").cast("double")
                      / F.col("n_grams").cast("double")).alias("novelty")))
+
+
+# ---------------------------------------------------------------------------
+# stylometric source fingerprints (round 5)
+# ---------------------------------------------------------------------------
+
+# pinned profile vocabulary: frequency of these eight common corpus words
+# is the 8-dim style vector (function-word profiling — the classic
+# stylometry trick; the exact list only needs to be FIXED, not optimal)
+_STYLE_VOCAB = ("table", "value", "row", "scan", "hash", "key", "fast",
+                "part")
+
+_STYLE_VEC_SQL = "[" + ", ".join(
+    f"CAST(len(list_filter(string_split(text, ' '), t -> t = '{w}')) AS DOUBLE)"
+    for w in _STYLE_VOCAB) + "]"
+
+_STYLE_ORACLE = f"""
+WITH prof AS (
+  SELECT source,
+         list_transform(range(1, {len(_STYLE_VOCAB) + 1}),
+                        i -> list_sum(list_transform(vecs, v -> v[i])))
+           AS vec
+  FROM (SELECT source, list({_STYLE_VEC_SQL}) AS vecs
+        FROM documents GROUP BY source)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       round(list_reduce(list_transform(range(1, {len(_STYLE_VOCAB) + 1}),
+                                        i -> a.vec[i] * b.vec[i]),
+                         (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, {len(_STYLE_VOCAB) + 1}),
+                                                i -> a.vec[i] * a.vec[i]),
+                                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, {len(_STYLE_VOCAB) + 1}),
+                                                  i -> b.vec[i] * b.vec[i]),
+                                   (x, y) -> x + y))), 12) AS style_cosine
+FROM prof a JOIN prof b ON a.source < b.source
+"""
+
+
+@register("llm_style_fingerprint", oracle=_STYLE_ORACLE)
+def llm_style_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stylometric source similarity: each source's function-word
+    frequency profile over a PINNED 8-word vocabulary, compared pairwise
+    by cosine — the classic authorship/provenance fingerprint that flags
+    two 'different' crawls as the same generator (mirror detection,
+    synthetic-text provenance). Counts are exact integers; each profile
+    dot product is a fixed-order fold of count products (exact in
+    double), so even the cosine hash-matches at 12 dp.
+
+    Scale shape: one corpus pass building per-source count vectors
+    (combinable — an 8-long array sum per source), then an O(S²)
+    pairwise join over the handful of sources: the quadratic stage is
+    source-count-bounded, never corpus-bounded."""
+    d = load_table(spark, "documents", sf_dir) \
+        .select("source", tokens().alias("toks"))
+    def count_word(w: str):
+        # closure (not a default arg): a 2-parameter lambda would make
+        # PySpark pass the ELEMENT INDEX as the second argument
+        return F.sum(F.size(F.filter(F.col("toks"),
+                                     lambda t: t == F.lit(w))))
+
+    counts = [count_word(w).cast("double").alias(f"c{i}")
+              for i, w in enumerate(_STYLE_VOCAB)]
+    prof = (d.groupBy("source").agg(*counts)
+            .select("source", F.array(*[F.col(f"c{i}")
+                                        for i in range(len(_STYLE_VOCAB))])
+                    .alias("vec")))
+    a = prof.select(F.col("source").alias("source_a"),
+                    F.col("vec").alias("va"))
+    b = prof.select(F.col("source").alias("source_b"),
+                    F.col("vec").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate(F.zip_with("va", "va", lambda x, y: x * y),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    nb = F.aggregate(F.zip_with("vb", "vb", lambda x, y: x * y),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    return (a.join(b, F.col("source_a") < F.col("source_b"))
+            .select("source_a", "source_b",
+                    F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 12)
+                    .alias("style_cosine")))

@@ -2369,3 +2369,32 @@ def win_range_between_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", "cents",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_within_100"),
         F.sum("cents").over(w).cast("bigint").alias("cents_within_100"))
+
+
+# ---------------------------------------------------------------------------
+# SQL session variables (round 5)
+# ---------------------------------------------------------------------------
+
+_SESSION_VAR_ORACLE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders WHERE o_orderkey < 800
+"""
+
+
+@register("sql_session_variables", oracle=_SESSION_VAR_ORACLE)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session VARIABLES (Spark 4 DECLARE / SET VAR): typed,
+    session-scoped state referenced directly in query text — the
+    pure-SQL scripting companion to sql_parameterized (API binds) and
+    sql_execute_immediate (dynamic SQL): parameterize once, reuse
+    across statements, no string splicing. The variable is set to a
+    DIFFERENT value than its DEFAULT so the test proves SET VAR is
+    actually read."""
+    spark.sql("DECLARE OR REPLACE VARIABLE lts_key_cap BIGINT DEFAULT 500")
+    spark.sql("SET VAR lts_key_cap = 800")
+    load_table(spark, "orders", sf_dir) \
+        .createOrReplaceTempView("lts_orders_var_v")
+    return spark.sql("""
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM lts_orders_var_v WHERE o_orderkey < lts_key_cap
+    """)

@@ -619,3 +619,40 @@ def math_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
                "ELSE CAST(o_orderkey AS STRING) END AS INT)")
         .alias("safe_cast"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cryptographic hash / base64 function surface (round 5)
+# ---------------------------------------------------------------------------
+
+_HASH_FN_ORACLE = """
+SELECT o_orderkey,
+       md5(o_orderpriority || ':' || CAST(o_orderkey AS VARCHAR)) AS h_md5,
+       sha256(o_orderpriority || ':' || CAST(o_orderkey AS VARCHAR))
+         AS h_sha256,
+       to_base64(encode(o_orderpriority)) AS b64,
+       decode(from_base64(to_base64(encode(o_orderpriority))))
+         = o_orderpriority AS roundtrip_ok
+FROM orders WHERE o_orderkey < 2000
+"""
+
+
+@register("str_hash_functions", oracle=_HASH_FN_ORACLE)
+def str_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest + base64 surface: md5 / sha2-256 hex digests
+    (the portable content-address primitives every fingerprint/dedup
+    key in this engine builds on) and a base64 encode→decode round
+    trip — the wire-safe envelope encoding for binary payloads in JSON
+    /Kafka feeds. Hex casing and base64 alphabet are pinned by both
+    engines' standards-compliance, so the digests hash-match exactly."""
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_orderkey") < 2000)
+    payload = F.concat(F.col("o_orderpriority"), F.lit(":"),
+                       F.col("o_orderkey").cast("string"))
+    b64 = F.base64(F.col("o_orderpriority").cast("binary"))
+    return o.select(
+        "o_orderkey",
+        F.md5(payload).alias("h_md5"),
+        F.sha2(payload, 256).alias("h_sha256"),
+        b64.alias("b64"),
+        (F.unbase64(b64).cast("string") == F.col("o_orderpriority"))
+        .alias("roundtrip_ok"))

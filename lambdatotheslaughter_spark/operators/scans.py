@@ -1332,6 +1332,14 @@ def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     tbl = f"lts_orders_stats_{sf_tag}"
     if not spark.catalog.tableExists(tbl):
+        # another process's metastore may have left the managed LOCATION
+        # behind (shared warehouse dir, per-process catalogs) — clear the
+        # orphan first, same discipline as ensure_bucketed_tables
+        import shutil
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        loc = os.path.join(wh, tbl)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
         load_table(spark, "orders", sf_dir).write.mode("overwrite") \
             .saveAsTable(tbl)
     spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")

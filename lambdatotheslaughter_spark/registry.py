@@ -65,6 +65,24 @@ _loaded = False
 # most-touched r1-era paths (agg_pricing_summary, join_multiway_star,
 # llm_dedup_fuzzy_minhash, join_asof_event_order). After this window EVERY
 # oracled key in the repo owns at least one hard CORRECTNESS row.
+# ROUND 6 ROTATION PLAN: the 30 round-5 additions (all oracled) become
+# the never-slotted set once this window lands — rotate them in next:
+# sub_any_all_rewrite, agg_count_if_any_value, ts_rolling_corr,
+# ts_downsample_stride, graph_connected_components,
+# graph_jaccard_neighbors, llm_sample_fixed_k_per_group,
+# llm_eval_ngram_recall, llm_dedup_bag_of_words,
+# sink_parquet_bloom_filter, scan_bucket_pruning,
+# scan_nested_struct_pruning, sql_execute_immediate, llm_rank_fusion_rrf,
+# llm_corpus_report, agg_gini_impurity, ts_trend_slope,
+# llm_hard_negative_mining, llm_format_chat_template,
+# llm_dpo_pair_builder, graph_k_core, llm_ngram_novelty,
+# ts_gap_detection, ts_forward_fill, sql_scalar_function_ddl,
+# win_range_between_numeric, catalog_analyze_stats,
+# scan_csv_permissive_corrupt, sql_session_variables,
+# str_hash_functions, llm_style_fingerprint (31 names — 31 slots), plus
+# 19 re-confirmation backfill slots from the r1/r2 windows (oldest rows
+# first). Update tests/test_survey_coverage.py's pinned window when
+# rotating.
 # Rows-only-by-design ops (llm_sim_lsh_approx, llm_sim_ann_ivf,
 # llm_multimodal_decode, agg_approx_distinct, agg_distinct_sketch_rollup,
 # scan_metadata_columns, llm_tokenizer_bpe_train, llm_tokenizer_bpe_apply,

@@ -118,6 +118,12 @@ QUERY_TABLES = {
     "ts_trend_slope": {"events"},
     "llm_format_chat_template": {"documents"},
     "llm_dpo_pair_builder": {"documents"},
+    "graph_k_core": {"lineitem"},
+    "llm_ngram_novelty": {"documents"},
+    "ts_gap_detection": {"events"},
+    "ts_forward_fill": {"events"},
+    "win_range_between_numeric": {"orders"},
+    "sql_scalar_function_ddl": {"lineitem"},
 }
 
 
