@@ -23,7 +23,8 @@ from lambdatotheslaughter_spark.determinism import iround, estimate_rows
 from lambdatotheslaughter_spark.functions.text import (
     SHINGLE2_SQL, SHINGLE3_SQL, md5_int60, shingles2, shingles3, tokens)
 from lambdatotheslaughter_spark.operators.llm import (
-    _CLUSTER_ORACLE, _cosine_spark, _cosine_sql, llm_dedup_cluster)
+    _BM25_B, _BM25_K1, _CLUSTER_ORACLE, _cosine_spark, _cosine_sql,
+    llm_dedup_cluster)
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
 
@@ -1348,3 +1349,262 @@ def llm_style_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source_a", "source_b",
                     F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 12)
                     .alias("style_cosine")))
+
+
+# ---------------------------------------------------------------------------
+# boilerplate detection by per-source shingle document frequency (round 5)
+# ---------------------------------------------------------------------------
+
+_BOILER_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, source, unnest({SHINGLE3_SQL}) AS g FROM d
+), nd AS (
+  SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source
+), df AS (
+  SELECT source, g, COUNT(*) AS df FROM sh GROUP BY source, g
+), boiler AS (
+  SELECT df.source, df.g
+  FROM df JOIN nd USING (source)
+  WHERE df.df >= 3 AND df.df * 10 > nd.n_docs
+)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(b.g) AS BIGINT) AS n_boiler,
+       CAST(COUNT(b.g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS boiler_share
+FROM sh LEFT JOIN boiler b ON sh.source = b.source AND sh.g = b.g
+GROUP BY sh.doc_id
+"""
+
+
+@register("llm_boilerplate_share", oracle=_BOILER_ORACLE)
+def llm_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection by per-source n-gram DOCUMENT FREQUENCY —
+    the CCNet/RefinedWeb-style signal that catches navigation chrome,
+    license headers, and template filler: a 3-gram shingle present in
+    >10% of a source's documents (and >=3 of them) is boilerplate, and
+    each document is scored by the share of its distinct shingles that
+    are boilerplate. Complements llm_ngram_novelty (first-occurrence
+    novelty in INGESTION order) with a source-local, order-free
+    frequency criterion; the integer threshold df*10 > n_docs avoids a
+    float-compare divergence at the exact 10% boundary.
+
+    Scale shape: one exploded-shingle pass feeds BOTH the df aggregate
+    and the join back (localCheckpoint barrier, shared scan); df and
+    n_docs are combinable groupBys. The boilerplate set is broadcast:
+    its size is bounded by sum(shingles)/(0.1*n_docs) ~ 10x the mean
+    document length PER SOURCE — vocabulary-shaped, never corpus-shaped
+    — so the big side is never shuffled by shingle."""
+    d = (load_table(spark, "documents", sf_dir)
+         .select("doc_id", "source", tokens().alias("toks"))
+         .where(F.size("toks") >= 3))
+    sh = d.select("doc_id", "source",
+                  F.explode(shingles3("toks")).alias("g")) \
+        .localCheckpoint(eager=False)   # df aggregate + join both read it
+    nd = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    df_ = sh.groupBy("source", "g").agg(F.count(F.lit(1)).alias("df"))
+    boiler = (df_.join(F.broadcast(nd), "source")
+              .where((F.col("df") >= 3)
+                     & (F.col("df") * 10 > F.col("n_docs")))
+              .select("source", "g", F.lit(1).alias("is_b")))
+    return (sh.join(F.broadcast(boiler), ["source", "g"], "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+                 F.sum(F.coalesce(F.col("is_b"), F.lit(0)))
+                 .cast("bigint").alias("n_boiler"))
+            .select("doc_id", "n_shingles", "n_boiler",
+                    (F.col("n_boiler").cast("double")
+                     / F.col("n_shingles").cast("double"))
+                    .alias("boiler_share")))
+
+
+# ---------------------------------------------------------------------------
+# seeded span-corruption masking (round 5)
+# ---------------------------------------------------------------------------
+
+_SPANC_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+), sp AS (
+  SELECT doc_id, CAST(floor((pos - 1) / 3) AS BIGINT) AS span,
+         string_agg(tok, ' ' ORDER BY pos) AS span_text
+  FROM tok GROUP BY doc_id, CAST(floor((pos - 1) / 3) AS BIGINT)
+), m AS (
+  SELECT doc_id, span, span_text,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || '#'
+                                         || CAST(span AS VARCHAR)), 1, 15))
+              AS BIGINT) % 10 < 2 AS masked
+  FROM sp
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id, masked
+                                    ORDER BY span) - 1 AS BIGINT) AS mrank
+  FROM m
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(*) FILTER (WHERE masked) AS BIGINT) AS n_masked,
+       string_agg(CASE WHEN masked
+                       THEN '<x_' || CAST(mrank AS VARCHAR) || '>'
+                       ELSE span_text END, ' ' ORDER BY span) AS corrupted,
+       COALESCE(string_agg('<x_' || CAST(mrank AS VARCHAR) || '> '
+                           || span_text, ' ' ORDER BY span)
+                FILTER (WHERE masked), '') AS target
+FROM r GROUP BY doc_id
+"""
+
+
+@register("llm_span_corruption", oracle=_SPANC_ORACLE)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption rendering: split each document into
+    3-token spans, mask ~20% of them by a SEEDED portable hash
+    (md5(doc_id#span) % 10 < 2 — reproducible across runs, engines, and
+    cluster sizes), and emit the corrupted input (masked spans replaced
+    by numbered sentinels <x_k>) plus the denoising target (sentinels +
+    original spans). This is the pretraining-objective materialization
+    step a training pipeline runs corpus-wide per epoch.
+
+    Scale shape: ZERO shuffle — span slicing, mask decisions, sentinel
+    numbering, and both output strings are computed per row with array
+    higher-order functions (one aggregate() fold carrying a
+    (k, corrupted, target) struct accumulator). The oracle computes the
+    same answer RELATIONALLY (explode + window + ordered string_agg), so
+    parity cross-checks two genuinely different algorithms."""
+    d = load_table(spark, "documents", sf_dir) \
+        .select("doc_id", tokens().alias("toks"))
+    n_sp = F.ceil(F.size("toks") / F.lit(3)).cast("int")
+    d = d.select(
+        "doc_id",
+        F.transform(F.sequence(F.lit(0), n_sp - 1),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i * 3 + 1, 3)))
+        .alias("spans"))
+    d = d.select(
+        "doc_id", "spans",
+        F.transform(
+            F.sequence(F.lit(1), F.size("spans")),
+            lambda j: F.pmod(
+                md5_int60(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit("#"), (j - 1).cast("string"))),
+                F.lit(10)) < 2).alias("masks"))
+    zero = F.struct(F.lit(0).alias("k"), F.lit("").alias("corr"),
+                    F.lit("").alias("tgt"))
+    sentinel = lambda k: F.concat(F.lit("<x_"), k.cast("string"), F.lit(">"))
+
+    def step(acc, j):
+        masked = F.element_at("masks", j)
+        span = F.element_at("spans", j)
+        return (F.when(masked, F.struct(
+                    (acc["k"] + 1).alias("k"),
+                    F.concat(acc["corr"], F.lit(" "),
+                             sentinel(acc["k"])).alias("corr"),
+                    F.concat(acc["tgt"], F.lit(" "), sentinel(acc["k"]),
+                             F.lit(" "), span).alias("tgt")))
+                .otherwise(F.struct(
+                    acc["k"].alias("k"),
+                    F.concat(acc["corr"], F.lit(" "), span).alias("corr"),
+                    acc["tgt"].alias("tgt"))))
+
+    folded = F.aggregate(F.sequence(F.lit(1), F.size("spans")), zero, step)
+    return d.select(
+        "doc_id",
+        F.size("spans").cast("bigint").alias("n_spans"),
+        F.size(F.filter("masks", lambda x: x)).cast("bigint")
+        .alias("n_masked"),
+        F.ltrim(folded["corr"]).alias("corrupted"),
+        F.ltrim(folded["tgt"]).alias("target"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval SERVE: top-k per query over the corpus (round 5)
+# ---------------------------------------------------------------------------
+
+_RETR_QUERIES = ((1, "spark"), (1, "query"), (1, "fast"),
+                 (2, "table"), (2, "scan"), (2, "hash"),
+                 (3, "data"), (3, "row"), (3, "merge"))
+_RETR_K = 3
+
+_RETR_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _RETR_QUERIES)
+
+_RETR_ORACLE = f"""
+WITH queries(query_id, t) AS (VALUES {_RETR_VALUES}),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), doclen AS (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avg_dl FROM doclen
+), tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+  WHERE t IN (SELECT DISTINCT t FROM queries) GROUP BY doc_id, t
+), df AS (
+  SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY t
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(SUM(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * ({_BM25_K1} + 1.0)
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * doclen.dl / stats.avg_dl))), 6) AS bm25
+  FROM queries q
+  JOIN tf USING (t) JOIN df USING (t) JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(rank AS BIGINT) AS rank, doc_id, bm25
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc_id) AS rank
+      FROM scored)
+WHERE rank <= {_RETR_K}
+"""
+
+
+@register("llm_retrieval_bm25_topk", oracle=_RETR_ORACLE)
+def llm_retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time lexical retrieval SERVE: score a batch of queries
+    against the corpus with BM25 (Robertson/Okapi, k1=1.2, b=0.75) and
+    return the top-3 documents per query — the multi-query fan-in shape
+    behind RAG retrieval, dedup-by-retrieval, and eval-set construction,
+    where llm_bm25_rank is the corpus-wide scoring twin. Ranking uses
+    the 6-dp ROUNDED score (per-(query,doc) sums merge in engine order)
+    with doc_id as the total tie-break.
+
+    Scale shape: the corpus is never shuffled by query — only rows whose
+    token matches some query term survive the tf filter, and the query
+    table (|terms| rows) broadcasts to that filtered set. doclen/df/
+    corpus stats are combinable; a real serving system would precompute
+    them once per snapshot. Top-k per query is a WindowGroupLimit
+    (per-task heads on a handful of query groups)."""
+    d = load_table(spark, "documents", sf_dir)
+    q = spark.createDataFrame(list(_RETR_QUERIES), "query_id long, t string")
+    terms = sorted({t for _, t in _RETR_QUERIES})
+    tok = d.select("doc_id", F.explode(tokens()).alias("t"))
+    doclen = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = doclen.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                       F.avg("dl").alias("avg_dl"))
+    tf = (tok.where(F.col("t").isin(*terms))
+          .groupBy("doc_id", "t")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    df_ = tf.groupBy("t").agg(
+        F.countDistinct("doc_id").cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    denom = (F.col("tf") + _BM25_K1 * (1.0 - _BM25_B
+             + _BM25_B * F.col("dl") / F.col("avg_dl")))
+    scored = (tf.join(F.broadcast(q), "t")
+              .join(F.broadcast(df_), "t")
+              .join(doclen, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("query_id", "doc_id")
+              .agg(F.round(F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0)
+                                 / denom), 6).alias("bm25")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= _RETR_K)
+            .select("query_id", "rank", "doc_id", "bm25"))

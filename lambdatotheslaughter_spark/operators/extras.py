@@ -2398,3 +2398,53 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, o_orderpriority, o_totalprice
         FROM lts_orders_var_v WHERE o_orderkey < lts_key_cap
     """)
+
+
+# ---------------------------------------------------------------------------
+# cumulative distinct users via the first-occurrence rewrite (round 5)
+# ---------------------------------------------------------------------------
+
+_CUMDIST_ORACLE = """
+WITH f AS (
+  SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY event_type, user_id
+), n AS (
+  SELECT event_type, first_day AS day, COUNT(*) AS new_users
+  FROM f GROUP BY event_type, first_day
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day)
+            AS BIGINT) AS cum_users
+FROM n
+"""
+
+
+@register("ts_cumulative_distinct_users", oracle=_CUMDIST_ORACLE)
+def ts_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day — the growth-
+    accounting curve ('total unique users ever') that a naive
+    COUNT(DISTINCT) OVER (ORDER BY day) recomputes quadratically and
+    neither engine's window path supports efficiently. The classic
+    FIRST-OCCURRENCE REWRITE makes it linear: a user contributes to the
+    distinct total exactly once, on their first active day, so
+    min(day) per (type, user) -> count per (type, first_day) -> running
+    sum IS the cumulative distinct count. Complements
+    agg_sliding_distinct_users (bounded sliding windows, where eviction
+    forbids this trick).
+
+    Scale shape: two shrinking combinable aggregates (events ->
+    (type, user) -> (type, day)) and a window over day-count-sized
+    partitions — the only full-data exchange is the first groupBy; the
+    running sum never sees raw events."""
+    ev = load_table(spark, "events", sf_dir)
+    f = (ev.groupBy("event_type", "user_id")
+         .agg(F.min(F.col("ts").cast("date")).alias("first_day")))
+    n = (f.groupBy("event_type", F.col("first_day").alias("day"))
+         .agg(F.count(F.lit(1)).alias("new_users")))
+    w = Window.partitionBy("event_type").orderBy("day") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return n.select(
+        "event_type", F.col("day").cast("string").alias("day"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"))

@@ -656,3 +656,56 @@ def str_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         b64.alias("b64"),
         (F.unbase64(b64).cast("string") == F.col("o_orderpriority"))
         .alias("roundtrip_ok"))
+
+
+# ---------------------------------------------------------------------------
+# business-day calendar arithmetic (round 5)
+# ---------------------------------------------------------------------------
+
+_BIZDAYS_ORACLE = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS start_day,
+       CAST(CAST(o_orderdate AS DATE) + CAST(o_orderkey % 40 + 5 AS INT)
+            AS VARCHAR) AS due_day,
+       CAST(len(list_filter(
+              generate_series(CAST(o_orderdate AS DATE),
+                              CAST(o_orderdate AS DATE)
+                                + CAST(o_orderkey % 40 + 5 AS INT),
+                              INTERVAL 1 DAY),
+              d -> dayofweek(d) NOT IN (0, 6))) AS BIGINT) AS biz_days
+FROM orders WHERE o_orderkey < 8000
+"""
+
+
+@register("date_business_days", oracle=_BIZDAYS_ORACLE)
+def date_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day (Mon–Fri) count between each order date and its due
+    date (a key-derived 5–44 day horizon) — the SLA/settlement-date
+    arithmetic every ops report needs. The Spark side is CLOSED-FORM
+    O(1) integer arithmetic per row: for each target weekday t, the
+    count of its occurrences in n+1 consecutive days starting on
+    weekday w is 1 + floor((n - (t-w) mod 7) / 7) when (t-w) mod 7 <= n;
+    summing t over Mon..Fri needs five codegen'd expressions and NO
+    per-day expansion. The oracle brute-forces the same answer by
+    materializing the day list and filtering weekends — two genuinely
+    different algorithms hash-matching.
+
+    Scale shape: pure map-side projection, zero shuffle, zero explode —
+    the closed form is what survives a 100 TB fact table where a
+    sequence()-per-row would allocate 45 elements/row."""
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_orderkey") < 8000)
+    start = F.col("o_orderdate").cast("date")
+    n = (F.col("o_orderkey") % 40 + 5).cast("int")          # horizon days
+    # dayofweek(): 1=Sun..7=Sat -> w: 0=Mon..6=Sun
+    w = F.pmod(F.dayofweek(start) + 5, F.lit(7))
+    cnt = F.lit(0)
+    for t in range(5):                                      # Mon..Fri
+        delta = F.pmod(F.lit(t) - w, F.lit(7))
+        cnt = cnt + F.when(delta <= n,
+                           F.lit(1) + F.floor((n - delta) / 7)) \
+                     .otherwise(F.lit(0))
+    return o.select(
+        "o_orderkey",
+        start.cast("string").alias("start_day"),
+        F.date_add(start, n).cast("string").alias("due_day"),
+        cnt.cast("bigint").alias("biz_days"))

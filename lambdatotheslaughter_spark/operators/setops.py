@@ -104,3 +104,53 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.where((F.col("event_type") == "view") & (F.col("ts") < cutoff)).select("user_id")
     b = ev.where((F.col("event_type") == "purchase") & (F.col("ts") < cutoff)).select("user_id")
     return a.exceptAll(b)
+
+
+@register("set_union_by_name", oracle="""
+WITH u AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, o_orderpriority AS prio
+  FROM orders WHERE o_orderkey < 4000
+  UNION ALL BY NAME
+  SELECT l_orderkey AS k, l_extendedprice AS price, l_quantity AS qty
+  FROM lineitem WHERE l_orderkey < 4000
+)
+SELECT k % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE prio IS NULL) AS BIGINT) AS n_no_prio,
+       CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       CAST(SUM(COALESCE(CAST(qty AS BIGINT), 0)) AS BIGINT) AS total_qty
+FROM u GROUP BY k % 10
+""")
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-flexible bag union: unionByName(allowMissingColumns=True)
+    aligns two sources by COLUMN NAME, null-padding columns the other
+    side lacks (orders carry a priority, lineitems carry a quantity) —
+    the ingestion-time shape for merging feed versions that drifted
+    apart, where positional UNION ALL would silently misalign. DuckDB's
+    native `UNION ALL BY NAME` is the oracle twin. Aggregated by key
+    bucket with integer-cents sums so the hash is order-free.
+
+    Scale shape: the union itself is a zero-shuffle concatenation (the
+    null padding is a map-side project); the only exchange is the final
+    10-bucket combinable aggregate."""
+    o = (load_table(spark, "orders", sf_dir)
+         .where(F.col("o_orderkey") < 4000)
+         .select(F.col("o_orderkey").alias("k"),
+                 F.col("o_totalprice").alias("price"),
+                 F.col("o_orderpriority").alias("prio")))
+    li = (load_table(spark, "lineitem", sf_dir)
+          .where(F.col("l_orderkey") < 4000)
+          .select(F.col("l_orderkey").alias("k"),
+                  F.col("l_extendedprice").alias("price"),
+                  F.col("l_quantity").alias("qty")))
+    from lambdatotheslaughter_spark.determinism import iround
+    u = o.unionByName(li, allowMissingColumns=True)
+    return (u.groupBy((F.col("k") % 10).alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.count_if(F.col("prio").isNull()).cast("bigint")
+                 .alias("n_no_prio"),
+                 F.sum(iround(F.col("price") * 100)).cast("bigint")
+                 .alias("price_cents"),
+                 F.sum(F.coalesce(F.col("qty").cast("bigint"), F.lit(0)))
+                 .cast("bigint").alias("total_qty")))

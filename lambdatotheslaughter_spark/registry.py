@@ -79,10 +79,12 @@ _loaded = False
 # ts_gap_detection, ts_forward_fill, sql_scalar_function_ddl,
 # win_range_between_numeric, catalog_analyze_stats,
 # scan_csv_permissive_corrupt, sql_session_variables,
-# str_hash_functions, llm_style_fingerprint (31 names — 31 slots), plus
-# 19 re-confirmation backfill slots from the r1/r2 windows (oldest rows
-# first). Update tests/test_survey_coverage.py's pinned window when
-# rotating.
+# str_hash_functions, llm_style_fingerprint, llm_boilerplate_share,
+# llm_span_corruption, llm_retrieval_bm25_topk,
+# ts_cumulative_distinct_users, date_business_days, set_union_by_name
+# (37 names — 37 slots), plus 13 re-confirmation backfill slots from
+# the r1/r2 windows (oldest rows first). Update
+# tests/test_survey_coverage.py's pinned window when rotating.
 # Rows-only-by-design ops (llm_sim_lsh_approx, llm_sim_ann_ivf,
 # llm_multimodal_decode, agg_approx_distinct, agg_distinct_sketch_rollup,
 # scan_metadata_columns, llm_tokenizer_bpe_train, llm_tokenizer_bpe_apply,

@@ -690,3 +690,45 @@ def test_nested_struct_pruning_reads_one_leaf():
     assert "cents" in schema, schema
     for dropped in ("status", "priority", "total", "placed_at"):
         assert dropped not in schema, schema
+
+
+def test_span_corruption_is_shuffle_free():
+    """The span-corruption render is one map pass: span slicing, seeded
+    masks, and both output strings fold per row — zero exchanges, no
+    Generate, no Python."""
+    plan = checks.executed_plan(_df("llm_span_corruption"))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
+def test_business_days_closed_form_never_expands():
+    """The closed-form weekday count must stay a scalar projection —
+    zero exchanges AND zero Generate (a sequence()-per-row explode would
+    allocate the whole horizon per row at 100 TB)."""
+    plan = checks.executed_plan(_df("date_business_days"))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
+def test_union_by_name_single_aggregate_exchange():
+    """unionByName concatenation is shuffle-free; the only exchange is
+    the 10-bucket rollup's."""
+    plan = checks.executed_plan(_df("set_union_by_name"))
+    assert "Union" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_boilerplate_join_broadcasts_boiler_set():
+    """The df>10% boilerplate set is vocabulary-bounded, so the exploded
+    shingle stream must join it broadcast — never shuffle the corpus by
+    shingle key."""
+    plan = checks.executed_plan(_df("llm_boilerplate_share"))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_retrieval_topk_uses_window_group_limit():
+    """Per-query top-3 must ride WindowGroupLimit (rank pushdown), not a
+    full per-query sort."""
+    plan = checks.executed_plan(_df("llm_retrieval_bm25_topk"))
+    assert "WindowGroupLimit" in plan, plan
