@@ -124,6 +124,15 @@ QUERY_TABLES = {
     "ts_forward_fill": {"events"},
     "win_range_between_numeric": {"orders"},
     "sql_scalar_function_ddl": {"lineitem"},
+    "sql_session_variables": {"orders"},
+    "str_hash_functions": {"orders"},
+    "llm_style_fingerprint": {"documents"},
+    "llm_boilerplate_share": {"documents"},
+    "llm_span_corruption": {"documents"},
+    "llm_retrieval_bm25_topk": {"documents"},
+    "ts_cumulative_distinct_users": {"events"},
+    "date_business_days": {"orders"},
+    "set_union_by_name": {"lineitem", "orders"},
 }
 
 
