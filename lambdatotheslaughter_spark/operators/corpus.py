@@ -1608,3 +1608,181 @@ def llm_retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.row_number().over(w).cast("bigint"))
             .where(F.col("rank") <= _RETR_K)
             .select("query_id", "rank", "doc_id", "bm25"))
+
+
+# ---------------------------------------------------------------------------
+# HTML markup strip (round 5, batch 8)
+# ---------------------------------------------------------------------------
+
+_HTML_STRIP_ORACLE = """
+WITH r AS (
+  SELECT doc_id, source, text,
+         '<html><body><h1 class="t">' || source || '</h1><p lang="' || lang
+         || '">' || replace(text, ' ', '&nbsp;') || '</p></body></html>'
+         AS rendered
+  FROM documents
+), s AS (
+  SELECT doc_id, source, text, rendered,
+         replace(regexp_replace(rendered, '<[^>]+>', '', 'g'),
+                 '&nbsp;', ' ') AS stripped
+  FROM r
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(rendered, '<[^>]+>')) AS BIGINT) AS n_tags,
+       CAST(length(stripped) AS BIGINT) AS stripped_len,
+       stripped = source || text AS clean_ok
+FROM s
+"""
+
+
+@register("llm_html_strip", oracle=_HTML_STRIP_ORACLE)
+def llm_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip — the first pass every web-crawl ingestion
+    runs: remove markup tags, decode entities, keep the prose. The
+    corpus tables carry pre-cleaned text, so the markup is RENDERED
+    deterministically from each row first (tag wrapper + &nbsp;
+    entity encoding of spaces — same construction on both engines),
+    then stripped back; `clean_ok` proves the strip inverts the render
+    exactly, which is the property a real pipeline needs (no prose
+    characters lost, no tag fragments leaking into training text).
+
+    Scale shape: ZERO shuffle — render, regexp strip, entity decode,
+    and the equality audit are all per-row projections that pipeline
+    inside one codegen stage; at 100 TB this runs at scan speed, which
+    is why crawl cleaning is IO-bound in practice."""
+    d = load_table(spark, "documents", sf_dir)
+    rendered = F.concat(
+        F.lit('<html><body><h1 class="t">'), F.col("source"), F.lit("</h1>"),
+        F.lit('<p lang="'), F.col("lang"), F.lit('">'),
+        F.regexp_replace(F.col("text"), " ", "&nbsp;"),
+        F.lit("</p></body></html>"))
+    stripped = F.regexp_replace(
+        F.regexp_replace(rendered, "<[^>]+>", ""), "&nbsp;", " ")
+    return d.select(
+        "doc_id",
+        F.regexp_count(rendered, F.lit("<[^>]+>")).cast("bigint")
+        .alias("n_tags"),
+        F.length(stripped).cast("bigint").alias("stripped_len"),
+        (stripped == F.concat("source", "text")).alias("clean_ok"))
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka embedding truncation (round 5, batch 8)
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = 16
+
+_EMB_TRUNC_ORACLE = f"""
+WITH x AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(0.0, list_transform(embedding,
+             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+             (a, b) -> a + b) AS e_full,
+         list_reduce(list_prepend(0.0, list_transform(embedding[1:{_MRL_DIMS}],
+             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+             (a, b) -> a + b) AS e_16
+  FROM embeddings
+)
+SELECT vec_id, round(e_full, 12) AS e_full, round(e_16, 12) AS e_16,
+       round(sqrt(e_16 / e_full), 12) AS cos_trunc
+FROM x
+"""
+
+
+@register("llm_embedding_truncate_renorm", oracle=_EMB_TRUNC_ORACLE)
+def llm_embedding_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style embedding truncation audit: for each vector,
+    the energy retained by the first 16 of 64 dims and the cosine
+    between the full vector and its truncated-then-renormalized prefix
+    (algebraically ||x_1:16|| / ||x|| — the identity the projection
+    makes free). This is the measurement a serving team runs before
+    switching ANN search to truncated vectors for 4x memory savings:
+    the cos_trunc distribution IS the retrieval-quality risk.
+
+    Determinism: energies are LEFT-FOLD sums (F.aggregate here,
+    list_reduce in the oracle) so both engines add in the same order —
+    bit-identical doubles, with a 12-dp round only as belt-and-braces.
+
+    Scale shape: zero shuffle, one map pass over the vectors; the
+    higher-order fold runs JVM-side per row."""
+    e = load_table(spark, "embeddings", sf_dir)
+
+    def energy(col):
+        return F.aggregate(col, F.lit(0.0),
+                           lambda a, x: a + x.cast("double") * x.cast("double"))
+
+    e_full = energy(F.col("embedding"))
+    e_16 = energy(F.slice("embedding", 1, _MRL_DIMS))
+    return e.select(
+        "vec_id",
+        F.round(e_full, 12).alias("e_full"),
+        F.round(e_16, 12).alias("e_16"),
+        F.round(F.sqrt(e_16 / e_full), 12).alias("cos_trunc"))
+
+
+# ---------------------------------------------------------------------------
+# fill-in-the-middle transform (round 5, batch 8)
+# ---------------------------------------------------------------------------
+
+_FIM_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents WHERE len(string_split(text, ' ')) >= 8
+), p AS (
+  SELECT doc_id, toks, n,
+         GREATEST(1, CAST(floor(n / 4) AS BIGINT)) AS mid_len,
+         2 + CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)
+                                             || '#fim'), 1, 15)) AS BIGINT)
+             % (n - GREATEST(1, CAST(floor(n / 4) AS BIGINT)) - 1) AS mid_start
+  FROM t
+)
+SELECT doc_id, n AS n_toks, mid_start, mid_len,
+       '<PRE> ' || array_to_string(toks[1 : CAST(mid_start - 1 AS BIGINT)], ' ')
+       || ' <SUF> ' || array_to_string(
+            toks[CAST(mid_start + mid_len AS BIGINT) : CAST(n AS BIGINT)], ' ')
+       || ' <MID> ' || array_to_string(
+            toks[CAST(mid_start AS BIGINT)
+                 : CAST(mid_start + mid_len - 1 AS BIGINT)], ' ')
+       AS fim
+FROM p
+"""
+
+
+@register("llm_fim_transform", oracle=_FIM_ORACLE)
+def llm_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) rendering — the code-model pretraining
+    transform (PSM order): pick a seeded middle span (~25% of tokens),
+    emit `<PRE> prefix <SUF> suffix <MID> middle` so the model learns
+    infilling from ordinary left-to-right training. Span choice is a
+    portable md5 hash of doc_id (reproducible across runs, engines and
+    cluster layouts — the same seeding discipline as
+    llm_span_corruption); start is clamped to [2, n-mid_len] so prefix
+    and middle are always non-empty.
+
+    Scale shape: ZERO shuffle — tokenize, hash, three array slices and
+    a concat per row; epoch-scale FIM materialization is a scan-rate
+    map pass, exactly like the T5 span twin."""
+    d = (load_table(spark, "documents", sf_dir)
+         .select("doc_id", tokens().alias("toks"))
+         .where(F.size("toks") >= 8))
+    n = F.size("toks").cast("bigint")
+    mid_len = F.greatest(F.lit(1).cast("bigint"), F.floor(n / 4))
+    h = md5_int60(F.concat(F.col("doc_id").cast("string"), F.lit("#fim")))
+    start = F.lit(2).cast("bigint") + F.pmod(h, n - mid_len - 1)
+    d = d.select("doc_id", "toks", n.alias("n_toks"),
+                 mid_len.alias("mid_len"), start.alias("mid_start"))
+    fim = F.concat(
+        F.lit("<PRE> "),
+        F.array_join(F.slice("toks", F.lit(1),
+                             (F.col("mid_start") - 1).cast("int")), " "),
+        F.lit(" <SUF> "),
+        F.array_join(F.slice("toks",
+                             (F.col("mid_start") + F.col("mid_len"))
+                             .cast("int"),
+                             F.col("n_toks").cast("int")), " "),
+        F.lit(" <MID> "),
+        F.array_join(F.slice("toks", F.col("mid_start").cast("int"),
+                             F.col("mid_len").cast("int")), " "))
+    return d.select("doc_id", "n_toks", "mid_start", "mid_len",
+                    fim.alias("fim"))

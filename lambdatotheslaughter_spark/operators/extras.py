@@ -2448,3 +2448,76 @@ def ts_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("day").cast("string").alias("day"),
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"))
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL (round 5, batch 8)
+# ---------------------------------------------------------------------------
+
+_GBY_ALL_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_qty_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY ALL ORDER BY ALL
+"""
+
+
+@register("sql_group_by_all", oracle=_GBY_ALL_ORACLE)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL — the analyst-ergonomics SQL surface
+    (Spark 3.4+/4) that infers the grouping key set from the
+    non-aggregate select items and the sort key from the whole select
+    list. The oracle runs the IDENTICAL text on DuckDB (which pioneered
+    the syntax), so the inference itself — not a hand-expanded rewrite —
+    is what parity verifies.
+
+    Scale shape: identical plan to the explicit GROUP BY (one partial +
+    final hash aggregate on a 6-group key space); the sugar is resolved
+    entirely in the analyzer, so nothing changes at the physical layer —
+    which is exactly the claim worth pinning."""
+    load_table(spark, "lineitem", sf_dir) \
+        .createOrReplaceTempView("lts_li_gba_v")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_qty_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lts_li_gba_v WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY ALL ORDER BY ALL
+    """)
+
+
+# ---------------------------------------------------------------------------
+# named WINDOW clause (round 5, batch 8)
+# ---------------------------------------------------------------------------
+
+_WIN_CLAUSE_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(SUM(cents) OVER w AS BIGINT) AS run_cents
+FROM (SELECT o_custkey, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM {src} WHERE o_orderkey < 20000)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+"""
+
+
+@register("sql_window_clause_named",
+          oracle=_WIN_CLAUSE_SQL.format(src="orders"))
+def sql_window_clause_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause in SQL text: one `WINDOW w AS (...)` spec
+    shared by several window functions — the declare-once surface that
+    keeps multi-function analytic queries maintainable (and guarantees
+    the functions share one frame definition rather than drifting
+    apart). Same text runs on both engines.
+
+    Scale shape: Spark resolves every `OVER w` to the same
+    (partition, order) spec, so ALL window functions share ONE exchange
+    and one sort — the named clause is how the SQL author gets the
+    shared-exchange plan the DataFrame API gets from reusing a Window
+    object."""
+    load_table(spark, "orders", sf_dir) \
+        .createOrReplaceTempView("lts_ord_winclause_v")
+    return spark.sql(_WIN_CLAUSE_SQL.format(src="lts_ord_winclause_v"))

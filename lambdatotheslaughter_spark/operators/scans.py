@@ -1415,3 +1415,61 @@ def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~good, F.lit(1))).cast("bigint").alias("n_corrupt"),
         F.sum(F.when(good, iround(F.col("o_totalprice") * 100)))
         .cast("bigint").alias("good_cents"))
+
+
+# ---------------------------------------------------------------------------
+# CSV quoting/escaping round trip (round 5, batch 8)
+# ---------------------------------------------------------------------------
+
+_CSV_QUOTES_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_ok
+FROM documents GROUP BY lang
+"""
+
+
+def _csv_adversarial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents recast with a value that embeds every CSV hazard at
+    once: a field separator, a quoted quote, and a record separator."""
+    return load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang",
+        F.concat(F.col("source"), F.lit(',"'), F.substring("text", 1, 40),
+                 F.lit('"\n'), F.col("lang")).alias("tricky"))
+
+
+@register("sink_csv_roundtrip_quotes", oracle=_CSV_QUOTES_ORACLE)
+def sink_csv_roundtrip_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV SINK round trip under adversarial content: every row's value
+    embeds a comma, an embedded double quote, and a NEWLINE — the three
+    things that corrupt naive CSV interchange. Written RFC-4180-style
+    (quote-doubling via escape='"'), read back with an explicit schema
+    and multiLine=true (embedded newlines make records span physical
+    lines, so splittable line-by-line parsing is off the table), then
+    value-compared against the source row by row: n_ok must equal
+    n_rows in every language group, proving the serde is lossless —
+    the property an export-to-annotation-UI / re-ingest loop depends
+    on. Complements sink_jsonl_roundtrip (typed round trip) and
+    scan_csv_permissive_corrupt (malformed-input policy): this one is
+    about WELL-FORMED but hostile content.
+
+    Scale shape: one sink pass + one source pass; the audit join is
+    keyed on doc_id. The multiLine caveat IS the scale lesson: quoted
+    newlines force whole-file parse units, so at 100 TB the writer
+    must emit many files (it does — one per task) to keep read
+    parallelism."""
+    def build(tmp: str) -> None:
+        (_csv_adversarial(spark, sf_dir)
+         .write.mode("overwrite")
+         .option("header", True).option("escape", '"').csv(tmp))
+
+    out = _cached_dataset("documents_csv_quotes", sf_dir, "documents", build)
+    back = (spark.read.schema("doc_id bigint, lang string, tricky string")
+            .option("header", True).option("escape", '"')
+            .option("multiLine", True).csv(out)
+            .select("doc_id", F.col("tricky").alias("tricky_back")))
+    src = _csv_adversarial(spark, sf_dir)
+    return (src.join(back, "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.sum(F.when(F.col("tricky") == F.col("tricky_back"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_ok")))

@@ -81,8 +81,11 @@ _loaded = False
 # scan_csv_permissive_corrupt, sql_session_variables,
 # str_hash_functions, llm_style_fingerprint, llm_boilerplate_share,
 # llm_span_corruption, llm_retrieval_bm25_topk,
-# ts_cumulative_distinct_users, date_business_days, set_union_by_name
-# (37 names — 37 slots), plus 13 re-confirmation backfill slots from
+# ts_cumulative_distinct_users, date_business_days, set_union_by_name,
+# sql_group_by_all, sql_window_clause_named, llm_html_strip,
+# llm_embedding_truncate_renorm, llm_fim_transform,
+# sink_csv_roundtrip_quotes
+# (43 names — 43 slots), plus 7 re-confirmation backfill slots from
 # the r1/r2 windows (oldest rows first). Update
 # tests/test_survey_coverage.py's pinned window when rotating.
 # Rows-only-by-design ops (llm_sim_lsh_approx, llm_sim_ann_ivf,
