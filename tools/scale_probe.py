@@ -133,6 +133,12 @@ QUERY_TABLES = {
     "ts_cumulative_distinct_users": {"events"},
     "date_business_days": {"orders"},
     "set_union_by_name": {"lineitem", "orders"},
+    "sql_group_by_all": {"lineitem"},
+    "sql_window_clause_named": {"orders"},
+    "llm_html_strip": {"documents"},
+    "llm_embedding_truncate_renorm": {"embeddings"},
+    "llm_fim_transform": {"documents"},
+    "sink_csv_roundtrip_quotes": {"documents"},
 }
 
 
