@@ -235,7 +235,7 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       corpora; this testdata has 931): dictionary-encode shingles to dense
       ids and run the intersection as a BINARY GEMM on the shared tile
       scaffold (:func:`_block_pair_cogroup`) — |A∩B| = (M_a · M_bᵀ) over
-      0/1 doc×vocab matrices, exact in float64 (integer counts ≪ 2⁵³),
+      0/1 doc×vocab matrices, exact in float32 (counts ≤ vocab cap ≪ 2²⁴),
       Jaccard = inter/(n_a+n_b−inter) with the same int→double division
       DuckDB folds, so membership can't flake. The plain inverted-index
       join measured 26.6 s at sf0.1 on this corpus (931 shingles × df up
@@ -270,49 +270,56 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
     freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    n_vocab = freq.count()
-    if n_vocab > _NGRAM_DENSE_VOCAB_MAX:
+    # ONE bounded job both dispatches AND ships the dictionary: the
+    # dense path needs only the key LIST, so a limit(cap+1) collect is
+    # the whole decision — > cap rows back means open vocabulary (the
+    # collect stopped at cap+1, memory stays bounded), ≤ cap means we
+    # now hold the complete dictionary. This replaced a count() job plus
+    # a distributed dictionary-encode (explode → broadcast-join →
+    # groupBy collect_list → eager checkpoint) that measured ~1.6 s of
+    # the 2.4-3.9 s wall at sf0.1: shipping raw shingle arrays to the
+    # kernel and dict-encoding there costs ~0.05 s per pool densify.
+    probe = freq.select("s").limit(_NGRAM_DENSE_VOCAB_MAX + 1).collect()
+    if len(probe) > _NGRAM_DENSE_VOCAB_MAX:
         return _ngram_jaccard_prefix_filter(sh, ex, freq, tau)
 
     # ---- dense dictionary-GEMM path ----
 
-    # global dictionary: tiny by dispatch (≤4096 rows). Single partition
-    # BY CONSTRUCTION — monotonically_increasing_id over one coalesced,
-    # sorted partition yields 0..n-1 without a global window, so the
-    # 'WindowExec: No Partition Defined' warning stays out of the bench
-    # tail and keeps its signal value for real global-window regressions.
-    vocab = (freq.select("s").coalesce(1).sortWithinPartitions("s")
-             .withColumn("sid", F.monotonically_increasing_id().cast("int")))
-    # materialize once: the scaffold's sizing count and the fastpath's
-    # bounded collect would otherwise each re-run explode+join+collect_list
-    # (measured ~0.5 s of the 2-3 s at sf0.1)
-    docs = (ex.join(F.broadcast(vocab), "s")
-            .groupBy("doc_id")
-            .agg(F.collect_list("sid").alias("sids"))
-            .select(F.col("doc_id").alias("vec_id"),
-                    F.col("sids").alias("embedding"))
-            .localCheckpoint(eager=True))
-    nv = n_vocab
+    # sorted driver-side dictionary: deterministic ids (output values
+    # don't depend on id order, but determinism everywhere is house rule)
+    sid = {s: i for i, s in enumerate(sorted(r.s for r in probe))}
+    nv = len(sid)
+
+    def dense(pdf):
+        ids = pdf["vec_id"].to_numpy()
+        # float32 SGEMM: intersections are 0/1 dot products bounded
+        # by the vocab cap (4096) ≪ 2²⁴, so single precision is
+        # EXACT here and ~1.6x faster than the float64 path.
+        # Rows arrive as raw shingle STRINGS on the fastpath (encode
+        # here, dict lookup) or as pre-encoded int sids on the tiled
+        # path (see the dispatch below) — handle both.
+        m = np.zeros((len(ids), nv), dtype=np.float32)
+        for i, arr in enumerate(pdf["embedding"]):
+            if len(arr) and isinstance(arr[0], str):
+                m[i, [sid[s] for s in arr]] = 1.0
+            else:
+                m[i, np.asarray(arr, dtype=np.int64)] = 1.0
+        return ids, m
 
     def tile_jaccard(key, lpdf, rpdf):
         bi, bj = key
-        if lpdf.empty or rpdf.empty:
-            return pd.DataFrame(
-                {"a_id": [], "b_id": [], "jaccard": []}).astype(
-                {"a_id": "int64", "b_id": "int64", "jaccard": "float64"})
-
-        def dense(pdf):
-            ids = pdf["vec_id"].to_numpy()
-            m = np.zeros((len(ids), nv), dtype=np.float64)
-            for i, sids in enumerate(pdf["embedding"]):
-                m[i, np.asarray(sids, dtype=np.int64)] = 1.0
-            return ids, m
-
+        empty = pd.DataFrame(
+            {"a_id": [], "b_id": [], "jaccard": []}).astype(
+            {"a_id": "int64", "b_id": "int64", "jaccard": "float64"})
+        if lpdf.empty:
+            return empty
         il, ml = dense(lpdf)
         ir, mr = _pdf_cached(rpdf, "_lts_ngram_dense", dense)
-        inter = ml @ mr.T                      # exact integer counts
-        na = ml.sum(axis=1)
-        nb = mr.sum(axis=1)
+        if len(ir) == 0:
+            return empty
+        inter = (ml @ mr.T).astype(np.float64)  # exact integer counts
+        na = ml.sum(axis=1, dtype=np.float64)
+        nb = mr.sum(axis=1, dtype=np.float64)
         union = na[:, None] + nb[None, :] - inter
         jac = inter / union                    # same int→double fold as SQL
         a = np.minimum.outer(il, ir).ravel()
@@ -324,8 +331,32 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame({"a_id": a[keep], "b_id": b[keep],
                              "jaccard": j[keep]})
 
-    return _block_pair_cogroup(
-        docs, tile_jaccard, "a_id bigint, b_id bigint, jaccard double")
+    schema = "a_id bigint, b_id bigint, jaccard double"
+    n_docs = sh.count()
+    if n_docs <= _KNN_FASTPATH_ROWS:
+        # fastpath: ship raw shingle strings straight to the kernel —
+        # the pool is densified ONCE driver-side (pool_prep) and
+        # broadcast as one numpy buffer, so no dictionary-encode job,
+        # no collect_list shuffle, no per-worker string re-pickling
+        docs = sh.select(F.col("doc_id").alias("vec_id"),
+                         F.col("sh").alias("embedding"))
+        return _broadcast_pair_fastpath(docs, tile_jaccard, schema,
+                                        pool_prep=dense)
+    # tiled path (> fastpath rows): the block-pair scaffold replicates
+    # every row ~B times, so ship 4-byte int sids, not shingle strings —
+    # the distributed dictionary-encode (broadcast the driver-built
+    # dictionary, join, collect_list) costs one bounded shuffle and
+    # shrinks the replicated payload ~10x (measured 2x on the whole op
+    # at the 10x probe when strings were shipped instead)
+    vocab_df = spark.createDataFrame(
+        sorted(sid.items()), "s string, sidx int")
+    docs = (ex.join(F.broadcast(vocab_df), "s")
+            .groupBy("doc_id")
+            .agg(F.collect_list("sidx").alias("sids"))
+            .select(F.col("doc_id").alias("vec_id"),
+                    F.col("sids").alias("embedding"))
+            .localCheckpoint(eager=True))
+    return _block_pair_cogroup(docs, tile_jaccard, schema)
 
 
 def _ngram_jaccard_prefix_filter(sh: DataFrame, ex: DataFrame,
@@ -489,7 +520,15 @@ def _pdf_cached(pdf, key: str, fn):
     kernel call — without this, each of the ~32 batches re-runs the whole
     pool's vstack+normalize (or densify), which dominates the fastpath.
     Fresh per-tile Arrow batches have empty attrs, so for them this is a
-    plain call."""
+    plain call.
+
+    A TUPLE input passes straight through: it is an already-prepared
+    (ids, matrix) pool from a fastpath ``pool_prep`` (prepared ONCE on
+    the driver and broadcast as numpy — workers then deserialize one
+    contiguous buffer instead of re-pickling the pool's Python objects,
+    which measured ~0.5 s/worker on 500k shingle strings)."""
+    if isinstance(pdf, tuple):
+        return pdf
     try:
         cache = pdf.attrs
     except AttributeError:  # non-pandas input in tests
@@ -509,16 +548,22 @@ def _norm_block(pdf):
     this, one zero embedding would poison the kernels' value-threshold
     pre-select (np.partition ranks NaN as largest: >= k NaNs in a tile
     would make the k-th value NaN and ``c >= kth`` drop the entire tile)."""
+    return _pdf_cached(pdf, "_lts_norm", _norm_prep)
+
+
+def _norm_prep(p):
+    """The computation behind :func:`_norm_block`, exposed so fastpath
+    callers can pass it as ``pool_prep`` (pool normalized once on the
+    driver, broadcast as numpy)."""
     import numpy as np
 
-    def compute(p):
-        ids = p["vec_id"].to_numpy()
-        mat = np.vstack(p["embedding"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat /= np.where(norms == 0.0, 1.0, norms)
-        return ids, mat
-
-    return _pdf_cached(pdf, "_lts_norm", compute)
+    ids = p["vec_id"].to_numpy()
+    if len(ids) == 0:  # empty pool: prep still runs driver-side
+        return ids, np.zeros((0, 1), dtype=np.float64)
+    mat = np.vstack(p["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat /= np.where(norms == 0.0, 1.0, norms)
+    return ids, mat
 
 
 _KNN_FASTPATH_ROWS = 8192  # ≤ 2 blocks (~4 MB of 64-d float64 payload):
@@ -526,7 +571,8 @@ _KNN_FASTPATH_ROWS = 8192  # ≤ 2 blocks (~4 MB of 64-d float64 payload):
 # (two-sided shuffle + pair explode) costs more than it parallelizes.
 
 
-def _broadcast_pair_fastpath(e: DataFrame, kernel, schema: str) -> DataFrame:
+def _broadcast_pair_fastpath(e: DataFrame, kernel, schema: str,
+                             pool_prep=None) -> DataFrame:
     """Small-table kernel dispatch: broadcast the whole vector table to
     executors and stream the same tile kernel over input batches as
     ``kernel((0, 0), batch, full)``.
@@ -543,7 +589,12 @@ def _broadcast_pair_fastpath(e: DataFrame, kernel, schema: str) -> DataFrame:
     probe (20k vectors) still exercises the multi-tile scaffold."""
     spark = e.sparkSession
     full = e.select("vec_id", "embedding").toPandas()  # bounded by dispatch
-    bc = spark.sparkContext.broadcast(full)
+    # pool_prep (optional): densify/normalize the pool ONCE here and
+    # broadcast the prepared (ids, matrix) tuple — workers deserialize a
+    # contiguous numpy buffer instead of re-pickling the pool's Python
+    # objects per worker process (see _pdf_cached's tuple pass-through)
+    bc = spark.sparkContext.broadcast(
+        pool_prep(full) if pool_prep is not None else full)
 
     def run(batches):
         pool = bc.value
@@ -559,7 +610,8 @@ def _broadcast_pair_fastpath(e: DataFrame, kernel, schema: str) -> DataFrame:
     return e.repartition(par).mapInPandas(run, schema=schema)
 
 
-def _block_pair_cogroup(e: DataFrame, kernel, schema: str) -> DataFrame:
+def _block_pair_cogroup(e: DataFrame, kernel, schema: str,
+                        pool_prep=None) -> DataFrame:
     """Distributed all-pairs scaffold: hash vectors into ~1024-row blocks,
     enumerate the B(B+1)/2 block pairs (i <= j), replicate each block to
     the pairs it participates in via a broadcast join, and run
@@ -582,7 +634,7 @@ def _block_pair_cogroup(e: DataFrame, kernel, schema: str) -> DataFrame:
 
     n = e.count()  # metadata-cheap scalar; sizes the tiling
     if n <= _KNN_FASTPATH_ROWS:
-        return _broadcast_pair_fastpath(e, kernel, schema)
+        return _broadcast_pair_fastpath(e, kernel, schema, pool_prep)
     n_blocks = max(1, math.ceil(n / _KNN_BLOCK_ROWS))
     v = e.select(
         "vec_id", "embedding",
@@ -627,11 +679,14 @@ def llm_sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def tile_topk(key, lpdf, rpdf):
         bi, bj = key
-        if lpdf.empty or rpdf.empty:
-            return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
-                {"a_id": "int64", "b_id": "int64", "cosine": "float64"})
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
+            {"a_id": "int64", "b_id": "int64", "cosine": "float64"})
+        if lpdf.empty:
+            return empty
         il, ml = _norm_block(lpdf)
         ir, mr = _norm_block(rpdf)
+        if len(ir) == 0:
+            return empty
         # 12-dp rounding BEFORE tile-local selection, matching the global
         # merge's rounded order — see _tile_topk_kernel: truncating on raw
         # values lets GEMM noise evict a true tie member inside one tile.
@@ -662,7 +717,8 @@ def llm_sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     tops = _block_pair_cogroup(
-        e, tile_topk, "a_id bigint, b_id bigint, cosine double")
+        e, tile_topk, "a_id bigint, b_id bigint, cosine double",
+        pool_prep=_norm_prep)
     # order on the 12-dp-rounded cosine: tile-shape GEMM noise (~1 ulp)
     # must not outrank the (a_id, b_id) tie-break on a duplicate-heavy
     # corpus where exact ties are common (see llm_sim_knn_per_query)
@@ -1179,11 +1235,14 @@ def _tile_topk_kernel(k: int):
     def tile_topk(key, lpdf, rpdf):
         bi, bj = key
         cols = {"a_id": [], "b_id": [], "cosine": []}
-        if lpdf.empty or rpdf.empty:
-            return pd.DataFrame(cols).astype(
-                {"a_id": "int64", "b_id": "int64", "cosine": "float64"})
+        empty = pd.DataFrame(cols).astype(
+            {"a_id": "int64", "b_id": "int64", "cosine": "float64"})
+        if lpdf.empty:
+            return empty
         il, ml = _norm_block(lpdf)
         ir, mr = _norm_block(rpdf)
+        if len(ir) == 0:
+            return empty
         # round to 12 dp HERE, before tile-local selection: the global
         # merge ranks on the 12-dp-rounded cosine, and truncating the
         # tile-local top-k on RAW values lets ~1-ulp GEMM noise evict the
@@ -1239,7 +1298,8 @@ def _perquery_topk(e: DataFrame, k: int) -> DataFrame:
     from pyspark.sql import Window
 
     cand = _block_pair_cogroup(
-        e, _tile_topk_kernel(k), "a_id bigint, b_id bigint, cosine double")
+        e, _tile_topk_kernel(k), "a_id bigint, b_id bigint, cosine double",
+        pool_prep=_norm_prep)
     # merge on the 12-dp-ROUNDED cosine: the same pair computed in
     # different tile shapes (tiled vs broadcast dispatch, different GEMM
     # blocking) can differ by ~1 ulp, and a 10x-duplicated corpus makes
@@ -1986,11 +2046,14 @@ def llm_sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def tile_radius(key, lpdf, rpdf):
         bi, bj = key
-        if lpdf.empty or rpdf.empty:
-            return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
-                {"a_id": "int64", "b_id": "int64", "cosine": "float64"})
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
+            {"a_id": "int64", "b_id": "int64", "cosine": "float64"})
+        if lpdf.empty:
+            return empty
         il, ml = _norm_block(lpdf)
         ir, mr = _norm_block(rpdf)
+        if len(ir) == 0:
+            return empty
         sims = ml @ mr.T
         a = np.minimum.outer(il, ir).ravel()
         b = np.maximum.outer(il, ir).ravel()
@@ -2003,7 +2066,8 @@ def llm_sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     pairs = _block_pair_cogroup(
-        e, tile_radius, "a_id bigint, b_id bigint, cosine double")
+        e, tile_radius, "a_id bigint, b_id bigint, cosine double",
+        pool_prep=_norm_prep)
     return (pairs
             .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
             .where(F.col("cosine") >= threshold))
