@@ -240,8 +240,10 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       DuckDB folds, so membership can't flake. The plain inverted-index
       join measured 26.6 s at sf0.1 on this corpus (931 shingles × df up
       to 338 → 36.6M join rows through a shuffle); the GEMM does the same
-      arithmetic in-register: measured 2.1 s warm, identical output
-      (a 13× win). A prefix-filtered PPJoin was measured too — 68 s here,
+      arithmetic in-register: measured 1.3-1.6 s warm after the round-5
+      pool_prep rewrite (driver-densified broadcast pool, no distributed
+      dictionary-encode below the fastpath threshold), identical output
+      (a ~17× win). A prefix-filtered PPJoin was measured too — 68 s here,
       because with 931 shingles over 5,000 docs even rarest-first prefixes
       collide broadly (6.8M candidates); it stays as the open-vocab path
       where it is asymptotically right.
