@@ -2521,3 +2521,141 @@ def sql_window_clause_named(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "orders", sf_dir) \
         .createOrReplaceTempView("lts_ord_winclause_v")
     return spark.sql(_WIN_CLAUSE_SQL.format(src="lts_ord_winclause_v"))
+
+
+# ---------------------------------------------------------------------------
+# VALUES inline table (round 5, batch 9)
+# ---------------------------------------------------------------------------
+
+_VALUES_SQL = """
+SELECT g.tier, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM {src} o
+JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'), ('3-MEDIUM', 'warm'),
+             ('4-NOT SPECIFIED', 'cold'), ('5-LOW', 'cold'))
+     AS g(prio, tier)
+  ON o.o_orderpriority = g.prio
+GROUP BY g.tier
+"""
+
+
+@register("sql_values_inline_table", oracle=_VALUES_SQL.format(src="orders"))
+def sql_values_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES table in the FROM clause — the zero-ceremony lookup/
+    mapping table every analyst reaches for (priority → tier here)
+    without creating a view or a temp table. Same text runs on both
+    engines.
+
+    Scale shape: the VALUES relation is a LocalRelation — Catalyst
+    broadcast-joins it against the fact scan (5 rows never shuffle the
+    600k side), then the tier aggregate collapses map-side. This is the
+    canonical tiny-dim pattern expressed purely in SQL."""
+    load_table(spark, "orders", sf_dir) \
+        .createOrReplaceTempView("lts_ord_vals_v")
+    return spark.sql(_VALUES_SQL.format(src="lts_ord_vals_v"))
+
+
+# ---------------------------------------------------------------------------
+# HiveQL LATERAL VIEW (round 5, batch 9)
+# ---------------------------------------------------------------------------
+
+_LATERAL_VIEW_ORACLE = """
+SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       CAST(unnest(range(0, len(string_split(text, ' ')))) AS BIGINT) AS pos
+FROM documents WHERE doc_id < 50
+"""
+
+
+@register("sql_lateral_view_explode", oracle=_LATERAL_VIEW_ORACLE)
+def sql_lateral_view_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HiveQL `LATERAL VIEW posexplode(...) t AS pos, tok` — the legacy
+    warehouse syntax a decade of Hive pipelines are written in; Spark
+    keeps it as a first-class generator surface beside the ANSI
+    DataFrame explode (explode_posexplode tests that one). The oracle
+    re-expresses it with DuckDB's parallel-unnest zip, so parity checks
+    generator SEMANTICS (per-row fan-out + 0-based position) across
+    three different spellings.
+
+    Scale shape: identical Generate node to the DataFrame explode —
+    narrow per-row fan-out, no shuffle; the WHERE prunes at the scan
+    below the generator."""
+    load_table(spark, "documents", sf_dir) \
+        .createOrReplaceTempView("lts_doc_lv_v")
+    return spark.sql("""
+        SELECT doc_id, tok, CAST(pos AS BIGINT) AS pos
+        FROM lts_doc_lv_v
+        LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
+        WHERE doc_id < 50
+    """)
+
+
+# ---------------------------------------------------------------------------
+# DISTRIBUTE BY / SORT BY physical-layout clauses (round 5, batch 9)
+# ---------------------------------------------------------------------------
+
+_DIST_SORT_ORACLE = """
+SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY event_type, user_id
+"""
+
+
+@register("sql_distribute_sort_by", oracle=_DIST_SORT_ORACLE)
+def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY / SORT BY — the Spark-SQL clauses that give a SQL
+    author direct control over the PHYSICAL layout (partitioning
+    exchange + within-partition order) without a total sort. This is
+    how SQL users pre-shape data for a downstream partitioned write or
+    a merge-friendly consumer at 100 TB: DISTRIBUTE BY hashes rows to
+    partitions (one exchange, no global order), SORT BY orders inside
+    each partition only — a total ORDER BY would add a range exchange
+    and a global merge this query provably avoids.
+
+    Values are partition-layout-independent (the aggregate is exact
+    integer cents), so the oracle is the plain aggregate — layout
+    clauses must never change CONTENT, which is exactly what parity
+    pins."""
+    load_table(spark, "events", sf_dir) \
+        .createOrReplaceTempView("lts_ev_dist_v")
+    return spark.sql("""
+        SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lts_ev_dist_v GROUP BY event_type, user_id
+        DISTRIBUTE BY event_type SORT BY event_type, user_id
+    """)
+
+
+# ---------------------------------------------------------------------------
+# SQL join hints (round 5, batch 9)
+# ---------------------------------------------------------------------------
+
+_JOIN_HINT_SQL = """
+SELECT {hint}c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM {o} o JOIN {c} c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("sql_join_hints",
+          oracle=_JOIN_HINT_SQL.format(hint="", o="orders", c="customer"))
+def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL join-strategy HINT (`/*+ BROADCAST(c) */`) — the escape hatch
+    when statistics mislead the planner at scale (a "small" dim that
+    stats say is big, a filtered side the optimizer can't size). The
+    hint forces a BroadcastHashJoin regardless of
+    autoBroadcastJoinThreshold; tests/test_plans.py pins the plan, and
+    the oracle (the same query, no hint) pins that hints never change
+    RESULTS — the two invariants that make hints safe to ship in
+    production SQL."""
+    load_table(spark, "orders", sf_dir) \
+        .createOrReplaceTempView("lts_ord_hint_v")
+    load_table(spark, "customer", sf_dir) \
+        .createOrReplaceTempView("lts_cust_hint_v")
+    return spark.sql(_JOIN_HINT_SQL.format(
+        hint="/*+ BROADCAST(c) */ ", o="lts_ord_hint_v",
+        c="lts_cust_hint_v"))

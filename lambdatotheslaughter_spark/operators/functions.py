@@ -709,3 +709,49 @@ def date_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.cast("string").alias("start_day"),
         F.date_add(start, n).cast("string").alias("due_day"),
         cnt.cast("bigint").alias("biz_days"))
+
+
+# ---------------------------------------------------------------------------
+# ISO-8601 calendar semantics (round 5, batch 9)
+# ---------------------------------------------------------------------------
+
+_ISO_CAL_ORACLE = """
+SELECT o_orderkey,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+       CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year
+FROM orders WHERE o_orderkey < 3000
+"""
+
+
+@register("date_iso_week_quarter", oracle=_ISO_CAL_ORACLE)
+def date_iso_week_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 calendar fields — the cross-engine portability trap in
+    every weekly report: engines disagree on week numbering (ISO vs
+    US), day-of-week origin (Spark's dayofweek is 1=Sunday, DuckDB's
+    isodow is 1=Monday), and which YEAR an edge week belongs to (the
+    Dec-29..Jan-3 window can land in week 1 of NEXT iso-year or week
+    52/53 of the PREVIOUS). Spark's weekofyear is already ISO; the
+    iso_dow and iso_year columns are derived with explicit edge
+    arithmetic (December dates in ISO week 1 → year+1, January dates in
+    ISO week >= 52 → year−1) and verified value-exact against DuckDB's
+    native isodow()/isoyear() over every date in the key range — the
+    oracle engine implements the spec natively, so parity proves the
+    derivation, not just self-consistency.
+
+    Scale shape: pure map-side projection after a pushed key predicate;
+    calendar math never shuffles."""
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_orderkey") < 3000)
+    week = F.weekofyear("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        week.cast("bigint").alias("iso_week"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.when(F.dayofweek("o_orderdate") == 1, 7)
+        .otherwise(F.dayofweek("o_orderdate") - 1)
+        .cast("bigint").alias("iso_dow"),
+        (F.year("o_orderdate")
+         + F.when((F.month("o_orderdate") == 12) & (week == 1), 1)
+         .when((F.month("o_orderdate") == 1) & (week >= 52), -1)
+         .otherwise(0)).cast("bigint").alias("iso_year"))

@@ -84,8 +84,10 @@ _loaded = False
 # ts_cumulative_distinct_users, date_business_days, set_union_by_name,
 # sql_group_by_all, sql_window_clause_named, llm_html_strip,
 # llm_embedding_truncate_renorm, llm_fim_transform,
-# sink_csv_roundtrip_quotes
-# (43 names — 43 slots), plus 7 re-confirmation backfill slots from
+# sink_csv_roundtrip_quotes, sql_values_inline_table,
+# sql_lateral_view_explode, sql_distribute_sort_by, sql_join_hints,
+# date_iso_week_quarter
+# (48 names — 48 slots), plus 2 re-confirmation backfill slots from
 # the r1/r2 windows (oldest rows first). Update
 # tests/test_survey_coverage.py's pinned window when rotating.
 # Rows-only-by-design ops (llm_sim_lsh_approx, llm_sim_ann_ivf,

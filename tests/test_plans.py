@@ -732,3 +732,25 @@ def test_retrieval_topk_uses_window_group_limit():
     full per-query sort."""
     plan = checks.executed_plan(_df("llm_retrieval_bm25_topk"))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_sql_join_hint_forces_broadcast():
+    # the /*+ BROADCAST(c) */ hint must produce a BroadcastHashJoin even
+    # with stats absent — the whole point of the hint surface
+    plan = checks.executed_plan(_df("sql_join_hints"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sql_distribute_sort_by_no_global_sort():
+    # DISTRIBUTE BY + SORT BY = one hash exchange + per-partition sort;
+    # a rangepartitioning exchange in the plan would mean a global sort
+    # slipped in (exactly what these clauses exist to avoid)
+    plan = checks.executed_plan(_df("sql_distribute_sort_by"))
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_sql_values_inline_table_broadcasts():
+    # the 5-row VALUES relation must broadcast against the fact scan,
+    # never shuffle the orders side to meet it
+    plan = checks.executed_plan(_df("sql_values_inline_table"))
+    assert "BroadcastHashJoin" in plan, plan

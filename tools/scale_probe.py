@@ -139,6 +139,11 @@ QUERY_TABLES = {
     "llm_embedding_truncate_renorm": {"embeddings"},
     "llm_fim_transform": {"documents"},
     "sink_csv_roundtrip_quotes": {"documents"},
+    "sql_values_inline_table": {"orders"},
+    "sql_lateral_view_explode": {"documents"},
+    "sql_distribute_sort_by": {"events"},
+    "sql_join_hints": {"orders"},
+    "date_iso_week_quarter": {"orders"},
 }
 
 
