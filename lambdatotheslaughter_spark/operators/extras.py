@@ -2659,3 +2659,107 @@ def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_JOIN_HINT_SQL.format(
         hint="/*+ BROADCAST(c) */ ", o="lts_ord_hint_v",
         c="lts_cust_hint_v"))
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (round 5, batch 10)
+# ---------------------------------------------------------------------------
+
+_TWA_ORACLE = """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, epoch_us(ts) AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         lead(epoch_us(ts)) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS t_next,
+         epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) + 86400000000 AS day_end
+  FROM events
+), w AS (
+  SELECT event_type, day, cents,
+         CAST(COALESCE(t_next, day_end) - t AS BIGINT) AS wus
+  FROM s
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day,
+       CAST(SUM(cents * wus) AS BIGINT) AS num_cents_us,
+       CAST(SUM(wus) AS BIGINT) AS den_us,
+       CAST(SUM(cents * wus) AS DOUBLE) / CAST(SUM(wus) AS DOUBLE) / 100.0
+         AS twa_value
+FROM w GROUP BY event_type, day
+"""
+
+
+@register("ts_time_weighted_avg", oracle=_TWA_ORACLE)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-weighted average per (type, day) — the correct daily mean for
+    IRREGULARLY sampled series (sensor readings, account balances,
+    prices): each sample holds until the next one, so it is weighted by
+    its holding duration, not counted once. A plain AVG over-weights
+    bursts — the metric every balance/exposure report gets wrong first.
+    The last sample of a day holds to day end (86,400 s), so day
+    weights sum to a full day from the first sample onward.
+
+    Determinism: holding times are EXACT integer microseconds
+    (unix_micros here, epoch_us in the oracle — sub-second parts must
+    not truncate, which a seconds-based epoch() silently does and WAS
+    the first draft's parity failure), values are integer cents, and
+    the single double division is the only float op.
+
+    Scale shape: one (type, day) exchange shared by the lead window and
+    the aggregate; day-bounded partitions keep the window state O(1)
+    per row at any history length."""
+    ev = load_table(spark, "events", sf_dir)
+    day = F.col("ts").cast("date")
+    t = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("event_type", day).orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", day.alias("day"), t.alias("t"),
+        iround(F.col("value") * 100).alias("cents"),
+        F.lead(t).over(w).alias("t_next"),
+        (F.unix_micros(day.cast("timestamp")) + F.lit(86400000000))
+        .alias("day_end"))
+    wdf = s.select(
+        "event_type", "day", "cents",
+        (F.coalesce("t_next", "day_end") - F.col("t")).cast("bigint")
+        .alias("wus"))
+    return (wdf.groupBy("event_type", "day")
+            .agg(F.sum(F.col("cents") * F.col("wus")).cast("bigint")
+                 .alias("num_cents_us"),
+                 F.sum("wus").cast("bigint").alias("den_us"))
+            .select("event_type", F.col("day").cast("string").alias("day"),
+                    "num_cents_us", "den_us",
+                    (F.col("num_cents_us").cast("double")
+                     / F.col("den_us").cast("double") / F.lit(100.0))
+                    .alias("twa_value")))
+
+
+# ---------------------------------------------------------------------------
+# SQL merge-join hint (round 5, batch 10)
+# ---------------------------------------------------------------------------
+
+_MERGE_HINT_SQL = """
+SELECT {hint}c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM {o} o JOIN {c} c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("sql_join_hint_merge",
+          oracle=_MERGE_HINT_SQL.format(hint="", o="orders", c="customer"))
+def sql_join_hint_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`/*+ SHUFFLE_MERGE(c) */` — the OTHER direction of the hint
+    surface (sql_join_hints forces broadcast): force a SortMergeJoin
+    when the planner would pick hash. The production case is memory
+    safety at 100 TB: a hash join builds an in-memory table of the
+    build side, and when stats under-estimate it (post-filter skew, a
+    fat payload column) the executor OOMs — SMJ spills sort runs to
+    disk instead and degrades gracefully. The plan is pinned in
+    tests/test_plans.py; the no-hint oracle pins result invariance."""
+    load_table(spark, "orders", sf_dir) \
+        .createOrReplaceTempView("lts_ord_mhint_v")
+    load_table(spark, "customer", sf_dir) \
+        .createOrReplaceTempView("lts_cust_mhint_v")
+    return spark.sql(_MERGE_HINT_SQL.format(
+        hint="/*+ SHUFFLE_MERGE(c) */ ", o="lts_ord_mhint_v",
+        c="lts_cust_mhint_v"))

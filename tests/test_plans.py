@@ -754,3 +754,9 @@ def test_sql_values_inline_table_broadcasts():
     # never shuffle the orders side to meet it
     plan = checks.executed_plan(_df("sql_values_inline_table"))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sql_merge_hint_forces_sort_merge_join():
+    # /*+ SHUFFLE_MERGE(c) */ must defeat the planner's hash preference
+    plan = checks.executed_plan(_df("sql_join_hint_merge"))
+    assert "SortMergeJoin" in plan, plan

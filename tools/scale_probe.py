@@ -144,6 +144,9 @@ QUERY_TABLES = {
     "sql_distribute_sort_by": {"events"},
     "sql_join_hints": {"orders"},
     "date_iso_week_quarter": {"orders"},
+    "ts_time_weighted_avg": {"events"},
+    "sql_join_hint_merge": {"orders"},
+    "llm_minhash_bbit": {"documents"},
 }
 
 
