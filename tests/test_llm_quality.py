@@ -649,3 +649,20 @@ def test_bbit_minhash_estimator_quality(spark):
     hi = p[p.j_exact >= 0.6]["j_bbit"].mean()
     lo = p[p.j_exact <= 0.3]["j_bbit"].mean()
     assert hi > lo + 0.2, (hi, lo)
+
+
+def test_ngram_jaccard_fastpath_and_tiled_agree(spark, monkeypatch):
+    """The dense dictionary-GEMM now has TWO physical dispatches (round-5
+    rewrite): the broadcast fastpath ships raw shingle STRINGS and
+    dict-encodes in the kernel; the tiled path dictionary-encodes to int
+    sids JVM-side before the block-pair cogroup. Same corpus, both
+    dispatches forced, identical pairs required — this is the agreement
+    test the per-query kNN paths already have."""
+    from lambdatotheslaughter_spark.operators import llm
+
+    fn = llm.llm_dedup_ngram_jaccard
+    fast = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    monkeypatch.setattr(llm, "_KNN_FASTPATH_ROWS", 0)  # force tiled
+    tiled = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert len(fast) == len(tiled) > 0
+    assert fast == tiled, "fastpath vs tiled dense jaccard diverged"
