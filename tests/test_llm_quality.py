@@ -666,3 +666,27 @@ def test_ngram_jaccard_fastpath_and_tiled_agree(spark, monkeypatch):
     tiled = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     assert len(fast) == len(tiled) > 0
     assert fast == tiled, "fastpath vs tiled dense jaccard diverged"
+
+
+def test_pair_scaffold_empty_corpus_is_empty(spark, monkeypatch):
+    """Round-5 pool_prep edge: an empty corpus must yield an empty pair
+    result through the broadcast fastpath (the driver-side pool prep
+    runs unconditionally, so it must tolerate zero rows — np.vstack
+    raises on an empty list without the guard in _norm_prep)."""
+    from pyspark.sql import functions as F
+
+    from lambdatotheslaughter_spark.operators import llm
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string, "
+                                       "lang string, source string, "
+                                       "n_chars long")
+    empty_emb = spark.createDataFrame([], "vec_id long, "
+                                      "embedding array<float>, label int")
+
+    def fake_load(spark_, name, sf_dir):
+        return empty_docs if name == "documents" else empty_emb
+
+    monkeypatch.setattr(llm, "load_table", fake_load)
+    assert llm.llm_dedup_ngram_jaccard(spark, SF_DIR).count() == 0
+    assert llm.llm_sim_knn_bruteforce(spark, SF_DIR).count() == 0
+    assert llm.llm_sim_radius_search(spark, SF_DIR).count() == 0
