@@ -2763,3 +2763,76 @@ def sql_join_hint_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_MERGE_HINT_SQL.format(
         hint="/*+ SHUFFLE_MERGE(c) */ ", o="lts_ord_mhint_v",
         c="lts_cust_mhint_v"))
+
+
+# ---------------------------------------------------------------------------
+# top-k WITH TIES (round 5, batch 11)
+# ---------------------------------------------------------------------------
+
+_TOPK_TIES_ORACLE = """
+SELECT o_orderpriority, o_orderkey, band, rnk FROM (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(floor(o_totalprice / 1000) AS BIGINT) AS band,
+         CAST(rank() OVER (PARTITION BY o_orderpriority
+                           ORDER BY CAST(floor(o_totalprice / 1000) AS BIGINT)
+                                    DESC) AS BIGINT) AS rnk
+  FROM orders)
+WHERE rnk <= 3
+"""
+
+
+@register("win_topk_with_ties", oracle=_TOPK_TIES_ORACLE)
+def win_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group WITH TIES (rank() <= k) — the fetch-first-WITH-TIES
+    semantic: every row tying the k-th value survives, so group sizes
+    exceed k on tie-heavy keys (this banded price key yields up to 7
+    rows for k=3 at sf0.01). The deliberate contrast is
+    win_topk_per_group's row_number(), which cuts ties arbitrarily
+    unless the order is total — rank() is what a correct leaderboard /
+    price-band report needs when the ranking key is coarse.
+
+    Scale shape: identical single exchange + sort to the row_number
+    variant; Spark's WindowGroupLimit pushdown applies to rank() too,
+    so each task keeps only its local rank<=k heads before the
+    exchange."""
+    o = load_table(spark, "orders", sf_dir)
+    band = F.floor(F.col("o_totalprice") / 1000).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("band").desc())
+    return (o.select("o_orderpriority", "o_orderkey", band.alias("band"))
+            .withColumn("rnk", F.rank().over(w).cast("bigint"))
+            .where(F.col("rnk") <= 3)
+            .select("o_orderpriority", "o_orderkey", "band", "rnk"))
+
+
+# ---------------------------------------------------------------------------
+# IDENTIFIER() dynamic-name resolution (round 5, batch 11)
+# ---------------------------------------------------------------------------
+
+_IDENT_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("sql_identifier_clause", oracle=_IDENT_ORACLE)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`IDENTIFIER('...' || '...')` — SQL-injection-safe DYNAMIC object
+    names (Spark 3.5+): the table/view name is computed from an
+    expression but parsed as an IDENTIFIER, never spliced as SQL text.
+    Together with sql_parameterized (value binds) and
+    sql_execute_immediate (dynamic statements) this completes the
+    dynamic-SQL triad: values, names, statements — each with its own
+    safe mechanism. The name here is assembled from two fragments at
+    parse time, so the test proves resolution actually goes through
+    the clause."""
+    load_table(spark, "orders", sf_dir) \
+        .createOrReplaceTempView("lts_ident_orders_v")
+    return spark.sql("""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM IDENTIFIER('lts_ident_' || 'orders_v')
+        GROUP BY o_orderpriority
+    """)

@@ -1473,3 +1473,45 @@ def sink_csv_roundtrip_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                  F.sum(F.when(F.col("tricky") == F.col("tricky_back"), 1)
                        .otherwise(0)).cast("bigint").alias("n_ok")))
+
+
+# ---------------------------------------------------------------------------
+# SQL column DEFAULT values (round 5, batch 11)
+# ---------------------------------------------------------------------------
+
+_DEFAULTS_ORACLE = """
+SELECT o_orderkey, 'new' AS status, CAST(100 AS BIGINT) AS score
+FROM orders WHERE o_orderkey < 400
+"""
+
+
+@register("sql_column_defaults", oracle=_DEFAULTS_ORACLE)
+def sql_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN DEFAULT values (Spark 3.4+ `CREATE TABLE ... DEFAULT expr`):
+    omitted columns materialize their declared defaults at INSERT time —
+    the schema-evolution / workflow-state pattern (status='new',
+    score=100) every ingestion table uses so writers never spell
+    constants. The insert deliberately names ONLY the key column, so
+    every default column in the read-back is proof the catalog applied
+    the declaration; the oracle recomputes the same rows as constants
+    over the source slice.
+
+    Scale shape: defaults are resolved at WRITE time into plain column
+    values — readers pay nothing, and the parquet files are
+    indistinguishable from explicitly-written ones (no runtime default
+    resolution on the scan path, unlike formats that patch at read)."""
+    spark.sql("DROP TABLE IF EXISTS lts_defaults_state")
+    spark.sql("""
+        CREATE TABLE lts_defaults_state (
+          o_orderkey BIGINT,
+          status STRING DEFAULT 'new',
+          score BIGINT DEFAULT 100) USING parquet
+    """)
+    load_table(spark, "orders", sf_dir) \
+        .createOrReplaceTempView("lts_defaults_src_v")
+    spark.sql("""
+        INSERT INTO lts_defaults_state (o_orderkey)
+        SELECT o_orderkey FROM lts_defaults_src_v WHERE o_orderkey < 400
+    """)
+    return spark.table("lts_defaults_state") \
+        .select("o_orderkey", "status", "score")

@@ -87,10 +87,11 @@ _loaded = False
 # sink_csv_roundtrip_quotes, sql_values_inline_table,
 # sql_lateral_view_explode, sql_distribute_sort_by, sql_join_hints,
 # date_iso_week_quarter, ts_time_weighted_avg, sql_join_hint_merge,
-# llm_minhash_bbit
-# (51 names — the 50-slot window takes the first 50 in this order; the
-# one spill plus re-confirmation backfill roll to round 7, the same
-# pattern the round-3 spill keys followed). Update
+# llm_minhash_bbit, win_topk_with_ties, sql_identifier_clause,
+# sql_column_defaults
+# (54 names — the 50-slot window takes the first 50 in this order; the
+# four spills roll to round 7 with the re-confirmation backfill, the
+# same pattern the round-3 spill keys followed). Update
 # tests/test_survey_coverage.py's pinned window when rotating.
 # Rows-only-by-design ops (llm_sim_lsh_approx, llm_sim_ann_ivf,
 # llm_multimodal_decode, agg_approx_distinct, agg_distinct_sketch_rollup,

@@ -147,6 +147,9 @@ QUERY_TABLES = {
     "ts_time_weighted_avg": {"events"},
     "sql_join_hint_merge": {"orders"},
     "llm_minhash_bbit": {"documents"},
+    "win_topk_with_ties": {"orders"},
+    "sql_identifier_clause": {"orders"},
+    "sql_column_defaults": {"orders"},
 }
 
 
