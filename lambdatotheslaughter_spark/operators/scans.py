@@ -1501,6 +1501,14 @@ def sql_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     indistinguishable from explicitly-written ones (no runtime default
     resolution on the scan path, unlike formats that patch at read)."""
     spark.sql("DROP TABLE IF EXISTS lts_defaults_state")
+    # a previous process's metastore may have left the managed LOCATION
+    # behind (shared warehouse dir, per-process catalogs) — clear the
+    # orphan first, same discipline as save_managed_table
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        "lts_defaults_state")
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     spark.sql("""
         CREATE TABLE lts_defaults_state (
           o_orderkey BIGINT,
