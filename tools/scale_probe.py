@@ -150,6 +150,7 @@ QUERY_TABLES = {
     "win_topk_with_ties": {"orders"},
     "sql_identifier_clause": {"orders"},
     "sql_column_defaults": {"orders"},
+    "llm_lsh_tuning_report": {"documents"},
 }
 
 
