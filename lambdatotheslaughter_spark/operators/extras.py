@@ -2836,3 +2836,63 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM IDENTIFIER('lts_ident_' || 'orders_v')
         GROUP BY o_orderpriority
     """)
+
+
+# ---------------------------------------------------------------------------
+# SELECT * EXCEPT (round 5, batch 13)
+# ---------------------------------------------------------------------------
+
+_STAR_EXCEPT_ORACLE = """
+SELECT * EXCLUDE (o_orderstatus, o_orderdate, o_totalprice)
+FROM orders WHERE o_orderkey < 500
+"""
+
+
+@register("sql_star_except", oracle=_STAR_EXCEPT_ORACLE)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SELECT * EXCEPT (cols)` — subtractive projection (Spark 4 /
+    Databricks SQL dialect; DuckDB spells it EXCLUDE): keep everything
+    BUT the named columns, the ergonomic way to drop a few heavy or
+    sensitive fields from a wide table without enumerating dozens of
+    survivors. Parity across the two spellings pins the expansion
+    semantics, and column PRUNING still applies — the excluded columns
+    never leave the scan, so on a wide 100 TB table this reads less,
+    not just projects less."""
+    load_table(spark, "orders", sf_dir) \
+        .createOrReplaceTempView("lts_ord_sexc_v")
+    return spark.sql("""
+        SELECT * EXCEPT (o_orderstatus, o_orderdate, o_totalprice)
+        FROM lts_ord_sexc_v WHERE o_orderkey < 500
+    """)
+
+
+# ---------------------------------------------------------------------------
+# aggregate FILTER clause (round 5, batch 13)
+# ---------------------------------------------------------------------------
+
+_AGG_FILTER_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT)
+         AS n_big,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cents_f,
+       CAST(COUNT(*) AS BIGINT) AS n_all
+FROM {src} GROUP BY o_orderpriority
+"""
+
+
+@register("agg_filter_clause", oracle=_AGG_FILTER_SQL.format(src="orders"))
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-SQL `agg(...) FILTER (WHERE ...)` — per-aggregate
+    predicates in one pass over the data (the ANSI form of the
+    CASE-WHEN-inside-SUM idiom agg_conditional exercises through the
+    DataFrame API). One scan computes differently-filtered aggregates
+    side by side, which is exactly how a 100 TB segmentation report
+    avoids N passes for N segments. Identical text both engines.
+
+    Scale shape: all FILTER aggregates share one partial+final hash
+    aggregate; the predicates evaluate per row map-side — no extra
+    scans, no extra shuffles vs the unfiltered aggregate."""
+    load_table(spark, "orders", sf_dir) \
+        .createOrReplaceTempView("lts_ord_aggf_v")
+    return spark.sql(_AGG_FILTER_SQL.format(src="lts_ord_aggf_v"))

@@ -1523,3 +1523,90 @@ def sql_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
     return spark.table("lts_defaults_state") \
         .select("o_orderkey", "status", "score")
+
+
+# ---------------------------------------------------------------------------
+# nested-field predicate pushdown (round 5, batch 13)
+# ---------------------------------------------------------------------------
+
+_NESTED_PP_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM events WHERE user_id < 50
+"""
+
+
+@register("scan_nested_predicate_pushdown", oracle=_NESTED_PP_ORACLE)
+def scan_nested_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown INTO a nested struct field: a filter on
+    `who.uid` must reach the parquet reader as a pushed filter on the
+    nested column, not evaluate post-scan. The struct-shaped dataset is
+    built once from events (same discipline as scan_nested_struct_
+    pruning, which covers the PROJECTION side; this op covers the
+    FILTER side — both halves of nested-column IO elision). At 100 TB
+    nested event payloads are the norm, and an engine that only prunes
+    flat columns re-reads every struct page a query filters on.
+    tests/test_plans.py pins `LessThan(who.uid,50)` in PushedFilters;
+    the oracle recomputes from the flat source."""
+    def build(tmp: str) -> None:
+        (load_table(spark, "events", sf_dir)
+         .select("event_id",
+                 F.struct(F.col("user_id").alias("uid"),
+                          F.col("event_type").alias("etype")).alias("who"),
+                 "value")
+         .write.mode("overwrite").parquet(tmp))
+
+    out = _cached_dataset("events_nested_struct", sf_dir, "events", build)
+    back = spark.read.parquet(out).where(F.col("who.uid") < 50)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+        F.sum(iround(F.col("value") * 100)).cast("bigint").alias("cents"))
+
+
+# ---------------------------------------------------------------------------
+# typed partition discovery (round 5, batch 13)
+# ---------------------------------------------------------------------------
+
+_PART_DISC_ORACLE = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(user_id % 4 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY CAST(CAST(ts AS DATE) AS VARCHAR), CAST(user_id % 4 AS BIGINT)
+"""
+
+
+@register("source_partition_discovery_types", oracle=_PART_DISC_ORACLE)
+def source_partition_discovery_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition DISCOVERY with TYPE inference: a dataset
+    written as `day=2024-01-07/bucket=3/` directories reads back with
+    `day` as a real DATE and `bucket` as a real INT — recovered from
+    the PATH, not the files (the files don't even contain those
+    columns). This is the lake-layout contract scan_partition_pruning
+    builds on: pruning only works because discovery typed the partition
+    values, so a `day >= DATE'...'` predicate compares dates, not
+    strings. The aggregate groups BY the discovered columns, proving
+    values and types both survived the directory round trip.
+
+    Scale shape: partition values come from directory listings (driver
+    metadata), never from file reads — a 100 TB table's partition
+    columns cost zero data IO."""
+    def build(tmp: str) -> None:
+        (load_table(spark, "events", sf_dir)
+         .select("event_id", "value", F.col("ts").cast("date").alias("day"),
+                 (F.col("user_id") % 4).alias("bucket"))
+         .write.mode("overwrite").partitionBy("day", "bucket").parquet(tmp))
+
+    out = _cached_dataset("events_partition_disc", sf_dir, "events", build)
+    back = spark.read.parquet(out)
+    # the discovered types ARE the test: day must group as a DATE and
+    # bucket as an integer; a string-typed discovery would still pass a
+    # count but change the cast semantics below
+    return (back.groupBy(F.col("day").cast("string").alias("day"),
+                         F.col("bucket").cast("bigint").alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.sum(iround(F.col("value") * 100)).cast("bigint")
+                 .alias("cents")))

@@ -88,9 +88,11 @@ _loaded = False
 # sql_lateral_view_explode, sql_distribute_sort_by, sql_join_hints,
 # date_iso_week_quarter, ts_time_weighted_avg, sql_join_hint_merge,
 # llm_minhash_bbit, win_topk_with_ties, sql_identifier_clause,
-# sql_column_defaults, llm_lsh_tuning_report
-# (55 names — the 50-slot window takes the first 50 in this order; the
-# five spills roll to round 7 with the re-confirmation backfill, the
+# sql_column_defaults, llm_lsh_tuning_report, sql_star_except,
+# agg_filter_clause, scan_nested_predicate_pushdown,
+# source_partition_discovery_types
+# (59 names — the 50-slot window takes the first 50 in this order; the
+# nine spills roll to round 7 with the re-confirmation backfill, the
 # same pattern the round-3 spill keys followed). Update
 # tests/test_survey_coverage.py's pinned window when rotating.
 # Rows-only-by-design ops (llm_sim_lsh_approx, llm_sim_ann_ivf,

@@ -760,3 +760,11 @@ def test_sql_merge_hint_forces_sort_merge_join():
     # /*+ SHUFFLE_MERGE(c) */ must defeat the planner's hash preference
     plan = checks.executed_plan(_df("sql_join_hint_merge"))
     assert "SortMergeJoin" in plan, plan
+
+
+def test_nested_predicate_reaches_parquet_scan():
+    # the who.uid < 50 filter must appear in PushedFilters as a NESTED
+    # column reference — post-scan evaluation would read every struct page
+    df = _df("scan_nested_predicate_pushdown")
+    assert checks.has_pushed_filter(df, "LessThan(who.uid,50)"), \
+        checks.executed_plan(df)

@@ -151,6 +151,10 @@ QUERY_TABLES = {
     "sql_identifier_clause": {"orders"},
     "sql_column_defaults": {"orders"},
     "llm_lsh_tuning_report": {"documents"},
+    "sql_star_except": {"orders"},
+    "agg_filter_clause": {"orders"},
+    "scan_nested_predicate_pushdown": {"events"},
+    "source_partition_discovery_types": {"events"},
 }
 
 
