@@ -1951,3 +1951,69 @@ def llm_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_caught").cast("double")
                             / F.col("n_true").cast("double"), 12)
                     .alias("recall")))
+
+
+# ---------------------------------------------------------------------------
+# cross-shard dedup merge (round 5, batch 14)
+# ---------------------------------------------------------------------------
+
+_XSHARD_ORACLE = """
+WITH f AS (
+  SELECT doc_id, lang, md5(substring(text, 1, 64)) AS fp,
+         CAST(doc_id % 2 AS INT) AS shard
+  FROM documents
+), ps AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY shard, fp
+                                              ORDER BY doc_id) AS rn FROM f)
+  WHERE rn = 1
+), m AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY fp
+                                              ORDER BY doc_id) AS rn2 FROM ps)
+  WHERE rn2 = 1
+)
+SELECT ps_agg.lang, shard_survivors, global_survivors,
+       shard_survivors - global_survivors AS cross_shard_dups
+FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS shard_survivors
+      FROM ps GROUP BY lang) ps_agg
+JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS global_survivors
+      FROM m GROUP BY lang) m_agg
+  ON ps_agg.lang = m_agg.lang
+"""
+
+
+@register("llm_dedup_cross_shard_merge", oracle=_XSHARD_ORACLE)
+def llm_dedup_cross_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SHARD dedup merge — the two-level fleet pattern: each
+    ingestion shard dedups independently (cheap, shard-local, no
+    cross-shard traffic), then a global pass re-dedups only the shard
+    SURVIVORS on the same fingerprint. The report quantifies what the
+    second level caught per language (cross_shard_dups — duplicates
+    whose copies landed in different shards and were invisible to
+    level one). This is how dedup actually runs at 100 TB: level one
+    shrinks each shard in place where the data lives; level two moves
+    only survivors — a tiny fraction of the corpus — through the one
+    global shuffle.
+
+    Scale shape: level one partitions by (shard, fp) — at fleet scale
+    this is a per-shard local job; level two shuffles survivors only.
+    Both levels are keep-first-by-doc_id windows, deterministic."""
+    d = load_table(spark, "documents", sf_dir)
+    fp = F.md5(F.substring("text", 1, 64))
+    shard = (F.col("doc_id") % 2).cast("int")
+    w_shard = Window.partitionBy("shard", "fp").orderBy("doc_id")
+    per_shard = (d.select("doc_id", "lang", fp.alias("fp"),
+                          shard.alias("shard"))
+                 .withColumn("rn", F.row_number().over(w_shard))
+                 .where(F.col("rn") == 1).drop("rn")
+                 .localCheckpoint(eager=False))  # both aggregates read it
+    w_glob = Window.partitionBy("fp").orderBy("doc_id")
+    merged = (per_shard.withColumn("rn", F.row_number().over(w_glob))
+              .where(F.col("rn") == 1))
+    return (per_shard.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("shard_survivors"))
+            .join(merged.groupBy("lang")
+                  .agg(F.count(F.lit(1)).cast("bigint")
+                       .alias("global_survivors")), "lang")
+            .select("lang", "shard_survivors", "global_survivors",
+                    (F.col("shard_survivors") - F.col("global_survivors"))
+                    .cast("bigint").alias("cross_shard_dups")))

@@ -2896,3 +2896,42 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "orders", sf_dir) \
         .createOrReplaceTempView("lts_ord_aggf_v")
     return spark.sql(_AGG_FILTER_SQL.format(src="lts_ord_aggf_v"))
+
+
+# ---------------------------------------------------------------------------
+# range() table function (round 5, batch 14)
+# ---------------------------------------------------------------------------
+
+_RANGE_TF_ORACLE = """
+SELECT CAST(r.range AS BIGINT) AS price_band,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+FROM range(0, 12) r
+LEFT JOIN orders o
+  ON CAST(floor(o.o_totalprice / 50000) AS BIGINT) = r.range
+GROUP BY r.range
+"""
+
+
+@register("sql_table_function_range", oracle=_RANGE_TF_ORACLE)
+def sql_table_function_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`range()` TABLE FUNCTION in the FROM clause — generated relations
+    without a source table. The canonical use is exactly this query: a
+    DENSE dimension (every price band 0..11) LEFT-joined against facts
+    so empty bands report 0 instead of vanishing — the same
+    no-gaps-in-the-report problem ts_resample_gapfill solves with a
+    calendar spine, solved here with a generated integer spine in pure
+    SQL.
+
+    Scale shape: range() is a LocalRelation-like leaf parallelized by
+    Spark's Range exec (no IO); the 12-row spine broadcasts against
+    the fact scan."""
+    load_table(spark, "orders", sf_dir) \
+        .createOrReplaceTempView("lts_ord_range_v")
+    return spark.sql("""
+        SELECT r.id AS price_band,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM range(0, 12) r
+        LEFT JOIN lts_ord_range_v o
+          ON CAST(floor(o.o_totalprice / 50000) AS BIGINT) = r.id
+        GROUP BY r.id
+    """)

@@ -1610,3 +1610,50 @@ def source_partition_discovery_types(spark: SparkSession, sf_dir: str) -> DataFr
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
                  F.sum(iround(F.col("value") * 100)).cast("bigint")
                  .alias("cents")))
+
+
+# ---------------------------------------------------------------------------
+# parquet aggregate pushdown (round 5, batch 14)
+# ---------------------------------------------------------------------------
+
+_AGG_PUSH_ORACLE = """
+SELECT CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+"""
+
+
+@register("scan_aggregate_pushdown", oracle=_AGG_PUSH_ORACLE)
+def scan_aggregate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet AGGREGATE pushdown (DataSource V2): MIN / MAX / COUNT(*)
+    answered from row-group FOOTER STATISTICS — the scan reads metadata
+    pages only, never data pages. On a 100 TB table, `SELECT min(k),
+    max(k), count(*)` drops from a full-table read to a footer sweep;
+    this is the third member of the metadata-elision family beside
+    scan_count_metadata_only (V1 count-star) and the zone-map sink.
+    The plan shows `PushedAggregation: [MIN(o_orderkey),
+    MAX(o_orderkey), COUNT(*)]` with the V2 reader active
+    (tests/test_plans.py pins it).
+
+    Conf discipline: the V2 parquet path and aggregatePushdown are
+    enabled ONLY for this query's planning and materialization (eager
+    localCheckpoint), then restored — plan shapes pinned by every other
+    test keep seeing the default V1 reader."""
+    agg_key = "spark.sql.parquet.aggregatePushdown"
+    v1_key = "spark.sql.sources.useV1SourceList"
+    old_agg, old_v1 = spark.conf.get(agg_key), spark.conf.get(v1_key)
+    try:
+        spark.conf.set(agg_key, "true")
+        spark.conf.set(v1_key, ",".join(
+            s for s in old_v1.split(",") if s and s != "parquet"))
+        df = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+              .agg(F.min("o_orderkey").cast("bigint").alias("min_key"),
+                   F.max("o_orderkey").cast("bigint").alias("max_key"),
+                   F.count(F.lit(1)).cast("bigint").alias("n")))
+        # materialize under the V2 confs — the lazy plan would otherwise
+        # resolve AFTER the finally block restores V1
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(agg_key, old_agg)
+        spark.conf.set(v1_key, old_v1)

@@ -768,3 +768,27 @@ def test_nested_predicate_reaches_parquet_scan():
     df = _df("scan_nested_predicate_pushdown")
     assert checks.has_pushed_filter(df, "LessThan(who.uid,50)"), \
         checks.executed_plan(df)
+
+
+def test_parquet_aggregate_pushdown_reaches_footer():
+    # with the V2 reader + aggregatePushdown on, MIN/MAX/COUNT must be
+    # answered from footer statistics — PushedAggregation in the scan
+    import os
+
+    from pyspark.sql import functions as F
+    spark = spark_global
+    agg_key = "spark.sql.parquet.aggregatePushdown"
+    v1_key = "spark.sql.sources.useV1SourceList"
+    old_agg, old_v1 = spark.conf.get(agg_key), spark.conf.get(v1_key)
+    try:
+        spark.conf.set(agg_key, "true")
+        spark.conf.set(v1_key, ",".join(
+            s for s in old_v1.split(",") if s and s != "parquet"))
+        df = (spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+              .agg(F.min("o_orderkey"), F.max("o_orderkey"),
+                   F.count(F.lit(1))))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [MIN(o_orderkey), MAX(o_orderkey), COUNT(*)]" in plan, plan
+    finally:
+        spark.conf.set(agg_key, old_agg)
+        spark.conf.set(v1_key, old_v1)

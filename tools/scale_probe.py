@@ -155,6 +155,9 @@ QUERY_TABLES = {
     "agg_filter_clause": {"orders"},
     "scan_nested_predicate_pushdown": {"events"},
     "source_partition_discovery_types": {"events"},
+    "scan_aggregate_pushdown": {"orders"},
+    "llm_dedup_cross_shard_merge": {"documents"},
+    "sql_table_function_range": {"orders"},
 }
 
 
