@@ -2935,3 +2935,149 @@ def sql_table_function_range(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON CAST(floor(o.o_totalprice / 50000) AS BIGINT) = r.id
         GROUP BY r.id
     """)
+
+
+# ---------------------------------------------------------------------------
+# DataFrameStatFunctions crosstab (round 5, batch 15)
+# ---------------------------------------------------------------------------
+
+_CROSSTAB_ORACLE = """
+SELECT o_orderpriority AS o_orderpriority_k3,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 = 0) AS BIGINT) AS "0",
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 = 1) AS BIGINT) AS "1",
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 = 2) AS BIGINT) AS "2"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("stat_crosstab", oracle=_CROSSTAB_ORACLE)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`df.stat.crosstab` — the contingency-table member of Spark's
+    DataFrameStatFunctions surface: pairwise frequency counts with the
+    second column's values becoming columns. The pivot key is
+    `o_orderkey % 3` (all residues present at every SF, so the output
+    schema is corpus-independent — a data-dependent category set would
+    make the column list itself flaky at small scales). The oracle is
+    the FILTER-clause expansion, proving crosstab is exactly a
+    conditional-count pivot.
+
+    Scale shape: one hash aggregate on the pair key then a tiny pivot;
+    the category space, not the row count, bounds the output."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderpriority", (F.col("o_orderkey") % 3).cast("string").alias("k3"))
+    ct = o.stat.crosstab("o_orderpriority", "k3")
+    return ct.select("o_orderpriority_k3",
+                     F.col("0").cast("bigint").alias("0"),
+                     F.col("1").cast("bigint").alias("1"),
+                     F.col("2").cast("bigint").alias("2"))
+
+
+# ---------------------------------------------------------------------------
+# SQL PIVOT clause (round 5, batch 15)
+# ---------------------------------------------------------------------------
+
+_PIVOT_SQL_ORACLE = """
+SELECT CAST(user_id % 3 AS BIGINT) AS ubucket,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            FILTER (WHERE event_type = 'click') AS BIGINT) AS click_c,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            FILTER (WHERE event_type = 'view') AS BIGINT) AS view_c,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_c
+FROM events GROUP BY CAST(user_id % 3 AS BIGINT)
+"""
+
+
+@register("sql_pivot_clause", oracle=_PIVOT_SQL_ORACLE)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text `PIVOT (agg FOR col IN (...))` clause — the declarative
+    long-to-wide rotation in pure SQL (pivot_wide covers the DataFrame
+    API; this is the language surface). The IN list is EXPLICIT, so the
+    output schema is static regardless of which categories appear —
+    the property that makes PIVOT safe in production SQL where a
+    data-dependent column set would break downstream consumers. The
+    oracle is the FILTER-clause desugaring.
+
+    Scale shape: one hash aggregate on (ubucket, event_type) collapsed
+    map-side, then the analyzer's pivot projection — no second pass."""
+    load_table(spark, "events", sf_dir) \
+        .createOrReplaceTempView("lts_ev_pivot_v")
+    return spark.sql("""
+        SELECT ubucket, CAST(click AS BIGINT) AS click_c,
+               CAST(view AS BIGINT) AS view_c,
+               CAST(purchase AS BIGINT) AS purchase_c
+        FROM (SELECT event_type, CAST(user_id % 3 AS BIGINT) AS ubucket,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM lts_ev_pivot_v)
+        PIVOT (SUM(cents) FOR event_type IN ('click' AS click,
+                                             'view' AS view,
+                                             'purchase' AS purchase))
+    """)
+
+
+# ---------------------------------------------------------------------------
+# SQL UNPIVOT clause (round 5, batch 15)
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_SQL_ORACLE = """
+SELECT o_orderkey, metric, val FROM (
+  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey < 2000) t
+UNPIVOT (val FOR metric IN (custkey, cents))
+"""
+
+
+@register("sql_unpivot_clause", oracle=_UNPIVOT_SQL_ORACLE)
+def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text `UNPIVOT (val FOR metric IN (...))` — wide-to-long in the
+    language itself (unpivot_long covers the DataFrame API). Identical
+    text runs on DuckDB, pinning the shared semantics: one output row
+    per (row, listed column), NULL cells dropped by default.
+
+    Scale shape: a per-row Expand (rows × metrics), no shuffle — the
+    long form is produced streaming at scan rate."""
+    load_table(spark, "orders", sf_dir) \
+        .createOrReplaceTempView("lts_ord_unpiv_v")
+    return spark.sql("""
+        SELECT o_orderkey, metric, val FROM (
+          SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS custkey,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM lts_ord_unpiv_v WHERE o_orderkey < 2000) t
+        UNPIVOT (val FOR metric IN (custkey, cents))
+    """)
+
+
+# ---------------------------------------------------------------------------
+# AQE REBALANCE hint (round 5, batch 15)
+# ---------------------------------------------------------------------------
+
+_REBALANCE_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("sql_hint_rebalance", oracle=_REBALANCE_ORACLE)
+def sql_hint_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`/*+ REBALANCE(col) */` — the AQE output-layout hint: redistribute
+    rows so downstream partitions are evenly sized (splitting skewed
+    ones, coalescing small ones at runtime). The production use is the
+    WRITE path at 100 TB: a sink fed by a skewed computation emits one
+    5 GB file and four hundred 2 MB ones; REBALANCE before the sink
+    yields uniform files without a full sort (contrast
+    sql_distribute_sort_by: fixed hash layout, no runtime adaptation).
+    The aggregate downstream of the rebalance pins result invariance —
+    layout hints must never change content."""
+    load_table(spark, "orders", sf_dir) \
+        .createOrReplaceTempView("lts_ord_rebal_v")
+    return spark.sql("""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM (SELECT /*+ REBALANCE(o_orderpriority) */ *
+              FROM lts_ord_rebal_v)
+        GROUP BY o_orderpriority
+    """)

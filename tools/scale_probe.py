@@ -158,6 +158,10 @@ QUERY_TABLES = {
     "scan_aggregate_pushdown": {"orders"},
     "llm_dedup_cross_shard_merge": {"documents"},
     "sql_table_function_range": {"orders"},
+    "stat_crosstab": {"orders"},
+    "sql_pivot_clause": {"events"},
+    "sql_unpivot_clause": {"orders"},
+    "sql_hint_rebalance": {"orders"},
 }
 
 
