@@ -1657,3 +1657,116 @@ def scan_aggregate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set(agg_key, old_agg)
         spark.conf.set(v1_key, old_v1)
+
+
+# ---------------------------------------------------------------------------
+# parquet field-ID rename evolution (round 5, batch 16)
+# ---------------------------------------------------------------------------
+
+_FIELDID_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(order_id) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(floor(total_price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM (SELECT o_orderkey AS order_id, o_totalprice AS total_price
+      FROM orders WHERE o_orderkey < 2000)
+"""
+
+
+@register("scan_fieldid_rename_evolution", oracle=_FIELDID_ORACLE)
+def scan_fieldid_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN RENAME schema evolution via parquet FIELD IDs — the
+    lakehouse mechanism (Iceberg-style) that makes renames metadata-only:
+    columns are matched by a stable numeric id written into the parquet
+    schema, not by name, so files written before a rename keep serving
+    after it with zero rewrite. The dataset is written with field ids
+    (1, 2) under the OLD names and read back under entirely NEW names
+    carrying the same ids; values surviving the rename is the proof
+    name-matching was bypassed. Complements scan_schema_evolution
+    (add-column by name) — rename is exactly the case name-based
+    evolution CANNOT express (it sees a drop + an unrelated add).
+
+    Conf discipline: fieldId write/read confs are scoped to this
+    query's build and materialization (eager checkpoint), then
+    restored."""
+    w_key = "spark.sql.parquet.fieldId.write.enabled"
+    r_key = "spark.sql.parquet.fieldId.read.enabled"
+    old_w, old_r = spark.conf.get(w_key), spark.conf.get(r_key)
+    try:
+        spark.conf.set(w_key, "true")
+        spark.conf.set(r_key, "true")
+
+        def build(tmp: str) -> None:
+            (load_table(spark, "orders", sf_dir)
+             .where(F.col("o_orderkey") < 2000)
+             .select(F.col("o_orderkey").alias(
+                         "o_orderkey", metadata={"parquet.field.id": 1}),
+                     F.col("o_totalprice").alias(
+                         "o_totalprice", metadata={"parquet.field.id": 2}))
+             .write.mode("overwrite").parquet(tmp))
+
+        out = _cached_dataset("orders_fieldid", sf_dir, "orders", build)
+        from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                       StructType)
+        renamed = StructType([
+            StructField("order_id", LongType(), True,
+                        {"parquet.field.id": 1}),
+            StructField("total_price", DoubleType(), True,
+                        {"parquet.field.id": 2})])
+        back = spark.read.schema(renamed).parquet(out)
+        return back.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("order_id").cast("bigint").alias("id_sum"),
+            F.sum(iround(F.col("total_price") * 100)).cast("bigint")
+            .alias("cents")).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(w_key, old_w)
+        spark.conf.set(r_key, old_r)
+
+
+# ---------------------------------------------------------------------------
+# maxRecordsPerFile sink governance (round 5, batch 16)
+# ---------------------------------------------------------------------------
+
+_MRPF_CAP = 150
+
+_MRPF_ORACLE = f"""
+SELECT CAST(CAST(CEIL(COUNT(*) / {_MRPF_CAP}.0) AS BIGINT) AS BIGINT)
+         AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderkey < 2000
+"""
+
+
+@register("sink_max_records_per_file", oracle=_MRPF_ORACLE)
+def sink_max_records_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`maxRecordsPerFile` — the writer-side FILE-SIZE governor: cap the
+    rows per output file so one fat task cannot emit a multi-GB file
+    that downstream readers can't split. At 100 TB this is half of the
+    small-files story (sink_compaction_small_files is the other half:
+    too many small files; this prevents too-few huge ones). With the
+    write coalesced to ONE task the file count is exactly
+    ceil(rows / cap) — the oracle computes that closed form, and the
+    engine-side count comes from distinct input_file_name() on the
+    read-back, so the round trip proves the cap was enforced, not just
+    configured. Content checksum rides along.
+
+    Scale shape: the cap applies per task, streaming — no extra pass;
+    at fleet scale it composes with REBALANCE (sql_hint_rebalance) for
+    even file sizes."""
+    def build(tmp: str) -> None:
+        (load_table(spark, "orders", sf_dir)
+         .where(F.col("o_orderkey") < 2000)
+         .repartition(1).write.mode("overwrite")
+         .option("maxRecordsPerFile", _MRPF_CAP).parquet(tmp))
+
+    out = _cached_dataset("orders_mrpf", sf_dir, "orders", build)
+    # project the (nondeterministic-by-declaration) file name FIRST —
+    # Spark refuses it directly inside an aggregate function
+    back = spark.read.parquet(out).select(
+        "o_orderkey", F.input_file_name().alias("f"))
+    return (back.agg(
+        F.countDistinct("f").cast("bigint").alias("n_files"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum")))

@@ -92,9 +92,10 @@ _loaded = False
 # agg_filter_clause, scan_nested_predicate_pushdown,
 # source_partition_discovery_types, scan_aggregate_pushdown,
 # llm_dedup_cross_shard_merge, sql_table_function_range, stat_crosstab,
-# sql_pivot_clause, sql_unpivot_clause, sql_hint_rebalance
-# (66 names — the 50-slot window takes the first 50 in this order; the
-# sixteen spills roll to round 7 with the re-confirmation backfill, the
+# sql_pivot_clause, sql_unpivot_clause, sql_hint_rebalance,
+# scan_fieldid_rename_evolution, sink_max_records_per_file
+# (68 names — the 50-slot window takes the first 50 in this order; the
+# eighteen spills roll to round 7 with the re-confirmation backfill, the
 # same pattern the round-3 spill keys followed). Update
 # tests/test_survey_coverage.py's pinned window when rotating.
 # Rows-only-by-design ops (llm_sim_lsh_approx, llm_sim_ann_ivf,

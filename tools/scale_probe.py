@@ -162,6 +162,8 @@ QUERY_TABLES = {
     "sql_pivot_clause": {"events"},
     "sql_unpivot_clause": {"orders"},
     "sql_hint_rebalance": {"orders"},
+    "scan_fieldid_rename_evolution": {"orders"},
+    "sink_max_records_per_file": {"orders"},
 }
 
 
