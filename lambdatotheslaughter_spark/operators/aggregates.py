@@ -632,3 +632,36 @@ def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (b1 / F.lit(100.0)).alias("wmean_price"),
         (b2 - b1 * b1).alias("wvar_cents2"),
         F.sqrt(b2 - b1 * b1).alias("wstd_cents"))
+
+
+# ---------------------------------------------------------------------------
+# built-in linear-regression aggregates (round 5, batch 17)
+# ---------------------------------------------------------------------------
+
+_REGR_SQL = """
+SELECT event_type,
+  round(regr_slope(value, CAST(user_id % 100 AS DOUBLE)), 6) AS slope,
+  round(regr_intercept(value, CAST(user_id % 100 AS DOUBLE)), 6) AS icept,
+  round(regr_r2(value, CAST(user_id % 100 AS DOUBLE)), 6) AS r2,
+  CAST(regr_count(value, CAST(user_id % 100 AS DOUBLE)) AS BIGINT) AS n
+FROM {src} GROUP BY event_type
+"""
+
+
+@register("agg_regr_builtins", oracle=_REGR_SQL.format(src="events"))
+def agg_regr_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN `regr_*` aggregate family (slope / intercept / R² /
+    count — SQL:2003 linear regression, Spark 3.4+): the one-pass
+    engine-native path for the per-group trend fits ts_trend_slope
+    derives by hand from exact integer moments. Both engines implement
+    the same spec natively, so identical text runs on both; results
+    round at 6 dp because the merge order of the engines' internal
+    float moments differs (the same discipline as every merge-order
+    statistic in the repo — see agg_stats).
+
+    Scale shape: regr_* are partial-aggregatable (each partition folds
+    (n, Σx, Σy, Σxx, Σxy) and merges), so one combinable hash
+    aggregate — the textbook map-side-collapse shape."""
+    load_table(spark, "events", sf_dir) \
+        .createOrReplaceTempView("lts_ev_regr_v")
+    return spark.sql(_REGR_SQL.format(src="lts_ev_regr_v"))

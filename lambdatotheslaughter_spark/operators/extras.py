@@ -3081,3 +3081,82 @@ def sql_hint_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM lts_ord_rebal_v)
         GROUP BY o_orderpriority
     """)
+
+
+# ---------------------------------------------------------------------------
+# lag IGNORE NULLS (round 5, batch 17)
+# ---------------------------------------------------------------------------
+
+_LAG_IN_ORACLE = """
+SELECT event_id, user_id,
+  lag(nv, 1 IGNORE NULLS) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev_big
+FROM (SELECT event_id, user_id, ts,
+             CASE WHEN value > 500
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS nv
+      FROM events WHERE user_id < 50)
+"""
+
+
+@register("win_lag_ignore_nulls", oracle=_LAG_IN_ORACLE)
+def win_lag_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`lag(...) IGNORE NULLS` — navigation that skips over null rows:
+    "the previous LARGE reading", not "the previous row's (possibly
+    null) value". This is the sparse-signal companion to
+    ts_forward_fill's last(ignorenulls): LOCF carries the latest value
+    forward, lag-ignore-nulls REFERENCES the previous occurrence
+    without filling — the distinction matters for change-detection
+    (compare each large event to the prior large event, however long
+    ago). The two engines spell the modifier differently (Spark:
+    `IGNORE NULLS` after the call; DuckDB: inside the argument list) —
+    parity pins the shared semantics under both spellings.
+
+    Scale shape: one (user, time) exchange, O(1) state per row (the
+    window operator tracks one last-non-null slot)."""
+    load_table(spark, "events", sf_dir) \
+        .createOrReplaceTempView("lts_ev_lagin_v")
+    return spark.sql("""
+        SELECT event_id, user_id,
+          lag(nv, 1) IGNORE NULLS OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_big
+        FROM (SELECT event_id, user_id, ts,
+                     CASE WHEN value > 500
+                          THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                     END AS nv
+              FROM lts_ev_lagin_v WHERE user_id < 50)
+    """)
+
+
+# ---------------------------------------------------------------------------
+# LEFT SEMI / ANTI JOIN SQL keywords (round 5, batch 17)
+# ---------------------------------------------------------------------------
+
+_SEMI_SQL_ORACLE = """
+SELECT c.c_custkey, c.c_mktsegment FROM customer c
+SEMI JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+  ON o.o_custkey = c.c_custkey
+"""
+
+
+@register("sql_semi_anti_join_syntax", oracle=_SEMI_SQL_ORACLE)
+def sql_semi_anti_join_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`LEFT SEMI JOIN` as SQL-text syntax — existence filtering in the
+    language itself, with the filter condition INSIDE the join (the
+    o_totalprice predicate is part of the ON clause, so it narrows the
+    existence test, not the output). join_semi/join_anti cover the
+    DataFrame API; sub_exists_not_exists covers the EXISTS spelling;
+    this pins that all three spellings plan to the same LeftSemi join.
+    DuckDB spells it `SEMI JOIN` — parity across dialects.
+
+    Scale shape: semi join never materializes matches (first hit wins),
+    and the probe side streams — the cheapest existence check at any
+    scale."""
+    load_table(spark, "orders", sf_dir) \
+        .createOrReplaceTempView("lts_ord_semi_v")
+    load_table(spark, "customer", sf_dir) \
+        .createOrReplaceTempView("lts_cust_semi_v")
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_mktsegment FROM lts_cust_semi_v c
+        LEFT SEMI JOIN lts_ord_semi_v o
+          ON o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    """)

@@ -555,3 +555,52 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").applyInArrow(
         agg, schema=("l_returnflag string, l_linestatus string, n bigint, "
                      "sum_qty bigint, sum_price_cents bigint"))
+
+
+# ---------------------------------------------------------------------------
+# SQL-registered Python UDTF (round 5, batch 17)
+# ---------------------------------------------------------------------------
+
+_UDTF_SQL_ORACLE = """
+SELECT CAST(b.band AS BIGINT) AS band,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+FROM (SELECT range AS band, range * 50000 AS lo,
+             (range + 1) * 50000 AS hi FROM range(0, 6)) b
+LEFT JOIN orders o ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+"""
+
+
+@register("udtf_sql_registered", oracle=_UDTF_SQL_ORACLE)
+def udtf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF registered INTO THE SQL CATALOG (`spark.udtf.register`)
+    and invoked in the FROM clause like a native table function — the
+    UDTF counterpart of udf_sql_registered: analysts call Python
+    table-generating extensions from plain SQL. The UDTF generates a
+    price-band dimension that LEFT-joins the facts (every band reports,
+    empty bands report 0 — the sql_table_function_range pattern, with
+    the spine coming from user Python instead of a builtin). The logic
+    is trivially re-expressed relationally in the oracle because the
+    REGISTRATION BOUNDARY, not the body, is what this key exercises.
+
+    Scale shape: the UDTF runs once (one eval call), emitting a 6-row
+    LocalRelation-sized side that broadcasts; the fact scan streams
+    against it."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="band BIGINT, lo BIGINT, hi BIGINT")
+    class PriceBands:
+        def eval(self, n: int):
+            for i in range(n):
+                yield i, i * 50000, (i + 1) * 50000
+
+    spark.udtf.register("lts_price_bands", PriceBands)
+    load_table(spark, "orders", sf_dir) \
+        .createOrReplaceTempView("lts_ord_udtf_v")
+    return spark.sql("""
+        SELECT b.band, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM lts_price_bands(6) b
+        LEFT JOIN lts_ord_udtf_v o
+          ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        GROUP BY b.band
+    """)

@@ -164,6 +164,10 @@ QUERY_TABLES = {
     "sql_hint_rebalance": {"orders"},
     "scan_fieldid_rename_evolution": {"orders"},
     "sink_max_records_per_file": {"orders"},
+    "agg_regr_builtins": {"events"},
+    "win_lag_ignore_nulls": {"events"},
+    "sql_semi_anti_join_syntax": {"orders"},
+    "udtf_sql_registered": {"orders"},
 }
 
 
