@@ -590,3 +590,70 @@ def sink_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# deterministic rate source + checkpoint resume (round 5, batch 18)
+# ---------------------------------------------------------------------------
+
+_RATE_RESUME_ORACLE = """
+WITH src AS (
+  SELECT v, CAST(floor(CAST(floor(v / 100) AS BIGINT) / 2.0) AS BIGINT)
+           AS wk
+  FROM (SELECT unnest(range(0, 300)) AS v)
+)
+SELECT CAST(make_timestamp(wk * 120 * 1000000) AS VARCHAR) AS w_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS vsum
+FROM src GROUP BY wk
+"""
+
+
+@register("stream_rate_source_resume", oracle=_RATE_RESUME_ORACLE)
+def stream_rate_source_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate-micro-batch` SOURCE + CHECKPOINT RESUME: the deterministic
+    load-generator source (fixed rowsPerBatch, epoch-pinned timestamps
+    advancing a fixed step per batch — built for reproducible stream
+    testing, unlike `rate` which follows the wall clock), driven
+    through THREE separate availableNow runs that SHARE one checkpoint.
+    Each run picks up exactly where the last committed offset left off
+    — run 1 emits values 0-99 at t=0, run 2 values 100-199 at t=60s,
+    run 3 values 200-299 at t=120s — so the final windowed aggregate
+    over the appended sink proves offset tracking survived two full
+    stop/start cycles. That recovery contract is THE operational
+    property a 100 TB ingest pipeline stands on: crash, redeploy, and
+    the stream resumes without loss or replay.
+
+    The oracle is the CLOSED FORM of the source contract (300 values,
+    batch k at k·60 s, 2-minute windows) — engine-independent, so the
+    driver value-checks both the source's determinism and the resume
+    arithmetic. Windows are emitted as epoch-derived strings (UTC
+    session timezone, house rule for timestamp cells)."""
+    import shutil
+    import uuid
+
+    run = uuid.uuid4().hex[:8]
+    ckpt = f"/tmp/lts_ckpt_rate_{run}"
+    table = f"lts_rate_sink_{run}"
+    for _ in range(3):
+        src = (spark.readStream.format("rate-micro-batch")
+               .option("rowsPerBatch", 100)
+               .option("numPartitions", 2)
+               .option("startTimestamp", 0)
+               .option("advanceMillisPerBatch", 60000)
+               .load())
+        q = (src.writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .toTable(table))
+        q.awaitTermination(timeout=300)
+    out = (spark.table(table)
+           .groupBy(F.window("timestamp", "2 minutes").alias("w"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("value").cast("bigint").alias("vsum"))
+           .select(F.col("w.start").cast("string").alias("w_start"),
+                   "n", "vsum")
+           .localCheckpoint(eager=True))
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

@@ -95,9 +95,9 @@ _loaded = False
 # sql_pivot_clause, sql_unpivot_clause, sql_hint_rebalance,
 # scan_fieldid_rename_evolution, sink_max_records_per_file,
 # agg_regr_builtins, win_lag_ignore_nulls, sql_semi_anti_join_syntax,
-# udtf_sql_registered
-# (72 names — the 50-slot window takes the first 50 in this order; the
-# twenty-two spills roll to round 7 with the re-confirmation backfill,
+# udtf_sql_registered, stream_rate_source_resume
+# (73 names — the 50-slot window takes the first 50 in this order; the
+# twenty-three spills roll to round 7 with the re-confirmation backfill,
 # the same pattern the round-3 spill keys followed). Update
 # tests/test_survey_coverage.py's pinned window when rotating.
 # Rows-only-by-design ops (llm_sim_lsh_approx, llm_sim_ann_ivf,
