@@ -3160,3 +3160,94 @@ def sql_semi_anti_join_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT SEMI JOIN lts_ord_semi_v o
           ON o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
     """)
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling (round 5, batch 18)
+# ---------------------------------------------------------------------------
+
+_LTTB_K = 12
+
+
+def lttb_select(xs: list, ys: list, k: int) -> list:
+    """Pure-Python largest-triangle-three-buckets (Steinarsson 2013):
+    keep first and last points; for each interior bucket pick the point
+    forming the LARGEST triangle with the previously selected point and
+    the AVERAGE of the next bucket. Sequential by construction (each
+    choice conditions the next), which is why the operator is rows-only:
+    no SQL oracle can express the recursion. Shared by the Spark UDF and
+    the pytest reference so both sides run the IDENTICAL float
+    arithmetic in the identical order (the BPE-train precedent).
+    Returns the selected indices."""
+    n = len(xs)
+    if n <= k:
+        return list(range(n))
+    sel = [0]
+    # k-2 interior buckets over points 1..n-2, float bucket edges
+    step = (n - 2) / float(k - 2)
+    for b in range(k - 2):
+        lo = 1 + int(b * step)
+        hi = 1 + int((b + 1) * step)
+        hi = min(hi, n - 1)
+        nlo, nhi = hi, (1 + int((b + 2) * step) if b + 2 < k - 1 else n)
+        nhi = min(nhi, n)
+        ax, ay = xs[sel[-1]], ys[sel[-1]]
+        if nlo < nhi:
+            cx = sum(xs[nlo:nhi]) / float(nhi - nlo)
+            cy = sum(ys[nlo:nhi]) / float(nhi - nlo)
+        else:
+            cx, cy = xs[n - 1], ys[n - 1]
+        best, best_area = lo, -1.0
+        for i in range(lo, hi):
+            area = abs((ax - cx) * (ys[i] - ay) - (ax - xs[i]) * (cy - ay))
+            if area > best_area:  # strict > : first-index tie-break
+                best, best_area = i, area
+        sel.append(best)
+    sel.append(n - 1)
+    return sel
+
+
+@register("ts_downsample_lttb", oracle=None)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB (largest-triangle-three-buckets) downsampling of each
+    event-type's daily-mean series to 12 points — THE standard
+    decimation for monitoring charts: unlike stride thinning
+    (ts_downsample_stride), LTTB keeps the visually load-bearing points
+    (peaks, inflections) by maximizing triangle area against what was
+    just kept and what comes next. Sequential by construction — each
+    selection conditions the next bucket's anchor — so no SQL oracle
+    exists (rows-only); tests/test_llm_quality.py pins the ENTIRE
+    selection against :func:`lttb_select` run on the same series
+    driver-side, plus the standard double-run determinism gate.
+
+    Determinism: the daily series is exact (integer-cents means at
+    fixed precision), each series lives in ONE group (applyInPandas),
+    and the arithmetic is the shared pure-Python routine — same floats,
+    same order, every run and every partitioning.
+
+    Scale shape: the pre-aggregate collapses raw events to (type, day)
+    map-side; the sequential kernel then sees only chart-sized series
+    (one group per key, bounded by the calendar, not the corpus) —
+    LTTB at 100 TB is a per-series post-pass over tiny aggregates,
+    which is exactly how dashboards run it."""
+    import pandas as pd
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+             .agg(F.avg(iround(F.col("value") * 100)).alias("cents_mean")))
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        xs = [float(i) for i in range(len(pdf))]
+        ys = [float(v) for v in pdf["cents_mean"]]
+        sel = lttb_select(xs, ys, _LTTB_K)
+        out = pdf.iloc[sel].copy()
+        out["pos"] = sel
+        return out[["event_type", "day", "cents_mean", "pos"]]
+
+    return (daily.groupBy("event_type")
+            .applyInPandas(pick, schema="event_type string, day date, "
+                                        "cents_mean double, pos bigint")
+            .select("event_type", F.col("day").cast("string").alias("day"),
+                    F.round("cents_mean", 6).alias("cents_mean"),
+                    F.col("pos").cast("bigint").alias("pos")))

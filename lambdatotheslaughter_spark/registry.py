@@ -104,7 +104,8 @@ _loaded = False
 # llm_multimodal_decode, agg_approx_distinct, agg_distinct_sketch_rollup,
 # scan_metadata_columns, llm_tokenizer_bpe_train, llm_tokenizer_bpe_apply,
 # agg_quantile_sketch, agg_sketch_set_intersection,
-# llm_embedding_pca_project, agg_sliding_distinct_hll) are deliberately NOT
+# llm_embedding_pca_project, agg_sliding_distinct_hll,
+# ts_downsample_lttb) are deliberately NOT
 # listed -- a driver slot adds nothing over their pytest
 # determinism/recall/tolerance gates.
 # Update tests/test_survey_coverage.py's pinned window when rotating.

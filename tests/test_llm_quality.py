@@ -690,3 +690,37 @@ def test_pair_scaffold_empty_corpus_is_empty(spark, monkeypatch):
     assert llm.llm_dedup_ngram_jaccard(spark, SF_DIR).count() == 0
     assert llm.llm_sim_knn_bruteforce(spark, SF_DIR).count() == 0
     assert llm.llm_sim_radius_search(spark, SF_DIR).count() == 0
+
+
+def test_lttb_matches_reference_selection(spark, duck):
+    """ts_downsample_lttb is rows-only (sequential selection — no SQL
+    oracle); pin the ENTIRE selection: the daily series is recomputed
+    INDEPENDENTLY in DuckDB, run through the same pure-Python
+    lttb_select, and the (event_type, day, pos) triples must match the
+    operator's output exactly."""
+    from lambdatotheslaughter_spark.operators.extras import (_LTTB_K,
+                                                             lttb_select)
+
+    got = {(r.event_type, r.day, r.pos)
+           for r in registry.get("ts_downsample_lttb").fn(spark, SF_DIR)
+           .collect()}
+    series = duck.execute("""
+        SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               AVG(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents_mean
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ORDER BY event_type, day
+    """).fetchall()
+    bytype = {}
+    for et, day, cm in series:
+        bytype.setdefault(et, []).append((day, float(cm)))
+    want = set()
+    for et, pts in bytype.items():
+        xs = [float(i) for i in range(len(pts))]
+        ys = [p[1] for p in pts]
+        for pos in lttb_select(xs, ys, _LTTB_K):
+            want.add((et, pts[pos][0], pos))
+    assert got == want
+    # every series must keep its endpoints (the LTTB contract)
+    for et, pts in bytype.items():
+        assert (et, pts[0][0], 0) in got
+        assert (et, pts[-1][0], len(pts) - 1) in got

@@ -39,6 +39,11 @@ def test_oracle_coverage_ratio():
     qs, oracles = registry.all_queries(), registry.all_oracles()
     rows_only = sorted(set(qs) - set(oracles))
     allowed = {"agg_approx_distinct", "llm_sim_lsh_approx", "llm_sim_ann_ivf",
+               # LTTB selection is sequential (each pick conditions the
+               # next bucket's anchor) — pinned against the shared
+               # pure-Python routine over an INDEPENDENT DuckDB series
+               # in test_llm_quality.py instead of a hash row
+               "ts_downsample_lttb",
                "llm_multimodal_decode", "agg_distinct_sketch_rollup",
                # _metadata.row_index has no DuckDB equivalent; the per-file
                # row-numbering is value-gated in test_plans.py instead
