@@ -168,6 +168,8 @@ QUERY_TABLES = {
     "win_lag_ignore_nulls": {"events"},
     "sql_semi_anti_join_syntax": {"orders"},
     "udtf_sql_registered": {"orders"},
+    "stream_rate_source_resume": set(),  # source generates its own data
+    "ts_downsample_lttb": {"events"},
 }
 
 
