@@ -893,7 +893,8 @@ WHERE len(list_intersect(e.s, c.s)) >= {_RECALL_MIN_COMMON}
 @register("llm_eval_ngram_recall", oracle=_EVAL_RECALL_ORACLE)
 def llm_eval_ngram_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-style 3-gram RECALL of every eval-set document against every
-    training candidate that shares ≥3 shingles — the quantitative form
+    training candidate that shares ≥ _RECALL_MIN_COMMON (2) shingles —
+    the quantitative form
     of llm_contamination_ngram (which only flags): recall ≈ 1 means the
     eval item is effectively inside the training corpus. The oracle
     brute-forces eval × corpus; the Spark side goes through the
@@ -1944,11 +1945,16 @@ def llm_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates")))
     caught_n = (caught.groupBy("bands", "rows_per_band")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_caught")))
-    return (report.join(caught_n, ["bands", "rows_per_band"])
+    # LEFT join + coalesce: a banding whose candidates catch ZERO true
+    # pairs must still appear with n_caught=0 (the oracle's COUNT FILTER
+    # emits it) — an inner join would silently drop the worst config,
+    # which is exactly the one the tuning report exists to expose.
+    return (report.join(caught_n, ["bands", "rows_per_band"], "left")
             .crossJoin(F.broadcast(n_true))
             .select("bands", "rows_per_band", "n_candidates", "n_true",
-                    "n_caught",
-                    F.round(F.col("n_caught").cast("double")
+                    F.coalesce("n_caught", F.lit(0).cast("bigint"))
+                    .alias("n_caught"),
+                    F.round(F.coalesce("n_caught", F.lit(0)).cast("double")
                             / F.col("n_true").cast("double"), 12)
                     .alias("recall")))
 

@@ -189,22 +189,45 @@ def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
     return all_pairs.unionByName(chained).distinct()
 
 
+_VERIFY_BROADCAST_MAX_PAIRS = 1_000_000  # ~16 MB of (long, long) pairs
+
+
 def _verified_near_dup_pairs(sh: DataFrame) -> DataFrame:
     """LSH candidates exact-verified: (a_id, b_id, jaccard) over the
     shingle-array DataFrame. Shared by the standalone dedup operator and
     the end-to-end pipeline (one implementation, no drift).
 
-    Join order matters at scale: the candidate set is tiny (LSH survivors),
-    the shingle table is the corpus — so BROADCAST the candidates and
-    stream the corpus map-side, twice. The reverse order (shuffling the
-    shingle arrays to meet the pairs) measured ~0.5 s slower at sf0.1 and
-    would move the whole corpus at 100 TB."""
-    cand = _lsh_candidate_pairs(sh)
+    Size-dispatched verify join (same discipline as the CC fastpath and
+    the kNN broadcast fastpath): candidate count grows with the corpus's
+    duplicate MASS, not just its size, so it cannot be unconditionally
+    broadcast at 100 TB.
+
+    • count ≤ _VERIFY_BROADCAST_MAX_PAIRS (env-overridable via
+      SPARK_GRAFT_VERIFY_BROADCAST_MAX): BROADCAST the candidates and
+      stream the corpus map-side, twice. The reverse order (shuffling the
+      shingle arrays to meet the pairs) measured ~0.5 s slower at sf0.1
+      and would move the whole corpus for a tiny pair set.
+    • above the cap: shuffle path — hash-partition on the join id.
+      The first join hints SHUFFLE_HASH with the bare (a_id, b_id) pairs
+      as the build side (16 B/row per-partition hash table); the second
+      join carries shingle-array payloads on BOTH sides, so it stays
+      sort-merge (spills gracefully instead of OOMing a hash table of
+      arrays). Nothing is broadcast, nothing is collected.
+    The pairs are localCheckpoint-ed before the dispatch count so the
+    verify join reads the materialized blocks instead of re-running the
+    minhash pipeline."""
+    cand = _lsh_candidate_pairs(sh).localCheckpoint(eager=False)
+    cap = int(os.environ.get("SPARK_GRAFT_VERIFY_BROADCAST_MAX",
+                             _VERIFY_BROADCAST_MAX_PAIRS))
     sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
     jac = _jaccard_spark(F.col("sh_a"), F.col("sh_b"))
-    withsa = sa.join(F.broadcast(cand), "a_id")
-    return (sb.join(F.broadcast(withsa), "b_id")
+    if cand.count() <= cap:
+        withsa = sa.join(F.broadcast(cand), "a_id")
+        return (sb.join(F.broadcast(withsa), "b_id")
+                .select("a_id", "b_id", jac.alias("jaccard")))
+    withsa = sa.join(cand.hint("shuffle_hash"), "a_id")
+    return (sb.join(withsa, "b_id")
             .select("a_id", "b_id", jac.alias("jaccard")))
 
 

@@ -1500,29 +1500,33 @@ def sql_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     values — readers pay nothing, and the parquet files are
     indistinguishable from explicitly-written ones (no runtime default
     resolution on the scan path, unlike formats that patch at read)."""
-    spark.sql("DROP TABLE IF EXISTS lts_defaults_state")
+    # name-space by sf_tag like catalog_analyze_stats/ensure_bucketed_tables:
+    # two processes at different scale factors share the warehouse dir, and
+    # a fixed table name would let their DROP/CREATE/INSERT interleave
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tbl = f"lts_defaults_state_{sf_tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     # a previous process's metastore may have left the managed LOCATION
     # behind (shared warehouse dir, per-process catalogs) — clear the
     # orphan first, same discipline as save_managed_table
     loc = os.path.join(
         spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
-        "lts_defaults_state")
+        tbl)
     if os.path.isdir(loc):
         shutil.rmtree(loc, ignore_errors=True)
-    spark.sql("""
-        CREATE TABLE lts_defaults_state (
+    spark.sql(f"""
+        CREATE TABLE {tbl} (
           o_orderkey BIGINT,
           status STRING DEFAULT 'new',
           score BIGINT DEFAULT 100) USING parquet
     """)
     load_table(spark, "orders", sf_dir) \
         .createOrReplaceTempView("lts_defaults_src_v")
-    spark.sql("""
-        INSERT INTO lts_defaults_state (o_orderkey)
+    spark.sql(f"""
+        INSERT INTO {tbl} (o_orderkey)
         SELECT o_orderkey FROM lts_defaults_src_v WHERE o_orderkey < 400
     """)
-    return spark.table("lts_defaults_state") \
-        .select("o_orderkey", "status", "score")
+    return spark.table(tbl).select("o_orderkey", "status", "score")
 
 
 # ---------------------------------------------------------------------------

@@ -136,6 +136,43 @@ def test_lsh_hot_bucket_cap_is_not_quadratic(spark):
     assert len(roots) == 1, f"chained candidates split into {len(roots)} components"
 
 
+def test_verify_join_shuffle_path_matches_broadcast(spark, monkeypatch):
+    """The LSH candidate-verify join is size-dispatched: broadcast below
+    SPARK_GRAFT_VERIFY_BROADCAST_MAX candidates, shuffle join above (a
+    100 TB corpus's candidate count grows with duplicate mass and cannot
+    be unconditionally broadcast). Force each dispatch on the same corpus
+    — a forced-large fixture with planted near-dups plus a hot identical
+    block so the candidate set is non-trivial — and require the exact
+    same verified (a_id, b_id, jaccard) rows from both paths."""
+    from pyspark.sql import functions as F
+
+    from lambdatotheslaughter_spark.functions.text import shingles3, tokens
+    from lambdatotheslaughter_spark.operators.llm import (
+        _verified_near_dup_pairs)
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, base + f" tail{i % 7}") for i in range(120)]
+    rows += [(1000 + i, "alpha beta gamma delta epsilon zeta eta theta")
+             for i in range(80)]  # degenerate block → exercises chaining too
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = docs.select("doc_id", tokens().alias("toks")) \
+        .select("doc_id", shingles3("toks").alias("sh"))
+
+    def run():
+        return {(r.a_id, r.b_id, round(r.jaccard, 9))
+                for r in _verified_near_dup_pairs(sh)
+                .where(F.col("jaccard") >= 0.5).collect()}
+
+    monkeypatch.setenv("SPARK_GRAFT_VERIFY_BROADCAST_MAX", "0")
+    shuffled = run()
+    monkeypatch.setenv("SPARK_GRAFT_VERIFY_BROADCAST_MAX", "1000000000")
+    broadcasted = run()
+    assert shuffled, "forced-large fixture produced no verified pairs"
+    assert shuffled == broadcasted, (
+        f"shuffle/broadcast verify paths disagree: "
+        f"{len(shuffled)} vs {len(broadcasted)} pairs")
+
+
 def test_knn_never_collects_to_driver(spark, monkeypatch):
     """The TILED kNN path must stay distributed: force the tiled dispatch
     (fastpath threshold → 0) and execute with toPandas poisoned on the
