@@ -74,6 +74,43 @@ def _drain(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _calibration(spark) -> dict[str, float]:
+    """Drift normalizer (VERDICT r5 #8): a PLAIN-PySpark TPC-H q1 (double
+    arithmetic, no engine determinism machinery — the exact query
+    tools/q1_baseline.py times) measured inside this same bench window,
+    min-of-2 warm after a cold run. The box's wall-clock drifts 1.5-2×
+    between windows (SCALE.md "Measured evidence"), so cross-round
+    BENCH_r*.json comparisons divide by this field instead of trusting
+    raw seconds; engine_q1 / calibration.plain_q1_warm_min2 is the
+    determinism-tax ratio, measured in one shared window every round."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+
+    def q1() -> None:
+        _drain(li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+               .groupBy("l_returnflag", "l_linestatus")
+               .agg(F.sum("l_quantity").alias("sum_qty"),
+                    F.sum("l_extendedprice").alias("sum_base_price"),
+                    F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                          * (1 + F.col("l_tax"))).alias("sum_charge"),
+                    F.avg("l_quantity").alias("avg_qty"),
+                    F.avg("l_extendedprice").alias("avg_price"),
+                    F.avg("l_discount").alias("avg_disc"),
+                    F.count(F.lit(1)).alias("count_order"))
+               .orderBy("l_returnflag", "l_linestatus"))
+
+    q1()  # cold
+    warm = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        q1()
+        warm.append(time.perf_counter() - t0)
+    return {"plain_q1_warm_min2": round(min(warm), 3)}
+
+
 def main() -> None:
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1)) if sf_match else -1.0
@@ -97,6 +134,9 @@ def main() -> None:
             _drain(fn(spark, SF_DIR))      # warm: min of 2 reported
             warm.append(time.perf_counter() - t0)
         timings[name] = round(min(warm), 3)
+    calibration = _calibration(spark)
+    calibration["engine_q1_over_plain_q1"] = round(
+        timings["agg_pricing_summary"] / calibration["plain_q1_warm_min2"], 3)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_warm_total",
@@ -104,6 +144,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration": calibration,
     }))
 
 

@@ -279,27 +279,49 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_distinct_sketch_rollup", oracle=None)
+_SKETCH_ROLLUP_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       TRUE AS estimate_within_5pct
+FROM events
+"""
+
+
+@register("agg_distinct_sketch_rollup", oracle=_SKETCH_ROLLUP_ORACLE)
 def agg_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB distinct-count pattern: build a mergeable HLL SKETCH per
     day (`hll_sketch_agg` — what a daily batch job would persist), then
     roll the stored sketches up with `hll_union_agg` for the total. The
     second stage touches only one tiny sketch blob per day — re-counting
-    distincts over raw history never happens again. Rows-only by design
-    (SURVEY §2.4: never hash-match HLL estimates);
-    tests/test_llm_quality.py gates the merged estimate within 5% of the
-    exact count and pins determinism across partitionings (the sketch is
-    a deterministic function of the value set)."""
+    distincts over raw history never happens again.
+
+    Value-exact oracle (promoted from rows-only, VERDICT r5 #5): the raw
+    HLL estimate can never hash-match a non-HLL engine, so the output
+    carries the DETERMINISTIC facts instead — exact event/day/user
+    counts plus `estimate_within_5pct`, the 5%-tolerance gate folded
+    into a hashable boolean (HLL is a deterministic function of the
+    value set, so the boolean is stable across partitionings — pinned
+    in tests/test_llm_quality.py). The exact distinct here is the
+    verification harness, not the pattern: a production rollup ships
+    only the sketch column."""
     ev = load_table(spark, "events", sf_dir)
     daily = (ev.groupBy(F.to_date("ts").alias("day"))
              .agg(F.hll_sketch_agg("user_id").alias("user_sketch"),
                   F.count(F.lit(1)).alias("n_events")))
-    return daily.agg(
+    rolled = daily.agg(
         F.hll_sketch_estimate(F.hll_union_agg("user_sketch"))
          .alias("approx_distinct_users"),
         F.sum("n_events").cast("bigint").alias("n_events"),
-        F.count(F.lit(1)).alias("n_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
     )
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users_exact"))
+    return (rolled.crossJoin(F.broadcast(exact))  # 1 row × 1 row
+            .select("n_events", "n_days", "n_users_exact",
+                    (F.abs(F.col("approx_distinct_users").cast("double")
+                           / F.col("n_users_exact").cast("double") - 1.0)
+                     <= 0.05).alias("estimate_within_5pct")))
 
 
 @register("agg_quantile_sketch")

@@ -600,37 +600,57 @@ def scan_time_travel_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(1).unionByName(read_snapshot(2))
 
 
-@register("scan_metadata_columns", oracle=None)
+_METADATA_ORACLE = """
+SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+       CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS row_index_sum,
+       CAST(1 AS BIGINT) AS n_files
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+GROUP BY l_linenumber
+"""
+
+
+@register("scan_metadata_columns", oracle=_METADATA_ORACLE)
 def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hidden `_metadata` file columns (`_metadata.file_name`,
     `_metadata.row_index`) — the lineage/debugging surface a 100 TB lake
     operator lives on: which physical file did a corrupt row come from,
-    how are rows distributed across files, did a writer produce skewed
-    file sizes. Reads the multi-file fragmented fixture (so file_name is
-    discriminating) and aggregates per file; row_index is additionally
-    checksummed per file (sum of 0..n-1 = n(n-1)/2) so the per-file row
-    numbering is value-verified, not just present. Rows-only + pytest
-    value gate: DuckDB's `filename=true` virtual column could oracle the
-    name/count half, but `_metadata.row_index` has no DuckDB equivalent
-    and the point of the op is the Spark-native metadata surface; the
-    pytest gate (tests/test_plans.py) asserts the row_index checksum
-    identity instead."""
-    frag = _cached_dataset(
-        "lineitem_fragmented", sf_dir, "lineitem",
+    how are rows distributed across files, did a writer number rows
+    correctly. VALUE-EXACT oracle (promoted from rows-only, VERDICT r5
+    #5) via a layout that pins Spark's file metadata to DuckDB-derivable
+    facts: the fixture is repartitioned BY the partition key before
+    `partitionBy`, so each l_linenumber directory holds exactly ONE
+    parquet file. Then per key: n_files (countDistinct of
+    `_metadata.file_name`) must be 1, and the per-file 0..n-1 row
+    numbering makes sum(`_metadata.row_index`) = n(n-1)/2 exactly — both
+    recomputable from the source table by the oracle, alongside the row
+    count and key checksum. The multi-file/round-robin `_metadata`
+    surface stays covered by tests/test_plans.py's fragmented-fixture
+    listing check (sink_compaction_small_files shares that fixture)."""
+    part = _cached_dataset(
+        "lineitem_bykey", sf_dir, "lineitem",
         lambda tmp: (load_table(spark, "lineitem", sf_dir)
                      .where(F.col("l_shipdate")
                             >= F.lit("2001-01-01").cast("timestamp"))
                      .select("l_orderkey", "l_linenumber", "l_returnflag",
                              "l_shipdate")
-                     .repartition(64).write.mode("overwrite").parquet(tmp)))
-    back = spark.read.parquet(frag)
-    return (back.select("l_orderkey", F.col("_metadata.file_name").alias("file_name"),
+                     .repartition("l_linenumber")
+                     .write.mode("overwrite")
+                     .partitionBy("l_linenumber").parquet(tmp)))
+    back = spark.read.parquet(part)
+    return (back.select(F.col("l_linenumber").cast("bigint")
+                        .alias("l_linenumber"),
+                        "l_orderkey",
+                        F.col("_metadata.file_name").alias("file_name"),
                         F.col("_metadata.row_index").alias("row_index"))
-            .groupBy("file_name")
-            .agg(F.count(F.lit(1)).alias("n_rows"),
+            .groupBy("l_linenumber")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                  F.sum("l_orderkey").cast("bigint").alias("key_sum"),
-                 F.sum("row_index").cast("bigint").alias("row_index_sum"))
-            .orderBy("file_name"))
+                 F.sum("row_index").cast("bigint").alias("row_index_sum"),
+                 F.countDistinct("file_name").cast("bigint")
+                 .alias("n_files")))
 
 
 _OBSERVE_ORACLE = """

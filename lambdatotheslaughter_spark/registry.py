@@ -52,90 +52,71 @@ _MODULES = (
 _loaded = False
 
 # Driver-slot ordering. The driver's CORRECTNESS report verifies the FIRST
-# 50 entries of ``queries()`` (dict insertion order) per round. Rounds 1-4
-# rotated four disjoint windows: the relational core (r1), the
-# streaming/udf/llm families (r2), SS2.12's round-2 additions (r3), and the
-# first fifty of the round-3 additions (r4) -- 192 distinct keys
-# driver-verified across r1-r4 with ZERO hash failures. ROUND 5 (this list)
-# closes the coverage story: the 46 oracled keys that have never held a
-# driver slot -- the 11 round-3 spill keys first, then the three most
-# algorithmically novel round-4 families (survivorship / semantic dedup /
-# triangle count) per VERDICT r4 #5, then the remaining 32 round-4
-# additions -- followed by 4 re-confirmation backfill slots on the
-# most-touched r1-era paths (agg_pricing_summary, join_multiway_star,
-# llm_dedup_fuzzy_minhash, join_asof_event_order). After this window EVERY
-# oracled key in the repo owns at least one hard CORRECTNESS row.
-# ROUND 6 ROTATION PLAN: the 30 round-5 additions (all oracled) become
-# the never-slotted set once this window lands — rotate them in next:
-# sub_any_all_rewrite, agg_count_if_any_value, ts_rolling_corr,
-# ts_downsample_stride, graph_connected_components,
-# graph_jaccard_neighbors, llm_sample_fixed_k_per_group,
-# llm_eval_ngram_recall, llm_dedup_bag_of_words,
-# sink_parquet_bloom_filter, scan_bucket_pruning,
-# scan_nested_struct_pruning, sql_execute_immediate, llm_rank_fusion_rrf,
-# llm_corpus_report, agg_gini_impurity, ts_trend_slope,
-# llm_hard_negative_mining, llm_format_chat_template,
-# llm_dpo_pair_builder, graph_k_core, llm_ngram_novelty,
-# ts_gap_detection, ts_forward_fill, sql_scalar_function_ddl,
-# win_range_between_numeric, catalog_analyze_stats,
-# scan_csv_permissive_corrupt, sql_session_variables,
-# str_hash_functions, llm_style_fingerprint, llm_boilerplate_share,
-# llm_span_corruption, llm_retrieval_bm25_topk,
-# ts_cumulative_distinct_users, date_business_days, set_union_by_name,
-# sql_group_by_all, sql_window_clause_named, llm_html_strip,
-# llm_embedding_truncate_renorm, llm_fim_transform,
-# sink_csv_roundtrip_quotes, sql_values_inline_table,
+# 50 entries of ``queries()`` (dict insertion order) per round. Rounds 1-5
+# rotated five disjoint windows -- 238 distinct keys driver-verified with
+# ZERO hash failures. ROUND 6 (this list): 46 first-time slots drawn from
+# the 75 oracled keys that have never held a driver slot (the 73 round-5
+# additions plus scan_metadata_columns and agg_distinct_sketch_rollup,
+# both promoted from rows-only to value-exact oracles this round per
+# VERDICT r5 #5) + 4 re-confirmation backfill slots on the EXACT paths
+# changed this round: the LSH candidate-verify join grew a size dispatch
+# (llm.py _verified_near_dup_pairs), touching llm_dedup_fuzzy_minhash,
+# llm_pipeline_end_to_end, llm_dedup_cluster and
+# llm_dedup_incremental_fuzzy. First-time ordering per VERDICT r5 #1: the
+# four families a user hits first (cross-shard merge, ngram recall, hard
+# negatives, LSH tuning), then the three keys CHANGED this round
+# (sql_column_defaults sf_tag fix + the two oracle promotions), then the
+# remaining never-slotted keys in round-5 registration order.
+# ROUND 7 ROTATION PLAN -- the 29 spills, in this order:
+# llm_fim_transform, sink_csv_roundtrip_quotes, sql_values_inline_table,
 # sql_lateral_view_explode, sql_distribute_sort_by, sql_join_hints,
 # date_iso_week_quarter, ts_time_weighted_avg, sql_join_hint_merge,
 # llm_minhash_bbit, win_topk_with_ties, sql_identifier_clause,
-# sql_column_defaults, llm_lsh_tuning_report, sql_star_except,
-# agg_filter_clause, scan_nested_predicate_pushdown,
+# sql_star_except, agg_filter_clause, scan_nested_predicate_pushdown,
 # source_partition_discovery_types, scan_aggregate_pushdown,
-# llm_dedup_cross_shard_merge, sql_table_function_range, stat_crosstab,
-# sql_pivot_clause, sql_unpivot_clause, sql_hint_rebalance,
-# scan_fieldid_rename_evolution, sink_max_records_per_file,
-# agg_regr_builtins, win_lag_ignore_nulls, sql_semi_anti_join_syntax,
-# udtf_sql_registered, stream_rate_source_resume
-# (73 names — the 50-slot window takes the first 50 in this order; the
-# twenty-three spills roll to round 7 with the re-confirmation backfill,
-# the same pattern the round-3 spill keys followed). Update
+# sql_table_function_range, stat_crosstab, sql_pivot_clause,
+# sql_unpivot_clause, sql_hint_rebalance, scan_fieldid_rename_evolution,
+# sink_max_records_per_file, agg_regr_builtins, win_lag_ignore_nulls,
+# sql_semi_anti_join_syntax, udtf_sql_registered,
+# stream_rate_source_resume
+# (29 names; plus any round-6 additions, oldest debt first, then
+# re-confirmation backfill on whatever paths round 7 touches). Update
 # tests/test_survey_coverage.py's pinned window when rotating.
-# Rows-only-by-design ops (llm_sim_lsh_approx, llm_sim_ann_ivf,
-# llm_multimodal_decode, agg_approx_distinct, agg_distinct_sketch_rollup,
-# scan_metadata_columns, llm_tokenizer_bpe_train, llm_tokenizer_bpe_apply,
-# agg_quantile_sketch, agg_sketch_set_intersection,
-# llm_embedding_pca_project, agg_sliding_distinct_hll,
-# ts_downsample_lttb) are deliberately NOT
+# Rows-only-by-design ops (the 11: llm_sim_lsh_approx, llm_sim_ann_ivf,
+# llm_multimodal_decode, agg_approx_distinct, llm_tokenizer_bpe_train,
+# llm_tokenizer_bpe_apply, agg_quantile_sketch,
+# agg_sketch_set_intersection, llm_embedding_pca_project,
+# agg_sliding_distinct_hll, ts_downsample_lttb) are deliberately NOT
 # listed -- a driver slot adds nothing over their pytest
 # determinism/recall/tolerance gates.
-# Update tests/test_survey_coverage.py's pinned window when rotating.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- the 11 round-3 spill keys (never slotted; oldest debt first) ---
-    "udtf_dynamic_schema", "source_python_datasource_stream",
-    "stream_session_window_dynamic_gap", "sql_parameterized",
-    "df_transpose", "source_binary_files", "scan_ignore_corrupt_files",
-    "llm_split_train_val_test", "scan_vacuum_orphan_files",
-    "sink_stream_to_table", "llm_dedup_url_canonical",
-    # --- highest-risk round-4 families first (VERDICT r4 #5) ---
-    "llm_dedup_survivorship", "llm_dedup_semantic", "graph_triangle_count",
-    # --- remaining 32 round-4 additions, registration order ---
-    "llm_fingerprint_winnow", "llm_index_inverted_postings",
-    "llm_ngram_topk_per_lang", "llm_vocab_coverage", "llm_cooccurrence_pmi",
-    "llm_embedding_centroids", "ts_mom_growth", "udf_cogrouped_map",
-    "join_asof_forward", "ts_seasonal_decompose_ma", "win_pct_of_total",
-    "llm_sample_importance_weighted", "agg_mad_robust",
-    "sink_jsonl_roundtrip", "llm_prompt_template_detect",
-    "agg_skew_kurt_exact", "agg_hist_fixed_buckets", "udf_pandas_iter",
-    "udaf_grouped_agg_pandas", "udf_sql_registered",
-    "llm_shuffle_deterministic", "llm_mix_epoch_upsample",
-    "llm_embedding_dim_stats", "graph_bfs_distance", "agg_weighted_stats",
-    "ts_cusum_drift", "llm_filter_blocklist", "llm_sample_fixed_k",
-    "join_fuzzy_levenshtein_blocked", "graph_degree_histogram",
-    "udf_apply_in_arrow", "agg_percentile_disc_exact",
-    # --- 4 re-confirmation backfill slots (r1-era rows on the
-    #     most-touched code paths since; VERDICT r4 #8) ---
-    "agg_pricing_summary", "join_multiway_star", "llm_dedup_fuzzy_minhash",
-    "join_asof_event_order",
+    # --- 4 priority families (VERDICT r5 #1 names these first) ---
+    "llm_dedup_cross_shard_merge", "llm_eval_ngram_recall",
+    "llm_hard_negative_mining", "llm_lsh_tuning_report",
+    # --- 3 keys changed this round (ADVICE fix + oracle promotions) ---
+    "sql_column_defaults", "scan_metadata_columns",
+    "agg_distinct_sketch_rollup",
+    # --- 39 more never-slotted keys, round-5 registration order ---
+    "sub_any_all_rewrite", "agg_count_if_any_value", "ts_rolling_corr",
+    "ts_downsample_stride", "graph_connected_components",
+    "graph_jaccard_neighbors", "llm_sample_fixed_k_per_group",
+    "llm_dedup_bag_of_words", "sink_parquet_bloom_filter",
+    "scan_bucket_pruning", "scan_nested_struct_pruning",
+    "sql_execute_immediate", "llm_rank_fusion_rrf", "llm_corpus_report",
+    "agg_gini_impurity", "ts_trend_slope", "llm_format_chat_template",
+    "llm_dpo_pair_builder", "graph_k_core", "llm_ngram_novelty",
+    "ts_gap_detection", "ts_forward_fill", "sql_scalar_function_ddl",
+    "win_range_between_numeric", "catalog_analyze_stats",
+    "scan_csv_permissive_corrupt", "sql_session_variables",
+    "str_hash_functions", "llm_style_fingerprint", "llm_boilerplate_share",
+    "llm_span_corruption", "llm_retrieval_bm25_topk",
+    "ts_cumulative_distinct_users", "date_business_days",
+    "set_union_by_name", "sql_group_by_all", "sql_window_clause_named",
+    "llm_html_strip", "llm_embedding_truncate_renorm",
+    # --- 4 re-confirmation backfill slots: every key whose plan changed
+    #     with this round's LSH verify-join size dispatch ---
+    "llm_dedup_fuzzy_minhash", "llm_pipeline_end_to_end",
+    "llm_dedup_cluster", "llm_dedup_incremental_fuzzy",
 )
 
 

@@ -261,17 +261,18 @@ def test_sketch_rollup_within_tolerance_and_deterministic(spark, duck):
         "SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
     conf = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(conf)
-    est = []
+    got = []
     try:
         for parts in ("7", "61"):
             spark.conf.set(conf, parts)
             row = registry.get("agg_distinct_sketch_rollup") \
                 .fn(spark, SF_DIR).collect()[0]
-            est.append(row["approx_distinct_users"])
+            got.append(row.asDict())
     finally:
         spark.conf.set(conf, prev)
-    assert est[0] == est[1], f"sketch estimate partition-dependent: {est}"
-    assert abs(est[0] - exact) / exact <= 0.05, (est[0], exact)
+    assert got[0] == got[1], f"sketch rollup partition-dependent: {got}"
+    assert got[0]["n_users_exact"] == exact, (got[0], exact)
+    assert got[0]["estimate_within_5pct"] is True, got[0]
 
 
 def test_knn_tiled_and_broadcast_paths_agree_on_duplicates(spark, monkeypatch):

@@ -279,23 +279,27 @@ def test_compaction_collapses_file_count():
 
 
 def test_metadata_columns_row_index_checksums(spark_also=None):
-    """scan_metadata_columns is rows-only (no DuckDB `_metadata` analog);
-    this is its value gate: per file, sum(row_index) must equal
-    n(n-1)/2 — the exact checksum of a correct 0..n-1 per-file numbering —
-    and the file names must cover the fragmented fixture's real listing."""
+    """scan_metadata_columns is oracled since round 6 (one file per
+    partition key makes every column DuckDB-derivable); this gate pins
+    the PHYSICAL claims the oracle encodes: each l_linenumber directory
+    holds exactly one parquet file on disk, the operator saw exactly
+    that file (n_files == 1), and sum(row_index) == n(n-1)/2 — the exact
+    checksum of a correct contiguous 0..n-1 per-file numbering."""
     df = _df("scan_metadata_columns")
     rows = df.collect()
-    assert len(rows) >= 32, f"expected >=32 fragment files, got {len(rows)}"
+    assert len(rows) == 7, f"expected 7 l_linenumber groups, got {len(rows)}"
     for r in rows:
         n = r["n_rows"]
+        assert r["n_files"] == 1, r
         assert r["row_index_sum"] == n * (n - 1) // 2, (
-            f"{r['file_name']}: row_index sum {r['row_index_sum']} != "
-            f"{n * (n - 1) // 2} for {n} rows")
+            f"l_linenumber={r['l_linenumber']}: row_index sum "
+            f"{r['row_index_sum']} != {n * (n - 1) // 2} for {n} rows")
     from lambdatotheslaughter_spark.operators.scans import cached_dataset_path
-    frag = cached_dataset_path("lineitem_fragmented", SF_DIR, "lineitem")
-    listed = {os.path.basename(p)
-              for p in glob.glob(os.path.join(frag, "*.parquet"))}
-    assert {r["file_name"] for r in rows} == listed
+    part = cached_dataset_path("lineitem_bykey", SF_DIR, "lineitem")
+    for r in rows:
+        files = glob.glob(os.path.join(
+            part, f"l_linenumber={r['l_linenumber']}", "*.parquet"))
+        assert len(files) == 1, (r["l_linenumber"], files)
 
 
 def test_q1_shuffle_volume_is_group_state_only():

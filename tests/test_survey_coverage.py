@@ -44,10 +44,7 @@ def test_oracle_coverage_ratio():
                # pure-Python routine over an INDEPENDENT DuckDB series
                # in test_llm_quality.py instead of a hash row
                "ts_downsample_lttb",
-               "llm_multimodal_decode", "agg_distinct_sketch_rollup",
-               # _metadata.row_index has no DuckDB equivalent; the per-file
-               # row-numbering is value-gated in test_plans.py instead
-               "scan_metadata_columns",
+               "llm_multimodal_decode",
                # iterative (each merge conditions on the last) — the full
                # merge table is value-pinned against a pure-Python
                # reference BPE in test_llm_quality.py instead
@@ -72,13 +69,13 @@ def test_oracle_coverage_ratio():
 
 def test_driver_priority_window_is_fully_oracled():
     """The driver hash-verifies the FIRST 50 entries of queries() per round.
-    Round 5 closes the coverage story: the 46 oracled keys never driver
-    -slotted in r1-r4 (11 round-3 spill keys + 35 round-4 additions, the
-    three highest-risk families ordered early per VERDICT r4 #5) plus 4
-    designated re-confirmation backfill slots (VERDICT r4 #8). Every slot
-    must carry an oracle (a rows-only op in the window wastes a
-    verification slot), every listed name must exist, and only the 4
-    designated backfill keys may repeat a prior driver-green row."""
+    Round 6: 46 first-time slots from the never-driver-slotted pool (the
+    round-5 additions plus the two oracles promoted from rows-only this
+    round) + 4 re-confirmation backfill slots on the keys whose plan
+    changed with the LSH verify-join size dispatch. Every slot must carry
+    an oracle (a rows-only op in the window wastes a verification slot),
+    every listed name must exist, and only the 4 designated backfill keys
+    may repeat a prior driver-green row."""
     qs = list(registry.all_queries())
     oracles = registry.all_oracles()
     prio = registry._DRIVER_PRIORITY
@@ -88,16 +85,20 @@ def test_driver_priority_window_is_fully_oracled():
     assert qs[:50] == list(prio), "queries() does not lead with the priority window"
     unoracled = [n for n in qs[:50] if n not in oracles]
     assert not unoracled, f"rows-only queries occupy driver slots: {unoracled}"
-    # The 4 backfill slots are deliberate re-confirmations; nothing ELSE in
-    # the window may repeat a key already driver-green in r1-r4.
-    backfill = {"agg_pricing_summary", "join_multiway_star",
-                "llm_dedup_fuzzy_minhash", "join_asof_event_order"}
+    # The 4 backfill slots are deliberate re-confirmations (the LSH
+    # verify-join dispatch landed this round); nothing ELSE in the window
+    # may repeat a key already driver-green in r1-r5.
+    backfill = {"llm_dedup_fuzzy_minhash", "llm_pipeline_end_to_end",
+                "llm_dedup_cluster", "llm_dedup_incremental_fuzzy"}
     assert backfill <= set(prio[-4:]), "backfill keys must occupy the last 4 slots"
     already_verified = {
         "scan_parquet", "join_inner_equi", "source_jsonl",
         "type_decimal_arith", "llm_sample_stratified", "win_topk_per_group",
         "sink_compaction_small_files", "graph_pagerank_fixed",
         "llm_dedup_bloom_prefilter", "udf_map_in_arrow",
+        "agg_pricing_summary", "join_multiway_star", "join_asof_event_order",
+        "udtf_dynamic_schema", "llm_dedup_survivorship",
+        "graph_triangle_count", "llm_dedup_semantic",
     }
     wasted = sorted(already_verified & set(qs[:50]))
-    assert not wasted, f"already driver-verified keys waste r5 slots: {wasted}"
+    assert not wasted, f"already driver-verified keys waste r6 slots: {wasted}"
