@@ -102,13 +102,23 @@ def _calibration(spark) -> dict[str, float]:
                     F.count(F.lit(1)).alias("count_order"))
                .orderBy("l_returnflag", "l_linestatus"))
 
-    q1()  # cold
-    warm = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        q1()
-        warm.append(time.perf_counter() - t0)
-    return {"plain_q1_warm_min2": round(min(warm), 3)}
+    def timed(fn) -> float:
+        fn()  # cold
+        warm = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            warm.append(time.perf_counter() - t0)
+        return round(min(warm), 3)
+
+    # time the ENGINE q1 again back-to-back with the plain one — the
+    # headline loop ran it minutes earlier, and this box drifts inside a
+    # single session; the ratio is only meaningful measured in one instant
+    engine_fn = registry.all_queries()["agg_pricing_summary"]
+    engine = timed(lambda: _drain(engine_fn(spark, SF_DIR)))
+    plain = timed(q1)
+    return {"plain_q1_warm_min2": plain,
+            "engine_q1_warm_min2_paired": engine}
 
 
 def main() -> None:
@@ -136,7 +146,8 @@ def main() -> None:
         timings[name] = round(min(warm), 3)
     calibration = _calibration(spark)
     calibration["engine_q1_over_plain_q1"] = round(
-        timings["agg_pricing_summary"] / calibration["plain_q1_warm_min2"], 3)
+        calibration["engine_q1_warm_min2_paired"]
+        / calibration["plain_q1_warm_min2"], 3)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_warm_total",

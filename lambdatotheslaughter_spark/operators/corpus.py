@@ -2023,3 +2023,195 @@ def llm_dedup_cross_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lang", "shard_survivors", "global_survivors",
                     (F.col("shard_survivors") - F.col("global_survivors"))
                     .cast("bigint").alias("cross_shard_dups")))
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup share (round 6)
+# ---------------------------------------------------------------------------
+
+_PARA_ORACLE = """
+WITH seg AS (
+  SELECT DISTINCT doc_id, md5(p) AS fp
+  FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS p
+        FROM documents)
+  WHERE len(p) >= 20
+), df AS (
+  SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM seg GROUP BY fp
+)
+SELECT seg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(COUNT(*) FILTER (WHERE df.nd > 1) AS BIGINT) AS n_dup_paras,
+       CAST(COUNT(*) FILTER (WHERE df.nd > 1) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_share
+FROM seg JOIN df ON seg.fp = df.fp
+GROUP BY seg.doc_id
+"""
+
+
+@register("llm_dedup_paragraph", oracle=_PARA_ORACLE)
+def llm_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-granularity duplication audit: documents are often
+    unique as wholes while sharing boilerplate paragraphs (footers,
+    license blocks, templated intros) — whole-doc dedup misses it, and
+    span dedup (llm_dedup_span_exact) works at fixed token windows.
+    Segment on sentence-ish boundaries ('. ', ≥20 chars), fingerprint
+    each distinct segment per doc, count how many docs each fingerprint
+    appears in, and report per doc the share of its paragraphs that are
+    corpus-duplicated — the number a curation team thresholds on before
+    stripping boilerplate.
+
+    Scale shape: segment explode is map-side; the doc-frequency groupBy
+    keys on the fingerprint (combinable); the join back is
+    fingerprint-keyed (the exploded table meets a fingerprint-sized dim);
+    the final per-doc rollup is combinable. Same inverted-index
+    discipline as the shingle ops — no pairwise comparison anywhere."""
+    d = load_table(spark, "documents", sf_dir)
+    seg = (d.select("doc_id", F.explode(F.split("text", r"\. ")).alias("p"))
+           .where(F.length("p") >= 20)
+           .select("doc_id", F.md5("p").alias("fp"))
+           .distinct()
+           .localCheckpoint(eager=False))  # feeds df-count AND the join back
+    df_count = seg.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("nd"))
+    dup = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("bigint")
+    return (seg.join(df_count, "fp")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+                 dup.alias("n_dup_paras"))
+            .select("doc_id", "n_paras", "n_dup_paras",
+                    (F.col("n_dup_paras").cast("double")
+                     / F.col("n_paras").cast("double")).alias("dup_share")))
+
+
+# ---------------------------------------------------------------------------
+# RAG context packing under a token budget (round 6)
+# ---------------------------------------------------------------------------
+
+_RAG_BUDGET = 512
+_RAG_TOPK = 8
+
+_RAG_PACK_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id AS query_id,
+         list_distinct(string_split(text, ' ')[1:5]) AS qtoks
+  FROM documents WHERE doc_id < 10
+), qt AS (
+  SELECT query_id, unnest(qtoks) AS tok FROM q
+), ct AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id >= 10
+), scored AS (
+  SELECT qt.query_id, ct.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS score
+  FROM qt JOIN ct ON qt.tok = ct.tok
+  GROUP BY qt.query_id, ct.doc_id
+), ranked AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS doc_tokens,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.score DESC, s.doc_id) AS rank
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+), packed AS (
+  SELECT query_id, rank, doc_id, score, doc_tokens,
+         SUM(doc_tokens) OVER (PARTITION BY query_id ORDER BY rank
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM ranked WHERE rank <= {_RAG_TOPK}
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score, doc_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM packed WHERE cum_tokens <= {_RAG_BUDGET}
+"""
+
+
+@register("llm_rag_context_pack", oracle=_RAG_PACK_ORACLE)
+def llm_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context assembly: retrieve top-k candidate documents per query
+    (shared-distinct-token overlap score through the inverted token
+    index), then GREEDY-PACK them into the prompt in rank order until a
+    512-token budget is exhausted — the exact packing rule a
+    retrieval-augmented serving layer applies between 'retrieval' and
+    'prompt'. The budget cut is a running-sum window in rank order, so a
+    doc that overflows the budget drops along with everything ranked
+    below it.
+
+    Scale shape: the query set is tiny by construction (broadcast side);
+    corpus tokens explode once and meet the query tokens on the token
+    key — a hot token costs |queries| pairs per occurrence, bounded by
+    the query set, never the corpus (the llm_eval_ngram_recall
+    discipline). Ranking and packing are per-query windows over ≤
+    {_RAG_TOPK} rows each."""
+    d = load_table(spark, "documents", sf_dir)
+    q = (d.where(F.col("doc_id") < 10)
+         .select(F.col("doc_id").alias("query_id"),
+                 F.explode(F.array_distinct(
+                     F.slice(F.split("text", " "), 1, 5))).alias("tok")))
+    ct = (d.where(F.col("doc_id") >= 10)
+          .select("doc_id", F.explode(F.split("text", " "))
+                  .alias("tok")).distinct())
+    scored = (ct.join(F.broadcast(q), "tok")
+              .groupBy("query_id", "doc_id")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("score")))
+    toks = d.select("doc_id", F.size(F.split("text", " "))
+                    .cast("bigint").alias("doc_tokens"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id"))
+    ranked = (scored.join(toks, "doc_id")
+              .select("query_id", "doc_id", "score", "doc_tokens",
+                      F.row_number().over(w).cast("bigint").alias("rank"))
+              .where(F.col("rank") <= _RAG_TOPK))
+    wsum = (Window.partitionBy("query_id").orderBy("rank")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ranked
+            .select("query_id", "rank", "doc_id", "score", "doc_tokens",
+                    F.sum("doc_tokens").over(wsum).cast("bigint")
+                    .alias("cum_tokens"))
+            .where(F.col("cum_tokens") <= _RAG_BUDGET))
+
+
+# ---------------------------------------------------------------------------
+# curriculum schedule (round 6)
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_ORACLE = """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         ntile(4) OVER (ORDER BY n_chars, doc_id) AS epoch
+  FROM documents
+)
+SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+       CAST(row_number() OVER (
+         PARTITION BY epoch
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)),
+                  doc_id) AS BIGINT) AS position
+FROM b
+"""
+
+
+@register("llm_curriculum_schedule", oracle=_CURRICULUM_ORACLE)
+def llm_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: quartile documents by a difficulty
+    proxy (length), train epochs easy→hard (epoch = NTILE(4) of the
+    total difficulty order), and DETERMINISTICALLY shuffle within each
+    epoch by an md5 of (doc_id, epoch) — reproducible across reruns and
+    engines, the llm_shuffle_deterministic discipline applied to
+    curriculum buckets instead of one global order. NTILE's equal-fill
+    semantics (remainder to the leading buckets) are SQL-standard and
+    identical in both engines; ties in the difficulty order are broken
+    by doc_id so the quartile boundaries are exact.
+
+    Scale shape: the total order is a single-partition window at test
+    scale; at 100 TB epoch assignment becomes the two-pass bucketed
+    rank llm_shuffle_deterministic already implements (per-bucket counts
+    → offsets → local ranks), and the within-epoch md5 order is a plain
+    sort key — nothing about the schedule itself is sequential."""
+    d = load_table(spark, "documents", sf_dir)
+    b = d.select(
+        "doc_id",
+        F.ntile(4).over(Window.orderBy("n_chars", "doc_id"))
+        .cast("bigint").alias("epoch"))
+    wpos = Window.partitionBy("epoch").orderBy(
+        F.md5(F.concat_ws("#", F.col("doc_id").cast("string"),
+                          F.col("epoch").cast("string"))), F.col("doc_id"))
+    return b.select("doc_id", "epoch",
+                    F.row_number().over(wpos).cast("bigint")
+                    .alias("position"))

@@ -3251,3 +3251,166 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", F.col("day").cast("string").alias("day"),
                     F.round("cents_mean", 6).alias("cents_mean"),
                     F.col("pos").cast("bigint").alias("pos")))
+
+
+# ---------------------------------------------------------------------------
+# outer generators: empty arrays must keep their row (round 6)
+# ---------------------------------------------------------------------------
+
+_EXPLODE_OUTER_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, 'q\w+') AS arr FROM documents
+)
+SELECT doc_id,
+       CAST(i - 1 AS BIGINT) AS pos,
+       arr[i] AS qword
+FROM t LEFT JOIN LATERAL (
+  SELECT unnest(generate_series(1, len(arr))) AS i) u ON TRUE
+"""
+
+
+@register("explode_outer_nulls", oracle=_EXPLODE_OUTER_ORACLE)
+def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`posexplode_outer`: flattening that PRESERVES rows whose array is
+    empty (NULL pos/element) — the anti-join-free way to keep "documents
+    with no matches" visible in the flattened view. Plain explode drops
+    them, and the classic workaround (flatten + left anti + union) is two
+    extra shuffles; the outer generator is zero extra shuffles (generate
+    is map-side). The q-word extraction leaves most docs with an empty
+    array, so the outer semantics carry real weight here. Oracle: DuckDB
+    LEFT JOIN LATERAL over generate_series(1, len(arr)) — its unnest
+    drops empty rows exactly like plain explode, so the lateral left join
+    is the porting idiom."""
+    d = load_table(spark, "documents", sf_dir)
+    return (d.select(
+        "doc_id",
+        F.posexplode_outer(F.expr(r"regexp_extract_all(text, 'q\\w+')"))
+        .alias("pos", "qword"))
+        .withColumn("pos", F.col("pos").cast("bigint")))
+
+
+# ---------------------------------------------------------------------------
+# IQR fence outliers (round 6)
+# ---------------------------------------------------------------------------
+
+_IQR_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), fences AS (
+  SELECT event_type,
+         MIN(CASE WHEN rk >= (n + 3) // 4 THEN value END) AS q1,
+         MIN(CASE WHEN rk >= (3 * n + 3) // 4 THEN value END) AS q3
+  FROM ranked GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       f.q1 - 1.5 * (f.q3 - f.q1) AS lo_fence,
+       f.q3 + 1.5 * (f.q3 - f.q1) AS hi_fence,
+       e.value > f.q3 + 1.5 * (f.q3 - f.q1) AS is_high
+FROM events e JOIN fences f ON e.event_type = f.event_type
+WHERE e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+   OR e.value > f.q3 + 1.5 * (f.q3 - f.q1)
+"""
+
+
+@register("ts_outlier_iqr", oracle=_IQR_ORACLE)
+def ts_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outliers per event_type: values outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR] with DISCRETE quartiles — actual data
+    values at rank ceil(p·n) via pure integer arithmetic
+    ((p·n + den − 1) div den), the agg_percentile_disc_exact discipline,
+    so no interpolation ulp exists and the fences are the same IEEE ops
+    in the same order on both engines. Complements ts_anomaly_zscore
+    (moment-based) and agg_mad_robust (median-based) with the
+    quartile-based detector that ignores distribution shape.
+
+    Scale shape: one window shuffle per event_type for the ranks (rank +
+    count share the exchange), a combinable conditional-MIN groupBy to a
+    types-sized fence table, then a BROADCAST fence join back — the scan
+    side never reshuffles."""
+    ev = load_table(spark, "events", sf_dir)
+    wp = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(wp.orderBy("value", "event_id")).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n"))
+
+    def disc(num: int, den: int, name: str):
+        thresh = F.expr(f"({num} * n + {den} - 1) div {den}")
+        return F.min(F.when(F.col("rk") >= thresh, F.col("value"))) \
+            .alias(name)
+
+    fences = (ranked.groupBy("event_type")
+              .agg(disc(1, 4, "q1"), disc(3, 4, "q3")))
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (ev.join(F.broadcast(fences), "event_type")
+            .where((F.col("value") < lo) | (F.col("value") > hi))
+            .select("event_id", "event_type", "value",
+                    lo.alias("lo_fence"), hi.alias("hi_fence"),
+                    (F.col("value") > hi).alias("is_high")))
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence cells (round 6)
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT event_type, CAST(user_id % 3 AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events GROUP BY event_type, CAST(user_id % 3 AS BIGINT)
+), tot AS (
+  SELECT event_type, bucket, obs,
+         SUM(obs) OVER (PARTITION BY event_type) AS row_n,
+         SUM(obs) OVER (PARTITION BY bucket) AS col_n,
+         SUM(obs) OVER () AS grand_n
+  FROM cells
+)
+SELECT event_type, bucket, obs,
+       CAST(row_n * col_n AS DOUBLE) / CAST(grand_n AS DOUBLE) AS expected,
+       (CAST(obs AS DOUBLE)
+        - CAST(row_n * col_n AS DOUBLE) / CAST(grand_n AS DOUBLE))
+       * (CAST(obs AS DOUBLE)
+          - CAST(row_n * col_n AS DOUBLE) / CAST(grand_n AS DOUBLE))
+       / (CAST(row_n * col_n AS DOUBLE) / CAST(grand_n AS DOUBLE))
+         AS chi2_contrib
+FROM tot
+"""
+
+
+@register("stat_chi_square_independence", oracle=_CHI2_ORACLE)
+def stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test cells for event_type × user-bucket —
+    the drift/bias check a data team runs on categorical columns (is the
+    event mix independent of the user cohort?). Emits PER-CELL observed,
+    expected (row·col/grand, all integer counts until the final
+    division) and chi² contribution — per-cell rather than the summed
+    statistic, deliberately: the cross-cell float SUM is
+    association-order-dependent across engines, while each cell's value
+    is a fixed tree of correctly-rounded IEEE ops (int→double divisions,
+    one subtract, one multiply, one divide) and hashes exactly. The cell
+    table is also the more useful artifact (WHICH cell drives the
+    drift).
+
+    Scale shape: one groupBy to a (types × buckets)-sized cell table;
+    marginals are windows over that tiny table, not the events."""
+    ev = load_table(spark, "events", sf_dir)
+    cells = (ev.groupBy("event_type",
+                        (F.col("user_id") % 3).cast("bigint").alias("bucket"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("obs")))
+    tot = cells.select(
+        "event_type", "bucket", "obs",
+        F.sum("obs").over(Window.partitionBy("event_type")).alias("row_n"),
+        F.sum("obs").over(Window.partitionBy("bucket")).alias("col_n"),
+        F.sum("obs").over(
+            Window.partitionBy(F.lit(1))).alias("grand_n"))
+    expected = ((F.col("row_n") * F.col("col_n")).cast("double")
+                / F.col("grand_n").cast("double"))
+    dev = F.col("obs").cast("double") - expected
+    return tot.select("event_type", "bucket", "obs",
+                      expected.alias("expected"),
+                      (dev * dev / expected).alias("chi2_contrib"))

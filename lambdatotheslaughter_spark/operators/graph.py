@@ -590,3 +590,52 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(edges.select("b"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree")))
+
+
+# ---------------------------------------------------------------------------
+# bipartite projection: co-purchase graph (round 6)
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM pairs
+GROUP BY part_a, part_b
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("graph_bipartite_copurchase", oracle=_COPURCHASE_ORACLE)
+def graph_bipartite_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the order–part graph onto part–part
+    CO-PURCHASE edges (weight = number of shared orders, kept at
+    weight ≥ 2) — the market-basket / co-occurrence projection behind
+    "frequently bought together" and behind co-citation graphs in corpus
+    work. Pair generation is a SELF-JOIN ON THE BASKET KEY, so the
+    quadratic term is bounded by basket size (≤7 lineitems per order in
+    this schema ⇒ ≤21 pairs per order), never by the corpus: the same
+    per-group-bounded discipline as the LSH band buckets. A 100 TB run
+    with degenerate baskets would cap basket size first (the hot-bucket
+    pattern, llm.py) — here the schema bounds it by construction.
+
+    Scale shape: distinct on (order, part) is one combinable shuffle;
+    the self-join co-partitions both sides on l_orderkey (one exchange
+    feeds both inputs); the pair groupBy is map-side combinable; the
+    weight filter collapses output to the repeated-pair tail."""
+    items = (load_table(spark, "lineitem", sf_dir)
+             .select("l_orderkey", "l_partkey").distinct()
+             .localCheckpoint(eager=False))  # one shuffle feeds both sides
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok2"),
+                     F.col("l_partkey").alias("part_b"))
+    return (a.join(b, (a.l_orderkey == b.ok2)
+                   & (F.col("part_a") < F.col("part_b")))
+            .groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+            .where(F.col("n_orders") >= 2))

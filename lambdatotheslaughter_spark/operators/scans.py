@@ -1794,3 +1794,133 @@ def sink_max_records_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("f").cast("bigint").alias("n_files"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum")))
+
+
+# ---------------------------------------------------------------------------
+# native XML connector (round 6)
+# ---------------------------------------------------------------------------
+
+_XML_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM events WHERE event_id < 2000
+GROUP BY event_type
+"""
+
+
+@register("source_xml", oracle=_XML_ORACLE)
+def source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML connector (Spark 4 built-in, no external package):
+    write → read round trip with an explicit rowTag and schema. XML is
+    the format B2B/feed ingestion still arrives in; the native reader
+    makes it a first-class distributed source (splittable by rowTag
+    across files). Money crosses the text boundary as exact integer
+    cents — the same lossless-cents discipline as source_csv — and the
+    read uses an explicit schema + FAILFAST so a malformed feed dies at
+    the edge. Bounded slice (event_id < 2000) keeps the fixture small;
+    the oracle recomputes from the parquet source."""
+    ev = load_table(spark, "events", sf_dir).where(F.col("event_id") < 2000)
+    out = _cached_dataset(
+        "events_xml", sf_dir, "events",
+        lambda tmp: (ev.select("event_id", "user_id", "event_type",
+                               iround(F.col("value") * 100).alias("cents"))
+                     .write.mode("overwrite")
+                     .option("rowTag", "event").format("xml").save(tmp)))
+    schema = ("event_id bigint, user_id bigint, event_type string, "
+              "cents bigint")
+    back = (spark.read.schema(schema).option("rowTag", "event")
+            .option("mode", "FAILFAST").format("xml").load(out))
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.sum("event_id").cast("bigint").alias("id_sum"),
+                 F.sum("cents").cast("bigint").alias("cents")))
+
+
+# ---------------------------------------------------------------------------
+# recursive file lookup + glob filter (round 6)
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(user_id) AS BIGINT) AS user_sum
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("source_recursive_glob", oracle=_RECURSIVE_ORACLE)
+def source_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`recursiveFileLookup` + `pathGlobFilter`: ingest a lake prefix
+    whose layout is NOT hive-partitioned (vendor drops, log shippers,
+    rescued data) — files nested at arbitrary depth, mixed with sidecar
+    files the glob must skip. recursiveFileLookup deliberately DISABLES
+    partition inference, so the fixture writes the grouping columns into
+    the files themselves (dir names are opaque nesting, exactly the
+    untrusted-layout contract). The glob keeps *.parquet and skips the
+    planted sidecar .txt. At 100 TB this read is listing-bound — the
+    recursive listing is distributed in Spark, and the glob prunes
+    before any footer is opened."""
+    ev = load_table(spark, "events", sf_dir)
+
+    def build(tmp: str) -> None:
+        (ev.select("event_id", "user_id", "event_type",
+                   F.col("event_type").alias("etype_dir"),
+                   (F.col("user_id") % 2).cast("int").alias("half_dir"))
+         .write.mode("overwrite")
+         .partitionBy("etype_dir", "half_dir").parquet(tmp))
+        # sidecar the glob must skip (a manifest/log shipper artifact)
+        with open(os.path.join(tmp, "_vendor_manifest.txt"), "w") as fh:
+            fh.write("not data\n")
+
+    out = _cached_dataset("events_nested_dirs", sf_dir, "events", build)
+    back = (spark.read
+            .option("recursiveFileLookup", True)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(out))
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.sum("user_id").cast("bigint").alias("user_sum")))
+
+
+# ---------------------------------------------------------------------------
+# multiline (JSON-array) document source (round 6)
+# ---------------------------------------------------------------------------
+
+_MULTILINE_ORACLE = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders WHERE o_orderkey < 2000
+GROUP BY o_orderstatus
+"""
+
+
+@register("source_json_multiline", oracle=_MULTILINE_ORACLE)
+def source_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`multiLine` JSON: one file holding a single JSON ARRAY of records
+    (the shape REST exports and config dumps arrive in), as opposed to
+    source_jsonl's line-delimited form. The critical 100 TB caveat is
+    IN the op: a multiline JSON document is NOT splittable — one file =
+    one task — so this reader exists for bounded ingest edges
+    (API snapshots), and the first thing the pipeline does is rewrite
+    into a splittable format; jsonl/parquet remain the scale path. The
+    fixture builds the array with to_json(collect_list(struct(...)))
+    (single bounded row), money as exact cents."""
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_orderkey") < 2000)
+    out = _cached_dataset(
+        "orders_json_array", sf_dir, "orders",
+        lambda tmp: (o.select(F.struct(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            iround(F.col("o_totalprice") * 100).alias("cents")).alias("r"))
+            .agg(F.to_json(F.sort_array(F.collect_list("r"))).alias("j"))
+            .coalesce(1).write.mode("overwrite").text(tmp)))
+    schema = ("o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+              "cents bigint")
+    back = (spark.read.schema(schema).option("multiLine", True)
+            .option("mode", "FAILFAST").json(out))
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                 F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+                 F.sum("cents").cast("bigint").alias("cents")))
