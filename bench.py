@@ -67,6 +67,10 @@ HEADLINE = [
     "llm_rank_fusion_rrf",      # hybrid-retrieval RRF fusion (round 5)
     "ts_rolling_corr",          # exact rolling Pearson correlation (round 5)
     "llm_dedup_bag_of_words",   # order-invariant exact dedup (round 5)
+    "llm_dedup_paragraph",      # paragraph-granularity dup share (round 6)
+    "llm_rag_context_pack",     # budgeted RAG context packing (round 6)
+    "graph_bipartite_copurchase",  # basket-bounded co-purchase projection (round 6)
+    "ts_outlier_iqr",           # discrete-quartile Tukey fences (round 6)
 ]
 
 

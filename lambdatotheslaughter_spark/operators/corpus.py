@@ -2215,3 +2215,290 @@ def llm_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select("doc_id", "epoch",
                     F.row_number().over(wpos).cast("bigint")
                     .alias("position"))
+
+
+# ---------------------------------------------------------------------------
+# minhash Jaccard ESTIMATE vs exact (round 6)
+# ---------------------------------------------------------------------------
+
+_MJE_K = 16
+_MJE_MIN_J = 0.2
+
+_MJE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, len(string_split(text, ' ')) - 1),
+           i -> array_to_string(string_split(text, ' ')
+                  [CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)], ' '))) AS sh
+  FROM documents WHERE doc_id < 300 AND len(string_split(text, ' ')) >= 3
+), sig AS (
+  SELECT doc_id, sh,
+    list_transform(range(0, {_MJE_K}), i ->
+      list_aggregate(list_transform(sh, s ->
+        CAST(concat('0x', substring(md5(CAST(i AS VARCHAR) || '#' || s),
+                                    1, 15)) AS BIGINT)),
+      'min')) AS mh
+  FROM d
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(len(list_filter(range(1, {_MJE_K} + 1),
+                 i -> a.mh[i] = b.mh[i])) AS BIGINT) AS n_agree,
+       CAST(len(list_filter(range(1, {_MJE_K} + 1),
+                 i -> a.mh[i] = b.mh[i])) AS DOUBLE) / {_MJE_K}.0
+         AS est_jaccard,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+         AS exact_jaccard
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) >= 1
+  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+      >= {_MJE_MIN_J}
+"""
+
+
+@register("llm_minhash_jaccard_estimate", oracle=_MJE_ORACLE)
+def llm_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash as an ESTIMATOR, audited: for every candidate pair (≥1
+    shared shingle, exact Jaccard ≥ 0.2 on a bounded doc_id < 300 audit
+    slice), the k=16 signature-agreement estimate next to the exact
+    Jaccard — the table a team reads to pick k before trusting
+    signature-only dedup at fleet scale (E[est] = J; sd ≈ √(J(1−J)/k)).
+    Portable md5 minhashes end-to-end (the llm_lsh_tuning_report
+    discipline), so DuckDB recomputes signatures AND estimates
+    bit-for-bit.
+
+    Scale shape: candidate generation goes through the inverted shingle
+    index (shared-shingle equi join + groupBy), never all-pairs — the
+    oracle's brute-force join is the oracle's job; signatures are one
+    zero-shuffle HOF pass; the estimate is a per-pair array fold over
+    2·k longs."""
+    d = (load_table(spark, "documents", sf_dir)
+         .where((F.col("doc_id") < 300) & (F.size(tokens()) >= 3))
+         .select("doc_id", F.array_distinct(
+             shingles3(tokens())).alias("sh")))
+    mh = F.transform(
+        F.sequence(F.lit(0), F.lit(_MJE_K - 1)),
+        lambda i: F.array_min(F.transform(
+            "sh", lambda s: md5_int60(
+                F.concat(i.cast("string"), F.lit("#"), s)))))
+    sig = d.select("doc_id", "sh", F.size("sh").alias("n_sh"),
+                   mh.alias("mh")).localCheckpoint(eager=False)
+
+    # candidates via the inverted shingle index: pairs sharing >= 1
+    # shingle, with the intersection size counted by the index itself
+    ex = sig.select("doc_id", F.explode("sh").alias("s"))
+    p, q = ex.alias("p"), ex.alias("q")
+    inter = (p.join(q, (F.col("p.s") == F.col("q.s"))
+                    & (F.col("p.doc_id") < F.col("q.doc_id")))
+             .groupBy(F.col("p.doc_id").alias("a_id"),
+                      F.col("q.doc_id").alias("b_id"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sig.select(F.col("doc_id").alias("a_id"),
+                    F.col("n_sh").alias("na"), F.col("mh").alias("mh_a"))
+    sb = sig.select(F.col("doc_id").alias("b_id"),
+                    F.col("n_sh").alias("nb"), F.col("mh").alias("mh_b"))
+    exact = (F.col("inter").cast("double")
+             / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"))
+    n_agree = F.aggregate(
+        F.zip_with("mh_a", "mh_b",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v).cast("bigint")
+    return (inter.join(F.broadcast(sa), "a_id")
+            .join(F.broadcast(sb), "b_id")
+            .where(exact >= _MJE_MIN_J)
+            .select("a_id", "b_id", n_agree.alias("n_agree"),
+                    (n_agree.cast("double") / F.lit(float(_MJE_K)))
+                    .alias("est_jaccard"),
+                    exact.alias("exact_jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# readability scoring (round 6)
+# ---------------------------------------------------------------------------
+
+_READABILITY_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(string_split(text, '. '),
+                              p -> len(trim(p)) > 0)) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       206.835
+       - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+       - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+         AS flesch
+FROM c WHERE n_sentences > 0 AND n_words > 0
+"""
+
+
+@register("llm_readability_score", oracle=_READABILITY_ORACLE)
+def llm_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic curation signal for
+    audience targeting and for catching machine-generated word salad
+    (implausibly uniform syllable/word ratios). Syllables are the
+    standard regex approximation (vowel-group count), sentences are
+    '.␣'-boundary segments, words whitespace tokens — all three exact
+    integer counts, so the score is a fixed tree of two int→double
+    divisions, two constant multiplies and two subtractions, evaluated
+    in the same order by both engines (bit-identical, no rounding
+    needed).
+
+    Scale shape: pure map-side (regexp + split per row, no shuffle at
+    all) — the cheapest possible corpus pass, same class as
+    llm_text_stats."""
+    d = load_table(spark, "documents", sf_dir)
+    n_words = F.size(F.split("text", " ")).cast("bigint")
+    n_sentences = F.size(F.filter(
+        F.split("text", r"\. "),
+        lambda p: F.length(F.trim(p)) > 0)).cast("bigint")
+    n_syll = F.size(F.expr(
+        r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("bigint")
+    c = d.select("doc_id", n_words.alias("n_words"),
+                 n_sentences.alias("n_sentences"),
+                 n_syll.alias("n_syllables")) \
+        .where((F.col("n_sentences") > 0) & (F.col("n_words") > 0))
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (F.col("n_words").cast("double")
+                                / F.col("n_sentences").cast("double"))
+              - F.lit(84.6) * (F.col("n_syllables").cast("double")
+                               / F.col("n_words").cast("double")))
+    return c.select("doc_id", "n_words", "n_sentences", "n_syllables",
+                    flesch.alias("flesch"))
+
+
+# ---------------------------------------------------------------------------
+# labeler agreement (Cohen's kappa) (round 6)
+# ---------------------------------------------------------------------------
+
+_KAPPA_ORACLE = """
+WITH lab AS (
+  SELECT doc_id,
+         n_chars > 400 AS l1,
+         len(string_split(text, ' ')) > 60 AS l2
+  FROM documents
+), c AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE l1 AND l2) AS BIGINT) AS n11,
+         CAST(COUNT(*) FILTER (WHERE l1 AND NOT l2) AS BIGINT) AS n10,
+         CAST(COUNT(*) FILTER (WHERE NOT l1 AND l2) AS BIGINT) AS n01,
+         CAST(COUNT(*) FILTER (WHERE NOT l1 AND NOT l2) AS BIGINT) AS n00,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lab
+)
+SELECT n11, n10, n01, n00,
+       CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       (CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+       + (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) AS pe,
+       (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+        - ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+           + (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE))))
+       / (1.0 - ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+                 + (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE))))
+         AS kappa
+FROM c
+"""
+
+
+@register("llm_label_agreement_kappa", oracle=_KAPPA_ORACLE)
+def llm_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic labelers (char-length
+    rule vs token-count rule) — the chance-corrected agreement a
+    labeling pipeline reports before trusting weak supervision or a
+    model-vs-heuristic comparison (raw agreement po flatters imbalanced
+    labels; kappa subtracts the chance term pe). The contingency counts
+    are one combinable aggregate; po/pe/kappa are a fixed tree of
+    int→double divisions, products and one final division — identical
+    expression order on both engines, bit-exact.
+
+    Scale shape: single map-side conditional-count aggregate over the
+    corpus; output is one row."""
+    d = load_table(spark, "documents", sf_dir)
+    l1 = F.col("n_chars") > 400
+    l2 = F.size(F.split("text", " ")) > 60
+
+    def cnt(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    c = d.agg(cnt(l1 & l2, "n11"), cnt(l1 & ~l2, "n10"),
+              cnt(~l1 & l2, "n01"), cnt(~l1 & ~l2, "n00"),
+              F.count(F.lit(1)).cast("bigint").alias("n"))
+    dbl = lambda col: col.cast("double")  # noqa: E731
+    n = dbl(F.col("n"))
+    po = dbl(F.col("n11") + F.col("n00")) / n
+    pe = ((dbl(F.col("n11") + F.col("n10")) / n)
+          * (dbl(F.col("n11") + F.col("n01")) / n)
+          + (dbl(F.col("n01") + F.col("n00")) / n)
+          * (dbl(F.col("n10") + F.col("n00")) / n))
+    return c.select("n11", "n10", "n01", "n00", po.alias("po"),
+                    pe.alias("pe"),
+                    ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"))
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit of the word-frequency table (round 6)
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH wc AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  GROUP BY lang, tok
+), ranked AS (
+  SELECT lang, freq,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY freq DESC, tok) AS rnk
+  FROM wc
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       round(regr_slope(ln(CAST(freq AS DOUBLE)),
+                        ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
+       round(regr_r2(ln(CAST(freq AS DOUBLE)),
+                     ln(CAST(rnk AS DOUBLE))), 6) AS fit_r2
+FROM ranked WHERE rnk <= 1000
+GROUP BY lang
+"""
+
+
+@register("llm_zipf_fit", oracle=_ZIPF_ORACLE)
+def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of each language's word-frequency table: regress
+    log(freq) on log(rank) over the top-1000 types — slope ≈ −1 is
+    natural text; a flat or broken slope is the cheapest
+    machine-generated/template-corpus alarm, and the fit also
+    sanity-checks tokenizer health after vocabulary changes. Uses the
+    SQL:2003 `regr_slope`/`regr_r2` built-ins (one-pass mergeable
+    moments) over the ranked frequency table; rounded at 6 dp because
+    the engines' internal float-moment merge order differs — the
+    agg_regr_builtins discipline.
+
+    Scale shape: the word count is the one corpus-sized (combinable)
+    groupBy; ranking runs per language over the type table (Heaps-
+    bounded, millions of rows at 100 TB, not the corpus), and the
+    rnk ≤ 1000 head keeps the regression input constant-sized."""
+    d = load_table(spark, "documents", sf_dir)
+    wc = (d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+          .groupBy("lang", "tok")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("freq")))
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("tok"))
+    ranked = (wc.select("lang", "freq",
+                        F.row_number().over(w).alias("rnk"))
+              .where(F.col("rnk") <= 1000))
+    lf = F.log(F.col("freq").cast("double"))
+    lr = F.log(F.col("rnk").cast("double"))
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 6).alias("fit_r2"))

@@ -3284,7 +3284,7 @@ def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     return (d.select(
         "doc_id",
-        F.posexplode_outer(F.expr(r"regexp_extract_all(text, 'q\\w+')"))
+        F.posexplode_outer(F.expr(r"regexp_extract_all(text, 'q\\w+', 0)"))
         .alias("pos", "qword"))
         .withColumn("pos", F.col("pos").cast("bigint")))
 
@@ -3414,3 +3414,121 @@ def stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select("event_type", "bucket", "obs",
                       expected.alias("expected"),
                       (dev * dev / expected).alias("chi2_contrib"))
+
+
+# ---------------------------------------------------------------------------
+# lag-k autocorrelation (round 6)
+# ---------------------------------------------------------------------------
+
+_AUTOCORR_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         SUM(CAST(round(value * 100, 0) AS BIGINT)) AS x
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), pairs AS (
+  SELECT event_type, x,
+         lag(x) OVER (PARTITION BY event_type ORDER BY h) AS xp
+  FROM hourly
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(xp AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(xp AS HUGEINT) * xp) AS syy,
+         SUM(CAST(x AS HUGEINT) * xp) AS sxy
+  FROM pairs WHERE xp IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, k,
+       CAST(CAST(k * sxy - sx * sy AS DOUBLE)
+            / NULLIF(sqrt(CAST(k * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(k * syy - sy * sy AS DOUBLE)), 0.0)
+         AS DOUBLE) AS autocorr_lag1
+FROM m
+"""
+
+
+@register("ts_autocorr_lag", oracle=_AUTOCORR_ORACLE)
+def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly revenue series per event
+    type — THE one-number seasonality/persistence probe (high r₁: the
+    series trends; near 0: hourly noise; negative: mean-reverting),
+    read before anyone fits a forecast. Bit-exact by the
+    ts_rolling_corr discipline: the series is fixed-point cents, every
+    moment (Σx, Σx², Σxxₚ…) is an exact integer sum (decimal(38,0) in
+    Spark ≙ HUGEINT in DuckDB), and the final Pearson ratio is the same
+    fixed tree of correctly-rounded double ops on both engines.
+
+    Scale shape: hourly pre-agg is the only corpus-sized (combinable)
+    shuffle; the lag window and moment aggregate run over (type, hour)
+    rows — thousands, not events."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.sum(iround(F.col("value") * 100)).alias("x")))
+    w = Window.partitionBy("event_type").orderBy("h")
+    pairs = (hourly.select("event_type", "x",
+                           F.lag("x").over(w).alias("xp"))
+             .where(F.col("xp").isNotNull()))
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("xp").cast("decimal(38,0)")
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(xd).alias("sx"), F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"), F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"))
+    num = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    den = (F.sqrt((F.col("k") * F.col("sxx")
+                   - F.col("sx") * F.col("sx")).cast("double"))
+           * F.sqrt((F.col("k") * F.col("syy")
+                     - F.col("sy") * F.col("sy")).cast("double")))
+    return m.select("event_type", "k",
+                    (num / F.nullif(den, F.lit(0.0))).cast("double")
+                    .alias("autocorr_lag1"))
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY ALL (round 6)
+# ---------------------------------------------------------------------------
+
+_ORDER_ALL_ORACLE = """
+SELECT o_orderstatus,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+LIMIT 10
+"""
+
+
+@register("sql_order_by_all", oracle=_ORDER_ALL_ORACLE)
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ORDER BY ALL` (with `GROUP BY ALL`): the every-column
+    lexicographic sort without spelling the list — the report-SQL
+    convenience DuckDB popularized and Spark 4 adopted. The LIMIT makes
+    the ordering SEMANTIC (the kept rows depend on the full-row order),
+    so the oracle verifies ORDER BY ALL's column-order contract (select
+    order, left to right), not just syntax. Identical text runs on both
+    engines.
+
+    Scale shape: combinable groupBy; ORDER BY + LIMIT plans as
+    TakeOrderedAndProject (per-partition top-N, never a global sort)."""
+    load_table(spark, "orders", sf_dir) \
+        .createOrReplaceTempView("lts_order_all_v")
+    return spark.sql("""
+        SELECT o_orderstatus,
+               date_format(date_trunc('month', o_orderdate), 'yyyy-MM')
+                 AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(sign(o_totalprice * 100)
+                             * floor(abs(o_totalprice * 100) + 0.5)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lts_order_all_v
+        GROUP BY ALL
+        ORDER BY ALL
+        LIMIT 10
+    """)

@@ -755,3 +755,136 @@ def date_iso_week_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
          + F.when((F.month("o_orderdate") == 12) & (week == 1), 1)
          .when((F.month("o_orderdate") == 1) & (week >= 52), -1)
          .otherwise(0)).cast("bigint").alias("iso_year"))
+
+
+# ---------------------------------------------------------------------------
+# banker's rounding on exact ties (round 6)
+# ---------------------------------------------------------------------------
+
+_BROUND_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_orderkey AS DOUBLE) + 0.5 AS half_val,
+       round_even(CAST(o_orderkey AS DOUBLE) + 0.5, 0) AS bround_half,
+       CAST(o_orderkey AS DOUBLE) / 4.0 AS quarter_val,
+       round_even(CAST(o_orderkey AS DOUBLE) / 4.0, 1) AS bround_quarter,
+       round_even(CAST(o_orderkey AS DOUBLE) + 0.5, 0)
+         - round(CAST(o_orderkey AS DOUBLE) + 0.5, 0) AS vs_half_up
+FROM orders WHERE o_orderkey < 600
+"""
+
+
+@register("math_bround_even", oracle=_BROUND_ORACLE)
+def math_bround_even(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banker's rounding (`bround`, HALF_EVEN) on EXACT ties — the
+    rounding mode financial aggregation standards require precisely
+    because HALF_UP biases sums upward on .5 ties. The inputs are
+    deliberately dyadic (k + 0.5, k/4): exactly representable doubles,
+    so the tie is REAL in both engines and the even/odd split is the
+    observable. (Arbitrary decimals like 2.675 are NOT used: they sit
+    off-tie in binary, and Spark's shortest-decimal BigDecimal view
+    and DuckDB's numeric view would legitimately disagree — the op
+    demonstrates the rounding mode, not that representational trap.)
+    vs_half_up shows the mode difference directly: −1 on odd-rounded-
+    down ties, 0 elsewhere.
+
+    Scale shape: pure map-side scalar math."""
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_orderkey") < 600)
+    half = F.col("o_orderkey").cast("double") + F.lit(0.5)
+    quarter = F.col("o_orderkey").cast("double") / F.lit(4.0)
+    return o.select(
+        "o_orderkey",
+        half.alias("half_val"),
+        F.bround(half, 0).alias("bround_half"),
+        quarter.alias("quarter_val"),
+        F.bround(quarter, 1).alias("bround_quarter"),
+        (F.bround(half, 0) - F.round(half, 0)).alias("vs_half_up"))
+
+
+# ---------------------------------------------------------------------------
+# map construction / combination surface (round 6)
+# ---------------------------------------------------------------------------
+
+_MAP_PACK_ORACLE = """
+WITH counts AS (
+  SELECT CAST(user_id % 4 AS BIGINT) AS cohort, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY CAST(user_id % 4 AS BIGINT), event_type
+)
+SELECT cohort,
+       array_to_string(list_sort(
+         list(event_type || '=' || CAST(n AS VARCHAR))), ',') AS packed,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM counts GROUP BY cohort
+"""
+
+
+@register("type_map_pack", oracle=_MAP_PACK_ORACLE)
+def type_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction surface: per-cohort event_type→count maps
+    built with `map_from_entries(collect_list(struct(...)))`, then read
+    back out through `map_entries` + HOF transform into a SORTED packed
+    string — maps have no defined entry order in either engine, so the
+    portable projection is the sorted k=v join (the README
+    determinism-discipline rule on container cells, applied to maps).
+    Exercises map_from_entries / map_entries / transform / sort_array
+    end to end; DuckDB recomputes the string from plain lists.
+
+    Scale shape: one combinable (cohort, type) count, then a cohort-
+    sized collect_list — bounded by the type alphabet per cohort, never
+    by events."""
+    ev = load_table(spark, "events", sf_dir)
+    counts = (ev.groupBy((F.col("user_id") % 4).cast("bigint").alias("cohort"),
+                         "event_type")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    m = F.map_from_entries(F.sort_array(F.collect_list(
+        F.struct("event_type", "n"))))
+    return (counts.groupBy("cohort")
+            .agg(m.alias("m"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+            .select("cohort",
+                    F.array_join(F.sort_array(F.transform(
+                        F.map_entries("m"),
+                        lambda e: F.concat_ws("=", e["key"],
+                                              e["value"].cast("string")))),
+                        ",").alias("packed"),
+                    "n_keys"))
+
+
+# ---------------------------------------------------------------------------
+# timezone conversion (round 6)
+# ---------------------------------------------------------------------------
+
+_TZ_ORACLE = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS utc_ts,
+       strftime(CAST(timezone('America/New_York',
+                              CAST(ts AS TIMESTAMPTZ)) AS TIMESTAMP),
+                '%Y-%m-%d %H:%M:%S') AS ny_local,
+       strftime(CAST(timezone('Asia/Tokyo',
+                              CAST(ts AS TIMESTAMPTZ)) AS TIMESTAMP),
+                '%Y-%m-%d %H:%M:%S') AS tokyo_local
+FROM events WHERE event_id < 2000
+"""
+
+
+@register("date_tz_convert", oracle=_TZ_ORACLE)
+def date_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-zone timestamp conversion (`from_utc_timestamp`) — every
+    user-facing report layer needs wall-clock times, and zone rules
+    (DST!) are exactly what hand-rolled offset arithmetic gets wrong.
+    Storage stays UTC (the lake contract); conversion is a projection
+    at the edge. Output as formatted STRINGS on both sides: the
+    portable projection for zone-shifted timestamps (a naive-vs-aware
+    repr mismatch is the alternative). Both engines resolve the IANA
+    zone database, so a DST-boundary event converts identically.
+
+    Scale shape: pure map-side scalar conversion."""
+    ev = load_table(spark, "events", sf_dir).where(F.col("event_id") < 2000)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return ev.select(
+        "event_id",
+        F.date_format("ts", fmt).alias("utc_ts"),
+        F.date_format(F.from_utc_timestamp("ts", "America/New_York"), fmt)
+        .alias("ny_local"),
+        F.date_format(F.from_utc_timestamp("ts", "Asia/Tokyo"), fmt)
+        .alias("tokyo_local"))

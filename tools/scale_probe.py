@@ -170,6 +170,22 @@ QUERY_TABLES = {
     "udtf_sql_registered": {"orders"},
     "stream_rate_source_resume": set(),  # source generates its own data
     "ts_downsample_lttb": {"events"},
+    # round-6 additions
+    "explode_outer_nulls": {"documents"},
+    "ts_outlier_iqr": {"events"},
+    "stat_chi_square_independence": {"events"},
+    "graph_bipartite_copurchase": {"lineitem"},
+    "llm_dedup_paragraph": {"documents"},
+    "llm_rag_context_pack": {"documents"},
+    "llm_curriculum_schedule": {"documents"},
+    "llm_minhash_jaccard_estimate": {"documents"},
+    "llm_readability_score": {"documents"},
+    "llm_label_agreement_kappa": {"documents"},
+    "ts_autocorr_lag": {"events"},
+    "llm_zipf_fit": {"documents"},
+    "type_map_pack": {"events"},
+    "math_bround_even": {"orders"},
+    "date_tz_convert": {"events"},
 }
 
 
