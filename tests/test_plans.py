@@ -796,3 +796,51 @@ def test_parquet_aggregate_pushdown_reaches_footer():
     finally:
         spark.conf.set(agg_key, old_agg)
         spark.conf.set(v1_key, old_v1)
+
+
+def test_iqr_fences_broadcast_back_to_scan():
+    """ts_outlier_iqr: the types-sized fence table must BROADCAST back to
+    the events scan (the scan side never reshuffles for the fence join) —
+    the property that keeps the detector one window exchange at 100 TB."""
+    df = _df("ts_outlier_iqr")
+    assert checks.has_broadcast_join(df), checks.executed_plan(df)
+
+
+def test_copurchase_self_join_shares_one_exchange():
+    """graph_bipartite_copurchase: the basket-key self-join must read BOTH
+    sides from the same checkpointed distinct pass (no second corpus
+    scan), and the pair groupBy must be a hash aggregate — the plan that
+    keeps the projection linear in baskets."""
+    df = _df("graph_bipartite_copurchase")
+    plan = checks.executed_plan(df)
+    assert "HashAggregate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_rag_pack_broadcasts_query_side():
+    """llm_rag_context_pack: the query token set is tiny by construction
+    and must be the BROADCAST side of the token join — a shuffled corpus
+    join here would move every exploded token."""
+    df = _df("llm_rag_context_pack")
+    assert checks.has_broadcast_join(df), checks.executed_plan(df)
+
+
+def test_readability_is_shuffle_free():
+    """llm_readability_score is a pure map-side scalar pass — any
+    exchange in its plan is a regression."""
+    df = _df("llm_readability_score")
+    assert checks.count_shuffles(df) == 0, checks.executed_plan(df)
+
+
+def test_tz_convert_is_shuffle_free():
+    """date_tz_convert is a pure map-side projection."""
+    df = _df("date_tz_convert")
+    assert checks.count_shuffles(df) == 0, checks.executed_plan(df)
+
+
+def test_order_by_all_fuses_take_ordered():
+    """sql_order_by_all: ORDER BY ALL + LIMIT must plan as
+    TakeOrderedAndProject (per-partition top-N), never a global sort."""
+    df = _df("sql_order_by_all")
+    assert checks.has_take_ordered(df), checks.executed_plan(df)
