@@ -2502,3 +2502,172 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
         F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
         F.round(F.regr_r2(lf, lr), 6).alias("fit_r2"))
+
+
+# ---------------------------------------------------------------------------
+# maximal marginal relevance re-ranking (round 6)
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 8
+
+_MMR_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id < 5
+), pool AS (
+  SELECT vec_id AS cand_id, embedding AS ce FROM embeddings
+  WHERE vec_id >= 5
+), sims AS (
+  SELECT query_id, cand_id, {_cosine_sql('qe', 'ce')} AS sim
+  FROM q CROSS JOIN pool
+), cand AS (
+  SELECT query_id, cand_id, sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, cand_id) AS rn
+    FROM sims) WHERE rn <= {_MMR_POOL}
+), ce AS (
+  SELECT c.query_id, c.cand_id, c.sim, e.embedding
+  FROM cand c JOIN embeddings e ON c.cand_id = e.vec_id
+), cc AS (
+  SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+         {_cosine_sql('a.embedding', 'b.embedding')} AS csim
+  FROM ce a JOIN ce b
+    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+), p1 AS (
+  SELECT query_id, cand_id AS p1_id, sim AS p1_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, cand_id) AS rn
+    FROM cand) WHERE rn = 1
+), s2 AS (
+  SELECT c.query_id, c.cand_id, c.sim,
+         {_MMR_LAMBDA} * c.sim - {1 - _MMR_LAMBDA:.1f} * cc.csim AS mmr
+  FROM ce c
+  JOIN p1 ON p1.query_id = c.query_id
+  JOIN cc ON cc.query_id = c.query_id AND cc.a_id = c.cand_id
+         AND cc.b_id = p1.p1_id
+  WHERE c.cand_id <> p1.p1_id
+), p2 AS (
+  SELECT query_id, cand_id AS p2_id, sim AS p2_sim, mmr AS p2_mmr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, cand_id) AS rn
+    FROM s2) WHERE rn = 1
+), s3 AS (
+  SELECT c.query_id, c.cand_id, c.sim,
+         {_MMR_LAMBDA} * c.sim
+           - {1 - _MMR_LAMBDA:.1f} * greatest(c1.csim, c2.csim) AS mmr
+  FROM ce c
+  JOIN p1 ON p1.query_id = c.query_id
+  JOIN p2 ON p2.query_id = c.query_id
+  JOIN cc c1 ON c1.query_id = c.query_id AND c1.a_id = c.cand_id
+            AND c1.b_id = p1.p1_id
+  JOIN cc c2 ON c2.query_id = c.query_id AND c2.a_id = c.cand_id
+            AND c2.b_id = p2.p2_id
+  WHERE c.cand_id <> p1.p1_id AND c.cand_id <> p2.p2_id
+), p3 AS (
+  SELECT query_id, cand_id AS p3_id, sim AS p3_sim, mmr AS p3_mmr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, cand_id) AS rn
+    FROM s3) WHERE rn = 1
+)
+SELECT query_id, CAST(1 AS BIGINT) AS rank, p1_id AS vec_id,
+       p1_sim AS sim, p1_sim AS mmr_score FROM p1
+UNION ALL
+SELECT query_id, CAST(2 AS BIGINT), p2_id, p2_sim, p2_mmr FROM p2
+UNION ALL
+SELECT query_id, CAST(3 AS BIGINT), p3_id, p3_sim, p3_mmr FROM p3
+"""
+
+
+@register("llm_sim_mmr_rerank", oracle=_MMR_ORACLE)
+def llm_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (λ=0.7, 3 picks from a
+    top-8 candidate pool per query): the diversity-aware selection every
+    retrieval layer runs between 'top-k by similarity' and 'context
+    window' — pick₁ is the best match, each later pick maximizes
+    λ·sim(q,c) − (1−λ)·max_{{p∈picked}} sim(c,p), so near-duplicates of
+    an already-picked document are penalized out. MMR is inherently
+    sequential, but k is FIXED and tiny, so the recursion UNROLLS into
+    k window-argmax stages — fully SQL-expressible, value-exact oracle
+    (unlike LTTB, whose selection count is data-sized). All cosines use
+    the shared sequential-fold dot product (bit-identical across
+    engines); every argmax tie-breaks on vec_id.
+
+    Scale shape: query side broadcasts; candidate generation is the
+    per-query top-k (window over the scored pool — the tiled GEMM path
+    at fleet scale, llm_sim_knn_per_query); everything after operates
+    on ≤8 rows per query (pairwise sims = ≤64 rows per query), so the
+    unrolled stages cost nothing that scales with the corpus."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q = (e.where(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe")))
+    pool = (e.where(F.col("vec_id") >= 5)
+            .select(F.col("vec_id").alias("cand_id"),
+                    F.col("embedding").alias("ce")))
+    sims = pool.crossJoin(F.broadcast(q)).select(
+        "query_id", "cand_id",
+        _cosine_spark(F.col("qe"), F.col("ce")).alias("sim"),
+        F.col("ce").alias("embedding"))
+    w_sim = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id"))
+    ce = (sims.withColumn("rn", F.row_number().over(w_sim))
+          .where(F.col("rn") <= _MMR_POOL)
+          .select("query_id", "cand_id", "sim", "embedding")
+          .localCheckpoint(eager=False))  # feeds cc, p1, s2, s3
+    a, b = ce.alias("a"), ce.alias("b")
+    cc = (a.join(b, (F.col("a.query_id") == F.col("b.query_id"))
+                 & (F.col("a.cand_id") != F.col("b.cand_id")))
+          .select(F.col("a.query_id").alias("query_id"),
+                  F.col("a.cand_id").alias("a_id"),
+                  F.col("b.cand_id").alias("b_id"),
+                  _cosine_spark(F.col("a.embedding"), F.col("b.embedding"))
+                  .alias("csim"))
+          .localCheckpoint(eager=False))  # reused by s2 and s3
+    lam, mu = F.lit(_MMR_LAMBDA), F.lit(round(1 - _MMR_LAMBDA, 1))
+    p1 = (ce.withColumn("rn", F.row_number().over(w_sim))
+          .where(F.col("rn") == 1)
+          .select("query_id", F.col("cand_id").alias("p1_id"),
+                  F.col("sim").alias("p1_sim")))
+    s2 = (ce.join(F.broadcast(p1), "query_id")
+          .where(F.col("cand_id") != F.col("p1_id"))
+          .join(cc.select("query_id", F.col("a_id").alias("cand_id"),
+                          F.col("b_id").alias("p1_id"), "csim"),
+                ["query_id", "cand_id", "p1_id"])
+          .select("query_id", "cand_id", "sim",
+                  (lam * F.col("sim") - mu * F.col("csim")).alias("mmr")))
+    w_mmr = Window.partitionBy("query_id").orderBy(
+        F.col("mmr").desc(), F.col("cand_id"))
+    p2 = (s2.withColumn("rn", F.row_number().over(w_mmr))
+          .where(F.col("rn") == 1)
+          .select("query_id", F.col("cand_id").alias("p2_id"),
+                  F.col("sim").alias("p2_sim"), F.col("mmr").alias("p2_mmr")))
+    s3 = (ce.join(F.broadcast(p1), "query_id")
+          .join(F.broadcast(p2), "query_id")
+          .where((F.col("cand_id") != F.col("p1_id"))
+                 & (F.col("cand_id") != F.col("p2_id")))
+          .join(cc.select("query_id", F.col("a_id").alias("cand_id"),
+                          F.col("b_id").alias("p1_id"),
+                          F.col("csim").alias("csim1")),
+                ["query_id", "cand_id", "p1_id"])
+          .join(cc.select("query_id", F.col("a_id").alias("cand_id"),
+                          F.col("b_id").alias("p2_id"),
+                          F.col("csim").alias("csim2")),
+                ["query_id", "cand_id", "p2_id"])
+          .select("query_id", "cand_id", "sim",
+                  (lam * F.col("sim")
+                   - mu * F.greatest("csim1", "csim2")).alias("mmr")))
+    p3 = (s3.withColumn("rn", F.row_number().over(w_mmr))
+          .where(F.col("rn") == 1))
+    out1 = p1.select("query_id", F.lit(1).cast("bigint").alias("rank"),
+                     F.col("p1_id").alias("vec_id"),
+                     F.col("p1_sim").alias("sim"),
+                     F.col("p1_sim").alias("mmr_score"))
+    out2 = p2.select("query_id", F.lit(2).cast("bigint").alias("rank"),
+                     F.col("p2_id").alias("vec_id"),
+                     F.col("p2_sim").alias("sim"),
+                     F.col("p2_mmr").alias("mmr_score"))
+    out3 = p3.select("query_id", F.lit(3).cast("bigint").alias("rank"),
+                     F.col("cand_id").alias("vec_id"), "sim",
+                     F.col("mmr").alias("mmr_score"))
+    return out1.unionByName(out2).unionByName(out3)

@@ -3532,3 +3532,86 @@ def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         LIMIT 10
     """)
+
+
+# ---------------------------------------------------------------------------
+# global temp views (round 6)
+# ---------------------------------------------------------------------------
+
+_GLOBAL_TEMP_ORACLE = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderkey < 5000
+GROUP BY o_orderstatus
+"""
+
+
+@register("sql_global_temp_view", oracle=_GLOBAL_TEMP_ORACLE)
+def sql_global_temp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL temp views (`global_temp` database): session-scoped temp
+    views die with the session, global ones are visible to EVERY session
+    of the application — the handoff surface between a notebook cell
+    that prepares a slice and a job thread that consumes it. The op
+    registers the view, then reads it back through a NEW session
+    (`spark.newSession()`) — proving the cross-session visibility that
+    is the feature's whole point — and aggregates there.
+
+    Scale shape: a view is a named plan, zero materialization; the read
+    is the same pruned scan the base query would run."""
+    (load_table(spark, "orders", sf_dir)
+     .where(F.col("o_orderkey") < 5000)
+     .createOrReplaceGlobalTempView("lts_orders_global"))
+    other = spark.newSession()
+    return other.sql("""
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM global_temp.lts_orders_global
+        GROUP BY o_orderstatus
+    """)
+
+
+# ---------------------------------------------------------------------------
+# day-of-week × hour activity profile (round 6)
+# ---------------------------------------------------------------------------
+
+_DOW_HOUR_ORACLE = """
+-- DuckDB dayofweek is 0-based Sunday, Spark's is 1-based Sunday: +1
+SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+       CAST(COUNT(*) FILTER (WHERE hour(ts) < 6) AS BIGINT) AS h_night,
+       CAST(COUNT(*) FILTER (WHERE hour(ts) >= 6 AND hour(ts) < 12)
+            AS BIGINT) AS h_morning,
+       CAST(COUNT(*) FILTER (WHERE hour(ts) >= 12 AND hour(ts) < 18)
+            AS BIGINT) AS h_afternoon,
+       CAST(COUNT(*) FILTER (WHERE hour(ts) >= 18) AS BIGINT) AS h_evening,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY CAST(dayofweek(ts) + 1 AS BIGINT)
+"""
+
+
+@register("ts_dow_hour_profile", oracle=_DOW_HOUR_ORACLE)
+def ts_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × day-part activity heat profile — the calendar
+    seasonality matrix behind every traffic dashboard, as a PIVOTED
+    conditional aggregation (one row per weekday, one column per day
+    part) rather than a tall (dow, hour, n) table: the wide shape is
+    what the chart consumes and what makes the weekday/weekend contrast
+    scannable. Day-part buckets are conditional counts (Spark
+    count_if ≙ DuckDB COUNT FILTER), Sunday=1 in both engines'
+    dayofweek.
+
+    Scale shape: one combinable groupBy to 7 rows; the 'pivot' is four
+    conditional aggregates, so no second pass and no pivot shuffle."""
+    ev = load_table(spark, "events", sf_dir)
+    h = F.hour("ts")
+
+    def part(cond, name):
+        return F.count_if(cond).cast("bigint").alias(name)
+
+    return (ev.groupBy(F.dayofweek("ts").cast("bigint").alias("dow"))
+            .agg(part(h < 6, "h_night"),
+                 part((h >= 6) & (h < 12), "h_morning"),
+                 part((h >= 12) & (h < 18), "h_afternoon"),
+                 part(h >= 18, "h_evening"),
+                 F.sum(iround(F.col("value") * 100)).cast("bigint")
+                 .alias("cents")))

@@ -79,9 +79,9 @@ _loaded = False
 # sink_max_records_per_file, agg_regr_builtins, win_lag_ignore_nulls,
 # sql_semi_anti_join_syntax, udtf_sql_registered,
 # stream_rate_source_resume
-# (29 names; plus the 19 round-6 §2.15 additions, oldest debt first:
-# 29 + 19 = 48 first-time slots + 2 re-confirmation backfill slots on
-# whatever paths round 7 touches fills the 50 exactly). Update
+# (29 names; plus the 22 round-6 §2.15 additions, oldest debt first:
+# 29 + 22 = 51 never-slotted -- the 50-slot window takes the first 50,
+# the one spill rolls to round 8 with any round-7 additions). Update
 # tests/test_survey_coverage.py's pinned window when rotating.
 # Rows-only-by-design ops (the 11: llm_sim_lsh_approx, llm_sim_ann_ivf,
 # llm_multimodal_decode, agg_approx_distinct, llm_tokenizer_bpe_train,

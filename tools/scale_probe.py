@@ -186,6 +186,10 @@ QUERY_TABLES = {
     "type_map_pack": {"events"},
     "math_bround_even": {"orders"},
     "date_tz_convert": {"events"},
+    "sql_global_temp_view": {"orders"},
+    "ts_dow_hour_profile": {"events"},
+    "llm_sim_mmr_rerank": {"embeddings"},
+    "sql_order_by_all": {"orders"},
 }
 
 
