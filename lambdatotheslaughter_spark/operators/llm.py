@@ -3745,3 +3745,111 @@ def llm_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
         2.0 * agree.cast("double") / F.lit(float(_BBIT_K)) - 1.0)
     return pairs.select("a_id", "b_id", j_exact.alias("j_exact"),
                         j_bbit.alias("j_bbit"))
+
+
+# ---------------------------------------------------------------------------
+# product quantization (round 6)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8           # subspaces (64-d -> 8 x 8-d)
+_PQ_K = 16          # codes per subspace -> 4 bits each, 32 bits/vector
+_PQ_ERR_SCALE = 10**12  # fixed-point units for order-free error sums
+
+
+def _pq_train_codebooks(e: DataFrame, n: int):
+    """Per-subspace k-means codebooks trained on a BOUNDED deterministic
+    sample (hash-picked ~20 rows per code, the IVF recipe): k-means++
+    seeding + 10 Lloyd rounds per subspace from one fixed-seed rng.
+    Returns float64 (M, K, dim/M). Sample size scales with M*K, never
+    with the corpus."""
+    import numpy as np
+
+    mod = max(1, n // (20 * _PQ_K * _PQ_M))
+    samp = (e.where(F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0)
+            .select("embedding").toPandas())
+    mat = np.vstack(samp["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    dim = mat.shape[1]
+    sub = dim // _PQ_M
+    rng = np.random.default_rng(42)
+    books = []
+    for m in range(_PQ_M):
+        s = mat[:, m * sub:(m + 1) * sub]
+        cent = [s[rng.integers(len(s))]]
+        for _ in range(1, min(_PQ_K, len(s))):
+            d2 = np.min([np.sum((s - c) ** 2, axis=1) for c in cent], axis=0)
+            probs = d2 / d2.sum() if d2.sum() > 0 else None
+            cent.append(s[rng.choice(len(s), p=probs)])
+        cent = np.vstack(cent)
+        for _ in range(10):  # Lloyd
+            assign = np.argmin(
+                ((s[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2), axis=1)
+            for c in range(len(cent)):
+                members = s[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append(cent)
+    return np.stack(books)
+
+
+@register("llm_embedding_pq_quantize", oracle=None)
+def llm_embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the vector-store compression behind every
+    billion-scale ANN index (FAISS IVF-PQ): split each L2-normalized
+    64-d embedding into 8 subvectors, snap each to its nearest of 16
+    per-subspace centroids, store 8×4 = 32 BITS per vector instead of
+    64×32 float bits (64× compression). Codebooks train on a bounded
+    hash-sample (driver numpy, fixed seed — the IVF recipe:
+    train-on-sample, assign distributed); encoding and reconstruction
+    error run distributed in mapInPandas. The report is the number a
+    team reads before committing the index: relative reconstruction
+    error Σ‖x−x̂‖²/Σ‖x‖² (energy-normalized MSE).
+
+    Rows-only BY DESIGN: the k-means codebook step is iterative (SQL
+    cannot express it — same class as IVF/BPE/PCA). Determinism is
+    engineered anyway: per-vector errors are fixed-point int64 units
+    summed exactly (order-free), so the output row is bit-identical
+    under any partitioning — pinned, with the error bound and the
+    compression arithmetic, in tests/test_llm_quality.py.
+
+    Scale shape: train is corpus-size-free; encode is one map-side pass
+    (128 small distance evals per vector inside a numpy batch); the
+    report is one combinable integer aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    n = e.count()
+    books = _pq_train_codebooks(e, n)
+    sub = books.shape[2]
+
+    def encode(batches):
+        for pdf in batches:
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                              1e-30)
+            err2 = np.zeros(len(mat))
+            for m in range(_PQ_M):
+                s = mat[:, m * sub:(m + 1) * sub]
+                d2 = ((s[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                codes = np.argmin(d2, axis=1)
+                err2 += d2[np.arange(len(s)), codes]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "err2_fp": np.round(err2 * _PQ_ERR_SCALE).astype("int64"),
+                # normalized vectors: ||x||^2 == 1 exactly up to fp; use
+                # the same fixed-point scale so the ratio is unit-free
+                "energy_fp": np.full(len(s), _PQ_ERR_SCALE, dtype="int64"),
+            })
+
+    enc = e.mapInPandas(
+        encode, schema="vec_id bigint, err2_fp bigint, energy_fp bigint")
+    import math
+    bits = _PQ_M * int(math.log2(_PQ_K))
+    return enc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.lit(_PQ_M).cast("bigint").alias("m_subspaces"),
+        F.lit(_PQ_K).cast("bigint").alias("k_codes"),
+        F.lit(bits).cast("bigint").alias("bits_per_vector"),
+        (F.sum("err2_fp").cast("double")
+         / F.sum("energy_fp").cast("double")).alias("relative_mse"))

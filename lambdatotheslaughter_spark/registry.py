@@ -83,7 +83,8 @@ _loaded = False
 # 29 + 22 = 51 never-slotted -- the 50-slot window takes the first 50,
 # the one spill rolls to round 8 with any round-7 additions). Update
 # tests/test_survey_coverage.py's pinned window when rotating.
-# Rows-only-by-design ops (the 11: llm_sim_lsh_approx, llm_sim_ann_ivf,
+# Rows-only-by-design ops (the 12: llm_sim_lsh_approx, llm_sim_ann_ivf,
+# llm_embedding_pq_quantize,
 # llm_multimodal_decode, agg_approx_distinct, llm_tokenizer_bpe_train,
 # llm_tokenizer_bpe_apply, agg_quantile_sketch,
 # agg_sketch_set_intersection, llm_embedding_pca_project,

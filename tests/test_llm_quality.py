@@ -762,3 +762,30 @@ def test_lttb_matches_reference_selection(spark, duck):
     for et, pts in bytype.items():
         assert (et, pts[0][0], 0) in got
         assert (et, pts[-1][0], len(pts) - 1) in got
+
+
+def test_pq_quantize_error_bound_and_determinism(spark):
+    """PQ report gates: the 8×16 codebook must actually compress
+    (relative reconstruction error well below the ~1.0 a mean-only
+    codebook leaves on normalized random vectors; measured 0.548 at
+    sf0.01 — uniform random is PQ's hardest case), the bit arithmetic
+    must hold (8 subspaces × log2(16) = 32 bits/vector = 64×
+    compression of 64×float32), and the whole row must be
+    BIT-IDENTICAL across shuffle widths (fixed-point error sums are
+    order-free by construction)."""
+    from lambdatotheslaughter_spark import registry
+
+    conf = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf)
+    rows = []
+    try:
+        for parts in ("7", "61"):
+            spark.conf.set(conf, parts)
+            rows.append(registry.get("llm_embedding_pq_quantize")
+                        .fn(spark, SF_DIR).collect()[0].asDict())
+    finally:
+        spark.conf.set(conf, prev)
+    assert rows[0] == rows[1], f"PQ report partition-dependent: {rows}"
+    r = rows[0]
+    assert r["bits_per_vector"] == 32 and r["m_subspaces"] == 8
+    assert 0.0 < r["relative_mse"] <= 0.65, r

@@ -45,6 +45,10 @@ def test_oracle_coverage_ratio():
                # in test_llm_quality.py instead of a hash row
                "ts_downsample_lttb",
                "llm_multimodal_decode",
+               # PQ codebooks are iterative k-means (same class as IVF);
+               # fixed-point error sums make the report bit-deterministic,
+               # gated in test_llm_quality.py
+               "llm_embedding_pq_quantize",
                # iterative (each merge conditions on the last) — the full
                # merge table is value-pinned against a pure-Python
                # reference BPE in test_llm_quality.py instead

@@ -190,6 +190,7 @@ QUERY_TABLES = {
     "ts_dow_hour_profile": {"events"},
     "llm_sim_mmr_rerank": {"embeddings"},
     "sql_order_by_all": {"orders"},
+    "llm_embedding_pq_quantize": {"embeddings"},
 }
 
 
