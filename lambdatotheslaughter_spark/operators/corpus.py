@@ -2671,3 +2671,60 @@ def llm_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("cand_id").alias("vec_id"), "sim",
                      F.col("mmr").alias("mmr_score"))
     return out1.unionByName(out2).unionByName(out3)
+
+
+# ---------------------------------------------------------------------------
+# code-likeness heuristic (round 6)
+# ---------------------------------------------------------------------------
+
+_CODE_KEYWORDS = ("scan", "hash", "sort", "merge", "query", "vector",
+                  "join", "filter", "agg", "spark")
+
+_CODE_KW_SQL = ", ".join(f"'{k}'" for k in _CODE_KEYWORDS)
+
+_CODE_DETECT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), c AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks,
+              t -> list_contains([{_CODE_KW_SQL}], t))) AS BIGINT) AS kw_hits
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, kw_hits,
+       round(CAST(kw_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS kw_density,
+       CAST(kw_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.2
+         AS is_codey
+FROM c
+"""
+
+
+@register("llm_code_detect_heuristic", oracle=_CODE_DETECT_ORACLE)
+def llm_code_detect_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-lexicon code-likeness score per document — the share of
+    tokens drawn from a curated programming vocabulary, the cheap
+    first-pass router that decides whether a doc flows to the code
+    pipeline (BPE with code pre-tokenizer, syntax-aware dedup) or the
+    prose one. Same genre as llm_lang_id's n-gram heuristic: a
+    deterministic lexicon classifier that runs entirely map-side — real
+    curation stacks swap the lexicon for brace/indent symbol ratios,
+    which the synthetic corpus (plain lowercase words) cannot exercise.
+    The density is a rational of exact counts rounded to 6 dp; the flag
+    compares the UNROUNDED ratio (one IEEE division, identical both
+    engines) against the 0.2 threshold.
+
+    Scale shape: split + filter per row, zero shuffles — the plan is a
+    pure scan-project, embarrassingly parallel at any corpus size."""
+    d = load_table(spark, "documents", sf_dir)
+    kw_arr = F.array(*[F.lit(k) for k in _CODE_KEYWORDS])
+    toks = F.split(F.col("text"), " ")
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(kw_arr, t)))
+    dens = hits.cast("double") / F.size(toks).cast("double")
+    return d.select(
+        "doc_id", "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        hits.cast("bigint").alias("kw_hits"),
+        F.round(dens, 6).alias("kw_density"),
+        (dens >= F.lit(0.2)).alias("is_codey"))

@@ -3615,3 +3615,99 @@ def ts_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  part(h >= 18, "h_evening"),
                  F.sum(iround(F.col("value") * 100)).cast("bigint")
                  .alias("cents")))
+
+
+# ---------------------------------------------------------------------------
+# local-maximum peak detection (round 6)
+# ---------------------------------------------------------------------------
+
+_PEAK_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), nav AS (
+  SELECT event_type, hr, cents,
+         lag(cents) OVER (PARTITION BY event_type ORDER BY hr) AS prev_cents,
+         lead(cents) OVER (PARTITION BY event_type ORDER BY hr) AS next_cents
+  FROM hourly
+)
+SELECT event_type, hr, cents, prev_cents, next_cents
+FROM nav
+WHERE prev_cents IS NOT NULL AND next_cents IS NOT NULL
+  AND cents > prev_cents AND cents > next_cents
+"""
+
+
+@register("ts_peak_detect_local", oracle=_PEAK_ORACLE)
+def ts_peak_detect_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum peaks in the hourly revenue series per event type —
+    an hour strictly above both its neighbors — the primitive beneath
+    burst detection, alert de-bouncing, and periodicity eyeballing
+    (complements ts_anomaly_zscore's global-moment detector with a
+    purely LOCAL one that needs no distribution assumption). The series
+    aggregates to exact integer cents first, so peak comparison is pure
+    BIGINT — no float anywhere, no tolerance. Interior hours only (first
+    and last hour of each series can't certify both sides).
+
+    Scale shape: one combinable groupBy collapses the corpus to the
+    calendar (hours × types — data-size-free after the pre-agg), then a
+    single lag/lead window per type over the tiny hourly table."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.sum(cents).cast("bigint").alias("cents")))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    nav = hourly.select(
+        "event_type", "hr", "cents",
+        F.lag("cents").over(w).alias("prev_cents"),
+        F.lead("cents").over(w).alias("next_cents"))
+    return nav.where(F.col("prev_cents").isNotNull()
+                     & F.col("next_cents").isNotNull()
+                     & (F.col("cents") > F.col("prev_cents"))
+                     & (F.col("cents") > F.col("next_cents")))
+
+
+# ---------------------------------------------------------------------------
+# percent_rank / cume_dist (round 6)
+# ---------------------------------------------------------------------------
+
+_PCTRANK_ORACLE = """
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority, cents,
+       percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY cents)
+         AS pct_rank,
+       cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY cents)
+         AS cume_dist
+FROM c
+"""
+
+
+@register("win_percent_rank_cume_dist", oracle=_PCTRANK_ORACLE)
+def win_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank() and cume_dist() of each order's total within its
+    priority class — the two RELATIVE-position window functions
+    (complementing win_rank_dense_ntile's ordinal ones): "this order is
+    in the 93rd percentile of its class" is how SLA and anomaly
+    thresholds get stated. Both are exact rational functions of integer
+    ranks — (rank−1)/(n−1) and peers_below_or_equal/n — and both
+    engines define them identically over ties (tied rows share rank for
+    percent_rank and share the HIGHEST cumulative count for cume_dist),
+    so ordering by the exact cent amount alone is deterministic: one
+    correctly-rounded double division per value, no rounding discipline
+    needed.
+
+    Scale shape: one window shuffle keyed by priority class; both
+    functions share the single sort — no second exchange."""
+    o = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy("cents")
+    return (o.select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .select("o_orderkey", "o_orderpriority", "cents",
+                    F.percent_rank().over(w).alias("pct_rank"),
+                    F.cume_dist().over(w).alias("cume_dist")))

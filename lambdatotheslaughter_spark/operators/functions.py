@@ -888,3 +888,71 @@ def date_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ny_local"),
         F.date_format(F.from_utc_timestamp("ts", "Asia/Tokyo"), fmt)
         .alias("tokyo_local"))
+
+
+# ---------------------------------------------------------------------------
+# TRY_CAST error-tolerant conversion surface (round 6)
+# ---------------------------------------------------------------------------
+
+_TRY_CAST_ORACLE = """
+WITH raw AS (
+  SELECT event_id, user_id, event_type, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+), shaped AS (
+  SELECT event_id,
+         CASE CAST(user_id % 4 AS BIGINT)
+           WHEN 0 THEN CAST(cents AS VARCHAR)
+           WHEN 1 THEN event_type
+           WHEN 2 THEN CAST(cents AS VARCHAR) || 'x'
+           ELSE NULL END AS num_str,
+         CASE WHEN user_id % 2 = 0 THEN strftime(ts, '%Y-%m-%d')
+              ELSE 'not-a-date' END AS date_str,
+         cents, CAST(user_id % 5 AS BIGINT) AS denom
+  FROM raw
+)
+SELECT event_id, num_str,
+       TRY_CAST(num_str AS BIGINT) AS as_bigint,
+       CAST(TRY_CAST(date_str AS DATE) AS VARCHAR) AS as_date_str,
+       CAST(cents AS DOUBLE) / CAST(nullif(denom, 0) AS DOUBLE) AS safe_ratio
+FROM shaped
+"""
+
+
+@register("type_try_cast_surface", oracle=_TRY_CAST_ORACLE)
+def type_try_cast_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The error-tolerant conversion surface — try_cast to BIGINT and
+    DATE plus try_divide — over a deliberately dirty column mix (clean
+    numeric strings, category words, malformed '123x' suffixes, NULLs,
+    zero denominators). This is the ANSI-mode ingestion contract: a
+    100 TB load with ansi=true and plain CAST dies on the first bad
+    record of the feed; the try_* family converts per-row failure into
+    NULL so the bad rows route to quarantine instead of killing the
+    job (completing math_try_arith's overflow story on the CONVERSION
+    side). Dirty values are SYNTHESIZED deterministically from user_id
+    residues, so both engines see the identical dirty feed; date
+    strings parse as ISO yyyy-MM-dd in both; the safe ratio divides
+    exact cents by a NULLIF'd denominator — one IEEE op.
+
+    Scale shape: pure map-side projection, zero shuffles."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    m4 = (F.col("user_id") % 4).cast("bigint")
+    num_str = (F.when(m4 == 0, cents.cast("string"))
+               .when(m4 == 1, F.col("event_type"))
+               .when(m4 == 2, F.concat(cents.cast("string"), F.lit("x"))))
+    date_str = (F.when(F.col("user_id") % 2 == 0,
+                       F.date_format("ts", "yyyy-MM-dd"))
+                .otherwise(F.lit("not-a-date")))
+    return ev.select(
+        "event_id",
+        num_str.alias("num_str"),
+        num_str.try_cast("bigint").alias("as_bigint"),
+        # DATE projects back through VARCHAR: pandas renders Spark DATE as
+        # python date objects but DuckDB DATE as datetime64 — the ISO string
+        # is the portable projection (the date_tz_convert rule), and NULL
+        # passes through the cast untouched so the try semantics stay visible
+        date_str.try_cast("date").cast("string").alias("as_date_str"),
+        F.try_divide(cents.cast("double"),
+                     F.nullif((F.col("user_id") % 5).cast("bigint"),
+                              F.lit(0)).cast("double")).alias("safe_ratio"))

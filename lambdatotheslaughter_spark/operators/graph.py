@@ -639,3 +639,199 @@ def graph_bipartite_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("part_a", "part_b")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
             .where(F.col("n_orders") >= 2))
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient (round 6)
+# ---------------------------------------------------------------------------
+
+_CLUSTERING_ORACLE = f"""
+WITH raw AS ({_EDGES_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tri_v AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri) GROUP BY v
+)
+SELECT deg.v AS node, deg.d AS degree,
+       CAST(COALESCE(tri_v.t, 0) AS BIGINT) AS n_triangles,
+       CAST(2 * COALESCE(tri_v.t, 0) AS DOUBLE)
+         / CAST(deg.d * (deg.d - 1) AS DOUBLE) AS clustering_coeff
+FROM deg LEFT JOIN tri_v ON deg.v = tri_v.v
+WHERE deg.d >= 2
+"""
+
+
+@register("graph_clustering_coefficient", oracle=_CLUSTERING_ORACLE)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex — 2·t(v)/(deg(v)·(deg(v)−1)),
+    the "how clique-like is this node's neighborhood" score that separates
+    hub-and-spoke structure from community structure (the per-node
+    refinement of graph_triangle_count's global number). Per-node triangle
+    counts come from the SAME degree-ordered oriented wedge-probe as the
+    global count — each closed wedge (pivot, x, y) credits all three
+    vertices, so the matched triangle rows unpivot to 3 node rows and one
+    combinable groupBy. The coefficient is an exact integer ratio lifted
+    to double in ONE correctly-rounded division (numerator and denominator
+    both BIGINT), so no rounding is needed for parity; the oracle
+    brute-forces the ordered 3-way self-join instead of orienting.
+
+    Scale shape: identical to graph_triangle_count (orientation bounds the
+    wedge table by |E|^1.5) plus one explode-to-3 and a combinable count;
+    the final join back to the degree table is node-keyed."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    raw = (li.select(F.col("l_partkey").alias("src"),
+                     F.lead("l_partkey").over(w).alias("dst"))
+           .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst"))))
+    und = (raw.select(F.least("src", "dst").alias("a"),
+                      F.greatest("src", "dst").alias("b"))
+           .distinct()
+           .localCheckpoint(eager=False))
+    deg = (und.select(F.col("a").alias("v")).unionAll(und.select("b"))
+           .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d")))
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("d_b"))
+    oriented = (und.join(da, "a").join(db, "b")
+                .select(F.when((F.col("d_a") < F.col("d_b"))
+                               | ((F.col("d_a") == F.col("d_b"))
+                                  & (F.col("a") < F.col("b"))),
+                               F.struct(F.col("a").alias("u"),
+                                        F.col("b").alias("w")))
+                        .otherwise(F.struct(F.col("b").alias("u"),
+                                            F.col("a").alias("w")))
+                        .alias("e"))
+                .select("e.u", "e.w")
+                .localCheckpoint(eager=False))
+    e1 = oriented.select(F.col("u").alias("pivot"), F.col("w").alias("x"))
+    e2 = oriented.select(F.col("u").alias("pivot"), F.col("w").alias("y"))
+    wedges = e1.join(e2, "pivot").where(F.col("x") < F.col("y"))
+    probe = oriented.select(F.least("u", "w").alias("x"),
+                            F.greatest("u", "w").alias("y"))
+    if estimate_rows(sf_dir, "lineitem") <= 10_000_000:
+        probe = F.broadcast(probe)
+    tri = wedges.join(probe, ["x", "y"])
+    tri_v = (tri.select(F.explode(F.array("pivot", "x", "y")).alias("v"))
+             .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("t")))
+    return (deg.where(F.col("d") >= 2)
+            .join(tri_v, "v", "left")
+            .select(F.col("v").alias("node"),
+                    F.col("d").alias("degree"),
+                    F.coalesce("t", F.lit(0)).cast("bigint")
+                    .alias("n_triangles"),
+                    ((F.lit(2) * F.coalesce("t", F.lit(0))).cast("double")
+                     / (F.col("d") * (F.col("d") - 1)).cast("double"))
+                    .alias("clustering_coeff")))
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity (round 6)
+# ---------------------------------------------------------------------------
+
+_ASSORT_ORACLE = f"""
+WITH raw AS ({_EDGES_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v
+),
+pairs AS (
+  SELECT da.d AS du, db.d AS dv
+  FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v
+  UNION ALL
+  SELECT db.d AS du, da.d AS dv
+  FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(du) AS BIGINT) AS sx, CAST(SUM(dv) AS BIGINT) AS sy,
+         CAST(SUM(du * dv) AS BIGINT) AS sxy,
+         CAST(SUM(du * du) AS BIGINT) AS sx2,
+         CAST(SUM(dv * dv) AS BIGINT) AS sy2
+  FROM pairs
+), a AS (
+  SELECT m2,
+         CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE) AS ax,
+         CAST(sy AS DOUBLE) / CAST(m2 AS DOUBLE) AS ay,
+         CAST(sxy AS DOUBLE) / CAST(m2 AS DOUBLE) AS axy,
+         CAST(sx2 AS DOUBLE) / CAST(m2 AS DOUBLE) AS ax2,
+         CAST(sy2 AS DOUBLE) / CAST(m2 AS DOUBLE) AS ay2
+  FROM s
+)
+SELECT m2 // 2 AS n_edges,
+       (axy - ax * ay)
+         / sqrt((ax2 - ax * ax) * (ay2 - ay * ay)) AS assortativity
+FROM a
+"""
+
+
+@register("graph_assortativity_degree", oracle=_ASSORT_ORACLE)
+def graph_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r): the Pearson correlation of
+    endpoint degrees over all directed edge instances — positive means
+    hubs link to hubs (social-graph shape), negative means hubs link to
+    leaves (star/infrastructure shape); THE one-number summary of
+    degree mixing that decides whether hub-targeted sampling or
+    uniform sampling will bias a corpus. Every undirected edge
+    contributes both (deg_u, deg_v) and (deg_v, deg_u), making the pair
+    set symmetric; all five moment sums are exact BIGINTs (≤2⁵³ so their
+    double lift is exact), and r assembles through an average-based tree
+    (a_xy − a_x·a_y)/√((a_x2 − a_x²)(a_y2 − a_y²)) spelled identically
+    in both engines — no rounding needed.
+
+    Scale shape: two node-keyed joins decorate edges with endpoint
+    degrees, then ONE combinable aggregate carries five BIGINT partials
+    per partition; nothing is ever collected and no step is quadratic."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    raw = (li.select(F.col("l_partkey").alias("src"),
+                     F.lead("l_partkey").over(w).alias("dst"))
+           .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst"))))
+    und = (raw.select(F.least("src", "dst").alias("a"),
+                      F.greatest("src", "dst").alias("b"))
+           .distinct()
+           .localCheckpoint(eager=False))
+    deg = (und.select(F.col("a").alias("v")).unionAll(und.select("b"))
+           .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d")))
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("du"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("dv"))
+    decorated = und.join(da, "a").join(db, "b").select("du", "dv")
+    pairs = decorated.unionAll(
+        decorated.select(F.col("dv").alias("du"), F.col("du").alias("dv")))
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum("du").cast("bigint").alias("sx"),
+        F.sum("dv").cast("bigint").alias("sy"),
+        F.sum(F.col("du") * F.col("dv")).cast("bigint").alias("sxy"),
+        F.sum(F.col("du") * F.col("du")).cast("bigint").alias("sx2"),
+        F.sum(F.col("dv") * F.col("dv")).cast("bigint").alias("sy2"))
+    m2d = F.col("m2").cast("double")
+    ax = F.col("sx").cast("double") / m2d
+    ay = F.col("sy").cast("double") / m2d
+    axy = F.col("sxy").cast("double") / m2d
+    ax2 = F.col("sx2").cast("double") / m2d
+    ay2 = F.col("sy2").cast("double") / m2d
+    return s.select(
+        F.expr("m2 div 2").alias("n_edges"),
+        ((axy - ax * ay)
+         / F.sqrt((ax2 - ax * ax) * (ay2 - ay * ay)))
+        .alias("assortativity"))

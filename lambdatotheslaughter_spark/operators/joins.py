@@ -580,3 +580,46 @@ def join_fuzzy_levenshtein_blocked(spark: SparkSession,
             .select(F.col("x.c_name").alias("a_name"),
                     F.col("y.c_name").alias("b_name"))
             .distinct())
+
+
+# ---------------------------------------------------------------------------
+# existence-flag ("mark") join (round 6)
+# ---------------------------------------------------------------------------
+
+_MARK_ORACLE = """
+SELECT c.c_custkey, c.c_mktsegment,
+       EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         AS has_order,
+       EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+               AND o.o_orderpriority = '1-URGENT') AS has_urgent_order
+FROM customer c
+"""
+
+
+@register("join_mark_exists_flag", oracle=_MARK_ORACLE)
+def join_mark_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a COLUMN ("mark join"): every customer survives, with
+    boolean flags for "has any order" and "has an urgent order" —
+    the segmentation shape (flag, don't filter) that join_semi/sub_exists
+    cannot produce because they drop the non-matching rows. Optimizers
+    with a native mark-join operator (DuckDB) decorrelate the SELECT-list
+    EXISTS directly; Spark's equivalent plan is built explicitly here:
+    aggregate the order side to ONE row per custkey carrying the flag
+    partials (any urgent?), LEFT-join it, and read presence off the join
+    match itself — same result, same single-shuffle cost, no correlated
+    subquery left anywhere.
+
+    Scale shape: the flag aggregate is map-side combinable (bool_or
+    partials), collapses orders to customer grain BEFORE the join, and
+    the join is key-partitioned on custkey — never a row explosion, and
+    AQE may broadcast the collapsed side when small."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    flags = (o.groupBy(F.col("o_custkey").alias("c_custkey"))
+             .agg(F.max(F.col("o_orderpriority") == "1-URGENT")
+                  .alias("urgent_flag")))
+    return (c.join(flags, "c_custkey", "left")
+            .select("c_custkey", "c_mktsegment",
+                    F.col("urgent_flag").isNotNull().alias("has_order"),
+                    F.coalesce("urgent_flag", F.lit(False))
+                    .alias("has_urgent_order")))

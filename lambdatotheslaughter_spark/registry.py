@@ -47,6 +47,7 @@ _MODULES = (
     "lambdatotheslaughter_spark.operators.skew",
     "lambdatotheslaughter_spark.operators.graph",
     "lambdatotheslaughter_spark.operators.corpus",
+    "lambdatotheslaughter_spark.operators.stats",
 )
 
 _loaded = False
@@ -79,9 +80,10 @@ _loaded = False
 # sink_max_records_per_file, agg_regr_builtins, win_lag_ignore_nulls,
 # sql_semi_anti_join_syntax, udtf_sql_registered,
 # stream_rate_source_resume
-# (29 names; plus the 22 round-6 §2.15 additions, oldest debt first:
-# 29 + 22 = 51 never-slotted -- the 50-slot window takes the first 50,
-# the one spill rolls to round 8 with any round-7 additions). Update
+# (29 names; plus the 22 round-6 §2.15 additions and the 12 §2.16
+# second-ring keys, oldest debt first: 29 + 22 + 12 = 63 never-slotted
+# -- the round-7 window takes the first 50, the 13 spills roll to round
+# 8 with any round-7 additions). Update
 # tests/test_survey_coverage.py's pinned window when rotating.
 # Rows-only-by-design ops (the 12: llm_sim_lsh_approx, llm_sim_ann_ivf,
 # llm_embedding_pq_quantize,
