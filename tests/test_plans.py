@@ -844,3 +844,50 @@ def test_order_by_all_fuses_take_ordered():
     TakeOrderedAndProject (per-partition top-N), never a global sort."""
     df = _df("sql_order_by_all")
     assert checks.has_take_ordered(df), checks.executed_plan(df)
+
+
+def test_code_detect_is_shuffle_free():
+    """llm_code_detect_heuristic is a pure scan-project lexicon pass —
+    any exchange is a regression."""
+    df = _df("llm_code_detect_heuristic")
+    assert checks.count_shuffles(df) == 0, checks.executed_plan(df)
+
+
+def test_try_cast_surface_is_shuffle_free():
+    """type_try_cast_surface is a map-side try_* projection."""
+    df = _df("type_try_cast_surface")
+    assert checks.count_shuffles(df) == 0, checks.executed_plan(df)
+
+
+def test_welch_is_single_aggregate_pass():
+    """stat_welch_ttest must be ONE combinable aggregate over the scan —
+    exactly one shuffle (the partial→final exchange), no joins."""
+    df = _df("stat_welch_ttest")
+    plan = checks.executed_plan(df)
+    assert checks.count_shuffles(df) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_ks_groupby_precedes_global_window():
+    """stat_ks_two_sample: the value-domain groupBy must run BEFORE the
+    global cumulative window, so the single-partition step sees the
+    domain-sized table, never the corpus. Plan order: the hash aggregate
+    appears below (deeper than) the window in the tree — assert both
+    exist and the window input is a single partition exchange."""
+    df = _df("stat_ks_two_sample")
+    plan = checks.executed_plan(df)
+    assert "HashAggregate" in plan, plan
+    assert "Window" in plan, plan
+    assert "SinglePartition" in plan, plan
+
+
+def test_mark_join_aggregates_before_join():
+    """join_mark_exists_flag: the order side must collapse to customer
+    grain BEFORE the join (flag partials are combinable) — the plan
+    carries a HashAggregate under the join, and no row explosion shape
+    (BroadcastNestedLoop/Cartesian) exists."""
+    df = _df("join_mark_exists_flag")
+    plan = checks.executed_plan(df)
+    assert "HashAggregate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan

@@ -191,6 +191,19 @@ QUERY_TABLES = {
     "llm_sim_mmr_rerank": {"embeddings"},
     "sql_order_by_all": {"orders"},
     "llm_embedding_pq_quantize": {"embeddings"},
+    # round-6 second ring (§2.16)
+    "stat_welch_ttest": {"events"},
+    "stat_ks_two_sample": {"events"},
+    "stat_mutual_information": {"events"},
+    "stat_benford_first_digit": {"orders"},
+    "stat_gini_coefficient": {"orders"},
+    "graph_clustering_coefficient": {"lineitem"},
+    "graph_assortativity_degree": {"lineitem"},
+    "ts_peak_detect_local": {"events"},
+    "win_percent_rank_cume_dist": {"orders"},
+    "llm_code_detect_heuristic": {"documents"},
+    "type_try_cast_surface": {"events"},
+    "join_mark_exists_flag": {"orders"},
 }
 
 
