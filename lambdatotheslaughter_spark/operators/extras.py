@@ -3711,3 +3711,102 @@ def win_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "o_orderpriority", "cents",
                     F.percent_rank().over(w).alias("pct_rank"),
                     F.cume_dist().over(w).alias("cume_dist")))
+
+
+# ---------------------------------------------------------------------------
+# multi-lag autocorrelation function (round 6)
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 24
+
+_ACF_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                        date_trunc('hour', ts)) AS BIGINT) AS h,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), lags AS (
+  SELECT CAST(unnest(range(1, {_ACF_MAX_LAG + 1})) AS BIGINT) AS lag
+), paired AS (
+  SELECT a.event_type, lags.lag, a.cents AS x, b.cents AS y
+  FROM hourly a CROSS JOIN lags
+  JOIN hourly b ON b.event_type = a.event_type AND b.h = a.h + lags.lag
+), s AS (
+  SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM paired GROUP BY event_type, lag
+), a AS (
+  -- HUGEINT -> DOUBLE via VARCHAR: the skew_kurt correct-rounding hop
+  SELECT event_type, lag, n,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS ax,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS ay,
+         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS axy,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS axx,
+         CAST(CAST(syy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS ayy
+  FROM s
+)
+SELECT event_type, lag, n AS n_pairs,
+       (axy - ax * ay)
+         / sqrt((axx - ax * ax) * (ayy - ay * ay)) AS acf
+FROM a
+"""
+
+
+@register("ts_acf_multi_lag", oracle=_ACF_ORACLE)
+def ts_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The autocorrelation function at lags 1…24 of the hourly revenue
+    series per event type — the full periodicity probe (a lag-24 spike
+    is daily seasonality, a slow decay is trend) that generalizes
+    ts_autocorr_lag's single lag-1 number. Sums of cents and their
+    cross-products aggregate in decimal(38,0)/HUGEINT space (hourly
+    cents ~2·10⁶, squares ~4·10¹² — a 100× corpus would overflow BIGINT
+    sums, so wide-decimal from the start, the skew_kurt discipline);
+    the Pearson assembly is an average-based double tree identical in
+    both engines, with the oracle's HUGEINT sums reaching double via
+    the VARCHAR correct-rounding hop.
+
+    Scale shape: the combinable hourly pre-agg collapses the corpus to
+    the calendar; the 24-lag spine is a broadcast cross join over the
+    HOURLY table (24×hours rows — calendar-bounded, corpus-free); the
+    per-(type, lag) moment fold is one combinable groupBy."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.sum(cents).cast("bigint").alias("cents"))
+              .select("event_type",
+                      (F.unix_timestamp("hr") / 3600).cast("bigint")
+                      .alias("h"),
+                      "cents")
+              .localCheckpoint(eager=False))  # both join sides share it
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    paired = (a.crossJoin(F.broadcast(lags))
+              .join(b, (F.col("b.event_type") == F.col("a.event_type"))
+                    & (F.col("b.h") == F.col("a.h") + F.col("lag")))
+              .select(F.col("a.event_type").alias("event_type"), "lag",
+                      F.col("a.cents").alias("x"),
+                      F.col("b.cents").alias("y")))
+    dec = "decimal(38,0)"
+    s = paired.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        # cast BEFORE multiplying: a bigint*bigint product would wrap at
+        # ~9·10¹⁸ before the decimal cast could see it
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"))
+    nd = F.col("n").cast("double")
+    ax = F.col("sx").cast("double") / nd
+    ay = F.col("sy").cast("double") / nd
+    axy = F.col("sxy").cast("double") / nd
+    axx = F.col("sxx").cast("double") / nd
+    ayy = F.col("syy").cast("double") / nd
+    return s.select(
+        "event_type", "lag", F.col("n").alias("n_pairs"),
+        ((axy - ax * ay)
+         / F.sqrt((axx - ax * ax) * (ayy - ay * ay))).alias("acf"))

@@ -3853,3 +3853,92 @@ def llm_embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bits).cast("bigint").alias("bits_per_vector"),
         (F.sum("err2_fp").cast("double")
          / F.sum("energy_fp").cast("double")).alias("relative_mse"))
+
+
+# ---------------------------------------------------------------------------
+# interpolated Kneser–Ney bigram LM score (round 6)
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75
+
+_KN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i])) AS t1,
+         unnest(list_transform(range(1, len(l)), i -> l[i + 1])) AS t2
+  FROM toks
+), c2 AS (
+  SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY t1, t2
+), hist AS (
+  SELECT t1, CAST(SUM(c) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS nfwd
+  FROM c2 GROUP BY t1
+), bwd AS (
+  SELECT t2, CAST(COUNT(*) AS BIGINT) AS nbwd FROM c2 GROUP BY t2
+), tt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t_types FROM c2
+)
+SELECT bg.doc_id,
+       round(AVG(ln(
+         (CAST(c2.c AS DOUBLE) - {_KN_D}) / CAST(hist.h AS DOUBLE)
+         + (({_KN_D} * CAST(hist.nfwd AS DOUBLE)) / CAST(hist.h AS DOUBLE))
+           * (CAST(bwd.nbwd AS DOUBLE) / CAST(tt.t_types AS DOUBLE)))), 6)
+         AS avg_logprob_kn,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams
+FROM bg JOIN c2 ON bg.t1 = c2.t1 AND bg.t2 = c2.t2
+JOIN hist ON bg.t1 = hist.t1
+JOIN bwd ON bg.t2 = bwd.t2
+CROSS JOIN tt
+GROUP BY bg.doc_id
+"""
+
+
+@register("llm_lm_score_kneser_ney", oracle=_KN_ORACLE)
+def llm_lm_score_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram score per document — the standard
+    n-gram smoothing (absolute discount D=0.75 plus a CONTINUATION
+    unigram: how many distinct histories a word completes, not how often
+    it occurs), one refinement past llm_lm_score_bigram's add-k. The
+    difference matters for curation: add-k over-scores documents stuffed
+    with frequent-but-context-bound words ("francisco" is frequent yet
+    only ever follows "san"; its continuation count is 1, so KN scores
+    scrambled text honestly). P(w₂|w₁) = (c(w₁w₂)−D)/c(w₁·) +
+    (D·N₁₊(w₁·)/c(w₁·))·(N₁₊(·w₂)/T). Every count is an exact BIGINT;
+    c ≥ 1 > D so the discounted mass needs no max(); the per-doc AVG of
+    ln rounds to 6 dp (cross-engine float-sum order, the bigram-LM
+    precedent).
+
+    Scale shape: all four model tables (bigram counts, history sums +
+    forward fan-out, backward fan-out, type total) are map-side
+    combinable groupBys bounded by VOCABULARY (Heaps' law), not corpus —
+    they broadcast; the per-doc score is one re-aggregation by doc_id."""
+    d = load_table(spark, "documents", sf_dir).where(F.size(_tokens()) >= 2)
+    toks = d.select("doc_id", _tokens().alias("l"))
+    bg = (toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("l") - 1)).alias("i"), "l")
+        .select("doc_id", F.element_at("l", F.col("i")).alias("t1"),
+                F.element_at("l", F.col("i") + 1).alias("t2")))
+    c2 = (bg.groupBy("t1", "t2")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    hist = (c2.groupBy("t1")
+            .agg(F.sum("c").cast("bigint").alias("h"),
+                 F.count(F.lit(1)).cast("bigint").alias("nfwd")))
+    bwd = (c2.groupBy("t2")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("nbwd")))
+    tt = c2.agg(F.count(F.lit(1)).cast("bigint").alias("t_types"))
+    p = ((F.col("c").cast("double") - F.lit(_KN_D))
+         / F.col("h").cast("double")
+         + ((F.lit(_KN_D) * F.col("nfwd").cast("double"))
+            / F.col("h").cast("double"))
+         * (F.col("nbwd").cast("double") / F.col("t_types").cast("double")))
+    return (bg.join(F.broadcast(c2), ["t1", "t2"])
+            .join(F.broadcast(hist), "t1")
+            .join(F.broadcast(bwd), "t2")
+            .crossJoin(F.broadcast(tt))
+            .groupBy("doc_id")
+            .agg(F.round(F.avg(F.log(p)), 6).alias("avg_logprob_kn"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_bigrams")))

@@ -373,3 +373,315 @@ def stat_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.lit(2.0) * F.col("weighted").cast("double"))
          / (nd * F.col("total_cents").cast("double"))
          - (nd + F.lit(1.0)) / nd).alias("gini"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic Poisson bootstrap CI (round 6)
+# ---------------------------------------------------------------------------
+
+# Poisson(1) CDF thresholds in 2^-32 units: weight k iff
+# t_{k-1} <= u32 < t_k (u32 uniform on [0, 2^32) from md5 bits). Pure
+# integer comparisons — the float CDF appears only in these frozen
+# literals, never at query time.
+_POIS_T = (1580030168, 3160060337, 3950075421,
+           4213413783, 4279248373, 4292415291)
+_BOOT_B = 64
+_BOOT_LO_RANK = 2    # ceil(0.025 * 64)
+_BOOT_HI_RANK = 63   # ceil(0.975 * 64)
+
+
+def _boot_weight_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_T))
+    return f"CASE {branches} ELSE {len(_POIS_T)} END"
+
+
+_BOOT_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), reps AS (
+  SELECT CAST(unnest(range({_BOOT_B})) AS BIGINT) AS b
+), weighted AS (
+  SELECT reps.b, base.cents,
+         {_boot_weight_sql("CAST(concat('0x', substring(md5(concat("
+                           "CAST(base.event_id AS VARCHAR), ':', "
+                           "CAST(reps.b AS VARCHAR))), 1, 8)) AS BIGINT)")}
+           AS w
+  FROM base CROSS JOIN reps
+), means AS (
+  SELECT b,
+         CAST(CAST(SUM(w * cents) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS m
+  FROM weighted GROUP BY b
+), ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM means
+), ci AS (
+  SELECT MIN(CASE WHEN rk = {_BOOT_LO_RANK} THEN m END) AS lo,
+         MIN(CASE WHEN rk = {_BOOT_HI_RANK} THEN m END) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n_reps
+  FROM ranked
+), pt AS (
+  SELECT CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS m0
+  FROM base
+)
+SELECT n_reps,
+       m0 / 100.0 AS est_mean_dollars,
+       lo / 100.0 AS ci_lo_dollars,
+       hi / 100.0 AS ci_hi_dollars
+FROM ci CROSS JOIN pt
+"""
+
+
+@register("stat_bootstrap_poisson_ci", oracle=_BOOT_ORACLE)
+def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean purchase value — the
+    distributed bootstrap (each row draws an independent Poisson(1)
+    resample weight per replicate, so no replicate ever needs a
+    row-count barrier or a shared sample index: the streaming-friendly
+    formulation MapReduce bootstrap papers standardized). Replicate
+    randomness is DETERMINISTIC: u32 from md5(event_id:replicate) bits,
+    weight from frozen INTEGER CDF thresholds (the float Poisson CDF
+    exists only in the six pasted literals) — both engines draw
+    bit-identical weights, so every replicate mean is one int/int
+    division and the rank-picked 2.5%/97.5% bounds hash-match exactly.
+
+    Scale shape: the ×64 replicate fan-out is map-side (broadcast of a
+    64-row spine); each replicate folds to two BIGINT partials in ONE
+    combinable groupBy — 100 TB cost is 64 weighted sums, not 64 corpus
+    copies; the rank window runs over 64 rows."""
+    ev = load_table(spark, "events", sf_dir) \
+        .where(F.col("event_type") == "purchase")
+    base = ev.select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"))
+    reps = spark.range(_BOOT_B).select(F.col("id").alias("b"))
+    u = F.conv(F.substring(F.md5(F.concat(
+        F.col("event_id").cast("string"), F.lit(":"),
+        F.col("b").cast("string"))), 1, 8), 16, 10).cast("bigint")
+    w = F.when(u < _POIS_T[0], 0)
+    for k, t in enumerate(_POIS_T[1:], start=1):
+        w = w.when(u < t, k)
+    w = w.otherwise(len(_POIS_T))
+    weighted = base.crossJoin(F.broadcast(reps)).select(
+        "b", "cents", w.alias("w"))
+    means = (weighted.groupBy("b")
+             .agg((F.sum(F.col("w") * F.col("cents")).cast("bigint")
+                   .cast("double")
+                   / F.sum("w").cast("bigint").cast("double")).alias("m")))
+    ranked = means.select(
+        "m", F.row_number().over(Window.orderBy("m", "b")).alias("rk"))
+    ci = ranked.agg(
+        F.min(F.when(F.col("rk") == _BOOT_LO_RANK, F.col("m"))).alias("lo"),
+        F.min(F.when(F.col("rk") == _BOOT_HI_RANK, F.col("m"))).alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"))
+    pt = base.agg(
+        (F.sum("cents").cast("bigint").cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("m0"))
+    return ci.crossJoin(pt).select(
+        "n_reps",
+        (F.col("m0") / F.lit(100.0)).alias("est_mean_dollars"),
+        (F.col("lo") / F.lit(100.0)).alias("ci_lo_dollars"),
+        (F.col("hi") / F.lit(100.0)).alias("ci_hi_dollars"))
+
+
+# ---------------------------------------------------------------------------
+# closed-form two-feature OLS (round 6)
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+WITH base AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS y,
+         CAST(hour(ts) AS BIGINT) AS x1,
+         -- DuckDB dayofweek is 0-based Sunday, Spark is 1-based: +1
+         -- (the ts_dow_hour_profile offset rule)
+         CAST(dayofweek(ts) + 1 AS BIGINT) AS x2
+  FROM events
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS sx1, CAST(SUM(x2) AS BIGINT) AS sx2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * x1) AS BIGINT) AS sx1x1,
+         CAST(SUM(x1 * x2) AS BIGINT) AS sx1x2,
+         CAST(SUM(x2 * x2) AS BIGINT) AS sx2x2,
+         CAST(SUM(x1 * y) AS BIGINT) AS sx1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS sx2y,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM base
+), d AS (
+  SELECT n, sy, sx1y, sx2y, syy,
+         CAST(n AS DOUBLE) AS a, CAST(sx1 AS DOUBLE) AS b,
+         CAST(sx2 AS DOUBLE) AS c,
+         CAST(sx1x1 AS DOUBLE) AS e, CAST(sx1x2 AS DOUBLE) AS f,
+         CAST(sx2x2 AS DOUBLE) AS g,
+         CAST(sy AS DOUBLE) AS r0, CAST(sx1y AS DOUBLE) AS r1,
+         CAST(sx2y AS DOUBLE) AS r2v
+  FROM s
+), betas AS (
+  SELECT n, sy, sx1y, sx2y, syy,
+         a * (e * g - f * f) - b * (b * g - f * c)
+           + c * (b * f - e * c) AS det,
+         r0 * (e * g - f * f) - b * (r1 * g - f * r2v)
+           + c * (r1 * f - e * r2v) AS det0,
+         a * (r1 * g - r2v * f) - r0 * (b * g - f * c)
+           + c * (b * r2v - r1 * c) AS det1,
+         a * (e * r2v - f * r1) - b * (b * r2v - r1 * c)
+           + r0 * (b * f - e * c) AS det2
+  FROM d
+)
+SELECT n,
+       (det0 / det) / 100.0 AS intercept_dollars,
+       (det1 / det) / 100.0 AS beta_hour_dollars,
+       (det2 / det) / 100.0 AS beta_dow_dollars,
+       1.0 - (CAST(syy AS DOUBLE)
+              - (det0 / det) * CAST(sy AS DOUBLE)
+              - (det1 / det) * CAST(sx1y AS DOUBLE)
+              - (det2 / det) * CAST(sx2y AS DOUBLE))
+             / (CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS r_squared
+FROM betas
+"""
+
+
+@register("stat_ols_two_feature", oracle=_OLS_ORACLE)
+def stat_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form two-feature OLS — value-in-cents regressed on
+    hour-of-day and day-of-week with intercept, solved by Cramer's rule
+    on the 3×3 normal equations (the multi-feature step past
+    agg_regr_builtins' single-regressor fits; the shape feature stores
+    use for cheap trend-adjustment without an ML library). All ten
+    moment sums are exact BIGINTs (every one < 2⁵³, so the double lift
+    is exact); determinants expand through a FIXED cofactor tree spelled
+    identically in both engines; R² reuses the normal-equation identity
+    SSE = Σy² − β·(Σy, Σx₁y, Σx₂y). dayofweek is 1-based-Sunday in both
+    Spark and DuckDB, so no base-offset shim is needed (contrast
+    ts_dow_hour_profile's dow normalization against its 0-based
+    DuckDB twin).
+
+    Scale shape: ONE combinable ten-sum aggregate over the scan to a
+    single row; the solve is constant work after the fold — the
+    canonical 100 TB regression recipe (normal equations, not gradient
+    descent)."""
+    ev = load_table(spark, "events", sf_dir)
+    y = F.round(F.col("value") * 100, 0).cast("bigint")
+    x1 = F.hour("ts").cast("bigint")
+    x2 = F.dayofweek("ts").cast("bigint")
+    base = ev.select(y.alias("y"), x1.alias("x1"), x2.alias("x2"))
+    s = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("sx1"),
+        F.sum("x2").cast("bigint").alias("sx2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("sx1x1"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("sx1x2"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"))
+    a = F.col("n").cast("double")
+    b = F.col("sx1").cast("double")
+    c = F.col("sx2").cast("double")
+    e = F.col("sx1x1").cast("double")
+    f = F.col("sx1x2").cast("double")
+    g = F.col("sx2x2").cast("double")
+    r0 = F.col("sy").cast("double")
+    r1 = F.col("sx1y").cast("double")
+    r2v = F.col("sx2y").cast("double")
+    det = a * (e * g - f * f) - b * (b * g - f * c) + c * (b * f - e * c)
+    det0 = (r0 * (e * g - f * f) - b * (r1 * g - f * r2v)
+            + c * (r1 * f - e * r2v))
+    det1 = (a * (r1 * g - r2v * f) - r0 * (b * g - f * c)
+            + c * (b * r2v - r1 * c))
+    det2 = (a * (e * r2v - f * r1) - b * (b * r2v - r1 * c)
+            + r0 * (b * f - e * c))
+    b0 = det0 / det
+    b1 = det1 / det
+    b2 = det2 / det
+    syyd = F.col("syy").cast("double")
+    sse = syyd - b0 * r0 - b1 * r1 - b2 * r2v
+    sst = syyd - r0 * r0 / a
+    return s.select(
+        "n",
+        (b0 / F.lit(100.0)).alias("intercept_dollars"),
+        (b1 / F.lit(100.0)).alias("beta_hour_dollars"),
+        (b2 / F.lit(100.0)).alias("beta_dow_dollars"),
+        (F.lit(1.0) - sse / sst).alias("r_squared"))
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust slope (round 6)
+# ---------------------------------------------------------------------------
+
+_THEIL_SEN_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                        date_trunc('hour', ts)) AS BIGINT) AS h,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), pairs AS (
+  SELECT a.event_type,
+         CAST(b.cents - a.cents AS DOUBLE)
+           / CAST(b.h - a.h AS DOUBLE) AS slope
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND a.h < b.h
+), ranked AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM pairs
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_pairs,
+       MIN(CASE WHEN rk = (n + 1) // 2 THEN slope END)
+         AS sen_slope_cents_per_hour
+FROM ranked GROUP BY event_type
+"""
+
+
+@register("ts_theil_sen_slope", oracle=_THEIL_SEN_ORACLE)
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type — the MEDIAN of all
+    pairwise slopes of the hourly revenue series, the estimator that
+    shrugs off the outlier hours that poison ts_trend_slope's
+    least-squares fit (29% breakdown point vs 0). The O(k²) pair
+    expansion runs over the HOURLY pre-aggregate, so the quadratic term
+    is bounded by the calendar (720 points/month → ~260k pairs per
+    type), never by corpus size — the same pre-agg-bounds-the-kernel
+    discipline as ts_downsample_lttb. Each slope is one Δcents/Δhours
+    division of exact BIGINTs (identical IEEE op both engines); the
+    median is the DISCRETE lower median picked by rank, so an actual
+    pair's slope ships out, not an interpolation.
+
+    Scale shape: combinable hourly groupBy collapses the corpus; the
+    pair self-join co-partitions on event_type; one ranked window per
+    type over calendar-bounded pairs."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.sum(cents).cast("bigint").alias("cents"))
+              .select("event_type",
+                      (F.unix_timestamp("hr") / 3600).cast("bigint")
+                      .alias("h"),
+                      "cents"))
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    pairs = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                    & (F.col("a.h") < F.col("b.h")))
+             .select(F.col("a.event_type").alias("event_type"),
+                     ((F.col("b.cents") - F.col("a.cents")).cast("double")
+                      / (F.col("b.h") - F.col("a.h")).cast("double"))
+                     .alias("slope")))
+    wp = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type", "slope",
+        F.row_number().over(wp.orderBy("slope")).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n"))
+    return (ranked.groupBy("event_type")
+            .agg(F.max("n").cast("bigint").alias("n_pairs"),
+                 F.min(F.when(F.col("rk") == F.expr("(n + 1) div 2"),
+                              F.col("slope")))
+                 .alias("sen_slope_cents_per_hour")))

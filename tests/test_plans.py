@@ -891,3 +891,23 @@ def test_mark_join_aggregates_before_join():
     assert "HashAggregate" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_bootstrap_replicates_are_map_side():
+    """stat_bootstrap_poisson_ci: the ×64 replicate fan-out must be a
+    BROADCAST of the spine (no shuffle to produce weighted rows), and
+    the replicate means must come from a hash aggregate."""
+    df = _df("stat_bootstrap_poisson_ci")
+    plan = checks.executed_plan(df)
+    assert checks.has_broadcast_join(df), plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_kneser_ney_model_tables_broadcast():
+    """llm_lm_score_kneser_ney: all model-table joins are broadcasts —
+    a shuffled model join would move the exploded bigram table once per
+    model table."""
+    df = _df("llm_lm_score_kneser_ney")
+    plan = checks.executed_plan(df)
+    assert checks.has_broadcast_join(df), plan
+    assert "SortMergeJoin" not in plan, plan

@@ -204,6 +204,11 @@ QUERY_TABLES = {
     "llm_code_detect_heuristic": {"documents"},
     "type_try_cast_surface": {"events"},
     "join_mark_exists_flag": {"orders"},
+    "stat_bootstrap_poisson_ci": {"events"},
+    "stat_ols_two_feature": {"events"},
+    "ts_theil_sen_slope": {"events"},
+    "ts_acf_multi_lag": {"events"},
+    "llm_lm_score_kneser_ney": {"documents"},
 }
 
 
