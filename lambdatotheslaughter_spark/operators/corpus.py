@@ -2728,3 +2728,148 @@ def llm_code_detect_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.cast("bigint").alias("kw_hits"),
         F.round(dens, 6).alias("kw_density"),
         (dens >= F.lit(0.2)).alias("is_codey"))
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled sampling weights (round 6)
+# ---------------------------------------------------------------------------
+
+_TEMP_TAU = 0.7
+
+_TEMP_ORACLE = f"""
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY lang
+), t AS (
+  SELECT lang, n_docs,
+         CAST(SUM(n_docs) OVER () AS BIGINT) AS total,
+         CAST(round(pow(CAST(n_docs AS DOUBLE)
+                        / CAST(SUM(n_docs) OVER () AS DOUBLE),
+                        {_TEMP_TAU}), 6) AS DECIMAL(18, 6)) AS w6
+  FROM c
+), s AS (
+  SELECT lang, n_docs, total, w6,
+         CAST(SUM(w6) OVER () AS DECIMAL(38, 6)) AS wtot
+  FROM t
+)
+SELECT lang, n_docs,
+       CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS raw_share,
+       CAST(w6 AS DOUBLE) / CAST(wtot AS DOUBLE) AS temp_share,
+       (CAST(w6 AS DOUBLE) / CAST(wtot AS DOUBLE))
+         / (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE))
+         AS upsample_factor
+FROM s
+"""
+
+
+@register("llm_sample_temperature_weights", oracle=_TEMP_ORACLE)
+def llm_sample_temperature_weights(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per language (τ=0.7) — the
+    multilingual mixing recipe (XLM-R-style): qᵢ ∝ pᵢ^τ flattens the
+    language distribution so low-resource languages upsample without
+    letting them dominate; the output's upsample_factor is the knob a
+    mixing job feeds to llm_mix_epoch_upsample. Determinism: pow() is
+    the one non-portable step (libm vs Math.pow), so the weight rounds
+    to 6 dp and — the subtle part — the CROSS-LANGUAGE normalizer sums
+    those rounded weights in DECIMAL(18,6) space, because a float sum
+    over the partition would be association-order-dependent (the same
+    decimal-space trick the money paths use). Every share is then one
+    exact-operand IEEE division.
+
+    Scale shape: one combinable count groupBy to the language table;
+    everything after is windows over ≤5 rows."""
+    d = load_table(spark, "documents", sf_dir)
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint")
+                              .alias("n_docs"))
+    wall = Window.partitionBy()
+    t = c.select(
+        "lang", "n_docs",
+        F.sum("n_docs").over(wall).cast("bigint").alias("total"))
+    w6 = F.round(
+        F.pow(F.col("n_docs").cast("double")
+              / F.col("total").cast("double"), F.lit(_TEMP_TAU)),
+        6).cast("decimal(18,6)")
+    s = t.select("lang", "n_docs", "total", w6.alias("w6")) \
+         .select("lang", "n_docs", "total", "w6",
+                 F.sum("w6").over(wall).cast("decimal(38,6)").alias("wtot"))
+    raw = F.col("n_docs").cast("double") / F.col("total").cast("double")
+    temp = F.col("w6").cast("double") / F.col("wtot").cast("double")
+    return s.select("lang", "n_docs", raw.alias("raw_share"),
+                    temp.alias("temp_share"),
+                    (temp / raw).alias("upsample_factor"))
+
+
+# ---------------------------------------------------------------------------
+# c-TF-IDF cluster topic terms (round 6)
+# ---------------------------------------------------------------------------
+
+_CTFIDF_TOP_K = 5
+
+_CTFIDF_ORACLE = f"""
+WITH joined AS (
+  SELECT e.label, unnest(string_split(d.text, ' ')) AS term
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), tf AS (
+  SELECT label, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM joined GROUP BY label, term
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_clusters FROM tf GROUP BY term
+), nl AS (
+  SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels FROM tf
+), scored AS (
+  SELECT tf.label, tf.term, tf.tf, df.df_clusters,
+         round(CAST(tf.tf AS DOUBLE)
+               * ln(1.0 + CAST(nl.n_labels AS DOUBLE)
+                          / CAST(df.df_clusters AS DOUBLE)), 6) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN nl
+), ranked AS (
+  SELECT label, term, tf, df_clusters, score,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+SELECT CAST(label AS BIGINT) AS label, term, tf, df_clusters, score,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_CTFIDF_TOP_K}
+"""
+
+
+@register("llm_cluster_topic_terms", oracle=_CTFIDF_ORACLE)
+def llm_cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF topic terms per embedding cluster — the BERTopic-style
+    labeling step: treat each cluster (the embeddings' label column,
+    joined doc_id=vec_id) as ONE meta-document, score terms by
+    tf·ln(1 + N/df) where df counts CLUSTERS containing the term, and
+    keep the top 5 per cluster. This is what turns an opaque clustering
+    into something a curator can read. The score passes through ln, so
+    it rounds to 6 dp and the per-cluster ranking orders by the ROUNDED
+    score with a term tiebreak — both engines rank identical keys.
+
+    Scale shape: token explode → one combinable (label, term) groupBy
+    (vocabulary × clusters bounded); df is a second combinable fold over
+    that table; top-k is a per-label window over the scored
+    vocabulary — corpus size only touches the first explode."""
+    d = load_table(spark, "documents", sf_dir)
+    e = load_table(spark, "embeddings", sf_dir)
+    joined = (d.join(e, d.doc_id == e.vec_id)
+              .select("label", F.explode(tokens()).alias("term")))
+    tf = (joined.groupBy("label", "term")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+          .localCheckpoint(eager=False))  # df + scoring share it
+    df = (tf.groupBy("term")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("df_clusters")))
+    nl = tf.agg(F.count_distinct("label").cast("bigint").alias("n_labels"))
+    scored = (tf.join(F.broadcast(df), "term")
+              .crossJoin(F.broadcast(nl))
+              .select("label", "term", "tf", "df_clusters",
+                      F.round(F.col("tf").cast("double")
+                              * F.log(F.lit(1.0)
+                                      + F.col("n_labels").cast("double")
+                                      / F.col("df_clusters").cast("double")),
+                              6).alias("score")))
+    w = Window.partitionBy("label").orderBy(F.col("score").desc(), "term")
+    return (scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rk") <= _CTFIDF_TOP_K)
+            .select(F.col("label").cast("bigint").alias("label"),
+                    "term", "tf", "df_clusters", "score", "rk"))

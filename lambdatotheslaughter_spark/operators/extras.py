@@ -3810,3 +3810,158 @@ def ts_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "lag", F.col("n").alias("n_pairs"),
         ((axy - ax * ay)
          / F.sqrt((axx - ax * ax) * (ayy - ay * ay))).alias("acf"))
+
+
+# ---------------------------------------------------------------------------
+# cross-correlation lead/lag (round 6)
+# ---------------------------------------------------------------------------
+
+_XCORR_MAX_LAG = 12
+
+_XCORR_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                        date_trunc('hour', ts)) AS BIGINT) AS h,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type, date_trunc('hour', ts)
+), x AS (SELECT h, cents FROM hourly WHERE event_type = 'click'),
+y AS (SELECT h, cents FROM hourly WHERE event_type = 'purchase'),
+lags AS (
+  SELECT CAST(unnest(range(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG + 1}))
+              AS BIGINT) AS lag
+), paired AS (
+  SELECT lags.lag, x.cents AS xv, y.cents AS yv
+  FROM x CROSS JOIN lags
+  JOIN y ON y.h = x.h + lags.lag
+), s AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(xv) AS sx, SUM(yv) AS sy, SUM(xv * yv) AS sxy,
+         SUM(xv * xv) AS sxx, SUM(yv * yv) AS syy
+  FROM paired GROUP BY lag
+), a AS (
+  SELECT lag, n,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS ax,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS ay,
+         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS axy,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS axx,
+         CAST(CAST(syy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS ayy
+  FROM s
+)
+SELECT lag, n AS n_pairs,
+       (axy - ax * ay)
+         / sqrt((axx - ax * ax) * (ayy - ay * ay)) AS xcorr
+FROM a
+"""
+
+
+@register("ts_xcorr_lead_lag", oracle=_XCORR_ORACLE)
+def ts_xcorr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between the hourly click and purchase revenue
+    series at lags −12…+12 — the lead/lag detector ("clicks lead
+    purchases by N hours") that turns two KPI series into an actionable
+    offset; the CROSS-series sibling of ts_acf_multi_lag, sharing its
+    wide-decimal moment discipline and VARCHAR correct-rounding hop.
+    A peak at positive lag means the purchase series follows clicks.
+
+    Scale shape: the corpus collapses to two calendar-bounded hourly
+    series; the 25-lag spine is a broadcast cross join over the click
+    series; one combinable moment fold per lag."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.sum(cents).cast("bigint").alias("cents"))
+              .select("event_type",
+                      (F.unix_timestamp("hr") / 3600).cast("bigint")
+                      .alias("h"),
+                      "cents")
+              .localCheckpoint(eager=False))
+    x = hourly.where(F.col("event_type") == "click").select("h", "cents")
+    y = (hourly.where(F.col("event_type") == "purchase")
+         .select(F.col("h").alias("hy"), F.col("cents").alias("yv")))
+    lags = (spark.range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1)
+            .select(F.col("id").alias("lag")))
+    paired = (x.crossJoin(F.broadcast(lags))
+              .join(y, F.col("hy") == F.col("h") + F.col("lag"))
+              .select("lag", F.col("cents").alias("xv"), "yv"))
+    dec = "decimal(38,0)"
+    s = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("xv").cast(dec)).alias("sx"),
+        F.sum(F.col("yv").cast(dec)).alias("sy"),
+        F.sum(F.col("xv").cast(dec) * F.col("yv").cast(dec)).alias("sxy"),
+        F.sum(F.col("xv").cast(dec) * F.col("xv").cast(dec)).alias("sxx"),
+        F.sum(F.col("yv").cast(dec) * F.col("yv").cast(dec)).alias("syy"))
+    nd = F.col("n").cast("double")
+    ax = F.col("sx").cast("double") / nd
+    ay = F.col("sy").cast("double") / nd
+    axy = F.col("sxy").cast("double") / nd
+    axx = F.col("sxx").cast("double") / nd
+    ayy = F.col("syy").cast("double") / nd
+    return s.select(
+        "lag", F.col("n").alias("n_pairs"),
+        ((axy - ax * ay)
+         / F.sqrt((axx - ax * ax) * (ayy - ay * ay))).alias("xcorr"))
+
+
+# ---------------------------------------------------------------------------
+# burstiness / Fano factor (round 6)
+# ---------------------------------------------------------------------------
+
+_FANO_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM hourly GROUP BY event_type
+), a AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS var_pop
+  FROM s
+)
+SELECT event_type, n AS n_hours, mu AS mean_per_hour,
+       var_pop / mu AS fano_factor,
+       (sqrt(var_pop) - mu) / (sqrt(var_pop) + mu) AS burstiness
+FROM a
+"""
+
+
+@register("ts_burstiness_fano", oracle=_FANO_ORACLE)
+def ts_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance/mean of hourly event counts — 1 under a
+    Poisson process, >1 = clumped arrivals) and the Goh–Barabási
+    burstiness score (σ−μ)/(σ+μ) ∈ [−1, 1) per event type — the
+    dispersion diagnostics that tell an autoscaler whether traffic is
+    smooth or bursty BEFORE it trusts a mean-based capacity plan
+    (complements ts_peak_detect_local's where-are-the-bursts with
+    how-bursty-overall). Hourly counts are exact integers; population
+    moments assemble through the standard identical double tree.
+
+    Scale shape: hourly pre-agg collapses the corpus to the calendar;
+    one combinable three-sum fold per type."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    s = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"))
+    nd = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    var_pop = F.col("s2").cast("double") / nd - mu * mu
+    return s.select(
+        "event_type", F.col("n").alias("n_hours"),
+        mu.alias("mean_per_hour"),
+        (var_pop / mu).alias("fano_factor"),
+        ((F.sqrt(var_pop) - mu) / (F.sqrt(var_pop) + mu))
+        .alias("burstiness"))

@@ -835,3 +835,65 @@ def graph_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((axy - ax * ay)
          / F.sqrt((ax2 - ax * ax) * (ay2 - ay * ay)))
         .alias("assortativity"))
+
+
+# ---------------------------------------------------------------------------
+# reciprocity (round 6)
+# ---------------------------------------------------------------------------
+
+_RECIPROCITY_ORACLE = f"""
+WITH raw AS ({_EDGES_SQL}),
+dedup AS (
+  SELECT DISTINCT src, dst FROM raw WHERE src <> dst
+),
+und AS (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n_dirs
+  FROM dedup GROUP BY LEAST(src, dst), GREATEST(src, dst)
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM dedup) AS n_directed,
+  (SELECT CAST(2 * COUNT(*) FILTER (WHERE n_dirs = 2) AS BIGINT) FROM und)
+    AS n_reciprocated,
+  CAST((SELECT 2 * COUNT(*) FILTER (WHERE n_dirs = 2) FROM und) AS DOUBLE)
+    / CAST((SELECT COUNT(*) FROM dedup) AS DOUBLE) AS reciprocity
+"""
+
+
+@register("graph_reciprocity", oracle=_RECIPROCITY_ORACLE)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the DIRECTED part-transition graph — the share of
+    directed edges whose reverse edge also exists. High reciprocity
+    means the "picked after" relation is really symmetric co-occurrence
+    (an undirected projection loses nothing); low means order carries
+    signal worth keeping — the one-number check before every downstream
+    op that symmetrizes this graph (triangles, clustering, k-core)
+    throws the direction away. Counted WITHOUT a self-join: group the
+    deduplicated directed edges by their unordered pair and count pairs
+    seen in BOTH directions — one combinable groupBy instead of an
+    edges⋈edges probe, the same fold that would run at 100 TB. The
+    final share is one exact-integer division.
+
+    Scale shape: distinct-edges shuffle, one pair-keyed groupBy, two
+    scalar aggregates — never quadratic."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    dedup = (li.select(F.col("l_partkey").alias("src"),
+                       F.lead("l_partkey").over(w).alias("dst"))
+             .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+             .distinct()
+             .localCheckpoint(eager=False))  # pair fold + total share it
+    und = (dedup.groupBy(F.least("src", "dst").alias("a"),
+                         F.greatest("src", "dst").alias("b"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_dirs")))
+    recip = und.agg(
+        (F.lit(2) * F.count(F.when(F.col("n_dirs") == 2, 1)))
+        .cast("bigint").alias("n_reciprocated"))
+    total = dedup.agg(F.count(F.lit(1)).cast("bigint").alias("n_directed"))
+    return (total.crossJoin(recip)
+            .select("n_directed", "n_reciprocated",
+                    (F.col("n_reciprocated").cast("double")
+                     / F.col("n_directed").cast("double"))
+                    .alias("reciprocity")))

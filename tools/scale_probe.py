@@ -209,6 +209,11 @@ QUERY_TABLES = {
     "ts_theil_sen_slope": {"events"},
     "ts_acf_multi_lag": {"events"},
     "llm_lm_score_kneser_ney": {"documents"},
+    "ts_xcorr_lead_lag": {"events"},
+    "ts_burstiness_fano": {"events"},
+    "graph_reciprocity": {"lineitem"},
+    "llm_sample_temperature_weights": {"documents"},
+    "llm_cluster_topic_terms": {"documents", "embeddings"},
 }
 
 
