@@ -687,3 +687,73 @@ def agg_regr_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "events", sf_dir) \
         .createOrReplaceTempView("lts_ev_regr_v")
     return spark.sql(_REGR_SQL.format(src="lts_ev_regr_v"))
+
+
+# ---------------------------------------------------------------------------
+# theta sketch set algebra (round 6)
+# ---------------------------------------------------------------------------
+
+_THETA_ORACLE = """
+SELECT
+  CAST(COUNT(DISTINCT CASE WHEN event_type = 'click' AND value >= 200
+                           THEN user_id END) AS BIGINT) AS n_big_click,
+  CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' AND value >= 200
+                           THEN user_id END) AS BIGINT) AS n_big_purchase,
+  CAST(COUNT(DISTINCT CASE WHEN (event_type = 'click'
+                                 OR event_type = 'purchase')
+                           AND value >= 200
+                           THEN user_id END) AS BIGINT) AS n_union,
+  CAST(COUNT(DISTINCT CASE WHEN u_click AND u_purch THEN user_id END)
+       AS BIGINT) AS n_intersection,
+  CAST(COUNT(DISTINCT CASE WHEN u_click AND NOT u_purch THEN user_id END)
+       AS BIGINT) AS n_click_only
+FROM (
+  SELECT user_id, event_type, value,
+         bool_or(event_type = 'click' AND value >= 200)
+           OVER (PARTITION BY user_id) AS u_click,
+         bool_or(event_type = 'purchase' AND value >= 200)
+           OVER (PARTITION BY user_id) AS u_purch
+  FROM events
+)
+"""
+
+
+@register("agg_theta_sketch_algebra", oracle=_THETA_ORACLE)
+def agg_theta_sketch_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA (Spark 4.1 datasketches surface) —
+    union, INTERSECTION, and DIFFERENCE of two user cohorts
+    (high-value clickers vs high-value purchasers) from two sketches
+    built in ONE pass. This is the operation family HLL cannot do
+    honestly: agg_sketch_set_intersection fakes A∩B by
+    inclusion–exclusion over HLL unions (error compounds), while the
+    theta sketch carries the hash SAMPLE, so ∩ and \\ are first-class
+    with bounded error. Mergeability = partial-aggregatable: per-round
+    cohort sketches union across days for free at 100 TB.
+
+    Oracle contract: below the sketch's nominal capacity (k=4096
+    retained hashes) a theta sketch is in EXACT mode — the estimate IS
+    the distinct count, deterministically — and every driver/replica
+    scale keeps these cohorts under 4096 users, so the DuckDB oracle is
+    plain exact distinct algebra and the hash match is well-defined.
+    Estimation mode (the 100 TB reality) is gated separately in
+    tests/test_llm_quality.py: 1M distinct → relative error < 2%.
+
+    Scale shape: one combinable aggregate builds both sketches
+    (conditional inputs); the algebra runs on the driver's two ~32 KB
+    sketch values — constant post-fold work at any corpus size."""
+    ev = load_table(spark, "events", sf_dir)
+    pair = ev.agg(
+        F.theta_sketch_agg(
+            F.when((F.col("event_type") == "click")
+                   & (F.col("value") >= 200), F.col("user_id"))).alias("sc"),
+        F.theta_sketch_agg(
+            F.when((F.col("event_type") == "purchase")
+                   & (F.col("value") >= 200), F.col("user_id"))).alias("sp"))
+    return pair.select(
+        F.theta_sketch_estimate("sc").alias("n_big_click"),
+        F.theta_sketch_estimate("sp").alias("n_big_purchase"),
+        F.theta_sketch_estimate(F.theta_union("sc", "sp")).alias("n_union"),
+        F.theta_sketch_estimate(F.theta_intersection("sc", "sp"))
+        .alias("n_intersection"),
+        F.theta_sketch_estimate(F.theta_difference("sc", "sp"))
+        .alias("n_click_only"))

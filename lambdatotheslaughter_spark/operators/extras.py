@@ -3965,3 +3965,68 @@ def ts_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         (var_pop / mu).alias("fano_factor"),
         ((F.sqrt(var_pop) - mu) / (F.sqrt(var_pop) + mu))
         .alias("burstiness"))
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting procedural block (round 6)
+# ---------------------------------------------------------------------------
+
+_SCRIPT_ORACLE = """
+WITH ks AS (
+  SELECT CAST(unnest(range(0, 41)) AS BIGINT) AS k
+), oc AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders
+), counts AS (
+  SELECT ks.k,
+         CAST(100 * (CAST(1 AS BIGINT) << ks.k) AS BIGINT) AS thr,
+         CAST(COUNT(CASE WHEN oc.cents > 100 * (CAST(1 AS BIGINT) << ks.k)
+                         THEN 1 END) AS BIGINT) AS cnt
+  FROM ks CROSS JOIN oc GROUP BY ks.k
+)
+SELECT thr AS threshold_cents, k AS n_doublings, cnt AS n_above
+FROM counts WHERE cnt < 100 ORDER BY k LIMIT 1
+"""
+
+
+@register("sql_scripting_block", oracle=_SCRIPT_ORACLE)
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI SQL scripting (Spark 4's BEGIN…END procedural blocks):
+    DECLARE'd variables and a DATA-DEPENDENT WHILE loop — double a cent
+    threshold until fewer than 100 orders exceed it — the migration
+    target for every stored-procedure workload a warehouse refugee
+    brings (no driver-side Python loop: the control flow runs inside
+    the SQL engine, each iteration one scalar-subquery job). The oracle
+    is the closed form the loop computes: the least k with
+    count(cents > 100·2^k) < 100, found by grading all 41 candidate
+    thresholds in one conditional-count pass — loop and closed form
+    must agree bit-for-bit on (threshold, k, count).
+
+    Scale shape: each iteration is a combinable conditional COUNT over
+    the scan (the loop runs ~20 rounds at any corpus size — the bound
+    is the VALUE RANGE, log₂(max/100), not row count); the oracle's
+    one-pass grading is the batch alternative the engine would use if
+    the iteration count ever mattered."""
+    old = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        (load_table(spark, "orders", sf_dir)
+         .select(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                 .alias("cents"))
+         .createOrReplaceTempView("lts_script_oc"))
+        return spark.sql("""
+        BEGIN
+          DECLARE thr BIGINT DEFAULT 100;
+          DECLARE k INT DEFAULT 0;
+          DECLARE cnt BIGINT DEFAULT 0;
+          SET cnt = (SELECT COUNT(*) FROM lts_script_oc WHERE cents > thr);
+          WHILE cnt >= 100 AND k < 40 DO
+            SET thr = thr * 2;
+            SET k = k + 1;
+            SET cnt = (SELECT COUNT(*) FROM lts_script_oc WHERE cents > thr);
+          END WHILE;
+          SELECT thr AS threshold_cents, CAST(k AS BIGINT) AS n_doublings,
+                 cnt AS n_above;
+        END
+        """)
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", old)

@@ -789,3 +789,25 @@ def test_pq_quantize_error_bound_and_determinism(spark):
     r = rows[0]
     assert r["bits_per_vector"] == 32 and r["m_subspaces"] == 8
     assert 0.0 < r["relative_mse"] <= 0.65, r
+
+
+def test_theta_sketch_estimation_mode_error(spark):
+    """agg_theta_sketch_algebra's oracle holds because driver-scale
+    cohorts sit in the sketch's exact mode; this gate covers the
+    ESTIMATION mode the 100 TB claim rests on: 1M distinct values
+    through the same k=4096 sketch must estimate within 2% relative
+    error, and the union of two half-range sketches must land within 2%
+    of the true union."""
+    from pyspark.sql import functions as F
+    big = spark.range(2_000_000).select((F.col("id") % 1_000_000).alias("v"))
+    est = big.agg(F.theta_sketch_estimate(
+        F.theta_sketch_agg("v")).alias("e")).collect()[0]["e"]
+    assert abs(est - 1_000_000) / 1_000_000 < 0.02, est
+    halves = big.agg(
+        F.theta_sketch_agg(F.when(F.col("v") < 600_000, F.col("v")))
+        .alias("a"),
+        F.theta_sketch_agg(F.when(F.col("v") >= 400_000, F.col("v")))
+        .alias("b"))
+    u = halves.select(F.theta_sketch_estimate(
+        F.theta_union("a", "b")).alias("u")).collect()[0]["u"]
+    assert abs(u - 1_000_000) / 1_000_000 < 0.02, u
