@@ -4001,30 +4001,53 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds in one conditional-count pass — loop and closed form
     must agree bit-for-bit on (threshold, k, count).
 
-    Scale shape: each iteration is a combinable conditional COUNT over
-    the scan (the loop runs ~20 rounds at any corpus size — the bound
-    is the VALUE RANGE, log₂(max/100), not row count); the oracle's
-    one-pass grading is the batch alternative the engine would use if
-    the iteration count ever mattered."""
+    Scale shape: fold the corpus ONCE, loop over the fold. The scan
+    collapses to a 41-row (k, threshold, count-above) table in one
+    combinable pass — per row the highest threshold exceeded is
+    floor(log₂((cents−1) div 100)) read off the BINARY STRING LENGTH
+    (no float log at a power-of-two boundary), bucket counts suffix-sum
+    against the 41-row spine — and that table localCheckpoints, so each
+    WHILE iteration is a scalar lookup against 41 cached rows, never a
+    corpus re-scan. (A first draft issued the conditional COUNT against
+    the corpus view per iteration: ~20 sequential full scans, 6.6 s at
+    sf0.1 and scan-bound at 100 TB; this shape runs the same script
+    text over the same semantics at corpus-independent loop cost.)"""
     old = spark.conf.get("spark.sql.scripting.enabled", "false")
     spark.conf.set("spark.sql.scripting.enabled", "true")
     try:
-        (load_table(spark, "orders", sf_dir)
-         .select(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
-                 .alias("cents"))
-         .createOrReplaceTempView("lts_script_oc"))
+        oc = (load_table(spark, "orders", sf_dir)
+              .select(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                      .alias("cents")))
+        # highest k with cents > 100·2^k  ⟺  k ≤ floor(log2(q)), q=(cents−1)÷100
+        q = F.expr("(cents - 1) div 100")
+        hk = (F.length(F.bin(q)) - 1).cast("bigint")
+        buckets = (oc.where(q >= 1)
+                   .groupBy(hk.alias("hk"))
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+        spine = spark.range(0, 41).select(F.col("id").alias("k"))
+        hist = (spine.join(F.broadcast(buckets), F.col("hk") >= F.col("k"),
+                           "left")
+                .groupBy("k")
+                .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint")
+                     .alias("cnt"))
+                .select("k",
+                        F.expr("cast(100 * (cast(1 as bigint) "
+                               "<< cast(k as int)) as bigint)").alias("thr"),
+                        "cnt")
+                .localCheckpoint())  # loop queries hit 41 cached rows
+        hist.createOrReplaceTempView("lts_script_hist")
         return spark.sql("""
         BEGIN
           DECLARE thr BIGINT DEFAULT 100;
-          DECLARE k INT DEFAULT 0;
+          DECLARE kv INT DEFAULT 0;
           DECLARE cnt BIGINT DEFAULT 0;
-          SET cnt = (SELECT COUNT(*) FROM lts_script_oc WHERE cents > thr);
-          WHILE cnt >= 100 AND k < 40 DO
-            SET thr = thr * 2;
-            SET k = k + 1;
-            SET cnt = (SELECT COUNT(*) FROM lts_script_oc WHERE cents > thr);
+          SET cnt = (SELECT cnt FROM lts_script_hist WHERE k = 0);
+          WHILE cnt >= 100 AND kv < 40 DO
+            SET kv = kv + 1;
+            SET thr = (SELECT thr FROM lts_script_hist WHERE k = kv);
+            SET cnt = (SELECT cnt FROM lts_script_hist WHERE k = kv);
           END WHILE;
-          SELECT thr AS threshold_cents, CAST(k AS BIGINT) AS n_doublings,
+          SELECT thr AS threshold_cents, CAST(kv AS BIGINT) AS n_doublings,
                  cnt AS n_above;
         END
         """)

@@ -214,6 +214,8 @@ QUERY_TABLES = {
     "graph_reciprocity": {"lineitem"},
     "llm_sample_temperature_weights": {"documents"},
     "llm_cluster_topic_terms": {"documents", "embeddings"},
+    "sql_scripting_block": {"orders"},
+    "agg_theta_sketch_algebra": {"events"},
 }
 
 
