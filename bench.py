@@ -71,6 +71,9 @@ HEADLINE = [
     "llm_rag_context_pack",     # budgeted RAG context packing (round 6)
     "graph_bipartite_copurchase",  # basket-bounded co-purchase projection (round 6)
     "ts_outlier_iqr",           # discrete-quartile Tukey fences (round 6)
+    "stat_bootstrap_poisson_ci",  # map-side distributed bootstrap (round 6)
+    "llm_lm_score_kneser_ney",  # KN-smoothed bigram LM scoring (round 6)
+    "graph_clustering_coefficient",  # per-vertex wedge-probe clustering (round 6)
 ]
 
 

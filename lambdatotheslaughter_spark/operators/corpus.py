@@ -2873,3 +2873,85 @@ def llm_cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rk") <= _CTFIDF_TOP_K)
             .select(F.col("label").cast("bigint").alias("label"),
                     "term", "tf", "df_clusters", "score", "rk"))
+
+
+# ---------------------------------------------------------------------------
+# token-overlap F1 eval metric (round 6)
+# ---------------------------------------------------------------------------
+
+_F1_ORACLE = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE len(string_split(text, ' ')) >= 17
+), pred AS (
+  SELECT doc_id, unnest(l[1:12]) AS t FROM base
+), gold AS (
+  SELECT doc_id, unnest(l[6:17]) AS t FROM base
+), pc AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c FROM pred
+  GROUP BY doc_id, t
+), gc AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c FROM gold
+  GROUP BY doc_id, t
+), ov AS (
+  SELECT COALESCE(pc.doc_id, gc.doc_id) AS doc_id,
+         CAST(SUM(LEAST(COALESCE(pc.c, 0), COALESCE(gc.c, 0))) AS BIGINT)
+           AS n_overlap
+  FROM pc FULL OUTER JOIN gc
+    ON pc.doc_id = gc.doc_id AND pc.t = gc.t
+  GROUP BY COALESCE(pc.doc_id, gc.doc_id)
+)
+SELECT doc_id, CAST(12 AS BIGINT) AS n_pred, CAST(12 AS BIGINT) AS n_gold,
+       n_overlap,
+       CAST(n_overlap AS DOUBLE) / 12.0 AS precision_tok,
+       CAST(n_overlap AS DOUBLE) / 12.0 AS recall_tok,
+       CASE WHEN n_overlap = 0 THEN 0.0
+            ELSE 2.0 * (CAST(n_overlap AS DOUBLE) / 12.0)
+                 * (CAST(n_overlap AS DOUBLE) / 12.0)
+                 / ((CAST(n_overlap AS DOUBLE) / 12.0)
+                    + (CAST(n_overlap AS DOUBLE) / 12.0)) END AS f1_tok
+FROM ov
+"""
+
+
+@register("llm_eval_token_f1", oracle=_F1_ORACLE)
+def llm_eval_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQuAD-style token-overlap F1 between a prediction span and a gold
+    span — THE extractive-QA/summarization eval metric; here the spans
+    are deterministic fixed windows of each doc (tokens 1–12 vs 6–17,
+    a known 7-token overlap structure perturbed by repeated words), so
+    the metric machinery — MULTISET overlap Σ_t min(c_pred, c_gold),
+    precision, recall, harmonic F1 — is exercised end-to-end with a
+    value-exact oracle. Overlap counting is exact-integer via a full
+    outer join of the two per-(doc, token) count tables; P/R/F1 are
+    rationals through identical trees, with the F1 0/0 guard spelled as
+    the same CASE in both engines.
+
+    Scale shape: two explodes bounded by span length (12 tokens/doc,
+    corpus-linear), two combinable count groupBys, one doc+token-keyed
+    outer join, one per-doc fold — every stage key-partitioned."""
+    d = load_table(spark, "documents", sf_dir).where(F.size(tokens()) >= 17)
+    base = d.select("doc_id", tokens().alias("l"))
+    pred = base.select("doc_id",
+                       F.explode(F.slice("l", 1, 12)).alias("t"))
+    gold = base.select("doc_id",
+                       F.explode(F.slice("l", 6, 12)).alias("t"))
+    pc = (pred.groupBy("doc_id", "t")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("cp")))
+    gc = (gold.groupBy("doc_id", "t")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("cg")))
+    ov = (pc.join(gc, ["doc_id", "t"], "full_outer")
+          .groupBy("doc_id")
+          .agg(F.sum(F.least(F.coalesce("cp", F.lit(0)),
+                             F.coalesce("cg", F.lit(0))))
+               .cast("bigint").alias("n_overlap")))
+    p = F.col("n_overlap").cast("double") / F.lit(12.0)
+    return ov.select(
+        "doc_id",
+        F.lit(12).cast("bigint").alias("n_pred"),
+        F.lit(12).cast("bigint").alias("n_gold"),
+        "n_overlap",
+        p.alias("precision_tok"),
+        p.alias("recall_tok"),
+        F.when(F.col("n_overlap") == 0, F.lit(0.0))
+        .otherwise(F.lit(2.0) * p * p / (p + p)).alias("f1_tok"))

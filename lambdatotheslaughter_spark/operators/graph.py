@@ -897,3 +897,92 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_reciprocated").cast("double")
                      / F.col("n_directed").cast("double"))
                     .alias("reciprocity")))
+
+
+# ---------------------------------------------------------------------------
+# modularity of the brand partition (round 6)
+# ---------------------------------------------------------------------------
+
+_MODULARITY_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tagged AS (
+  SELECT e.pa, e.pb, ba.p_brand AS brand_a, bb.p_brand AS brand_b
+  FROM edges e
+  JOIN part ba ON e.pa = ba.p_partkey
+  JOIN part bb ON e.pb = bb.p_partkey
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM tagged
+), within AS (
+  SELECT brand_a AS brand, CAST(COUNT(*) AS BIGINT) AS e_within
+  FROM tagged WHERE brand_a = brand_b GROUP BY brand_a
+), degs AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS deg_sum FROM (
+    SELECT brand_a AS brand FROM tagged
+    UNION ALL SELECT brand_b FROM tagged) GROUP BY brand
+)
+SELECT d.brand, CAST(COALESCE(w.e_within, 0) AS BIGINT) AS e_within,
+       d.deg_sum, m.m_edges,
+       CAST(COALESCE(w.e_within, 0) AS DOUBLE) / CAST(m.m_edges AS DOUBLE)
+         - (CAST(d.deg_sum AS DOUBLE) / (2.0 * CAST(m.m_edges AS DOUBLE)))
+           * (CAST(d.deg_sum AS DOUBLE) / (2.0 * CAST(m.m_edges AS DOUBLE)))
+         AS q_contrib
+FROM degs d LEFT JOIN within w ON d.brand = w.brand CROSS JOIN m
+"""
+
+
+@register("graph_modularity_brand", oracle=_MODULARITY_ORACLE)
+def graph_modularity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity contributions of the BRAND partition over the
+    co-purchase graph — per community c, e_c/m − (deg_c/2m)²: positive
+    means parts of that brand are bought together MORE than a random
+    graph with these degrees predicts (real community structure), ~0
+    means brand doesn't organize purchasing. This is the quantitative
+    check to run BEFORE trusting any label column as a clustering
+    (here: would brand-partitioned processing co-locate related work?).
+    Per-community rows, never summed across communities (the χ²/MI
+    cross-cell float-sum rule); each contribution is a three-op tree
+    over exact integer edge counts.
+
+    Scale shape: basket-bounded pair self-join (the copurchase
+    discipline), two broadcast joins to the part dim for brands, then
+    two combinable brand-keyed folds — the 25-row community table
+    carries everything after."""
+    items = (load_table(spark, "lineitem", sf_dir)
+             .select("l_orderkey", "l_partkey").distinct()
+             .localCheckpoint(eager=False))
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    a = items.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("ok2"),
+                     F.col("l_partkey").alias("pb"))
+    edges = (a.join(b, (a.l_orderkey == b.ok2)
+                    & (F.col("pa") < F.col("pb")))
+             .select("pa", "pb").distinct())
+    tagged = (edges
+              .join(F.broadcast(part.select(F.col("p_partkey").alias("pa"),
+                                            F.col("p_brand")
+                                            .alias("brand_a"))), "pa")
+              .join(F.broadcast(part.select(F.col("p_partkey").alias("pb"),
+                                            F.col("p_brand")
+                                            .alias("brand_b"))), "pb")
+              .localCheckpoint(eager=False))  # m, within, degs share it
+    m = tagged.agg(F.count(F.lit(1)).cast("bigint").alias("m_edges"))
+    within = (tagged.where(F.col("brand_a") == F.col("brand_b"))
+              .groupBy(F.col("brand_a").alias("brand"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("e_within")))
+    degs = (tagged.select(F.col("brand_a").alias("brand"))
+            .unionAll(tagged.select("brand_b"))
+            .groupBy("brand")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg_sum")))
+    out = (degs.join(within, "brand", "left").crossJoin(F.broadcast(m)))
+    ew = F.coalesce("e_within", F.lit(0)).cast("bigint")
+    half = F.col("deg_sum").cast("double") \
+        / (F.lit(2.0) * F.col("m_edges").cast("double"))
+    return out.select(
+        "brand", ew.alias("e_within"), "deg_sum", "m_edges",
+        (ew.cast("double") / F.col("m_edges").cast("double")
+         - half * half).alias("q_contrib"))

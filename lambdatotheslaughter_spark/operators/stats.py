@@ -685,3 +685,297 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(F.when(F.col("rk") == F.expr("(n + 1) div 2"),
                               F.col("slope")))
                  .alias("sen_slope_cents_per_hour")))
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test (round 6)
+# ---------------------------------------------------------------------------
+
+_RUNS_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), med AS (
+  SELECT event_type,
+         MIN(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS m
+  FROM (SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents, hr) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM hourly) GROUP BY event_type
+), signed AS (
+  SELECT h.event_type, h.hr,
+         CASE WHEN h.cents > med.m THEN 1 ELSE 0 END AS s
+  FROM hourly h JOIN med ON h.event_type = med.event_type
+  WHERE h.cents <> med.m
+), runs AS (
+  SELECT event_type, s,
+         CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY hr)
+                   IS DISTINCT FROM s THEN 1 ELSE 0 END AS new_run
+  FROM signed
+), agg AS (
+  SELECT event_type,
+         CAST(SUM(new_run) AS BIGINT) AS r,
+         CAST(SUM(s) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2
+  FROM runs GROUP BY event_type
+)
+SELECT event_type, r AS n_runs, n1 AS n_above, n2 AS n_below,
+       (CAST(r AS DOUBLE)
+        - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+           / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+       / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+              * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+              / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))
+         AS z_stat
+FROM agg
+"""
+
+
+@register("stat_runs_test_wald_wolfowitz", oracle=_RUNS_ORACLE)
+def stat_runs_test_wald_wolfowitz(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per event type — is the hourly revenue
+    series RANDOM around its median, or does it clump (trend/seasonality
+    → too few runs; alternation → too many)? The nonparametric
+    randomness gate that needs no distribution at all: dichotomize the
+    series against its DISCRETE median (rank-picked, exact-median hours
+    dropped — the classical treatment), count runs with one lag
+    comparison, then the normal approximation z from pure integer
+    (R, n₁, n₂) through an identical double tree.
+
+    Scale shape: hourly pre-agg collapses the corpus to the calendar;
+    the rank-median, sign lag, and run count are all windows over the
+    calendar-sized series; one final five-integer fold per type."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.sum(cents).cast("bigint").alias("cents"))
+              .localCheckpoint(eager=False))  # median + signing share it
+    wp = Window.partitionBy("event_type")
+    ranked = hourly.select(
+        "event_type", "cents",
+        F.row_number().over(wp.orderBy("cents", "hr")).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n"))
+    med = (ranked.groupBy("event_type")
+           .agg(F.min(F.when(F.col("rk") == F.expr("(n + 1) div 2"),
+                             F.col("cents"))).alias("m")))
+    signed = (hourly.join(F.broadcast(med), "event_type")
+              .where(F.col("cents") != F.col("m"))
+              .select("event_type", "hr",
+                      F.when(F.col("cents") > F.col("m"), 1).otherwise(0)
+                      .alias("s")))
+    new_run = F.when(
+        ~F.lag("s").over(wp.orderBy("hr")).eqNullSafe(F.col("s")), 1) \
+        .otherwise(0)
+    runs = signed.select("event_type", "s", new_run.alias("new_run"))
+    agg = runs.groupBy("event_type").agg(
+        F.sum("new_run").cast("bigint").alias("r"),
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("bigint").alias("n2"))
+    rd = F.col("r").cast("double")
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    mu = F.lit(2.0) * n1d * n2d / (n1d + n2d) + F.lit(1.0)
+    var = (F.lit(2.0) * n1d * n2d
+           * (F.lit(2.0) * n1d * n2d - n1d - n2d)
+           / ((n1d + n2d) * (n1d + n2d) * (n1d + n2d - F.lit(1.0))))
+    return agg.select(
+        "event_type", F.col("r").alias("n_runs"),
+        F.col("n1").alias("n_above"), F.col("n2").alias("n_below"),
+        ((rd - mu) / F.sqrt(var)).alias("z_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b (round 6)
+# ---------------------------------------------------------------------------
+
+_KENDALL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type, date_trunc('hour', ts)
+), paired AS (
+  SELECT x.hr, x.cents AS xv, y.cents AS yv
+  FROM (SELECT hr, cents FROM hourly WHERE event_type = 'click') x
+  JOIN (SELECT hr, cents FROM hourly WHERE event_type = 'purchase') y
+    ON x.hr = y.hr
+), pp AS (
+  SELECT a.xv AS x1, a.yv AS y1, b.xv AS x2, b.yv AS y2
+  FROM paired a JOIN paired b ON a.hr < b.hr
+), s AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n0,
+    CAST(COUNT(CASE WHEN (x1 - x2) * (y1 - y2) > 0 THEN 1 END) AS BIGINT)
+      AS c,
+    CAST(COUNT(CASE WHEN (x1 - x2) * (y1 - y2) < 0 THEN 1 END) AS BIGINT)
+      AS d,
+    CAST(COUNT(CASE WHEN x1 = x2 AND y1 <> y2 THEN 1 END) AS BIGINT) AS tx,
+    CAST(COUNT(CASE WHEN y1 = y2 AND x1 <> x2 THEN 1 END) AS BIGINT) AS ty
+  FROM pp
+)
+SELECT n0 AS n_pairs, c AS n_concordant, d AS n_discordant,
+       tx AS n_ties_x, ty AS n_ties_y,
+       (CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
+         / sqrt((CAST(n0 AS DOUBLE) - CAST(tx AS DOUBLE))
+                * (CAST(n0 AS DOUBLE) - CAST(ty AS DOUBLE))) AS tau_b
+FROM s
+"""
+
+
+@register("stat_kendall_tau", oracle=_KENDALL_ORACLE)
+def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between the hourly click and purchase revenue
+    series — the rank-concordance association that is exactly
+    distribution-free AND tie-corrected (Pearson's ts_rolling_corr
+    reads co-movement magnitude; τ reads co-movement DIRECTION only,
+    immune to any monotone distortion of either series). Concordant /
+    discordant / tie counts are pure integer comparisons over the
+    calendar-bounded pair expansion; τ-b assembles in one identical
+    four-op tree. The sign product (x₁−x₂)(y₁−y₂) stays in BIGINT.
+
+    Scale shape: the corpus collapses to one paired hourly series; the
+    O(k²) pair self-join is calendar-bounded (the Theil–Sen
+    discipline); one combinable five-count fold."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.sum(cents).cast("bigint").alias("cents")))
+    x = (hourly.where(F.col("event_type") == "click")
+         .select("hr", F.col("cents").alias("xv")))
+    y = (hourly.where(F.col("event_type") == "purchase")
+         .select(F.col("hr").alias("hry"), F.col("cents").alias("yv")))
+    paired = (x.join(y, F.col("hr") == F.col("hry"))
+              .select("hr", "xv", "yv")
+              .localCheckpoint(eager=False))  # both pair sides share it
+    a = paired.alias("a")
+    b = paired.alias("b")
+    pp = (a.join(b, F.col("a.hr") < F.col("b.hr"))
+          .select((F.col("a.xv") - F.col("b.xv")).alias("dx"),
+                  (F.col("a.yv") - F.col("b.yv")).alias("dy")))
+    s = pp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.count(F.when(F.col("dx") * F.col("dy") > 0, 1))
+        .cast("bigint").alias("c"),
+        F.count(F.when(F.col("dx") * F.col("dy") < 0, 1))
+        .cast("bigint").alias("d"),
+        F.count(F.when((F.col("dx") == 0) & (F.col("dy") != 0), 1))
+        .cast("bigint").alias("tx"),
+        F.count(F.when((F.col("dy") == 0) & (F.col("dx") != 0), 1))
+        .cast("bigint").alias("ty"))
+    return s.select(
+        F.col("n0").alias("n_pairs"),
+        F.col("c").alias("n_concordant"),
+        F.col("d").alias("n_discordant"),
+        F.col("tx").alias("n_ties_x"),
+        F.col("ty").alias("n_ties_y"),
+        ((F.col("c").cast("double") - F.col("d").cast("double"))
+         / F.sqrt((F.col("n0").cast("double") - F.col("tx").cast("double"))
+                  * (F.col("n0").cast("double")
+                     - F.col("ty").cast("double")))).alias("tau_b"))
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (round 6)
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type, date_trunc('hour', ts)
+), paired AS (
+  SELECT x.hr, x.cents AS xv, y.cents AS yv
+  FROM (SELECT hr, cents FROM hourly WHERE event_type = 'click') x
+  JOIN (SELECT hr, cents FROM hourly WHERE event_type = 'purchase') y
+    ON x.hr = y.hr
+), r AS (
+  -- doubled average rank 2r = 2*min_rank + ties - 1 stays INTEGER
+  SELECT
+    CAST(2 * rank() OVER (ORDER BY xv)
+         + COUNT(*) OVER (PARTITION BY xv) - 1 AS BIGINT) AS rx2,
+    CAST(2 * rank() OVER (ORDER BY yv)
+         + COUNT(*) OVER (PARTITION BY yv) - 1 AS BIGINT) AS ry2
+  FROM paired
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx2) AS BIGINT) AS sx, CAST(SUM(ry2) AS BIGINT) AS sy,
+         CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy,
+         CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+         CAST(SUM(ry2 * ry2) AS BIGINT) AS syy
+  FROM r
+), a AS (
+  SELECT n,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS ax,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ay,
+         CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) AS axy,
+         CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) AS axx,
+         CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) AS ayy
+  FROM s
+)
+SELECT n AS n_hours,
+       (axy - ax * ay)
+         / sqrt((axx - ax * ax) * (ayy - ay * ay)) AS spearman_rho
+FROM a
+"""
+
+
+@register("stat_spearman_rho", oracle=_SPEARMAN_ORACLE)
+def stat_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the hourly click and purchase
+    series — Pearson on AVERAGE ranks, the monotone-association measure
+    between Kendall's τ (pure concordance) and raw Pearson (magnitude).
+    Tie handling is exact-integer: the doubled average rank
+    2r̄ = 2·min_rank + ties − 1 is always an INTEGER, so all five moment
+    sums stay BIGINT (ρ is invariant under the common ×2 scaling) and
+    the correlation assembles through the standard identical tree — no
+    fractional ranks, no float sums, no rounding.
+
+    Scale shape: calendar-bounded series; two rank windows over it; one
+    combinable five-sum fold. At a corpus where the series itself were
+    huge, the two-pass bucketed rank substitutes (the house recipe)."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.sum(cents).cast("bigint").alias("cents")))
+    x = (hourly.where(F.col("event_type") == "click")
+         .select("hr", F.col("cents").alias("xv")))
+    y = (hourly.where(F.col("event_type") == "purchase")
+         .select(F.col("hr").alias("hry"), F.col("cents").alias("yv")))
+    paired = x.join(y, F.col("hr") == F.col("hry")).select("xv", "yv")
+    rx2 = (F.lit(2) * F.rank().over(Window.orderBy("xv"))
+           + F.count(F.lit(1)).over(Window.partitionBy("xv")) - 1) \
+        .cast("bigint")
+    ry2 = (F.lit(2) * F.rank().over(Window.orderBy("yv"))
+           + F.count(F.lit(1)).over(Window.partitionBy("yv")) - 1) \
+        .cast("bigint")
+    r = paired.select(rx2.alias("rx2"), ry2.alias("ry2"))
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx2").cast("bigint").alias("sx"),
+        F.sum("ry2").cast("bigint").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"))
+    nd = F.col("n").cast("double")
+    ax = F.col("sx").cast("double") / nd
+    ay = F.col("sy").cast("double") / nd
+    axy = F.col("sxy").cast("double") / nd
+    axx = F.col("sxx").cast("double") / nd
+    ayy = F.col("syy").cast("double") / nd
+    return s.select(
+        F.col("n").alias("n_hours"),
+        ((axy - ax * ay)
+         / F.sqrt((axx - ax * ax) * (ayy - ay * ay)))
+        .alias("spearman_rho"))

@@ -216,6 +216,11 @@ QUERY_TABLES = {
     "llm_cluster_topic_terms": {"documents", "embeddings"},
     "sql_scripting_block": {"orders"},
     "agg_theta_sketch_algebra": {"events"},
+    "stat_runs_test_wald_wolfowitz": {"events"},
+    "stat_kendall_tau": {"events"},
+    "stat_spearman_rho": {"events"},
+    "graph_modularity_brand": {"lineitem"},
+    "llm_eval_token_f1": {"documents"},
 }
 
 
