@@ -733,3 +733,58 @@ def stream_rate_source_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# chained windowed aggregations (round 6 — Spark 4 multi-stateful append)
+# ---------------------------------------------------------------------------
+
+def chained_window_agg(events: DataFrame) -> DataFrame:
+    """Hourly window agg, then a DAILY window agg over the hourly
+    window column (window_time re-windowing) — two stateful operators
+    chained in one plan, the Spark-4 capability that previously forced
+    an intermediate sink between the two."""
+    hourly = (events
+              .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    return (hourly
+            .groupBy(F.window(F.window_time("w"), "1 day").alias("d"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+                 F.sum("n_events").cast("bigint").alias("total_events"),
+                 F.max("n_events").cast("bigint").alias("max_hourly"))
+            .select(F.col("d.start").alias("day_start"), "event_type",
+                    "n_hours", "total_events", "max_hourly"))
+
+
+_CHAINED_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT date_trunc('day', hr) AS day_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(MAX(n_events) AS BIGINT) AS max_hourly
+FROM hourly GROUP BY date_trunc('day', hr), event_type
+"""
+
+
+@register("stream_chained_window_agg", oracle=_CHAINED_ORACLE)
+def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained time-window aggregations — hourly counts re-windowed into
+    a daily rollup INSIDE one query via window_time() over the hourly
+    window struct. Until Spark 3.5/4 a stream could hold only one
+    stateful operator, so this two-level rollup needed an intermediate
+    Kafka/Delta hop; chaining removes a whole pipeline stage (and its
+    storage, latency, and exactly-once seam). Batch twin here (epoch-
+    aligned window == date_trunc for the oracle); the STREAMING form —
+    watermark + both windows in append mode — is proven equivalent to
+    this twin in tests/test_streaming.py.
+
+    Scale shape: two combinable window groupBys, the second over the
+    hourly-grain table (calendar-bounded); streaming state is one hour
+    of partials + one day of rollups per type — O(windows), not
+    O(events)."""
+    return chained_window_agg(load_table(spark, "events", sf_dir))

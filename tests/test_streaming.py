@@ -607,3 +607,28 @@ def test_stream_stateful_tws_matches_apply_in_pandas(spark):
     tws = canonical_rows(tw.stream_stateful_tws(spark, SMOKE_SF_DIR))
     aip = canonical_rows(tw.stream_stateful_state_op(spark, SMOKE_SF_DIR))
     assert tws == aip
+
+
+def test_chained_window_agg_twin(spark, harness):
+    """Spark-4 multi-stateful chaining: hourly window agg re-windowed
+    into a daily rollup inside ONE streaming query (append mode +
+    watermark). Twin contract: the stream emits exactly the batch
+    twin's rows for every CLOSED day; the final day stays in state
+    because AvailableNow ends before the watermark passes its end —
+    that withheld-tail is the append-mode semantic, not a bug, so the
+    assertion is emitted == batch \\ {max day} and nothing extra."""
+    from lambdatotheslaughter_spark.operators.streaming_twins import (
+        chained_window_agg,
+    )
+    out = harness.run(
+        lambda s: chained_window_agg(s.withWatermark("ts", "10 minutes")),
+        output_mode="append")
+    batch = chained_window_agg(load_table(spark, "events", SMOKE_SF_DIR))
+    so = sorted(tuple(r) for r in out.collect())
+    sb = sorted(tuple(r) for r in batch.collect())
+    max_day = max(r[0] for r in sb)
+    closed = [r for r in sb if r[0] < max_day]
+    assert [r for r in so if r not in sb] == [], "stream emitted rows absent from batch"
+    assert sorted(closed) == sorted(r for r in so if r[0] < max_day), \
+        "closed-day rows differ between stream and batch twin"
+    assert len(so) >= len(closed), (len(so), len(closed))
