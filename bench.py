@@ -73,7 +73,11 @@ HEADLINE = [
     "ts_outlier_iqr",           # discrete-quartile Tukey fences (round 6)
     "stat_bootstrap_poisson_ci",  # map-side distributed bootstrap (round 6)
     "llm_lm_score_kneser_ney",  # KN-smoothed bigram LM scoring (round 6)
-    "graph_clustering_coefficient",  # per-vertex wedge-probe clustering (round 6)
+    # (graph_clustering_coefficient was trialed here: 2.9 s warm at sf0.1 —
+    # the wedge-probe constant it shares with graph_triangle_count, flat at
+    # 10× per SCALE.md; kept out of the headline set like the triangle
+    # count itself rather than letting one O(E^1.5) kernel dominate totals)
+    "llm_cluster_topic_terms",  # c-TF-IDF cluster labeling (round 6)
 ]
 
 
