@@ -4053,3 +4053,180 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         """)
     finally:
         spark.conf.set("spark.sql.scripting.enabled", old)
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix of user journeys (round 6)
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), c AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+         AS from_total,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+         AS p_transition
+FROM c
+"""
+
+
+@register("seq_markov_transitions", oracle=_MARKOV_ORACLE)
+def seq_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys — counts
+    and row-normalized probabilities of event_type → event_type steps
+    within each user's time-ordered stream; THE product-analytics flow
+    diagram ("after an error, 23% of next actions are churn-shaped")
+    and the generative model behind session simulators. The lag
+    ordering carries the (ts, event_id) total-order tiebreak so
+    same-timestamp events sequence identically in both engines; counts
+    are exact; each probability is one int/int division over the
+    25-cell matrix.
+
+    Scale shape: one (user) window shuffle for the lag, one combinable
+    25-cell groupBy, marginals as windows over the cell table."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lag("event_type").over(w).alias("prev_type"))
+    c = (seq.where(F.col("prev_type").isNotNull())
+         .groupBy(F.col("prev_type").alias("from_type"),
+                  F.col("event_type").alias("to_type"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions")))
+    wf = Window.partitionBy("from_type")
+    tot = F.sum("n_transitions").over(wf).cast("bigint")
+    return c.select(
+        "from_type", "to_type", "n_transitions",
+        tot.alias("from_total"),
+        (F.col("n_transitions").cast("double") / tot.cast("double"))
+        .alias("p_transition"))
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking for entity resolution (round 6)
+# ---------------------------------------------------------------------------
+
+_SNM_W = 3
+_SNM_DIFF_CENTS = 100
+
+_SNM_ORACLE = f"""
+WITH keyed AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY round(c_acctbal * 100, 0), c_custkey)
+           AS rk
+  FROM customer
+)
+SELECT a.c_mktsegment, a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
+       CAST(b.rk - a.rk AS BIGINT) AS rank_dist,
+       CAST(abs(b.cents - a.cents) AS BIGINT) AS diff_cents
+FROM keyed a JOIN keyed b
+  ON a.c_mktsegment = b.c_mktsegment
+  AND b.rk > a.rk AND b.rk <= a.rk + {_SNM_W}
+WHERE abs(b.cents - a.cents) <= {_SNM_DIFF_CENTS}
+"""
+
+
+@register("er_sorted_neighborhood_pairs", oracle=_SNM_ORACLE)
+def er_sorted_neighborhood_pairs(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking for entity resolution — sort each
+    segment by account balance, compare every record ONLY to its w=3
+    successors in rank order, keep pairs within 100 cents: the classic
+    duplicate-account screen whose candidate volume is w·n by
+    construction (contrast the hash blocking of
+    join_fuzzy_levenshtein_blocked: hash blocks catch exact-key
+    collisions, sorted neighborhoods catch NEAR-key neighbors hash
+    blocking spreads across blocks — real ER stacks run both and union
+    candidates). Generated WITHOUT a self-join: the w successors come
+    off lead() columns over the already-sorted window, so candidate
+    generation is map-side after the one sort shuffle.
+
+    Scale shape: one window shuffle per segment; w lead columns; the
+    unpivot to pairs and the distance filter are map-side. The oracle
+    uses the equivalent rank-band self-join."""
+    c = load_table(spark, "customer", sf_dir)
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    keyed = c.select("c_custkey", "c_mktsegment", cents.alias("cents")) \
+             .withColumn("rk", F.row_number().over(w))
+    leads = keyed.select(
+        "c_mktsegment", "c_custkey", "cents",
+        F.array(*[
+            F.struct(F.lead("c_custkey", k).over(w).alias("b_custkey"),
+                     F.lead("cents", k).over(w).alias("b_cents"),
+                     F.lit(k).cast("bigint").alias("rank_dist"))
+            for k in range(1, _SNM_W + 1)]).alias("nbrs"))
+    pairs = (leads.select(
+        "c_mktsegment", F.col("c_custkey").alias("a_custkey"), "cents",
+        F.explode("nbrs").alias("nb"))
+        .where(F.col("nb.b_custkey").isNotNull()))
+    diff = F.abs(F.col("nb.b_cents") - F.col("cents")).cast("bigint")
+    return (pairs.where(diff <= _SNM_DIFF_CENTS)
+            .select("c_mktsegment", "a_custkey",
+                    F.col("nb.b_custkey").alias("b_custkey"),
+                    F.col("nb.rank_dist").alias("rank_dist"),
+                    diff.alias("diff_cents")))
+
+
+# ---------------------------------------------------------------------------
+# cumulative sum with reset-on-flag (round 6)
+# ---------------------------------------------------------------------------
+
+_RESET_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_no
+  FROM events
+)
+SELECT user_id, event_id, cents, seg_no,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 0 ELSE cents END)
+            OVER (PARTITION BY user_id, seg_no ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+FROM seq
+"""
+
+
+@register("win_cumsum_reset_on_flag", oracle=_RESET_ORACLE)
+def win_cumsum_reset_on_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total that RESETS whenever a flag event occurs (here: an
+    'error' zeroes the user's accumulator) — the counter/balance/streak
+    pattern plain window frames cannot express because the reset points
+    are DATA-dependent. Solved with the two-window segment trick (the
+    win_streaks_islands discipline): the cumulative count of reset
+    events IS the segment id, and the running sum re-windows on
+    (user, segment). The reset row itself restarts at 0 (its cents are
+    excluded via the CASE), matching how a real balance reset posts.
+    All integer cents — no float anywhere.
+
+    Scale shape: both windows share the one (user, time) sort exchange
+    (same partition key, same order); everything else is map-side."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = ev.select(
+        "user_id", "event_id", "ts", "event_type", cents.alias("cents"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(w1).cast("bigint").alias("seg_no"))
+    w2 = Window.partitionBy("user_id", "seg_no").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return seq.select(
+        "user_id", "event_id", "cents", "seg_no",
+        F.sum(F.when(F.col("event_type") == "error", 0)
+              .otherwise(F.col("cents")))
+        .over(w2).cast("bigint").alias("run_cents"))

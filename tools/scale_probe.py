@@ -221,6 +221,10 @@ QUERY_TABLES = {
     "stat_spearman_rho": {"events"},
     "graph_modularity_brand": {"lineitem"},
     "llm_eval_token_f1": {"documents"},
+    "stream_chained_window_agg": {"events"},
+    "seq_markov_transitions": {"events"},
+    "er_sorted_neighborhood_pairs": set(),  # customer is a 1x dim
+    "win_cumsum_reset_on_flag": {"events"},
 }
 
 
