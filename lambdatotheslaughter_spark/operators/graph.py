@@ -986,3 +986,94 @@ def graph_modularity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "brand", ew.alias("e_within"), "deg_sum", "m_edges",
         (ew.cast("double") / F.col("m_edges").cast("double")
          - half * half).alias("q_contrib"))
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (round 6)
+# ---------------------------------------------------------------------------
+
+_HITS_S = 10**6
+_HITS_ITERS = 2
+
+
+def _hits_oracle() -> str:
+    parts = [f"""
+WITH raw AS ({_EDGES_SQL}),
+edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, CAST({_HITS_S} AS BIGINT) AS h FROM nodes)"""]
+    for i in range(1, _HITS_ITERS + 1):
+        parts.append(f""",
+ar{i} AS (
+  SELECT e.dst AS node, CAST(SUM(p.h) AS BIGINT) AS a
+  FROM edges e JOIN h{i - 1} p ON e.src = p.node GROUP BY e.dst),
+am{i} AS (SELECT MAX(a) AS m FROM ar{i}),
+a{i} AS (
+  SELECT n.node,
+         CAST(COALESCE(ar{i}.a, 0) * {_HITS_S} // am{i}.m AS BIGINT) AS a
+  FROM nodes n LEFT JOIN ar{i} ON n.node = ar{i}.node CROSS JOIN am{i}),
+hr{i} AS (
+  SELECT e.src AS node, CAST(SUM(q.a) AS BIGINT) AS h
+  FROM edges e JOIN a{i} q ON e.dst = q.node GROUP BY e.src),
+hm{i} AS (SELECT MAX(h) AS m FROM hr{i}),
+h{i} AS (
+  SELECT n.node,
+         CAST(COALESCE(hr{i}.h, 0) * {_HITS_S} // hm{i}.m AS BIGINT) AS h
+  FROM nodes n LEFT JOIN hr{i} ON n.node = hr{i}.node CROSS JOIN hm{i})""")
+    parts.append(f"""
+SELECT h{_HITS_ITERS}.node, h{_HITS_ITERS}.h AS hub_fp,
+       a{_HITS_ITERS}.a AS auth_fp
+FROM h{_HITS_ITERS} JOIN a{_HITS_ITERS}
+  ON h{_HITS_ITERS}.node = a{_HITS_ITERS}.node""")
+    return "".join(parts)
+
+
+@register("graph_hits_fixed", oracle=_hits_oracle())
+def graph_hits_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities, 2 iterations in 1e-6 fixed point over
+    the directed part-transition graph — the SECOND canonical iterative
+    graph kernel next to graph_pagerank_fixed, and the one that needs a
+    per-round NORMALIZATION (HITS scores otherwise overflow
+    exponentially). The float algorithm normalizes by the L2 norm; the
+    deterministic port normalizes by the MAX via integral
+    multiply-then-floor-divide — scale-equivalent for ranking, exact and
+    order-independent, the same trick that made PageRank bit-portable.
+    Every contribution sum is a BIGINT sum over deduplicated edges.
+
+    Scale shape per round: edges ⋈ scores on src (auth pass) then on dst
+    (hub pass), each one combinable groupBy; the max is a scalar
+    broadcast; score vectors are O(nodes) and never collected."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    edges = (li.select(F.col("l_partkey").alias("src"),
+                       F.lead("l_partkey").over(w).alias("dst"))
+             .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+             .distinct()
+             .localCheckpoint(eager=False))  # every round reads it
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select("dst")).distinct()
+             .localCheckpoint(eager=False))
+    h = nodes.withColumn("h", F.lit(_HITS_S).cast("bigint"))
+
+    def _norm(scored: DataFrame, col: str) -> DataFrame:
+        m = scored.agg(F.max(col).alias("m"))
+        return (nodes.join(scored, "node", "left").crossJoin(F.broadcast(m))
+                .select("node",
+                        F.expr(f"cast(coalesce({col}, 0) * {_HITS_S} "
+                               f"div m as bigint)").alias(col)))
+
+    a = None
+    for _ in range(_HITS_ITERS):
+        ar = (edges.join(h, edges.src == h.node)
+              .groupBy(F.col("dst").alias("node"))
+              .agg(F.sum("h").cast("bigint").alias("a")))
+        a = _norm(ar, "a")
+        hr = (edges.join(a, edges.dst == a.node)
+              .groupBy(F.col("src").alias("node"))
+              .agg(F.sum("a").cast("bigint").alias("h")))
+        h = _norm(hr, "h")
+    return (h.join(a, "node")
+            .select("node", F.col("h").alias("hub_fp"),
+                    F.col("a").alias("auth_fp")))

@@ -3942,3 +3942,108 @@ def llm_lm_score_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.round(F.avg(F.log(p)), 6).alias("avg_logprob_kn"),
                  F.count(F.lit(1)).cast("bigint").alias("n_bigrams")))
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall eval (round 6)
+# ---------------------------------------------------------------------------
+
+_MRL_DIM = 16
+_MRL_K = 3
+_MRL_NQ = 50
+
+
+def _dot_sql_d(a: str, b: str, d: int) -> str:
+    return (f"list_reduce(list_transform(range(1, {d + 1}), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+            f"(x, y) -> x + y)")
+
+
+def _cos_sql_d(a: str, b: str, d: int) -> str:
+    dot = _dot_sql_d(a, b, d)
+    na = _dot_sql_d(a, a, d)
+    nb = _dot_sql_d(b, b, d)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+def _mrl_oracle() -> str:
+    full = _cos_sql_d("q.embedding", "p.embedding", 64)
+    trunc = _cos_sql_d("q.embedding", "p.embedding", _MRL_DIM)
+    return f"""
+WITH pairs AS (
+  SELECT q.vec_id AS qid, p.vec_id AS pid,
+         {full} AS cos_full, {trunc} AS cos_trunc
+  FROM embeddings q JOIN embeddings p ON q.vec_id <> p.vec_id
+  WHERE q.vec_id < {_MRL_NQ}
+), rf AS (
+  SELECT qid, pid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_full DESC, pid) AS rk
+  FROM pairs
+), rt AS (
+  SELECT qid, pid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_trunc DESC, pid) AS rk
+  FROM pairs
+)
+SELECT rf.qid AS vec_id,
+       CAST(COUNT(rt.pid) AS BIGINT) AS n_overlap,
+       CAST(COUNT(rt.pid) AS DOUBLE) / {_MRL_K}.0 AS recall_at{_MRL_K}
+FROM rf LEFT JOIN rt
+  ON rf.qid = rt.qid AND rf.pid = rt.pid AND rt.rk <= {_MRL_K}
+WHERE rf.rk <= {_MRL_K}
+GROUP BY rf.qid
+"""
+
+
+@register("llm_embedding_matryoshka_recall", oracle=_mrl_oracle())
+def llm_embedding_matryoshka_recall(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit — per query, recall@3 of the
+    16-dim-PREFIX neighbor ranking against the full 64-dim ranking:
+    the measure-before-you-truncate table for MRL-style embeddings
+    (llm_embedding_truncate_renorm performs the truncation; this op
+    answers whether the cheap prefix is SAFE — 4× storage/compute
+    savings priced in lost neighbors). Both rankings ride the shared
+    sequential-fold dot product (bit-identical across engines, the
+    kNN/MMR discipline) with vec_id tie-breaks, so the driver hash
+    match covers a float-ranking pipeline end to end; recall is one
+    exact small-int division.
+
+    Scale shape: the bounded query block broadcasts against the pool
+    (the hard_negative_mining recipe); both dims' cosines come off ONE
+    pair pass; per-query top-k windows are query-keyed. At corpus scale
+    the pool side would tile (the kNN GEMM path) — the audit's query
+    set stays bounded by contract."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q = (e.where(F.col("vec_id") < _MRL_NQ)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qe")))
+    p = e.select(F.col("vec_id").alias("pid"),
+                 F.col("embedding").alias("pe"))
+    pairs = (p.join(F.broadcast(q), F.col("qid") != F.col("pid"))
+             .select("qid", "pid",
+                     _cosine_spark(F.col("qe"), F.col("pe"))
+                     .alias("cos_full"),
+                     _cosine_spark(F.slice("qe", 1, _MRL_DIM),
+                                   F.slice("pe", 1, _MRL_DIM))
+                     .alias("cos_trunc"))
+             .localCheckpoint(eager=False))  # both rankings share it
+    wq = Window.partitionBy("qid")
+    rf = (pairs.select("qid", "pid",
+                       F.row_number()
+                       .over(wq.orderBy(F.col("cos_full").desc(), "pid"))
+                       .alias("rk"))
+          .where(F.col("rk") <= _MRL_K))
+    rt = (pairs.select("qid", "pid",
+                       F.row_number()
+                       .over(wq.orderBy(F.col("cos_trunc").desc(), "pid"))
+                       .alias("rk"))
+          .where(F.col("rk") <= _MRL_K)
+          .select(F.col("qid").alias("qid2"), F.col("pid").alias("pid2")))
+    return (rf.join(rt, (F.col("qid") == F.col("qid2"))
+                    & (F.col("pid") == F.col("pid2")), "left")
+            .groupBy(F.col("qid").alias("vec_id"))
+            .agg(F.count("pid2").cast("bigint").alias("n_overlap"),
+                 (F.count("pid2").cast("double") / F.lit(float(_MRL_K)))
+                 .alias(f"recall_at{_MRL_K}")))

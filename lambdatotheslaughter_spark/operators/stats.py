@@ -979,3 +979,85 @@ def stat_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((axy - ax * ay)
          / F.sqrt((axx - ax * ax) * (ayy - ay * ay)))
         .alias("spearman_rho"))
+
+
+# ---------------------------------------------------------------------------
+# one-way ANOVA F (round 6)
+# ---------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS xc FROM events
+), per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xc) AS BIGINT) AS s1, CAST(SUM(xc * xc) AS BIGINT) AS s2
+  FROM c GROUP BY event_type
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(SUM(s1) AS BIGINT) AS s1_tot,
+         CAST(SUM(s2) AS BIGINT) AS s2_tot,
+         -- group-mean term Σ s1ᵢ²/nᵢ: per-group exact rational, summed
+         -- in a FIXED order (event_type) via an ordered list fold so the
+         -- float sum is associatively identical in both engines
+         list_sum(list(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE) ORDER BY event_type))
+           AS ssb_term
+  FROM per
+)
+SELECT k AS n_groups, n_tot,
+       (ssb_term - CAST(s1_tot AS DOUBLE) * CAST(s1_tot AS DOUBLE)
+                   / CAST(n_tot AS DOUBLE)) / 100.0 / 100.0 AS ss_between_d2,
+       (CAST(s2_tot AS DOUBLE) - ssb_term) / 100.0 / 100.0 AS ss_within_d2,
+       ((ssb_term - CAST(s1_tot AS DOUBLE) * CAST(s1_tot AS DOUBLE)
+                    / CAST(n_tot AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+         / ((CAST(s2_tot AS DOUBLE) - ssb_term)
+            / (CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat
+FROM tot
+"""
+
+
+@register("stat_anova_oneway_f", oracle=_ANOVA_ORACLE)
+def stat_anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across all five event types — does event type
+    explain ANY of the value variance? — the k-group generalization of
+    stat_welch_ttest's pairwise readout. Per-group n, Σx, Σx² are exact
+    BIGINTs; the one cross-group float reduction (Σᵢ s1ᵢ²/nᵢ) is summed
+    over a FIXED ORDER (the k=5 per-group terms sorted by event_type and
+    folded left-to-right in both engines — a list fold in DuckDB, an
+    ordered-array aggregate fold in Spark), so the only associativity
+    hazard in the statistic is pinned; everything after is the standard
+    identical tree. SS columns report in dollars² (÷100²), which is an
+    exact power-of-two-free scaling applied identically.
+
+    Scale shape: one combinable three-sum groupBy to k=5 rows; the
+    fixed-order fold runs over those 5 rows — data-size-free."""
+    ev = load_table(spark, "events", sf_dir)
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xc).cast("bigint").alias("s1"),
+        F.sum(xc * xc).cast("bigint").alias("s2"))
+    term = (F.col("s1").cast("double") * F.col("s1").cast("double")
+            / F.col("n").cast("double"))
+    tot = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("s1").cast("bigint").alias("s1_tot"),
+        F.sum("s2").cast("bigint").alias("s2_tot"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("event_type"),
+                                                 term.alias("t")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"]).alias("ssb_term"))
+    kd = F.col("k").cast("double")
+    nd = F.col("n_tot").cast("double")
+    ssb = (F.col("ssb_term")
+           - F.col("s1_tot").cast("double") * F.col("s1_tot").cast("double")
+           / nd)
+    ssw = F.col("s2_tot").cast("double") - F.col("ssb_term")
+    return tot.select(
+        F.col("k").alias("n_groups"), "n_tot",
+        (ssb / F.lit(100.0) / F.lit(100.0)).alias("ss_between_d2"),
+        (ssw / F.lit(100.0) / F.lit(100.0)).alias("ss_within_d2"),
+        ((ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))).alias("f_stat"))

@@ -225,6 +225,9 @@ QUERY_TABLES = {
     "seq_markov_transitions": {"events"},
     "er_sorted_neighborhood_pairs": set(),  # customer is a 1x dim
     "win_cumsum_reset_on_flag": {"events"},
+    "stat_anova_oneway_f": {"events"},
+    "llm_embedding_matryoshka_recall": {"embeddings"},
+    "graph_hits_fixed": {"lineitem"},
 }
 
 
