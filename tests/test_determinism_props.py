@@ -242,3 +242,28 @@ def test_exact_moment_ops_are_partition_invariant(spark):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         assert base == churned, f"{name}: partition-count-dependent values"
+
+
+def test_round6_stats_partition_invariance(spark):
+    """The round-6 statistic kernels must produce BIT-IDENTICAL values
+    under a hostile repartitioning (the 97-partition probe as a pinned
+    test): integer-moment folds, rank windows, and fixed-order float
+    folds are all partitioning-free by construction — any drift here is
+    an associativity bug."""
+    from lambdatotheslaughter_spark import registry
+    from tests.conftest import SF_DIR
+    keys = ["stat_welch_ttest", "stat_ks_two_sample",
+            "stat_gini_coefficient", "stat_anova_oneway_f",
+            "stat_kendall_tau", "stat_spearman_rho",
+            "graph_assortativity_degree", "stat_bootstrap_poisson_ci"]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    baseline = {k: sorted(map(tuple, registry.get(k).fn(spark, SF_DIR)
+                              .collect())) for k in keys}
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "97")
+        for k in keys:
+            got = sorted(map(tuple, registry.get(k).fn(spark, SF_DIR)
+                             .collect()))
+            assert got == baseline[k], f"{k} drifted under 97 partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
