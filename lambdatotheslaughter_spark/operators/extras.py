@@ -4230,3 +4230,187 @@ def win_cumsum_reset_on_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "error", 0)
               .otherwise(F.col("cents")))
         .over(w2).cast("bigint").alias("run_cents"))
+
+
+# ---------------------------------------------------------------------------
+# data-quality expectations report (round 6)
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+SELECT * FROM (
+  SELECT 'row_count_min_1000' AS expectation,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS metric,
+         CAST(1000 AS BIGINT) AS threshold,
+         (SELECT COUNT(*) FROM orders) >= 1000 AS passed
+  UNION ALL
+  SELECT 'custkey_null_violations',
+         (SELECT CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+          FROM orders),
+         CAST(0 AS BIGINT),
+         (SELECT COUNT(*) FILTER (WHERE o_custkey IS NULL) FROM orders) <= 0
+  UNION ALL
+  SELECT 'status_domain_violations',
+         (SELECT CAST(COUNT(*) FILTER (
+            WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+          FROM orders),
+         CAST(0 AS BIGINT),
+         (SELECT COUNT(*) FILTER (
+            WHERE o_orderstatus NOT IN ('O', 'F', 'P')) FROM orders) <= 0
+  UNION ALL
+  SELECT 'orderkey_duplicate_rows',
+         (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+          FROM orders),
+         CAST(0 AS BIGINT),
+         (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) <= 0
+  UNION ALL
+  SELECT 'custkey_fk_orphans',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)),
+         CAST(0 AS BIGINT),
+         (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)) <= 0
+  UNION ALL
+  SELECT 'totalprice_nonpositive',
+         (SELECT CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+          FROM orders),
+         CAST(0 AS BIGINT),
+         (SELECT COUNT(*) FILTER (WHERE o_totalprice <= 0) FROM orders) <= 0
+)
+"""
+
+
+@register("dq_expectations_report", oracle=_DQ_ORACLE)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality expectations report over the orders
+    feed — the batch-layer validation gate a lambda pipeline runs
+    BEFORE publishing a batch view: minimum row count, null-rate,
+    value-domain, primary-key uniqueness, referential integrity to
+    customer, and range sanity, each emitted as a
+    (expectation, metric, threshold, passed) row so the sink can
+    quarantine on any failed row. All metrics are exact integer counts;
+    five of six fold map-side in ONE pass over the scan (conditional
+    counts) — only the FK orphan check needs the anti-join.
+
+    Scale shape: one combinable multi-count aggregate + one broadcast
+    anti join (customer is the dim side); output is 6 rows."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir).select("c_custkey")
+    base = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).cast("bigint")
+        .alias("n_null_cust"),
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1))
+        .cast("bigint").alias("n_bad_status"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).cast("bigint")
+        .alias("n_dup_keys"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).cast("bigint")
+        .alias("n_nonpos"))
+    orphans = (o.join(F.broadcast(c),
+                      o.o_custkey == c.c_custkey, "left_anti")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans")))
+    b = base.crossJoin(orphans)
+
+    def row(name: str, metric, threshold: int, ge: bool = False):
+        passed = metric >= threshold if ge else metric <= threshold
+        return b.select(F.lit(name).alias("expectation"),
+                        metric.cast("bigint").alias("metric"),
+                        F.lit(threshold).cast("bigint").alias("threshold"),
+                        passed.alias("passed"))
+
+    out = row("row_count_min_1000", F.col("n_rows"), 1000, ge=True)
+    for name, colname in [("custkey_null_violations", "n_null_cust"),
+                          ("status_domain_violations", "n_bad_status"),
+                          ("orderkey_duplicate_rows", "n_dup_keys"),
+                          ("custkey_fk_orphans", "n_orphans"),
+                          ("totalprice_nonpositive", "n_nonpos")]:
+        out = out.unionAll(row(name, F.col(colname), 0))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# exact weighted median (round 6)
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         CAST(round(l_quantity, 0) AS BIGINT) AS w
+  FROM lineitem
+), cum AS (
+  SELECT l_returnflag, cents, w,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag
+                           ORDER BY cents, w
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+  FROM base
+)
+SELECT l_returnflag, MAX(tw) AS total_weight,
+       MIN(CASE WHEN 2 * cw >= tw THEN cents END) AS weighted_median_cents
+FROM cum GROUP BY l_returnflag
+"""
+
+
+@register("agg_weighted_median", oracle=_WMEDIAN_ORACLE)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median of line-item price, weighted by quantity,
+    per return flag — the robust center for "typical unit price" where
+    each row speaks for its quantity (the plain median of
+    agg_mad_robust treats a 1-unit and a 50-unit line identically).
+    Discrete definition: the smallest value whose cumulative weight
+    reaches half the total (2·cw ≥ tw in pure integers — no halves, no
+    interpolation, no floats anywhere).
+
+    Scale shape — TWO-PASS BUCKETED cumulative (a naive per-flag
+    cumulative window measured 5.1× at the 10× probe: 3 flags = 3-way
+    parallelism sorting the whole corpus). Pass 1 folds weights into
+    fixed-width value buckets (cents div 2¹⁶ — combinable, fully
+    parallel); the cumulative scan runs over the tiny (flag × bucket)
+    table to locate each flag's MEDIAN BUCKET and its preceding weight;
+    pass 2 sorts ONLY inside that one bucket (~1/160th of the rows) and
+    offsets its running weight by the bucket prefix. Same integer
+    definition, same result, no corpus-sized single-partition sort."""
+    bucket_w = 1 << 16
+    li = load_table(spark, "lineitem", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    wgt = F.round(F.col("l_quantity"), 0).cast("bigint")
+    base = (li.select("l_returnflag", cents.alias("cents"),
+                      wgt.alias("w"))
+            .withColumn("b", F.expr(f"cents div {bucket_w}"))
+            .localCheckpoint(eager=False))  # both passes share it
+    # pass 1: combinable bucket fold, then a cumulative scan over the
+    # (flag x ~160 buckets) table
+    buckets = (base.groupBy("l_returnflag", "b")
+               .agg(F.sum("w").cast("bigint").alias("bw")))
+    wp = Window.partitionBy("l_returnflag")
+    cumb = buckets.select(
+        "l_returnflag", "b", "bw",
+        F.sum("bw").over(wp.orderBy("b")
+                         .rowsBetween(Window.unboundedPreceding,
+                                      Window.currentRow))
+        .cast("bigint").alias("cum_incl"),
+        F.sum("bw").over(wp).cast("bigint").alias("tw"))
+    target = (cumb.where(2 * F.col("cum_incl") >= F.col("tw"))
+              .groupBy("l_returnflag")
+              .agg(F.min_by(F.struct("b", "cum_incl", "bw", "tw"),
+                            F.col("b")).alias("t"))
+              .select("l_returnflag", F.col("t.b").alias("tb"),
+                      (F.col("t.cum_incl") - F.col("t.bw"))
+                      .alias("cum_before"),
+                      F.col("t.tw").alias("tw")))
+    # pass 2: cumulative only inside each flag's median bucket
+    inb = (base.join(F.broadcast(target), "l_returnflag")
+           .where(F.col("b") == F.col("tb")))
+    cw = (F.col("cum_before")
+          + F.sum("w").over(wp.orderBy("cents", "w")
+                            .rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow))
+          .cast("bigint"))
+    return (inb.select("l_returnflag", "cents", "tw", cw.alias("cw"))
+            .groupBy("l_returnflag")
+            .agg(F.max("tw").alias("total_weight"),
+                 F.min(F.when(2 * F.col("cw") >= F.col("tw"),
+                              F.col("cents")))
+                 .alias("weighted_median_cents")))

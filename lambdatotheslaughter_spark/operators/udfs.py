@@ -604,3 +604,77 @@ def udtf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
         GROUP BY b.band
     """)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native UDTF (round 6 — Spark 4.1)
+# ---------------------------------------------------------------------------
+
+_ARROW_UDTF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+)
+SELECT doc_id,
+       CAST(len(l) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(l)) AS BIGINT) AS n_types,
+       CAST(len(l) - len(list_distinct(l)) AS BIGINT) AS n_repeats
+FROM toks
+"""
+
+
+@register("udtf_arrow_optimized", oracle=_ARROW_UDTF_ORACLE)
+def udtf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native Python UDTF (Spark 4.1 `arrow_udtf`): eval receives a
+    whole pyarrow RecordBatch and yields RecordBatches — the UDTF
+    counterpart of the pandas-vs-row UDF split, removing the
+    per-row Python call AND the pickle serde (a plain @udtf invokes
+    eval() once per input row; this one runs once per Arrow batch,
+    vectorized end-to-end). The body computes per-doc token/type/repeat
+    counts with pyarrow.compute list ops — zero pandas, zero Python
+    loops. Results are exact integers; the oracle is the equivalent
+    static projection.
+
+    Scale shape: map-side table function over Arrow batches —
+    embarrassingly parallel, batch-granular Python crossings (~1 per
+    10k rows instead of 1 per row)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udtf
+
+    @arrow_udtf(returnType="doc_id bigint, n_tokens bigint, n_types bigint,"
+                           " n_repeats bigint")
+    class TokenStats:
+        def eval(self, batch: pa.RecordBatch):
+            tbl = pa.table(batch)
+            toks = pc.split_pattern(tbl["text"], " ")
+            n_tok = pc.cast(pc.list_value_length(toks), pa.int64())
+            # distinct count per list: pyarrow has no list_distinct —
+            # flatten + per-parent unique via a grouped aggregation
+            flat = pc.list_flatten(toks)
+            parents = pc.list_parent_indices(toks)
+            grouped = pa.table({
+                "p": parents, "t": flat
+            }).group_by(["p", "t"]).aggregate([]) \
+                .group_by("p").aggregate([("t", "count")])
+            # docs with zero tokens can't appear in grouped; join back
+            idx = pa.table({"p": pa.array(range(len(tbl)), pa.int64()),
+                            "doc_id": tbl["doc_id"].combine_chunks(),
+                            "n_tokens": n_tok})
+            joined = idx.join(grouped, keys="p", join_type="left outer")
+            n_types = pc.coalesce(pc.cast(joined["t_count"], pa.int64()),
+                                  pa.scalar(0, pa.int64()))
+            out = pa.table({
+                "doc_id": joined["doc_id"],
+                "n_tokens": joined["n_tokens"],
+                "n_types": n_types,
+                "n_repeats": pc.subtract(joined["n_tokens"], n_types),
+            })
+            yield out.combine_chunks().to_batches(max_chunksize=None)[0]
+
+    spark.udtf.register("lts_token_stats_arrow", TokenStats)
+    load_table(spark, "documents", sf_dir) \
+        .createOrReplaceTempView("docs_arrow_udtf")
+    return spark.sql("""
+        SELECT s.* FROM lts_token_stats_arrow(
+            TABLE(SELECT doc_id, text FROM docs_arrow_udtf)) s
+    """)

@@ -228,6 +228,9 @@ QUERY_TABLES = {
     "stat_anova_oneway_f": {"events"},
     "llm_embedding_matryoshka_recall": {"embeddings"},
     "graph_hits_fixed": {"lineitem"},
+    "udtf_arrow_optimized": {"documents"},
+    "dq_expectations_report": {"orders"},
+    "agg_weighted_median": {"lineitem"},
 }
 
 
