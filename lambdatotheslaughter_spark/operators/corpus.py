@@ -2955,3 +2955,79 @@ def llm_eval_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("recall_tok"),
         F.when(F.col("n_overlap") == 0, F.lit(0.0))
         .otherwise(F.lit(2.0) * p * p / (p + p)).alias("f1_tok"))
+
+
+# ---------------------------------------------------------------------------
+# SFT loss-mask spans (round 6)
+# ---------------------------------------------------------------------------
+
+_MASK_ORACLE = """
+WITH parts AS (
+  SELECT doc_id,
+         length('<|system|>' || chr(10)
+                || 'You are a careful assistant. Answer in ' || lang
+                || '.' || chr(10)) AS l_sys,
+         length('<|user|>' || chr(10)
+                || 'Summarize the following document from ' || source
+                || ':' || chr(10) || text || chr(10)) AS l_user,
+         length('<|assistant|>' || chr(10)) AS l_asst
+  FROM documents
+)
+SELECT doc_id, seg, CAST(start_char AS BIGINT) AS start_char,
+       CAST(end_char AS BIGINT) AS end_char, train_mask
+FROM (
+  SELECT doc_id, 'system' AS seg, 0 AS start_char, l_sys AS end_char,
+         false AS train_mask FROM parts
+  UNION ALL
+  SELECT doc_id, 'user', l_sys, l_sys + l_user, false FROM parts
+  UNION ALL
+  SELECT doc_id, 'assistant', l_sys + l_user, l_sys + l_user + l_asst,
+         true FROM parts
+)
+"""
+
+
+@register("llm_loss_mask_spans", oracle=_MASK_ORACLE)
+def llm_loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask construction — for each rendered chat sample
+    (the llm_format_chat_template rendering, byte-for-byte), the
+    character spans of the system / user / assistant segments with the
+    train_mask flag that tells the trainer to compute loss ONLY on the
+    assistant segment: the step that turns a formatted corpus into a
+    supervised dataset without leaking prompt tokens into the loss.
+    Spans are pure length arithmetic over the template parts (exact
+    integers; same lengths both engines because the parts are the same
+    concatenations), emitted as 3 rows per doc via a map-side inline
+    explode.
+
+    Scale shape: zero shuffles — length arithmetic and a generator on
+    the scan; the companion template op shares the exact part
+    definitions so the spans always index its rendering."""
+    d = load_table(spark, "documents", sf_dir)
+    nl = F.lit("\n")
+    p_sys = F.concat(F.lit("<|system|>"), nl,
+                     F.lit("You are a careful assistant. Answer in "),
+                     F.col("lang"), F.lit("."), nl)
+    p_user = F.concat(F.lit("<|user|>"), nl,
+                      F.lit("Summarize the following document from "),
+                      F.col("source"), F.lit(":"), nl, F.col("text"), nl)
+    p_asst = F.concat(F.lit("<|assistant|>"), nl)
+    l_sys = F.length(p_sys).cast("bigint")
+    l_user = F.length(p_user).cast("bigint")
+    l_asst = F.length(p_asst).cast("bigint")
+    spans = F.array(
+        F.struct(F.lit("system").alias("seg"),
+                 F.lit(0).cast("bigint").alias("start_char"),
+                 l_sys.alias("end_char"),
+                 F.lit(False).alias("train_mask")),
+        F.struct(F.lit("user").alias("seg"),
+                 l_sys.alias("start_char"),
+                 (l_sys + l_user).alias("end_char"),
+                 F.lit(False).alias("train_mask")),
+        F.struct(F.lit("assistant").alias("seg"),
+                 (l_sys + l_user).alias("start_char"),
+                 (l_sys + l_user + l_asst).alias("end_char"),
+                 F.lit(True).alias("train_mask")))
+    return (d.select("doc_id", F.explode(spans).alias("s"))
+            .select("doc_id", F.col("s.seg").alias("seg"),
+                    "s.start_char", "s.end_char", "s.train_mask"))

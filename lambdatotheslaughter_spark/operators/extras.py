@@ -4414,3 +4414,79 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(F.when(2 * F.col("cw") >= F.col("tw"),
                               F.col("cents")))
                  .alias("weighted_median_cents")))
+
+
+# ---------------------------------------------------------------------------
+# rolling regression slope (round 6)
+# ---------------------------------------------------------------------------
+
+_ROLL_SLOPE_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                        date_trunc('hour', ts)) AS BIGINT) AS h,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), m AS (
+  SELECT event_type, h, cents,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(h) OVER w AS BIGINT) AS sx,
+         CAST(SUM(cents) OVER w AS BIGINT) AS sy,
+         CAST(SUM(h * cents) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(h * h) OVER w AS BIGINT) AS sxx
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, h, cents, n AS n_obs,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_hour
+FROM m WHERE n >= 2
+"""
+
+
+@register("win_rolling_slope", oracle=_ROLL_SLOPE_ORACLE)
+def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h least-squares slope of the hourly revenue series per
+    type — the "rolling beta" every monitoring dashboard draws: is the
+    last day trending up or down, per hour, with no global fit? All
+    five frame moments (n, Σx, Σy, Σxy, Σx²) are exact BIGINT window
+    sums over the SAME 24-row frame (one exchange, five shared
+    aggregates); the numerator n·Σxy − Σx·Σy and denominator
+    n·Σx² − (Σx)² ship as EXACT INTEGER columns, with the slope their
+    single-division quotient — the oracle hash covers the integers, so
+    the float column can never mask an arithmetic drift.
+
+    Scale shape: calendar-bounded hourly pre-agg; one frame window per
+    type; everything combinable before it."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.sum(cents).cast("bigint").alias("cents"))
+              .select("event_type",
+                      (F.unix_timestamp("hr") / 3600).cast("bigint")
+                      .alias("h"),
+                      "cents"))
+    w = Window.partitionBy("event_type").orderBy("h") \
+        .rowsBetween(-23, Window.currentRow)
+    m = hourly.select(
+        "event_type", "h", "cents",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("h").over(w).cast("bigint").alias("sx"),
+        F.sum("cents").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("h") * F.col("cents")).over(w).cast("bigint")
+        .alias("sxy"),
+        F.sum(F.col("h") * F.col("h")).over(w).cast("bigint").alias("sxx"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("bigint")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        .cast("bigint")
+    return (m.where(F.col("n") >= 2)
+            .select("event_type", "h", "cents",
+                    F.col("n").alias("n_obs"),
+                    num.alias("slope_num"), den.alias("slope_den"),
+                    (num.cast("double") / den.cast("double"))
+                    .alias("slope_cents_per_hour")))

@@ -4047,3 +4047,47 @@ def llm_embedding_matryoshka_recall(spark: SparkSession,
             .agg(F.count("pid2").cast("bigint").alias("n_overlap"),
                  (F.count("pid2").cast("double") / F.lit(float(_MRL_K)))
                  .alias(f"recall_at{_MRL_K}")))
+
+
+# ---------------------------------------------------------------------------
+# MLlib LSH interop (round 6 — rows-only)
+# ---------------------------------------------------------------------------
+
+@register("llm_sim_lsh_mllib")
+def llm_sim_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib interop: BucketedRandomProjectionLSH over the embedding
+    column — the LIBRARY implementation of the same E2LSH family the
+    hand-built llm_sim_lsh_approx composes from expressions, wired
+    through `array_to_vector` (the ArrayType ↔ MLlib VectorUDT bridge a
+    Spark shop actually uses). Seeded, so the candidate pair set is
+    deterministic (re-run-identical, pinned by the recall gate in
+    test_llm_quality.py against the exact sub-1.2-distance pairs); no
+    SQL oracle BY DESIGN — random-hyperplane bucketing is not
+    expressible in DuckDB, the same class as llm_sim_lsh_approx.
+
+    Scale shape: fit() draws the projection once (dimension-sized, not
+    corpus-sized); approxSimilarityJoin explodes per-table hash buckets
+    and equi-joins on (table, hash) — the same banded-bucket shape as
+    the house LSH, with distance verify after the bucket join. MEASURED
+    LIMITATION (SCALE.md): MLlib has NO hot-bucket guard, so the 10×
+    duplicate-corpus probe goes quadratic inside buckets (16.6× wall for
+    10× data — candidate pairs grow ~100× with duplicate mass). The
+    house llm_sim_lsh_approx caps degenerate buckets with chaining and
+    stays linear; at 100 TB the house implementation is the path and
+    this op is the interop bridge."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = (load_table(spark, "embeddings", sf_dir)
+         .select("vec_id",
+                 array_to_vector(F.col("embedding").cast("array<double>"))
+                 .alias("v")))
+    lsh = BucketedRandomProjectionLSH(inputCol="v", outputCol="h",
+                                      bucketLength=2.0, numHashTables=6,
+                                      seed=42)
+    model = lsh.fit(e)
+    return (model.approxSimilarityJoin(e, e, 1.2, distCol="dist")
+            .where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+            .select(F.col("datasetA.vec_id").alias("a_id"),
+                    F.col("datasetB.vec_id").alias("b_id"),
+                    F.round(F.col("dist"), 6).alias("dist_6dp")))

@@ -1061,3 +1061,71 @@ def stat_anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ssb / F.lit(100.0) / F.lit(100.0)).alias("ss_between_d2"),
         (ssw / F.lit(100.0) / F.lit(100.0)).alias("ss_within_d2"),
         ((ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))).alias("f_stat"))
+
+
+# ---------------------------------------------------------------------------
+# two-proportion z-test (round 6)
+# ---------------------------------------------------------------------------
+
+_TWO_PROP_ORACLE = """
+WITH c AS (
+  SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS is_wkend,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+  FROM events
+), s AS (
+  SELECT
+    CAST(SUM(CASE WHEN is_wkend = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN is_wkend = 1 THEN is_conv ELSE 0 END) AS BIGINT)
+      AS x1,
+    CAST(SUM(CASE WHEN is_wkend = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN is_wkend = 0 THEN is_conv ELSE 0 END) AS BIGINT)
+      AS x2
+  FROM c
+)
+SELECT n1 AS n_weekend, x1 AS conv_weekend, n2 AS n_weekday,
+       x2 AS conv_weekday,
+       CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+         - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p_diff,
+       (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+       / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+              * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+              * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+         AS z_stat
+FROM s
+"""
+
+
+@register("stat_two_proportion_z", oracle=_TWO_PROP_ORACLE)
+def stat_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — does the purchase-conversion rate differ
+    between weekend and weekday traffic? — the conversion-rate
+    counterpart of stat_welch_ttest's value test, with the pooled
+    standard error under H₀ (the form every A/B dashboard implements
+    first). Four integer counts from ONE conditional aggregate; p̂'s and
+    z assemble through the identical tree. Weekend uses DuckDB's
+    0-based dayofweek (0=Sun, 6=Sat) mirrored on the Spark side by
+    shifting its 1-based values.
+
+    Scale shape: a single combinable four-sum fold over the scan."""
+    ev = load_table(spark, "events", sf_dir)
+    # Spark dayofweek: 1=Sunday..7=Saturday → weekend = {1, 7}
+    is_wkend = F.dayofweek("ts").isin(1, 7)
+    is_conv = F.col("event_type") == "purchase"
+    s = ev.agg(
+        F.count(F.when(is_wkend, 1)).cast("bigint").alias("n1"),
+        F.count(F.when(is_wkend & is_conv, 1)).cast("bigint").alias("x1"),
+        F.count(F.when(~is_wkend, 1)).cast("bigint").alias("n2"),
+        F.count(F.when(~is_wkend & is_conv, 1)).cast("bigint").alias("x2"))
+    p1 = F.col("x1").cast("double") / F.col("n1").cast("double")
+    p2 = F.col("x2").cast("double") / F.col("n2").cast("double")
+    pp = ((F.col("x1") + F.col("x2")).cast("double")
+          / (F.col("n1") + F.col("n2")).cast("double"))
+    se = F.sqrt(pp * (F.lit(1.0) - pp)
+                * (F.lit(1.0) / F.col("n1").cast("double")
+                   + F.lit(1.0) / F.col("n2").cast("double")))
+    return s.select(
+        F.col("n1").alias("n_weekend"), F.col("x1").alias("conv_weekend"),
+        F.col("n2").alias("n_weekday"), F.col("x2").alias("conv_weekday"),
+        (p1 - p2).alias("p_diff"),
+        ((p1 - p2) / se).alias("z_stat"))

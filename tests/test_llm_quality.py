@@ -811,3 +811,25 @@ def test_theta_sketch_estimation_mode_error(spark):
     u = halves.select(F.theta_sketch_estimate(
         F.theta_union("a", "b")).alias("u")).collect()[0]["u"]
     assert abs(u - 1_000_000) / 1_000_000 < 0.02, u
+
+
+def test_mllib_lsh_recall(spark, duck):
+    """MLlib BucketedRandomProjectionLSH candidates must recover >= 80%
+    of the true sub-1.2-distance pairs (the llm_sim_lsh_approx gate,
+    applied to the library implementation), and be re-run-identical
+    (seeded)."""
+    fn = registry.get("llm_sim_lsh_mllib").fn
+    got = _pairs(fn(spark, SF_DIR))
+    again = _pairs(fn(spark, SF_DIR))
+    assert got == again, "seeded MLlib LSH must be re-run-identical"
+    exact = {
+        (a, b) for a, b in duck.execute("""
+            SELECT a.vec_id, b.vec_id
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_distance(a.embedding, b.embedding) < 1.2
+        """).fetchall()
+    }
+    assert exact
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"MLlib LSH recall {recall:.2f} < 0.8"

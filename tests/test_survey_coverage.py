@@ -67,7 +67,11 @@ def test_oracle_coverage_ratio():
                "llm_tokenizer_bpe_apply",
                # HLL estimates — ±5%-of-exact + determinism gate in
                # test_llm_quality.py instead of a hash match
-               "agg_sliding_distinct_hll"}
+               "agg_sliding_distinct_hll",
+               # MLlib random-hyperplane bucketing is not expressible in
+               # DuckDB (the llm_sim_lsh_approx class) — seeded
+               # re-run-identity + recall gate in test_llm_quality.py
+               "llm_sim_lsh_mllib"}
     assert set(rows_only) <= allowed, f"unexpected rows-only queries: {rows_only}"
 
 

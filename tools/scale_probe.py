@@ -231,6 +231,10 @@ QUERY_TABLES = {
     "udtf_arrow_optimized": {"documents"},
     "dq_expectations_report": {"orders"},
     "agg_weighted_median": {"lineitem"},
+    "stat_two_proportion_z": {"events"},
+    "win_rolling_slope": {"events"},
+    "llm_loss_mask_spans": {"documents"},
+    "llm_sim_lsh_mllib": {"embeddings"},
 }
 
 
