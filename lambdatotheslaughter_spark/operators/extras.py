@@ -4490,3 +4490,156 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                     num.alias("slope_num"), den.alias("slope_den"),
                     (num.cast("double") / den.cast("double"))
                     .alias("slope_cents_per_hour")))
+
+
+# ---------------------------------------------------------------------------
+# forecast-accuracy eval (round 6)
+# ---------------------------------------------------------------------------
+
+_WAPE_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), pred AS (
+  SELECT event_type, hr, cents,
+         lag(cents, 24) OVER (PARTITION BY event_type ORDER BY hr) AS yhat
+  FROM hourly
+), err AS (
+  SELECT event_type, cents, yhat,
+         abs(cents - yhat) AS abs_err, cents - yhat AS err
+  FROM pred WHERE yhat IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err,
+       CAST(SUM(abs(cents)) AS BIGINT) AS sum_abs_actual,
+       CAST(SUM(abs_err) AS DOUBLE) / CAST(SUM(abs(cents)) AS DOUBLE)
+         AS wape,
+       CAST(SUM(abs_err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+         AS mae_dollars,
+       CAST(SUM(err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+         AS bias_dollars
+FROM err GROUP BY event_type
+"""
+
+
+@register("ts_forecast_eval_wape", oracle=_WAPE_ORACLE)
+def ts_forecast_eval_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy scorecard — WAPE, MAE and signed bias of the
+    seasonal-naive forecast (ŷₜ = yₜ₋₂₄, "same hour yesterday") per
+    event type: the baseline every real forecasting deployment must
+    beat, and the eval harness that scores it. All error sums are exact
+    BIGINT cents (WAPE chosen over sMAPE deliberately: sMAPE's per-term
+    float ratios would need an order-pinned sum, WAPE's Σ|e|/Σ|y| is
+    two integer sums and one division).
+
+    Scale shape: hourly pre-agg collapses the corpus; one lag window
+    per type; one combinable four-sum fold."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.sum(cents).cast("bigint").alias("cents")))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    pred = hourly.select(
+        "event_type", "cents",
+        F.lag("cents", 24).over(w).alias("yhat"))
+    err = (pred.where(F.col("yhat").isNotNull())
+           .select("event_type", "cents",
+                   F.abs(F.col("cents") - F.col("yhat")).alias("abs_err"),
+                   (F.col("cents") - F.col("yhat")).alias("err")))
+    s = err.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("abs_err").cast("bigint").alias("sum_abs_err"),
+        F.sum(F.abs("cents")).cast("bigint").alias("sum_abs_actual"),
+        F.sum("err").cast("bigint").alias("sum_err"))
+    return s.select(
+        "event_type", "n_hours", "sum_abs_err", "sum_abs_actual",
+        (F.col("sum_abs_err").cast("double")
+         / F.col("sum_abs_actual").cast("double")).alias("wape"),
+        (F.col("sum_abs_err").cast("double")
+         / F.col("n_hours").cast("double") / F.lit(100.0))
+        .alias("mae_dollars"),
+        (F.col("sum_err").cast("double")
+         / F.col("n_hours").cast("double") / F.lit(100.0))
+        .alias("bias_dollars"))
+
+
+# ---------------------------------------------------------------------------
+# Hampel outlier filter (round 6)
+# ---------------------------------------------------------------------------
+
+# 3 * 1.4826 = 4.4478 — compare 10000*dev > 44478*MAD in pure integers
+_HAMPEL_NUM = 44478
+_HAMPEL_DEN = 10000
+
+_HAMPEL_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), framed AS (
+  SELECT event_type, hr, cents,
+         list(cents) OVER (PARTITION BY event_type ORDER BY hr
+                           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+           AS frame
+  FROM hourly
+), med AS (
+  SELECT event_type, hr, cents,
+         list_sort(frame)[(len(frame) + 1) // 2] AS med, frame
+  FROM framed
+), mad AS (
+  SELECT event_type, hr, cents, med,
+         list_sort(list_transform(frame, x -> abs(x - med)))
+           [(len(frame) + 1) // 2] AS mad
+  FROM med
+)
+SELECT event_type, hr, cents,
+       CAST(med AS BIGINT) AS rolling_median,
+       CAST(mad AS BIGINT) AS rolling_mad,
+       {_HAMPEL_DEN} * abs(cents - med) > {_HAMPEL_NUM} * mad AS is_outlier
+FROM mad
+"""
+
+
+@register("ts_hampel_filter", oracle=_HAMPEL_ORACLE)
+def ts_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier filter over the hourly series per type — flag an
+    hour when its deviation from the ROLLING median exceeds
+    3·1.4826·(rolling MAD of the same ±12h frame): the robust detector
+    that, unlike ts_anomaly_zscore, a single spike cannot blind,
+    because both center and spread are medians. Entirely integer: the
+    frame materializes as a 25-element array (collect_list over the
+    frame), medians are DISCRETE lower-median picks from the sorted
+    array, and the 1.4826 Gaussian consistency constant is applied as
+    the integer cross-multiplication 10000·dev > 44478·MAD — no float
+    exists anywhere in the operator.
+
+    Scale shape: hourly pre-agg collapses the corpus; one frame window
+    per type over the calendar-sized table; the 25-element array sorts
+    are per-row constant work."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.sum(cents).cast("bigint").alias("cents")))
+    w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-12, 12)
+    framed = hourly.select(
+        "event_type", "hr", "cents",
+        F.collect_list("cents").over(w).alias("frame"))
+    n = F.size("frame")
+    med = F.element_at(F.array_sort("frame"),
+                       ((n + 1) / 2).cast("int"))
+    withmed = framed.withColumn("med", med)
+    mad = F.element_at(
+        F.array_sort(F.transform("frame",
+                                 lambda x: F.abs(x - F.col("med")))),
+        ((n + 1) / 2).cast("int"))
+    withmad = withmed.withColumn("mad", mad)
+    return withmad.select(
+        "event_type", "hr", "cents",
+        F.col("med").cast("bigint").alias("rolling_median"),
+        F.col("mad").cast("bigint").alias("rolling_mad"),
+        (F.lit(_HAMPEL_DEN) * F.abs(F.col("cents") - F.col("med"))
+         > F.lit(_HAMPEL_NUM) * F.col("mad")).alias("is_outlier"))

@@ -235,6 +235,8 @@ QUERY_TABLES = {
     "win_rolling_slope": {"events"},
     "llm_loss_mask_spans": {"documents"},
     "llm_sim_lsh_mllib": {"embeddings"},
+    "ts_forecast_eval_wape": {"events"},
+    "ts_hampel_filter": {"events"},
 }
 
 
