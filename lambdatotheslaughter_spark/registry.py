@@ -81,12 +81,11 @@ _loaded = False
 # sql_semi_anti_join_syntax, udtf_sql_registered,
 # stream_rate_source_resume
 # (29 names; plus the round-6 additions in registration order -- the 22
-# §2.15 keys, then the §2.16 rings: 12 second-ring + 5 estimation +
-# 5 batch-3 + 2 Spark-4 closers + 5 rank-stats + 1 chained-stream +
-# 1 KN + 1 ACF + 1 token-F1 + 1 modularity (see SURVEY §2.16 order):
-# 29 + 22 + 30 = 81 never-slotted -- the round-7 window takes the first
-# 50 (the 29 spills + the oldest 21 §2.15 keys), the rest roll to round
-# 8 with any round-7 additions). Update
+# §2.15 keys, then the 45 §2.16 keys (44 oracled + llm_sim_lsh_mllib
+# rows-only; see the SURVEY §2.16 table for the authoritative order):
+# 29 + 22 + 44 = 95 never-slotted oracled keys -- the round-7 window
+# takes the first 50 (the 29 spills + the oldest 21 §2.15 keys), the
+# rest roll to round 8 with any round-7 additions). Update
 # tests/test_survey_coverage.py's pinned window when rotating.
 # Rows-only-by-design ops (the 12: llm_sim_lsh_approx, llm_sim_ann_ivf,
 # llm_embedding_pq_quantize,
