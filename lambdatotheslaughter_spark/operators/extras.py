@@ -4643,3 +4643,161 @@ def ts_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mad").cast("bigint").alias("rolling_mad"),
         (F.lit(_HAMPEL_DEN) * F.abs(F.col("cents") - F.col("med"))
          > F.lit(_HAMPEL_NUM) * F.col("mad")).alias("is_outlier"))
+
+
+# ---------------------------------------------------------------------------
+# pinball-loss quantile-forecast eval (round 6)
+# ---------------------------------------------------------------------------
+
+# tau in tenths: loss*10 = sum(max(tau10*(y-q), (tau10-10)*(y-q))) stays
+# INTEGER for every tau on the grid — no per-term float ratios
+_PINBALL_TAUS = (1, 5, 9)
+
+_PINBALL_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), pred AS (
+  SELECT event_type, cents,
+         lag(cents, 24) OVER (PARTITION BY event_type ORDER BY hr) AS q
+  FROM hourly
+), err AS (
+  SELECT event_type, cents - q AS d FROM pred WHERE q IS NOT NULL
+), taus AS (
+  SELECT CAST(unnest([{", ".join(str(t) for t in _PINBALL_TAUS)}])
+              AS BIGINT) AS tau10
+)
+SELECT event_type, tau10,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(GREATEST(tau10 * d, (tau10 - 10) * d)) AS BIGINT)
+         AS pinball_x10_cents,
+       CAST(SUM(GREATEST(tau10 * d, (tau10 - 10) * d)) AS DOUBLE)
+         / (10.0 * CAST(COUNT(*) AS DOUBLE) * 100.0)
+         AS mean_pinball_dollars
+FROM err CROSS JOIN taus
+GROUP BY event_type, tau10
+"""
+
+
+@register("ts_pinball_loss_eval", oracle=_PINBALL_ORACLE)
+def ts_pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of the seasonal-naive forecast at
+    τ ∈ {0.1, 0.5, 0.9} per event type — the scoring rule for quantile
+    forecasts (a P90 capacity forecast is judged by pinball@0.9, not by
+    MAE; this extends ts_forecast_eval_wape's point-forecast scorecard
+    to the quantile world). The τ grid is expressed in TENTHS so the
+    per-term loss max(τ₁₀·d, (τ₁₀−10)·d) is pure BIGINT — the whole sum
+    is exact and order-free, with one division into dollars at the end.
+
+    Scale shape: hourly pre-agg → lag window → broadcast 3-row τ spine
+    → one combinable fold per (type, τ)."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.sum(cents).cast("bigint").alias("cents")))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    err = (hourly.select("event_type", "cents",
+                         F.lag("cents", 24).over(w).alias("q"))
+           .where(F.col("q").isNotNull())
+           .select("event_type", (F.col("cents") - F.col("q")).alias("d")))
+    taus = spark.createDataFrame([(t,) for t in _PINBALL_TAUS],
+                                 "tau10 bigint")
+    loss = F.greatest(F.col("tau10") * F.col("d"),
+                      (F.col("tau10") - 10) * F.col("d"))
+    return (err.crossJoin(F.broadcast(taus))
+            .groupBy("event_type", "tau10")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+                 F.sum(loss).cast("bigint").alias("pinball_x10_cents"))
+            .select("event_type", "tau10", "n_hours", "pinball_x10_cents",
+                    (F.col("pinball_x10_cents").cast("double")
+                     / (F.lit(10.0) * F.col("n_hours").cast("double")
+                        * F.lit(100.0)))
+                    .alias("mean_pinball_dollars")))
+
+
+# ---------------------------------------------------------------------------
+# column-entropy data profile (round 6)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_PROFILE_ORACLE = """
+WITH cols AS (
+  SELECT 'event_type' AS col_name, event_type AS v FROM events
+  UNION ALL
+  SELECT 'dow', CAST(dayofweek(ts) + 1 AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'value_band', CAST(CAST(round(value * 100, 0) AS BIGINT)
+                            // 10000 AS VARCHAR) FROM events
+), c AS (
+  SELECT col_name, v, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cols GROUP BY col_name, v
+), t AS (
+  SELECT col_name, v, n,
+         CAST(SUM(n) OVER (PARTITION BY col_name) AS BIGINT) AS tot,
+         CAST(COUNT(*) OVER (PARTITION BY col_name) AS BIGINT) AS k
+  FROM c
+)
+SELECT col_name, CAST(MAX(k) AS BIGINT) AS n_distinct,
+       CAST(MAX(tot) AS BIGINT) AS n_rows,
+       round(list_sum(list(
+         round(-(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)), 9)
+         ORDER BY v)), 6) AS entropy_nats,
+       round(round(list_sum(list(
+         round(-(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)), 9)
+         ORDER BY v)), 6) / round(ln(CAST(MAX(k) AS DOUBLE)), 6), 6)
+         AS entropy_normalized
+FROM t GROUP BY col_name
+"""
+
+
+@register("dq_column_entropy_profile", oracle=_ENTROPY_PROFILE_ORACLE)
+def dq_column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy data profile of three categorical projections of
+    the event feed (type, day-of-week, value band) — the profiling
+    metric behind "this column became constant" / "this id column
+    exploded" drift alarms, complementing dq_expectations_report's
+    hard gates with distribution-shape monitoring. Each column's
+    entropy is a cross-category float sum, pinned the ANOVA way: the
+    per-category terms round to 9 dp and fold in a FIXED category order
+    (DuckDB ordered list fold == Spark sorted-array F.aggregate fold),
+    then the sum rounds to 6; normalization divides by ln(k) rounded
+    the same way.
+
+    Scale shape: one union-of-projections pass (map-side), a combinable
+    (col, value) count, and per-column folds over category-bounded
+    tables."""
+    ev = load_table(spark, "events", sf_dir)
+    cols = (ev.select(F.lit("event_type").alias("col_name"),
+                      F.col("event_type").alias("v"))
+            .unionAll(ev.select(F.lit("dow"),
+                                F.dayofweek("ts").cast("string")))
+            .unionAll(ev.select(
+                F.lit("value_band"),
+                F.expr("cast(cast(round(value * 100, 0) as bigint) "
+                       "div 10000 as string)"))))
+    c = (cols.groupBy("col_name", "v")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    wcol = Window.partitionBy("col_name")
+    t = c.select("col_name", "v", "n",
+                 F.sum("n").over(wcol).cast("bigint").alias("tot"),
+                 F.count(F.lit(1)).over(wcol).cast("bigint").alias("k"))
+    term = F.round(-(F.col("n").cast("double")
+                     / F.col("tot").cast("double"))
+                   * F.log(F.col("n").cast("double")
+                           / F.col("tot").cast("double")), 9)
+    ent = F.round(F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("v"),
+                                             term.alias("t")))),
+        F.lit(0.0), lambda acc, x: acc + x["t"]), 6)
+    return (t.groupBy("col_name")
+            .agg(F.max("k").cast("bigint").alias("n_distinct"),
+                 F.max("tot").cast("bigint").alias("n_rows"),
+                 ent.alias("entropy_nats"))
+            .select("col_name", "n_distinct", "n_rows", "entropy_nats",
+                    F.round(F.col("entropy_nats")
+                            / F.round(F.log(F.col("n_distinct")
+                                            .cast("double")), 6), 6)
+                    .alias("entropy_normalized")))

@@ -237,6 +237,8 @@ QUERY_TABLES = {
     "llm_sim_lsh_mllib": {"embeddings"},
     "ts_forecast_eval_wape": {"events"},
     "ts_hampel_filter": {"events"},
+    "ts_pinball_loss_eval": {"events"},
+    "dq_column_entropy_profile": {"events"},
 }
 
 
