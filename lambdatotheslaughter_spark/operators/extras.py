@@ -4801,3 +4801,92 @@ def dq_column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.round(F.log(F.col("n_distinct")
                                             .cast("double")), 6), 6)
                     .alias("entropy_normalized")))
+
+
+# ---------------------------------------------------------------------------
+# banded DTW series similarity (round 6 — rows-only)
+# ---------------------------------------------------------------------------
+
+_DTW_BAND = 48
+
+
+def dtw_banded_cost(xs, ys, band: int = _DTW_BAND) -> int:
+    """Sakoe–Chiba banded DTW with |x−y| integer step cost — the shared
+    reference kernel (pure Python ints, no float ever): the operator's
+    executors and the pytest gate both call THIS function, and the gate
+    additionally re-derives it against an independently-written
+    recursive implementation on small series."""
+    n, m = len(xs), len(ys)
+    big = 1 << 62
+    prev = [big] * (m + 1)
+    prev[0] = 0
+    for i in range(1, n + 1):
+        cur = [big] * (m + 1)
+        lo = max(1, i - band)
+        hi = min(m, i + band)
+        for j in range(lo, hi + 1):
+            c = abs(xs[i - 1] - ys[j - 1])
+            best = prev[j - 1]
+            if prev[j] < best:
+                best = prev[j]
+            if cur[j - 1] < best:
+                best = cur[j - 1]
+            cur[j] = c + best
+        prev = cur
+    return prev[m]
+
+
+@register("ts_dtw_banded_pairs")
+def ts_dtw_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Dynamic Time Warping distance between every pair of
+    event-type hourly revenue series — the time-series similarity join
+    of the retrieved paper corpus (PAPERS.md: streaming time-series /
+    trajectory similarity), answering "which KPIs move together even
+    when one lags the other" where plain correlation demands exact
+    alignment. Sakoe–Chiba band 48 (two days) bounds the warp; step
+    cost |Δcents| keeps the whole DP in INTEGERS (bit-deterministic —
+    the rows-only gate is two-run identity plus a pin of the kernel
+    against an independently-written recursive DTW in
+    test_llm_quality.py; no SQL oracle BY DESIGN: an O(n·band) DP
+    recurrence has no DuckDB expression).
+
+    Scale shape: the corpus collapses to K calendar-bounded series
+    (combinable hourly pre-agg + per-type sorted pack); the K(K−1)/2
+    pair table fans out via broadcast; each DP runs where its pair row
+    lives — mapInPandas on executors, nothing on the driver. Wall is
+    O(K² · hours · band) with hours calendar-bounded, corpus-free."""
+    import pandas as pd
+
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.sum(cents).cast("bigint").alias("cents")))
+    series = (hourly.groupBy("event_type")
+              .agg(F.array_sort(F.collect_list(F.struct("hr", "cents")))
+                   .alias("pts"))
+              .select("event_type",
+                      F.col("pts.cents").alias("series"))
+              .localCheckpoint(eager=False))  # both pair sides share it
+    a = series.select(F.col("event_type").alias("type_a"),
+                      F.col("series").alias("sa"))
+    b = series.select(F.col("event_type").alias("type_b"),
+                      F.col("series").alias("sb"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+
+    def _dp(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                xs = [int(v) for v in r.sa]
+                ys = [int(v) for v in r.sb]
+                cost = dtw_banded_cost(xs, ys)
+                rows.append((r.type_a, r.type_b, len(xs), len(ys),
+                             cost, cost // (len(xs) + len(ys))))
+            yield pd.DataFrame(rows, columns=[
+                "type_a", "type_b", "n_a", "n_b",
+                "dtw_cost_cents", "dtw_per_step_cents"])
+
+    return pairs.mapInPandas(
+        _dp, "type_a string, type_b string, n_a bigint, n_b bigint, "
+             "dtw_cost_cents bigint, dtw_per_step_cents bigint")

@@ -833,3 +833,60 @@ def test_mllib_lsh_recall(spark, duck):
     assert exact
     recall = len(got & exact) / len(exact)
     assert recall >= 0.8, f"MLlib LSH recall {recall:.2f} < 0.8"
+
+
+def test_dtw_kernel_matches_independent_recursive_reference():
+    """ts_dtw_banded_pairs' shared kernel vs an independently-written
+    memoized recursive DTW on small series (inside and outside the
+    band's bite): exact integer equality."""
+    from functools import lru_cache
+
+    from lambdatotheslaughter_spark.operators.extras import dtw_banded_cost
+
+    def ref(xs, ys, band):
+        @lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0 and j == 0:
+                return 0
+            if i == 0 or j == 0:
+                return 1 << 62
+            if abs(i - j) > band:
+                return 1 << 62
+            return (abs(xs[i - 1] - ys[j - 1])
+                    + min(d(i - 1, j - 1), d(i - 1, j), d(i, j - 1)))
+        return d(len(xs), len(ys))
+
+    cases = [
+        ([1, 2, 3], [1, 2, 3], 48),
+        ([1, 2, 3, 4, 5], [2, 3, 4], 48),
+        ([10, 0, 10, 0, 10], [0, 10, 0, 10, 0], 2),
+        ([5] * 30, list(range(30)), 4),
+        ([3, 1, 4, 1, 5, 9, 2, 6], [2, 7, 1, 8, 2, 8], 3),
+    ]
+    for xs, ys, band in cases:
+        assert dtw_banded_cost(xs, ys, band) == ref(tuple(xs), tuple(ys),
+                                                    band), (xs, ys, band)
+
+
+def test_dtw_pairs_symmetric_and_zero_on_self(spark):
+    """DTW(x, x) must be 0 and the banded cost must not depend on
+    argument order (|Δ| cost is symmetric) — checked on the real sf0.001
+    series."""
+    from lambdatotheslaughter_spark.operators.extras import dtw_banded_cost
+    from lambdatotheslaughter_spark.tables import load_table
+    from pyspark.sql import functions as F
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.sum(cents).cast("bigint").alias("cents")))
+    series = {r["event_type"]: [int(x) for x in r["s"]]
+              for r in (hourly.groupBy("event_type")
+                        .agg(F.array_sort(F.collect_list(
+                            F.struct("hr", "cents"))).alias("pts"))
+                        .select("event_type", F.col("pts.cents").alias("s"))
+                        .collect())}
+    ks = sorted(series)[:3]
+    for k in ks:
+        assert dtw_banded_cost(series[k], series[k]) == 0
+    assert dtw_banded_cost(series[ks[0]], series[ks[1]]) == \
+        dtw_banded_cost(series[ks[1]], series[ks[0]])

@@ -71,7 +71,11 @@ def test_oracle_coverage_ratio():
                # MLlib random-hyperplane bucketing is not expressible in
                # DuckDB (the llm_sim_lsh_approx class) — seeded
                # re-run-identity + recall gate in test_llm_quality.py
-               "llm_sim_lsh_mllib"}
+               "llm_sim_lsh_mllib",
+               # O(n*band) DP recurrence has no DuckDB expression — the
+               # integer kernel is pinned against an independent
+               # recursive DTW + symmetry/self-zero + two-run identity
+               "ts_dtw_banded_pairs"}
     assert set(rows_only) <= allowed, f"unexpected rows-only queries: {rows_only}"
 
 

@@ -239,6 +239,7 @@ QUERY_TABLES = {
     "ts_hampel_filter": {"events"},
     "ts_pinball_loss_eval": {"events"},
     "dq_column_entropy_profile": {"events"},
+    "ts_dtw_banded_pairs": {"events"},
 }
 
 
