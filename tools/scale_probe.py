@@ -240,6 +240,7 @@ QUERY_TABLES = {
     "ts_pinball_loss_eval": {"events"},
     "dq_column_entropy_profile": {"events"},
     "ts_dtw_banded_pairs": {"events"},
+    "agg_bitmap_distinct_rollup": {"events"},
 }
 
 
