@@ -950,11 +950,15 @@ def graph_modularity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: basket-bounded pair self-join (the copurchase
     discipline), two broadcast joins to the part dim for brands, then
-    two combinable brand-keyed folds — the 25-row community table
-    carries everything after."""
+    ONE combinable groupBy collapsing the edge stream straight into the
+    (brand_a, brand_b) contingency table (≤ brands² rows) — m, within
+    and degree sums all derive from that tiny table, so nothing
+    edge-sized is ever cached or re-read. (The first draft
+    localCheckpointed the 315M-row tagged edge set for three consumers
+    and OOM'd the 100× probe — the contingency collapse removed both
+    the checkpoint and two of the three edge passes.)"""
     items = (load_table(spark, "lineitem", sf_dir)
-             .select("l_orderkey", "l_partkey").distinct()
-             .localCheckpoint(eager=False))
+             .select("l_orderkey", "l_partkey").distinct())
     part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
     a = items.select("l_orderkey", F.col("l_partkey").alias("pa"))
     b = items.select(F.col("l_orderkey").alias("ok2"),
@@ -962,22 +966,24 @@ def graph_modularity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (a.join(b, (a.l_orderkey == b.ok2)
                     & (F.col("pa") < F.col("pb")))
              .select("pa", "pb").distinct())
-    tagged = (edges
-              .join(F.broadcast(part.select(F.col("p_partkey").alias("pa"),
-                                            F.col("p_brand")
-                                            .alias("brand_a"))), "pa")
-              .join(F.broadcast(part.select(F.col("p_partkey").alias("pb"),
-                                            F.col("p_brand")
-                                            .alias("brand_b"))), "pb")
-              .localCheckpoint(eager=False))  # m, within, degs share it
-    m = tagged.agg(F.count(F.lit(1)).cast("bigint").alias("m_edges"))
-    within = (tagged.where(F.col("brand_a") == F.col("brand_b"))
+    bb = (edges
+          .join(F.broadcast(part.select(F.col("p_partkey").alias("pa"),
+                                        F.col("p_brand")
+                                        .alias("brand_a"))), "pa")
+          .join(F.broadcast(part.select(F.col("p_partkey").alias("pb"),
+                                        F.col("p_brand")
+                                        .alias("brand_b"))), "pb")
+          .groupBy("brand_a", "brand_b")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+          .localCheckpoint(eager=False))  # tiny: <= brands^2 rows
+    m = bb.agg(F.sum("n").cast("bigint").alias("m_edges"))
+    within = (bb.where(F.col("brand_a") == F.col("brand_b"))
               .groupBy(F.col("brand_a").alias("brand"))
-              .agg(F.count(F.lit(1)).cast("bigint").alias("e_within")))
-    degs = (tagged.select(F.col("brand_a").alias("brand"))
-            .unionAll(tagged.select("brand_b"))
+              .agg(F.sum("n").cast("bigint").alias("e_within")))
+    degs = (bb.select(F.col("brand_a").alias("brand"), "n")
+            .unionAll(bb.select(F.col("brand_b"), "n"))
             .groupBy("brand")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("deg_sum")))
+            .agg(F.sum("n").cast("bigint").alias("deg_sum")))
     out = (degs.join(within, "brand", "left").crossJoin(F.broadcast(m)))
     ew = F.coalesce("e_within", F.lit(0)).cast("bigint")
     half = F.col("deg_sum").cast("double") \
