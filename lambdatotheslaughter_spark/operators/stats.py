@@ -1129,3 +1129,395 @@ def stat_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("n_weekday"), F.col("x2").alias("conv_weekday"),
         (p1 - p2).alias("p_diff"),
         ((p1 - p2) / se).alias("z_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) two-sample test (round 6)
+# ---------------------------------------------------------------------------
+
+_MWU_ORACLE = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS xc
+  FROM events WHERE event_type IN ('click', 'purchase')
+), r AS (
+  SELECT event_type,
+         CAST(2 * rank() OVER (ORDER BY xc)
+              + COUNT(*) OVER (PARTITION BY xc) - 1 AS BIGINT) AS r2
+  FROM c
+), ties AS (
+  SELECT CAST(COALESCE(SUM(cnt * cnt * cnt - cnt), 0) AS BIGINT) AS tt
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY xc)
+), s AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n1,
+    CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n2,
+    CAST(SUM(r2) FILTER (WHERE event_type = 'click') AS BIGINT) AS sr2
+  FROM r
+)
+SELECT n1 AS n_click, n2 AS n_purchase,
+       (CAST(sr2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0))
+         / 2.0 AS u_click,
+       ((CAST(sr2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0))
+          / 2.0
+        - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+       / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+              * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                 - CAST(tt AS DOUBLE)
+                   / (CAST(n1 + n2 AS DOUBLE)
+                      * (CAST(n1 + n2 AS DOUBLE) - 1.0)))) AS z_stat,
+       1.0 - (CAST(sr2 AS DOUBLE)
+              - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0))
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS rank_biserial
+FROM s, ties
+"""
+
+
+@register("stat_mann_whitney_u", oracle=_MWU_ORACLE)
+def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between click and purchase
+    event values -- the distribution-free partner of stat_welch_ttest:
+    does one arm stochastically dominate the other, with NO normality
+    assumption? Ranks use the doubled-average-rank trick from
+    stat_spearman_rho (2*avg-rank = 2*min_rank + ties - 1 is always an
+    INTEGER), so the rank sum stays BIGINT; the tie correction
+    sum(t^3 - t) is a pure integer fold over the value domain; U, the
+    normal-approximation z with tie-corrected variance
+    (n1*n2/12)*((N+1) - T/(N(N-1))), and the rank-biserial effect size
+    1 - 2U/(n1*n2) assemble through an expression tree written
+    identically in both engines.
+
+    Scale shape: the global rank window is over the two-type slice
+    (two-pass bucketed rank is the documented 100-TB swap, the
+    stat_gini_coefficient recipe); the tie fold collapses to the value
+    DOMAIN (~18k distinct cents at sf0.1, the stat_ks_two_sample
+    observation); everything else is one combinable fold."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    c = ev.select("event_type", xc.alias("xc"))
+    r2 = (F.lit(2) * F.rank().over(Window.orderBy("xc"))
+          + F.count(F.lit(1)).over(Window.partitionBy("xc")) - 1) \
+        .cast("bigint")
+    r = c.select("event_type", r2.alias("r2"))
+    is1 = F.col("event_type") == "click"
+    s = r.agg(
+        F.count(F.when(is1, 1)).cast("bigint").alias("n1"),
+        F.count(F.when(~is1, 1)).cast("bigint").alias("n2"),
+        F.sum(F.when(is1, F.col("r2"))).cast("bigint").alias("sr2"))
+    cnt = F.count(F.lit(1)).cast("bigint")
+    ties = (c.groupBy("xc").agg(cnt.alias("cnt"))
+            .agg(F.coalesce(
+                F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt")
+                      - F.col("cnt")), F.lit(0))
+                .cast("bigint").alias("tt")))
+    j = s.crossJoin(ties)
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u1 = (F.col("sr2").cast("double") - n1d * (n1d + F.lit(1.0))) / F.lit(2.0)
+    var_u = (n1d * n2d / F.lit(12.0)) \
+        * ((nd + F.lit(1.0))
+           - F.col("tt").cast("double") / (nd * (nd - F.lit(1.0))))
+    return j.select(
+        F.col("n1").alias("n_click"),
+        F.col("n2").alias("n_purchase"),
+        u1.alias("u_click"),
+        ((u1 - n1d * n2d / F.lit(2.0)) / F.sqrt(var_u)).alias("z_stat"),
+        (F.lit(1.0) - (F.col("sr2").cast("double")
+                       - n1d * (n1d + F.lit(1.0))) / (n1d * n2d))
+        .alias("rank_biserial"))
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d / Hedges' g effect size (round 6)
+# ---------------------------------------------------------------------------
+
+_COHENS_D_ORACLE = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS xc
+  FROM events WHERE event_type IN ('click', 'purchase')
+), s AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n1,
+    CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n2,
+    CAST(SUM(xc) FILTER (WHERE event_type = 'click') AS BIGINT) AS s1a,
+    CAST(SUM(xc * xc) FILTER (WHERE event_type = 'click') AS BIGINT) AS s2a,
+    CAST(SUM(xc) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS s1b,
+    CAST(SUM(xc * xc) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS s2b
+  FROM c
+), v AS (
+  SELECT n1, n2,
+         CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+         CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+         (CAST(s2a AS DOUBLE) / CAST(n1 AS DOUBLE)
+          - (CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE))
+            * (CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE)))
+           * (CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) - 1.0)) AS v1,
+         (CAST(s2b AS DOUBLE) / CAST(n2 AS DOUBLE)
+          - (CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE))
+            * (CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE)))
+           * (CAST(n2 AS DOUBLE) / (CAST(n2 AS DOUBLE) - 1.0)) AS v2
+  FROM s
+), d AS (
+  SELECT n1, n2,
+         (m1 - m2) / sqrt(((CAST(n1 AS DOUBLE) - 1.0) * v1
+                           + (CAST(n2 AS DOUBLE) - 1.0) * v2)
+                          / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))
+           AS cohens_d
+  FROM v
+)
+SELECT n1 AS n_click, n2 AS n_purchase, cohens_d,
+       cohens_d * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0))
+         AS hedges_g
+FROM d
+"""
+
+
+@register("stat_cohens_d", oracle=_COHENS_D_ORACLE)
+def stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d pooled-SD effect size between click and purchase values,
+    plus the Hedges small-sample correction g = d*(1 - 3/(4N - 9)) --
+    the HOW-BIG companion to stat_welch_ttest's IS-IT-REAL: at 100-TB
+    row counts every difference is 'significant', so the effect size is
+    the number a decision actually turns on. Same six exact integer cent
+    sums as the t-test; pooled variance ((n1-1)v1 + (n2-1)v2)/(n1+n2-2)
+    and both standardized effects are scale-invariant, so cents equal
+    dollars; the whole assembly is one identical expression tree.
+
+    Scale shape: ONE combinable conditional aggregate (six FILTER sums)
+    to a single row -- no shuffle carries more than six partials."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    is1 = F.col("event_type") == "click"
+    s = ev.agg(
+        F.count(F.when(is1, 1)).cast("bigint").alias("n1"),
+        F.count(F.when(~is1, 1)).cast("bigint").alias("n2"),
+        F.sum(F.when(is1, xc)).cast("bigint").alias("s1a"),
+        F.sum(F.when(is1, xc * xc)).cast("bigint").alias("s2a"),
+        F.sum(F.when(~is1, xc)).cast("bigint").alias("s1b"),
+        F.sum(F.when(~is1, xc * xc)).cast("bigint").alias("s2b"))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    m1 = F.col("s1a").cast("double") / n1d
+    m2 = F.col("s1b").cast("double") / n2d
+    v1 = (F.col("s2a").cast("double") / n1d - m1 * m1) \
+        * (n1d / (n1d - F.lit(1.0)))
+    v2 = (F.col("s2b").cast("double") / n2d - m2 * m2) \
+        * (n2d / (n2d - F.lit(1.0)))
+    d = (m1 - m2) / F.sqrt(((n1d - F.lit(1.0)) * v1
+                            + (n2d - F.lit(1.0)) * v2)
+                           / (n1d + n2d - F.lit(2.0)))
+    return s.select(
+        F.col("n1").alias("n_click"),
+        F.col("n2").alias("n_purchase"),
+        d.alias("cohens_d"),
+        (d * (F.lit(1.0) - F.lit(3.0)
+              / (F.lit(4.0) * (n1d + n2d) - F.lit(9.0)))).alias("hedges_g"))
+
+
+# ---------------------------------------------------------------------------
+# Cramer's V association strength (round 6)
+# ---------------------------------------------------------------------------
+
+_CRAMERS_V_ORACLE = """
+WITH cells AS (
+  SELECT event_type, CAST(user_id % 3 AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events GROUP BY event_type, CAST(user_id % 3 AS BIGINT)
+), m AS (
+  SELECT event_type, bucket, obs,
+         CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
+         CAST(SUM(obs) OVER (PARTITION BY bucket) AS BIGINT) AS col_n,
+         CAST(SUM(obs) OVER () AS BIGINT) AS n
+  FROM cells
+), contrib AS (
+  SELECT event_type, bucket, n,
+         (CAST(obs AS DOUBLE)
+          - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+            / CAST(n AS DOUBLE))
+         * (CAST(obs AS DOUBLE)
+            - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+              / CAST(n AS DOUBLE))
+         / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+            / CAST(n AS DOUBLE)) AS c
+  FROM m
+), fold AS (
+  SELECT MAX(n) AS n_total,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT bucket) AS BIGINT) AS cc,
+         -- cross-cell float sum pinned to a FIXED (event_type, bucket)
+         -- order via an ordered list fold (the stat_anova_oneway_f rule)
+         list_sum(list(c ORDER BY event_type, bucket)) AS chi2
+  FROM contrib
+)
+SELECT n_total, r AS n_rows, cc AS n_cols, chi2,
+       sqrt(chi2 / (CAST(n_total AS DOUBLE)
+                    * CAST(least(r - 1, cc - 1) AS DOUBLE))) AS cramers_v
+FROM fold
+"""
+
+
+@register("stat_cramers_v", oracle=_CRAMERS_V_ORACLE)
+def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V over the same event_type x user-bucket contingency
+    table as stat_chi_square_independence -- the [0,1]-normalized
+    association strength that makes tables of different shapes
+    comparable (chi-squared itself grows with n, so it cannot be read
+    across datasets). Observed counts and both marginals are exact
+    BIGINTs from one groupBy plus windows over the 15-cell table; the
+    one cross-cell float reduction (sum of (O-E)^2/E) folds over the
+    FIXED (event_type, bucket) order in both engines (the
+    stat_anova_oneway_f discipline), then V = sqrt(chi2/(n*min(r-1,c-1)))
+    is the standard identical tree.
+
+    Scale shape: the corpus collapses to r*c = 15 cells in one
+    combinable groupBy; windows and the ordered fold run over those 15
+    rows -- data-size-free after the first exchange."""
+    ev = load_table(spark, "events", sf_dir)
+    cells = (ev.groupBy("event_type",
+                        F.pmod(F.col("user_id"), F.lit(3)).cast("bigint")
+                        .alias("bucket"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("obs")))
+    row_n = F.sum("obs").over(Window.partitionBy("event_type")) \
+        .cast("bigint")
+    col_n = F.sum("obs").over(Window.partitionBy("bucket")).cast("bigint")
+    n = F.sum("obs").over(Window.partitionBy()).cast("bigint")
+    m = cells.select("event_type", "bucket", "obs",
+                     row_n.alias("row_n"), col_n.alias("col_n"),
+                     n.alias("n"))
+    exp = (F.col("row_n").cast("double") * F.col("col_n").cast("double")
+           / F.col("n").cast("double"))
+    contrib = m.select(
+        "event_type", "bucket", "n",
+        ((F.col("obs").cast("double") - exp)
+         * (F.col("obs").cast("double") - exp) / exp).alias("c"))
+    fold = contrib.agg(
+        F.max("n").alias("n_total"),
+        F.countDistinct("event_type").cast("bigint").alias("r"),
+        F.countDistinct("bucket").cast("bigint").alias("cc"),
+        F.aggregate(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("event_type"), F.col("bucket"),
+                         F.col("c").alias("t")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"]).alias("chi2"))
+    return fold.select(
+        "n_total", F.col("r").alias("n_rows"), F.col("cc").alias("n_cols"),
+        "chi2",
+        F.sqrt(F.col("chi2")
+               / (F.col("n_total").cast("double")
+                  * F.least(F.col("r") - 1, F.col("cc") - 1).cast("double")))
+        .alias("cramers_v"))
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (median-centered Levene) equality of variances (round 6)
+# ---------------------------------------------------------------------------
+
+_BROWN_FORSYTHE_ORACLE = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS xc FROM events
+), ranked AS (
+  SELECT event_type, xc,
+         row_number() OVER (PARTITION BY event_type ORDER BY xc) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+), med AS (
+  -- discrete lower median: the value at sorted position ceil(n/2)
+  SELECT event_type,
+         CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN xc END) AS BIGINT)
+           AS med
+  FROM ranked GROUP BY event_type
+), dev AS (
+  SELECT c.event_type, CAST(abs(c.xc - med.med) AS BIGINT) AS d
+  FROM c JOIN med ON c.event_type = med.event_type
+), per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS BIGINT) AS s1, CAST(SUM(d * d) AS BIGINT) AS s2
+  FROM dev GROUP BY event_type
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(SUM(s1) AS BIGINT) AS s1_tot,
+         CAST(SUM(s2) AS BIGINT) AS s2_tot,
+         list_sum(list(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE) ORDER BY event_type))
+           AS ssb_term
+  FROM per
+)
+SELECT k AS n_groups, n_tot,
+       ((ssb_term - CAST(s1_tot AS DOUBLE) * CAST(s1_tot AS DOUBLE)
+                    / CAST(n_tot AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+         / ((CAST(s2_tot AS DOUBLE) - ssb_term)
+            / (CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE))) AS w_stat,
+       CAST(k - 1 AS BIGINT) AS df1,
+       CAST(n_tot - k AS BIGINT) AS df2
+FROM tot
+"""
+
+
+@register("stat_brown_forsythe", oracle=_BROWN_FORSYTHE_ORACLE)
+def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (median-centered Levene) for equality of
+    variances across the five event types -- the gatekeeper BEFORE a
+    pooled-variance test: stat_anova_oneway_f's F is only trustworthy if
+    spreads are comparable, and centering on the MEDIAN (not the mean)
+    keeps the test honest under the skewed value distributions real
+    event data has. Per-group DISCRETE medians are rank-picked integers
+    (the ts_outlier_iqr quartile rule: value at sorted position
+    ceil(n/2)); absolute deviations |x - med| stay BIGINT, so the whole
+    statistic is the one-way ANOVA F machinery applied to integer
+    deviations -- per-group (n, sum d, sum d^2) folds plus the one
+    FIXED-ORDER cross-group float fold.
+
+    Scale shape: one per-type sort for the median windows (per-group
+    two-pass bucketed rank is the documented 100-TB swap), a broadcast
+    5-row median join back, then one combinable three-sum groupBy to
+    k=5 rows and a 5-element ordered fold -- nothing cross-group is ever
+    row-sized."""
+    ev = load_table(spark, "events", sf_dir)
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    c = ev.select("event_type", xc.alias("xc"))
+    w = Window.partitionBy("event_type").orderBy("xc")
+    ranked = c.select(
+        "event_type", "xc",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"))
+    med = (ranked
+           .groupBy("event_type")
+           .agg(F.min(F.when(F.col("rn")
+                             == F.floor((F.col("n") + 1) / 2),
+                             F.col("xc")).otherwise(None))
+                .cast("bigint").alias("med")))
+    dev = (c.join(F.broadcast(med), "event_type")
+           .select("event_type",
+                   F.abs(F.col("xc") - F.col("med")).cast("bigint")
+                   .alias("d")))
+    per = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("s2"))
+    term = (F.col("s1").cast("double") * F.col("s1").cast("double")
+            / F.col("n").cast("double"))
+    tot = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("s1").cast("bigint").alias("s1_tot"),
+        F.sum("s2").cast("bigint").alias("s2_tot"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("event_type"),
+                                                 term.alias("t")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"]).alias("ssb_term"))
+    kd = F.col("k").cast("double")
+    nd = F.col("n_tot").cast("double")
+    ssb = (F.col("ssb_term")
+           - F.col("s1_tot").cast("double") * F.col("s1_tot").cast("double")
+           / nd)
+    ssw = F.col("s2_tot").cast("double") - F.col("ssb_term")
+    return tot.select(
+        F.col("k").alias("n_groups"), "n_tot",
+        ((ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))).alias("w_stat"),
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        (F.col("n_tot") - F.col("k")).cast("bigint").alias("df2"))

@@ -80,19 +80,22 @@ _loaded = False
 # sink_max_records_per_file, agg_regr_builtins, win_lag_ignore_nulls,
 # sql_semi_anti_join_syntax, udtf_sql_registered,
 # stream_rate_source_resume
-# (29 names; plus the round-6 additions in registration order -- the 22
-# §2.15 keys, then the 45 §2.16 keys (44 oracled + llm_sim_lsh_mllib
-# rows-only; see the SURVEY §2.16 table for the authoritative order):
-# 29 + 22 + 44 = 95 never-slotted oracled keys -- the round-7 window
-# takes the first 50 (the 29 spills + the oldest 21 §2.15 keys), the
-# rest roll to round 8 with any round-7 additions). Update
-# tests/test_survey_coverage.py's pinned window when rotating.
-# Rows-only-by-design ops (the 12: llm_sim_lsh_approx, llm_sim_ann_ivf,
+# (29 names; plus the round-6 additions in registration order -- the 23
+# §2.15 keys (22 oracled + llm_embedding_pq_quantize rows-only), then
+# the 49 §2.16 keys (47 oracled + llm_sim_lsh_mllib and
+# ts_dtw_banded_pairs rows-only; see the SURVEY tables for the
+# authoritative order), then the 4 §2.17 keys (all oracled):
+# 29 + 22 + 47 + 4 = 102 never-slotted oracled keys --
+# the round-7 window takes the first 50 (the 29 spills + the oldest 21
+# §2.15 keys), the rest roll to round 8 with any round-7 additions).
+# Update tests/test_survey_coverage.py's pinned window when rotating.
+# Rows-only-by-design ops (the 14: llm_sim_lsh_approx, llm_sim_ann_ivf,
 # llm_embedding_pq_quantize,
 # llm_multimodal_decode, agg_approx_distinct, llm_tokenizer_bpe_train,
 # llm_tokenizer_bpe_apply, agg_quantile_sketch,
 # agg_sketch_set_intersection, llm_embedding_pca_project,
-# agg_sliding_distinct_hll, ts_downsample_lttb) are deliberately NOT
+# agg_sliding_distinct_hll, ts_downsample_lttb, llm_sim_lsh_mllib,
+# ts_dtw_banded_pairs) are deliberately NOT
 # listed -- a driver slot adds nothing over their pytest
 # determinism/recall/tolerance gates.
 _DRIVER_PRIORITY: tuple[str, ...] = (

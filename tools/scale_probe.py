@@ -241,6 +241,11 @@ QUERY_TABLES = {
     "dq_column_entropy_profile": {"events"},
     "ts_dtw_banded_pairs": {"events"},
     "agg_bitmap_distinct_rollup": {"events"},
+    # round-6 third ring (§2.17)
+    "stat_mann_whitney_u": {"events"},
+    "stat_cohens_d": {"events"},
+    "stat_cramers_v": {"events"},
+    "stat_brown_forsythe": {"events"},
 }
 
 
