@@ -4890,3 +4890,184 @@ def ts_dtw_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.mapInPandas(
         _dp, "type_a string, type_b string, n_a bigint, n_b bigint, "
              "dtw_cost_cents bigint, dtw_per_step_cents bigint")
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolic aggregate approximation (round 6)
+# ---------------------------------------------------------------------------
+
+_SAX_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         (hour(ts) // 6) AS blk,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS bs
+  FROM events
+  GROUP BY event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d'),
+           (hour(ts) // 6)
+), mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(bs) AS BIGINT) AS s1,
+         CAST(SUM(bs * bs) AS BIGINT) AS s2
+  FROM hourly GROUP BY event_type
+), z AS (
+  SELECT h.event_type, h.day, h.blk,
+         CAST(h.bs AS DOUBLE) AS bsd,
+         CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE) AS mu,
+         sqrt((CAST(m.s2 AS DOUBLE) / CAST(m.n AS DOUBLE)
+               - (CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE))
+                 * (CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE)))
+              * (CAST(m.n AS DOUBLE) / (CAST(m.n AS DOUBLE) - 1.0))) AS sig
+  FROM hourly h JOIN mom m ON h.event_type = m.event_type
+), sym AS (
+  SELECT event_type, day, blk,
+         CASE WHEN bsd < mu - 0.6745 * sig THEN 'a'
+              WHEN bsd < mu THEN 'b'
+              WHEN bsd < mu + 0.6745 * sig THEN 'c'
+              ELSE 'd' END AS s
+  FROM z
+)
+SELECT event_type, day,
+       COALESCE(MIN(CASE WHEN blk = 0 THEN s END), '_')
+       || COALESCE(MIN(CASE WHEN blk = 1 THEN s END), '_')
+       || COALESCE(MIN(CASE WHEN blk = 2 THEN s END), '_')
+       || COALESCE(MIN(CASE WHEN blk = 3 THEN s END), '_') AS sax_word
+FROM sym GROUP BY event_type, day
+"""
+
+
+@register("ts_sax_symbolize", oracle=_SAX_ORACLE)
+def ts_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) of each event type's
+    revenue series: PAA into four 6-hour blocks per day, z-scored
+    against the type's own block distribution, mapped to the alphabet-4
+    Gaussian breakpoints (-0.6745, 0, +0.6745) and packed into one
+    4-char word per day -- the representation that turns time-series
+    motif/novelty discovery into plain string operations (two days
+    behave alike iff their words match; a never-seen word IS the
+    anomaly). The ts_dtw_banded_pairs genre at per-day granularity with
+    O(1) comparisons instead of O(n*band) DP.
+
+    Determinism: block sums are exact BIGINT cents; mu/sigma come from
+    integer moments through the standard identical tree; each symbol is
+    a float comparison of identically-computed doubles (breakpoint
+    constants are exact literals, the ts_anomaly_zscore precedent);
+    word assembly is four conditional MINs -- no float ever leaves the
+    comparison, so the OUTPUT is pure strings (the day projects as
+    yyyy-MM-dd, the portable projection), hash-exact by construction.
+
+    Scale shape: one combinable (type, day, blk) groupBy collapses the
+    corpus to the calendar; the 5-row moment table broadcasts back; the
+    word pack is a 4-rows-per-group fold over calendar-sized data."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy(F.col("event_type"),
+                         F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                         F.floor(F.hour("ts") / 6).alias("blk"))
+              .agg(F.sum(cents).cast("bigint").alias("bs")))
+    mom = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("bs").cast("bigint").alias("s1"),
+        F.sum(F.col("bs") * F.col("bs")).cast("bigint").alias("s2"))
+    nd = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    sig = F.sqrt((F.col("s2").cast("double") / nd - mu * mu)
+                 * (nd / (nd - F.lit(1.0))))
+    z = (hourly.join(F.broadcast(mom), "event_type")
+         .select("event_type", "day", "blk",
+                 F.col("bs").cast("double").alias("bsd"),
+                 mu.alias("mu"), sig.alias("sig")))
+    s = (F.when(F.col("bsd") < F.col("mu") - F.lit(0.6745) * F.col("sig"),
+                F.lit("a"))
+         .when(F.col("bsd") < F.col("mu"), F.lit("b"))
+         .when(F.col("bsd") < F.col("mu") + F.lit(0.6745) * F.col("sig"),
+               F.lit("c"))
+         .otherwise(F.lit("d")))
+    sym = z.select("event_type", "day", "blk", s.alias("s"))
+    blk_min = [F.coalesce(F.min(F.when(F.col("blk") == i, F.col("s"))),
+                          F.lit("_")) for i in range(4)]
+    return (sym.groupBy("event_type", "day")
+            .agg(F.concat(*blk_min).alias("sax_word")))
+
+
+# ---------------------------------------------------------------------------
+# funnel time-to-convert quantiles (round 6)
+# ---------------------------------------------------------------------------
+
+_TTC_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+  SELECT v.user_id,
+         CAST(epoch_us(MIN(e.ts)) - epoch_us(v.v_ts) AS BIGINT)
+           AS elapsed_us,
+         date_trunc('week', v.v_ts) AS week
+  FROM v JOIN events e
+    ON e.user_id = v.user_id AND e.event_type = 'purchase'
+       AND e.ts >= v.v_ts
+  GROUP BY v.user_id, v.v_ts
+), ranked AS (
+  SELECT week, elapsed_us,
+         row_number() OVER (PARTITION BY week ORDER BY elapsed_us) AS rn,
+         COUNT(*) OVER (PARTITION BY week) AS n
+  FROM conv
+)
+SELECT week, CAST(MAX(n) AS BIGINT) AS n_converted,
+       CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN elapsed_us END) // 1000000
+            AS BIGINT) AS median_s,
+       CAST(MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN elapsed_us END)
+            // 1000000 AS BIGINT) AS p90_s
+FROM ranked GROUP BY week
+"""
+
+
+@register("seq_funnel_time_to_convert", oracle=_TTC_ORACLE)
+def seq_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel LATENCY: for each user whose first 'view' is later followed
+    by a 'purchase', the elapsed seconds between them, rolled up per
+    first-view week as converting-user count plus DISCRETE median and
+    p90 -- funnel_view_click_purchase says HOW MANY convert; this says
+    HOW LONG conversion takes, the number a checkout-flow change
+    actually moves. Quantiles are rank-picked integers (the
+    ts_outlier_iqr rule: values at sorted positions ceil(n/2) and
+    ceil(9n/10)), elapsed times are exact epoch-second differences --
+    the whole output is BIGINTs and week timestamps, hash-exact with no
+    float anywhere.
+
+    Elapsed times rank in exact MICROSECONDS (epoch_us both engines --
+    per-timestamp second-flooring would shift ranks) and report floored
+    to whole seconds.
+
+    Scale shape: first-view extraction is one combinable user-keyed
+    groupBy; the purchase match is a user-keyed equi-join (both sides
+    hash the same key, no broadcast needed at any scale); quantile
+    windows partition by WEEK, so no global sort -- per-week two-pass
+    bucketed rank is the documented swap if single weeks outgrow a
+    partition."""
+    ev = load_table(spark, "events", sf_dir)
+    v = (ev.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("v_ts")))
+    p = ev.where(F.col("event_type") == "purchase") \
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    conv = (v.join(p, (F.col("user_id") == F.col("p_user"))
+                   & (F.col("p_ts") >= F.col("v_ts")))
+            .groupBy("user_id", "v_ts")
+            .agg(F.min("p_ts").alias("c_ts"))
+            .select(F.date_trunc("week", "v_ts").alias("week"),
+                    (F.unix_micros(F.col("c_ts").cast("timestamp"))
+                     - F.unix_micros(F.col("v_ts").cast("timestamp")))
+                    .cast("bigint").alias("elapsed_us")))
+    w = Window.partitionBy("week").orderBy("elapsed_us")
+    ranked = conv.select(
+        "week", "elapsed_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("week")).alias("n"))
+    med = F.min(F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2),
+                       F.col("elapsed_us")))
+    p90 = F.min(F.when(F.col("rn") == F.floor((9 * F.col("n") + 9) / 10),
+                       F.col("elapsed_us")))
+    return (ranked.groupBy("week")
+            .agg(F.max("n").cast("bigint").alias("n_converted"),
+                 F.floor(med / 1000000).cast("bigint").alias("median_s"),
+                 F.floor(p90 / 1000000).cast("bigint").alias("p90_s")))

@@ -1083,3 +1083,101 @@ def graph_hits_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (h.join(a, "node")
             .select("node", F.col("h").alias("hub_fp"),
                     F.col("a").alias("auth_fp")))
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction over non-edges (round 6)
+# ---------------------------------------------------------------------------
+
+_ADAMIC_ADAR_ORACLE = f"""
+WITH raw AS ({_EDGES_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst
+), sym AS (
+  SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und
+), deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY v
+), wed AS (
+  SELECT s1.v AS pivot, s1.w AS x, s2.w AS y
+  FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.w < s2.w
+), cand AS (
+  SELECT w.x AS a, w.y AS b, CAST(COUNT(*) AS BIGINT) AS n_common,
+         -- 1/ln(d) in 1e-15 fixed point (the graph_hits_fixed recipe):
+         -- integer partials sum order-free and map-side-combinable
+         CAST(SUM(CAST(floor(1e15 / ln(CAST(d.d AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS aa_fp
+  FROM wed w JOIN deg d ON d.v = w.pivot
+  GROUP BY w.x, w.y
+)
+SELECT c.a, c.b, c.n_common,
+       round(CAST(c.aa_fp AS DOUBLE) / 1e15, 6) AS adamic_adar
+FROM cand c
+LEFT JOIN und u ON u.a = c.a AND u.b = c.b
+WHERE u.a IS NULL AND c.n_common >= 2
+ORDER BY round(CAST(c.aa_fp AS DOUBLE) / 1e15, 6) DESC, c.a, c.b
+LIMIT 1000
+"""
+
+
+@register("graph_adamic_adar_linkpred", oracle=_ADAMIC_ADAR_ORACLE)
+def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the co-purchase graph: for every
+    NON-edge pair with >= 2 common neighbors, the score
+    sum over common neighbors w of 1/ln(deg(w)) -- rare shared neighbors
+    count more than hub co-membership. This is the which-edge-forms-next
+    genre (recommendation candidates, related-parts suggestions), the
+    forward-looking complement of graph_jaccard_neighbors' scoring of
+    EXISTING edges.
+
+    Determinism: common-neighbor counts are exact integers; each
+    1/ln(d) term converts ONCE to 1e-15 fixed point (floor(1e15/ln d),
+    the graph_hits_fixed max-scaled-integral recipe), so the per-pair
+    sum is an ORDER-FREE BIGINT fold -- map-side-combinable, no
+    collect_list, no float-association hazard; the score reports as the
+    6-dp-rounded back-conversion. Output is the global top-1000 by
+    (rounded score desc, a, b) -- TakeOrderedAndProject, never a full
+    sort. Candidates anti-join away existing edges, so the output is
+    pure prediction. A pivot with degree 1 centers no wedge, so
+    ln(d) >= ln 2 and the term is always finite.
+
+    Scale shape: wedge enumeration is Sum d(v)(d(v)-1)/2 -- the
+    co-purchase graph's degree is BASKET-bounded (max degree 83 at
+    sf0.1, 10x data moves it not at all), so wedges stay ~23x the edge
+    count with NO hub blowup; one combinable groupBy collapses them to
+    candidate pairs and the anti-join is edge-keyed. On a power-law
+    graph the documented swap is the standard hub cut (drop pivots above
+    a degree cap, whose 1/ln(d) terms are the smallest contributions)."""
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    li = load_table(spark, "lineitem", sf_dir)
+    raw = (li.select(F.col("l_partkey").alias("src"),
+                     F.lead("l_partkey").over(w).alias("dst"))
+           .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst"))))
+    und = (raw.select(F.least("src", "dst").alias("a"),
+                      F.greatest("src", "dst").alias("b"))
+           .distinct().localCheckpoint(eager=False))
+    sym = (und.select(F.col("a").alias("v"), F.col("b").alias("w"))
+           .unionAll(und.select(F.col("b").alias("v"),
+                                F.col("a").alias("w"))))
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    symd = (sym.join(deg, "v")
+            .select(F.col("v").alias("pivot"), "w",
+                    F.floor(F.lit(1e15)
+                            / F.log(F.col("d").cast("double")))
+                    .cast("bigint").alias("term_fp")))
+    s1 = symd.select("pivot", F.col("w").alias("x"), "term_fp")
+    s2 = symd.select(F.col("pivot").alias("p2"), F.col("w").alias("y"))
+    wed = s1.join(s2, s1.pivot == s2.p2).where(F.col("x") < F.col("y"))
+    cand = (wed.groupBy(F.col("x").alias("a"), F.col("y").alias("b"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"),
+                 F.sum("term_fp").cast("bigint").alias("aa_fp")))
+    score = F.round(F.col("aa_fp").cast("double") / F.lit(1e15), 6)
+    return (cand.join(und, ["a", "b"], "left_anti")
+            .where(F.col("n_common") >= 2)
+            .select("a", "b", "n_common", score.alias("adamic_adar"))
+            # top-1000 predicted links: TakeOrderedAndProject, no global
+            # sort; ranking on the ROUNDED fixed-point score ties
+            # deterministically on (a, b) in both engines
+            .orderBy(F.col("adamic_adar").desc(), "a", "b")
+            .limit(1000))

@@ -246,6 +246,9 @@ QUERY_TABLES = {
     "stat_cohens_d": {"events"},
     "stat_cramers_v": {"events"},
     "stat_brown_forsythe": {"events"},
+    "graph_adamic_adar_linkpred": {"lineitem"},
+    "ts_sax_symbolize": {"events"},
+    "seq_funnel_time_to_convert": {"events"},
 }
 
 
