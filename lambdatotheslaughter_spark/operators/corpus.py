@@ -3031,3 +3031,150 @@ def llm_loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select("doc_id", F.explode(spans).alias("s"))
             .select("doc_id", F.col("s.seg").alias("seg"),
                     "s.start_char", "s.end_char", "s.train_mask"))
+
+
+# ---------------------------------------------------------------------------
+# lexicon sentiment scoring (round 6)
+# ---------------------------------------------------------------------------
+
+_SENTIMENT_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('fast', 'small'))) AS BIGINT)
+           AS n_pos,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('slow', 'big'))) AS BIGINT)
+           AS n_neg
+  FROM documents
+)
+SELECT doc_id, lang, n_pos, n_neg,
+       CASE WHEN n_pos > n_neg THEN 'positive'
+            WHEN n_pos < n_neg THEN 'negative'
+            ELSE 'neutral' END AS sentiment,
+       CASE WHEN n_pos + n_neg = 0 THEN 0.0
+            ELSE CAST(n_pos - n_neg AS DOUBLE)
+                 / CAST(n_pos + n_neg AS DOUBLE) END AS polarity
+FROM scored
+"""
+
+
+@register("llm_sentiment_lexicon", oracle=_SENTIMENT_ORACLE)
+def llm_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment per document -- the PAPERS.md genre
+    (large-scale sentiment analysis on Spark, EDBT 2016) in its
+    classical distributed form: a fixed positive/negative word list,
+    per-doc matched-token counts, a polarity score
+    (n_pos - n_neg)/(n_pos + n_neg) and a three-way label. The corpus's
+    own vocabulary supplies the poles (fast/small vs slow/big); swapping
+    in a real lexicon (AFINN, VADER's word list) changes only the two
+    literal lists. Counts are exact integers from one HOF filter (no
+    explode, no shuffle); polarity is a single int/int division with
+    the 0/0 CASE guard spelled identically in both engines.
+
+    Scale shape: pure map-side projection -- zero exchanges, perfect
+    row-linear scaling; the lexicon lives in the closure, never joined."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_pos = F.size(F.filter(toks, lambda t: t.isin("fast", "small"))) \
+        .cast("bigint")
+    n_neg = F.size(F.filter(toks, lambda t: t.isin("slow", "big"))) \
+        .cast("bigint")
+    scored = d.select("doc_id", "lang", n_pos.alias("n_pos"),
+                      n_neg.alias("n_neg"))
+    tot = F.col("n_pos") + F.col("n_neg")
+    return scored.select(
+        "doc_id", "lang", "n_pos", "n_neg",
+        F.when(F.col("n_pos") > F.col("n_neg"), F.lit("positive"))
+        .when(F.col("n_pos") < F.col("n_neg"), F.lit("negative"))
+        .otherwise(F.lit("neutral")).alias("sentiment"),
+        F.when(tot == 0, F.lit(0.0))
+        .otherwise((F.col("n_pos") - F.col("n_neg")).cast("double")
+                   / tot.cast("double")).alias("polarity"))
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-2 bigram-overlap eval (round 6)
+# ---------------------------------------------------------------------------
+
+_ROUGE2_ORACLE = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE len(string_split(text, ' ')) >= 17
+), pred AS (
+  SELECT doc_id, unnest(list_transform(range(1, 12),
+                                       i -> l[i] || ' ' || l[i + 1])) AS g
+  FROM base
+), gold AS (
+  SELECT doc_id, unnest(list_transform(range(6, 17),
+                                       i -> l[i] || ' ' || l[i + 1])) AS g
+  FROM base
+), pc AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM pred
+  GROUP BY doc_id, g
+), gc AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM gold
+  GROUP BY doc_id, g
+), ov AS (
+  SELECT COALESCE(pc.doc_id, gc.doc_id) AS doc_id,
+         CAST(SUM(LEAST(COALESCE(pc.c, 0), COALESCE(gc.c, 0))) AS BIGINT)
+           AS n_overlap
+  FROM pc FULL OUTER JOIN gc
+    ON pc.doc_id = gc.doc_id AND pc.g = gc.g
+  GROUP BY COALESCE(pc.doc_id, gc.doc_id)
+)
+SELECT doc_id, n_overlap,
+       CAST(n_overlap AS DOUBLE) / 11.0 AS rouge2_p,
+       CAST(n_overlap AS DOUBLE) / 11.0 AS rouge2_r,
+       CASE WHEN n_overlap = 0 THEN 0.0
+            ELSE 2.0 * (CAST(n_overlap AS DOUBLE) / 11.0)
+                 * (CAST(n_overlap AS DOUBLE) / 11.0)
+                 / ((CAST(n_overlap AS DOUBLE) / 11.0)
+                    + (CAST(n_overlap AS DOUBLE) / 11.0)) END AS rouge2_f
+FROM ov
+"""
+
+
+@register("llm_eval_rouge2", oracle=_ROUGE2_ORACLE)
+def llm_eval_rouge2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 between the same deterministic pred/gold spans as
+    llm_eval_token_f1 (tokens 1-12 vs 6-17) -- the bigram-overlap
+    summarization metric that unigram F1 cannot see: scrambled word
+    order keeps F1 high but destroys consecutive-pair matches, so
+    ROUGE-2 is the fluency-sensitive eval every summarization harness
+    reports next to F1. Clipped MULTISET bigram overlap via the same
+    full-outer-join-of-count-tables machinery (NOT distinct shingles --
+    repeated bigrams clip at min(c_pred, c_gold), the official ROUGE
+    definition); both spans contribute exactly 11 bigrams, so P = R
+    here and the harmonic F keeps the shared 0/0 CASE guard.
+
+    Scale shape: two explodes bounded by span length (11 bigrams/doc,
+    corpus-linear), two combinable count groupBys, one (doc, bigram)
+    outer join, one per-doc fold -- every stage key-partitioned."""
+    d = load_table(spark, "documents", sf_dir) \
+        .where(F.size(F.split(F.col("text"), " ")) >= 17)
+    base = d.select("doc_id", F.split(F.col("text"), " ").alias("l"))
+
+    def bigrams(lo: int, hi: int):
+        return F.explode(F.transform(
+            F.sequence(F.lit(lo), F.lit(hi)),
+            lambda i: F.concat_ws(" ", F.element_at("l", i),
+                                  F.element_at("l", i + 1))))
+
+    pred = base.select("doc_id", bigrams(1, 11).alias("g"))
+    gold = base.select("doc_id", bigrams(6, 16).alias("g"))
+    pc = (pred.groupBy("doc_id", "g")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("cp")))
+    gc = (gold.groupBy("doc_id", "g")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("cg")))
+    ov = (pc.join(gc, ["doc_id", "g"], "full_outer")
+          .groupBy("doc_id")
+          .agg(F.sum(F.least(F.coalesce("cp", F.lit(0)),
+                             F.coalesce("cg", F.lit(0))))
+               .cast("bigint").alias("n_overlap")))
+    p = F.col("n_overlap").cast("double") / F.lit(11.0)
+    return ov.select(
+        "doc_id", "n_overlap",
+        p.alias("rouge2_p"), p.alias("rouge2_r"),
+        F.when(F.col("n_overlap") == 0, F.lit(0.0))
+        .otherwise(F.lit(2.0) * p * p / (p + p)).alias("rouge2_f"))

@@ -1521,3 +1521,122 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))).alias("w_stat"),
         (F.col("k") - 1).cast("bigint").alias("df1"),
         (F.col("n_tot") - F.col("k")).cast("bigint").alias("df2"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic randomization (permutation) test (round 6)
+# ---------------------------------------------------------------------------
+
+_PERM_B = 64
+# u32 < 2^31  <=>  the md5 bit stream assigns the row to pseudo-arm A
+_PERM_HALF = 2147483648
+
+_PERM_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+), obs AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n1,
+    CAST(SUM(cents) FILTER (WHERE event_type = 'click') AS BIGINT) AS s1,
+    CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n2,
+    CAST(SUM(cents) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS s2
+  FROM base
+), reps AS (
+  SELECT CAST(unnest(range({_PERM_B})) AS BIGINT) AS b
+), relabeled AS (
+  SELECT reps.b, base.cents,
+         CAST(concat('0x', substring(md5(concat(
+              CAST(base.event_id AS VARCHAR), ':',
+              CAST(reps.b AS VARCHAR))), 1, 8)) AS BIGINT)
+           < {_PERM_HALF} AS in_a
+  FROM base CROSS JOIN reps
+), rep_diff AS (
+  SELECT b,
+         CAST(CAST(SUM(cents) FILTER (WHERE in_a) AS BIGINT) AS DOUBLE)
+           / CAST(COUNT(*) FILTER (WHERE in_a) AS DOUBLE)
+         - CAST(CAST(SUM(cents) FILTER (WHERE NOT in_a) AS BIGINT)
+                AS DOUBLE)
+           / CAST(COUNT(*) FILTER (WHERE NOT in_a) AS DOUBLE) AS d
+  FROM relabeled GROUP BY b
+), fold AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+         CAST(COUNT(*) FILTER (WHERE abs(rep_diff.d) >= abs(
+              CAST(obs.s1 AS DOUBLE) / CAST(obs.n1 AS DOUBLE)
+              - CAST(obs.s2 AS DOUBLE) / CAST(obs.n2 AS DOUBLE)))
+              AS BIGINT) AS n_extreme
+  FROM rep_diff CROSS JOIN obs
+)
+SELECT obs.n1 AS n_click, obs.n2 AS n_purchase,
+       (CAST(obs.s1 AS DOUBLE) / CAST(obs.n1 AS DOUBLE)
+        - CAST(obs.s2 AS DOUBLE) / CAST(obs.n2 AS DOUBLE)) / 100.0
+         AS diff_obs_dollars,
+       fold.n_reps, fold.n_extreme,
+       CAST(1 + fold.n_extreme AS DOUBLE)
+         / CAST(1 + fold.n_reps AS DOUBLE) AS p_value
+FROM fold CROSS JOIN obs
+"""
+
+
+@register("stat_permutation_test", oracle=_PERM_ORACLE)
+def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (permutation) test for the click-vs-purchase mean
+    gap: 64 deterministic pseudo-relabelings of the pooled sample (each
+    row joins pseudo-arm A iff the top 32 md5(event_id:replicate) bits
+    fall below 2^31 -- the stat_bootstrap_poisson_ci randomness recipe),
+    a mean difference per relabeling, and the add-one p-value
+    (1 + #extreme)/(1 + B) -- the assumption-free significance readout
+    that needs NO variance formula, normal approximation, or rank
+    theory: under H0 the labels are exchangeable, full stop. The
+    trio's closer: Welch assumes little, Mann-Whitney less, this
+    nothing.
+
+    Determinism: arm assignment is a pure integer comparison on md5
+    bits; per-replicate sums/counts are exact BIGINTs via conditional
+    folds; each replicate's mean difference and the observed difference
+    assemble through identical trees, and the extreme-count comparison
+    |d_b| >= |d_obs| compares identically-computed doubles.
+
+    Scale shape: the x64 fan-out is map-side against a broadcast spine;
+    each replicate folds to four partials in ONE combinable groupBy (the
+    bootstrap shape exactly); the extreme count folds over 64 rows."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    base = ev.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"))
+    is1 = F.col("event_type") == "click"
+    obs = base.agg(
+        F.count(F.when(is1, 1)).cast("bigint").alias("n1"),
+        F.sum(F.when(is1, F.col("cents"))).cast("bigint").alias("s1"),
+        F.count(F.when(~is1, 1)).cast("bigint").alias("n2"),
+        F.sum(F.when(~is1, F.col("cents"))).cast("bigint").alias("s2"))
+    reps = spark.range(_PERM_B).select(F.col("id").alias("b"))
+    u = F.conv(F.substring(F.md5(F.concat(
+        F.col("event_id").cast("string"), F.lit(":"),
+        F.col("b").cast("string"))), 1, 8), 16, 10).cast("bigint")
+    relabeled = base.crossJoin(F.broadcast(reps)).select(
+        "b", "cents", (u < F.lit(_PERM_HALF)).alias("in_a"))
+    rep_diff = (relabeled.groupBy("b")
+                .agg((F.sum(F.when(F.col("in_a"), F.col("cents")))
+                      .cast("bigint").cast("double")
+                      / F.count(F.when(F.col("in_a"), 1)).cast("double")
+                      - F.sum(F.when(~F.col("in_a"), F.col("cents")))
+                      .cast("bigint").cast("double")
+                      / F.count(F.when(~F.col("in_a"), 1)).cast("double"))
+                     .alias("d")))
+    d_obs = (F.col("s1").cast("double") / F.col("n1").cast("double")
+             - F.col("s2").cast("double") / F.col("n2").cast("double"))
+    fold = (rep_diff.crossJoin(F.broadcast(obs))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+                 F.count(F.when(F.abs(F.col("d")) >= F.abs(d_obs), 1))
+                 .cast("bigint").alias("n_extreme"),
+                 F.max("n1").alias("n1"), F.max("s1").alias("s1"),
+                 F.max("n2").alias("n2"), F.max("s2").alias("s2")))
+    return fold.select(
+        F.col("n1").alias("n_click"), F.col("n2").alias("n_purchase"),
+        (d_obs / F.lit(100.0)).alias("diff_obs_dollars"),
+        "n_reps", "n_extreme",
+        ((F.lit(1) + F.col("n_extreme")).cast("double")
+         / (F.lit(1) + F.col("n_reps")).cast("double")).alias("p_value"))

@@ -249,6 +249,9 @@ QUERY_TABLES = {
     "graph_adamic_adar_linkpred": {"lineitem"},
     "ts_sax_symbolize": {"events"},
     "seq_funnel_time_to_convert": {"events"},
+    "llm_sentiment_lexicon": {"documents"},
+    "llm_eval_rouge2": {"documents"},
+    "stat_permutation_test": {"events"},
 }
 
 
