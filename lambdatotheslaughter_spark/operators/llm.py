@@ -4091,3 +4091,90 @@ def llm_sim_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("datasetA.vec_id").alias("a_id"),
                     F.col("datasetB.vec_id").alias("b_id"),
                     F.round(F.col("dist"), 6).alias("dist_6dp")))
+
+
+# ---------------------------------------------------------------------------
+# retrieval MRR eval over labeled embeddings (round 6)
+# ---------------------------------------------------------------------------
+
+_MRR_NQ = 50
+_MRR_K = 10
+_MRR_LCM = 2520  # lcm(1..10): every reciprocal rank is exact in integers
+
+
+def _mrr_oracle() -> str:
+    cos = _cos_sql_d("q.embedding", "p.embedding", 64)
+    return f"""
+WITH pairs AS (
+  SELECT q.vec_id AS qid, q.label AS ql, p.vec_id AS pid, p.label AS pl,
+         {cos} AS c
+  FROM embeddings q JOIN embeddings p ON q.vec_id <> p.vec_id
+  WHERE q.vec_id < {_MRR_NQ}
+), ranked AS (
+  SELECT qid, ql, pl,
+         row_number() OVER (PARTITION BY qid ORDER BY c DESC, pid) AS rk
+  FROM pairs
+), hit AS (
+  SELECT qid, CAST(MAX(ql) AS BIGINT) AS label,
+         MIN(CASE WHEN pl = ql AND rk <= {_MRR_K} THEN rk END) AS fh
+  FROM ranked GROUP BY qid
+)
+SELECT qid AS vec_id, label,
+       CAST(COALESCE(fh, 0) AS BIGINT) AS first_hit_rank,
+       CAST(CASE WHEN fh IS NULL THEN 0
+                 ELSE {_MRR_LCM} // fh END AS BIGINT) AS rr_x{_MRR_LCM},
+       COALESCE(fh = 1, false) AS hit_at_1,
+       fh IS NOT NULL AS hit_at_{_MRR_K}
+FROM hit
+"""
+
+
+@register("llm_eval_retrieval_mrr", oracle=_mrr_oracle())
+def llm_eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality MRR table over the labeled embeddings: for each
+    query vector, the rank of the FIRST same-label neighbor in the exact
+    cosine top-10, its reciprocal rank, and hit@1/hit@10 flags -- the
+    kNN-classification readout every embedding-model upgrade is gated
+    on (llm_embedding_matryoshka_recall audits a TRUNCATION against the
+    full ranking; this audits the full ranking against GROUND-TRUTH
+    labels). MRR itself is Sum(rr)/n -- emitted here as the exact
+    integer rr*2520 per query (2520 = lcm(1..10), so every reciprocal
+    rank is a whole number and the mean is one exact division away),
+    the no-float-fold trick.
+
+    Determinism: cosines ride the shared sequential-fold dot product
+    (bit-identical across engines, the kNN/MMR discipline); ranking
+    ties break on pid; first-hit is a conditional MIN over integer
+    ranks; all output columns are integers and booleans -- hash-exact.
+
+    Scale shape: the bounded query block broadcasts against the pool
+    (the hard_negative_mining recipe); the per-query window is
+    query-keyed. At corpus scale the pool side tiles (kNN GEMM path)
+    and ranks merge per tile -- the eval query set stays bounded by
+    contract."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q = (e.where(F.col("vec_id") < _MRR_NQ)
+         .select(F.col("vec_id").alias("qid"), F.col("label").alias("ql"),
+                 F.col("embedding").alias("qe")))
+    p = e.select(F.col("vec_id").alias("pid"), F.col("label").alias("pl"),
+                 F.col("embedding").alias("pe"))
+    pairs = (p.join(F.broadcast(q), F.col("qid") != F.col("pid"))
+             .select("qid", "ql", "pl",
+                     F.col("pid").alias("pid"),
+                     _cosine_spark(F.col("qe"), F.col("pe")).alias("c")))
+    wq = Window.partitionBy("qid").orderBy(F.col("c").desc(), "pid")
+    ranked = pairs.select("qid", "ql", "pl",
+                          F.row_number().over(wq).alias("rk"))
+    hit = (ranked.groupBy("qid")
+           .agg(F.max("ql").cast("bigint").alias("label"),
+                F.min(F.when((F.col("pl") == F.col("ql"))
+                             & (F.col("rk") <= _MRR_K), F.col("rk")))
+                .alias("fh")))
+    return hit.select(
+        F.col("qid").alias("vec_id"), "label",
+        F.coalesce("fh", F.lit(0)).cast("bigint").alias("first_hit_rank"),
+        F.when(F.col("fh").isNull(), F.lit(0))
+        .otherwise(F.expr(f"{_MRR_LCM} div fh"))
+        .cast("bigint").alias(f"rr_x{_MRR_LCM}"),
+        F.coalesce(F.col("fh") == 1, F.lit(False)).alias("hit_at_1"),
+        F.col("fh").isNotNull().alias(f"hit_at_{_MRR_K}"))

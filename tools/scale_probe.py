@@ -252,6 +252,7 @@ QUERY_TABLES = {
     "llm_sentiment_lexicon": {"documents"},
     "llm_eval_rouge2": {"documents"},
     "stat_permutation_test": {"events"},
+    "llm_eval_retrieval_mrr": {"embeddings"},
 }
 
 
