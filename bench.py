@@ -78,6 +78,8 @@ HEADLINE = [
     # 10× per SCALE.md; kept out of the headline set like the triangle
     # count itself rather than letting one O(E^1.5) kernel dominate totals)
     "llm_cluster_topic_terms",  # c-TF-IDF cluster labeling (round 6)
+    "llm_sentiment_lexicon",    # zero-shuffle lexicon sentiment (round 6)
+    "llm_eval_rouge2",          # clipped-bigram ROUGE-2 eval (round 6)
 ]
 
 

@@ -5071,3 +5071,97 @@ def seq_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("n").cast("bigint").alias("n_converted"),
                  F.floor(med / 1000000).cast("bigint").alias("median_s"),
                  F.floor(p90 / 1000000).cast("bigint").alias("p90_s")))
+
+
+# ---------------------------------------------------------------------------
+# population-stability-index distribution drift (round 6)
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = """
+WITH base AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         dayofmonth(ts) <= 15 AS first_half
+  FROM events WHERE event_type = 'purchase'
+), bucketed AS (
+  SELECT LEAST(9, cents // 5000) AS bucket,
+         CAST(COUNT(*) FILTER (WHERE first_half) AS BIGINT) AS n_first,
+         CAST(COUNT(*) FILTER (WHERE NOT first_half) AS BIGINT) AS n_second
+  FROM base GROUP BY LEAST(9, cents // 5000)
+), shared AS (
+  SELECT bucket, n_first, n_second,
+         CAST(SUM(n_first) OVER () AS BIGINT) AS tot_first,
+         CAST(SUM(n_second) OVER () AS BIGINT) AS tot_second,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_buckets
+  FROM bucketed
+), contrib AS (
+  SELECT bucket, n_first, n_second,
+         -- Laplace +1 on counts (documented): PSI's ln blows up on an
+         -- empty bucket; the +1 floor is the standard production guard
+         (CAST(n_first + 1 AS DOUBLE)
+            / CAST(tot_first + n_buckets AS DOUBLE)
+          - CAST(n_second + 1 AS DOUBLE)
+            / CAST(tot_second + n_buckets AS DOUBLE))
+         * ln((CAST(n_first + 1 AS DOUBLE)
+               / CAST(tot_first + n_buckets AS DOUBLE))
+              / (CAST(n_second + 1 AS DOUBLE)
+                 / CAST(tot_second + n_buckets AS DOUBLE))) AS c
+  FROM shared
+), fp AS (
+  SELECT bucket, n_first, n_second,
+         CAST(round(c * 1000000, 0) AS BIGINT) AS psi_contrib_micros
+  FROM contrib
+)
+SELECT bucket, n_first, n_second, psi_contrib_micros,
+       CAST(SUM(psi_contrib_micros) OVER () AS BIGINT) AS psi_total_micros
+FROM fp
+"""
+
+
+@register("dq_distribution_drift_psi", oracle=_PSI_ORACLE)
+def dq_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the month's purchase-value distribution -- THE model-monitoring
+    drift number (PSI < 0.1 stable, > 0.25 retrain) that tells a
+    pipeline its feature distribution moved BEFORE the model's accuracy
+    does. Ten fixed-width cent buckets (fixed boundaries, not learned
+    quantiles, so the bucketing itself cannot drift), Laplace +1 count
+    floors (PSI's ln is undefined on empty buckets -- the standard
+    production guard, spelled identically in both engines), and each
+    bucket's (p-q)*ln(p/q) contribution converted ONCE to exact
+    integer MICRO-units (round(c*1e6) as BIGINT, the fixed-point
+    recipe) -- so the per-bucket rows AND the total are plain integer
+    arithmetic, order-free and hash-exact; ln is the one 6-dp-class
+    transcendental (regr_*/zipf precedent).
+
+    Scale shape: one combinable conditional groupBy collapses the
+    corpus to <= 10 bucket rows; windows and the total fold run over
+    those 10 rows -- data-size-free after the first exchange."""
+    ev = load_table(spark, "events", sf_dir) \
+        .where(F.col("event_type") == "purchase")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    first = F.dayofmonth("ts") <= 15
+    bucketed = (ev.select(F.least(F.lit(9), F.floor(cents / 5000))
+                          .alias("bucket"), first.alias("fh"))
+                .groupBy("bucket")
+                .agg(F.count(F.when(F.col("fh"), 1)).cast("bigint")
+                     .alias("n_first"),
+                     F.count(F.when(~F.col("fh"), 1)).cast("bigint")
+                     .alias("n_second")))
+    w = Window.partitionBy()
+    shared = bucketed.select(
+        "bucket", "n_first", "n_second",
+        F.sum("n_first").over(w).cast("bigint").alias("tot_first"),
+        F.sum("n_second").over(w).cast("bigint").alias("tot_second"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_buckets"))
+    p = ((F.col("n_first") + 1).cast("double")
+         / (F.col("tot_first") + F.col("n_buckets")).cast("double"))
+    q = ((F.col("n_second") + 1).cast("double")
+         / (F.col("tot_second") + F.col("n_buckets")).cast("double"))
+    c = (p - q) * F.log(p / q)
+    fp = shared.select(
+        "bucket", "n_first", "n_second",
+        F.round(c * 1000000, 0).cast("bigint").alias("psi_contrib_micros"))
+    return fp.select(
+        "bucket", "n_first", "n_second", "psi_contrib_micros",
+        F.sum("psi_contrib_micros").over(Window.partitionBy())
+        .cast("bigint").alias("psi_total_micros"))

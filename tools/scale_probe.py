@@ -253,6 +253,7 @@ QUERY_TABLES = {
     "llm_eval_rouge2": {"documents"},
     "stat_permutation_test": {"events"},
     "llm_eval_retrieval_mrr": {"embeddings"},
+    "dq_distribution_drift_psi": {"events"},
 }
 
 
