@@ -623,3 +623,166 @@ def join_mark_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("urgent_flag").isNotNull().alias("has_order"),
                     F.coalesce("urgent_flag", F.lit(False))
                     .alias("has_urgent_order")))
+
+
+# ---------------------------------------------------------------------------
+# spatial bin-and-verify neighbor self-join (round 6)
+# ---------------------------------------------------------------------------
+
+_GEO_GRID = 1_000_000   # coordinate domain per axis
+_GEO_R = 20_000         # neighbor radius == grid cell size
+_GEO_R2 = _GEO_R * _GEO_R
+
+
+def _geo_u32_sql(key: str, axis: str) -> str:
+    return (f"CAST(concat('0x', substring(md5(concat(CAST({key} AS VARCHAR)"
+            f", ':{axis}')), 1, 8)) AS BIGINT) % {_GEO_GRID}")
+
+
+_GEO_NEIGHBOR_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         {_geo_u32_sql('c_custkey', 'x')} AS x,
+         {_geo_u32_sql('c_custkey', 'y')} AS y
+  FROM customer
+)
+SELECT a.id AS a, b.id AS b,
+       CAST((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_GEO_R2}
+"""
+
+
+@register("geo_grid_neighbor_join", oracle=_GEO_NEIGHBOR_ORACLE)
+def geo_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join via grid binning: every customer pair
+    within Euclidean distance 20,000 on a synthetic 1M x 1M plane
+    (coordinates drawn deterministically from md5(custkey) bits -- the
+    bootstrap randomness recipe -- standing in for geocoded addresses).
+    THE distributed spatial-join pattern: bin points into radius-sized
+    grid cells, equi-join each point's 3x3 neighbor-cell ring against
+    the cell-keyed build side, then verify exact INTEGER squared
+    distance -- candidates drop from O(n^2) to density-bounded
+    per-cell work, the same bin-and-verify discipline as
+    join_interval_binned (time) re-applied to 2-D space. The oracle is
+    the honest quadratic self-join; the engine never builds it.
+
+    Determinism: coordinates, cells and squared distances are all exact
+    integers; no floats exist anywhere in the op.
+
+    Scale shape: one exchange keys the build side by cell; the probe
+    side map-side explodes to its 9 neighbor cells (x9 rows, no
+    shuffle amplification beyond the constant); per-cell pair work is
+    bounded by local density, not corpus size -- uniform md5 placement
+    means NO hot cells, and a real skewed geography would reuse the
+    hot-bucket cap from the LSH path. Each qualifying pair matches in
+    exactly ONE (probe-ring, build-cell) combination, so no dedup pass
+    is needed."""
+    c = load_table(spark, "customer", sf_dir)
+
+    def u32(axis: str):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.col("c_custkey").cast("string"), F.lit(f":{axis}"))), 1, 8),
+            16, 10).cast("bigint") % _GEO_GRID)
+
+    pts = c.select(F.col("c_custkey").alias("id"),
+                   u32("x").alias("x"), u32("y").alias("y"))
+    build = pts.select(
+        F.col("id").alias("b"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.floor(F.col("x") / _GEO_R).alias("cx"),
+        F.floor(F.col("y") / _GEO_R).alias("cy"))
+    ring = F.explode(F.array([F.lit(i) for i in (-1, 0, 1)])).alias("dx")
+    probe = (pts.select(F.col("id").alias("a"), F.col("x").alias("xa"),
+                        F.col("y").alias("ya"),
+                        F.floor(F.col("x") / _GEO_R).alias("pcx"),
+                        F.floor(F.col("y") / _GEO_R).alias("pcy"))
+             .select("*", ring)
+             .select("*", F.explode(F.array([F.lit(i) for i in (-1, 0, 1)]))
+                     .alias("dy"))
+             .select("a", "xa", "ya",
+                     (F.col("pcx") + F.col("dx")).alias("cx"),
+                     (F.col("pcy") + F.col("dy")).alias("cy")))
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    return (probe.join(build, ["cx", "cy"])
+            .where((F.col("a") < F.col("b")) & (d2 <= F.lit(_GEO_R2)))
+            .select("a", "b", d2.cast("bigint").alias("dist_sq")))
+
+
+_GEO_NN_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         {_geo_u32_sql('c_custkey', 'x')} AS x,
+         {_geo_u32_sql('c_custkey', 'y')} AS y
+  FROM customer
+), cand AS (
+  SELECT a.id AS id, b.id AS nb,
+         CAST((a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+  FROM pts a JOIN pts b ON a.id <> b.id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_GEO_R2}
+), best AS (
+  SELECT id, nb, d2,
+         row_number() OVER (PARTITION BY id ORDER BY d2, nb) AS rk
+  FROM cand
+)
+SELECT p.id, b.nb AS nn_id, b.d2 AS nn_dist_sq
+FROM pts p LEFT JOIN best b ON p.id = b.id AND b.rk = 1
+"""
+
+
+@register("geo_knn_within_radius", oracle=_GEO_NN_ORACLE)
+def geo_knn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point nearest neighbor within the bounded radius, over the
+    same md5-synthesized plane as geo_grid_neighbor_join -- the
+    store-to-nearest-warehouse / user-to-nearest-POI assignment query.
+    The grid contract makes the bound honest: a neighbor within r is
+    ALWAYS found by the 3x3 ring (cells are r-sized), and a point whose
+    true nearest neighbor lies beyond r reports NULL by design -- the
+    documented bounded-radius NN semantics (expanding-ring search is
+    the swap when unbounded NN is required). Argmin is a conditional
+    MIN over an exact integer (d2, neighbor-id) struct -- deterministic
+    tie-break, no floats.
+
+    Scale shape: identical to the neighbor join (one cell-keyed
+    exchange, x9 map-side ring explode, density-bounded per-cell work)
+    plus one combinable per-point MIN-struct fold and a final
+    point-keyed left join to surface the NULL rows."""
+    c = load_table(spark, "customer", sf_dir)
+
+    def u32(axis: str):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.col("c_custkey").cast("string"), F.lit(f":{axis}"))), 1, 8),
+            16, 10).cast("bigint") % _GEO_GRID)
+
+    pts = c.select(F.col("c_custkey").alias("id"),
+                   u32("x").alias("x"), u32("y").alias("y"))
+    build = pts.select(
+        F.col("id").alias("nb"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.floor(F.col("x") / _GEO_R).alias("cx"),
+        F.floor(F.col("y") / _GEO_R).alias("cy"))
+    probe = (pts.select(F.col("id").alias("pa"), F.col("x").alias("xa"),
+                        F.col("y").alias("ya"),
+                        F.floor(F.col("x") / _GEO_R).alias("pcx"),
+                        F.floor(F.col("y") / _GEO_R).alias("pcy"))
+             .select("*", F.explode(F.array([F.lit(i) for i in (-1, 0, 1)]))
+                     .alias("dx"))
+             .select("*", F.explode(F.array([F.lit(i) for i in (-1, 0, 1)]))
+                     .alias("dy"))
+             .select("pa", "xa", "ya",
+                     (F.col("pcx") + F.col("dx")).alias("cx"),
+                     (F.col("pcy") + F.col("dy")).alias("cy")))
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    best = (probe.join(build, ["cx", "cy"])
+            .where((F.col("pa") != F.col("nb")) & (d2 <= F.lit(_GEO_R2)))
+            .select(F.col("pa").alias("bid"),
+                    F.struct(d2.cast("bigint").alias("d2"),
+                             F.col("nb")).alias("s"))
+            .groupBy("bid").agg(F.min("s").alias("s")))
+    return (pts.join(best, pts.id == F.col("bid"), "left")
+            .select("id", F.col("s.nb").alias("nn_id"),
+                    F.col("s.d2").alias("nn_dist_sq")))

@@ -254,6 +254,8 @@ QUERY_TABLES = {
     "stat_permutation_test": {"events"},
     "llm_eval_retrieval_mrr": {"embeddings"},
     "dq_distribution_drift_psi": {"events"},
+    "geo_grid_neighbor_join": set(),   # customer is a 1x dim
+    "geo_knn_within_radius": set(),    # customer is a 1x dim
 }
 
 
