@@ -1640,3 +1640,166 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_reps", "n_extreme",
         ((F.lit(1) + F.col("n_extreme")).cast("double")
          / (F.lit(1) + F.col("n_reps")).cast("double")).alias("p_value"))
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-type permutation p-values (round 6)
+# ---------------------------------------------------------------------------
+
+_BH_B = 64
+_BH_Q = 0.10
+_BH_U32 = 4294967296  # 2^32
+
+_BH_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+), per AS (
+  SELECT event_type AS t, CAST(COUNT(*) AS BIGINT) AS n_t,
+         CAST(SUM(cents) AS BIGINT) AS s_t
+  FROM base GROUP BY event_type
+), tot AS (
+  SELECT CAST(SUM(n_t) AS BIGINT) AS n, CAST(SUM(s_t) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM per
+), tests AS (
+  SELECT per.t, per.n_t, per.s_t, tot.n, tot.s, tot.m,
+         CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+           - CAST(s - s_t AS DOUBLE) / CAST(n - n_t AS DOUBLE) AS d_obs,
+         ({_BH_U32} * n_t) // n AS thresh
+  FROM per CROSS JOIN tot
+), reps AS (
+  SELECT CAST(unnest(range({_BH_B})) AS BIGINT) AS b
+), fan AS (
+  SELECT tests.t, tests.thresh, reps.b, base.cents,
+         CAST(concat('0x', substring(md5(concat(
+              CAST(base.event_id AS VARCHAR), ':',
+              CAST(reps.b AS VARCHAR))), 1, 8)) AS BIGINT) AS u
+  FROM base CROSS JOIN reps CROSS JOIN tests
+), rep_diff AS (
+  SELECT t, b,
+         CAST(CAST(SUM(cents) FILTER (WHERE u < thresh) AS BIGINT)
+              AS DOUBLE)
+           / CAST(COUNT(*) FILTER (WHERE u < thresh) AS DOUBLE)
+         - CAST(CAST(SUM(cents) FILTER (WHERE u >= thresh) AS BIGINT)
+                AS DOUBLE)
+           / CAST(COUNT(*) FILTER (WHERE u >= thresh) AS DOUBLE) AS d
+  FROM fan GROUP BY t, b
+), pvals AS (
+  SELECT tests.t, tests.m,
+         CAST(1 + COUNT(*) FILTER (WHERE abs(rep_diff.d)
+                                   >= abs(tests.d_obs)) AS BIGINT)
+           AS p_num
+  FROM rep_diff JOIN tests ON rep_diff.t = tests.t
+  GROUP BY tests.t, tests.m
+), ranked AS (
+  SELECT t, m, p_num,
+         CAST(p_num AS DOUBLE) / {_BH_B + 1}.0 AS p_value,
+         row_number() OVER (ORDER BY p_num, t) AS rk
+  FROM pvals
+), adj AS (
+  SELECT t, p_value, CAST(rk AS BIGINT) AS rank,
+         MIN(p_value * CAST(m AS DOUBLE) / CAST(rk AS DOUBLE))
+           OVER (ORDER BY rk DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS p_adj
+  FROM ranked
+)
+SELECT t AS event_type, p_value, rank, p_adj,
+       p_adj <= {_BH_Q} AS discovery
+FROM adj
+"""
+
+
+@register("stat_bh_fdr_permutation", oracle=_BH_ORACLE)
+def stat_bh_fdr_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a FAMILY of tests: each event
+    type's one-vs-rest mean-value gap gets a deterministic randomization
+    p-value (64 md5-bit relabelings per test, Bernoulli(n_t/N) arm
+    assignment from an exact integer threshold -- the streaming-friendly
+    relabeling, same spirit as the Poisson bootstrap's independent
+    weights), then the five p-values are BH-adjusted (suffix-min of
+    p*m/rank) and flagged at q = 0.10 -- the multiple-testing discipline
+    every metrics platform needs once dashboards run one test per
+    segment. Every p-value is an exact multiple of 1/65 (add-one over 64
+    replicates); ranks tie-break on event_type; the suffix-min is a
+    5-row window.
+
+    Scale shape: the fan-out is rows x 64 replicates x k=5 tests, all
+    map-side against two broadcast spines, folding to 320 rows in ONE
+    combinable conditional groupBy -- the bootstrap shape with a test
+    dimension; everything after runs on <= 320 rows."""
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"))
+    per = base.groupBy(F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t"),
+        F.sum("cents").cast("bigint").alias("s_t"))
+    tot = per.agg(F.sum("n_t").cast("bigint").alias("n"),
+                  F.sum("s_t").cast("bigint").alias("s"),
+                  F.count(F.lit(1)).cast("bigint").alias("m"))
+    d_obs = (F.col("s_t").cast("double") / F.col("n_t").cast("double")
+             - (F.col("s") - F.col("s_t")).cast("double")
+             / (F.col("n") - F.col("n_t")).cast("double"))
+    tests = (per.crossJoin(F.broadcast(tot))
+             .select("t", "n_t", "m", d_obs.alias("d_obs"),
+                     F.floor(F.lit(_BH_U32) * F.col("n_t") / F.col("n"))
+                     .cast("bigint").alias("thresh")))
+    reps = spark.range(_BH_B).toDF("b")
+    u = F.conv(F.substring(F.md5(F.concat(
+        F.col("event_id").cast("string"), F.lit(":"),
+        F.col("b").cast("string"))), 1, 8), 16, 10).cast("bigint")
+    # ONE md5 per (row, replicate); the k thresholds then partition the
+    # u32 domain into k+1 intervals, so the corpus folds ONCE to
+    # (replicate, interval) partials and each test's arm sums are prefix
+    # sums over <= 6 rows -- the first draft cross-joined the test
+    # dimension BEFORE the fold and recomputed the md5 k times (measured
+    # 39 s at sf0.1; this shape is ~4x cheaper)
+    fan0 = (base.crossJoin(F.broadcast(reps))
+            .select("b", "cents", u.alias("u")))
+    tarr = tests.agg(F.array_sort(F.collect_list("thresh")).alias("ta"))
+    idx = F.size(F.filter(F.col("ta"), lambda th: F.col("u") >= th))
+    partial = (fan0.crossJoin(F.broadcast(tarr))
+               .select("b", "cents", idx.alias("idx"))
+               .groupBy("b", "idx")
+               .agg(F.sum("cents").cast("bigint").alias("sc"),
+                    F.count(F.lit(1)).cast("bigint").alias("nc")))
+    # rank of each test's threshold among the sorted thresholds:
+    # in_a(test)  <=>  idx < rank  (prefix property, tie-safe)
+    tranked = tests.select(
+        "t", F.row_number().over(Window.orderBy("thresh", "t"))
+        .alias("trk"))
+    below = F.col("idx") < F.col("trk")
+    rep_diff = (partial.join(F.broadcast(tranked))
+                .groupBy("t", "b")
+                .agg((F.sum(F.when(below, F.col("sc"))).cast("bigint")
+                      .cast("double")
+                      / F.sum(F.when(below, F.col("nc"))).cast("bigint")
+                      .cast("double")
+                      - F.sum(F.when(~below, F.col("sc"))).cast("bigint")
+                      .cast("double")
+                      / F.sum(F.when(~below, F.col("nc"))).cast("bigint")
+                      .cast("double"))
+                     .alias("d")))
+    pvals = (rep_diff.join(F.broadcast(tests.select("t", "m", "d_obs")),
+                           "t")
+             .groupBy("t", "m")
+             .agg((F.lit(1) + F.count(F.when(
+                 F.abs(F.col("d")) >= F.abs(F.col("d_obs")), 1)))
+                 .cast("bigint").alias("p_num")))
+    ranked = pvals.select(
+        "t", "m",
+        (F.col("p_num").cast("double") / F.lit(float(_BH_B + 1)))
+        .alias("p_value"),
+        F.row_number().over(Window.orderBy("p_num", "t")).alias("rk"))
+    wsuf = (Window.orderBy(F.col("rk").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    adj = ranked.select(
+        "t", "p_value", F.col("rk").cast("bigint").alias("rank"),
+        F.min(F.col("p_value") * F.col("m").cast("double")
+              / F.col("rk").cast("double")).over(wsuf).alias("p_adj"))
+    return adj.select(
+        F.col("t").alias("event_type"), "p_value", "rank", "p_adj",
+        (F.col("p_adj") <= F.lit(_BH_Q)).alias("discovery"))

@@ -256,6 +256,7 @@ QUERY_TABLES = {
     "dq_distribution_drift_psi": {"events"},
     "geo_grid_neighbor_join": set(),   # customer is a 1x dim
     "geo_knn_within_radius": set(),    # customer is a 1x dim
+    "stat_bh_fdr_permutation": {"events"},
 }
 
 
