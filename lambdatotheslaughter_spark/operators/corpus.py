@@ -3178,3 +3178,136 @@ def llm_eval_rouge2(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("rouge2_p"), p.alias("rouge2_r"),
         F.when(F.col("n_overlap") == 0, F.lit(0.0))
         .otherwise(F.lit(2.0) * p * p / (p + p)).alias("rouge2_f"))
+
+
+# ---------------------------------------------------------------------------
+# feature hashing trick (round 6)
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 64
+
+_FEATURE_HASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT)
+           % {_FH_BUCKETS} AS bucket,
+         CASE WHEN CAST(concat('0x', substring(md5(t), 9, 1)) AS BIGINT)
+                   % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM tok
+), cells AS (
+  SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS w
+  FROM hashed GROUP BY doc_id, bucket
+)
+SELECT doc_id,
+       string_agg(bucket || ':' || w, ' ' ORDER BY bucket) AS features,
+       CAST(COUNT(*) AS BIGINT) AS n_nonzero
+FROM cells WHERE w <> 0 GROUP BY doc_id
+"""
+
+
+@register("llm_feature_hashing", oracle=_FEATURE_HASH_ORACLE)
+def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al.): project each document's
+    token stream into a FIXED 64-bucket feature vector with md5-derived
+    bucket and sign (the signed variant that makes collisions cancel in
+    expectation) -- the vocabulary-free vectorizer that needs no fitted
+    dictionary, no vocabulary broadcast, and no schema change when new
+    tokens appear; THE feature-prep step between raw text and any
+    linear/GBDT model at corpus scale. Weights are exact signed BIGINT
+    counts; the vector projects as the sorted 'bucket:weight' packed
+    string (maps have no entry order -- the type_map_pack container
+    rule), zero-weight cells dropped.
+
+    Scale shape: explode -> one combinable (doc, bucket) groupBy -> one
+    per-doc ordered pack; bucket count is FIXED so the per-doc state is
+    O(64) regardless of vocabulary growth -- the entire point of the
+    trick at 100 TB."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(tokens()).alias("t"))
+    bucket = (F.conv(F.substring(F.md5("t"), 1, 8), 16, 10)
+              .cast("bigint") % _FH_BUCKETS)
+    sgn = F.when(F.conv(F.substring(F.md5("t"), 9, 1), 16, 10)
+                 .cast("bigint") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    cells = (tok.select("doc_id", bucket.alias("bucket"),
+                        sgn.alias("sgn"))
+             .groupBy("doc_id", "bucket")
+             .agg(F.sum("sgn").cast("bigint").alias("w"))
+             .where(F.col("w") != 0))
+    return (cells.groupBy("doc_id")
+            .agg(F.array_join(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("bucket", "w"))),
+                lambda s: F.concat_ws(":", s["bucket"].cast("string"),
+                                      s["w"].cast("string"))), " ")
+                .alias("features"),
+                F.count(F.lit(1)).cast("bigint").alias("n_nonzero")))
+
+
+# ---------------------------------------------------------------------------
+# out-of-fold target encoding (round 6)
+# ---------------------------------------------------------------------------
+
+_TE_FOLDS = 4
+
+_TARGET_ENCODE_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderpriority AS cat,
+         CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)),
+                                     1, 8)) AS BIGINT) % {_TE_FOLDS}
+           AS fold,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), cell AS (
+  SELECT cat, fold, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s
+  FROM base GROUP BY cat, fold
+), catsum AS (
+  SELECT cat, fold, n, s,
+         CAST(SUM(n) OVER (PARTITION BY cat) AS BIGINT) AS n_cat,
+         CAST(SUM(s) OVER (PARTITION BY cat) AS BIGINT) AS s_cat
+  FROM cell
+)
+SELECT cat, fold, n AS n_in_fold,
+       CAST(s_cat - s AS DOUBLE) / CAST(n_cat - n AS DOUBLE) / 100.0
+         AS te_out_of_fold_dollars
+FROM catsum
+"""
+
+
+@register("ml_target_encode_kfold", oracle=_TARGET_ENCODE_ORACLE)
+def ml_target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold out-of-fold target encoding of order priority against
+    order value -- the leakage-safe categorical encoder (a row's own
+    fold is EXCLUDED from its encoding, so the feature never memorizes
+    its own target; plain category-mean encoding is the classic silent
+    overfit). Folds are deterministic md5(orderkey) % 4; every encoding
+    is (S_cat - S_fold)/(N_cat - N_fold) from exact integer cent sums --
+    one combinable (category, fold) groupBy plus category windows over
+    the k*|cats| = 20-row cell table, NEVER a per-row recompute: every
+    row in a (cat, fold) cell shares the same encoding, so the cell
+    grain IS the output (join it back to rows map-side at apply time).
+
+    Scale shape: corpus folds once to 20 cells; windows run over those
+    20 rows -- data-size-free after the first exchange, and the apply
+    join broadcasts 20 rows."""
+    o = load_table(spark, "orders", sf_dir)
+    fold = (F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")),
+                               1, 8), 16, 10).cast("bigint") % _TE_FOLDS)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    cell = (o.select(F.col("o_orderpriority").alias("cat"),
+                     fold.alias("fold"), cents.alias("cents"))
+            .groupBy("cat", "fold")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum("cents").cast("bigint").alias("s")))
+    wc = Window.partitionBy("cat")
+    catsum = cell.select(
+        "cat", "fold", "n", "s",
+        F.sum("n").over(wc).cast("bigint").alias("n_cat"),
+        F.sum("s").over(wc).cast("bigint").alias("s_cat"))
+    return catsum.select(
+        "cat", "fold", F.col("n").alias("n_in_fold"),
+        ((F.col("s_cat") - F.col("s")).cast("double")
+         / (F.col("n_cat") - F.col("n")).cast("double") / F.lit(100.0))
+        .alias("te_out_of_fold_dollars"))

@@ -257,6 +257,8 @@ QUERY_TABLES = {
     "geo_grid_neighbor_join": set(),   # customer is a 1x dim
     "geo_knn_within_radius": set(),    # customer is a 1x dim
     "stat_bh_fdr_permutation": {"events"},
+    "llm_feature_hashing": {"documents"},
+    "ml_target_encode_kfold": {"orders"},
 }
 
 
