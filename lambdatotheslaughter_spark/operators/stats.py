@@ -1803,3 +1803,153 @@ def stat_bh_fdr_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adj.select(
         F.col("t").alias("event_type"), "p_value", "rank", "p_adj",
         (F.col("p_adj") <= F.lit(_BH_Q)).alias("discovery"))
+
+
+# ---------------------------------------------------------------------------
+# exact ROC-AUC as the rank statistic (round 6)
+# ---------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH c AS (
+  SELECT event_type = 'purchase' AS pos,
+         CAST(round(value * 100, 0) AS BIGINT) AS xc
+  FROM events WHERE event_type IN ('click', 'purchase')
+), r AS (
+  SELECT pos,
+         CAST(2 * rank() OVER (ORDER BY xc)
+              + COUNT(*) OVER (PARTITION BY xc) - 1 AS BIGINT) AS r2
+  FROM c
+), s AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS n_pos,
+    CAST(COUNT(*) FILTER (WHERE NOT pos) AS BIGINT) AS n_neg,
+    CAST(SUM(r2) FILTER (WHERE pos) AS BIGINT) AS sr2
+  FROM r
+)
+SELECT n_pos, n_neg,
+       CAST(sr2 - n_pos * (n_pos + 1) AS DOUBLE)
+         / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+FROM s
+"""
+
+
+@register("ml_roc_auc_exact", oracle=_AUC_ORACLE)
+def ml_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of 'event value predicts purchase vs click' -- via
+    the identity AUC = U/(n_pos*n_neg): the area under the ROC curve IS
+    the Mann-Whitney U statistic normalized, so the doubled-average-rank
+    machinery (stat_mann_whitney_u) computes it with NO curve
+    construction, no threshold grid, no trapezoid approximation -- and
+    ties (heavily present in cent-quantized scores) are handled exactly
+    where the naive sort-and-sweep miscounts them. The one float is the
+    final division.
+
+    Scale shape: one global rank window over the two-class slice
+    (two-pass bucketed rank is the documented swap) and one combinable
+    three-sum fold -- AUC at 100 TB without ever materializing a curve."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    c = ev.select((F.col("event_type") == "purchase").alias("pos"),
+                  xc.alias("xc"))
+    r2 = (F.lit(2) * F.rank().over(Window.orderBy("xc"))
+          + F.count(F.lit(1)).over(Window.partitionBy("xc")) - 1) \
+        .cast("bigint")
+    r = c.select("pos", r2.alias("r2"))
+    s = r.agg(
+        F.count(F.when(F.col("pos"), 1)).cast("bigint").alias("n_pos"),
+        F.count(F.when(~F.col("pos"), 1)).cast("bigint").alias("n_neg"),
+        F.sum(F.when(F.col("pos"), F.col("r2"))).cast("bigint")
+        .alias("sr2"))
+    return s.select(
+        "n_pos", "n_neg",
+        ((F.col("sr2") - F.col("n_pos") * (F.col("n_pos") + 1))
+         .cast("double")
+         / (F.lit(2.0) * F.col("n_pos").cast("double")
+            * F.col("n_neg").cast("double"))).alias("auc"))
+
+
+# ---------------------------------------------------------------------------
+# confusion-matrix threshold sweep (round 6)
+# ---------------------------------------------------------------------------
+
+_SWEEP_ORACLE = """
+WITH c AS (
+  SELECT event_type = 'purchase' AS pos,
+         CAST(round(value * 100, 0) AS BIGINT) AS xc
+  FROM events WHERE event_type IN ('click', 'purchase')
+), thresholds AS (
+  SELECT CAST(unnest(range(1, 10)) * 5000 AS BIGINT) AS thr
+), cells AS (
+  SELECT thr,
+         CAST(COUNT(*) FILTER (WHERE pos AND xc >= thr) AS BIGINT) AS tp,
+         CAST(COUNT(*) FILTER (WHERE NOT pos AND xc >= thr) AS BIGINT)
+           AS fp,
+         CAST(COUNT(*) FILTER (WHERE NOT pos AND xc < thr) AS BIGINT)
+           AS tn,
+         CAST(COUNT(*) FILTER (WHERE pos AND xc < thr) AS BIGINT) AS fn
+  FROM c CROSS JOIN thresholds
+  GROUP BY thr
+)
+SELECT thr AS threshold_cents, tp, fp, tn, fn,
+       CASE WHEN tp + fp = 0 THEN 0.0
+            ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+         AS precision_at,
+       CASE WHEN tp + fn = 0 THEN 0.0
+            ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END
+         AS recall_at,
+       CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+            ELSE 2.0 * CAST(tp AS DOUBLE)
+                 / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1_at
+FROM cells
+"""
+
+
+@register("ml_confusion_threshold_sweep", oracle=_SWEEP_ORACLE)
+def ml_confusion_threshold_sweep(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Confusion matrix swept over nine decision thresholds for the same
+    value-predicts-purchase classifier ml_roc_auc_exact scores globally
+    -- the operating-point table (TP/FP/TN/FN, precision, recall, F1
+    per threshold) a deployment actually picks from: AUC says the
+    ranking is good, THIS says where to cut it. Counts are exact
+    integers from one conditional fold per threshold; P/R/F1 use the
+    2tp/(2tp+fp+fn) F1 identity and spell every 0/0 guard as the same
+    CASE in both engines.
+
+    Scale shape: the x9 threshold fan-out is map-side against a
+    broadcast spine folding to 9 rows in ONE combinable groupBy (the
+    bootstrap shape) -- at 100 TB the sweep costs one pass, not nine."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    c = ev.select((F.col("event_type") == "purchase").alias("pos"),
+                  xc.alias("xc"))
+    thresholds = spark.range(1, 10).select(
+        (F.col("id") * 5000).cast("bigint").alias("thr"))
+    pred = F.col("xc") >= F.col("thr")
+    cells = (c.crossJoin(F.broadcast(thresholds))
+             .groupBy("thr")
+             .agg(F.count(F.when(F.col("pos") & pred, 1)).cast("bigint")
+                  .alias("tp"),
+                  F.count(F.when(~F.col("pos") & pred, 1)).cast("bigint")
+                  .alias("fp"),
+                  F.count(F.when(~F.col("pos") & ~pred, 1)).cast("bigint")
+                  .alias("tn"),
+                  F.count(F.when(F.col("pos") & ~pred, 1)).cast("bigint")
+                  .alias("fn")))
+    prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0)) \
+        .otherwise(F.col("tp").cast("double")
+                   / (F.col("tp") + F.col("fp")).cast("double"))
+    rec = F.when(F.col("tp") + F.col("fn") == 0, F.lit(0.0)) \
+        .otherwise(F.col("tp").cast("double")
+                   / (F.col("tp") + F.col("fn")).cast("double"))
+    f1 = F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0,
+                F.lit(0.0)) \
+        .otherwise(F.lit(2.0) * F.col("tp").cast("double")
+                   / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+                   .cast("double"))
+    return cells.select(
+        F.col("thr").alias("threshold_cents"), "tp", "fp", "tn", "fn",
+        prec.alias("precision_at"), rec.alias("recall_at"),
+        f1.alias("f1_at"))

@@ -259,6 +259,8 @@ QUERY_TABLES = {
     "stat_bh_fdr_permutation": {"events"},
     "llm_feature_hashing": {"documents"},
     "ml_target_encode_kfold": {"orders"},
+    "ml_roc_auc_exact": {"events"},
+    "ml_confusion_threshold_sweep": {"events"},
 }
 
 
