@@ -5165,3 +5165,75 @@ def dq_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", "n_first", "n_second", "psi_contrib_micros",
         F.sum("psi_contrib_micros").over(Window.partitionBy())
         .cast("bigint").alias("psi_total_micros"))
+
+
+# ---------------------------------------------------------------------------
+# top user journey paths (round 6)
+# ---------------------------------------------------------------------------
+
+_PATH_TOPK_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+         bool_or(event_type = 'purchase') AS converted
+  FROM ranked WHERE rn <= 8
+  GROUP BY user_id
+), agg AS (
+  SELECT path,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(COUNT(*) FILTER (WHERE converted) AS BIGINT) AS n_converted
+  FROM paths GROUP BY path
+)
+SELECT path, n_users, n_converted,
+       CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_share
+FROM agg
+ORDER BY n_users DESC, path
+LIMIT 20
+"""
+
+
+@register("seq_path_topk", oracle=_PATH_TOPK_ORACLE)
+def seq_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user journey paths: each user's first eight events as an
+    ordered 'view>click>...' string, ranked by how many users walk that
+    exact path, with the conversion share riding along -- the flow
+    diagram product analytics reads before funnel design
+    (seq_markov_transitions gives the one-step probabilities; this
+    gives the WHOLE-WALK frequencies those steps compose into). Path
+    assembly orders by (ts, event_id) -- a total order, so the string
+    is deterministic; counts are exact; the share is one int/int
+    division; top-20 ranks on (n_users desc, path) -- a total order
+    again.
+
+    Scale shape: one user-keyed window + groupBy builds paths (prefix
+    length caps the string at 8 tokens); the path groupBy is combinable
+    (paths are low-cardinality relative to users -- 5^8 max, far fewer
+    in practice); top-20 is TakeOrderedAndProject, never a global
+    sort."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select("user_id", "event_type", "ts", "event_id",
+                       F.row_number().over(w).alias("rn")) \
+        .where(F.col("rn") <= 8)
+    paths = (ranked.groupBy("user_id")
+             .agg(F.array_join(F.transform(
+                 F.array_sort(F.collect_list(F.struct(
+                     "ts", "event_id", "event_type"))),
+                 lambda s: s["event_type"]), ">").alias("path"),
+                 F.max(F.col("event_type") == "purchase")
+                 .alias("converted")))
+    agg = (paths.groupBy("path")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                F.count(F.when(F.col("converted"), 1)).cast("bigint")
+                .alias("n_converted")))
+    return (agg.select(
+        "path", "n_users", "n_converted",
+        (F.col("n_converted").cast("double")
+         / F.col("n_users").cast("double")).alias("conv_share"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20))

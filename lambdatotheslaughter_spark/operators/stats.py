@@ -1953,3 +1953,77 @@ def ml_confusion_threshold_sweep(spark: SparkSession,
         F.col("thr").alias("threshold_cents"), "tp", "fp", "tn", "fn",
         prec.alias("precision_at"), rec.alias("recall_at"),
         f1.alias("f1_at"))
+
+
+# ---------------------------------------------------------------------------
+# K-fold cross-validated AUC (round 6)
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = 4
+
+_CV_AUC_ORACLE = f"""
+WITH c AS (
+  SELECT event_type = 'purchase' AS pos,
+         CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)),
+                                     1, 8)) AS BIGINT) % {_CV_FOLDS}
+           AS fold,
+         CAST(round(value * 100, 0) AS BIGINT) AS xc
+  FROM events WHERE event_type IN ('click', 'purchase')
+), r AS (
+  SELECT pos, fold,
+         CAST(2 * rank() OVER (PARTITION BY fold ORDER BY xc)
+              + COUNT(*) OVER (PARTITION BY fold, xc) - 1 AS BIGINT)
+           AS r2
+  FROM c
+), s AS (
+  SELECT fold,
+         CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) FILTER (WHERE NOT pos) AS BIGINT) AS n_neg,
+         CAST(SUM(r2) FILTER (WHERE pos) AS BIGINT) AS sr2
+  FROM r GROUP BY fold
+)
+SELECT CAST(fold AS BIGINT) AS fold, n_pos, n_neg,
+       CAST(sr2 - n_pos * (n_pos + 1) AS DOUBLE)
+         / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+         AS auc_fold
+FROM s
+"""
+
+
+@register("ml_cv_auc_per_fold", oracle=_CV_AUC_ORACLE)
+def ml_cv_auc_per_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold ROC-AUC under the same deterministic md5 %4 folds as
+    ml_target_encode_kfold -- the cross-validation spread that tells a
+    modeler whether ml_roc_auc_exact's single global number is STABLE
+    or an artifact of one lucky slice; four rank identities instead of
+    four model fits. Fold-local doubled-average ranks (the
+    stat_mann_whitney_u machinery PARTITIONED BY fold) keep every sum
+    BIGINT; one combinable three-sum fold per fold; the single float is
+    each fold's final division.
+
+    Scale shape: the rank window partitions by fold (4-way parallel,
+    each a fold-local sort -- two-pass bucketed rank per fold is the
+    documented swap); one combinable groupBy to 4 rows."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    fold = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                               1, 8), 16, 10).cast("bigint") % _CV_FOLDS)
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    c = ev.select((F.col("event_type") == "purchase").alias("pos"),
+                  fold.alias("fold"), xc.alias("xc"))
+    r2 = (F.lit(2) * F.rank().over(Window.partitionBy("fold")
+                                   .orderBy("xc"))
+          + F.count(F.lit(1)).over(Window.partitionBy("fold", "xc")) - 1) \
+        .cast("bigint")
+    r = c.select("pos", "fold", r2.alias("r2"))
+    s = r.groupBy("fold").agg(
+        F.count(F.when(F.col("pos"), 1)).cast("bigint").alias("n_pos"),
+        F.count(F.when(~F.col("pos"), 1)).cast("bigint").alias("n_neg"),
+        F.sum(F.when(F.col("pos"), F.col("r2"))).cast("bigint")
+        .alias("sr2"))
+    return s.select(
+        F.col("fold").cast("bigint").alias("fold"), "n_pos", "n_neg",
+        ((F.col("sr2") - F.col("n_pos") * (F.col("n_pos") + 1))
+         .cast("double")
+         / (F.lit(2.0) * F.col("n_pos").cast("double")
+            * F.col("n_neg").cast("double"))).alias("auc_fold"))

@@ -261,6 +261,8 @@ QUERY_TABLES = {
     "ml_target_encode_kfold": {"orders"},
     "ml_roc_auc_exact": {"events"},
     "ml_confusion_threshold_sweep": {"events"},
+    "seq_path_topk": {"events"},
+    "ml_cv_auc_per_fold": {"events"},
 }
 
 
