@@ -267,3 +267,30 @@ def test_round6_stats_partition_invariance(spark):
             assert got == baseline[k], f"{k} drifted under 97 partitions"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_third_ring_partition_invariance(spark):
+    """Round-6 third-ring kernels (nonparametric tests, fixed-point folds,
+    spatial grids, ML eval) must be BIT-identical under the 97-partition
+    probe: rank windows, integer fixed-point sums, md5-derived
+    randomness and ordered float folds are all partitioning-free by
+    construction."""
+    from lambdatotheslaughter_spark import registry
+    from tests.conftest import SF_DIR
+    keys = ["stat_mann_whitney_u", "stat_brown_forsythe",
+            "stat_cramers_v", "graph_adamic_adar_linkpred",
+            "stat_permutation_test", "stat_bh_fdr_permutation",
+            "geo_grid_neighbor_join", "dq_distribution_drift_psi",
+            "ml_roc_auc_exact", "ml_cv_auc_per_fold",
+            "llm_feature_hashing", "seq_path_topk"]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    baseline = {k: sorted(map(tuple, registry.get(k).fn(spark, SF_DIR)
+                              .collect())) for k in keys}
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "97")
+        for k in keys:
+            got = sorted(map(tuple, registry.get(k).fn(spark, SF_DIR)
+                             .collect()))
+            assert got == baseline[k], f"{k} drifted under 97 partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

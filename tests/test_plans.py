@@ -911,3 +911,40 @@ def test_kneser_ney_model_tables_broadcast():
     plan = checks.executed_plan(df)
     assert checks.has_broadcast_join(df), plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_auc_filter_pushed_and_pruned():
+    """ml_roc_auc_exact: the two-class filter must reach the parquet
+    reader (In(event_type...)) and the scan must read only the columns
+    the rank statistic needs — at 100 TB the other three event types
+    and four columns never leave storage."""
+    df = _df("ml_roc_auc_exact")
+    assert checks.has_pushed_filter(df, "In(event_type"), \
+        checks.executed_plan(df)
+    cols = checks.read_schema_columns(df)
+    assert set(cols) <= {"event_type", "value"}, cols
+
+
+def test_geo_neighbor_join_single_exchange_pair():
+    """geo_grid_neighbor_join: bin-and-verify must plan as an equi join
+    on the cell key (hash or broadcast), NEVER a nested-loop/cartesian —
+    the whole point of the grid."""
+    df = _df("geo_grid_neighbor_join")
+    plan = checks.executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_threshold_sweep_single_pass():
+    """ml_confusion_threshold_sweep: the ×9 sweep must fold in ONE
+    aggregation over the scan (broadcast spine fan-out), not nine scans."""
+    df = _df("ml_confusion_threshold_sweep")
+    plan = checks.executed_plan(df)
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_path_topk_is_take_ordered():
+    """seq_path_topk: the global top-20 must fuse to
+    TakeOrderedAndProject — a full sort of the path table is the
+    anti-pattern."""
+    assert checks.has_take_ordered(_df("seq_path_topk"))
