@@ -5237,3 +5237,105 @@ def seq_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.col("n_users").cast("double")).alias("conv_share"))
         .orderBy(F.col("n_users").desc(), "path")
         .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# seasonal strength via the hour-of-day ANOVA identity (round 6)
+# ---------------------------------------------------------------------------
+
+_SEAS_STRENGTH_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), framed AS (
+  SELECT event_type, hr, cents,
+         SUM(cents) OVER w AS fsum, COUNT(*) OVER w AS fn
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+), det AS (
+  -- detrended x24 stays BIGINT: 24*y - sum24 (centered-MA removal
+  -- scaled by the frame length; variance ratios are scale-invariant)
+  SELECT event_type, hour(hr) AS hod,
+         CAST(24 * cents - fsum AS BIGINT) AS d24
+  FROM framed WHERE fn = 24
+), hod_sums AS (
+  SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(d24) AS BIGINT) AS s1_h
+  FROM det GROUP BY event_type, hod
+), totals AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d24) AS BIGINT) AS s1,
+         CAST(SUM(d24 * d24) AS BIGINT) AS s2
+  FROM det GROUP BY event_type
+), folds AS (
+  SELECT event_type,
+         list_sum(list(CAST(s1_h AS DOUBLE) * CAST(s1_h AS DOUBLE)
+                       / CAST(n_h AS DOUBLE) ORDER BY hod)) AS ssb_term
+  FROM hod_sums GROUP BY event_type
+)
+SELECT g.event_type, g.n AS n_points,
+       1.0 - (CAST(g.s2 AS DOUBLE) - f.ssb_term)
+             / (CAST(g.s2 AS DOUBLE)
+                - CAST(g.s1 AS DOUBLE) * CAST(g.s1 AS DOUBLE)
+                  / CAST(g.n AS DOUBLE)) AS seasonal_strength
+FROM totals g JOIN folds f ON g.event_type = f.event_type
+"""
+
+
+@register("ts_seasonal_strength", oracle=_SEAS_STRENGTH_ORACLE)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strength of daily seasonality per event type: detrend the hourly
+    series with a centered 24-hour moving average, then measure how much
+    of the remaining variance the HOUR-OF-DAY explains -- via the ANOVA
+    identity strength = 1 - SSW/SST over hour-of-day groups, i.e. the
+    R-squared of 'hour explains the detrended series' (the
+    Hyndman-style seasonal-strength statistic a forecasting deploy
+    checks before trusting ts_forecast_eval_wape's seasonal-naive
+    baseline). The detrended value stays an exact BIGINT by scaling:
+    24*y - sum24 (variance ratios are scale-invariant); SST and SSW
+    assemble from integer moments with the one cross-group float term
+    folded in FIXED hour order (the stat_anova_oneway_f rule).
+
+    Scale shape: calendar-bounded hourly pre-agg -> one frame window ->
+    two combinable groupBys (24 hod rows, 1 global row per type) -> a
+    24-element ordered fold. Data-size-free past the first exchange."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.sum(iround(F.col("value") * 100))
+                   .cast("bigint").alias("cents")))
+    w = (Window.partitionBy("event_type").orderBy("hr")
+         .rowsBetween(-12, 11))
+    framed = hourly.select(
+        "event_type", "hr", "cents",
+        F.sum("cents").over(w).alias("fsum"),
+        F.count(F.lit(1)).over(w).alias("fn"))
+    det = (framed.where(F.col("fn") == 24)
+           .select("event_type", F.hour("hr").alias("hod"),
+                   (24 * F.col("cents") - F.col("fsum")).cast("bigint")
+                   .alias("d24")))
+    hod_sums = det.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("d24").cast("bigint").alias("s1_h"))
+    glob = det.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d24").cast("bigint").alias("s1"),
+        F.sum(F.col("d24") * F.col("d24")).cast("bigint").alias("s2"))
+    term = (F.col("s1_h").cast("double") * F.col("s1_h").cast("double")
+            / F.col("n_h").cast("double"))
+    folds = hod_sums.groupBy("event_type").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("hod"),
+                                                 term.alias("t")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"]).alias("ssb_term"))
+    sst = (F.col("s2").cast("double")
+           - F.col("s1").cast("double") * F.col("s1").cast("double")
+           / F.col("n").cast("double"))
+    ssw = F.col("s2").cast("double") - F.col("ssb_term")
+    return (glob.join(folds, "event_type")
+            .select("event_type", F.col("n").alias("n_points"),
+                    (F.lit(1.0) - ssw / sst).alias("seasonal_strength")))

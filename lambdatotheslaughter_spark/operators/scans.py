@@ -1924,3 +1924,47 @@ def source_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
                  F.sum("o_orderkey").cast("bigint").alias("key_sum"),
                  F.sum("cents").cast("bigint").alias("cents")))
+
+
+# ---------------------------------------------------------------------------
+# gzip-compressed JSONL source (round 6)
+# ---------------------------------------------------------------------------
+
+_JSONL_GZ_ORACLE = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents
+GROUP BY source
+"""
+
+
+@register("source_jsonl_gzip", oracle=_JSONL_GZ_ORACLE)
+def source_jsonl_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed JSONL round trip — the format most scraped/vendor
+    corpora actually arrive in (.jsonl.gz per shard). Spark's text
+    codecs decompress transparently on read, so the op is the same
+    explicit-schema discipline as source_jsonl; the caveat it exists to
+    document is SPLITTABILITY: a .gz file is one stream, so ONE TASK
+    reads the whole shard regardless of its size — parallelism at 100 TB
+    comes from SHARD COUNT, not byte ranges (the fixture writes multiple
+    shards via repartition(4); a single 1 TB .gz would serialize; the
+    fix at the edge is many medium shards or zstd/bzip2, then parquet
+    immediately). Verified by per-source counts/sums against the
+    parquet-side oracle.
+
+    Scale shape: read parallelism == shard count by construction; the
+    aggregate is one combinable groupBy."""
+    out = _cached_dataset(
+        "docs_jsonl_gz", sf_dir, "documents",
+        lambda tmp: (load_table(spark, "documents", sf_dir)
+                     .repartition(4)
+                     .write.mode("overwrite")
+                     .option("compression", "gzip").json(tmp)))
+    schema = ("doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"))

@@ -2027,3 +2027,55 @@ def ml_cv_auc_per_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("double")
          / (F.lit(2.0) * F.col("n_pos").cast("double")
             * F.col("n_neg").cast("double"))).alias("auc_fold"))
+
+
+# ---------------------------------------------------------------------------
+# chi-square goodness-of-fit: day-of-week uniformity (round 6)
+# ---------------------------------------------------------------------------
+
+_GOF_ORACLE = """
+WITH cells AS (
+  SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM orders GROUP BY dayofweek(o_orderdate)
+), tot AS (
+  SELECT CAST(SUM(obs) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM cells
+)
+SELECT dow, obs,
+       CAST(n AS DOUBLE) / CAST(k AS DOUBLE) AS expected,
+       (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) / CAST(k AS DOUBLE))
+       * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) / CAST(k AS DOUBLE))
+       / (CAST(n AS DOUBLE) / CAST(k AS DOUBLE)) AS chi2_contrib
+FROM cells CROSS JOIN tot
+"""
+
+
+@register("stat_chi_square_gof_dow", oracle=_GOF_ORACLE)
+def stat_chi_square_gof_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square GOODNESS-OF-FIT of order volume against a uniform
+    day-of-week distribution -- the one-sample counterpart of
+    stat_chi_square_independence's two-way table: is traffic flat across
+    the week, or does the calendar drive it? Per-cell
+    (O-E)^2/E contributions are emitted per dow, never cross-summed
+    (the chi-square house rule -- a cross-cell float sum is
+    association-order-dependent); observed counts and the total are
+    exact BIGINTs; expected = n/7 and each contribution assemble through
+    identical trees. DuckDB's 0-based dayofweek is mirrored by shifting
+    Spark's 1-based values.
+
+    Scale shape: one combinable groupBy to 7 cells; the 1-row total
+    broadcasts back."""
+    o = load_table(spark, "orders", sf_dir)
+    cells = (o.groupBy((F.dayofweek("o_orderdate") - 1).cast("bigint")
+                       .alias("dow"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("obs")))
+    tot = cells.agg(F.sum("obs").cast("bigint").alias("n"),
+                    F.count(F.lit(1)).cast("bigint").alias("k"))
+    exp = F.col("n").cast("double") / F.col("k").cast("double")
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("dow", "obs", exp.alias("expected"),
+                    ((F.col("obs").cast("double") - exp)
+                     * (F.col("obs").cast("double") - exp) / exp)
+                    .alias("chi2_contrib")))

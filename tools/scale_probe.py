@@ -263,6 +263,9 @@ QUERY_TABLES = {
     "ml_confusion_threshold_sweep": {"events"},
     "seq_path_topk": {"events"},
     "ml_cv_auc_per_fold": {"events"},
+    "ts_seasonal_strength": {"events"},
+    "source_jsonl_gzip": {"documents"},
+    "stat_chi_square_gof_dow": {"orders"},
 }
 
 
