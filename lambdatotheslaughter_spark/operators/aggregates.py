@@ -822,3 +822,91 @@ def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(month, "event_type")
             .select("event_type", "n_days", "sum_daily_distinct",
                     "month_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# CMS width audit: estimate vs exact across sketch sizes (round 6)
+# ---------------------------------------------------------------------------
+
+_CMSA_DEPTH = 4
+_CMSA_WIDTHS = (256, 2048)
+
+_CMSA_ORACLE = f"""
+WITH widths AS (
+  SELECT unnest([{", ".join(str(w) for w in _CMSA_WIDTHS)}]) AS width
+), seeds AS (
+  SELECT unnest(range({_CMSA_DEPTH})) AS seed
+), sketch AS (
+  SELECT w.width, s.seed,
+         CAST(concat('0x', substring(md5(s.seed || ':' || e.user_id),
+                                     1, 15)) AS BIGINT) % w.width AS col,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events e CROSS JOIN seeds s CROSS JOIN widths w
+  GROUP BY 1, 2, 3
+), exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM events WHERE user_id <= 50 GROUP BY user_id
+), probes AS (
+  SELECT x.user_id, x.exact_count, w.width, s.seed,
+         CAST(concat('0x', substring(md5(s.seed || ':' || x.user_id),
+                                     1, 15)) AS BIGINT) % w.width AS col
+  FROM exact x CROSS JOIN seeds s CROSS JOIN widths w
+)
+SELECT p.user_id, CAST(p.width AS BIGINT) AS width,
+       MAX(p.exact_count) AS exact_count,
+       CAST(MIN(sk.cnt) AS BIGINT) AS est_count,
+       CAST(MIN(sk.cnt) - MAX(p.exact_count) AS BIGINT) AS overcount
+FROM probes p
+JOIN sketch sk ON sk.width = p.width AND sk.seed = p.seed
+               AND sk.col = p.col
+GROUP BY p.user_id, p.width
+"""
+
+
+@register("agg_cms_width_audit", oracle=_CMSA_ORACLE)
+def agg_cms_width_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch ERROR AUDIT: the same md5-seeded CMS
+    (agg_freq_sketch_cms) built at TWO widths (256 vs 2048 counters),
+    each probed for the first 50 users next to their EXACT counts --
+    the pick-the-width-before-you-trust-it table, sibling of
+    llm_minhash_jaccard_estimate's pick-k audit: CMS only ever
+    OVERcounts (min over d rows bounds error at eps*N with
+    eps = e/width), and this table shows the narrow sketch's collisions
+    against the wide one's near-exactness, which is the evidence a
+    memory-vs-accuracy decision actually needs. Everything is exact
+    integer arithmetic over deterministic md5 buckets -- sketch,
+    probes and audit all hash-match.
+
+    Scale shape: sketch build is ONE combinable groupBy over the
+    (depth x widths)-fanned scan (map-side partials; the sketch table is
+    width-bounded, never corpus-bounded); probes are a broadcast join
+    against the bounded key set."""
+    ev = load_table(spark, "events", sf_dir)
+    seeds = spark.range(_CMSA_DEPTH).toDF("seed")
+    widths = spark.createDataFrame([(w,) for w in _CMSA_WIDTHS],
+                                   "width long")
+    col_of = (F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col("seed").cast("string"),
+        F.col("user_id").cast("string"))), 1, 15), 16, 10)
+        .cast("bigint") % F.col("width"))
+    sketch = (ev.select("user_id")
+              .crossJoin(F.broadcast(seeds))
+              .crossJoin(F.broadcast(widths))
+              .select("width", "seed", col_of.alias("col"))
+              .groupBy("width", "seed", "col")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    exact = (ev.where(F.col("user_id") <= 50)
+             .groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count")))
+    probes = (exact.crossJoin(F.broadcast(seeds))
+              .crossJoin(F.broadcast(widths))
+              .select("user_id", "exact_count", "width", "seed",
+                      col_of.alias("col")))
+    return (probes.join(sketch, ["width", "seed", "col"])
+            .groupBy("user_id", "width")
+            .agg(F.max("exact_count").alias("exact_count"),
+                 F.min("cnt").cast("bigint").alias("est_count"),
+                 (F.min("cnt") - F.max("exact_count")).cast("bigint")
+                 .alias("overcount"))
+            .select("user_id", F.col("width").cast("bigint").alias("width"),
+                    "exact_count", "est_count", "overcount"))

@@ -3311,3 +3311,63 @@ def ml_target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s_cat") - F.col("s")).cast("double")
          / (F.col("n_cat") - F.col("n")).cast("double") / F.lit(100.0))
         .alias("te_out_of_fold_dollars"))
+
+
+# ---------------------------------------------------------------------------
+# prompt-injection safety pattern filter (round 6)
+# ---------------------------------------------------------------------------
+
+_INJ_PATTERNS = ("ignore previous instructions",
+                 "disregard all prior rules",
+                 "reveal your system prompt")
+_INJ_RX = "(" + "|".join(_INJ_PATTERNS) + ")"
+
+_SAFETY_ORACLE = f"""
+WITH rendered AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN
+           text || ' ' || ['{_INJ_PATTERNS[0]}', '{_INJ_PATTERNS[1]}',
+                           '{_INJ_PATTERNS[2]}'][(doc_id // 13) % 3 + 1]
+         ELSE text END AS prompt,
+         doc_id % 13 = 0 AS injected
+  FROM documents
+)
+SELECT doc_id, injected,
+       regexp_matches(prompt, '{_INJ_RX}') AS flagged,
+       CASE WHEN regexp_matches(prompt, '{_INJ_RX}')
+            THEN regexp_extract(prompt, '{_INJ_RX}') END
+         AS matched_pattern
+FROM rendered
+"""
+
+
+@register("llm_safety_pattern_filter", oracle=_SAFETY_ORACLE)
+def llm_safety_pattern_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prompt-injection screening -- the fixed-lexicon safety filter
+    every instruction-data pipeline runs before training (jailbreak
+    phrases in pretraining data teach the model to comply with them).
+    Every 13th document gets a planted injection phrase (cycled from a
+    3-pattern lexicon -- the llm_html_strip render-then-verify fixture
+    trick, so ground truth is known by construction in BOTH engines);
+    the filter is one alternation regexp, and the output carries the
+    planted flag NEXT TO the detected flag plus the first matched
+    pattern -- on this lexicon the filter is exact (flagged == injected
+    row-for-row), and a real deployment swaps in the longer lexicon
+    without changing the plan.
+
+    Scale shape: pure map-side regexp projection, zero shuffles; the
+    lexicon lives in the pattern literal, never joined."""
+    d = load_table(spark, "documents", sf_dir)
+    plant = F.element_at(
+        F.array(*[F.lit(p) for p in _INJ_PATTERNS]),
+        ((F.floor(F.col("doc_id") / 13) % 3) + 1).cast("int"))
+    prompt = F.when(F.col("doc_id") % 13 == 0,
+                    F.concat_ws(" ", F.col("text"), plant)) \
+        .otherwise(F.col("text"))
+    rendered = d.select("doc_id", prompt.alias("prompt"),
+                        (F.col("doc_id") % 13 == 0).alias("injected"))
+    hit = F.regexp_extract("prompt", _INJ_RX, 1)
+    return rendered.select(
+        "doc_id", "injected",
+        (hit != "").alias("flagged"),
+        F.when(hit != "", hit).alias("matched_pattern"))

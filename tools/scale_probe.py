@@ -266,6 +266,8 @@ QUERY_TABLES = {
     "ts_seasonal_strength": {"events"},
     "source_jsonl_gzip": {"documents"},
     "stat_chi_square_gof_dow": {"orders"},
+    "agg_cms_width_audit": {"events"},
+    "llm_safety_pattern_filter": {"documents"},
 }
 
 
