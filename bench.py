@@ -80,6 +80,7 @@ HEADLINE = [
     "llm_cluster_topic_terms",  # c-TF-IDF cluster labeling (round 6)
     "llm_sentiment_lexicon",    # zero-shuffle lexicon sentiment (round 6)
     "llm_eval_rouge2",          # clipped-bigram ROUGE-2 eval (round 6)
+    "llm_pipeline_curation_v2",  # round-6 stages composed end-to-end
 ]
 
 

@@ -3371,3 +3371,153 @@ def llm_safety_pattern_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "injected",
         (hit != "").alias("flagged"),
         F.when(hit != "", hit).alias("matched_pattern"))
+
+
+# ---------------------------------------------------------------------------
+# curation pipeline v2: the round-6 stages composed end-to-end (round 6)
+# ---------------------------------------------------------------------------
+
+_V2_BUDGET = 512
+
+_PIPE_V2_ORACLE = f"""
+WITH rendered AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 13 = 0 THEN
+           text || ' ' || ['{_INJ_PATTERNS[0]}', '{_INJ_PATTERNS[1]}',
+                           '{_INJ_PATTERNS[2]}'][(doc_id // 13) % 3 + 1]
+         ELSE text END AS prompt
+  FROM documents
+), safe AS (
+  -- stage 1: safety — drop docs the injection screen flags
+  SELECT doc_id, text FROM rendered
+  WHERE NOT regexp_matches(prompt, '{_INJ_RX}')
+), quality AS (
+  -- stage 2: quality — minimum length
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM safe WHERE len(string_split(text, ' ')) >= 20
+), seg AS (
+  SELECT DISTINCT doc_id, md5(p) AS fp
+  FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS p
+        FROM quality)
+  WHERE len(p) >= 20
+), dfc AS (
+  SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM seg GROUP BY fp
+), para AS (
+  SELECT seg.doc_id,
+         CAST(COUNT(*) FILTER (WHERE dfc.nd > 1) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS dup_share
+  FROM seg JOIN dfc ON seg.fp = dfc.fp GROUP BY seg.doc_id
+), deduped AS (
+  -- stage 3: paragraph-boilerplate gate (share computed over the
+  -- SURVIVING corpus — the pipeline's own population, not the raw one)
+  SELECT q.doc_id, q.text, q.n_tokens
+  FROM quality q JOIN para p ON q.doc_id = p.doc_id
+  WHERE p.dup_share <= 0.5
+), labeled AS (
+  -- stage 4: sentiment label rides along
+  SELECT doc_id, n_tokens,
+         CASE WHEN len(list_filter(string_split(text, ' '),
+                                   t -> t IN ('fast', 'small')))
+                   > len(list_filter(string_split(text, ' '),
+                                     t -> t IN ('slow', 'big')))
+              THEN 1 ELSE 0 END AS is_positive
+  FROM deduped
+), staged AS (
+  -- stage 5: curriculum quartile over the total length order
+  SELECT doc_id, n_tokens, is_positive,
+         CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+           AS difficulty_q
+  FROM labeled
+), placed AS (
+  -- stage 6: pack per quartile in deterministic md5 shuffle order
+  SELECT difficulty_q, n_tokens, is_positive,
+         CAST((SUM(n_tokens) OVER (PARTITION BY difficulty_q
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                            doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens)
+              // {_V2_BUDGET} AS BIGINT) AS seq_id
+  FROM staged
+)
+SELECT difficulty_q, seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+       CAST(SUM(is_positive) AS BIGINT) AS n_positive
+FROM placed GROUP BY difficulty_q, seq_id
+"""
+
+
+@register("llm_pipeline_curation_v2", oracle=_PIPE_V2_ORACLE)
+def llm_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 curation stages composed END-TO-END — what
+    llm_pipeline_end_to_end is to the round-2 family, this is to the
+    third ring: safety screen (injection regexp drops flagged docs) →
+    quality floor (≥20 tokens) → paragraph-boilerplate gate (corpus
+    dup_share ≤ 0.5, doc frequencies computed over the pipeline's own
+    surviving population) → sentiment label attached → curriculum
+    quartile (NTILE over the total length order) → deterministic
+    md5-shuffle sequence packing at a 512-token budget. Output is the
+    training-sequence manifest: per (difficulty quartile, sequence)
+    document count, token fill and positive-sentiment mix — the table a
+    data loader and a mixture dashboard both read.
+
+    Every stage is the SAME logic as its standalone operator
+    (llm_safety_pattern_filter, llm_dedup_paragraph,
+    llm_sentiment_lexicon, llm_curriculum_schedule, llm_pack_sequences),
+    so the composite proves the family COMPOSES without drift, and the
+    whole chain stays value-exact oracled — integers and one ntile.
+
+    Scale shape: map-side screen/floor/label; one fingerprint-keyed
+    df-count exchange for the paragraph gate; the ntile is the one
+    global window (two-pass bucketed rank is the documented swap, the
+    llm_shuffle_deterministic recipe); packing windows partition by
+    quartile."""
+    d = load_table(spark, "documents", sf_dir)
+    plant = F.element_at(
+        F.array(*[F.lit(p) for p in _INJ_PATTERNS]),
+        ((F.floor(F.col("doc_id") / 13) % 3) + 1).cast("int"))
+    prompt = F.when(F.col("doc_id") % 13 == 0,
+                    F.concat_ws(" ", F.col("text"), plant)) \
+        .otherwise(F.col("text"))
+    safe = (d.select("doc_id", "text", prompt.alias("prompt"))
+            .where(F.regexp_extract("prompt", _INJ_RX, 1) == "")
+            .drop("prompt"))
+    toks = F.split(F.col("text"), " ")
+    quality = (safe.select("doc_id", "text",
+                           F.size(toks).cast("bigint").alias("n_tokens"))
+               .where(F.size(toks) >= 20))
+    seg = (quality
+           .select("doc_id", F.explode(F.split("text", r"\. ")).alias("p"))
+           .where(F.length("p") >= 20)
+           .select("doc_id", F.md5("p").alias("fp"))
+           .distinct()
+           .localCheckpoint(eager=False))
+    dfc = seg.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
+    para = (seg.join(dfc, "fp")
+            .groupBy("doc_id")
+            .agg((F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                  .cast("double")
+                  / F.count(F.lit(1)).cast("double")).alias("dup_share")))
+    deduped = (quality.join(para, "doc_id")
+               .where(F.col("dup_share") <= 0.5))
+    n_pos = F.size(F.filter(toks, lambda t: t.isin("fast", "small")))
+    n_neg = F.size(F.filter(toks, lambda t: t.isin("slow", "big")))
+    labeled = deduped.select(
+        "doc_id", "n_tokens",
+        F.when(n_pos > n_neg, F.lit(1)).otherwise(F.lit(0))
+        .alias("is_positive"))
+    staged = labeled.select(
+        "doc_id", "n_tokens", "is_positive",
+        F.ntile(4).over(Window.orderBy("n_tokens", "doc_id"))
+        .cast("bigint").alias("difficulty_q"))
+    wp = (Window.partitionBy("difficulty_q")
+          .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = F.sum("n_tokens").over(wp) - F.col("n_tokens")
+    placed = staged.select(
+        "difficulty_q", "n_tokens", "is_positive",
+        F.floor(start / _V2_BUDGET).cast("bigint").alias("seq_id"))
+    return (placed.groupBy("difficulty_q", "seq_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+                 F.sum("is_positive").cast("bigint").alias("n_positive")))

@@ -268,6 +268,7 @@ QUERY_TABLES = {
     "stat_chi_square_gof_dow": {"orders"},
     "agg_cms_width_audit": {"events"},
     "llm_safety_pattern_filter": {"documents"},
+    "llm_pipeline_curation_v2": {"documents"},
 }
 
 
