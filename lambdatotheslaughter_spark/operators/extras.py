@@ -5339,3 +5339,112 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (glob.join(folds, "event_type")
             .select("event_type", F.col("n").alias("n_points"),
                     (F.lit(1.0) - ssw / sst).alias("seasonal_strength")))
+
+
+# ---------------------------------------------------------------------------
+# bitemporal as-of revision report (round 6)
+# ---------------------------------------------------------------------------
+
+_BITEMP_ASOF = "2024-01-20 00:00:00"
+
+_BITEMP_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, ts, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         ts AS knowledge_ts, 0 AS version
+  FROM events WHERE event_type = 'purchase'
+), corrections AS (
+  -- every 50th purchase gets a +$10 correction that ARRIVES two days
+  -- after the fact (late-arriving upstream fix, deterministic fixture)
+  SELECT event_id, ts, cents + 1000 AS cents,
+         ts + INTERVAL 2 DAY AS knowledge_ts, 1 AS version
+  FROM base WHERE event_id % 50 = 0
+), versions AS (
+  SELECT * FROM base UNION ALL SELECT * FROM corrections
+), known AS (
+  SELECT event_id, ts, cents, version,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY version DESC) AS rn
+  FROM versions WHERE knowledge_ts <= TIMESTAMP '{_BITEMP_ASOF}'
+), final AS (
+  SELECT event_id, ts, cents, version,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY version DESC) AS rn
+  FROM versions
+), a AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(cents) AS BIGINT) AS rev_as_of_cents,
+         CAST(COUNT(*) FILTER (WHERE version = 1) AS BIGINT)
+           AS n_corrections_visible
+  FROM known WHERE rn = 1 GROUP BY date_trunc('day', ts)
+), f AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(cents) AS BIGINT) AS rev_final_cents,
+         CAST(COUNT(*) FILTER (WHERE version = 1) AS BIGINT)
+           AS n_corrections_total
+  FROM final WHERE rn = 1 GROUP BY date_trunc('day', ts)
+)
+SELECT f.day, a.rev_as_of_cents, f.rev_final_cents,
+       CAST(f.rev_final_cents - a.rev_as_of_cents AS BIGINT)
+         AS revision_cents,
+       a.n_corrections_visible, f.n_corrections_total
+FROM f JOIN a ON f.day = a.day
+"""
+
+
+@register("ts_bitemporal_asof_revision", oracle=_BITEMP_ORACLE)
+def ts_bitemporal_asof_revision(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """BITEMPORAL revenue: what we BELIEVED each day's purchase revenue
+    was as of a knowledge cutoff, next to what it finally became after
+    late-arriving corrections -- the two-timeline (valid time vs
+    transaction time) query every restated-metrics postmortem needs,
+    and the reason serious warehouses version facts instead of
+    updating them in place. The fixture plants a +$10 correction on
+    every 50th purchase arriving TWO DAYS late; the as-of view picks
+    each event's latest version whose knowledge timestamp precedes the
+    cutoff, the final view picks the overall latest; the report shows
+    per valid-day revenue under both timelines plus the revision and
+    correction visibility counts. All exact cents.
+
+    Scale shape: version picking is an event-keyed window (latest of
+    <= 2 versions -- the scd2_dimension_merge discipline); daily rollups
+    are combinable; the two timelines join on the calendar-bounded day
+    grain."""
+    ev = load_table(spark, "events", sf_dir) \
+        .where(F.col("event_type") == "purchase")
+    base = ev.select(
+        "event_id", "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.col("ts").alias("knowledge_ts"), F.lit(0).alias("version"))
+    corrections = (base.where(F.col("event_id") % 50 == 0)
+                   .select("event_id", "ts",
+                           (F.col("cents") + 1000).alias("cents"),
+                           (F.col("knowledge_ts")
+                            + F.expr("INTERVAL 2 DAY"))
+                           .alias("knowledge_ts"),
+                           F.lit(1).alias("version")))
+    versions = base.unionByName(corrections)
+    w = Window.partitionBy("event_id").orderBy(F.col("version").desc())
+
+    def latest(df):
+        return (df.select("event_id", "ts", "cents", "version",
+                          F.row_number().over(w).alias("rn"))
+                .where(F.col("rn") == 1))
+
+    asof = latest(versions.where(
+        F.col("knowledge_ts") <= F.lit(_BITEMP_ASOF).cast("timestamp")))
+    final = latest(versions)
+
+    def daily(df, rev_name, corr_name):
+        return (df.groupBy(F.date_trunc("day", "ts").alias("day"))
+                .agg(F.sum("cents").cast("bigint").alias(rev_name),
+                     F.count(F.when(F.col("version") == 1, 1))
+                     .cast("bigint").alias(corr_name)))
+
+    a = daily(asof, "rev_as_of_cents", "n_corrections_visible")
+    f = daily(final, "rev_final_cents", "n_corrections_total")
+    return (f.join(a, "day")
+            .select("day", "rev_as_of_cents", "rev_final_cents",
+                    (F.col("rev_final_cents") - F.col("rev_as_of_cents"))
+                    .cast("bigint").alias("revision_cents"),
+                    "n_corrections_visible", "n_corrections_total"))

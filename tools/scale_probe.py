@@ -269,6 +269,7 @@ QUERY_TABLES = {
     "agg_cms_width_audit": {"events"},
     "llm_safety_pattern_filter": {"documents"},
     "llm_pipeline_curation_v2": {"documents"},
+    "ts_bitemporal_asof_revision": {"events"},
 }
 
 
