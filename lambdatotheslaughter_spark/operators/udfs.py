@@ -678,3 +678,64 @@ def udtf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s.* FROM lts_token_stats_arrow(
             TABLE(SELECT doc_id, text FROM docs_arrow_udtf)) s
     """)
+
+
+# ---------------------------------------------------------------------------
+# UDTF with a TABLE argument + PARTITION BY (round 6, Spark 3.5+/4)
+# ---------------------------------------------------------------------------
+
+_TABLE_ARG_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events GROUP BY event_type
+"""
+
+
+@register("udtf_table_argument", oracle=_TABLE_ARG_ORACLE)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF consuming a TABLE(...) argument with PARTITION BY --
+    the Spark-4 surface that turns a UDTF into an arbitrary
+    PER-GROUP stateful processor callable from plain SQL: the engine
+    routes each event_type partition through its own UDTF instance
+    (eval per row, terminate emits the group's result), which is the
+    SQL-facing sibling of applyInPandas/cogroup. The body here is a
+    trivially-relational rollup ON PURPOSE (the key exercises the
+    table-argument ROUTING contract, oracle-checkable bit-for-bit);
+    a real use puts sequential per-group logic (sessionizers, parsers,
+    small DP kernels) in the same shell.
+
+    Scale shape: PARTITION BY shuffles once on the group key; each
+    group streams through one Python instance row-by-row with O(1)
+    state -- group-parallel, never corpus-serial."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_type string, n_events bigint, "
+                     "total_cents bigint")
+    class TypeRollup:
+        def __init__(self):
+            self._key = None
+            self._n = 0
+            self._sum = 0
+
+        def eval(self, row):
+            self._key = row["event_type"]
+            self._n += 1
+            self._sum += row["cents"]
+
+        def terminate(self):
+            if self._key is not None:
+                yield self._key, self._n, self._sum
+
+    spark.udtf.register("lts_type_rollup", TypeRollup)
+    (load_table(spark, "events", sf_dir)
+     .select("event_type",
+             F.round(F.col("value") * 100, 0).cast("bigint")
+             .alias("cents"))
+     .createOrReplaceTempView("lts_ev_tblarg_v"))
+    return spark.sql("""
+        SELECT * FROM lts_type_rollup(
+          TABLE(SELECT event_type, cents FROM lts_ev_tblarg_v)
+          PARTITION BY event_type)
+    """)

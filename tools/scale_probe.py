@@ -270,6 +270,7 @@ QUERY_TABLES = {
     "llm_safety_pattern_filter": {"documents"},
     "llm_pipeline_curation_v2": {"documents"},
     "ts_bitemporal_asof_revision": {"events"},
+    "udtf_table_argument": {"events"},
 }
 
 
