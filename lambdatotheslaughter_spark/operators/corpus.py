@@ -3521,3 +3521,79 @@ def llm_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
                  F.sum("is_positive").cast("bigint").alias("n_positive")))
+
+
+# ---------------------------------------------------------------------------
+# sequence-packing budget sweep (round 6)
+# ---------------------------------------------------------------------------
+
+_SWEEP_BUDGETS = (256, 512, 1024)
+
+_PACK_SWEEP_ORACLE = f"""
+WITH budgets AS (
+  SELECT unnest([{", ".join(str(b) for b in _SWEEP_BUDGETS)}]) AS budget
+), toks AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), placed AS (
+  SELECT b.budget, t.lang, t.n_tokens,
+         CAST((SUM(t.n_tokens) OVER (PARTITION BY b.budget, t.lang
+                                     ORDER BY t.doc_id
+                                     ROWS UNBOUNDED PRECEDING)
+               - t.n_tokens) // b.budget AS BIGINT) AS seq_id
+  FROM toks t CROSS JOIN budgets b
+), seqs AS (
+  SELECT budget, lang, seq_id,
+         CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+  FROM placed GROUP BY budget, lang, seq_id
+)
+SELECT CAST(budget AS BIGINT) AS budget, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(seq_tokens) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE) * CAST(budget AS DOUBLE))
+         AS fill_ratio
+FROM seqs GROUP BY budget, lang
+"""
+
+
+@register("llm_pack_budget_sweep", oracle=_PACK_SWEEP_ORACLE)
+def llm_pack_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing efficiency swept across three context budgets
+    (256/512/1024) in ONE query -- the pick-your-context-length table:
+    small budgets waste tokens to fragmentation (a 300-token doc
+    spills), large ones dilute batch diversity; this reports sequences,
+    total tokens and fill ratio per (budget, lang) so the tradeoff is a
+    lookup, not a rerun (llm_pack_sequences is the single-budget
+    packer this sweeps). Same first-token placement rule; counts exact;
+    fill is one division.
+
+    Scale shape: the x3 budget fan-out is a broadcast spine; the
+    running-sum window partitions by (budget, lang) so the sweep is
+    exactly 3x the single-budget window work, all key-parallel; both
+    rollups combinable."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", "lang",
+                    F.size(F.split(F.col("text"), " ")).cast("bigint")
+                    .alias("n_tokens"))
+    budgets = spark.createDataFrame([(b,) for b in _SWEEP_BUDGETS],
+                                    "budget long")
+    w = (Window.partitionBy("budget", "lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    placed = (toks.crossJoin(F.broadcast(budgets))
+              .select("budget", "lang", "n_tokens",
+                      F.floor(start / F.col("budget")).cast("bigint")
+                      .alias("seq_id")))
+    seqs = (placed.groupBy("budget", "lang", "seq_id")
+            .agg(F.sum("n_tokens").cast("bigint").alias("seq_tokens")))
+    return (seqs.groupBy("budget", "lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+                 F.sum("seq_tokens").cast("bigint").alias("total_tokens"))
+            .select(F.col("budget").cast("bigint").alias("budget"), "lang",
+                    "n_seqs", "total_tokens",
+                    (F.col("total_tokens").cast("double")
+                     / (F.col("n_seqs").cast("double")
+                        * F.col("budget").cast("double")))
+                    .alias("fill_ratio")))

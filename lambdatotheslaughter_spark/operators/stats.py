@@ -2079,3 +2079,82 @@ def stat_chi_square_gof_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.col("obs").cast("double") - exp)
                      * (F.col("obs").cast("double") - exp) / exp)
                     .alias("chi2_contrib")))
+
+
+# ---------------------------------------------------------------------------
+# cumulative gains / lift table (round 6)
+# ---------------------------------------------------------------------------
+
+_LIFT_ORACLE = """
+WITH c AS (
+  SELECT event_type = 'purchase' AS pos,
+         CAST(round(value * 100, 0) AS BIGINT) AS xc,
+         event_id
+  FROM events WHERE event_type IN ('click', 'purchase')
+), ranked AS (
+  SELECT pos,
+         ntile(10) OVER (ORDER BY xc DESC, event_id) AS decile
+  FROM c
+), cells AS (
+  SELECT CAST(decile AS BIGINT) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS n_pos
+  FROM ranked GROUP BY decile
+), cum AS (
+  SELECT decile, n, n_pos,
+         CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+         CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+         CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+         CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+  FROM cells
+  WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+)
+SELECT decile, n, n_pos,
+       CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) AS gains,
+       (CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+         / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)) AS lift
+FROM cum
+"""
+
+
+@register("ml_lift_gains_table", oracle=_LIFT_ORACLE)
+def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift by score decile for the
+    value-predicts-purchase ranking -- the campaign-targeting table
+    next to ml_roc_auc_exact (AUC scores the whole ranking; gains/lift
+    answers 'mail the top 2 deciles, capture what share?'). Deciles
+    come from NTILE over the (score desc, event_id) TOTAL order;
+    per-decile and cumulative counts are exact integers; gains and lift
+    are two exact divisions per row.
+
+    Scale shape: one global ntile (two-pass bucketed rank is the
+    documented swap) folding to 10 cells; cumulative windows run over
+    those 10 rows."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    c = ev.select((F.col("event_type") == "purchase").alias("pos"),
+                  xc.alias("xc"), "event_id")
+    ranked = c.select(
+        "pos",
+        F.ntile(10).over(Window.orderBy(F.col("xc").desc(), "event_id"))
+        .cast("bigint").alias("decile"))
+    cells = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("pos"), 1)).cast("bigint").alias("n_pos"))
+    wcum = (Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy()
+    cum = cells.select(
+        "decile", "n", "n_pos",
+        F.sum("n").over(wcum).cast("bigint").alias("cum_n"),
+        F.sum("n_pos").over(wcum).cast("bigint").alias("cum_pos"),
+        F.sum("n").over(wall).cast("bigint").alias("tot_n"),
+        F.sum("n_pos").over(wall).cast("bigint").alias("tot_pos"))
+    return cum.select(
+        "decile", "n", "n_pos",
+        (F.col("cum_pos").cast("double") / F.col("tot_pos").cast("double"))
+        .alias("gains"),
+        ((F.col("cum_pos").cast("double") / F.col("cum_n").cast("double"))
+         / (F.col("tot_pos").cast("double")
+            / F.col("tot_n").cast("double"))).alias("lift"))

@@ -271,6 +271,8 @@ QUERY_TABLES = {
     "llm_pipeline_curation_v2": {"documents"},
     "ts_bitemporal_asof_revision": {"events"},
     "udtf_table_argument": {"events"},
+    "ml_lift_gains_table": {"events"},
+    "llm_pack_budget_sweep": {"documents"},
 }
 
 
