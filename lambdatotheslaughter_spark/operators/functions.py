@@ -956,3 +956,53 @@ def type_try_cast_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(cents.cast("double"),
                      F.nullif((F.col("user_id") % 5).cast("bigint"),
                               F.lit(0)).cast("double")).alias("safe_ratio"))
+
+
+# ---------------------------------------------------------------------------
+# fiscal-calendar rollup (round 6)
+# ---------------------------------------------------------------------------
+
+_FISCAL_ORACLE = """
+WITH f AS (
+  -- fiscal year starts in FEBRUARY: shift the month back one before
+  -- the quarter/year split (the retail 4-5-4-adjacent pattern in its
+  -- simplest month-shifted form)
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         (month(o_orderdate) + 10) % 12 AS fm,
+         year(o_orderdate) + CASE WHEN month(o_orderdate) >= 2
+                                  THEN 0 ELSE -1 END AS fy
+  FROM orders
+)
+SELECT CAST(fy AS BIGINT) AS fiscal_year,
+       CAST(fm // 3 + 1 AS BIGINT) AS fiscal_quarter,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM f GROUP BY fy, fm // 3 + 1
+"""
+
+
+@register("date_fiscal_quarter", oracle=_FISCAL_ORACLE)
+def date_fiscal_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fiscal-calendar revenue rollup with a FEBRUARY year start -- the
+    enterprise-reporting quirk every warehouse eventually grows a
+    helper for (finance closes on a shifted year; the civil-calendar
+    quarter() builtin is simply wrong for them). Fiscal month/quarter/
+    year derive from pure month arithmetic ((m+10) %% 12 shift, year-1
+    before February), spelled identically in both engines; revenue is
+    exact cents.
+
+    Scale shape: map-side date arithmetic + one combinable groupBy to
+    at most 4*years rows."""
+    o = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    fm = (F.month("o_orderdate") + 10) % 12
+    fy = (F.year("o_orderdate")
+          + F.when(F.month("o_orderdate") >= 2, F.lit(0))
+          .otherwise(F.lit(-1)))
+    return (o.select(cents.alias("cents"), fm.alias("fm"),
+                     fy.cast("bigint").alias("fy"))
+            .groupBy(F.col("fy").alias("fiscal_year"),
+                     (F.floor(F.col("fm") / 3) + 1).cast("bigint")
+                     .alias("fiscal_quarter"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                 F.sum("cents").cast("bigint").alias("revenue_cents")))

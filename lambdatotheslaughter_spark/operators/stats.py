@@ -1194,23 +1194,33 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_table(spark, "events", sf_dir)
           .where(F.col("event_type").isin("click", "purchase")))
     xc = F.round(F.col("value") * 100, 0).cast("bigint")
-    c = ev.select("event_type", xc.alias("xc"))
-    r2 = (F.lit(2) * F.rank().over(Window.orderBy("xc"))
-          + F.count(F.lit(1)).over(Window.partitionBy("xc")) - 1) \
-        .cast("bigint")
-    r = c.select("event_type", r2.alias("r2"))
-    is1 = F.col("event_type") == "click"
-    s = r.agg(
-        F.count(F.when(is1, 1)).cast("bigint").alias("n1"),
-        F.count(F.when(~is1, 1)).cast("bigint").alias("n2"),
-        F.sum(F.when(is1, F.col("r2"))).cast("bigint").alias("sr2"))
-    cnt = F.count(F.lit(1)).cast("bigint")
-    ties = (c.groupBy("xc").agg(cnt.alias("cnt"))
-            .agg(F.coalesce(
-                F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt")
-                      - F.col("cnt")), F.lit(0))
-                .cast("bigint").alias("tt")))
-    j = s.crossJoin(ties)
+    # DOMAIN-COLLAPSED ranks (the stat_ks_two_sample discipline): the
+    # doubled average rank of every row at value v is 2*cum_below + t_v
+    # + 1, a pure function of per-value counts -- so the corpus folds
+    # to the ~18k-value domain FIRST and the rank window runs over the
+    # domain, not the rows. The first draft's row-level global rank
+    # window funneled every row through one partition (probed 5.6x for
+    # 100x data; this shape keeps the only global window domain-sized).
+    dom = (ev.select((F.col("event_type") == "click").alias("is1"),
+                     xc.alias("xc"))
+           .groupBy("xc")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("t"),
+                F.count(F.when(F.col("is1"), 1)).cast("bigint")
+                .alias("p")))
+    wcum = (Window.orderBy("xc")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_below = (F.sum("t").over(wcum) - F.col("t")).cast("bigint")
+    r = dom.select(
+        "t", "p",
+        (F.col("p") * (F.lit(2) * cum_below + F.col("t") + 1))
+        .cast("bigint").alias("pr2"),
+        (F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint").alias("t3t"))
+    j = r.agg(
+        F.sum("p").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("p")).cast("bigint").alias("n2"),
+        F.sum("pr2").cast("bigint").alias("sr2"),
+        F.coalesce(F.sum("t3t"), F.lit(0)).cast("bigint").alias("tt"))
     n1d = F.col("n1").cast("double")
     n2d = F.col("n2").cast("double")
     nd = (F.col("n1") + F.col("n2")).cast("double")
@@ -1478,26 +1488,34 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-sized."""
     ev = load_table(spark, "events", sf_dir)
     xc = F.round(F.col("value") * 100, 0).cast("bigint")
-    c = ev.select("event_type", xc.alias("xc"))
-    w = Window.partitionBy("event_type").orderBy("xc")
-    ranked = c.select(
-        "event_type", "xc",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"))
-    med = (ranked
+    # DOMAIN-COLLAPSED: per-(type, value) counts replace both the
+    # per-type row_number sort (median = smallest value whose running
+    # count reaches ceil(n/2)) and the row-level deviation pass
+    # (|x - med| moments are count-weighted sums over the same domain
+    # table). The row-level draft probed 10.1x for 100x data; here
+    # every post-collapse stage is domain-sized.
+    dom = (ev.select("event_type", xc.alias("xc"))
+           .groupBy("event_type", "xc")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    wn = Window.partitionBy("event_type")
+    wcum = (Window.partitionBy("event_type").orderBy("xc")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = dom.select(
+        "event_type", "xc", "cnt",
+        F.sum("cnt").over(wcum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wn).cast("bigint").alias("n"))
+    med = (cum.where(F.col("cum") >= F.floor((F.col("n") + 1) / 2))
            .groupBy("event_type")
-           .agg(F.min(F.when(F.col("rn")
-                             == F.floor((F.col("n") + 1) / 2),
-                             F.col("xc")).otherwise(None))
-                .cast("bigint").alias("med")))
-    dev = (c.join(F.broadcast(med), "event_type")
-           .select("event_type",
+           .agg(F.min("xc").cast("bigint").alias("med")))
+    dev = (dom.join(F.broadcast(med), "event_type")
+           .select("event_type", "cnt",
                    F.abs(F.col("xc") - F.col("med")).cast("bigint")
                    .alias("d")))
     per = dev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("d").cast("bigint").alias("s1"),
-        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("s2"))
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("d")).cast("bigint").alias("s1"),
+        F.sum(F.col("cnt") * F.col("d") * F.col("d")).cast("bigint")
+        .alias("s2"))
     term = (F.col("s1").cast("double") * F.col("s1").cast("double")
             / F.col("n").cast("double"))
     tot = per.agg(
@@ -1850,17 +1868,27 @@ def ml_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_table(spark, "events", sf_dir)
           .where(F.col("event_type").isin("click", "purchase")))
     xc = F.round(F.col("value") * 100, 0).cast("bigint")
-    c = ev.select((F.col("event_type") == "purchase").alias("pos"),
-                  xc.alias("xc"))
-    r2 = (F.lit(2) * F.rank().over(Window.orderBy("xc"))
-          + F.count(F.lit(1)).over(Window.partitionBy("xc")) - 1) \
-        .cast("bigint")
-    r = c.select("pos", r2.alias("r2"))
+    # domain-collapsed rank sums (the stat_mann_whitney_u rewrite): the
+    # row-level global rank window probed 12x for 100x data -- the
+    # corpus folds to per-value counts first and the one global window
+    # is domain-sized
+    dom = (ev.select((F.col("event_type") == "purchase").alias("pos"),
+                     xc.alias("xc"))
+           .groupBy("xc")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("t"),
+                F.count(F.when(F.col("pos"), 1)).cast("bigint")
+                .alias("p")))
+    wcum = (Window.orderBy("xc")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_below = (F.sum("t").over(wcum) - F.col("t")).cast("bigint")
+    r = dom.select(
+        "t", "p",
+        (F.col("p") * (F.lit(2) * cum_below + F.col("t") + 1))
+        .cast("bigint").alias("pr2"))
     s = r.agg(
-        F.count(F.when(F.col("pos"), 1)).cast("bigint").alias("n_pos"),
-        F.count(F.when(~F.col("pos"), 1)).cast("bigint").alias("n_neg"),
-        F.sum(F.when(F.col("pos"), F.col("r2"))).cast("bigint")
-        .alias("sr2"))
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum(F.col("t") - F.col("p")).cast("bigint").alias("n_neg"),
+        F.sum("pr2").cast("bigint").alias("sr2"))
     return s.select(
         "n_pos", "n_neg",
         ((F.col("sr2") - F.col("n_pos") * (F.col("n_pos") + 1))
@@ -2009,18 +2037,26 @@ def ml_cv_auc_per_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
                                1, 8), 16, 10).cast("bigint") % _CV_FOLDS)
     xc = F.round(F.col("value") * 100, 0).cast("bigint")
-    c = ev.select((F.col("event_type") == "purchase").alias("pos"),
-                  fold.alias("fold"), xc.alias("xc"))
-    r2 = (F.lit(2) * F.rank().over(Window.partitionBy("fold")
-                                   .orderBy("xc"))
-          + F.count(F.lit(1)).over(Window.partitionBy("fold", "xc")) - 1) \
-        .cast("bigint")
-    r = c.select("pos", "fold", r2.alias("r2"))
+    # per-fold domain collapse (the ml_roc_auc_exact rewrite): fold the
+    # corpus to (fold, value) counts, run the rank arithmetic over the
+    # fold-partitioned domain windows
+    dom = (ev.select((F.col("event_type") == "purchase").alias("pos"),
+                     fold.alias("fold"), xc.alias("xc"))
+           .groupBy("fold", "xc")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("t"),
+                F.count(F.when(F.col("pos"), 1)).cast("bigint")
+                .alias("p")))
+    wcum = (Window.partitionBy("fold").orderBy("xc")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_below = (F.sum("t").over(wcum) - F.col("t")).cast("bigint")
+    r = dom.select(
+        "fold", "t", "p",
+        (F.col("p") * (F.lit(2) * cum_below + F.col("t") + 1))
+        .cast("bigint").alias("pr2"))
     s = r.groupBy("fold").agg(
-        F.count(F.when(F.col("pos"), 1)).cast("bigint").alias("n_pos"),
-        F.count(F.when(~F.col("pos"), 1)).cast("bigint").alias("n_neg"),
-        F.sum(F.when(F.col("pos"), F.col("r2"))).cast("bigint")
-        .alias("sr2"))
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum(F.col("t") - F.col("p")).cast("bigint").alias("n_neg"),
+        F.sum("pr2").cast("bigint").alias("sr2"))
     return s.select(
         F.col("fold").cast("bigint").alias("fold"), "n_pos", "n_neg",
         ((F.col("sr2") - F.col("n_pos") * (F.col("n_pos") + 1))
@@ -2158,3 +2194,79 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("cum_pos").cast("double") / F.col("cum_n").cast("double"))
          / (F.col("tot_pos").cast("double")
             / F.col("tot_n").cast("double"))).alias("lift"))
+
+
+# ---------------------------------------------------------------------------
+# minimum detectable effect / power planning (round 6)
+# ---------------------------------------------------------------------------
+
+# two-sided alpha=0.05 and power=0.80 normal quantiles, frozen literals
+# (the Poisson-CDF-thresholds discipline: transcendental constants exist
+# only as pasted decimals, never computed at query time)
+_Z_ALPHA_2 = 1.959963985
+_Z_BETA = 0.841621234
+# the SUM is itself a frozen literal: computing z_a + z_b at query time
+# parses two decimals and adds (engine-side), which can differ by 1 ulp
+# from the Python-side sum -- one shared decimal string removes the add
+_Z_SUM = 2.801585219
+
+_MDE_ORACLE = f"""
+WITH c AS (
+  SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS is_wkend,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+  FROM events
+), s AS (
+  SELECT
+    CAST(SUM(CASE WHEN is_wkend = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN is_wkend = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(SUM(is_conv) AS BIGINT) AS x,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM c
+)
+SELECT n1 AS n_weekend, n2 AS n_weekday,
+       CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p_base,
+       {_Z_SUM}
+         * sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+         AS mde_abs,
+       {_Z_SUM}
+         * sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+         / (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) AS mde_rel
+FROM s
+"""
+
+
+@register("stat_mde_power_binary", oracle=_MDE_ORACLE)
+def stat_mde_power_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for the weekend-vs-weekday conversion
+    comparison at alpha = 0.05 (two-sided), power = 0.80 -- the A/B
+    PLANNING readout that belongs BEFORE stat_two_proportion_z's
+    verdict: with these arm sizes and this base rate, how small a lift
+    could the test even see? MDE = (z_a/2 + z_b) * sqrt(p(1-p)(1/n1 +
+    1/n2)); the two normal quantiles are frozen literals (the
+    Poisson-threshold discipline -- no inverse CDF at query time), arm
+    sizes and the base rate come from one combinable four-sum fold, and
+    the absolute + relative MDE assemble through identical trees.
+
+    Scale shape: a single conditional aggregate over the scan -- the
+    cheapest possible planning query at any corpus size."""
+    ev = load_table(spark, "events", sf_dir)
+    is_wkend = F.dayofweek("ts").isin(1, 7)
+    is_conv = (F.col("event_type") == "purchase").cast("int")
+    s = ev.agg(
+        F.count(F.when(is_wkend, 1)).cast("bigint").alias("n1"),
+        F.count(F.when(~is_wkend, 1)).cast("bigint").alias("n2"),
+        F.sum(is_conv).cast("bigint").alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    p = F.col("x").cast("double") / F.col("n").cast("double")
+    mde = (F.lit(_Z_SUM)
+           * F.sqrt(p * (F.lit(1.0) - p)
+                    * (F.lit(1.0) / F.col("n1").cast("double")
+                       + F.lit(1.0) / F.col("n2").cast("double"))))
+    return s.select(
+        F.col("n1").alias("n_weekend"), F.col("n2").alias("n_weekday"),
+        p.alias("p_base"), mde.alias("mde_abs"),
+        (mde / p).alias("mde_rel"))

@@ -273,6 +273,8 @@ QUERY_TABLES = {
     "udtf_table_argument": {"events"},
     "ml_lift_gains_table": {"events"},
     "llm_pack_budget_sweep": {"documents"},
+    "stat_mde_power_binary": {"events"},
+    "date_fiscal_quarter": {"orders"},
 }
 
 
