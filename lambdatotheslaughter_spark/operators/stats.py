@@ -1186,11 +1186,11 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 - 2U/(n1*n2) assemble through an expression tree written
     identically in both engines.
 
-    Scale shape: the global rank window is over the two-type slice
-    (two-pass bucketed rank is the documented 100-TB swap, the
-    stat_gini_coefficient recipe); the tie fold collapses to the value
-    DOMAIN (~18k distinct cents at sf0.1, the stat_ks_two_sample
-    observation); everything else is one combinable fold."""
+    Scale shape: the corpus folds to the value DOMAIN (~18k distinct
+    cents at sf0.1, the stat_ks_two_sample observation) in one
+    combinable groupBy; the only global window runs over that
+    domain-sized table (100x probe: 5.6x row-level -> 1.2x collapsed);
+    everything after is one combinable fold."""
     ev = (load_table(spark, "events", sf_dir)
           .where(F.col("event_type").isin("click", "purchase")))
     xc = F.round(F.col("value") * 100, 0).cast("bigint")
@@ -1475,16 +1475,17 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     spreads are comparable, and centering on the MEDIAN (not the mean)
     keeps the test honest under the skewed value distributions real
     event data has. Per-group DISCRETE medians are rank-picked integers
-    (the ts_outlier_iqr quartile rule: value at sorted position
-    ceil(n/2)); absolute deviations |x - med| stay BIGINT, so the whole
-    statistic is the one-way ANOVA F machinery applied to integer
-    deviations -- per-group (n, sum d, sum d^2) folds plus the one
-    FIXED-ORDER cross-group float fold.
+    (the ts_outlier_iqr quartile rule: smallest value whose running
+    count reaches ceil(n/2)); absolute deviations |x - med| stay
+    BIGINT, so the whole statistic is the one-way ANOVA F machinery
+    applied to integer deviations -- per-group (n, sum d, sum d^2)
+    folds plus the one FIXED-ORDER cross-group float fold.
 
-    Scale shape: one per-type sort for the median windows (per-group
-    two-pass bucketed rank is the documented 100-TB swap), a broadcast
-    5-row median join back, then one combinable three-sum groupBy to
-    k=5 rows and a 5-element ordered fold -- nothing cross-group is ever
+    Scale shape: the corpus folds to (type, value) counts; the median
+    comes off per-type running counts over that DOMAIN (100x probe:
+    10.1x row-level -> 0.6x collapsed), deviations are count-weighted
+    sums over the same table, then one groupBy to k=5 rows and a
+    5-element ordered fold -- nothing past the first exchange is ever
     row-sized."""
     ev = load_table(spark, "events", sf_dir)
     xc = F.round(F.col("value") * 100, 0).cast("bigint")
@@ -1862,9 +1863,10 @@ def ml_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the naive sort-and-sweep miscounts them. The one float is the
     final division.
 
-    Scale shape: one global rank window over the two-class slice
-    (two-pass bucketed rank is the documented swap) and one combinable
-    three-sum fold -- AUC at 100 TB without ever materializing a curve."""
+    Scale shape: the corpus folds to per-value counts (one combinable
+    groupBy); the only global window is domain-sized (100x probe: 12x
+    row-level -> 2.0x collapsed) -- AUC at 100 TB without materializing
+    a curve OR sorting the rows."""
     ev = (load_table(spark, "events", sf_dir)
           .where(F.col("event_type").isin("click", "purchase")))
     xc = F.round(F.col("value") * 100, 0).cast("bigint")
@@ -2029,9 +2031,9 @@ def ml_cv_auc_per_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT; one combinable three-sum fold per fold; the single float is
     each fold's final division.
 
-    Scale shape: the rank window partitions by fold (4-way parallel,
-    each a fold-local sort -- two-pass bucketed rank per fold is the
-    documented swap); one combinable groupBy to 4 rows."""
+    Scale shape: the corpus folds to (fold, value) counts; the rank
+    windows run over the fold-partitioned DOMAIN (4-way parallel,
+    domain-sized); one combinable groupBy to 4 rows."""
     ev = (load_table(spark, "events", sf_dir)
           .where(F.col("event_type").isin("click", "purchase")))
     fold = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
