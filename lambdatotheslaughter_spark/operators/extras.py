@@ -5448,3 +5448,177 @@ def ts_bitemporal_asof_revision(spark: SparkSession,
                     (F.col("rev_final_cents") - F.col("rev_as_of_cents"))
                     .cast("bigint").alias("revision_cents"),
                     "n_corrections_visible", "n_corrections_total"))
+
+
+# ---------------------------------------------------------------------------
+# first-touch / last-touch attribution (round 6)
+# ---------------------------------------------------------------------------
+
+_ATTRIB_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+), ft AS (
+  SELECT user_id, event_type AS touch FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM ev) WHERE rn = 1
+), lt AS (
+  SELECT user_id, event_id,
+         COALESCE(lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                  'direct') AS touch,
+         event_type, cents
+  FROM ev
+), purchases AS (
+  SELECT user_id, event_id, cents FROM ev WHERE event_type = 'purchase'
+), first_model AS (
+  SELECT 'first_touch' AS model, ft.touch,
+         CAST(SUM(p.cents) AS BIGINT) AS attributed_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_purchases
+  FROM purchases p JOIN ft ON p.user_id = ft.user_id
+  GROUP BY ft.touch
+), last_model AS (
+  SELECT 'last_touch' AS model, touch,
+         CAST(SUM(cents) AS BIGINT) AS attributed_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_purchases
+  FROM lt WHERE event_type = 'purchase'
+  GROUP BY touch
+)
+SELECT * FROM first_model UNION ALL SELECT * FROM last_model
+"""
+
+
+@register("seq_attribution_first_last", oracle=_ATTRIB_ORACLE)
+def seq_attribution_first_last(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Marketing attribution under BOTH classic single-touch models in
+    one result: every purchase's revenue credited 100% to the user's
+    FIRST-ever event type (first-touch: what acquired them) and,
+    separately, to the event type immediately PRECEDING the purchase
+    (last-touch: what converted them; 'direct' when the purchase is the
+    user's first event) -- the two ends of the attribution spectrum
+    whose disagreement IS the insight (a channel strong in first-touch
+    but absent in last-touch acquires users someone else converts).
+    Orders ride the (ts, event_id) total order; revenue is exact cents.
+
+    Scale shape: first-touch is one user-keyed rank window; last-touch
+    is a lag over the same user-keyed sort (ONE exchange serves both);
+    the per-model rollups are combinable groupBys over five touch
+    values."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    decorated = ev.select(
+        "user_id", "event_type", "cents",
+        F.row_number().over(w).alias("rn"),
+        F.coalesce(F.lag("event_type").over(w), F.lit("direct"))
+        .alias("prev_type"))
+    ft = (decorated.where(F.col("rn") == 1)
+          .select("user_id", F.col("event_type").alias("touch")))
+    purchases = decorated.where(F.col("event_type") == "purchase")
+    first_model = (purchases.join(ft, "user_id")
+                   .groupBy("touch")
+                   .agg(F.sum("cents").cast("bigint")
+                        .alias("attributed_cents"),
+                        F.count(F.lit(1)).cast("bigint")
+                        .alias("n_purchases"))
+                   .select(F.lit("first_touch").alias("model"), "touch",
+                           "attributed_cents", "n_purchases"))
+    last_model = (purchases
+                  .groupBy(F.col("prev_type").alias("touch"))
+                  .agg(F.sum("cents").cast("bigint")
+                       .alias("attributed_cents"),
+                       F.count(F.lit(1)).cast("bigint")
+                       .alias("n_purchases"))
+                  .select(F.lit("last_touch").alias("model"), "touch",
+                          "attributed_cents", "n_purchases"))
+    return first_model.unionByName(last_model)
+
+
+# ---------------------------------------------------------------------------
+# weekly growth accounting (round 6)
+# ---------------------------------------------------------------------------
+
+_GROWTH_ORACLE = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+  FROM events
+), firsts AS (
+  SELECT user_id, MIN(week) AS first_week FROM uw GROUP BY user_id
+), act AS (
+  SELECT uw.user_id, uw.week,
+         f.first_week = uw.week AS is_new,
+         p.user_id IS NOT NULL AS was_prev,
+         n.user_id IS NULL AS gone_next
+  FROM uw
+  JOIN firsts f ON uw.user_id = f.user_id
+  LEFT JOIN uw p ON p.user_id = uw.user_id
+                AND p.week = uw.week - INTERVAL 7 DAY
+  LEFT JOIN uw n ON n.user_id = uw.user_id
+                AND n.week = uw.week + INTERVAL 7 DAY
+), maxw AS (
+  SELECT MAX(week) AS max_week FROM uw
+)
+SELECT week,
+       CAST(COUNT(*) FILTER (WHERE is_new) AS BIGINT) AS n_new,
+       CAST(COUNT(*) FILTER (WHERE was_prev) AS BIGINT) AS n_retained,
+       CAST(COUNT(*) FILTER (WHERE NOT is_new AND NOT was_prev)
+            AS BIGINT) AS n_resurrected,
+       CAST(COUNT(*) FILTER (WHERE gone_next AND week < max_week)
+            AS BIGINT) AS n_churning_out
+FROM act CROSS JOIN maxw
+GROUP BY week, max_week
+"""
+
+
+@register("seq_growth_accounting_weekly", oracle=_GROWTH_ORACLE)
+def seq_growth_accounting_weekly(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Weekly growth accounting -- the MAU-accounting matrix every
+    growth team maintains: per week, how many active users are NEW
+    (first-ever week), RETAINED (also active the previous week),
+    RESURRECTED (returning after a gap), and how many of this week's
+    actives CHURN OUT (absent next week; the final week abstains --
+    censored, not churned). Activity is the distinct (user, week)
+    grain; the three flags come from two self-joins at week +/- 7 days
+    and the first-week table -- all exact set logic, no floats anywhere.
+
+    Scale shape: the distinct (user, week) grain is one combinable
+    exchange; both adjacency probes are equi-joins on (user, week+/-7d)
+    -- same-key hash joins, no windows over users; the rollup is
+    calendar-bounded."""
+    ev = load_table(spark, "events", sf_dir)
+    uw = (ev.select("user_id", F.date_trunc("week", "ts").alias("week"))
+          .distinct().localCheckpoint(eager=False))
+    firsts = uw.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    p = uw.select(F.col("user_id").alias("pu"),
+                  (F.col("week") + F.expr("INTERVAL 7 DAY")).alias("pw"))
+    n = uw.select(F.col("user_id").alias("nu"),
+                  (F.col("week") - F.expr("INTERVAL 7 DAY")).alias("nw"))
+    maxw = uw.agg(F.max("week").alias("max_week"))
+    act = (uw.join(firsts, "user_id")
+           .join(p, (F.col("user_id") == F.col("pu"))
+                 & (F.col("week") == F.col("pw")), "left")
+           .join(n, (F.col("user_id") == F.col("nu"))
+                 & (F.col("week") == F.col("nw")), "left")
+           .crossJoin(F.broadcast(maxw))
+           .select("week",
+                   (F.col("first_week") == F.col("week")).alias("is_new"),
+                   F.col("pu").isNotNull().alias("was_prev"),
+                   F.col("nu").isNull().alias("gone_next"),
+                   "max_week"))
+    return (act.groupBy("week", "max_week")
+            .agg(F.count(F.when(F.col("is_new"), 1)).cast("bigint")
+                 .alias("n_new"),
+                 F.count(F.when(F.col("was_prev"), 1)).cast("bigint")
+                 .alias("n_retained"),
+                 F.count(F.when(~F.col("is_new") & ~F.col("was_prev"), 1))
+                 .cast("bigint").alias("n_resurrected"),
+                 F.count(F.when(F.col("gone_next")
+                                & (F.col("week") < F.col("max_week")), 1))
+                 .cast("bigint").alias("n_churning_out"))
+            .drop("max_week"))

@@ -275,6 +275,8 @@ QUERY_TABLES = {
     "llm_pack_budget_sweep": {"documents"},
     "stat_mde_power_binary": {"events"},
     "date_fiscal_quarter": {"orders"},
+    "seq_attribution_first_last": {"events"},
+    "seq_growth_accounting_weekly": {"events"},
 }
 
 
