@@ -5622,3 +5622,141 @@ def seq_growth_accounting_weekly(spark: SparkSession,
                                 & (F.col("week") < F.col("max_week")), 1))
                  .cast("bigint").alias("n_churning_out"))
             .drop("max_week"))
+
+
+# ---------------------------------------------------------------------------
+# interval-union active time (round 6)
+# ---------------------------------------------------------------------------
+
+_IVU_WINDOW_US = 5 * 60 * 1_000_000  # each event opens a 5-minute window
+
+_IVU_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + {_IVU_WINDOW_US} AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -9223372036854775807)
+              THEN 1 ELSE 0 END AS is_new
+  FROM iv
+), islands AS (
+  SELECT user_id, s, e,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), merged AS (
+  SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_active_spans,
+       CAST(SUM(me - ms) // 1000000 AS BIGINT) AS active_seconds
+FROM merged GROUP BY user_id
+"""
+
+
+@register("win_interval_union_length", oracle=_IVU_ORACLE)
+def win_interval_union_length(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Interval-UNION active time per user: each event opens a 5-minute
+    activity window; overlapping windows merge, and the answer is the
+    union's total length plus the span count -- the active-minutes /
+    uptime / billing-meter computation naive SUM(duration) double-counts
+    (the win_streaks_islands gaps-and-islands trick lifted from integer
+    sequences to real intervals: a window starts a new island iff its
+    start exceeds the running MAX of prior ends, handling contained
+    intervals that a lag-based check misses). All epoch-microsecond
+    integers; seconds report by floor division.
+
+    Scale shape: one user-keyed sort exchange serves the running-max
+    flag AND the island cumsum (same-window trick); merge and rollup
+    are combinable groupBys."""
+    ev = load_table(spark, "events", sf_dir)
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select("user_id", s.alias("s"),
+                   (s + F.lit(_IVU_WINDOW_US)).alias("e"))
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.select(
+        "user_id", "s", "e",
+        F.when(F.col("s") > F.coalesce(prev_max_e,
+                                       F.lit(-9223372036854775807)),
+               F.lit(1)).otherwise(F.lit(0)).alias("is_new"))
+    islands = flagged.select(
+        "user_id", "s", "e",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me"))
+    return (merged.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_active_spans"),
+                 F.floor(F.sum(F.col("me") - F.col("ms")) / 1000000)
+                 .cast("bigint").alias("active_seconds")))
+
+
+# ---------------------------------------------------------------------------
+# revenue concentration: HHI + CR-k (round 6)
+# ---------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT rev, row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk
+  FROM cust
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(rev) AS BIGINT) AS total_cents,
+       -- HHI = sum(share^2) == sum(rev^2)/total^2: exact integers until
+       -- ONE final division; the square sum rides HUGEINT/decimal(38,0)
+       -- (rev^2 overflows int64 -- the wide-decimal moment discipline)
+       CAST(SUM(CAST(rev AS HUGEINT) * rev) AS DOUBLE)
+         / (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)) AS hhi,
+       CAST(SUM(CASE WHEN rk <= 10 THEN rev ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(rev) AS DOUBLE) AS cr10
+FROM ranked
+"""
+
+
+@register("agg_concentration_hhi_crk", oracle=_HHI_ORACLE)
+def agg_concentration_hhi_crk(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Revenue concentration: the Herfindahl-Hirschman index and CR-10
+    (top-10-customer revenue share) over per-customer spend -- the
+    customer-concentration risk numbers a revenue review reads before
+    trusting any average. HHI's float hazard (summing thousands of
+    squared shares) disappears through the identity
+    sum(share_i^2) = sum(rev_i^2)/total^2: both sums are exact BIGINTs
+    off one combinable fold, and the single division happens once. CR-10
+    ranks on the (rev desc, custkey) total order.
+
+    Scale shape: customer-grain groupBy (40x smaller than orders), one
+    combinable moment fold; the rank window only needs the top 10 --
+    at 1000x the swap is a TakeOrdered head instead of a full rank
+    (documented), but the window here is already customer-grain."""
+    o = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(cents).cast("bigint").alias("rev"))
+    ranked = cust.select(
+        "rev",
+        F.row_number().over(Window.orderBy(F.col("rev").desc(),
+                                           "o_custkey")).alias("rk"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev").cast("bigint").alias("total_cents"),
+        (F.sum(F.col("rev").cast("decimal(38,0)") * F.col("rev"))
+         .cast("double")
+         / (F.sum("rev").cast("double") * F.sum("rev").cast("double")))
+        .alias("hhi"),
+        (F.sum(F.when(F.col("rk") <= 10, F.col("rev")).otherwise(F.lit(0)))
+         .cast("double") / F.sum("rev").cast("double")).alias("cr10"))

@@ -277,6 +277,8 @@ QUERY_TABLES = {
     "date_fiscal_quarter": {"orders"},
     "seq_attribution_first_last": {"events"},
     "seq_growth_accounting_weekly": {"events"},
+    "win_interval_union_length": {"events"},
+    "agg_concentration_hhi_crk": {"orders"},
 }
 
 
