@@ -5760,3 +5760,145 @@ def agg_concentration_hhi_crk(spark: SparkSession,
         .alias("hhi"),
         (F.sum(F.when(F.col("rk") <= 10, F.col("rev")).otherwise(F.lit(0)))
          .cast("double") / F.sum("rev").cast("double")).alias("cr10"))
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet detail energy by timescale (round 6)
+# ---------------------------------------------------------------------------
+
+_HAAR_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hh,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+), levels(level, half_div, block_div) AS (
+  VALUES (1, 1, 2), (2, 2, 4), (3, 4, 8), (4, 8, 16)
+), coeffs AS (
+  SELECT h.event_type, l.level, h.hh // l.block_div AS block,
+         CAST(SUM(h.cents
+                  * (1 - 2 * ((h.hh // l.half_div) % 2))) AS BIGINT) AS c
+  FROM hourly h CROSS JOIN levels l
+  GROUP BY h.event_type, l.level, h.hh // l.block_div
+)
+SELECT event_type, CAST(level AS BIGINT) AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       -- energy sums c^2 in HUGEINT (c^2 can pass int64 at high sf);
+       -- the one int->double conversion is correctly rounded in both
+       -- engines, so the DOUBLE projection is portable
+       CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS detail_energy
+FROM coeffs GROUP BY event_type, level
+"""
+
+
+@register("ts_haar_energy_levels", oracle=_HAAR_ORACLE)
+def ts_haar_energy_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet detail energy per timescale: the hourly revenue
+    series decomposed into 2/4/8/16-hour detail coefficients (each
+    block's first-half-minus-second-half sum -- the unnormalized Haar
+    detail), with per-(type, level) coefficient energy -- WHICH
+    TIMESCALE carries the variance: burst-dominated types load level 1,
+    daily-cycle types load the 8-16h levels; the multi-resolution
+    screen before committing to any single-window statistic
+    (ts_acf_multi_lag asks 'is it periodic', this asks 'how coarse').
+    Coefficients are exact BIGINT signed sums (sign = 1 - 2*half-bit,
+    pure integer arithmetic off the epoch-hour index); energy rides
+    HUGEINT/decimal(38,0) and projects through ONE correctly-rounded
+    int->double conversion.
+
+    Scale shape: calendar-bounded hourly pre-agg; the x4 level fan-out
+    is a broadcast spine; coefficient and energy folds are combinable
+    groupBys over calendar-sized tables."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hh = F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                 / 3600000000).cast("bigint")
+    hourly = (ev.select("event_type", hh.alias("hh"), cents.alias("c0"))
+              .groupBy("event_type", "hh")
+              .agg(F.sum("c0").cast("bigint").alias("cents")))
+    levels = spark.createDataFrame(
+        [(1, 1, 2), (2, 2, 4), (3, 4, 8), (4, 8, 16)],
+        "level long, half_div long, block_div long")
+    sign = 1 - 2 * (F.floor(F.col("hh") / F.col("half_div"))
+                    .cast("bigint") % 2)
+    coeffs = (hourly.crossJoin(F.broadcast(levels))
+              .groupBy("event_type", "level",
+                       F.floor(F.col("hh") / F.col("block_div"))
+                       .cast("bigint").alias("block"))
+              .agg(F.sum(F.col("cents") * sign).cast("bigint").alias("c")))
+    return (coeffs.groupBy("event_type",
+                           F.col("level").cast("bigint").alias("level"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+                 F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+                 .cast("double").alias("detail_energy")))
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate (round 6)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_RATE_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), cells AS (
+  SELECT prev, event_type AS cur, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+), rows_ AS (
+  SELECT prev, cur, c,
+         CAST(SUM(c) OVER (PARTITION BY prev) AS BIGINT) AS c_i,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM cells
+), contrib AS (
+  SELECT prev, cur,
+         -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+           * ln(CAST(c AS DOUBLE) / CAST(c_i AS DOUBLE)) AS t,
+         n
+  FROM rows_
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_transitions,
+       round(list_sum(list(t ORDER BY prev, cur)), 6)
+         AS entropy_rate_nats
+FROM contrib
+"""
+
+
+@register("stat_entropy_rate_markov", oracle=_ENTROPY_RATE_ORACLE)
+def stat_entropy_rate_markov(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order journey process:
+    H(X_t | X_{t-1}) = -sum_ij p(i,j) ln p(j|i) over
+    seq_markov_transitions' own cell table -- HOW PREDICTABLE the next
+    user step is in one number (0 = deterministic flows, ln 5 =
+    uniform), the summary that says whether the transition matrix is
+    worth acting on at all. Cell and row-marginal counts are exact
+    integers; each cell's contribution is the standard tree; the ONE
+    cross-cell float sum folds in FIXED (prev, cur) order (the
+    stat_anova_oneway_f rule) and rounds 6 dp (ln).
+
+    Scale shape: one user-keyed lag window, a 25-cell combinable
+    groupBy, windows and the ordered fold over those 25 rows."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("event_type").alias("cur"),
+                    F.lag("event_type").over(w).alias("prev"))
+    cells = (seq.where(F.col("prev").isNotNull())
+             .groupBy("prev", "cur")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    c_i = F.sum("c").over(Window.partitionBy("prev")).cast("bigint")
+    n = F.sum("c").over(Window.partitionBy()).cast("bigint")
+    rows_ = cells.select("prev", "cur", "c", c_i.alias("c_i"),
+                         n.alias("n"))
+    t = (-(F.col("c").cast("double") / F.col("n").cast("double"))
+         * F.log(F.col("c").cast("double") / F.col("c_i").cast("double")))
+    contrib = rows_.select("prev", "cur", t.alias("t"), "n")
+    return contrib.agg(
+        F.max("n").cast("bigint").alias("n_transitions"),
+        F.round(F.aggregate(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("prev"), F.col("cur"), F.col("t")))),
+            F.lit(0.0), lambda acc, x: acc + x["t"]), 6)
+        .alias("entropy_rate_nats"))

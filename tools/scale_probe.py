@@ -279,6 +279,8 @@ QUERY_TABLES = {
     "seq_growth_accounting_weekly": {"events"},
     "win_interval_union_length": {"events"},
     "agg_concentration_hhi_crk": {"orders"},
+    "ts_haar_energy_levels": {"events"},
+    "stat_entropy_rate_markov": {"events"},
 }
 
 
