@@ -4178,3 +4178,79 @@ def llm_eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias(f"rr_x{_MRR_LCM}"),
         F.coalesce(F.col("fh") == 1, F.lit(False)).alias("hit_at_1"),
         F.col("fh").isNotNull().alias(f"hit_at_{_MRR_K}"))
+
+
+# ---------------------------------------------------------------------------
+# interleaved multimodal sequence packing (round 6)
+# ---------------------------------------------------------------------------
+
+_IMG_TOKENS = 576       # ViT-style patch count per image
+_INTERLEAVE_BUDGET = 2048
+
+_INTERLEAVED_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS text_tokens,
+         CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS has_image
+  FROM documents
+), costed AS (
+  SELECT doc_id, lang, text_tokens, has_image,
+         text_tokens + {_IMG_TOKENS} * has_image AS cost
+  FROM docs
+), placed AS (
+  SELECT lang, text_tokens, has_image, cost,
+         CAST((SUM(cost) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - cost)
+              // {_INTERLEAVE_BUDGET} AS BIGINT) AS seq_id
+  FROM costed
+)
+SELECT lang, seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(has_image) AS BIGINT) AS n_images,
+       CAST(SUM(text_tokens) AS BIGINT) AS text_tokens,
+       CAST(SUM(has_image) * {_IMG_TOKENS} AS BIGINT) AS image_tokens,
+       CAST(SUM(cost) AS DOUBLE) / {_INTERLEAVE_BUDGET}.0 AS fill_ratio
+FROM placed GROUP BY lang, seq_id
+"""
+
+
+@register("llm_multimodal_interleaved_pack", oracle=_INTERLEAVED_ORACLE)
+def llm_multimodal_interleaved_pack(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Interleaved text+image sequence packing -- the modern
+    multimodal-pretraining data shape: documents flow into fixed
+    2048-token training sequences where an attached image costs a FIXED
+    patch budget (576 ViT tokens) on top of the text (every 7th doc
+    carries one image, the multimodal-fixture convention). The manifest
+    reports per-sequence doc/image counts and the text/image token
+    split -- the numbers that set the text-image mixing ratio a
+    multimodal run is tuned by, and the reason packing must price
+    images IN TOKENS, not bytes (llm_pack_sequences prices text only).
+
+    Scale shape: identical to llm_pack_sequences -- map-side costing,
+    language-partitioned running-sum placement, combinable manifest
+    rollup; the binary payload itself never moves (only its token
+    PRICE does), which is the point of manifest-first packing."""
+    d = load_table(spark, "documents", sf_dir)
+    costed = d.select(
+        "doc_id", "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint")
+        .alias("text_tokens"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(1)).otherwise(F.lit(0))
+        .alias("has_image"))
+    costed = costed.withColumn(
+        "cost", F.col("text_tokens") + _IMG_TOKENS * F.col("has_image"))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = F.sum("cost").over(w) - F.col("cost")
+    placed = costed.select(
+        "lang", "text_tokens", "has_image", "cost",
+        F.floor(start / _INTERLEAVE_BUDGET).cast("bigint").alias("seq_id"))
+    return (placed.groupBy("lang", "seq_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("has_image").cast("bigint").alias("n_images"),
+                 F.sum("text_tokens").cast("bigint").alias("text_tokens"),
+                 (F.sum("has_image") * _IMG_TOKENS).cast("bigint")
+                 .alias("image_tokens"),
+                 (F.sum("cost").cast("double")
+                  / F.lit(float(_INTERLEAVE_BUDGET))).alias("fill_ratio")))

@@ -2272,3 +2272,95 @@ def stat_mde_power_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").alias("n_weekend"), F.col("n2").alias("n_weekday"),
         p.alias("p_base"), mde.alias("mde_abs"),
         (mde / p).alias("mde_rel"))
+
+
+# ---------------------------------------------------------------------------
+# 2x2 difference-in-differences (round 6)
+# ---------------------------------------------------------------------------
+
+_DID_ORACLE = """
+WITH c AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         dayofweek(ts) IN (0, 6) AS treated,
+         dayofmonth(ts) > 15 AS post
+  FROM events WHERE event_type = 'purchase'
+), s AS (
+  SELECT
+    CAST(SUM(cents) FILTER (WHERE treated AND post) AS BIGINT) AS s_tp,
+    CAST(COUNT(*) FILTER (WHERE treated AND post) AS BIGINT) AS n_tp,
+    CAST(SUM(cents) FILTER (WHERE treated AND NOT post) AS BIGINT) AS s_t0,
+    CAST(COUNT(*) FILTER (WHERE treated AND NOT post) AS BIGINT) AS n_t0,
+    CAST(SUM(cents) FILTER (WHERE NOT treated AND post) AS BIGINT) AS s_cp,
+    CAST(COUNT(*) FILTER (WHERE NOT treated AND post) AS BIGINT) AS n_cp,
+    CAST(SUM(cents) FILTER (WHERE NOT treated AND NOT post) AS BIGINT)
+      AS s_c0,
+    CAST(COUNT(*) FILTER (WHERE NOT treated AND NOT post) AS BIGINT)
+      AS n_c0
+  FROM c
+)
+SELECT n_tp, n_t0, n_cp, n_c0,
+       CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE) / 100.0
+         AS mean_treat_post,
+       CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE) / 100.0
+         AS mean_treat_pre,
+       CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE) / 100.0
+         AS mean_ctrl_post,
+       CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE) / 100.0
+         AS mean_ctrl_pre,
+       (CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)
+        - CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE)
+        - (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)
+           - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE))) / 100.0
+         AS did_dollars
+FROM s
+"""
+
+
+@register("stat_diff_in_diff_2x2", oracle=_DID_ORACLE)
+def stat_diff_in_diff_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences, the 2x2 canonical form: weekend
+    purchases (treated) vs weekday (control), second half-month (post)
+    vs first (pre) -- the causal-inference workhorse that nets out BOTH
+    the group's fixed gap and the period's common shock, leaving
+    (T_post - T_pre) - (C_post - C_pre) as the effect estimate under
+    parallel trends. All four cell means come from ONE conditional
+    eight-sum fold over exact cents; the estimator is the standard
+    identical tree ending in a single /100 projection to dollars.
+
+    Scale shape: a single combinable conditional aggregate over the
+    scan -- the bootstrap-family shape with no spine at all."""
+    ev = load_table(spark, "events", sf_dir) \
+        .where(F.col("event_type") == "purchase")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    treated = F.dayofweek("ts").isin(1, 7)
+    post = F.dayofmonth("ts") > 15
+    c = ev.select(cents.alias("cents"), treated.alias("t"),
+                  post.alias("p"))
+    s = c.agg(
+        F.sum(F.when(F.col("t") & F.col("p"), F.col("cents")))
+        .cast("bigint").alias("s_tp"),
+        F.count(F.when(F.col("t") & F.col("p"), 1)).cast("bigint")
+        .alias("n_tp"),
+        F.sum(F.when(F.col("t") & ~F.col("p"), F.col("cents")))
+        .cast("bigint").alias("s_t0"),
+        F.count(F.when(F.col("t") & ~F.col("p"), 1)).cast("bigint")
+        .alias("n_t0"),
+        F.sum(F.when(~F.col("t") & F.col("p"), F.col("cents")))
+        .cast("bigint").alias("s_cp"),
+        F.count(F.when(~F.col("t") & F.col("p"), 1)).cast("bigint")
+        .alias("n_cp"),
+        F.sum(F.when(~F.col("t") & ~F.col("p"), F.col("cents")))
+        .cast("bigint").alias("s_c0"),
+        F.count(F.when(~F.col("t") & ~F.col("p"), 1)).cast("bigint")
+        .alias("n_c0"))
+    def m(sc, nc):
+        return F.col(sc).cast("double") / F.col(nc).cast("double")
+    return s.select(
+        "n_tp", "n_t0", "n_cp", "n_c0",
+        (m("s_tp", "n_tp") / F.lit(100.0)).alias("mean_treat_post"),
+        (m("s_t0", "n_t0") / F.lit(100.0)).alias("mean_treat_pre"),
+        (m("s_cp", "n_cp") / F.lit(100.0)).alias("mean_ctrl_post"),
+        (m("s_c0", "n_c0") / F.lit(100.0)).alias("mean_ctrl_pre"),
+        ((m("s_tp", "n_tp") - m("s_t0", "n_t0")
+          - (m("s_cp", "n_cp") - m("s_c0", "n_c0"))) / F.lit(100.0))
+        .alias("did_dollars"))

@@ -281,6 +281,8 @@ QUERY_TABLES = {
     "agg_concentration_hhi_crk": {"orders"},
     "ts_haar_energy_levels": {"events"},
     "stat_entropy_rate_markov": {"events"},
+    "stat_diff_in_diff_2x2": {"events"},
+    "llm_multimodal_interleaved_pack": {"documents"},
 }
 
 
