@@ -3597,3 +3597,68 @@ def llm_pack_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (F.col("n_seqs").cast("double")
                         * F.col("budget").cast("double")))
                     .alias("fill_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# uncertainty sampling for active learning (round 6)
+# ---------------------------------------------------------------------------
+
+_UNCERTAINTY_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('fast', 'small'))) AS BIGINT)
+           AS n_pos,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('slow', 'big'))) AS BIGINT)
+           AS n_neg
+  FROM documents
+), margin AS (
+  -- uncertainty = |pos - neg| scaled by evidence: integer margin keyed
+  -- (|p-n|, -(p+n)) so ties prefer MORE evidence, deterministic
+  SELECT doc_id, lang, n_pos, n_neg,
+         abs(n_pos - n_neg) AS m, n_pos + n_neg AS ev
+  FROM scored WHERE n_pos + n_neg > 0
+), ranked AS (
+  SELECT doc_id, lang, n_pos, n_neg,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY m, ev DESC, doc_id) AS rk
+  FROM margin
+)
+SELECT lang, CAST(rk AS BIGINT) AS rank, doc_id, n_pos, n_neg
+FROM ranked WHERE rk <= 10
+"""
+
+
+@register("llm_uncertainty_sampling", oracle=_UNCERTAINTY_ORACLE)
+def llm_uncertainty_sampling(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Active-learning batch selection by MARGIN uncertainty: the 10
+    documents per language whose lexicon-sentiment evidence is most
+    BALANCED (smallest |n_pos - n_neg|, ties preferring more total
+    evidence, then doc_id) -- the pick-what-to-label-next query that
+    makes a labeling budget compound: certain docs teach the model
+    nothing. Pure integer margins off the llm_sentiment_lexicon
+    counts; the ranking key is a total order, so the batch is
+    deterministic.
+
+    Scale shape: map-side scoring; one per-lang rank window
+    (WindowGroupLimit keeps only per-task top-10 heads); no shuffle
+    carries more than candidates-per-task."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_pos = F.size(F.filter(toks, lambda t: t.isin("fast", "small"))) \
+        .cast("bigint")
+    n_neg = F.size(F.filter(toks, lambda t: t.isin("slow", "big"))) \
+        .cast("bigint")
+    scored = d.select("doc_id", "lang", n_pos.alias("n_pos"),
+                      n_neg.alias("n_neg")) \
+        .where(F.col("n_pos") + F.col("n_neg") > 0)
+    w = Window.partitionBy("lang").orderBy(
+        F.abs(F.col("n_pos") - F.col("n_neg")),
+        (F.col("n_pos") + F.col("n_neg")).desc(), "doc_id")
+    return (scored.select("lang",
+                          F.row_number().over(w).cast("bigint")
+                          .alias("rank"),
+                          "doc_id", "n_pos", "n_neg")
+            .where(F.col("rank") <= 10))

@@ -1968,3 +1968,74 @@ def source_jsonl_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.sum("doc_id").cast("bigint").alias("id_sum"))
+
+
+# ---------------------------------------------------------------------------
+# partition-spec evolution read (round 6)
+# ---------------------------------------------------------------------------
+
+_SPEC_EVO_ORACLE = """
+WITH ev AS (
+  SELECT *, CAST(ts AS DATE) AS day, hour(ts) AS hr FROM events
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 100, 0) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS purchase_cents
+FROM ev
+WHERE day BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+GROUP BY CAST(day AS VARCHAR)
+"""
+
+
+@register("scan_partition_spec_evolution", oracle=_SPEC_EVO_ORACLE)
+def scan_partition_spec_evolution(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Partition-SPEC evolution: the first half of the month sits in an
+    OLD layout partitioned by day=...; the second half in the NEW
+    layout partitioned by day=.../hr=... (the real-lake migration where
+    the spec changed mid-history and nobody rewrites 50 TB of old
+    files). The engine reads both specs, aligns them by name (the old
+    data has no hr partition column -- it reconstitutes from ts), and a
+    day-range filter must PRUNE DIRECTORIES in both layouts -- day-grain
+    in the old, day-grain (all hour subdirs) in the new. Iceberg/Delta
+    hide this behind spec versioning; on plain parquet it is exactly
+    this two-read union, which is why the op exists.
+
+    Scale shape: partition pruning bounds the scan to 3 days of
+    directories in each layout regardless of history length; the rollup
+    is one combinable groupBy."""
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select("event_id", "ts", "event_type",
+                     F.round(F.col("value") * 100, 0).cast("bigint")
+                     .alias("cents"),
+                     F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                     F.hour("ts").alias("hr"))
+    old_part = base.where(F.col("day") <= "2024-01-15")
+    new_part = base.where(F.col("day") > "2024-01-15")
+    out = _cached_dataset(
+        "spec_evo", sf_dir, "events",
+        lambda tmp: (
+            old_part.write.partitionBy("day")
+            .mode("overwrite").parquet(os.path.join(tmp, "v1")),
+            new_part.write.partitionBy("day", "hr")
+            .mode("overwrite").parquet(os.path.join(tmp, "v2")))[-1])
+    v1 = spark.read.parquet(os.path.join(out, "v1"))
+    v2 = spark.read.parquet(os.path.join(out, "v2"))
+    # partition-column type inference parses day=2024-01-10 back as
+    # DATE; the portable projection is the string it was written as
+    v1 = v1.withColumn("day", F.col("day").cast("string"))
+    v2 = v2.withColumn("day", F.col("day").cast("string"))
+    # old spec has no hr partition column: reconstitute from ts so both
+    # generations share one schema (name-aligned union)
+    v1 = v1.withColumn("hr", F.hour("ts"))
+    unioned = v1.unionByName(v2.select(*v1.columns))
+    return (unioned
+            .where((F.col("day") >= "2024-01-10")
+                   & (F.col("day") <= "2024-01-12"))
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.sum(F.when(F.col("event_type") == "purchase",
+                              F.col("cents")).otherwise(F.lit(0)))
+                 .cast("bigint").alias("purchase_cents")))

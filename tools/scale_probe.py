@@ -283,6 +283,8 @@ QUERY_TABLES = {
     "stat_entropy_rate_markov": {"events"},
     "stat_diff_in_diff_2x2": {"events"},
     "llm_multimodal_interleaved_pack": {"documents"},
+    "scan_partition_spec_evolution": {"events"},
+    "llm_uncertainty_sampling": {"documents"},
 }
 
 
