@@ -5902,3 +5902,111 @@ def stat_entropy_rate_markov(spark: SparkSession,
                 F.struct(F.col("prev"), F.col("cur"), F.col("t")))),
             F.lit(0.0), lambda acc, x: acc + x["t"]), 6)
         .alias("entropy_rate_nats"))
+
+
+# ---------------------------------------------------------------------------
+# log2-bucketed inter-event gap histogram (round 6)
+# ---------------------------------------------------------------------------
+
+_GAP_HIST_ORACLE = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+), bucketed AS (
+  -- power-of-two buckets (the HDR-histogram shape): floor(log2) moves
+  -- only at exact powers of two, where log2 is exact in BOTH libms
+  SELECT event_type,
+         CAST(floor(log2(CAST(gap_us AS DOUBLE))) AS BIGINT) AS bucket
+  FROM gaps WHERE gap_us IS NOT NULL AND gap_us > 0
+)
+SELECT event_type, bucket,
+       CAST(power(2, bucket) AS BIGINT) AS lo_us,
+       CAST(power(2, bucket + 1) AS BIGINT) AS hi_us,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM bucketed GROUP BY event_type, bucket
+"""
+
+
+@register("ts_gap_log_histogram", oracle=_GAP_HIST_ORACLE)
+def ts_gap_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-style latency histogram of inter-event gaps: per event type,
+    gap counts in power-of-two microsecond buckets -- the
+    constant-relative-error histogram observability systems standardize
+    on (fixed-width buckets either blur the fast tail or explode on the
+    slow one; log2 buckets give ~1 significant digit everywhere).
+    Gaps are exact epoch-microsecond differences off one per-type lag;
+    floor(log2(gap)) changes value only AT exact powers of two, where
+    log2 is exactly representable in both libms, so the bucketing is
+    portable; bounds report as exact 2^k integers.
+
+    Scale shape: one per-type sort exchange for the lag; a combinable
+    (type, bucket) groupBy to ~type-count x 40 rows."""
+    ev = load_table(spark, "events", sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select("event_type",
+                     (us - F.lag(us).over(w)).alias("gap_us"))
+    bucketed = (gaps.where(F.col("gap_us").isNotNull()
+                           & (F.col("gap_us") > 0))
+                .select("event_type",
+                        F.floor(F.log2(F.col("gap_us").cast("double")))
+                        .cast("bigint").alias("bucket")))
+    return (bucketed.groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
+            .select("event_type", "bucket",
+                    F.pow(F.lit(2.0), F.col("bucket")).cast("bigint")
+                    .alias("lo_us"),
+                    F.pow(F.lit(2.0), F.col("bucket") + 1).cast("bigint")
+                    .alias("hi_us"),
+                    "n_gaps"))
+
+
+# ---------------------------------------------------------------------------
+# incremental materialized-view refresh (round 6)
+# ---------------------------------------------------------------------------
+
+_MV_ORACLE = """
+SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM events
+GROUP BY event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')
+"""
+
+
+@register("sql_incremental_mv_refresh", oracle=_MV_ORACLE)
+def sql_incremental_mv_refresh(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: the daily (type, day)
+    aggregate is 'materialized' from the first 20 days, then the last
+    10 days arrive as a DELTA and refresh it by partial-aggregate MERGE
+    (sum the partials, never rescan the base) -- the maintenance loop
+    behind every serving-layer rollup, and the lambda architecture's
+    batch+speed merge expressed as one query. The oracle recomputes
+    from scratch: the driver hash PROVES merge == full recompute, which
+    is exactly the invariant an incremental pipeline must hold
+    (count/sum are self-mergeable; avg would need sum+count carried --
+    the classic MV-maintenance trap, documented by construction here).
+
+    Scale shape: base and delta each fold map-side to the (type, day)
+    grain before the union; the merge re-aggregates calendar-bounded
+    partials -- refresh cost scales with the DELTA, not the history."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    # day projects as yyyy-MM-dd (the portable projection rule)
+    day = F.date_format("ts", "yyyy-MM-dd")
+
+    def rollup(df):
+        return (df.groupBy("event_type", day.alias("day"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                     F.sum(cents).cast("bigint").alias("cents")))
+
+    base = rollup(ev.where(day <= F.lit("2024-01-20")))
+    delta = rollup(ev.where(day > F.lit("2024-01-20")))
+    return (base.unionByName(delta)
+            .groupBy("event_type", "day")
+            .agg(F.sum("n_events").cast("bigint").alias("n_events"),
+                 F.sum("cents").cast("bigint").alias("cents")))

@@ -285,6 +285,8 @@ QUERY_TABLES = {
     "llm_multimodal_interleaved_pack": {"documents"},
     "scan_partition_spec_evolution": {"events"},
     "llm_uncertainty_sampling": {"documents"},
+    "ts_gap_log_histogram": {"events"},
+    "sql_incremental_mv_refresh": {"events"},
 }
 
 
