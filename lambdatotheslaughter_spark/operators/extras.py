@@ -6010,3 +6010,214 @@ def sql_incremental_mv_refresh(spark: SparkSession,
             .groupBy("event_type", "day")
             .agg(F.sum("n_events").cast("bigint").alias("n_events"),
                  F.sum("cents").cast("bigint").alias("cents")))
+
+
+# ---------------------------------------------------------------------------
+# ER blocking quality report (round 6)
+# ---------------------------------------------------------------------------
+
+_BQ_W = 3
+_BQ_DIFF = 100
+
+_ER_QUALITY_ORACLE = f"""
+WITH keyed AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+), truth AS (
+  SELECT a.c_mktsegment, a.c_custkey AS a_key, b.c_custkey AS b_key
+  FROM keyed a JOIN keyed b
+    ON a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
+  WHERE abs(a.cents - b.cents) <= {_BQ_DIFF}
+), ranked AS (
+  SELECT c_mktsegment, c_custkey, cents,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY cents, c_custkey) AS rk
+  FROM keyed
+), cand AS (
+  SELECT a.c_mktsegment,
+         LEAST(a.c_custkey, b.c_custkey) AS a_key,
+         GREATEST(a.c_custkey, b.c_custkey) AS b_key,
+         abs(a.cents - b.cents) <= {_BQ_DIFF} AS survives
+  FROM ranked a JOIN ranked b
+    ON a.c_mktsegment = b.c_mktsegment
+   AND b.rk BETWEEN a.rk + 1 AND a.rk + {_BQ_W}
+), seg AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+  FROM keyed GROUP BY c_mktsegment
+), stats AS (
+  SELECT s.c_mktsegment, s.n,
+         s.n * (s.n - 1) // 2 AS n_all_pairs,
+         (SELECT COUNT(*) FROM truth t
+          WHERE t.c_mktsegment = s.c_mktsegment) AS n_true,
+         (SELECT COUNT(*) FROM cand c
+          WHERE c.c_mktsegment = s.c_mktsegment) AS n_candidates,
+         (SELECT COUNT(*) FROM cand c JOIN truth t
+          ON c.c_mktsegment = t.c_mktsegment
+         AND c.a_key = t.a_key AND c.b_key = t.b_key
+          WHERE c.c_mktsegment = s.c_mktsegment) AS n_caught
+  FROM seg s
+)
+SELECT c_mktsegment,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_caught AS BIGINT) AS n_caught,
+       1.0 - CAST(n_candidates AS DOUBLE) / CAST(n_all_pairs AS DOUBLE)
+         AS reduction_ratio,
+       CASE WHEN n_true = 0 THEN 1.0
+            ELSE CAST(n_caught AS DOUBLE) / CAST(n_true AS DOUBLE) END
+         AS pairs_completeness
+FROM stats
+"""
+
+
+@register("er_blocking_quality_report", oracle=_ER_QUALITY_ORACLE)
+def er_blocking_quality_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Blocking-quality audit for the sorted-neighborhood ER scheme:
+    per segment, REDUCTION RATIO (share of the quadratic pair space the
+    w=3 window never generates) against PAIRS COMPLETENESS (share of
+    true <=100-cent pairs the window actually catches) -- the
+    two-number tradeoff every blocking design is judged by (the
+    llm_lsh_tuning_report of classical ER). Ground truth comes from a
+    value-BANDED self-join (each true pair differs by <=100 cents, so
+    bucketing by cents//100 and probing the 3 adjacent buckets finds
+    all of them -- the join_interval_binned discipline, never the
+    quadratic join the ORACLE is allowed to run at its scale);
+    candidates replay the lead()-window generation. All counts exact;
+    two divisions per segment.
+
+    Scale shape: ground truth is the banded equi-join (density-bounded
+    per bucket); candidates are map-side off one segment sort; the
+    intersection is a pair-keyed join; everything folds to 5 segment
+    rows."""
+    c = load_table(spark, "customer", sf_dir)
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    keyed = c.select("c_custkey", "c_mktsegment", cents.alias("cents"))
+    # ground truth via value-banded self-join
+    a = keyed.select("c_mktsegment", F.col("c_custkey").alias("ak"),
+                     F.col("cents").alias("ac"),
+                     F.floor(F.col("cents") / _BQ_DIFF).alias("bucket"))
+    boff = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    b = (keyed.select("c_mktsegment", F.col("c_custkey").alias("bk"),
+                      F.col("cents").alias("bc"),
+                      F.floor(F.col("cents") / _BQ_DIFF).alias("bb"))
+         .select("*", boff.alias("off"))
+         .select("c_mktsegment", "bk", "bc",
+                 (F.col("bb") + F.col("off")).alias("bucket")))
+    truth = (a.join(b, ["c_mktsegment", "bucket"])
+             .where((F.col("ak") < F.col("bk"))
+                    & (F.abs(F.col("ac") - F.col("bc")) <= _BQ_DIFF))
+             .select("c_mktsegment", F.col("ak").alias("a_key"),
+                     F.col("bk").alias("b_key"))
+             .distinct())
+    # candidates replay the lead()-window generation
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    leads = keyed.select(
+        "c_mktsegment", "c_custkey", "cents",
+        F.array(*[F.struct(F.lead("c_custkey", k).over(w).alias("bk"))
+                  for k in range(1, _BQ_W + 1)]).alias("nbrs"))
+    cand = (leads.select("c_mktsegment",
+                         F.col("c_custkey").alias("a0"),
+                         F.explode("nbrs").alias("nb"))
+            .where(F.col("nb.bk").isNotNull())
+            .select("c_mktsegment",
+                    F.least("a0", F.col("nb.bk")).alias("a_key"),
+                    F.greatest("a0", F.col("nb.bk")).alias("b_key")))
+    seg = keyed.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    nt = truth.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    nc = cand.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    caught = (cand.join(truth, ["c_mktsegment", "a_key", "b_key"])
+              .groupBy("c_mktsegment")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_caught")))
+    out = (seg.join(nt, "c_mktsegment", "left")
+           .join(nc, "c_mktsegment", "left")
+           .join(caught, "c_mktsegment", "left")
+           .select("c_mktsegment",
+                   F.coalesce("n_true", F.lit(0)).cast("bigint")
+                   .alias("n_true"),
+                   F.coalesce("n_candidates", F.lit(0)).cast("bigint")
+                   .alias("n_candidates"),
+                   F.coalesce("n_caught", F.lit(0)).cast("bigint")
+                   .alias("n_caught"),
+                   (F.lit(1.0) - F.col("n_candidates").cast("double")
+                    / (F.col("n") * (F.col("n") - 1) / 2).cast("double"))
+                   .alias("reduction_ratio"),
+                   F.when(F.col("n_true") == 0, F.lit(1.0))
+                   .otherwise(F.col("n_caught").cast("double")
+                              / F.col("n_true").cast("double"))
+                   .alias("pairs_completeness")))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# hierarchical ratio-to-parent rollup (round 6)
+# ---------------------------------------------------------------------------
+
+_HIER_ORACLE = """
+WITH nat AS (
+  SELECT n.n_regionkey, c.c_nationkey,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_regionkey, c.c_nationkey
+)
+SELECT r.r_name AS region, nn.n_name AS nation, nat.rev AS rev_cents,
+       CAST(nat.rev AS DOUBLE)
+         / CAST(SUM(nat.rev) OVER (PARTITION BY nat.n_regionkey)
+                AS DOUBLE) AS share_of_region,
+       CAST(SUM(nat.rev) OVER (PARTITION BY nat.n_regionkey) AS DOUBLE)
+         / CAST(SUM(nat.rev) OVER () AS DOUBLE) AS region_share_of_total
+FROM nat
+JOIN nation nn ON nat.c_nationkey = nn.n_nationkey
+JOIN region r ON nat.n_regionkey = r.r_regionkey
+"""
+
+
+@register("agg_hierarchy_share_rollup", oracle=_HIER_ORACLE)
+def agg_hierarchy_share_rollup(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Hierarchical ratio-to-parent: every nation's revenue as a share
+    of ITS REGION, and every region's share of the grand total, in one
+    table -- the drill-down tree a BI layer renders as nested bars
+    (win_pct_of_total does one level; this composes the two-level
+    geography). Revenue folds to the 25-nation grain first; both share
+    levels are windows over that tiny table; exact cents until the two
+    divisions.
+
+    Scale shape: one combinable fact fold to 25 rows (dims broadcast);
+    windows and dimension joins run entirely on the 25-row table."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir) \
+        .select("c_custkey", "c_nationkey")
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    nat = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .groupBy("n_regionkey", "c_nationkey")
+           .agg(F.sum(cents).cast("bigint").alias("rev")))
+    wr = Window.partitionBy("n_regionkey")
+    wall = Window.partitionBy()
+    shares = nat.select(
+        "n_regionkey", "c_nationkey", "rev",
+        (F.col("rev").cast("double")
+         / F.sum("rev").over(wr).cast("double")).alias("share_of_region"),
+        (F.sum("rev").over(wr).cast("double")
+         / F.sum("rev").over(wall).cast("double"))
+        .alias("region_share_of_total"))
+    return (shares
+            .join(F.broadcast(n.select("n_nationkey", "n_name")),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select(F.col("r_name").alias("region"),
+                    F.col("n_name").alias("nation"),
+                    F.col("rev").alias("rev_cents"),
+                    "share_of_region", "region_share_of_total"))

@@ -287,6 +287,8 @@ QUERY_TABLES = {
     "llm_uncertainty_sampling": {"documents"},
     "ts_gap_log_histogram": {"events"},
     "sql_incremental_mv_refresh": {"events"},
+    "er_blocking_quality_report": set(),   # customer is a 1x dim
+    "agg_hierarchy_share_rollup": {"orders"},
 }
 
 
