@@ -2364,3 +2364,64 @@ def stat_diff_in_diff_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((m("s_tp", "n_tp") - m("s_t0", "n_t0")
           - (m("s_cp", "n_cp") - m("s_c0", "n_c0"))) / F.lit(100.0))
         .alias("did_dollars"))
+
+
+# ---------------------------------------------------------------------------
+# Wilson score interval for proportions (round 6)
+# ---------------------------------------------------------------------------
+
+_WILSON_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS x
+  FROM events
+), t AS (
+  SELECT n, x,
+         CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         {_Z_ALPHA_2} * {_Z_ALPHA_2} / CAST(n AS DOUBLE) AS z2n
+  FROM s
+)
+SELECT n, x, p AS p_hat,
+       (p + z2n / 2.0
+        - {_Z_ALPHA_2} * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+                              + z2n / (4.0 * CAST(n AS DOUBLE))))
+         / (1.0 + z2n) AS wilson_lo,
+       (p + z2n / 2.0
+        + {_Z_ALPHA_2} * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+                              + z2n / (4.0 * CAST(n AS DOUBLE))))
+         / (1.0 + z2n) AS wilson_hi
+FROM t
+"""
+
+
+@register("stat_proportion_ci_wilson", oracle=_WILSON_ORACLE)
+def stat_proportion_ci_wilson(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Wilson score 95% interval for the purchase-conversion rate --
+    the proportion CI that stays honest near 0/1 and at small n, where
+    the naive Wald interval collapses or escapes [0,1] (why every
+    serious A/B platform defaults to Wilson). Two integer counts from
+    one fold; the interval assembles through the standard identical
+    tree with the z quantile frozen as a literal (the
+    stat_mde_power_binary discipline); z^2 appears only as the literal
+    times itself, one correctly-rounded multiply in both engines.
+
+    Scale shape: one combinable two-count fold -- nothing else."""
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint").alias("x"))
+    nd = F.col("n").cast("double")
+    p = F.col("x").cast("double") / nd
+    z = F.lit(_Z_ALPHA_2)
+    z2n = z * z / nd
+    half = z * F.sqrt(p * (F.lit(1.0) - p) / nd
+                      + z2n / (F.lit(4.0) * nd))
+    return s.select(
+        "n", "x", p.alias("p_hat"),
+        ((p + z2n / F.lit(2.0) - half) / (F.lit(1.0) + z2n))
+        .alias("wilson_lo"),
+        ((p + z2n / F.lit(2.0) + half) / (F.lit(1.0) + z2n))
+        .alias("wilson_hi"))

@@ -289,6 +289,7 @@ QUERY_TABLES = {
     "sql_incremental_mv_refresh": {"events"},
     "er_blocking_quality_report": set(),   # customer is a 1x dim
     "agg_hierarchy_share_rollup": {"orders"},
+    "stat_proportion_ci_wilson": {"events"},
 }
 
 
