@@ -282,7 +282,12 @@ def test_third_ring_partition_invariance(spark):
             "stat_permutation_test", "stat_bh_fdr_permutation",
             "geo_grid_neighbor_join", "dq_distribution_drift_psi",
             "ml_roc_auc_exact", "ml_cv_auc_per_fold",
-            "llm_feature_hashing", "seq_path_topk"]
+            "llm_feature_hashing", "seq_path_topk",
+            "ts_haar_energy_levels", "stat_entropy_rate_markov",
+            "win_interval_union_length", "agg_concentration_hhi_crk",
+            "seq_growth_accounting_weekly", "ts_gap_log_histogram",
+            "llm_pipeline_curation_v2", "sql_incremental_mv_refresh",
+            "er_blocking_quality_report", "ml_lift_gains_table"]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     baseline = {k: sorted(map(tuple, registry.get(k).fn(spark, SF_DIR)
                               .collect())) for k in keys}
