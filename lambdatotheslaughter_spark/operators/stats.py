@@ -2425,3 +2425,91 @@ def stat_proportion_ci_wilson(spark: SparkSession,
         .alias("wilson_lo"),
         ((p + z2n / F.lit(2.0) + half) / (F.lit(1.0) + z2n))
         .alias("wilson_hi"))
+
+
+# ---------------------------------------------------------------------------
+# Brier score of the rank-calibrated score (round 6)
+# ---------------------------------------------------------------------------
+
+_BRIER_ORACLE = """
+WITH c AS (
+  SELECT event_type = 'purchase' AS pos,
+         CAST(round(value * 100, 0) AS BIGINT) AS xc
+  FROM events WHERE event_type IN ('click', 'purchase')
+), dom AS (
+  SELECT xc, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS p
+  FROM c GROUP BY xc
+), r AS (
+  SELECT t, p,
+         CAST(2 * (SUM(t) OVER (ORDER BY xc ROWS UNBOUNDED PRECEDING)
+                   - t) + t + 1 AS BIGINT) AS r2
+  FROM dom
+), s AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS x,
+         -- Brier*(2N)^2*N in exact HUGEINT: positives contribute
+         -- (r2-2N)^2, negatives r2^2, counted per domain value
+         SUM(CAST(p AS HUGEINT)
+             * (r2 - 2 * (SELECT SUM(t) FROM dom))
+             * (r2 - 2 * (SELECT SUM(t) FROM dom))
+             + CAST(t - p AS HUGEINT) * r2 * r2) AS ss
+  FROM r
+)
+SELECT n, x,
+       CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS base_rate,
+       CAST(ss AS DOUBLE)
+         / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+            * CAST(n AS DOUBLE)) AS brier
+FROM s
+"""
+
+
+@register("ml_brier_score_rank", oracle=_BRIER_ORACLE)
+def ml_brier_score_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the rank-calibrated classifier p-hat = midrank/N
+    (each row's predicted purchase probability is its value's average
+    rank position) -- the CALIBRATION metric that completes the ranking
+    trio: AUC says the ORDER is right, lift says WHERE to cut, Brier
+    says whether the probabilities themselves can be trusted (mean
+    squared (p-hat - y)^2). Scaling by (2N)^2 makes every squared
+    residual an exact integer -- positives contribute (r2 - 2N)^2,
+    negatives r2^2, both per domain VALUE with multiplicity, summed in
+    HUGEINT/decimal(38,0) -- so the whole statistic is one wide-integer
+    fold over the ~18k-value domain and a single final division.
+
+    Scale shape: the domain-collapse recipe (ml_roc_auc_exact): one
+    combinable groupBy to per-value counts, one domain-sized cumulative
+    window, one wide-integer fold."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    dom = (ev.select((F.col("event_type") == "purchase").alias("pos"),
+                     xc.alias("xc"))
+           .groupBy("xc")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("t"),
+                F.count(F.when(F.col("pos"), 1)).cast("bigint")
+                .alias("p")))
+    wcum = (Window.orderBy("xc")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy()
+    r = dom.select(
+        "t", "p",
+        (F.lit(2) * (F.sum("t").over(wcum) - F.col("t"))
+         + F.col("t") + 1).cast("bigint").alias("r2"),
+        F.sum("t").over(wall).cast("bigint").alias("n_tot"))
+    d38 = "decimal(38,0)"
+    pos_term = (F.col("p").cast(d38)
+                * (F.col("r2") - 2 * F.col("n_tot"))
+                * (F.col("r2") - 2 * F.col("n_tot")))
+    neg_term = ((F.col("t") - F.col("p")).cast(d38)
+                * F.col("r2") * F.col("r2"))
+    s = r.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum("p").cast("bigint").alias("x"),
+        F.sum(pos_term + neg_term).alias("ss"))
+    nd = F.col("n").cast("double")
+    return s.select(
+        "n", "x",
+        (F.col("x").cast("double") / nd).alias("base_rate"),
+        (F.col("ss").cast("double") / (F.lit(4.0) * nd * nd * nd))
+        .alias("brier"))

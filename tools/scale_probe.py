@@ -290,6 +290,7 @@ QUERY_TABLES = {
     "er_blocking_quality_report": set(),   # customer is a 1x dim
     "agg_hierarchy_share_rollup": {"orders"},
     "stat_proportion_ci_wilson": {"events"},
+    "ml_brier_score_rank": {"events"},
 }
 
 
