@@ -3662,3 +3662,127 @@ def llm_uncertainty_sampling(spark: SparkSession,
                           .alias("rank"),
                           "doc_id", "n_pos", "n_neg")
             .where(F.col("rank") <= 10))
+
+
+# ---------------------------------------------------------------------------
+# RAG groundedness eval (round 6)
+# ---------------------------------------------------------------------------
+
+_RAG_GROUND_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id AS query_id,
+         list_distinct(string_split(text, ' ')[1:5]) AS qtoks
+  FROM documents WHERE doc_id < 10
+), qt AS (
+  SELECT query_id, unnest(qtoks) AS tok FROM q
+), ct AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id >= 10
+), scored AS (
+  SELECT qt.query_id, ct.doc_id, CAST(COUNT(*) AS BIGINT) AS score
+  FROM qt JOIN ct ON qt.tok = ct.tok
+  GROUP BY qt.query_id, ct.doc_id
+), ranked AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS doc_tokens,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.score DESC, s.doc_id) AS rank
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+), packed AS (
+  SELECT query_id, doc_id
+  FROM (SELECT query_id, rank, doc_id,
+               SUM(doc_tokens) OVER (PARTITION BY query_id ORDER BY rank
+                                     ROWS UNBOUNDED PRECEDING)
+                 AS cum_tokens
+        FROM ranked WHERE rank <= {_RAG_TOPK})
+  WHERE cum_tokens <= {_RAG_BUDGET}
+), ctx_toks AS (
+  SELECT DISTINCT p.query_id, ct.tok
+  FROM packed p JOIN ct ON p.doc_id = ct.doc_id
+), ans_toks AS (
+  SELECT DISTINCT d.doc_id AS query_id, unnest(string_split(d.text, ' '))
+           AS tok
+  FROM documents d WHERE d.doc_id < 10
+), cov AS (
+  SELECT a.query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_answer_toks,
+         CAST(COUNT(c.tok) AS BIGINT) AS n_covered
+  FROM ans_toks a
+  LEFT JOIN ctx_toks c ON a.query_id = c.query_id AND a.tok = c.tok
+  GROUP BY a.query_id
+), nd AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ctx_docs
+  FROM packed GROUP BY query_id
+)
+SELECT cov.query_id, COALESCE(nd.n_ctx_docs, 0) AS n_ctx_docs,
+       cov.n_answer_toks, cov.n_covered,
+       CAST(cov.n_covered AS DOUBLE) / CAST(cov.n_answer_toks AS DOUBLE)
+         AS coverage
+FROM cov LEFT JOIN nd ON cov.query_id = nd.query_id
+"""
+
+
+@register("llm_rag_groundedness_eval", oracle=_RAG_GROUND_ORACLE)
+def llm_rag_groundedness_eval(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """RAG GROUNDEDNESS: for each query, what share of the full answer
+    document's distinct vocabulary the PACKED context
+    (llm_rag_context_pack's exact budget cut, replayed stage-for-stage)
+    actually contains -- the can-the-answer-even-be-grounded ceiling a
+    RAG deploy measures before blaming the generator: tokens the
+    context never carried cannot be attributed to it. Closes the
+    retrieve -> pack -> EVAL loop the way llm_eval_retrieval_mrr closes
+    embedding retrieval. All set logic on distinct (query, token)
+    grains; one division per query.
+
+    Scale shape: the pack chain's own shapes (broadcast query side,
+    token-keyed joins), then two distinct-grain joins bounded by
+    |queries| x vocabulary."""
+    d = load_table(spark, "documents", sf_dir)
+    q = (d.where(F.col("doc_id") < 10)
+         .select(F.col("doc_id").alias("query_id"),
+                 F.explode(F.array_distinct(
+                     F.slice(F.split("text", " "), 1, 5))).alias("tok")))
+    ct = (d.where(F.col("doc_id") >= 10)
+          .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+          .distinct())
+    scored = (ct.join(F.broadcast(q), "tok")
+              .groupBy("query_id", "doc_id")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("score")))
+    dl = d.select(F.col("doc_id").alias("d2"),
+                  F.size(F.split("text", " ")).cast("bigint")
+                  .alias("doc_tokens"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "doc_id")
+    ranked = (scored.join(dl, scored.doc_id == dl.d2)
+              .select("query_id", "doc_id", "score", "doc_tokens",
+                      F.row_number().over(wq).alias("rank"))
+              .where(F.col("rank") <= _RAG_TOPK))
+    wcum = (Window.partitionBy("query_id").orderBy("rank")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = (ranked
+              .select("query_id", "doc_id",
+                      F.sum("doc_tokens").over(wcum).alias("cum_tokens"))
+              .where(F.col("cum_tokens") <= _RAG_BUDGET)
+              .select("query_id", "doc_id"))
+    ctx_toks = (packed.join(ct, "doc_id")
+                .select("query_id", "tok").distinct())
+    ans_toks = (d.where(F.col("doc_id") < 10)
+                .select(F.col("doc_id").alias("query_id"),
+                        F.explode(F.split("text", " ")).alias("tok"))
+                .distinct())
+    cov = (ans_toks.join(ctx_toks.withColumn("hit", F.lit(1)),
+                         ["query_id", "tok"], "left")
+           .groupBy("query_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_answer_toks"),
+                F.count("hit").cast("bigint").alias("n_covered")))
+    nd_ = packed.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ctx_docs"))
+    return (cov.join(nd_, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_ctx_docs", F.lit(0)).cast("bigint")
+                    .alias("n_ctx_docs"),
+                    "n_answer_toks", "n_covered",
+                    (F.col("n_covered").cast("double")
+                     / F.col("n_answer_toks").cast("double"))
+                    .alias("coverage")))

@@ -291,6 +291,7 @@ QUERY_TABLES = {
     "agg_hierarchy_share_rollup": {"orders"},
     "stat_proportion_ci_wilson": {"events"},
     "ml_brier_score_rank": {"events"},
+    "llm_rag_groundedness_eval": {"documents"},
 }
 
 
