@@ -788,3 +788,46 @@ def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     of partials + one day of rollups per type — O(windows), not
     O(events)."""
     return chained_window_agg(load_table(spark, "events", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# drift-monitor bucket counts: streaming twin (round 6)
+# ---------------------------------------------------------------------------
+
+def drift_bucket_counts(events: DataFrame) -> DataFrame:
+    """The dq_distribution_drift_psi INPUT state as a streaming-friendly
+    aggregate: per (value bucket, half-month flag) purchase counts."""
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return (events.where(F.col("event_type") == "purchase")
+            .select(F.least(F.lit(9), F.floor(cents / 5000))
+                    .cast("bigint").alias("bucket"),
+                    (F.dayofmonth("ts") <= 15).alias("first_half"))
+            .groupBy("bucket", "first_half")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+
+
+_DRIFT_TWIN_ORACLE = """
+SELECT LEAST(9, CAST(round(value * 100, 0) AS BIGINT) // 5000) AS bucket,
+       dayofmonth(ts) <= 15 AS first_half,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE event_type = 'purchase'
+GROUP BY LEAST(9, CAST(round(value * 100, 0) AS BIGINT) // 5000),
+         dayofmonth(ts) <= 15
+"""
+
+
+@register("stream_drift_bucket_counts", oracle=_DRIFT_TWIN_ORACLE)
+def stream_drift_bucket_counts(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The drift monitor's speed-layer half: the (bucket, half) count
+    state dq_distribution_drift_psi derives PSI from, maintained as a
+    plain streaming aggregate (complete mode; a 20-cell state store) --
+    so the retrain-trigger updates per micro-batch instead of per
+    nightly batch, and the batch PSI is ONE arithmetic step over this
+    table. Registered as the batch twin (the house streaming
+    convention); test_streaming.py proves the harness-streamed form
+    emits the identical table.
+
+    Scale shape: streaming state is <= 20 cells regardless of volume;
+    the batch twin is one combinable groupBy."""
+    return drift_bucket_counts(load_table(spark, "events", sf_dir))

@@ -632,3 +632,11 @@ def test_chained_window_agg_twin(spark, harness):
     assert sorted(closed) == sorted(r for r in so if r[0] < max_day), \
         "closed-day rows differ between stream and batch twin"
     assert len(so) >= len(closed), (len(so), len(closed))
+
+
+def test_drift_bucket_counts_twin(spark, harness):
+    out = harness.run(tw.drift_bucket_counts, output_mode="complete")
+    _assert_same(out,
+                 tw.drift_bucket_counts(
+                     load_table(spark, "events", SMOKE_SF_DIR)),
+                 "drift_bucket_counts")

@@ -292,6 +292,7 @@ QUERY_TABLES = {
     "stat_proportion_ci_wilson": {"events"},
     "ml_brier_score_rank": {"events"},
     "llm_rag_groundedness_eval": {"documents"},
+    "stream_drift_bucket_counts": {"events"},
 }
 
 
