@@ -6241,3 +6241,85 @@ def agg_hierarchy_share_rollup(spark: SparkSession,
                     F.col("n_name").alias("nation"),
                     F.col("rev").alias("rev_cents"),
                     "share_of_region", "region_share_of_total"))
+
+
+# ---------------------------------------------------------------------------
+# strict-order window funnel (round 6)
+# ---------------------------------------------------------------------------
+
+_WFUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT v.user_id, MIN(e.ts) AS t2
+  FROM v JOIN events e
+    ON e.user_id = v.user_id AND e.event_type = 'click'
+   AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 1 DAY
+  GROUP BY v.user_id
+), p AS (
+  SELECT c.user_id, MIN(e.ts) AS t3
+  FROM c JOIN v ON c.user_id = v.user_id
+  JOIN events e
+    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+   AND e.ts > c.t2 AND e.ts <= v.t1 + INTERVAL 1 DAY
+  GROUP BY c.user_id
+), depth AS (
+  SELECT v.user_id,
+         1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS d
+  FROM v LEFT JOIN c ON v.user_id = c.user_id
+  LEFT JOIN p ON v.user_id = p.user_id
+)
+SELECT CAST(d AS BIGINT) AS funnel_depth,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM depth GROUP BY d
+"""
+
+
+@register("seq_window_funnel_strict", oracle=_WFUNNEL_ORACLE)
+def seq_window_funnel_strict(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """STRICT-ORDER window funnel (the ClickHouse windowFunnel
+    semantics): view, then a click STRICTLY AFTER the first view, then
+    a purchase STRICTLY AFTER that click -- all inside a 1-day horizon
+    anchored at the first view; users counted at their deepest step.
+    Differs from funnel_view_click_purchase's set-membership funnel
+    exactly where product analysis needs it: a purchase BEFORE the
+    click does not count as conversion THROUGH the funnel. Each step is
+    a conditional MIN anchored on the previous step's timestamp --
+    sequential semantics, but each stage is one user-keyed equi-join +
+    groupBy, never a per-user sort.
+
+    Scale shape: three user-keyed joins/folds (same-key hash
+    partitioning reuses the exchange); depth rollup folds to <= 3
+    rows."""
+    ev = load_table(spark, "events", sf_dir)
+    v = (ev.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    horizon = F.col("t1") + F.expr("INTERVAL 1 DAY")
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select(F.col("user_id").alias("cu"), F.col("ts").alias("cts"))
+    c = (v.join(clicks, (F.col("user_id") == F.col("cu"))
+                & (F.col("cts") > F.col("t1"))
+                & (F.col("cts") <= horizon))
+         .groupBy("user_id").agg(F.min("cts").alias("t2")))
+    purchases = ev.where(F.col("event_type") == "purchase") \
+        .select(F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+    p = (c.join(v.select(F.col("user_id").alias("vu"), "t1"),
+                F.col("user_id") == F.col("vu"))
+         .join(purchases, (F.col("user_id") == F.col("pu"))
+               & (F.col("pts") > F.col("t2"))
+               & (F.col("pts") <= F.col("t1") + F.expr("INTERVAL 1 DAY")))
+         .groupBy("user_id").agg(F.min("pts").alias("t3")))
+    depth = (v.select("user_id")
+             .join(c.select(F.col("user_id").alias("c2")).distinct(),
+                   F.col("user_id") == F.col("c2"), "left")
+             .join(p.select(F.col("user_id").alias("p2")).distinct(),
+                   F.col("user_id") == F.col("p2"), "left")
+             .select((F.lit(1)
+                      + F.when(F.col("c2").isNull(), 0).otherwise(1)
+                      + F.when(F.col("p2").isNull(), 0).otherwise(1))
+                     .cast("bigint").alias("funnel_depth")))
+    return (depth.groupBy("funnel_depth")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))

@@ -293,6 +293,7 @@ QUERY_TABLES = {
     "ml_brier_score_rank": {"events"},
     "llm_rag_groundedness_eval": {"documents"},
     "stream_drift_bucket_counts": {"events"},
+    "seq_window_funnel_strict": {"events"},
 }
 
 
