@@ -6323,3 +6323,64 @@ def seq_window_funnel_strict(spark: SparkSession,
                      .cast("bigint").alias("funnel_depth")))
     return (depth.groupBy("funnel_depth")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (round 6)
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), scored AS (
+  SELECT user_id, monetary,
+         ntile(4) OVER (ORDER BY last_us, user_id) AS r_q,
+         ntile(4) OVER (ORDER BY freq, user_id) AS f_q,
+         ntile(4) OVER (ORDER BY monetary, user_id) AS m_q
+  FROM per_user
+)
+SELECT r_q || '' || f_q || '' || m_q AS rfm_segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(monetary) AS BIGINT) AS revenue_cents
+FROM scored GROUP BY r_q || '' || f_q || '' || m_q
+"""
+
+
+@register("seq_rfm_segments", oracle=_RFM_ORACLE)
+def seq_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation -- the marketing-ops classic: every purchasing
+    user scored into recency/frequency/monetary quartiles (NTILE over
+    total orders: metric then user_id, so ties are deterministic) and
+    rolled up per 3-digit segment code with user counts and revenue --
+    '444' is the champions cell, '111' the lost cell, and the table is
+    the campaign-targeting input seq_user-level analytics feed. All
+    inputs are exact integers (epoch-microsecond recency, counts,
+    cents).
+
+    Scale shape: one combinable user-grain fold; three ntile windows
+    over the purchaser-grain table (two-pass bucketed rank is the
+    documented swap, the ml_lift_gains_table note); a <=64-cell
+    rollup."""
+    ev = load_table(spark, "events", sf_dir) \
+        .where(F.col("event_type") == "purchase")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.unix_micros(F.max("ts").cast("timestamp")).cast("bigint")
+        .alias("last_us"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(cents).cast("bigint").alias("monetary"))
+    scored = per_user.select(
+        "user_id", "monetary",
+        F.ntile(4).over(Window.orderBy("last_us", "user_id")).alias("r_q"),
+        F.ntile(4).over(Window.orderBy("freq", "user_id")).alias("f_q"),
+        F.ntile(4).over(Window.orderBy("monetary", "user_id"))
+        .alias("m_q"))
+    return (scored.groupBy(F.concat_ws("", F.col("r_q"), F.col("f_q"),
+                                       F.col("m_q")).alias("rfm_segment"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 F.sum("monetary").cast("bigint").alias("revenue_cents")))

@@ -2513,3 +2513,76 @@ def ml_brier_score_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x").cast("double") / nd).alias("base_rate"),
         (F.col("ss").cast("double") / (F.lit(4.0) * nd * nd * nd))
         .alias("brier"))
+
+
+# ---------------------------------------------------------------------------
+# interrupted time series: pre/post slopes + level shift (round 6)
+# ---------------------------------------------------------------------------
+
+_ITS_CUT = "2024-01-16 00:00:00"
+
+_ITS_ORACLE = f"""
+WITH hourly AS (
+  SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
+           AS hh,
+         date_trunc('hour', ts) < TIMESTAMP '{_ITS_CUT}' AS pre,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+), centered AS (
+  -- x centered at the cut hour: the intercept IS the fitted value at
+  -- the cut, so no large-magnitude extrapolation ever mixes with the
+  -- regression's merge-order noise
+  SELECT pre, cents,
+         hh - (SELECT CAST(epoch_us(TIMESTAMP '{_ITS_CUT}')
+                           // 3600000000 AS BIGINT)) AS xc
+  FROM hourly
+)
+SELECT pre AS is_pre, CAST(COUNT(*) AS BIGINT) AS n,
+       round(regr_slope(CAST(cents AS DOUBLE), CAST(xc AS DOUBLE)), 6)
+         AS slope_cents_per_hr,
+       round(regr_intercept(CAST(cents AS DOUBLE), CAST(xc AS DOUBLE)), 6)
+         AS fitted_at_cut_cents
+FROM centered GROUP BY pre
+"""
+
+
+@register("stat_interrupted_time_series", oracle=_ITS_ORACLE)
+def stat_interrupted_time_series(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Interrupted time series, the segmented-regression form: separate
+    least-squares trends for the hourly purchase series BEFORE and
+    AFTER a cutover date, each extrapolated to the cut point -- the
+    pre/post slope change and the fitted LEVEL SHIFT at the boundary
+    are the two numbers an ITS analysis reads (the launch/incident
+    readout when no control group exists; stat_diff_in_diff_2x2 is the
+    with-control sibling). Trends ride the SQL:2003 regr_* builtins
+    over exact integer (CUT-CENTERED hour index, cents) pairs, 6-dp
+    rounded (merge-order, the agg_regr_builtins precedent); centering
+    makes the intercept BE the fitted value at the cut, so no
+    large-magnitude extrapolation amplifies regression noise (the
+    uncentered draft failed parity at the 6th decimal).
+
+    Scale shape: calendar-bounded hourly pre-agg; one combinable
+    two-group regression fold."""
+    ev = load_table(spark, "events", sf_dir) \
+        .where(F.col("event_type") == "purchase")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hr = F.date_trunc("hour", "ts")
+    hh = F.floor(F.unix_micros(hr.cast("timestamp")) / 3600000000) \
+        .cast("bigint")
+    cut = F.lit(_ITS_CUT).cast("timestamp")
+    hourly = (ev.groupBy(hh.alias("hh"), (hr < cut).alias("pre"))
+              .agg(F.sum(cents).cast("bigint").alias("cents")))
+    cut_hh = F.floor(F.unix_micros(cut) / 3600000000).cast("bigint")
+    centered = hourly.select("pre", "cents",
+                             (F.col("hh") - cut_hh).alias("xc"))
+    return (centered.groupBy(F.col("pre").alias("is_pre"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.regr_slope(F.col("cents").cast("double"),
+                                      F.col("xc").cast("double")), 6)
+                 .alias("slope_cents_per_hr"),
+                 F.round(F.regr_intercept(F.col("cents").cast("double"),
+                                          F.col("xc").cast("double")), 6)
+                 .alias("fitted_at_cut_cents")))

@@ -294,6 +294,8 @@ QUERY_TABLES = {
     "llm_rag_groundedness_eval": {"documents"},
     "stream_drift_bucket_counts": {"events"},
     "seq_window_funnel_strict": {"events"},
+    "seq_rfm_segments": {"events"},
+    "stat_interrupted_time_series": {"events"},
 }
 
 
