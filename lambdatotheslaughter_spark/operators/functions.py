@@ -1006,3 +1006,79 @@ def date_fiscal_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("fiscal_quarter"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
                  F.sum("cents").cast("bigint").alias("revenue_cents")))
+
+
+# ---------------------------------------------------------------------------
+# retail 4-4-5 calendar rollup (round 6)
+# ---------------------------------------------------------------------------
+
+_R445_ORACLE = """
+WITH f AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         year(o_orderdate) + CASE WHEN month(o_orderdate) >= 2
+                                  THEN 0 ELSE -1 END AS fy,
+         o_orderdate
+  FROM orders
+), wk AS (
+  -- fiscal week = whole weeks since Feb 1 of the fiscal year; weeks
+  -- beyond 52 (the 4-day tail, or 5 in leap years) fold into week 51
+  -- so every year has exactly 4 quarters of 13 weeks (the 4-4-5 rule's
+  -- 53rd-week convention in its simplest form)
+  SELECT cents, fy,
+         LEAST(51, CAST(date_diff('day',
+                                  make_date(CAST(fy AS INT), 2, 1),
+                                  CAST(o_orderdate AS DATE)) // 7
+                        AS BIGINT)) AS fweek
+  FROM f
+), m AS (
+  SELECT cents, fy,
+         fweek // 13 AS fq, fweek % 13 AS wq
+  FROM wk
+)
+SELECT CAST(fy AS BIGINT) AS fiscal_year,
+       CAST(fq * 3 + CASE WHEN wq < 4 THEN 1
+                          WHEN wq < 8 THEN 2 ELSE 3 END AS BIGINT)
+         AS fiscal_month_445,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM m GROUP BY fy, fq * 3 + CASE WHEN wq < 4 THEN 1
+                                  WHEN wq < 8 THEN 2 ELSE 3 END
+"""
+
+
+@register("date_retail_445_calendar", oracle=_R445_ORACLE)
+def date_retail_445_calendar(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Retail 4-4-5 calendar rollup: revenue per fiscal month where each
+    quarter is a 4-week, 4-week, 5-week triplet counted from the
+    February fiscal-year start (date_fiscal_quarter's civil-month shift
+    is the simple form; 4-4-5 is what retail comparability actually
+    uses -- every month contains the same number of each weekday, so
+    month-over-month is weekday-mix-free). Fiscal week is pure integer
+    day arithmetic (days since Feb 1 // 7, tail days folding into week
+    51 so every year closes 4x13 weeks); the 4/4/5 split is an integer
+    CASE ladder, spelled identically in both engines.
+
+    Scale shape: map-side date arithmetic + one combinable groupBy to
+    12 x years rows."""
+    o = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    fy = (F.year("o_orderdate")
+          + F.when(F.month("o_orderdate") >= 2, F.lit(0))
+          .otherwise(F.lit(-1)))
+    fy_start = F.make_date(fy, F.lit(2), F.lit(1))
+    fweek = F.least(
+        F.lit(51),
+        F.floor(F.datediff(F.col("o_orderdate").cast("date"), fy_start)
+                / 7)).cast("bigint")
+    fq = F.floor(fweek / 13).cast("bigint")
+    wq = fweek % 13
+    fmonth = (fq * 3
+              + F.when(wq < 4, F.lit(1)).when(wq < 8, F.lit(2))
+              .otherwise(F.lit(3))).cast("bigint")
+    return (o.select(cents.alias("cents"),
+                     fy.cast("bigint").alias("fiscal_year"),
+                     fmonth.alias("fiscal_month_445"))
+            .groupBy("fiscal_year", "fiscal_month_445")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                 F.sum("cents").cast("bigint").alias("revenue_cents")))

@@ -296,6 +296,7 @@ QUERY_TABLES = {
     "seq_window_funnel_strict": {"events"},
     "seq_rfm_segments": {"events"},
     "stat_interrupted_time_series": {"events"},
+    "date_retail_445_calendar": {"orders"},
 }
 
 
