@@ -6384,3 +6384,72 @@ def seq_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        F.col("m_q")).alias("rfm_segment"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
                  F.sum("monetary").cast("bigint").alias("revenue_cents")))
+
+
+# ---------------------------------------------------------------------------
+# daily bounce rate over 30-minute sessions (round 6)
+# ---------------------------------------------------------------------------
+
+_BOUNCE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts,
+                                 event_id) IS NULL
+              OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts,
+                                    event_id) + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+), sessions AS (
+  SELECT user_id, session_no,
+         strftime(CAST(MIN(ts) AS DATE), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM numbered GROUP BY user_id, session_no
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounces,
+       CAST(COUNT(*) FILTER (WHERE n_events = 1) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+FROM sessions GROUP BY day
+"""
+
+
+@register("seq_bounce_rate_daily", oracle=_BOUNCE_ORACLE)
+def seq_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate over 30-minute-gap sessions: the share of
+    sessions (attributed to their START day, the analytics convention)
+    that contain exactly ONE event -- the engagement-health headline on
+    every web dashboard, here composed from the same gaps-and-islands
+    sessionization the stream_session_window twin pins (lag + cumsum
+    over a (ts, event_id) total order). Counts exact; one division per
+    day; the day projects yyyy-MM-dd (portable projection).
+
+    Scale shape: one user-keyed sort serves the gap flag AND the island
+    cumsum; sessions and the daily rollup are combinable groupBys."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    marked = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(prev.isNull()
+               | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTE")),
+               F.lit(1)).otherwise(F.lit(0)).alias("is_new"))
+    numbered = marked.select(
+        "user_id", "ts",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"))
+    sessions = (numbered.groupBy("user_id", "session_no")
+                .agg(F.date_format(F.min("ts"), "yyyy-MM-dd").alias("day"),
+                     F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    return (sessions.groupBy("day")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+                 F.count(F.when(F.col("n_events") == 1, 1)).cast("bigint")
+                 .alias("n_bounces"),
+                 (F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
+                  / F.count(F.lit(1)).cast("double")).alias("bounce_rate")))

@@ -297,6 +297,7 @@ QUERY_TABLES = {
     "seq_rfm_segments": {"events"},
     "stat_interrupted_time_series": {"events"},
     "date_retail_445_calendar": {"orders"},
+    "seq_bounce_rate_daily": {"events"},
 }
 
 
