@@ -81,6 +81,8 @@ HEADLINE = [
     "llm_sentiment_lexicon",    # zero-shuffle lexicon sentiment (round 6)
     "llm_eval_rouge2",          # clipped-bigram ROUGE-2 eval (round 6)
     "llm_pipeline_curation_v2",  # round-6 stages composed end-to-end
+    "ml_roc_auc_exact",         # domain-collapsed rank AUC (round 6)
+    "geo_grid_neighbor_join",   # bin-and-verify spatial self-join (round 6)
 ]
 
 
