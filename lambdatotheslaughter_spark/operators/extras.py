@@ -6453,3 +6453,129 @@ def seq_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_bounces"),
                  (F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
                   / F.count(F.lit(1)).cast("double")).alias("bounce_rate")))
+
+
+# ---------------------------------------------------------------------------
+# Pareto cutoff point (round 6)
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT rev,
+         row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+         CAST(SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_rev,
+         CAST(SUM(rev) OVER () AS BIGINT) AS total,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM cust
+)
+SELECT CAST(MIN(rk) AS BIGINT) AS k_customers,
+       MAX(n) AS n_customers,
+       CAST(MIN(rk) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+         AS customer_share,
+       -- integer-safe 80% test: 5*cum >= 4*total
+       0.8 AS revenue_share_target
+FROM ranked WHERE 5 * cum_rev >= 4 * total
+"""
+
+
+@register("agg_pareto_cutoff", oracle=_PARETO_ORACLE)
+def agg_pareto_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto cutoff: the smallest k such that the top-k customers
+    (by revenue, custkey tie-break) cover >= 80% of total revenue --
+    the is-it-really-80/20 check behind agg_concentration_hhi_crk's
+    summary indices, reported as k and its share of the customer base.
+    The 80% test is INTEGER-safe (5*cum >= 4*total -- no float
+    threshold anywhere); the pick is a conditional MIN over ranks.
+
+    Scale shape: customer-grain fold, one rank/cumsum window over the
+    customer table (two-pass bucketed rank is the documented swap),
+    one fold to a single row."""
+    o = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(cents).cast("bigint").alias("rev"))
+    wo = Window.orderBy(F.col("rev").desc(), "o_custkey")
+    wall = Window.partitionBy()
+    ranked = cust.select(
+        F.row_number().over(wo).alias("rk"),
+        F.sum("rev").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint").alias("cum_rev"),
+        F.sum("rev").over(wall).cast("bigint").alias("total"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"))
+    return (ranked.where(5 * F.col("cum_rev") >= 4 * F.col("total"))
+            .agg(F.min("rk").cast("bigint").alias("k_customers"),
+                 F.max("n").alias("n_customers"),
+                 (F.min("rk").cast("double") / F.max("n").cast("double"))
+                 .alias("customer_share"),
+                 F.lit(0.8).alias("revenue_share_target")))
+
+
+# ---------------------------------------------------------------------------
+# new-vs-returning revenue split (round 6)
+# ---------------------------------------------------------------------------
+
+_NVR_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, strftime(CAST(MIN(ts) AS DATE), '%Y-%m-%d') AS first_day
+  FROM events GROUP BY user_id
+), daily AS (
+  SELECT strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS day,
+         f.first_day = strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS is_new,
+         CAST(round(e.value * 100, 0) AS BIGINT) AS cents
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+)
+SELECT day,
+       CAST(SUM(CASE WHEN is_new THEN cents ELSE 0 END) AS BIGINT)
+         AS new_user_cents,
+       CAST(SUM(CASE WHEN is_new THEN 0 ELSE cents END) AS BIGINT)
+         AS returning_cents,
+       CAST(COUNT(*) FILTER (WHERE is_new) AS BIGINT) AS n_new_purchases,
+       CAST(COUNT(*) FILTER (WHERE NOT is_new) AS BIGINT)
+         AS n_returning_purchases
+FROM daily GROUP BY day
+"""
+
+
+@register("agg_new_vs_returning_daily", oracle=_NVR_ORACLE)
+def agg_new_vs_returning_daily(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Daily purchase revenue split by NEW vs RETURNING users (new =
+    purchasing on their first-ever active day) -- the growth-vs-base
+    decomposition every revenue dashboard leads with, and the
+    seq_growth_accounting_weekly companion at the money grain. One
+    user-grain first-day fold, one user-keyed join back, exact cents;
+    days project yyyy-MM-dd (portable projection).
+
+    Scale shape: combinable first-day fold; user-keyed equi-join (both
+    sides hash the same key); combinable daily rollup."""
+    ev = load_table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("first_day"))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    daily = (ev.where(F.col("event_type") == "purchase")
+             .join(firsts, "user_id")
+             .select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                     (F.col("first_day")
+                      == F.date_format("ts", "yyyy-MM-dd"))
+                     .alias("is_new"),
+                     cents.alias("cents")))
+    return (daily.groupBy("day")
+            .agg(F.sum(F.when(F.col("is_new"), F.col("cents"))
+                       .otherwise(F.lit(0))).cast("bigint")
+                 .alias("new_user_cents"),
+                 F.sum(F.when(F.col("is_new"), F.lit(0))
+                       .otherwise(F.col("cents"))).cast("bigint")
+                 .alias("returning_cents"),
+                 F.count(F.when(F.col("is_new"), 1)).cast("bigint")
+                 .alias("n_new_purchases"),
+                 F.count(F.when(~F.col("is_new"), 1)).cast("bigint")
+                 .alias("n_returning_purchases")))

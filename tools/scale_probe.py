@@ -298,6 +298,8 @@ QUERY_TABLES = {
     "stat_interrupted_time_series": {"events"},
     "date_retail_445_calendar": {"orders"},
     "seq_bounce_rate_daily": {"events"},
+    "agg_pareto_cutoff": {"orders"},
+    "agg_new_vs_returning_daily": {"events"},
 }
 
 
