@@ -6579,3 +6579,79 @@ def agg_new_vs_returning_daily(spark: SparkSession,
                  .alias("n_new_purchases"),
                  F.count(F.when(~F.col("is_new"), 1)).cast("bigint")
                  .alias("n_returning_purchases")))
+
+
+# ---------------------------------------------------------------------------
+# maximum drawdown of the daily net series (round 6)
+# ---------------------------------------------------------------------------
+
+_MDD_ORACLE = """
+WITH daily AS (
+  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)
+                  * CASE WHEN event_type = 'error' THEN -1 ELSE 1 END)
+              AS BIGINT) AS net_cents
+  FROM events WHERE event_type IN ('purchase', 'error')
+  GROUP BY event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')
+), series AS (
+  SELECT day, CAST(SUM(net_cents) AS BIGINT) AS net_cents
+  FROM daily GROUP BY day
+), cum AS (
+  SELECT day, net_cents,
+         CAST(SUM(net_cents) OVER (ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS equity
+  FROM series
+), dd AS (
+  SELECT day, equity,
+         CAST(MAX(equity) OVER (ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS peak
+  FROM cum
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(peak - equity) AS BIGINT) AS max_drawdown_cents,
+       CAST(MIN(CASE WHEN peak - equity = (SELECT MAX(peak - equity)
+                                           FROM dd) THEN day END)
+            AS VARCHAR) AS trough_day
+FROM dd
+"""
+
+
+@register("win_max_drawdown", oracle=_MDD_ORACLE)
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative net series (purchases minus
+    error-event penalties, the fixture's P&L stand-in): the largest
+    peak-to-trough fall of the running total, plus its trough day --
+    THE risk statistic equity curves are judged by, and a three-window
+    classic (cumulative sum -> running max -> max gap) that
+    mis-composes silently if any window frame is wrong. All exact
+    integer cents over the calendar-bounded daily series; the trough
+    day is the FIRST day attaining the max (deterministic tie-break);
+    days project yyyy-MM-dd.
+
+    Scale shape: one combinable daily fold; three windows over the
+    ~30-row calendar series -- data-size-free past the first
+    exchange."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("purchase", "error")))
+    cents = (F.round(F.col("value") * 100, 0).cast("bigint")
+             * F.when(F.col("event_type") == "error", F.lit(-1))
+             .otherwise(F.lit(1)))
+    series = (ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+              .agg(F.sum(cents).cast("bigint").alias("net_cents")))
+    wc = (Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = series.select(
+        "day", F.sum("net_cents").over(wc).cast("bigint").alias("equity"))
+    dd = cum.select(
+        "day", "equity",
+        F.max("equity").over(wc).cast("bigint").alias("peak"))
+    mdd = dd.select("day", (F.col("peak") - F.col("equity")).alias("gap"))
+    top = mdd.agg(F.max("gap").cast("bigint").alias("mx"))
+    return (mdd.crossJoin(F.broadcast(top))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+                 F.max("gap").cast("bigint").alias("max_drawdown_cents"),
+                 F.min(F.when(F.col("gap") == F.col("mx"),
+                              F.col("day"))).cast("string")
+                 .alias("trough_day")))

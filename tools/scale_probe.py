@@ -300,6 +300,7 @@ QUERY_TABLES = {
     "seq_bounce_rate_daily": {"events"},
     "agg_pareto_cutoff": {"orders"},
     "agg_new_vs_returning_daily": {"events"},
+    "win_max_drawdown": {"events"},
 }
 
 
