@@ -6655,3 +6655,80 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(F.when(F.col("gap") == F.col("mx"),
                               F.col("day"))).cast("string")
                  .alias("trough_day")))
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV curve (round 6)
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), sizes AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM firsts GROUP BY cohort_week
+), rev AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week,
+                        date_trunc('week', e.ts)) // 7 AS BIGINT)
+           AS age_weeks,
+         CAST(SUM(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY f.cohort_week, date_diff('day', f.cohort_week,
+                                    date_trunc('week', e.ts)) // 7
+), cum AS (
+  SELECT cohort_week, age_weeks,
+         CAST(SUM(cents) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_cents
+  FROM rev
+)
+SELECT c.cohort_week, c.age_weeks, s.cohort_users, c.cum_cents,
+       CAST(c.cum_cents AS DOUBLE) / CAST(s.cohort_users AS DOUBLE)
+         / 100.0 AS ltv_dollars_per_user
+FROM cum c JOIN sizes s ON c.cohort_week = s.cohort_week
+"""
+
+
+@register("agg_cohort_ltv_curve", oracle=_LTV_ORACLE)
+def agg_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative purchase revenue PER USER by
+    (signup-week cohort, weeks since signup) -- retention_cohorts'
+    money-grain sibling and the payback-period input every acquisition
+    budget is set against (which week does cumulative LTV cross CAC?).
+    Cohort assignment is the user's first-ever week; age buckets are
+    integer week differences; cumulative cents ride an exact window
+    over the cohort-age grid; the single division normalizes per
+    cohort user.
+
+    Scale shape: user-grain first-week fold; user-keyed join back;
+    (cohort, age) rollup is calendar-squared-bounded, and the cumsum
+    runs over that tiny grid."""
+    ev = load_table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users"))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    rev = (ev.where(F.col("event_type") == "purchase")
+           .join(firsts, "user_id")
+           .groupBy("cohort_week",
+                    F.floor(F.datediff(
+                        F.date_trunc("week", "ts"),
+                        F.col("cohort_week")) / 7).cast("bigint")
+                    .alias("age_weeks"))
+           .agg(F.sum(cents).cast("bigint").alias("cents")))
+    wc = (Window.partitionBy("cohort_week").orderBy("age_weeks")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = rev.select("cohort_week", "age_weeks",
+                     F.sum("cents").over(wc).cast("bigint")
+                     .alias("cum_cents"))
+    return (cum.join(sizes, "cohort_week")
+            .select("cohort_week", "age_weeks", "cohort_users",
+                    "cum_cents",
+                    (F.col("cum_cents").cast("double")
+                     / F.col("cohort_users").cast("double")
+                     / F.lit(100.0)).alias("ltv_dollars_per_user")))

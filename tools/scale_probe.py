@@ -301,6 +301,7 @@ QUERY_TABLES = {
     "agg_pareto_cutoff": {"orders"},
     "agg_new_vs_returning_daily": {"events"},
     "win_max_drawdown": {"events"},
+    "agg_cohort_ltv_curve": {"events"},
 }
 
 
