@@ -6732,3 +6732,67 @@ def agg_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("cum_cents").cast("double")
                      / F.col("cohort_users").cast("double")
                      / F.lit(100.0)).alias("ltv_dollars_per_user")))
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box white-noise test on the ACF chain (round 6)
+# ---------------------------------------------------------------------------
+
+_LJUNG_ORACLE = f"""
+WITH acf_tab AS ({_ACF_ORACLE}
+), nser AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT DISTINCT event_type, date_trunc('hour', ts)
+        FROM events) GROUP BY event_type
+), terms AS (
+  SELECT a.event_type, a.lag, nser.n,
+         a.acf * a.acf / (CAST(nser.n AS DOUBLE) - CAST(a.lag AS DOUBLE))
+           AS t
+  FROM acf_tab a JOIN nser ON a.event_type = nser.event_type
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_obs,
+       CAST(COUNT(*) AS BIGINT) AS n_lags,
+       round(CAST(MAX(n) AS DOUBLE) * (CAST(MAX(n) AS DOUBLE) + 2.0)
+             * list_sum(list(t ORDER BY lag)), 6) AS ljung_box_q
+FROM terms GROUP BY event_type
+"""
+
+
+@register("stat_ljung_box_q", oracle=_LJUNG_ORACLE)
+def stat_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box Q over ts_acf_multi_lag's OWN 24-lag ACF table -- is
+    the hourly series white noise, or is the autocorrelation structure
+    real? Q = n(n+2) * sum_k r_k^2/(n-k): large Q rejects
+    independence, the formal gate before trusting any of the
+    periodicity/trend readouts the ACF suggests visually. The r_k come
+    off the same bit-identical Pearson chain as the ACF operator
+    (shared HUGEINT moments + identical tree); the ONE cross-lag float
+    sum folds in FIXED lag order (the stat_anova_oneway_f rule) and Q
+    rounds 6 dp.
+
+    Scale shape: the ACF chain's own shapes (calendar-bounded series,
+    broadcast lag spine); the Q fold runs over 24 rows per type."""
+    acf = ts_acf_multi_lag(spark, sf_dir) \
+        .select("event_type", "lag", "acf")
+    ev = load_table(spark, "events", sf_dir)
+    nser = (ev.select("event_type",
+                      F.date_trunc("hour", "ts").alias("hr")).distinct()
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    terms = (acf.join(nser, "event_type")
+             .select("event_type", "lag", "n",
+                     (F.col("acf") * F.col("acf")
+                      / (F.col("n").cast("double")
+                         - F.col("lag").cast("double"))).alias("t")))
+    nd = F.max("n").cast("double")
+    return (terms.groupBy("event_type")
+            .agg(F.max("n").cast("bigint").alias("n_obs"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_lags"),
+                 F.round(nd * (nd + F.lit(2.0))
+                         * F.aggregate(
+                             F.array_sort(F.collect_list(
+                                 F.struct(F.col("lag"),
+                                          F.col("t").alias("v")))),
+                             F.lit(0.0),
+                             lambda acc, x: acc + x["v"]), 6)
+                 .alias("ljung_box_q")))

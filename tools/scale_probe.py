@@ -302,6 +302,7 @@ QUERY_TABLES = {
     "agg_new_vs_returning_daily": {"events"},
     "win_max_drawdown": {"events"},
     "agg_cohort_ltv_curve": {"events"},
+    "stat_ljung_box_q": {"events"},
 }
 
 
