@@ -2586,3 +2586,94 @@ def stat_interrupted_time_series(spark: SparkSession,
                  F.round(F.regr_intercept(F.col("cents").cast("double"),
                                           F.col("xc").cast("double")), 6)
                  .alias("fitted_at_cut_cents")))
+
+
+# ---------------------------------------------------------------------------
+# learning curve: AUC at deterministic subsample rates (round 6)
+# ---------------------------------------------------------------------------
+
+# u32 thresholds for 25% / 50% / 100% md5 subsamples
+_LC_RATES = ((25, 1073741824), (50, 2147483648), (100, 4294967296))
+
+_LC_VALUES = ", ".join(f"({p}, {t})" for p, t in _LC_RATES)
+
+_LC_ORACLE = f"""
+WITH rates(pct, thresh) AS (VALUES {_LC_VALUES}),
+c AS (
+  SELECT event_id, event_type = 'purchase' AS pos,
+         CAST(round(value * 100, 0) AS BIGINT) AS xc,
+         CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)
+                                         || ':lc'), 1, 8)) AS BIGINT) AS u
+  FROM events WHERE event_type IN ('click', 'purchase')
+), dom AS (
+  SELECT r.pct, c.xc, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(COUNT(*) FILTER (WHERE c.pos) AS BIGINT) AS p
+  FROM c JOIN rates r ON c.u < r.thresh
+  GROUP BY r.pct, c.xc
+), r AS (
+  SELECT pct, t, p,
+         CAST(2 * (SUM(t) OVER (PARTITION BY pct ORDER BY xc
+                                ROWS UNBOUNDED PRECEDING) - t)
+              + t + 1 AS BIGINT) AS r2
+  FROM dom
+), s AS (
+  SELECT pct,
+         CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(t - p) AS BIGINT) AS n_neg,
+         CAST(SUM(p * r2) AS BIGINT) AS sr2
+  FROM r GROUP BY pct
+)
+SELECT CAST(pct AS BIGINT) AS sample_pct, n_pos, n_neg,
+       CAST(sr2 - n_pos * (n_pos + 1) AS DOUBLE)
+         / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+FROM s
+"""
+
+
+@register("ml_learning_curve_auc", oracle=_LC_ORACLE)
+def ml_learning_curve_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve for the ranking metric: exact AUC at 25%, 50% and
+    100% deterministic md5 subsamples of the two-class data -- the
+    does-more-data-still-help readout every scaling decision wants
+    BEFORE paying for the next data doubling (a flat curve means the
+    metric is saturated; AUC here is data-stable by construction, which
+    is exactly what the table demonstrates). Subsampling is the md5
+    u32-threshold recipe (bit-identical membership in both engines);
+    each rate's AUC rides the domain-collapsed rank identity
+    (ml_roc_auc_exact), fanned by a 3-row rate spine BEFORE the domain
+    fold, so the whole curve costs one pass plus rate-partitioned
+    domain windows.
+
+    Scale shape: x3 spine join (theta on u < thresh -- broadcast
+    nested-loop over 3 rows, the sweep discipline); one combinable
+    (rate, value) groupBy; rate-partitioned domain windows."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    u = F.conv(F.substring(F.md5(F.concat(
+        F.col("event_id").cast("string"), F.lit(":lc"))), 1, 8),
+        16, 10).cast("bigint")
+    c = ev.select((F.col("event_type") == "purchase").alias("pos"),
+                  xc.alias("xc"), u.alias("u"))
+    rates = spark.createDataFrame(list(_LC_RATES), "pct long, thresh long")
+    dom = (c.join(F.broadcast(rates), F.col("u") < F.col("thresh"))
+           .groupBy("pct", "xc")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("t"),
+                F.count(F.when(F.col("pos"), 1)).cast("bigint")
+                .alias("p")))
+    wcum = (Window.partitionBy("pct").orderBy("xc")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r = dom.select(
+        "pct", "t", "p",
+        (F.lit(2) * (F.sum("t").over(wcum) - F.col("t"))
+         + F.col("t") + 1).cast("bigint").alias("r2"))
+    s = r.groupBy("pct").agg(
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum(F.col("t") - F.col("p")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("p") * F.col("r2")).cast("bigint").alias("sr2"))
+    return s.select(
+        F.col("pct").cast("bigint").alias("sample_pct"), "n_pos", "n_neg",
+        ((F.col("sr2") - F.col("n_pos") * (F.col("n_pos") + 1))
+         .cast("double")
+         / (F.lit(2.0) * F.col("n_pos").cast("double")
+            * F.col("n_neg").cast("double"))).alias("auc"))

@@ -303,6 +303,7 @@ QUERY_TABLES = {
     "win_max_drawdown": {"events"},
     "agg_cohort_ltv_curve": {"events"},
     "stat_ljung_box_q": {"events"},
+    "ml_learning_curve_auc": {"events"},
 }
 
 
