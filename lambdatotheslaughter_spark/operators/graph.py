@@ -1181,3 +1181,106 @@ def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
             # deterministically on (a, b) in both engines
             .orderBy(F.col("adamic_adar").desc(), "a", "b")
             .limit(1000))
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank from a seed set (round 6)
+# ---------------------------------------------------------------------------
+
+_PPR_ITERS = 3
+
+
+def _ppr_oracle() -> str:
+    """Unrolled personalized-PageRank CTE chain: the teleport mass
+    returns to the SEED SET (small parts, p_size <= 5) instead of
+    spreading uniformly -- otherwise identical integral arithmetic to
+    _pagerank_oracle."""
+    parts = [f"""
+WITH edges AS ({_EDGES_SQL}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+seeds AS (
+  SELECT n.node FROM nodes n
+  JOIN part p ON n.node = p.p_partkey
+  WHERE p.p_size <= 5),
+ns AS (SELECT COUNT(*) AS c FROM seeds),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+r0 AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NULL THEN 0
+              ELSE CAST({_SCALE} AS BIGINT) // ns.c END AS r
+  FROM nodes n CROSS JOIN ns LEFT JOIN seeds s ON n.node = s.node)"""]
+    for i in range(1, _PPR_ITERS + 1):
+        parts.append(f""",
+c{i} AS (
+  SELECT e.dst AS node, SUM(p.r // deg.d) AS s
+  FROM edges e
+  JOIN r{i - 1} p ON e.src = p.node
+  JOIN deg ON e.src = deg.src
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT n.node,
+         CASE WHEN sd.node IS NULL THEN 0
+              ELSE (15 * CAST({_SCALE} AS BIGINT)) // (100 * ns.c) END
+           + (85 * COALESCE(c{i}.s, 0)) // 100 AS r
+  FROM nodes n CROSS JOIN ns
+  LEFT JOIN seeds sd ON n.node = sd.node
+  LEFT JOIN c{i} ON n.node = c{i}.node)""")
+    parts.append(f"""
+SELECT node, CAST(r AS BIGINT) AS ppr_fp FROM r{_PPR_ITERS}
+WHERE r > 0""")
+    return "".join(parts)
+
+
+@register("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank: the teleport mass returns to a seed set
+    (small parts, p_size <= 5) instead of spreading uniformly -- rank
+    becomes proximity TO THE SEEDS through the co-purchase structure,
+    i.e. the related-items / recommendations kernel
+    (graph_pagerank_fixed measures global importance; this measures
+    importance RELATIVE TO a context). Same 1e-12 integral fixed point
+    and floor-division normalization, 3 rounds; zero-mass nodes drop
+    from the output (unreachable from the seeds).
+
+    Scale shape: per round the same bounded pair of shuffles as global
+    PageRank (edges join ranks on src, groupBy dst, node-set left
+    join); the seed membership is a broadcast dimension join."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    edges = (li.select(F.col("l_partkey").alias("src"),
+                       F.lead("l_partkey").over(w).alias("dst"))
+             .where(F.col("dst").isNotNull()))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select("dst")).distinct())
+    part = load_table(spark, "part", sf_dir) \
+        .where(F.col("p_size") <= 5).select(F.col("p_partkey").alias("sn"))
+    seeds = nodes.join(F.broadcast(part), nodes.node == F.col("sn")) \
+        .select("node").localCheckpoint()
+    ns = seeds.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edges_deg = edges.join(deg, "src").localCheckpoint()
+    is_seed = F.col("sn2").isNotNull()
+    seeds2 = seeds.select(F.col("node").alias("sn2"))
+    ranks = (nodes.join(F.broadcast(seeds2),
+                        nodes.node == F.col("sn2"), "left")
+             .select("node",
+                     F.when(is_seed, F.lit(_SCALE // ns))
+                     .otherwise(F.lit(0)).cast("bigint").alias("r")))
+    teleport = (15 * _SCALE) // (100 * ns)
+    for _ in range(_PPR_ITERS):
+        contrib = (edges_deg.join(ranks, edges_deg.src == ranks.node)
+                   .select("dst", F.expr("r div d").alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("s")))
+        ranks = (nodes.join(F.broadcast(seeds2),
+                            nodes.node == F.col("sn2"), "left")
+                 .join(contrib, nodes.node == contrib.dst, "left")
+                 .select("node",
+                         (F.when(is_seed, F.lit(teleport))
+                          .otherwise(F.lit(0))
+                          + F.expr("(85 * coalesce(s, 0)) div 100"))
+                         .cast("bigint").alias("r")))
+    return (ranks.where(F.col("r") > 0)
+            .select("node", F.col("r").alias("ppr_fp")))

@@ -304,6 +304,7 @@ QUERY_TABLES = {
     "agg_cohort_ltv_curve": {"events"},
     "stat_ljung_box_q": {"events"},
     "ml_learning_curve_auc": {"events"},
+    "graph_personalized_pagerank": {"lineitem"},
 }
 
 
