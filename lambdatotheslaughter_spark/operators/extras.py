@@ -6796,3 +6796,121 @@ def stat_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.lit(0.0),
                              lambda acc, x: acc + x["v"]), 6)
                  .alias("ljung_box_q")))
+
+
+# ---------------------------------------------------------------------------
+# ABC inventory classification (round 6)
+# ---------------------------------------------------------------------------
+
+_ABC_ORACLE = """
+WITH part_rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT rev,
+         CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_rev,
+         CAST(SUM(rev) OVER () AS BIGINT) AS total
+  FROM part_rev
+), classed AS (
+  -- integer-safe class edges: A <= 80%, B <= 95% (5*cum vs 4*total;
+  -- 20*cum vs 19*total)
+  SELECT rev,
+         CASE WHEN 5 * cum_rev <= 4 * total THEN 'A'
+              WHEN 20 * cum_rev <= 19 * total THEN 'B'
+              ELSE 'C' END AS abc
+  FROM ranked
+)
+SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+       CAST(SUM(rev) AS DOUBLE)
+         / CAST(MAX((SELECT total FROM ranked LIMIT 1)) AS DOUBLE)
+         AS revenue_share
+FROM classed GROUP BY abc
+"""
+
+
+@register("agg_abc_classification", oracle=_ABC_ORACLE)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification of parts by revenue: A-class up to
+    the 80% cumulative-revenue edge, B to 95%, C the tail -- the
+    supply-chain attention allocator (count A-parts daily, C-parts
+    yearly) and the item-grain sibling of agg_pareto_cutoff. Class
+    edges are INTEGER-safe cross-multiplications (5*cum <= 4*total,
+    20*cum <= 19*total) on the (revenue desc, partkey) total order; no
+    float threshold anywhere, one share division per class.
+
+    Scale shape: part-grain fold (30x smaller than lineitem), one
+    rank/cumsum window over the part table (two-pass bucketed rank is
+    the documented swap), 3-row rollup."""
+    li = load_table(spark, "lineitem", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(cents).cast("bigint").alias("rev"))
+    wo = Window.orderBy(F.col("rev").desc(), "l_partkey")
+    wall = Window.partitionBy()
+    ranked = part_rev.select(
+        "rev",
+        F.sum("rev").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint").alias("cum_rev"),
+        F.sum("rev").over(wall).cast("bigint").alias("total"))
+    abc = (F.when(5 * F.col("cum_rev") <= 4 * F.col("total"), F.lit("A"))
+           .when(20 * F.col("cum_rev") <= 19 * F.col("total"), F.lit("B"))
+           .otherwise(F.lit("C")))
+    return (ranked.select(abc.alias("abc"), "rev", "total")
+            .groupBy("abc")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+                 F.sum("rev").cast("bigint").alias("revenue_cents"),
+                 (F.sum("rev").cast("double")
+                  / F.max("total").cast("double")).alias("revenue_share")))
+
+
+# ---------------------------------------------------------------------------
+# year-over-year growth (round 6)
+# ---------------------------------------------------------------------------
+
+_YOY_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
+)
+SELECT yr, mo, rev AS rev_cents,
+       lag(rev) OVER (PARTITION BY mo ORDER BY yr) AS prev_year_cents,
+       CAST(rev AS DOUBLE)
+         / CAST(lag(rev) OVER (PARTITION BY mo ORDER BY yr) AS DOUBLE)
+         - 1.0 AS yoy_growth
+FROM monthly
+"""
+
+
+@register("ts_yoy_growth", oracle=_YOY_ORACLE)
+def ts_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per calendar month over the multi-year
+    orders history -- the seasonality-honest growth comparison
+    (ts_mom_growth's month-over-month conflates growth with seasonal
+    swing; YoY compares each month to ITSELF a year earlier). The lag
+    partitions BY MONTH-OF-YEAR and orders by year, so each of the 12
+    partitions is a tiny independent series; first years report NULL
+    (no base), exact cents until the one growth division.
+
+    Scale shape: combinable (year, month) fold to ~84 rows; 12
+    month-keyed lag partitions over that tiny table."""
+    o = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    monthly = (o.groupBy(F.year("o_orderdate").cast("bigint").alias("yr"),
+                         F.month("o_orderdate").cast("bigint").alias("mo"))
+               .agg(F.sum(cents).cast("bigint").alias("rev")))
+    w = Window.partitionBy("mo").orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "yr", "mo", F.col("rev").alias("rev_cents"),
+        prev.alias("prev_year_cents"),
+        (F.col("rev").cast("double") / prev.cast("double") - F.lit(1.0))
+        .alias("yoy_growth"))

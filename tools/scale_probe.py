@@ -305,6 +305,8 @@ QUERY_TABLES = {
     "stat_ljung_box_q": {"events"},
     "ml_learning_curve_auc": {"events"},
     "graph_personalized_pagerank": {"lineitem"},
+    "agg_abc_classification": {"lineitem"},
+    "ts_yoy_growth": {"orders"},
 }
 
 
