@@ -287,7 +287,12 @@ def test_third_ring_partition_invariance(spark):
             "win_interval_union_length", "agg_concentration_hhi_crk",
             "seq_growth_accounting_weekly", "ts_gap_log_histogram",
             "llm_pipeline_curation_v2", "sql_incremental_mv_refresh",
-            "er_blocking_quality_report", "ml_lift_gains_table"]
+            "er_blocking_quality_report", "ml_lift_gains_table",
+            "agg_pareto_cutoff", "agg_abc_classification",
+            "ts_yoy_growth", "agg_cohort_ltv_curve",
+            "win_max_drawdown", "stat_ljung_box_q",
+            "ml_learning_curve_auc", "graph_personalized_pagerank",
+            "seq_rfm_segments", "stat_interrupted_time_series"]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     baseline = {k: sorted(map(tuple, registry.get(k).fn(spark, SF_DIR)
                               .collect())) for k in keys}
