@@ -6914,3 +6914,61 @@ def ts_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_year_cents"),
         (F.col("rev").cast("double") / prev.cast("double") - F.lit(1.0))
         .alias("yoy_growth"))
+
+
+# ---------------------------------------------------------------------------
+# peer-group z-score benchmarking (round 6)
+# ---------------------------------------------------------------------------
+
+_PEER_Z_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+), seg AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s1,
+         CAST(SUM(cents * cents) AS BIGINT) AS s2
+  FROM c GROUP BY c_mktsegment
+)
+SELECT c.c_custkey, c.c_mktsegment,
+       (CAST(c.cents AS DOUBLE)
+        - CAST(seg.s1 AS DOUBLE) / CAST(seg.n AS DOUBLE))
+       / sqrt((CAST(seg.s2 AS DOUBLE) / CAST(seg.n AS DOUBLE)
+               - (CAST(seg.s1 AS DOUBLE) / CAST(seg.n AS DOUBLE))
+                 * (CAST(seg.s1 AS DOUBLE) / CAST(seg.n AS DOUBLE)))
+              * (CAST(seg.n AS DOUBLE) / (CAST(seg.n AS DOUBLE) - 1.0)))
+         AS peer_z
+FROM c JOIN seg ON c.c_mktsegment = seg.c_mktsegment
+"""
+
+
+@register("win_peer_group_zscore", oracle=_PEER_Z_ORACLE)
+def win_peer_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peer-group z-score benchmarking: every customer's account
+    balance standardized against their OWN market segment's mean and
+    sample stddev -- the normalize-before-you-compare step behind every
+    cross-segment league table (a raw balance means nothing until its
+    peer distribution prices it). Segment moments are exact integer
+    cent sums folded once; each row's z assembles through the standard
+    identical tree -- the moments travel as a broadcast 5-row dim, NOT
+    a per-row window (same values, one less sort).
+
+    Scale shape: one combinable segment fold; broadcast join back;
+    pure map-side z."""
+    c = load_table(spark, "customer", sf_dir)
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    base = c.select("c_custkey", "c_mktsegment", cents.alias("cents"))
+    seg = base.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("s2"))
+    nd = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    var = (F.col("s2").cast("double") / nd - mu * mu) \
+        * (nd / (nd - F.lit(1.0)))
+    return (base.join(F.broadcast(seg), "c_mktsegment")
+            .select("c_custkey", "c_mktsegment",
+                    ((F.col("cents").cast("double") - mu) / F.sqrt(var))
+                    .alias("peer_z")))

@@ -2677,3 +2677,61 @@ def ml_learning_curve_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("double")
          / (F.lit(2.0) * F.col("n_pos").cast("double")
             * F.col("n_neg").cast("double"))).alias("auc"))
+
+
+# ---------------------------------------------------------------------------
+# likelihood-ratio G-test cells (round 6)
+# ---------------------------------------------------------------------------
+
+_GTEST_ORACLE = """
+WITH cells AS (
+  SELECT event_type, CAST(user_id % 3 AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events GROUP BY event_type, CAST(user_id % 3 AS BIGINT)
+), m AS (
+  SELECT event_type, bucket, obs,
+         CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
+         CAST(SUM(obs) OVER (PARTITION BY bucket) AS BIGINT) AS col_n,
+         CAST(SUM(obs) OVER () AS BIGINT) AS n
+  FROM cells
+)
+SELECT event_type, bucket, obs,
+       2.0 * CAST(obs AS DOUBLE)
+         * ln(CAST(obs AS DOUBLE)
+              / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                 / CAST(n AS DOUBLE))) AS g_contrib
+FROM m
+"""
+
+
+@register("stat_g_test_cells", oracle=_GTEST_ORACLE)
+def stat_g_test_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Likelihood-ratio G-test contributions over the same
+    event_type x user-bucket contingency table as the chi-square pair:
+    2*O*ln(O/E) per cell -- the test that stays calibrated where
+    Pearson's quadratic approximation strains (small expected counts,
+    big tables), and what G-test-based feature selection actually
+    computes. Per-cell, never cross-summed (the chi-square house rule);
+    counts and marginals exact; ln is the one transcendental in an
+    otherwise identical tree.
+
+    Scale shape: one combinable groupBy to 15 cells; windows over
+    them."""
+    ev = load_table(spark, "events", sf_dir)
+    cells = (ev.groupBy("event_type",
+                        F.pmod(F.col("user_id"), F.lit(3)).cast("bigint")
+                        .alias("bucket"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("obs")))
+    row_n = F.sum("obs").over(Window.partitionBy("event_type")) \
+        .cast("bigint")
+    col_n = F.sum("obs").over(Window.partitionBy("bucket")).cast("bigint")
+    n = F.sum("obs").over(Window.partitionBy()).cast("bigint")
+    m = cells.select("event_type", "bucket", "obs",
+                     row_n.alias("row_n"), col_n.alias("col_n"),
+                     n.alias("n"))
+    exp = (F.col("row_n").cast("double") * F.col("col_n").cast("double")
+           / F.col("n").cast("double"))
+    return m.select(
+        "event_type", "bucket", "obs",
+        (F.lit(2.0) * F.col("obs").cast("double")
+         * F.log(F.col("obs").cast("double") / exp)).alias("g_contrib"))

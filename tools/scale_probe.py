@@ -307,6 +307,8 @@ QUERY_TABLES = {
     "graph_personalized_pagerank": {"lineitem"},
     "agg_abc_classification": {"lineitem"},
     "ts_yoy_growth": {"orders"},
+    "stat_g_test_cells": {"events"},
+    "win_peer_group_zscore": set(),   # customer is a 1x dim
 }
 
 
