@@ -6972,3 +6972,105 @@ def win_peer_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_custkey", "c_mktsegment",
                     ((F.col("cents").cast("double") - mu) / F.sqrt(var))
                     .alias("peer_z")))
+
+
+# ---------------------------------------------------------------------------
+# year-to-date running total (round 6)
+# ---------------------------------------------------------------------------
+
+_YTD_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
+)
+SELECT yr, mo, rev AS rev_cents,
+       CAST(SUM(rev) OVER (PARTITION BY yr ORDER BY mo
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS ytd_cents
+FROM monthly
+"""
+
+
+@register("win_ytd_running_total", oracle=_YTD_ORACLE)
+def win_ytd_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-to-date running revenue per (year, month) -- the fiscal
+    dashboard staple whose window frame (partition by YEAR, order by
+    month, unbounded preceding) resets exactly at the year boundary;
+    pairs with ts_yoy_growth the way every finance view pairs YTD with
+    YoY. Exact cents throughout.
+
+    Scale shape: (year, month) fold to ~84 rows; year-keyed running
+    windows over that tiny grid."""
+    o = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    monthly = (o.groupBy(F.year("o_orderdate").cast("bigint").alias("yr"),
+                         F.month("o_orderdate").cast("bigint").alias("mo"))
+               .agg(F.sum(cents).cast("bigint").alias("rev")))
+    w = (Window.partitionBy("yr").orderBy("mo")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return monthly.select(
+        "yr", "mo", F.col("rev").alias("rev_cents"),
+        F.sum("rev").over(w).cast("bigint").alias("ytd_cents"))
+
+
+# ---------------------------------------------------------------------------
+# classical monthly seasonal indices (round 6)
+# ---------------------------------------------------------------------------
+
+_SEAS_IDX_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
+), agg AS (
+  SELECT mo,
+         CAST(COUNT(*) AS BIGINT) AS n_years,
+         CAST(SUM(rev) AS BIGINT) AS mo_rev,
+         CAST((SELECT SUM(rev) FROM monthly) AS BIGINT) AS tot_rev,
+         CAST((SELECT COUNT(*) FROM monthly) AS BIGINT) AS n_cells
+  FROM monthly GROUP BY mo
+)
+SELECT mo, n_years, mo_rev,
+       -- index = month's avg cell / grand avg cell; >1 = high season
+       (CAST(mo_rev AS DOUBLE) / CAST(n_years AS DOUBLE))
+         / (CAST(tot_rev AS DOUBLE) / CAST(n_cells AS DOUBLE))
+         AS seasonal_index
+FROM agg
+"""
+
+
+@register("ts_seasonal_index_monthly", oracle=_SEAS_IDX_ORACLE)
+def ts_seasonal_index_monthly(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Classical monthly seasonal indices over the multi-year orders
+    history: each calendar month's average revenue relative to the
+    grand monthly average (1.1 = structurally 10% above trend) -- the
+    ratio-to-moving-average method's simple-mean form, and the index
+    table a demand planner divides by BEFORE comparing months
+    (ts_seasonal_strength asks IS there seasonality; this quantifies
+    its monthly shape). Exact integer sums; two divisions in an
+    identical tree.
+
+    Scale shape: one (year, month) fold; 12-row aggregation; the grand
+    totals broadcast as scalar subqueries."""
+    o = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    monthly = (o.groupBy(F.year("o_orderdate").cast("bigint").alias("yr"),
+                         F.month("o_orderdate").cast("bigint").alias("mo"))
+               .agg(F.sum(cents).cast("bigint").alias("rev")))
+    tot = monthly.agg(F.sum("rev").cast("bigint").alias("tot_rev"),
+                      F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+    agg = (monthly.groupBy("mo")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_years"),
+                F.sum("rev").cast("bigint").alias("mo_rev"))
+           .crossJoin(F.broadcast(tot)))
+    return agg.select(
+        "mo", "n_years", "mo_rev",
+        ((F.col("mo_rev").cast("double") / F.col("n_years").cast("double"))
+         / (F.col("tot_rev").cast("double")
+            / F.col("n_cells").cast("double"))).alias("seasonal_index"))

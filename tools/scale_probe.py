@@ -309,6 +309,8 @@ QUERY_TABLES = {
     "ts_yoy_growth": {"orders"},
     "stat_g_test_cells": {"events"},
     "win_peer_group_zscore": set(),   # customer is a 1x dim
+    "win_ytd_running_total": {"orders"},
+    "ts_seasonal_index_monthly": {"orders"},
 }
 
 
