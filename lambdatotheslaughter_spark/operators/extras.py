@@ -7074,3 +7074,117 @@ def ts_seasonal_index_monthly(spark: SparkSession,
         ((F.col("mo_rev").cast("double") / F.col("n_years").cast("double"))
          / (F.col("tot_rev").cast("double")
             / F.col("n_cells").cast("double"))).alias("seasonal_index"))
+
+
+# ---------------------------------------------------------------------------
+# reorder cadence (round 6)
+# ---------------------------------------------------------------------------
+
+_CADENCE_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+                        lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate,
+                                                        o_orderkey),
+                        o_orderdate) AS BIGINT) AS gap_days
+  FROM orders
+), g AS (
+  SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL
+), ranked AS (
+  SELECT gap_days,
+         row_number() OVER (ORDER BY gap_days) AS rn,
+         COUNT(*) OVER () AS n
+  FROM g
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_gaps,
+       CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN gap_days END) AS BIGINT)
+         AS median_gap_days,
+       CAST(MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_days END)
+            AS BIGINT) AS p90_gap_days
+FROM ranked
+"""
+
+
+@register("seq_reorder_cadence", oracle=_CADENCE_ORACLE)
+def seq_reorder_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder cadence: the distribution of day gaps between a
+    customer's consecutive orders -- DISCRETE median and p90 (the
+    ts_outlier_iqr rank rule) over all inter-order gaps, the
+    replenishment-cycle number that sets reminder timing and churn
+    cutoffs (a customer 2x past the p90 gap is the churn-risk
+    definition seq_user_lifecycle-style stages need). Gaps are exact
+    integer day differences off one customer-keyed lag; quantiles are
+    rank-picked integers.
+
+    Scale shape: customer-keyed lag (key-parallel); the global rank
+    runs over the GAP distribution (domain-collapse via per-gap-value
+    counts is the documented swap at extreme scale, the
+    stat_mann_whitney_u recipe)."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                "o_orderkey")
+    gaps = (o.select(F.datediff("o_orderdate",
+                                F.lag("o_orderdate").over(w))
+                     .cast("bigint").alias("gap_days"))
+            .where(F.col("gap_days").isNotNull()))
+    ranked = gaps.select(
+        "gap_days",
+        F.row_number().over(Window.orderBy("gap_days")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"))
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.min(F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2),
+                     F.col("gap_days"))).cast("bigint")
+        .alias("median_gap_days"),
+        F.min(F.when(F.col("rn") == F.floor((9 * F.col("n") + 9) / 10),
+                     F.col("gap_days"))).cast("bigint")
+        .alias("p90_gap_days"))
+
+
+# ---------------------------------------------------------------------------
+# repeat-purchase rate by segment (round 6)
+# ---------------------------------------------------------------------------
+
+_REPEAT_ORACLE = """
+WITH per_cust AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, o.o_custkey
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_buyers,
+       CAST(COUNT(*) FILTER (WHERE n_orders >= 2) AS BIGINT)
+         AS n_repeat_buyers,
+       CAST(COUNT(*) FILTER (WHERE n_orders >= 2) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS repeat_rate
+FROM per_cust GROUP BY c_mktsegment
+"""
+
+
+@register("agg_repeat_purchase_rate", oracle=_REPEAT_ORACLE)
+def agg_repeat_purchase_rate(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate per market segment: share of buyers with a
+    second order -- the one-number loyalty readout every retention
+    budget starts from, and the denominator discipline matters (buyers,
+    not customers: never-buyers dilute the rate into meaninglessness).
+    One customer-grain count fold, one segment rollup, exact integers
+    and a single division.
+
+    Scale shape: customer-keyed fold (combinable), broadcast dim join,
+    5-row rollup."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir) \
+        .select("c_custkey", "c_mktsegment")
+    per_cust = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+                .groupBy("c_mktsegment", "o_custkey")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders")))
+    return (per_cust.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_buyers"),
+                 F.count(F.when(F.col("n_orders") >= 2, 1)).cast("bigint")
+                 .alias("n_repeat_buyers"),
+                 (F.count(F.when(F.col("n_orders") >= 2, 1)).cast("double")
+                  / F.count(F.lit(1)).cast("double"))
+                 .alias("repeat_rate")))

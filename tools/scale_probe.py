@@ -311,6 +311,8 @@ QUERY_TABLES = {
     "win_peer_group_zscore": set(),   # customer is a 1x dim
     "win_ytd_running_total": {"orders"},
     "ts_seasonal_index_monthly": {"orders"},
+    "seq_reorder_cadence": {"orders"},
+    "agg_repeat_purchase_rate": {"orders"},
 }
 
 
