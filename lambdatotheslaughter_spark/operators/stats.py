@@ -2735,3 +2735,154 @@ def stat_g_test_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "bucket", "obs",
         (F.lit(2.0) * F.col("obs").cast("double")
          * F.log(F.col("obs").cast("double") / exp)).alias("g_contrib"))
+
+
+# ---------------------------------------------------------------------------
+# paired sign test (round 6)
+# ---------------------------------------------------------------------------
+
+_SIGN_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type, date_trunc('hour', ts)
+), paired AS (
+  SELECT a.cents AS x, b.cents AS y
+  FROM hourly a JOIN hourly b
+    ON a.hr = b.hr AND a.event_type = 'click'
+   AND b.event_type = 'purchase'
+), s AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE x > y) AS BIGINT) AS n_plus,
+    CAST(COUNT(*) FILTER (WHERE x < y) AS BIGINT) AS n_minus,
+    CAST(COUNT(*) FILTER (WHERE x = y) AS BIGINT) AS n_ties
+  FROM paired
+)
+SELECT n_plus, n_minus, n_ties,
+       (CAST(n_plus AS DOUBLE)
+        - CAST(n_plus + n_minus AS DOUBLE) / 2.0)
+       / sqrt(CAST(n_plus + n_minus AS DOUBLE) / 4.0) AS z_stat
+FROM s
+"""
+
+
+@register("stat_sign_test_paired", oracle=_SIGN_ORACLE)
+def stat_sign_test_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired SIGN test on the hour-matched click/purchase series: does
+    one side exceed the other more often than a coin flip? -- the
+    PAIRED branch of the test family (Welch/Mann-Whitney compare
+    independent samples; pairing on the hour removes the shared
+    time-of-day effect entirely), assuming nothing but exchangeability
+    of signs. Ties drop (the standard treatment); the normal
+    approximation z assembles from three exact integer counts.
+
+    Scale shape: calendar-bounded hourly pre-agg, hour-keyed self-join,
+    one three-count fold."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.sum(cents).cast("bigint").alias("cents")))
+    x = (hourly.where(F.col("event_type") == "click")
+         .select("hr", F.col("cents").alias("x")))
+    y = (hourly.where(F.col("event_type") == "purchase")
+         .select(F.col("hr").alias("hry"), F.col("cents").alias("y")))
+    paired = x.join(y, F.col("hr") == F.col("hry"))
+    s = paired.agg(
+        F.count(F.when(F.col("x") > F.col("y"), 1)).cast("bigint")
+        .alias("n_plus"),
+        F.count(F.when(F.col("x") < F.col("y"), 1)).cast("bigint")
+        .alias("n_minus"),
+        F.count(F.when(F.col("x") == F.col("y"), 1)).cast("bigint")
+        .alias("n_ties"))
+    nd = (F.col("n_plus") + F.col("n_minus")).cast("double")
+    return s.select(
+        "n_plus", "n_minus", "n_ties",
+        ((F.col("n_plus").cast("double") - nd / F.lit(2.0))
+         / F.sqrt(nd / F.lit(4.0))).alias("z_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test (round 6)
+# ---------------------------------------------------------------------------
+
+_WSR_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type, date_trunc('hour', ts)
+), d AS (
+  SELECT a.cents - b.cents AS diff
+  FROM hourly a JOIN hourly b
+    ON a.hr = b.hr AND a.event_type = 'click'
+   AND b.event_type = 'purchase'
+  WHERE a.cents <> b.cents
+), r AS (
+  SELECT diff,
+         CAST(2 * rank() OVER (ORDER BY abs(diff))
+              + COUNT(*) OVER (PARTITION BY abs(diff)) - 1 AS BIGINT)
+           AS r2
+  FROM d
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN diff > 0 THEN r2 ELSE 0 END) AS BIGINT)
+           AS w_plus_x2
+  FROM r
+)
+SELECT n, w_plus_x2,
+       (CAST(w_plus_x2 AS DOUBLE) / 2.0
+        - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+       / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+              * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0) AS z_stat
+FROM s
+"""
+
+
+@register("stat_wilcoxon_signed_rank", oracle=_WSR_ORACLE)
+def stat_wilcoxon_signed_rank(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Wilcoxon SIGNED-RANK test on the hour-paired differences: the
+    sign test weighted by magnitude rank -- more power when larger
+    gaps lean one way, still no normality assumption; the standard
+    middle ground between the sign test (signs only) and the paired t
+    (full magnitudes). Zero differences drop; |d| ranks ride the
+    doubled-average-rank trick (2W+ stays an exact BIGINT under ties);
+    the normal z uses the classical mean n(n+1)/4 and variance
+    n(n+1)(2n+1)/24 in an identical tree.
+
+    Scale shape: calendar-bounded pairs; one rank window over the
+    ~700-row paired series; one two-sum fold."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.sum(cents).cast("bigint").alias("cents")))
+    x = (hourly.where(F.col("event_type") == "click")
+         .select("hr", F.col("cents").alias("x")))
+    y = (hourly.where(F.col("event_type") == "purchase")
+         .select(F.col("hr").alias("hry"), F.col("cents").alias("y")))
+    d = (x.join(y, F.col("hr") == F.col("hry"))
+         .where(F.col("x") != F.col("y"))
+         .select((F.col("x") - F.col("y")).alias("diff")))
+    r2 = (F.lit(2) * F.rank().over(Window.orderBy(F.abs("diff")))
+          + F.count(F.lit(1)).over(Window.partitionBy(F.abs("diff")))
+          - 1).cast("bigint")
+    r = d.select("diff", r2.alias("r2"))
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("diff") > 0, F.col("r2")).otherwise(F.lit(0)))
+        .cast("bigint").alias("w_plus_x2"))
+    nd = F.col("n").cast("double")
+    mean_w = nd * (nd + F.lit(1.0)) / F.lit(4.0)
+    var_w = nd * (nd + F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(1.0)) \
+        / F.lit(24.0)
+    return s.select(
+        "n", "w_plus_x2",
+        ((F.col("w_plus_x2").cast("double") / F.lit(2.0) - mean_w)
+         / F.sqrt(var_w)).alias("z_stat"))

@@ -313,6 +313,8 @@ QUERY_TABLES = {
     "ts_seasonal_index_monthly": {"orders"},
     "seq_reorder_cadence": {"orders"},
     "agg_repeat_purchase_rate": {"orders"},
+    "stat_sign_test_paired": {"events"},
+    "stat_wilcoxon_signed_rank": {"events"},
 }
 
 
