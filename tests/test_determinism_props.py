@@ -292,7 +292,11 @@ def test_third_ring_partition_invariance(spark):
             "ts_yoy_growth", "agg_cohort_ltv_curve",
             "win_max_drawdown", "stat_ljung_box_q",
             "ml_learning_curve_auc", "graph_personalized_pagerank",
-            "seq_rfm_segments", "stat_interrupted_time_series"]
+            "seq_rfm_segments", "stat_interrupted_time_series",
+            "stat_g_test_cells", "win_peer_group_zscore",
+            "win_ytd_running_total", "ts_seasonal_index_monthly",
+            "seq_reorder_cadence", "agg_repeat_purchase_rate",
+            "stat_sign_test_paired", "stat_wilcoxon_signed_rank"]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     baseline = {k: sorted(map(tuple, registry.get(k).fn(spark, SF_DIR)
                               .collect())) for k in keys}
