@@ -7188,3 +7188,106 @@ def agg_repeat_purchase_rate(spark: SparkSession,
                  (F.count(F.when(F.col("n_orders") >= 2, 1)).cast("double")
                   / F.count(F.lit(1)).cast("double"))
                  .alias("repeat_rate")))
+
+
+# ---------------------------------------------------------------------------
+# permutation entropy of the hourly series (round 6)
+# ---------------------------------------------------------------------------
+
+_PERM_ENT_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), lagged AS (
+  SELECT event_type,
+         cents AS a,
+         lead(cents, 1) OVER w AS b,
+         lead(cents, 2) OVER w AS c
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+), patterns AS (
+  -- ordinal pattern of (a,b,c): ties break toward the earlier index
+  -- (the standard Bandt-Pompe convention), spelled as one CASE ladder
+  SELECT event_type,
+         CASE WHEN a <= b AND b <= c THEN '012'
+              WHEN a <= c AND c < b  THEN '021'
+              WHEN b < a  AND a <= c THEN '102'
+              WHEN c < a  AND a <= b THEN '120'
+              WHEN b <= c AND c < a  THEN '201'
+              ELSE '210' END AS pat
+  FROM lagged WHERE b IS NOT NULL AND c IS NOT NULL
+), counts AS (
+  SELECT event_type, pat, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM patterns GROUP BY event_type, pat
+), tot AS (
+  SELECT event_type, pat, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM counts
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_windows,
+       CAST(COUNT(*) AS BIGINT) AS n_patterns,
+       -- ordered fold over <= 6 patterns (the ANOVA rule); /ln(6)
+       -- normalizes to [0,1]
+       round(-list_sum(list((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                            * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                            ORDER BY pat))
+             / ln(6.0), 6) AS perm_entropy_norm
+FROM tot GROUP BY event_type
+"""
+
+
+@register("ts_permutation_entropy", oracle=_PERM_ENT_ORACLE)
+def ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (Bandt-Pompe, order 3) of each type's hourly
+    series: the Shannon entropy of ORDINAL PATTERNS of three
+    consecutive points, normalized by ln 6 -- the
+    complexity-vs-determinism dial (0 = monotone/deterministic motion,
+    1 = pattern-uniform noise) that is robust to any monotone
+    transformation of the values, unlike every moment-based statistic
+    in the family. Patterns come from two leads and a six-branch CASE
+    ladder on exact integers (ties break toward the earlier index, the
+    standard convention, stated identically in both engines); the one
+    cross-pattern float fold is FIXED-ORDER (the ANOVA rule) and rounds
+    6 dp (ln).
+
+    Scale shape: calendar-bounded series; (type, day)-style lead
+    windows over ~700 rows/type; folds over <= 6 pattern rows."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.sum(cents).cast("bigint").alias("cents")))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lagged = hourly.select(
+        "event_type", F.col("cents").alias("a"),
+        F.lead("cents", 1).over(w).alias("b"),
+        F.lead("cents", 2).over(w).alias("c"))
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    pat = (F.when((a <= b) & (b <= c), F.lit("012"))
+           .when((a <= c) & (c < b), F.lit("021"))
+           .when((b < a) & (a <= c), F.lit("102"))
+           .when((c < a) & (a <= b), F.lit("120"))
+           .when((b <= c) & (c < a), F.lit("201"))
+           .otherwise(F.lit("210")))
+    patterns = (lagged.where(b.isNotNull() & c.isNotNull())
+                .select("event_type", pat.alias("pat")))
+    counts = patterns.groupBy("event_type", "pat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = counts.select(
+        "event_type", "pat", "cnt",
+        F.sum("cnt").over(Window.partitionBy("event_type"))
+        .cast("bigint").alias("n"))
+    share = F.col("cnt").cast("double") / F.col("n").cast("double")
+    term = share * F.log(share)
+    return (tot.select("event_type", "pat", "n", term.alias("t"))
+            .groupBy("event_type")
+            .agg(F.max("n").cast("bigint").alias("n_windows"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
+                 F.round(-F.aggregate(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("pat"), F.col("t").alias("v")))),
+                     F.lit(0.0), lambda acc, x: acc + x["v"])
+                     / F.log(F.lit(6.0)), 6)
+                 .alias("perm_entropy_norm")))

@@ -2886,3 +2886,85 @@ def stat_wilcoxon_signed_rank(spark: SparkSession,
         "n", "w_plus_x2",
         ((F.col("w_plus_x2").cast("double") / F.lit(2.0) - mean_w)
          / F.sqrt(var_w)).alias("z_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Friedman test across event types, hours as blocks (round 6)
+# ---------------------------------------------------------------------------
+
+_FRIEDMAN_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr, event_type,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY date_trunc('hour', ts), event_type
+), complete_blocks AS (
+  SELECT hr FROM hourly GROUP BY hr HAVING COUNT(*) = 5
+), ranked AS (
+  SELECT h.hr, h.event_type,
+         CAST(2 * rank() OVER (PARTITION BY h.hr ORDER BY h.cents)
+              + COUNT(*) OVER (PARTITION BY h.hr, h.cents) - 1
+              AS BIGINT) AS r2
+  FROM hourly h JOIN complete_blocks b ON h.hr = b.hr
+), sums AS (
+  SELECT event_type, CAST(SUM(r2) AS BIGINT) AS rs2,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ranked GROUP BY event_type
+), fold AS (
+  SELECT MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(rs2 * rs2) AS BIGINT) AS sum_rs2_sq
+  FROM sums
+)
+SELECT n AS n_blocks, k AS n_treatments,
+       -- doubled ranks: R_j = rs2/2, so sum R_j^2 = sum_rs2_sq/4
+       12.0 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+               * (CAST(k AS DOUBLE) + 1.0))
+         * (CAST(sum_rs2_sq AS DOUBLE) / 4.0)
+         - 3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+         AS friedman_chi2
+FROM fold
+"""
+
+
+@register("stat_friedman_test", oracle=_FRIEDMAN_ORACLE)
+def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: do the five event types differ, ranking WITHIN
+    each hour block? -- the k-related-samples generalization of the
+    paired tests (each hour is a block, so time-of-day effects cancel
+    by construction; ANOVA's parametric assumptions never enter). Only
+    COMPLETE blocks (all 5 types present) rank; within-block ranks ride
+    the doubled-average-rank trick so every sum is BIGINT; the
+    statistic 12/(nk(k+1))*sum R_j^2 - 3n(k+1) assembles through an
+    identical tree (doubled-rank sums divide by 4 exactly once).
+
+    Scale shape: calendar-bounded blocks; rank windows partition BY
+    BLOCK (5 rows each, perfectly parallel); two combinable folds."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hr"),
+                         "event_type")
+              .agg(F.sum(cents).cast("bigint").alias("cents")))
+    complete = (hourly.groupBy("hr")
+                .agg(F.count(F.lit(1)).alias("kcnt"))
+                .where(F.col("kcnt") == 5).select("hr"))
+    h = hourly.join(complete, "hr")
+    r2 = (F.lit(2) * F.rank().over(Window.partitionBy("hr")
+                                   .orderBy("cents"))
+          + F.count(F.lit(1)).over(Window.partitionBy("hr", "cents"))
+          - 1).cast("bigint")
+    ranked = h.select("event_type", r2.alias("r2"))
+    sums = ranked.groupBy("event_type").agg(
+        F.sum("r2").cast("bigint").alias("rs2"),
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    fold = sums.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("rs2") * F.col("rs2")).cast("bigint")
+        .alias("sum_rs2_sq"))
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    return fold.select(
+        F.col("n").alias("n_blocks"), F.col("k").alias("n_treatments"),
+        (F.lit(12.0) / (nd * kd * (kd + F.lit(1.0)))
+         * (F.col("sum_rs2_sq").cast("double") / F.lit(4.0))
+         - F.lit(3.0) * nd * (kd + F.lit(1.0))).alias("friedman_chi2"))

@@ -315,6 +315,8 @@ QUERY_TABLES = {
     "agg_repeat_purchase_rate": {"orders"},
     "stat_sign_test_paired": {"events"},
     "stat_wilcoxon_signed_rank": {"events"},
+    "stat_friedman_test": {"events"},
+    "ts_permutation_entropy": {"events"},
 }
 
 
