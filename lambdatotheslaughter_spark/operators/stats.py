@@ -2968,3 +2968,102 @@ def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(12.0) / (nd * kd * (kd + F.lit(1.0)))
          * (F.col("sum_rs2_sq").cast("double") / F.lit(4.0))
          - F.lit(3.0) * nd * (kd + F.lit(1.0))).alias("friedman_chi2"))
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H across all five event types (round 6)
+# ---------------------------------------------------------------------------
+
+_KW_ORACLE = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS xc
+  FROM events
+), dom AS (
+  SELECT xc, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM c GROUP BY xc, event_type
+), vals AS (
+  SELECT xc, CAST(SUM(c) AS BIGINT) AS t FROM dom GROUP BY xc
+), r AS (
+  SELECT xc, t,
+         CAST(2 * (SUM(t) OVER (ORDER BY xc ROWS UNBOUNDED PRECEDING)
+                   - t) + t + 1 AS BIGINT) AS r2
+  FROM vals
+), grp AS (
+  SELECT d.event_type,
+         CAST(SUM(d.c) AS BIGINT) AS n_j,
+         CAST(SUM(d.c * r.r2) AS BIGINT) AS rs2_j
+  FROM dom d JOIN r ON d.xc = r.xc
+  GROUP BY d.event_type
+), ties AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tt FROM vals
+), fold AS (
+  SELECT CAST(SUM(n_j) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         -- sum R_j^2/n_j with doubled ranks: (rs2_j/2)^2/n_j, summed in
+         -- FIXED event_type order (the ANOVA rule)
+         list_sum(list(CAST(rs2_j AS DOUBLE) * CAST(rs2_j AS DOUBLE)
+                       / (4.0 * CAST(n_j AS DOUBLE))
+                       ORDER BY event_type)) AS srsq
+  FROM grp
+)
+SELECT f.n, f.k,
+       round((12.0 / (CAST(f.n AS DOUBLE) * (CAST(f.n AS DOUBLE) + 1.0))
+              * f.srsq - 3.0 * (CAST(f.n AS DOUBLE) + 1.0))
+             / (1.0 - CAST(ties.tt AS DOUBLE)
+                      / (CAST(f.n AS DOUBLE) * CAST(f.n AS DOUBLE)
+                         * CAST(f.n AS DOUBLE) - CAST(f.n AS DOUBLE))),
+             6) AS kruskal_h
+FROM fold f CROSS JOIN ties
+"""
+
+
+@register("stat_kruskal_wallis", oracle=_KW_ORACLE)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across all five event types -- the
+    nonparametric one-way ANOVA (stat_mann_whitney_u's k-sample
+    generalization, stat_anova_oneway_f without the normality
+    assumption), tie-corrected. Fully DOMAIN-COLLAPSED: pooled ranks,
+    per-group rank sums (sum over values of c_jv * r2_v) and the tie
+    term all derive from per-(value, type) counts, so nothing row-sized
+    survives the first exchange; the one cross-group float sum
+    (sum R_j^2/n_j, doubled ranks dividing by 4 exactly once) folds in
+    FIXED type order and H rounds 6 dp (the fold + tie division).
+
+    Scale shape: one combinable (value, type) groupBy; one domain-sized
+    cumulative window; two tiny folds."""
+    ev = load_table(spark, "events", sf_dir)
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    dom = (ev.select("event_type", xc.alias("xc"))
+           .groupBy("xc", "event_type")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    vals = dom.groupBy("xc").agg(F.sum("c").cast("bigint").alias("t"))
+    wcum = (Window.orderBy("xc")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r = vals.select(
+        "xc", "t",
+        (F.lit(2) * (F.sum("t").over(wcum) - F.col("t"))
+         + F.col("t") + 1).cast("bigint").alias("r2"))
+    grp = (dom.join(r.select("xc", "r2"), "xc")
+           .groupBy("event_type")
+           .agg(F.sum("c").cast("bigint").alias("n_j"),
+                F.sum(F.col("c") * F.col("r2")).cast("bigint")
+                .alias("rs2_j")))
+    ties = vals.agg(F.sum(F.col("t") * F.col("t") * F.col("t")
+                          - F.col("t")).cast("bigint").alias("tt"))
+    term = (F.col("rs2_j").cast("double") * F.col("rs2_j").cast("double")
+            / (F.lit(4.0) * F.col("n_j").cast("double")))
+    fold = grp.agg(
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("event_type"),
+                                                 term.alias("v")))),
+            F.lit(0.0), lambda acc, x: acc + x["v"]).alias("srsq"))
+    nd = F.col("n").cast("double")
+    h_raw = (F.lit(12.0) / (nd * (nd + F.lit(1.0))) * F.col("srsq")
+             - F.lit(3.0) * (nd + F.lit(1.0)))
+    corr = (F.lit(1.0) - F.col("tt").cast("double")
+            / (nd * nd * nd - nd))
+    return (fold.crossJoin(F.broadcast(ties))
+            .select("n", "k",
+                    F.round(h_raw / corr, 6).alias("kruskal_h")))

@@ -317,6 +317,7 @@ QUERY_TABLES = {
     "stat_wilcoxon_signed_rank": {"events"},
     "stat_friedman_test": {"events"},
     "ts_permutation_entropy": {"events"},
+    "stat_kruskal_wallis": {"events"},
 }
 
 
