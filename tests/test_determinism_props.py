@@ -296,7 +296,9 @@ def test_third_ring_partition_invariance(spark):
             "stat_g_test_cells", "win_peer_group_zscore",
             "win_ytd_running_total", "ts_seasonal_index_monthly",
             "seq_reorder_cadence", "agg_repeat_purchase_rate",
-            "stat_sign_test_paired", "stat_wilcoxon_signed_rank"]
+            "stat_sign_test_paired", "stat_wilcoxon_signed_rank",
+            "stat_friedman_test", "ts_permutation_entropy",
+            "stat_kruskal_wallis"]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     baseline = {k: sorted(map(tuple, registry.get(k).fn(spark, SF_DIR)
                               .collect())) for k in keys}
