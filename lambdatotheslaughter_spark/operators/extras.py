@@ -7291,3 +7291,70 @@ def ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit(0.0), lambda acc, x: acc + x["v"])
                      / F.log(F.lit(6.0)), 6)
                  .alias("perm_entropy_norm")))
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier) operator (round 6)
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH pts AS (
+  SELECT c.c_custkey,
+         CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+         CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey, c.c_acctbal
+), per_x AS (
+  -- one champion per balance: max orders, custkey tie-break
+  SELECT bal_cents, n_orders, c_custkey FROM (
+    SELECT *, row_number() OVER (PARTITION BY bal_cents
+                                 ORDER BY n_orders DESC, c_custkey) AS rn
+    FROM pts) WHERE rn = 1
+), sky AS (
+  SELECT bal_cents, n_orders, c_custkey,
+         MAX(n_orders) OVER (ORDER BY bal_cents DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS best_above
+  FROM per_x
+)
+SELECT c_custkey, bal_cents, n_orders
+FROM sky
+WHERE best_above IS NULL OR n_orders > best_above
+"""
+
+
+@register("win_skyline_2d", oracle=_SKYLINE_ORACLE)
+def win_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKYLINE operator (Borzsony/Kossmann/Stocker's classic), 2-D
+    maximization form: customers not DOMINATED on (account balance,
+    order count) -- no other customer is at least as good on both and
+    strictly better on one; the multi-criteria shortlist behind
+    best-tradeoff queries that no single score can express. The
+    sort-filter algorithm in two windows: one champion per balance
+    (max orders, custkey ties), then a running-max-of-orders over
+    STRICTLY higher balances -- a point survives iff it beats
+    everything above it. All exact integers; the dominance test is two
+    comparisons.
+
+    Scale shape: customer-grain fold; one partition-local champion
+    window + one global running max over the champion table (two-pass
+    bucketed rank is the documented swap, the gini/lift note)."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir) \
+        .select("o_custkey", "o_orderkey")
+    bal = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    pts = (c.join(o, c.c_custkey == o.o_custkey, "left")
+           .groupBy("c_custkey", bal.alias("bal_cents"))
+           .agg(F.count("o_orderkey").cast("bigint").alias("n_orders")))
+    wx = Window.partitionBy("bal_cents").orderBy(
+        F.col("n_orders").desc(), "c_custkey")
+    per_x = (pts.select("*", F.row_number().over(wx).alias("rn"))
+             .where(F.col("rn") == 1).drop("rn"))
+    wsky = (Window.orderBy(F.col("bal_cents").desc())
+            .rowsBetween(Window.unboundedPreceding, -1))
+    sky = per_x.select(
+        "c_custkey", "bal_cents", "n_orders",
+        F.max("n_orders").over(wsky).alias("best_above"))
+    return (sky.where(F.col("best_above").isNull()
+                      | (F.col("n_orders") > F.col("best_above")))
+            .select("c_custkey", "bal_cents", "n_orders"))

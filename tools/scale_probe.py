@@ -318,6 +318,7 @@ QUERY_TABLES = {
     "stat_friedman_test": {"events"},
     "ts_permutation_entropy": {"events"},
     "stat_kruskal_wallis": {"events"},
+    "win_skyline_2d": {"orders"},
 }
 
 
