@@ -3067,3 +3067,90 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (fold.crossJoin(F.broadcast(ties))
             .select("n", "k",
                     F.round(h_raw / corr, 6).alias("kruskal_h")))
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test cells (round 6)
+# ---------------------------------------------------------------------------
+
+_MOOD_ORACLE = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS xc
+  FROM events
+), dom AS (
+  SELECT xc, CAST(COUNT(*) AS BIGINT) AS t FROM c GROUP BY xc
+), med AS (
+  -- grand DISCRETE median off the value domain (the brown_forsythe
+  -- collapse): smallest value whose running count reaches ceil(n/2)
+  SELECT MIN(xc) AS gmed FROM (
+    SELECT xc,
+           SUM(t) OVER (ORDER BY xc ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(t) OVER () AS n
+    FROM dom) WHERE cum >= (n + 1) // 2
+), cells AS (
+  SELECT c.event_type, c.xc > med.gmed AS above,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM c CROSS JOIN med GROUP BY c.event_type, c.xc > med.gmed
+), m AS (
+  SELECT event_type, above, obs,
+         CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
+         CAST(SUM(obs) OVER (PARTITION BY above) AS BIGINT) AS col_n,
+         CAST(SUM(obs) OVER () AS BIGINT) AS n
+  FROM cells
+)
+SELECT event_type, above, obs,
+       (CAST(obs AS DOUBLE)
+        - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+          / CAST(n AS DOUBLE))
+       * (CAST(obs AS DOUBLE)
+          - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+            / CAST(n AS DOUBLE))
+       / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+          / CAST(n AS DOUBLE)) AS chi2_contrib
+FROM m
+"""
+
+
+@register("stat_mood_median_test", oracle=_MOOD_ORACLE)
+def stat_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: per-type counts above vs at-or-below the
+    GRAND discrete median, with per-cell chi-square contributions --
+    the bluntest of the k-sample location tests (only the side of the
+    median matters), and therefore the most outlier-proof: the
+    robustness extreme of the ladder that runs ANOVA -> Kruskal-Wallis
+    -> this. The grand median comes off the value DOMAIN (the
+    brown_forsythe collapse); cells and marginals are exact integers;
+    contributions stay per-cell (the chi-square house rule).
+
+    Scale shape: one domain fold + domain-sized median window; one
+    10-cell groupBy with a broadcast 1-row median."""
+    ev = load_table(spark, "events", sf_dir)
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    c = ev.select("event_type", xc.alias("xc"))
+    dom = c.groupBy("xc").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    wcum = (Window.orderBy("xc")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy()
+    med = (dom.select("xc",
+                      F.sum("t").over(wcum).alias("cum"),
+                      F.sum("t").over(wall).alias("n"))
+           .where(F.col("cum") >= F.floor((F.col("n") + 1) / 2))
+           .agg(F.min("xc").alias("gmed")))
+    cells = (c.crossJoin(F.broadcast(med))
+             .groupBy("event_type", (F.col("xc") > F.col("gmed"))
+                      .alias("above"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("obs")))
+    row_n = F.sum("obs").over(Window.partitionBy("event_type")) \
+        .cast("bigint")
+    col_n = F.sum("obs").over(Window.partitionBy("above")).cast("bigint")
+    n = F.sum("obs").over(wall).cast("bigint")
+    m = cells.select("event_type", "above", "obs",
+                     row_n.alias("row_n"), col_n.alias("col_n"),
+                     n.alias("n"))
+    exp = (F.col("row_n").cast("double") * F.col("col_n").cast("double")
+           / F.col("n").cast("double"))
+    return m.select(
+        "event_type", "above", "obs",
+        ((F.col("obs").cast("double") - exp)
+         * (F.col("obs").cast("double") - exp) / exp)
+        .alias("chi2_contrib"))

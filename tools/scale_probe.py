@@ -319,6 +319,7 @@ QUERY_TABLES = {
     "ts_permutation_entropy": {"events"},
     "stat_kruskal_wallis": {"events"},
     "win_skyline_2d": {"orders"},
+    "stat_mood_median_test": {"events"},
 }
 
 
