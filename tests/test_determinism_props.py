@@ -298,7 +298,8 @@ def test_third_ring_partition_invariance(spark):
             "seq_reorder_cadence", "agg_repeat_purchase_rate",
             "stat_sign_test_paired", "stat_wilcoxon_signed_rank",
             "stat_friedman_test", "ts_permutation_entropy",
-            "stat_kruskal_wallis"]
+            "stat_kruskal_wallis", "win_skyline_2d",
+            "stat_mood_median_test"]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     baseline = {k: sorted(map(tuple, registry.get(k).fn(spark, SF_DIR)
                               .collect())) for k in keys}
