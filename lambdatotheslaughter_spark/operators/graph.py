@@ -1284,3 +1284,93 @@ def graph_personalized_pagerank(spark: SparkSession,
                          .cast("bigint").alias("r")))
     return (ranks.where(F.col("r") > 0)
             .select("node", F.col("r").alias("ppr_fp")))
+
+
+# ---------------------------------------------------------------------------
+# disparity-filter backbone extraction (round 6)
+# ---------------------------------------------------------------------------
+
+_DISPARITY_ORACLE = f"""
+WITH raw AS ({_EDGES_SQL}),
+wedges_w AS (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM raw WHERE src <> dst GROUP BY 1, 2
+), sym AS (
+  SELECT a AS v, b AS u, w FROM wedges_w
+  UNION ALL SELECT b, a, w FROM wedges_w
+), node AS (
+  SELECT v, CAST(SUM(w) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS k
+  FROM sym GROUP BY v
+), alpha AS (
+  -- Serrano/Boguna/Vespignani: alpha = (1 - w/s)^(k-1), per endpoint;
+  -- pow is the one transcendental -> rounded 6 dp BEFORE the keep test
+  SELECT e.a, e.b, e.w,
+         round(CASE WHEN na.k <= 1 THEN 0.0
+                    ELSE power(1.0 - CAST(e.w AS DOUBLE)
+                                     / CAST(na.s AS DOUBLE),
+                               CAST(na.k AS DOUBLE) - 1.0) END, 6)
+           AS alpha_a,
+         round(CASE WHEN nb.k <= 1 THEN 0.0
+                    ELSE power(1.0 - CAST(e.w AS DOUBLE)
+                                     / CAST(nb.s AS DOUBLE),
+                               CAST(nb.k AS DOUBLE) - 1.0) END, 6)
+           AS alpha_b
+  FROM wedges_w e
+  JOIN node na ON e.a = na.v JOIN node nb ON e.b = nb.v
+)
+SELECT a, b, w, alpha_a, alpha_b
+FROM alpha WHERE LEAST(alpha_a, alpha_b) < 0.05
+"""
+
+
+@register("graph_disparity_backbone", oracle=_DISPARITY_ORACLE)
+def graph_disparity_backbone(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Disparity-filter backbone (Serrano et al., PNAS 2009): keep a
+    weighted co-purchase edge iff its weight is statistically
+    significant against EITHER endpoint's uniform-spread null --
+    alpha = (1 - w/s)^(k-1) < 0.05 -- the principled sparsifier that
+    preserves multi-scale structure where a global weight threshold
+    only keeps hubs. Weights, strengths and degrees are exact integers
+    off two combinable folds; alpha is the one pow() transcendental,
+    ROUNDED 6 dp before the keep test in both engines so the filter
+    decision itself is portable.
+
+    Scale shape: weighted-edge fold, node fold, two node-keyed
+    decoration joins -- all combinable/key-parallel; output is the
+    sparsified backbone."""
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    li = load_table(spark, "lineitem", sf_dir)
+    raw = (li.select(F.col("l_partkey").alias("src"),
+                     F.lead("l_partkey").over(w).alias("dst"))
+           .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst"))))
+    edges_w = (raw.select(F.least("src", "dst").alias("a"),
+                          F.greatest("src", "dst").alias("b"))
+               .groupBy("a", "b")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("w")))
+    sym = (edges_w.select(F.col("a").alias("v"), F.col("w"))
+           .unionAll(edges_w.select(F.col("b").alias("v"), F.col("w"))))
+    node = sym.groupBy("v").agg(
+        F.sum("w").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("k"))
+
+    def alpha(s_col, k_col):
+        return F.round(
+            F.when(k_col <= 1, F.lit(0.0))
+            .otherwise(F.pow(F.lit(1.0)
+                             - F.col("w").cast("double")
+                             / s_col.cast("double"),
+                             k_col.cast("double") - F.lit(1.0))), 6)
+
+    na = node.select(F.col("v").alias("a"), F.col("s").alias("sa"),
+                     F.col("k").alias("ka"))
+    nb = node.select(F.col("v").alias("b"), F.col("s").alias("sb"),
+                     F.col("k").alias("kb"))
+    decorated = (edges_w.join(na, "a").join(nb, "b")
+                 .select("a", "b", "w",
+                         alpha(F.col("sa"), F.col("ka")).alias("alpha_a"),
+                         alpha(F.col("sb"), F.col("kb")).alias("alpha_b")))
+    return decorated.where(
+        F.least("alpha_a", "alpha_b") < 0.05)

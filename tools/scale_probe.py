@@ -320,6 +320,7 @@ QUERY_TABLES = {
     "stat_kruskal_wallis": {"events"},
     "win_skyline_2d": {"orders"},
     "stat_mood_median_test": {"events"},
+    "graph_disparity_backbone": {"lineitem"},
 }
 
 
