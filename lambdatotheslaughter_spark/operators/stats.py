@@ -3154,3 +3154,113 @@ def stat_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("obs").cast("double") - exp)
          * (F.col("obs").cast("double") - exp) / exp)
         .alias("chi2_contrib"))
+
+
+# ---------------------------------------------------------------------------
+# Fisher-z confidence interval for the hourly correlation (round 6)
+# ---------------------------------------------------------------------------
+
+_FISHER_Z_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type, date_trunc('hour', ts)
+), paired AS (
+  SELECT a.cents AS x, b.cents AS y
+  FROM hourly a JOIN hourly b
+    ON a.hr = b.hr AND a.event_type = 'click'
+   AND b.event_type = 'purchase'
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM paired
+), r AS (
+  SELECT n,
+         (CAST(CAST(sxy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)))
+         / sqrt((CAST(CAST(sxx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                   * (CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                      / CAST(n AS DOUBLE)))
+                * (CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                   / CAST(n AS DOUBLE)
+                   - (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                     * (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                        / CAST(n AS DOUBLE)))) AS r
+  FROM s
+), z AS (
+  SELECT n, r,
+         0.5 * ln((1.0 + r) / (1.0 - r)) AS zr,
+         {_Z_ALPHA_2} / sqrt(CAST(n AS DOUBLE) - 3.0) AS half
+  FROM r
+)
+SELECT n AS n_hours, round(r, 6) AS pearson_r,
+       round((exp(2.0 * (zr - half)) - 1.0)
+             / (exp(2.0 * (zr - half)) + 1.0), 6) AS ci_lo,
+       round((exp(2.0 * (zr + half)) - 1.0)
+             / (exp(2.0 * (zr + half)) + 1.0), 6) AS ci_hi
+FROM z
+"""
+
+
+@register("stat_fisher_z_corr_ci", oracle=_FISHER_Z_ORACLE)
+def stat_fisher_z_corr_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher-z 95% confidence interval for the hourly click/purchase
+    Pearson correlation: z = atanh(r) is approximately normal with
+    SE = 1/sqrt(n-3), so the CI transforms back through tanh -- the
+    INTERVAL the point correlation (ts_rolling_corr, stat_spearman_rho)
+    never carries, and the difference between 'r = 0.3' and 'r = 0.3
+    +/- 0.4'. Moments ride HUGEINT/decimal(38,0) with the VARCHAR
+    correct-rounding hop (the ACF discipline); ln/exp are the
+    transcendentals, so r and both bounds round 6 dp; the z quantile is
+    the frozen literal.
+
+    Scale shape: calendar-bounded pairs; one combinable five-sum
+    fold."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.sum(cents).cast("bigint").alias("cents")))
+    x = (hourly.where(F.col("event_type") == "click")
+         .select("hr", F.col("cents").alias("x")))
+    y = (hourly.where(F.col("event_type") == "purchase")
+         .select(F.col("hr").alias("hry"), F.col("cents").alias("y")))
+    paired = x.join(y, F.col("hr") == F.col("hry"))
+    d38 = "decimal(38,0)"
+    s = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"))
+
+    def hop(col):
+        return F.col(col).cast("string").cast("double")
+
+    nd = F.col("n").cast("double")
+    ax, ay = hop("sx") / nd, hop("sy") / nd
+    axy, axx, ayy = hop("sxy") / nd, hop("sxx") / nd, hop("syy") / nd
+    r = (axy - ax * ay) / F.sqrt((axx - ax * ax) * (ayy - ay * ay))
+    zr = F.lit(0.5) * F.log((F.lit(1.0) + r) / (F.lit(1.0) - r))
+    half = F.lit(_Z_ALPHA_2) / F.sqrt(nd - F.lit(3.0))
+
+    def back(l):
+        return ((F.exp(F.lit(2.0) * l) - 1.0)
+                / (F.exp(F.lit(2.0) * l) + 1.0))
+
+    return s.select(
+        F.col("n").alias("n_hours"),
+        F.round(r, 6).alias("pearson_r"),
+        F.round(back(zr - half), 6).alias("ci_lo"),
+        F.round(back(zr + half), 6).alias("ci_hi"))

@@ -84,8 +84,8 @@ _loaded = False
 # §2.15 keys (22 oracled + llm_embedding_pq_quantize rows-only), then
 # the 49 §2.16 keys (47 oracled + llm_sim_lsh_mllib and
 # ts_dtw_banded_pairs rows-only; see the SURVEY tables for the
-# authoritative order), then the 79 §2.17 keys (all oracled):
-# 29 + 22 + 47 + 79 = 177 never-slotted oracled keys --
+# authoritative order), then the 80 §2.17 keys (all oracled):
+# 29 + 22 + 47 + 80 = 178 never-slotted oracled keys --
 # the round-7 window takes the first 50 (the 29 spills + the oldest 21
 # §2.15 keys), the rest roll to round 8 with any round-7 additions).
 # Update tests/test_survey_coverage.py's pinned window when rotating.

@@ -321,6 +321,7 @@ QUERY_TABLES = {
     "win_skyline_2d": {"orders"},
     "stat_mood_median_test": {"events"},
     "graph_disparity_backbone": {"lineitem"},
+    "stat_fisher_z_corr_ci": {"events"},
 }
 
 
