@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lambdatotheslaughter_spark.bucketed import bucketed_order
 from lambdatotheslaughter_spark.determinism import iround, estimate_rows
 from lambdatotheslaughter_spark.functions.text import (
     SHINGLE2_SQL, SHINGLE3_SQL, md5_int60, shingles2, shingles3, tokens)
@@ -2199,16 +2200,17 @@ def llm_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical in both engines; ties in the difficulty order are broken
     by doc_id so the quartile boundaries are exact.
 
-    Scale shape: the total order is a single-partition window at test
-    scale; at 100 TB epoch assignment becomes the two-pass bucketed
-    rank llm_shuffle_deterministic already implements (per-bucket counts
-    → offsets → local ranks), and the within-epoch md5 order is a plain
-    sort key — nothing about the schedule itself is sequential."""
+    Scale shape: epoch assignment is the two-pass bucketed rank
+    (bucketed.py — length buckets → broadcast prefix offsets → the
+    SQL-standard NTILE formula off the exact global rank), so the
+    corpus never passes through a single-partition window (the r6
+    'No Partition Defined' fix, pinned in test_plans.py); the
+    within-epoch md5 order is a plain partitioned sort key — nothing
+    about the schedule itself is sequential."""
     d = load_table(spark, "documents", sf_dir)
-    b = d.select(
-        "doc_id",
-        F.ntile(4).over(Window.orderBy("n_chars", "doc_id"))
-        .cast("bigint").alias("epoch"))
+    b = bucketed_order(d.select("doc_id", "n_chars"), "n_chars",
+                       ["doc_id"], ntile={"epoch": 4}) \
+        .select("doc_id", "epoch")
     wpos = Window.partitionBy("epoch").orderBy(
         F.md5(F.concat_ws("#", F.col("doc_id").cast("string"),
                           F.col("epoch").cast("string"))), F.col("doc_id"))
@@ -3468,10 +3470,11 @@ def llm_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole chain stays value-exact oracled — integers and one ntile.
 
     Scale shape: map-side screen/floor/label; one fingerprint-keyed
-    df-count exchange for the paragraph gate; the ntile is the one
-    global window (two-pass bucketed rank is the documented swap, the
-    llm_shuffle_deterministic recipe); packing windows partition by
-    quartile."""
+    df-count exchange for the paragraph gate; the difficulty quartile
+    is the two-pass bucketed rank (bucketed.py, the
+    llm_curriculum_schedule swap — no single-partition window over the
+    surviving corpus, pinned in test_plans.py); packing windows
+    partition by quartile."""
     d = load_table(spark, "documents", sf_dir)
     plant = F.element_at(
         F.array(*[F.lit(p) for p in _INJ_PATTERNS]),
@@ -3506,10 +3509,9 @@ def llm_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens",
         F.when(n_pos > n_neg, F.lit(1)).otherwise(F.lit(0))
         .alias("is_positive"))
-    staged = labeled.select(
-        "doc_id", "n_tokens", "is_positive",
-        F.ntile(4).over(Window.orderBy("n_tokens", "doc_id"))
-        .cast("bigint").alias("difficulty_q"))
+    staged = bucketed_order(
+        labeled.select("doc_id", "n_tokens", "is_positive"),
+        "n_tokens", ["doc_id"], ntile={"difficulty_q": 4})
     wp = (Window.partitionBy("difficulty_q")
           .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))

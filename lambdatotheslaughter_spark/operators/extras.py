@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lambdatotheslaughter_spark.bucketed import bucketed_order
 from lambdatotheslaughter_spark.determinism import (
     iround,
     cavg, csum, dsum, oracle_cavg, oracle_csum, oracle_dsum)
@@ -5740,26 +5741,29 @@ def agg_concentration_hhi_crk(spark: SparkSession,
     ranks on the (rev desc, custkey) total order.
 
     Scale shape: customer-grain groupBy (40x smaller than orders), one
-    combinable moment fold; the rank window only needs the top 10 --
-    at 1000x the swap is a TakeOrdered head instead of a full rank
-    (documented), but the window here is already customer-grain."""
+    combinable moment fold; CR-10's numerator is a TakeOrdered top-10
+    head (sort-limit fuses to per-partition heaps + a 10-row merge —
+    the r7 swap that retires the full global rank window entirely),
+    broadcast back beside the one-row moment fold."""
     o = load_table(spark, "orders", sf_dir)
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
     cust = o.groupBy("o_custkey").agg(
         F.sum(cents).cast("bigint").alias("rev"))
-    ranked = cust.select(
-        "rev",
-        F.row_number().over(Window.orderBy(F.col("rev").desc(),
-                                           "o_custkey")).alias("rk"))
-    return ranked.agg(
+    top10 = (cust.orderBy(F.col("rev").desc(), "o_custkey").limit(10)
+             .agg(F.sum("rev").cast("bigint").alias("top_rev")))
+    moments = cust.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("rev").cast("bigint").alias("total_cents"),
-        (F.sum(F.col("rev").cast("decimal(38,0)") * F.col("rev"))
-         .cast("double")
-         / (F.sum("rev").cast("double") * F.sum("rev").cast("double")))
-        .alias("hhi"),
-        (F.sum(F.when(F.col("rk") <= 10, F.col("rev")).otherwise(F.lit(0)))
-         .cast("double") / F.sum("rev").cast("double")).alias("cr10"))
+        F.sum(F.col("rev").cast("decimal(38,0)") * F.col("rev"))
+        .alias("sq"))
+    return (moments.crossJoin(F.broadcast(top10))
+            .select("n_customers", "total_cents",
+                    (F.col("sq").cast("double")
+                     / (F.col("total_cents").cast("double")
+                        * F.col("total_cents").cast("double")))
+                    .alias("hhi"),
+                    (F.col("top_rev").cast("double")
+                     / F.col("total_cents").cast("double")).alias("cr10")))
 
 
 # ---------------------------------------------------------------------------
@@ -6362,10 +6366,11 @@ def seq_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs are exact integers (epoch-microsecond recency, counts,
     cents).
 
-    Scale shape: one combinable user-grain fold; three ntile windows
-    over the purchaser-grain table (two-pass bucketed rank is the
-    documented swap, the ml_lift_gains_table note); a <=64-cell
-    rollup."""
+    Scale shape: one combinable user-grain fold; the three quartile
+    assignments are three chained two-pass bucketed ranks
+    (bucketed.py + the exact NTILE formula — no single-partition
+    window over the purchaser table at any user count, the r7
+    entity-grain sweep); a <=64-cell rollup."""
     ev = load_table(spark, "events", sf_dir) \
         .where(F.col("event_type") == "purchase")
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
@@ -6374,12 +6379,12 @@ def seq_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("last_us"),
         F.count(F.lit(1)).cast("bigint").alias("freq"),
         F.sum(cents).cast("bigint").alias("monetary"))
-    scored = per_user.select(
-        "user_id", "monetary",
-        F.ntile(4).over(Window.orderBy("last_us", "user_id")).alias("r_q"),
-        F.ntile(4).over(Window.orderBy("freq", "user_id")).alias("f_q"),
-        F.ntile(4).over(Window.orderBy("monetary", "user_id"))
-        .alias("m_q"))
+    scored = bucketed_order(
+        bucketed_order(
+            bucketed_order(per_user, "last_us", ["user_id"],
+                           ntile={"r_q": 4}),
+            "freq", ["user_id"], ntile={"f_q": 4}),
+        "monetary", ["user_id"], ntile={"m_q": 4})
     return (scored.groupBy(F.concat_ws("", F.col("r_q"), F.col("f_q"),
                                        F.col("m_q")).alias("rfm_segment"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
@@ -6494,22 +6499,21 @@ def agg_pareto_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 80% test is INTEGER-safe (5*cum >= 4*total -- no float
     threshold anywhere); the pick is a conditional MIN over ranks.
 
-    Scale shape: customer-grain fold, one rank/cumsum window over the
-    customer table (two-pass bucketed rank is the documented swap),
-    one fold to a single row."""
+    Scale shape: customer-grain fold, then the two-pass bucketed
+    rank+cumsum (bucketed.py — revenue buckets, broadcast prefix
+    offsets; no single-partition window even at fact-scale customer
+    counts, the r7 entity-grain sweep); totals broadcast back as one
+    row; one fold to a single row."""
     o = load_table(spark, "orders", sf_dir)
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
     cust = o.groupBy("o_custkey").agg(
         F.sum(cents).cast("bigint").alias("rev"))
-    wo = Window.orderBy(F.col("rev").desc(), "o_custkey")
-    wall = Window.partitionBy()
-    ranked = cust.select(
-        F.row_number().over(wo).alias("rk"),
-        F.sum("rev").over(
-            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("bigint").alias("cum_rev"),
-        F.sum("rev").over(wall).cast("bigint").alias("total"),
-        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"))
+    tot = cust.agg(F.sum("rev").cast("bigint").alias("total"),
+                   F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = (bucketed_order(cust, "rev", ["o_custkey"], descending=True,
+                             rank_col="rk", cumsum={"cum_rev": "rev"})
+              .crossJoin(F.broadcast(tot))
+              .select("rk", "cum_rev", "total", "n"))
     return (ranked.where(5 * F.col("cum_rev") >= 4 * F.col("total"))
             .agg(F.min("rk").cast("bigint").alias("k_customers"),
                  F.max("n").alias("n_customers"),
@@ -6843,21 +6847,19 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     20*cum <= 19*total) on the (revenue desc, partkey) total order; no
     float threshold anywhere, one share division per class.
 
-    Scale shape: part-grain fold (30x smaller than lineitem), one
-    rank/cumsum window over the part table (two-pass bucketed rank is
-    the documented swap), 3-row rollup."""
+    Scale shape: part-grain fold (30x smaller than lineitem), then the
+    two-pass bucketed cumsum over the part table (bucketed.py — no
+    single-partition window at any part count, the r7 entity-grain
+    sweep), 3-row rollup."""
     li = load_table(spark, "lineitem", sf_dir)
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
     part_rev = li.groupBy("l_partkey").agg(
         F.sum(cents).cast("bigint").alias("rev"))
-    wo = Window.orderBy(F.col("rev").desc(), "l_partkey")
-    wall = Window.partitionBy()
-    ranked = part_rev.select(
-        "rev",
-        F.sum("rev").over(
-            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("bigint").alias("cum_rev"),
-        F.sum("rev").over(wall).cast("bigint").alias("total"))
+    tot = part_rev.agg(F.sum("rev").cast("bigint").alias("total"))
+    ranked = (bucketed_order(part_rev, "rev", ["l_partkey"],
+                             descending=True, cumsum={"cum_rev": "rev"})
+              .crossJoin(F.broadcast(tot))
+              .select("rev", "cum_rev", "total"))
     abc = (F.when(5 * F.col("cum_rev") <= 4 * F.col("total"), F.lit("A"))
            .when(20 * F.col("cum_rev") <= 19 * F.col("total"), F.lit("B"))
            .otherwise(F.lit("C")))
@@ -7117,10 +7119,11 @@ def seq_reorder_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer day differences off one customer-keyed lag; quantiles are
     rank-picked integers.
 
-    Scale shape: customer-keyed lag (key-parallel); the global rank
-    runs over the GAP distribution (domain-collapse via per-gap-value
-    counts is the documented swap at extreme scale, the
-    stat_mann_whitney_u recipe)."""
+    Scale shape: customer-keyed lag (key-parallel); the global rank is
+    the two-pass bucketed rank (bucketed.py — gap-value buckets are
+    monotone in the order, so ALL inter-order gap rows rank in
+    parallel; the r6 'No Partition Defined' fix, pinned in
+    test_plans.py); the total count broadcasts back as one row."""
     o = load_table(spark, "orders", sf_dir)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
                                                 "o_orderkey")
@@ -7128,10 +7131,12 @@ def seq_reorder_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.lag("o_orderdate").over(w))
                      .cast("bigint").alias("gap_days"))
             .where(F.col("gap_days").isNotNull()))
-    ranked = gaps.select(
-        "gap_days",
-        F.row_number().over(Window.orderBy("gap_days")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"))
+    # ties in gap_days rank in arbitrary order WITHIN one value, exactly
+    # as the plain window did — only the value at the target rank is
+    # read, and all tied rows carry that same value
+    tot = gaps.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = (bucketed_order(gaps, "gap_days", rank_col="rn")
+              .crossJoin(F.broadcast(tot)))
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_gaps"),
         F.min(F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2),
@@ -7304,22 +7309,24 @@ WITH pts AS (
          CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
   FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
   GROUP BY c.c_custkey, c.c_acctbal
-), per_x AS (
-  -- one champion per balance: max orders, custkey tie-break
-  SELECT bal_cents, n_orders, c_custkey FROM (
-    SELECT *, row_number() OVER (PARTITION BY bal_cents
-                                 ORDER BY n_orders DESC, c_custkey) AS rn
-    FROM pts) WHERE rn = 1
-), sky AS (
-  SELECT bal_cents, n_orders, c_custkey,
-         MAX(n_orders) OVER (ORDER BY bal_cents DESC
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND 1 PRECEDING) AS best_above
-  FROM per_x
+), per_bal AS (
+  SELECT bal_cents, MAX(n_orders) AS best FROM pts GROUP BY bal_cents
+), pb AS (
+  -- per-balance keys are UNIQUE here, so the ROWS frame is well-defined
+  SELECT bal_cents, best,
+         MAX(best) OVER (ORDER BY bal_cents DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS best_above
+  FROM per_bal
+), champs AS (
+  -- ALL customers tying the per-balance max are mutually non-dominated
+  SELECT p.c_custkey, p.bal_cents, p.n_orders
+  FROM pts p JOIN per_bal b
+    ON p.bal_cents = b.bal_cents AND p.n_orders = b.best
 )
-SELECT c_custkey, bal_cents, n_orders
-FROM sky
-WHERE best_above IS NULL OR n_orders > best_above
+SELECT c.c_custkey, c.bal_cents, c.n_orders
+FROM champs c JOIN pb ON c.bal_cents = pb.bal_cents
+WHERE pb.best_above IS NULL OR c.n_orders > pb.best_above
 """
 
 
@@ -7329,16 +7336,20 @@ def win_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     maximization form: customers not DOMINATED on (account balance,
     order count) -- no other customer is at least as good on both and
     strictly better on one; the multi-criteria shortlist behind
-    best-tradeoff queries that no single score can express. The
-    sort-filter algorithm in two windows: one champion per balance
-    (max orders, custkey ties), then a running-max-of-orders over
-    STRICTLY higher balances -- a point survives iff it beats
-    everything above it. All exact integers; the dominance test is two
+    best-tradeoff queries that no single score can express. Tie
+    semantics follow the dominance definition exactly (the r6 ADVICE
+    fix): customers with IDENTICAL (balance, orders) are mutually
+    non-dominated, so ALL of them are kept — champions are "everyone
+    tying the per-balance max", not one row_number survivor. A point
+    survives iff its orders beat the best over STRICTLY higher
+    balances. All exact integers; the dominance test is two
     comparisons.
 
-    Scale shape: customer-grain fold; one partition-local champion
-    window + one global running max over the champion table (two-pass
-    bucketed rank is the documented swap, the gini/lift note)."""
+    Scale shape: customer-grain fold; a per-balance max fold + equi
+    join picks champions (no window at all), and the running max over
+    strictly-higher balances is the two-pass bucketed prefix-max
+    (bucketed.py — the distinct-balance table never collapses to one
+    partition, the r7 entity-grain sweep)."""
     c = load_table(spark, "customer", sf_dir)
     o = load_table(spark, "orders", sf_dir) \
         .select("o_custkey", "o_orderkey")
@@ -7346,15 +7357,18 @@ def win_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = (c.join(o, c.c_custkey == o.o_custkey, "left")
            .groupBy("c_custkey", bal.alias("bal_cents"))
            .agg(F.count("o_orderkey").cast("bigint").alias("n_orders")))
-    wx = Window.partitionBy("bal_cents").orderBy(
-        F.col("n_orders").desc(), "c_custkey")
-    per_x = (pts.select("*", F.row_number().over(wx).alias("rn"))
-             .where(F.col("rn") == 1).drop("rn"))
-    wsky = (Window.orderBy(F.col("bal_cents").desc())
-            .rowsBetween(Window.unboundedPreceding, -1))
-    sky = per_x.select(
-        "c_custkey", "bal_cents", "n_orders",
-        F.max("n_orders").over(wsky).alias("best_above"))
+    per_bal = pts.groupBy("bal_cents").agg(
+        F.max("n_orders").alias("best"))
+    pb = bucketed_order(per_bal, "bal_cents", descending=True,
+                        prefix_max={"best_above": "best"})
+    champs = (pts.alias("p")
+              .join(per_bal.alias("b"),
+                    (F.col("p.bal_cents") == F.col("b.bal_cents"))
+                    & (F.col("p.n_orders") == F.col("b.best")))
+              .select("p.c_custkey",
+                      F.col("p.bal_cents").alias("bal_cents"),
+                      "p.n_orders"))
+    sky = champs.join(pb.select("bal_cents", "best_above"), "bal_cents")
     return (sky.where(F.col("best_above").isNull()
                       | (F.col("n_orders") > F.col("best_above")))
             .select("c_custkey", "bal_cents", "n_orders"))

@@ -1324,18 +1324,28 @@ FROM alpha WHERE LEAST(alpha_a, alpha_b) < 0.3
 """
 
 
-@register("graph_disparity_backbone", oracle=_DISPARITY_ORACLE)
-def graph_disparity_backbone(spark: SparkSession,
-                             sf_dir: str) -> DataFrame:
+# canonical Serrano et al. significance level; the REGISTERED query passes
+# the fixture-scale 0.3 explicitly (see the call-site comment below)
+_DISPARITY_ALPHA_DEFAULT = 0.05
+
+
+def disparity_backbone(spark: SparkSession, sf_dir: str,
+                       alpha_max: float | None = None) -> DataFrame:
     """Disparity-filter backbone (Serrano et al., PNAS 2009): keep a
     weighted co-purchase edge iff its weight is statistically
     significant against EITHER endpoint's uniform-spread null --
-    alpha = (1 - w/s)^(k-1) < 0.3 -- the principled sparsifier that
-    preserves multi-scale structure where a global weight threshold
-    only keeps hubs. Weights, strengths and degrees are exact integers
-    off two combinable folds; alpha is the one pow() transcendental,
-    ROUNDED 6 dp before the keep test in both engines so the filter
-    decision itself is portable.
+    alpha = (1 - w/s)^(k-1) < alpha_max (default the canonical 0.05;
+    the registered fixture query passes 0.3, r6 ADVICE: the threshold
+    is a named parameter, not a buried constant) -- the principled
+    sparsifier that preserves multi-scale structure where a global
+    weight threshold only keeps hubs. Degree-1 endpoints get alpha 0.0
+    by convention: a dangling edge is its node's ENTIRE strength, so
+    the null can never reject it and it always passes through its own
+    endpoint -- the other endpoint still applies its own test via
+    LEAST only when its alpha is smaller. Weights, strengths and
+    degrees are exact integers off two combinable folds; alpha is the
+    one pow() transcendental, ROUNDED 6 dp before the keep test in
+    both engines so the filter decision itself is portable.
 
     Scale shape: weighted-edge fold, node fold, two node-keyed
     decoration joins -- all combinable/key-parallel; output is the
@@ -1372,10 +1382,23 @@ def graph_disparity_backbone(spark: SparkSession,
                  .select("a", "b", "w",
                          alpha(F.col("sa"), F.col("ka")).alias("alpha_a"),
                          alpha(F.col("sb"), F.col("kb")).alias("alpha_b")))
-    # 0.3 rather than the canonical 0.05: the fixture's co-purchase
-    # weights are small (max ~3), so 0.05 keeps nothing at test scale;
-    # the filter keeps a SCALE-STABLE backbone here (544 edges at
-    # sf0.01, 499 at sf0.1 from a 10x denser graph -- the property the
-    # filter exists for), and the threshold is a parameter in practice
+    # registered query passes 0.3 rather than the canonical 0.05: the
+    # fixture's co-purchase weights are small (max ~3), so 0.05 keeps
+    # nothing at test scale; the filter keeps a SCALE-STABLE backbone
+    # here (544 edges at sf0.01, 499 at sf0.1 from a 10x denser graph
+    # -- the property the filter exists for). The oracle pins the same
+    # 0.3; callers at production scale take the 0.05 default.
+    threshold = _DISPARITY_ALPHA_DEFAULT if alpha_max is None \
+        else alpha_max
     return decorated.where(
-        F.least("alpha_a", "alpha_b") < 0.3)
+        F.least("alpha_a", "alpha_b") < F.lit(threshold))
+
+
+@register("graph_disparity_backbone", oracle=_DISPARITY_ORACLE)
+def graph_disparity_backbone(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Registered fixture query: ``disparity_backbone`` at the
+    fixture-scale threshold 0.3 (the oracle pins the same value; the
+    canonical 0.05 is the parameter default for production callers --
+    r6 ADVICE)."""
+    return disparity_backbone(spark, sf_dir, alpha_max=0.3)

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lambdatotheslaughter_spark.bucketed import bucketed_order
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
 
@@ -348,20 +349,17 @@ def stat_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row products identical too). All sums are exact BIGINT cents;
     only the final three-op expression tree touches doubles.
 
-    Scale shape: one combinable groupBy to customer grain, then a global
-    rank window over the CUSTOMER table (already 40× smaller than
-    orders). The single-partition rank is the documented trade at test
-    scale; the 100 TB swap is the two-pass range-bucketed rank
-    (llm_shuffle_deterministic's recipe) which assigns bucket offsets
-    from a count pre-pass."""
+    Scale shape: one combinable groupBy to customer grain, then the
+    two-pass bucketed rank over the customer table (bucketed.py —
+    spend-cents buckets, broadcast prefix offsets; zero
+    single-partition windows even if customer counts reach fact
+    scale, the r7 entity-grain sweep)."""
     o = load_table(spark, "orders", sf_dir)
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
     spend = (o.groupBy("o_custkey")
              .agg(F.sum(cents).cast("bigint").alias("cents")))
-    ranked = spend.select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents", "o_custkey"))
-        .cast("bigint").alias("rk"))
+    ranked = bucketed_order(spend, "cents", ["o_custkey"],
+                            rank_col="rk").select("cents", "rk")
     s = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("total_cents"),
@@ -555,10 +553,11 @@ def stat_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment sums are exact BIGINTs (every one < 2⁵³, so the double lift
     is exact); determinants expand through a FIXED cofactor tree spelled
     identically in both engines; R² reuses the normal-equation identity
-    SSE = Σy² − β·(Σy, Σx₁y, Σx₂y). dayofweek is 1-based-Sunday in both
-    Spark and DuckDB, so no base-offset shim is needed (contrast
-    ts_dow_hour_profile's dow normalization against its 0-based
-    DuckDB twin).
+    SSE = Σy² − β·(Σy, Σx₁y, Σx₂y). DuckDB's dayofweek is 0-based
+    Sunday while Spark's is 1-based, so the oracle applies the +1 shim
+    to mirror Spark's values (the stat_two_proportion_z convention;
+    this docstring previously claimed no shim was needed -- fixed per
+    r6 ADVICE).
 
     Scale shape: ONE combinable ten-sum aggregate over the scan to a
     single row; the solve is constant work after the fold — the
@@ -816,8 +815,10 @@ WITH hourly AS (
       AS c,
     CAST(COUNT(CASE WHEN (x1 - x2) * (y1 - y2) < 0 THEN 1 END) AS BIGINT)
       AS d,
-    CAST(COUNT(CASE WHEN x1 = x2 AND y1 <> y2 THEN 1 END) AS BIGINT) AS tx,
-    CAST(COUNT(CASE WHEN y1 = y2 AND x1 <> x2 THEN 1 END) AS BIGINT) AS ty
+    -- ALL x-tied pairs (both-tied included) count in n1, and all
+    -- y-tied pairs in n2 -- the classical tau-b denominator (r6 ADVICE)
+    CAST(COUNT(CASE WHEN x1 = x2 THEN 1 END) AS BIGINT) AS tx,
+    CAST(COUNT(CASE WHEN y1 = y2 THEN 1 END) AS BIGINT) AS ty
   FROM pp
 )
 SELECT n0 AS n_pairs, c AS n_concordant, d AS n_discordant,
@@ -838,7 +839,10 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     immune to any monotone distortion of either series). Concordant /
     discordant / tie counts are pure integer comparisons over the
     calendar-bounded pair expansion; τ-b assembles in one identical
-    four-op tree. The sign product (x₁−x₂)(y₁−y₂) stays in BIGINT.
+    four-op tree with the CLASSICAL denominator √((n₀−n₁)(n₀−n₂)) where
+    n₁ counts ALL x-tied pairs and n₂ all y-tied pairs (both-tied pairs
+    belong to both terms). The sign product (x₁−x₂)(y₁−y₂) stays in
+    BIGINT.
 
     Scale shape: the corpus collapses to one paired hourly series; the
     O(k²) pair self-join is calendar-bounded (the Theil–Sen
@@ -867,10 +871,12 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("c"),
         F.count(F.when(F.col("dx") * F.col("dy") < 0, 1))
         .cast("bigint").alias("d"),
-        F.count(F.when((F.col("dx") == 0) & (F.col("dy") != 0), 1))
-        .cast("bigint").alias("tx"),
-        F.count(F.when((F.col("dy") == 0) & (F.col("dx") != 0), 1))
-        .cast("bigint").alias("ty"))
+        # classical tau-b tie terms: EVERY pair tied on x counts in tx
+        # and every pair tied on y in ty, so a pair tied on BOTH series
+        # appears in both terms (the r6 ADVICE fix -- the previous
+        # AND-differing variant inflated tau_b under both-tied pairs)
+        F.count(F.when(F.col("dx") == 0, 1)).cast("bigint").alias("tx"),
+        F.count(F.when(F.col("dy") == 0, 1)).cast("bigint").alias("ty"))
     return s.select(
         F.col("n0").alias("n_pairs"),
         F.col("c").alias("n_concordant"),
@@ -2031,9 +2037,11 @@ def ml_cv_auc_per_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT; one combinable three-sum fold per fold; the single float is
     each fold's final division.
 
-    Scale shape: the corpus folds to (fold, value) counts; the rank
-    windows run over the fold-partitioned DOMAIN (4-way parallel,
-    domain-sized); one combinable groupBy to 4 rows."""
+    Scale shape: the corpus folds to (fold, value) counts; the
+    cumulative-count pass runs as the two-pass bucketed cumsum
+    partitioned BY FOLD (bucketed.py — 4 folds × 256 value buckets of
+    parallelism instead of 4 fold-wide window partitions, the r7
+    entity-grain sweep); one combinable groupBy to 4 rows."""
     ev = (load_table(spark, "events", sf_dir)
           .where(F.col("event_type").isin("click", "purchase")))
     fold = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
@@ -2048,10 +2056,10 @@ def ml_cv_auc_per_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).cast("bigint").alias("t"),
                 F.count(F.when(F.col("pos"), 1)).cast("bigint")
                 .alias("p")))
-    wcum = (Window.partitionBy("fold").orderBy("xc")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum_below = (F.sum("t").over(wcum) - F.col("t")).cast("bigint")
-    r = dom.select(
+    cum = bucketed_order(dom, "xc", partition_by=["fold"],
+                         cumsum={"cum_t": "t"})
+    cum_below = (F.col("cum_t") - F.col("t")).cast("bigint")
+    r = cum.select(
         "fold", "t", "p",
         (F.col("p") * (F.lit(2) * cum_below + F.col("t") + 1))
         .cast("bigint").alias("pr2"))
@@ -2165,30 +2173,35 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-decile and cumulative counts are exact integers; gains and lift
     are two exact divisions per row.
 
-    Scale shape: one global ntile (two-pass bucketed rank is the
-    documented swap) folding to 10 cells; cumulative windows run over
-    those 10 rows."""
+    Scale shape: the decile assignment is the two-pass bucketed rank
+    (bucketed.py — arithmetic score buckets, broadcast prefix offsets,
+    SQL-standard NTILE formula from the exact global rank), so the raw
+    EVENT rows never pass through a single-partition window (the r6
+    'No Partition Defined' fix, pinned in test_plans.py); cumulative
+    windows then run over the 10 decile cells."""
     ev = (load_table(spark, "events", sf_dir)
           .where(F.col("event_type").isin("click", "purchase")))
     xc = F.round(F.col("value") * 100, 0).cast("bigint")
     c = ev.select((F.col("event_type") == "purchase").alias("pos"),
                   xc.alias("xc"), "event_id")
-    ranked = c.select(
-        "pos",
-        F.ntile(10).over(Window.orderBy(F.col("xc").desc(), "event_id"))
-        .cast("bigint").alias("decile"))
+    ranked = bucketed_order(c, "xc", ["event_id"], descending=True,
+                            ntile={"decile": 10}).select("pos", "decile")
     cells = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.count(F.when(F.col("pos"), 1)).cast("bigint").alias("n_pos"))
-    wcum = (Window.orderBy("decile")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    wall = Window.partitionBy()
-    cum = cells.select(
-        "decile", "n", "n_pos",
-        F.sum("n").over(wcum).cast("bigint").alias("cum_n"),
-        F.sum("n_pos").over(wcum).cast("bigint").alias("cum_pos"),
-        F.sum("n").over(wall).cast("bigint").alias("tot_n"),
-        F.sum("n_pos").over(wall).cast("bigint").alias("tot_pos"))
+    # cumulative + totals over the 10 decile cells as a broadcast
+    # self-join (y.decile <= x.decile) — even the 10-row windows would
+    # be global WindowExecs, and this query's contract is ZERO of them
+    x, y = cells.alias("x"), cells.alias("y")
+    cum = (x.join(F.broadcast(y), F.col("y.decile") <= F.col("x.decile"))
+           .groupBy(F.col("x.decile").alias("decile"))
+           .agg(F.max("x.n").cast("bigint").alias("n"),
+                F.max("x.n_pos").cast("bigint").alias("n_pos"),
+                F.sum("y.n").cast("bigint").alias("cum_n"),
+                F.sum("y.n_pos").cast("bigint").alias("cum_pos"))
+           .crossJoin(F.broadcast(cells.agg(
+               F.sum("n").cast("bigint").alias("tot_n"),
+               F.sum("n_pos").cast("bigint").alias("tot_pos")))))
     return cum.select(
         "decile", "n", "n_pos",
         (F.col("cum_pos").cast("double") / F.col("tot_pos").cast("double"))
@@ -2833,13 +2846,19 @@ WITH hourly AS (
          CAST(SUM(CASE WHEN diff > 0 THEN r2 ELSE 0 END) AS BIGINT)
            AS w_plus_x2
   FROM r
+), tie AS (
+  -- tie correction sum(t^3 - t) over groups of equal |d| (r6 ADVICE):
+  -- exact BIGINT fold, consistent with the tie-corrected MWU/KW siblings
+  SELECT CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT) AS tie_cube
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM d GROUP BY abs(diff))
 )
 SELECT n, w_plus_x2,
        (CAST(w_plus_x2 AS DOUBLE) / 2.0
         - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
        / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
-              * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0) AS z_stat
-FROM s
+              * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+              - CAST(tie_cube AS DOUBLE) / 48.0) AS z_stat
+FROM s CROSS JOIN tie
 """
 
 
@@ -2852,8 +2871,10 @@ def stat_wilcoxon_signed_rank(spark: SparkSession,
     middle ground between the sign test (signs only) and the paired t
     (full magnitudes). Zero differences drop; |d| ranks ride the
     doubled-average-rank trick (2W+ stays an exact BIGINT under ties);
-    the normal z uses the classical mean n(n+1)/4 and variance
-    n(n+1)(2n+1)/24 in an identical tree.
+    the normal z uses mean n(n+1)/4 and the TIE-CORRECTED variance
+    n(n+1)(2n+1)/24 - sum(t^3-t)/48 (r6 ADVICE fix -- consistent with
+    the tie-corrected stat_mann_whitney_u / stat_kruskal_wallis
+    siblings) in an identical tree.
 
     Scale shape: calendar-bounded pairs; one rank window over the
     ~700-row paired series; one two-sum fold."""
@@ -2869,7 +2890,8 @@ def stat_wilcoxon_signed_rank(spark: SparkSession,
          .select(F.col("hr").alias("hry"), F.col("cents").alias("y")))
     d = (x.join(y, F.col("hr") == F.col("hry"))
          .where(F.col("x") != F.col("y"))
-         .select((F.col("x") - F.col("y")).alias("diff")))
+         .select((F.col("x") - F.col("y")).alias("diff"))
+         .localCheckpoint(eager=False))  # rank + tie folds share it
     r2 = (F.lit(2) * F.rank().over(Window.orderBy(F.abs("diff")))
           + F.count(F.lit(1)).over(Window.partitionBy(F.abs("diff")))
           - 1).cast("bigint")
@@ -2878,10 +2900,19 @@ def stat_wilcoxon_signed_rank(spark: SparkSession,
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.when(F.col("diff") > 0, F.col("r2")).otherwise(F.lit(0)))
         .cast("bigint").alias("w_plus_x2"))
+    tie = (d.groupBy(F.abs("diff").alias("ad"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+           .agg(F.coalesce(F.sum(F.col("t") * F.col("t") * F.col("t")
+                                 - F.col("t")), F.lit(0))
+                .cast("bigint").alias("tie_cube")))
+    s = s.crossJoin(F.broadcast(tie))
     nd = F.col("n").cast("double")
     mean_w = nd * (nd + F.lit(1.0)) / F.lit(4.0)
-    var_w = nd * (nd + F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(1.0)) \
-        / F.lit(24.0)
+    # tie-corrected variance (r6 ADVICE): subtract sum(t^3 - t)/48,
+    # matching the tie-corrected Mann-Whitney / Kruskal-Wallis siblings
+    var_w = (nd * (nd + F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(1.0))
+             / F.lit(24.0)
+             - F.col("tie_cube").cast("double") / F.lit(48.0))
     return s.select(
         "n", "w_plus_x2",
         ((F.col("w_plus_x2").cast("double") / F.lit(2.0) - mean_w)

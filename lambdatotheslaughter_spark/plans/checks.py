@@ -73,6 +73,38 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     return executed_plan(df).count("*(")
 
 
+def global_window_count(df: DataFrame) -> int:
+    """Number of window-family physical nodes with an EMPTY partition spec
+    — each one forces Exchange SinglePartition of its whole input (the
+    'WindowExec: No Partition Defined' warning). The bucketed_order swap
+    exists to drive this to zero on fact/corpus-grain inputs; windows over
+    by-construction-bounded inputs (calendar series, ≤64-row replicate
+    tables) are the callers' documented exceptions."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.executedPlan()
+    count = 0
+
+    def walk(n):
+        nonlocal count
+        cls = n.getClass().getSimpleName()
+        if cls.endswith("QueryStageExec"):
+            walk(n.plan())
+            return
+        if cls == "ReusedExchangeExec":
+            walk(n.child())
+            return
+        if cls in ("WindowExec", "WindowInPandasExec",
+                   "WindowGroupLimitExec") and n.partitionSpec().isEmpty():
+            count += 1
+        it = n.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(plan)
+    return count
+
+
 def _metric_nodes(df: DataFrame):
     """AQE-final plan nodes with populated SQLMetrics; QueryStage wrappers
     unwrapped (their subtree hides behind .plan()), reused exchanges

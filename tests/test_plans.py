@@ -948,3 +948,40 @@ def test_path_topk_is_take_ordered():
     TakeOrderedAndProject — a full sort of the path table is the
     anti-pattern."""
     assert checks.has_take_ordered(_df("seq_path_topk"))
+
+
+# ---------------------------------------------------------------------------
+# round 7: the bucketed_order sweep — zero global (no-partition) windows
+# ---------------------------------------------------------------------------
+
+_BUCKETED_SWEPT = [
+    # the four r6 "weak on plan" fact/corpus-grain queries (VERDICT r6 #2)
+    "ml_lift_gains_table", "seq_reorder_cadence",
+    "llm_curriculum_schedule", "llm_pipeline_curation_v2",
+    # the entity-grain sweep (VERDICT r6 #3)
+    "stat_gini_coefficient", "agg_pareto_cutoff", "agg_abc_classification",
+    "seq_rfm_segments", "win_skyline_2d", "agg_concentration_hhi_crk",
+    "ml_cv_auc_per_fold",
+]
+
+
+def test_bucketed_sweep_has_no_single_partition_window():
+    """Every query converted to bucketed.py's two-pass order must plan
+    ZERO WindowExec nodes with an empty partition spec — the
+    'WindowExec: No Partition Defined' warning class is retired for the
+    whole list (VERDICT r6 asks #2 and #3). AQE finalizes window nodes
+    only after execution, so run each query first."""
+    offenders = {}
+    for key in _BUCKETED_SWEPT:
+        df = _df(key)
+        df.collect()
+        n = checks.global_window_count(df)
+        if n:
+            offenders[key] = n
+    assert not offenders, f"single-partition windows remain: {offenders}"
+
+
+def test_hhi_cr10_head_fuses_to_take_ordered():
+    """agg_concentration_hhi_crk's CR-10 numerator must be a TakeOrdered
+    head, not a rank window over the full customer table."""
+    assert checks.has_take_ordered(_df("agg_concentration_hhi_crk"))
