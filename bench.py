@@ -83,6 +83,13 @@ HEADLINE = [
     "llm_pipeline_curation_v2",  # round-6 stages composed end-to-end
     "ml_roc_auc_exact",         # domain-collapsed rank AUC (round 6)
     "geo_grid_neighbor_join",   # bin-and-verify spatial self-join (round 6)
+    # round-7 additions (VERDICT r6 #6: the stats/ML-eval ring had zero
+    # bench coverage) + the bucketed_order swap's headline consumers
+    "stat_bh_fdr_permutation",  # permutation p-values + BH-FDR (round 7)
+    "dq_expectations_report",   # data-quality expectations suite (round 7)
+    "ts_hampel_filter",         # rolling-median despike window (round 7)
+    "ml_lift_gains_table",      # bucketed-rank decile gains/lift (round 7)
+    "seq_rfm_segments",         # 3x bucketed-ntile RFM rollup (round 7)
 ]
 
 

@@ -1032,7 +1032,19 @@ def llm_multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_multimodal_decode", oracle=None)
+_DECODE_ORACLE = """
+-- replays _fake_decode exactly: n = UTF-8 BYTE length of the payload
+-- (strlen in DuckDB is octet length, matching len() of the encoded
+-- bytes in the pandas stub)
+SELECT doc_id,
+       CAST(16 + strlen(text) % 64 AS INT) AS width,
+       CAST(16 + (strlen(text) // 2) % 64 AS INT) AS height,
+       CAST(strlen(text) % 256 AS INT) AS checksum
+FROM documents
+"""
+
+
+@register("llm_multimodal_decode", oracle=_DECODE_ORACLE)
 def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature-extract plumbing over mapInPandas.
 
@@ -1041,6 +1053,12 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     but the Spark-side contract is real and tested: binary column in,
     Arrow-batched iterator, typed feature schema out, partition-parallel.
     Swap `_fake_decode` for PIL/ffmpeg and nothing else changes.
+
+    Promoted from rows-only to VALUE-EXACT this round (VERDICT r6 #5):
+    the synthetic codec is a pure function of the payload byte length,
+    so DuckDB replays it end-to-end — the oracle now hash-pins the
+    whole mapInPandas chain (binary encode → Arrow batch → stub decode
+    → typed features), not just its row count.
     """
     import pandas as pd
 
@@ -4053,7 +4071,59 @@ def llm_embedding_matryoshka_recall(spark: SparkSession,
 # MLlib LSH interop (round 6 — rows-only)
 # ---------------------------------------------------------------------------
 
-@register("llm_sim_lsh_mllib")
+# The model's 6 random unit hyperplanes, FROZEN as literals (VERDICT r6
+# #5): BucketedRandomProjectionLSH's projection depends only on
+# (seed=42, dim=64, numHashTables=6) -- never on the data -- verified
+# identical across sf0.001/0.01/0.1 fits. Freezing them makes the whole
+# MLlib pipeline DuckDB-replayable: bucket ids floor(dot/2.0), candidate
+# pairs via per-table bucket equality, exact Euclidean verify < 1.2.
+# MLlib's ddot and Vectors.sqdist are sequential index-order loops, so
+# DuckDB's left-fold list_reduce reproduces every double bit-for-bit
+# (prototype-verified value-identical at sf0.001 AND sf0.01).
+_LSH_MLLIB_VECS: tuple[tuple[float, ...], ...] = (
+    (0.12949674375780473, 0.10426463032006292, -0.10771877038736019, -0.1255372363345624, 0.031864015961875526, 0.07763903148140297, -0.09267625761376243, -0.15838508708815516, -0.02165389051618035, 0.16854269109352538, 0.09098491965165977, -0.013780063771881217, 0.15995718784720656, -0.07260502199283608, -0.13717864034381758, 0.040117573088542115, -0.05560766029690286, 0.062454079998983995, -0.1364876173085817, 0.036404539477744795, 0.17590650082725473, 0.049731132116372166, 0.054615194300076435, 0.17233239373966974, -0.03139385289904706, -0.009519024250218314, 0.1424166108604675, -0.03688726820688779, -0.019651834133742857, -0.21077117424649872, 0.16146554421004417, -0.15465212141720716, -0.2228011893040183, -0.10417242087441117, -0.2890542789985285, -0.18495762435445184, -0.013835841572937869, 0.1461959233590042, -0.030521449505394982, 0.029200581252854782, -0.036279601655707094, -0.2005551336051944, -0.05482524727370144, -0.057835009365983805, 0.1266353384984892, -0.004643580505872421, -0.1256144906681653, 0.21119488292759514, 0.1299317417234659, -0.12005833484317877, 0.12163713866691228, -0.21906770558940117, 0.03413749349242529, 0.02807014081433207, 0.15946395092753893, -0.17239926149026796, 0.03072450601327282, 0.06364796961267483, -0.0600848460661747, 0.06112732611580623, 0.25088844927734233, -0.07177726126717898, -0.21355986809913746, 0.04383816738170152),
+    (0.04324546763126772, -0.1196250007447754, -0.000355742170688643, -0.06290591868245525, -0.07273002664444873, -0.0025350541717712822, 0.21857258132453325, -0.14693412707906917, 0.07881307914343753, -0.020660480606120326, 0.0880343533187672, 0.16282531161891542, 0.11732429428317515, 0.02942823915355396, 0.1220668317446316, -0.09813315096329371, 0.10664634497642195, -0.03370424478078597, -0.10137999150787967, -0.24747202128264886, -0.24704059522100943, -0.07652882574249704, -0.05428342382724887, 0.03297680839243599, -0.06382884375871065, 0.059223190811845725, -0.059273205519043574, 0.006057363702502043, 0.09351308498819277, -0.03607765734181544, 0.010717326609066756, 0.1671127197096646, 0.10133632225224352, 0.22856203619428414, 0.019371121326215757, -0.13201596955909142, 0.026644357112041522, 0.11895237041886508, 0.2006419009478108, -0.18627509281145743, -0.25310124524861277, 0.181641915258207, -0.07428222129311543, 0.098827609066886, 0.2088636922985201, 0.1497187960249646, -0.02549389751561777, -0.2992261327735093, 0.058379038344302144, 0.08717337513955836, -0.09887300181280123, 0.15919954423297916, 0.23621567316506964, 0.008946170086847385, 0.1718864885541727, -0.07733534461311735, 0.10204751223628504, 0.05543424240252225, -0.06225994690770243, 0.054967533676602995, 0.0879992390575857, 0.11509781648299505, 0.03937942153452649, 0.04267392826482056),
+    (0.2253599547352401, 0.084686016900039, -0.12090235717915984, 0.012037035560567483, 0.05653929989547702, -0.19784366335303277, 0.15157652606891173, -0.07726288997430494, 0.09069712513868437, -0.01850775179851565, 0.09420127205578385, -0.044324398614280294, -0.01062930981041057, -0.06194936947753676, 0.03574121958713461, -0.11595951529739637, -0.06624457677123273, 0.2712366777191197, 0.01533153186863178, 0.18713711661424884, 0.04465499294074913, 0.08888672766398283, 0.0959456780978348, -0.07089928799994677, -0.23457091437136127, 0.009604915537812436, 0.019456711376994573, -0.10214125471448683, -0.21790520325684198, 0.16383454757654273, 0.055456209262321005, 0.16443921269983677, 0.037453954195909266, 0.12401790285189035, 0.08866502795089151, -0.02938251183534179, 0.04390435464347258, 0.10202408760518072, 0.18064985547214535, 0.13747465326312658, 0.045180519164631894, 0.14098454107711914, 0.0033389589485273265, -0.0812388597453255, -0.0017409007440788824, -0.13338295982400739, -0.0028185053398772997, 0.19979634198148805, 0.13939946082109098, -0.12874306733279453, 0.029588120684531684, 0.15535201312812244, 0.01059987575708014, -0.13304607224460271, 0.18034472263476178, 0.040046209069542905, -0.05070562271716691, -0.20676253064762004, 0.11012487642391115, -0.10545618963525344, 0.19875023092077387, 0.09380610937437693, 0.13795962125376615, 0.2927722551070435),
+    (-0.06374135683995162, -0.09219503246981259, 0.20387147163340155, -0.10935797479905664, -0.04308987473913211, -0.22053735363025692, -0.0689505866185994, -0.335906687103947, 0.039147854997285396, -0.1496523981120987, -0.22241719602183366, 0.010556593479734708, -0.17237743213626663, 0.09042793042560178, -0.16716014790388486, 0.1623874130871556, 0.0016294745422463736, 0.0852497427913705, -0.17153256310120862, 0.10578917251323942, 0.0793227971835568, 0.016029777279764824, 0.05042081026847254, -0.07556934199188059, 0.05626682220005956, -0.10333901194035604, 0.008307604126977912, -0.09633777979600622, 0.1532688478369975, 0.11940703413743275, 0.16071269411711286, -0.009202061603050597, -0.07346227785473011, 0.1364132505370998, 0.12256128954494584, -0.08972364033338956, 0.11501214463815192, -0.328871752830656, 0.054044983219077775, 0.052742933259140166, 0.10928698480434651, -0.045185470946430495, 0.13894898075688086, -0.030477763874640906, 0.020215754742539182, 0.08675717574067274, 0.047838716967836085, 0.012605032955128678, -0.16082285233359414, -0.03444399726472531, -0.07829696607501378, -0.01900287098000823, 0.244327756207043, 0.23932680858694025, -0.10052570582133381, -0.01990727013443709, 0.01781187785973467, -0.1183833051902047, 0.02475355910216522, 0.0938850567409529, -0.05664336305195141, -0.023485688576799755, 0.10434324461021213, 0.17995762924893127),
+    (-0.04588252021283568, 0.1387317952283188, 0.0065684144854210365, 0.18003805218601565, 0.03511883453168031, 0.003589069130548828, -0.10934561679758695, 0.05240981125922147, 0.03090535049122159, 0.06846025101605213, -0.029549272469793633, 0.12532422847602587, -0.020224373495172625, -0.15265508232243485, 0.1208261292158345, -0.11767479165400835, 0.010218268196416498, 0.1276748687238404, -0.05521047798094339, -0.004968238371528479, -0.06230538851990376, -0.11261797551800488, 0.2903340556480377, -0.0875568390368542, 0.23729023642535707, 0.09523776687635314, 0.10985244775720612, 0.19852813559013713, 0.24663539235039952, 0.02312701816109653, 0.10836260920994398, -0.14011253118602368, -0.17359370900506144, 0.05205043273796536, 0.038683760046301655, 0.11957944796535061, 0.005140319714558204, 0.054289228650874995, -0.11286885722466486, -0.053261086115618146, 0.12259088487537377, 0.05827049772227545, -0.10059612714202935, -0.13227600143153437, 0.15126476474544678, 0.07667520749442183, -0.06848347210158913, -0.12412177140680389, -0.15694581802982344, 0.20776133246886636, 0.2153459392215327, 0.12940848333505964, -0.10559212771554222, 0.09254263155427896, 0.0746888184020962, -0.1446598452097897, -0.03628464569569872, -0.18588075566092302, 0.02605694237342341, -0.1480932943319222, -0.057533619458372216, 0.05075983592260784, -0.24908858412608403, 0.22941263500059736),
+    (-0.040586224805299415, 0.07571794982130449, -0.08239399067119496, -0.01940736041101375, -0.0074623769722752, 0.12794185728045004, -0.02431105692913643, -0.2709050161083505, -0.02628595176754406, -0.14677750965414432, -0.06539271171281519, 0.01316497419457142, -0.09471441598179196, -0.11760018488836295, 0.22261849329110503, 0.009268327538569238, -0.0694421658236383, 0.021672203642208312, 0.0007861100051753024, 0.04881522500841821, 0.07420851122403761, 0.20016284897403716, 0.3518940259681529, 0.09435281894785494, -0.09227593602188931, 0.15689858599096354, 0.09998537425589085, -0.14879207696248664, 0.04124896636985484, 0.12495737612730995, -0.20938452133530583, 0.06569797035464708, 0.07280965310061537, 0.10430966161886283, 0.002814503067534278, 0.0019161058307797687, -0.06553157253899244, 0.03212927829689908, 0.011750249065949786, 0.1501378488326121, 0.09510567749880272, -0.23388849331386447, 0.07496284880105017, 0.13188661653939895, -0.004301036805133156, 0.20915796733931935, 0.18753836817842862, -0.0028957352736365145, -0.13304063743371503, 0.1251971989001084, -0.1255729515740061, -0.07372058751213192, -0.04598699169840051, -0.10803627797767519, 0.23070475252160838, -0.006453374504556418, -0.1035406470424755, 0.18910746810552628, 0.0615017611276651, -0.09408905295638485, -0.042999620145599354, 0.22808948603410173, -0.17058575499326456, -0.07463242061118398),
+)
+
+
+def _lsh_mllib_oracle() -> str:
+    uv_rows = ",\n    ".join(
+        f"({t}, [{', '.join(repr(x) for x in v)}]::DOUBLE[])"
+        for t, v in enumerate(_LSH_MLLIB_VECS))
+    dot_u = ("list_reduce(list_transform(range(1, 65), "
+             "i -> CAST(e.embedding[i] AS DOUBLE) * u.uv[i]), "
+             "(x, y) -> x + y)")
+    sqd = ("list_reduce(list_transform(range(1, 65), "
+           "i -> (CAST(ea.embedding[i] AS DOUBLE)"
+           " - CAST(eb.embedding[i] AS DOUBLE))"
+           " * (CAST(ea.embedding[i] AS DOUBLE)"
+           " - CAST(eb.embedding[i] AS DOUBLE))), (x, y) -> x + y)")
+    return f"""
+WITH u(tbl, uv) AS (
+  VALUES {uv_rows}
+), h AS (
+  SELECT e.vec_id, u.tbl, floor({dot_u} / 2.0) AS hv
+  FROM embeddings e CROSS JOIN u
+), cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM h a JOIN h b
+    ON a.tbl = b.tbl AND a.hv = b.hv AND a.vec_id < b.vec_id
+), verified AS (
+  SELECT c.a_id, c.b_id, sqrt({sqd}) AS dist
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.a_id
+  JOIN embeddings eb ON eb.vec_id = c.b_id
+)
+SELECT a_id, b_id, round(dist, 6) AS dist_6dp
+FROM verified WHERE dist < 1.2
+"""
+
+
+@register("llm_sim_lsh_mllib", oracle=_lsh_mllib_oracle())
 def llm_sim_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib interop: BucketedRandomProjectionLSH over the embedding
     column — the LIBRARY implementation of the same E2LSH family the
@@ -4061,9 +4131,12 @@ def llm_sim_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     through `array_to_vector` (the ArrayType ↔ MLlib VectorUDT bridge a
     Spark shop actually uses). Seeded, so the candidate pair set is
     deterministic (re-run-identical, pinned by the recall gate in
-    test_llm_quality.py against the exact sub-1.2-distance pairs); no
-    SQL oracle BY DESIGN — random-hyperplane bucketing is not
-    expressible in DuckDB, the same class as llm_sim_lsh_approx.
+    test_llm_quality.py against the exact sub-1.2-distance pairs), and
+    — promoted from rows-only this round (VERDICT r6 #5) — VALUE-EXACT
+    oracled: the seeded projection is data-independent, so its six
+    hyperplanes are frozen as literals (_LSH_MLLIB_VECS) and DuckDB
+    replays bucket assignment, candidate generation and the distance
+    verify bit-for-bit.
 
     Scale shape: fit() draws the projection once (dimension-sized, not
     corpus-sized); approxSimilarityJoin explodes per-table hash buckets

@@ -53,79 +53,55 @@ _MODULES = (
 _loaded = False
 
 # Driver-slot ordering. The driver's CORRECTNESS report verifies the FIRST
-# 50 entries of ``queries()`` (dict insertion order) per round. Rounds 1-5
-# rotated five disjoint windows -- 238 distinct keys driver-verified with
-# ZERO hash failures. ROUND 6 (this list): 46 first-time slots drawn from
-# the 75 oracled keys that have never held a driver slot (the 73 round-5
-# additions plus scan_metadata_columns and agg_distinct_sketch_rollup,
-# both promoted from rows-only to value-exact oracles this round per
-# VERDICT r5 #5) + 4 re-confirmation backfill slots on the EXACT paths
-# changed this round: the LSH candidate-verify join grew a size dispatch
-# (llm.py _verified_near_dup_pairs), touching llm_dedup_fuzzy_minhash,
-# llm_pipeline_end_to_end, llm_dedup_cluster and
-# llm_dedup_incremental_fuzzy. First-time ordering per VERDICT r5 #1: the
-# four families a user hits first (cross-shard merge, ngram recall, hard
-# negatives, LSH tuning), then the three keys CHANGED this round
-# (sql_column_defaults sf_tag fix + the two oracle promotions), then the
-# remaining never-slotted keys in round-5 registration order.
-# ROUND 7 ROTATION PLAN -- the 29 spills, in this order:
-# llm_fim_transform, sink_csv_roundtrip_quotes, sql_values_inline_table,
-# sql_lateral_view_explode, sql_distribute_sort_by, sql_join_hints,
-# date_iso_week_quarter, ts_time_weighted_avg, sql_join_hint_merge,
-# llm_minhash_bbit, win_topk_with_ties, sql_identifier_clause,
-# sql_star_except, agg_filter_clause, scan_nested_predicate_pushdown,
-# source_partition_discovery_types, scan_aggregate_pushdown,
-# sql_table_function_range, stat_crosstab, sql_pivot_clause,
-# sql_unpivot_clause, sql_hint_rebalance, scan_fieldid_rename_evolution,
-# sink_max_records_per_file, agg_regr_builtins, win_lag_ignore_nulls,
-# sql_semi_anti_join_syntax, udtf_sql_registered,
-# stream_rate_source_resume
-# (29 names; plus the round-6 additions in registration order -- the 23
-# §2.15 keys (22 oracled + llm_embedding_pq_quantize rows-only), then
-# the 49 §2.16 keys (47 oracled + llm_sim_lsh_mllib and
-# ts_dtw_banded_pairs rows-only; see the SURVEY tables for the
-# authoritative order), then the 80 §2.17 keys (all oracled):
-# 29 + 22 + 47 + 80 = 178 never-slotted oracled keys --
-# the round-7 window takes the first 50 (the 29 spills + the oldest 21
-# §2.15 keys), the rest roll to round 8 with any round-7 additions).
-# Update tests/test_survey_coverage.py's pinned window when rotating.
-# Rows-only-by-design ops (the 14: llm_sim_lsh_approx, llm_sim_ann_ivf,
-# llm_embedding_pq_quantize,
-# llm_multimodal_decode, agg_approx_distinct, llm_tokenizer_bpe_train,
-# llm_tokenizer_bpe_apply, agg_quantile_sketch,
-# agg_sketch_set_intersection, llm_embedding_pca_project,
-# agg_sliding_distinct_hll, ts_downsample_lttb, llm_sim_lsh_mllib,
-# ts_dtw_banded_pairs) are deliberately NOT
-# listed -- a driver slot adds nothing over their pytest
+# 50 entries of ``queries()`` (dict insertion order) per round. Rounds 1-6
+# rotated six disjoint windows -- 285 keys driver-checked, zero hash
+# failures. This list is NOT hand-counted (the r5/r6 bookkeeping nit):
+# ``python tools/rotation.py`` derives the never-slotted oracled pool from
+# the CORRECTNESS_r*.json union, and ``tools/rotation.py --check`` (run by
+# tests/test_survey_coverage.py) fails if any slot below wastes a round on
+# an already-verified key.
+#
+# ROUND 7 window -- 50 slots, ALL first-time (178-key pool at rotation):
+#   [0:15]  the 15 keys whose PLAN or VALUES changed this round (the
+#           bucketed_order sweep + the four ADVICE semantics fixes) --
+#           first-time slots that double as post-change confirmation;
+#   [15:25] the families VERDICT r6 #1 names first: stats/ML-eval
+#           (welch, roc_auc, mann_whitney, dq_expectations, dq_psi),
+#           sequence/funnel (window_funnel_strict, markov; rfm is already
+#           in the changed set), new sources (xml, recursive_glob,
+#           jsonl_gzip);
+#   [25:50] the oldest remaining never-slotted keys in registration order
+#           (r5 spill sinks/scans, geo joins, aggregate/date/type surface,
+#           streaming twins).
+# The ~128 keys still unslotted after this window drain in ~3 more rounds;
+# regenerate with tools/rotation.py when rotating.
+# Rows-only-by-design ops (12 after round 7 promoted llm_multimodal_decode
+# and llm_sim_lsh_mllib to value-exact oracles; each pytest-gated in
+# test_llm_quality.py / test_survey_coverage.py's allowlist) are
+# deliberately never listed -- a driver slot adds nothing over their
 # determinism/recall/tolerance gates.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- 4 priority families (VERDICT r5 #1 names these first) ---
-    "llm_dedup_cross_shard_merge", "llm_eval_ngram_recall",
-    "llm_hard_negative_mining", "llm_lsh_tuning_report",
-    # --- 3 keys changed this round (ADVICE fix + oracle promotions) ---
-    "sql_column_defaults", "scan_metadata_columns",
-    "agg_distinct_sketch_rollup",
-    # --- 39 more never-slotted keys, round-5 registration order ---
-    "sub_any_all_rewrite", "agg_count_if_any_value", "ts_rolling_corr",
-    "ts_downsample_stride", "graph_connected_components",
-    "graph_jaccard_neighbors", "llm_sample_fixed_k_per_group",
-    "llm_dedup_bag_of_words", "sink_parquet_bloom_filter",
-    "scan_bucket_pruning", "scan_nested_struct_pruning",
-    "sql_execute_immediate", "llm_rank_fusion_rrf", "llm_corpus_report",
-    "agg_gini_impurity", "ts_trend_slope", "llm_format_chat_template",
-    "llm_dpo_pair_builder", "graph_k_core", "llm_ngram_novelty",
-    "ts_gap_detection", "ts_forward_fill", "sql_scalar_function_ddl",
-    "win_range_between_numeric", "catalog_analyze_stats",
-    "scan_csv_permissive_corrupt", "sql_session_variables",
-    "str_hash_functions", "llm_style_fingerprint", "llm_boilerplate_share",
-    "llm_span_corruption", "llm_retrieval_bm25_topk",
-    "ts_cumulative_distinct_users", "date_business_days",
-    "set_union_by_name", "sql_group_by_all", "sql_window_clause_named",
-    "llm_html_strip", "llm_embedding_truncate_renorm",
-    # --- 4 re-confirmation backfill slots: every key whose plan changed
-    #     with this round's LSH verify-join size dispatch ---
-    "llm_dedup_fuzzy_minhash", "llm_pipeline_end_to_end",
-    "llm_dedup_cluster", "llm_dedup_incremental_fuzzy",
+    "ml_lift_gains_table", "seq_reorder_cadence", "llm_curriculum_schedule",
+    "llm_pipeline_curation_v2", "stat_gini_coefficient", "agg_pareto_cutoff",
+    "agg_abc_classification", "seq_rfm_segments", "win_skyline_2d",
+    "agg_concentration_hhi_crk", "ml_cv_auc_per_fold", "stat_kendall_tau",
+    "stat_wilcoxon_signed_rank", "stat_ols_two_feature",
+    "graph_disparity_backbone", "stat_welch_ttest", "ml_roc_auc_exact",
+    "stat_mann_whitney_u", "dq_expectations_report",
+    "dq_distribution_drift_psi", "seq_window_funnel_strict",
+    "seq_markov_transitions", "source_xml", "source_recursive_glob",
+    "source_jsonl_gzip", "sink_csv_roundtrip_quotes",
+    "scan_nested_predicate_pushdown", "source_partition_discovery_types",
+    "scan_aggregate_pushdown", "scan_fieldid_rename_evolution",
+    "sink_max_records_per_file", "source_json_multiline",
+    "scan_partition_spec_evolution", "join_mark_exists_flag",
+    "geo_grid_neighbor_join", "geo_knn_within_radius", "agg_regr_builtins",
+    "agg_theta_sketch_algebra", "agg_bitmap_distinct_rollup",
+    "agg_cms_width_audit", "date_iso_week_quarter", "math_bround_even",
+    "type_map_pack", "date_tz_convert", "type_try_cast_surface",
+    "date_fiscal_quarter", "date_retail_445_calendar",
+    "stream_rate_source_resume", "stream_chained_window_agg",
+    "stream_drift_bucket_counts",
 )
 
 

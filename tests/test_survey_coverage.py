@@ -38,13 +38,15 @@ def test_oracle_coverage_ratio():
     (SURVEY §5 strategy); everything else must carry a DuckDB oracle."""
     qs, oracles = registry.all_queries(), registry.all_oracles()
     rows_only = sorted(set(qs) - set(oracles))
+    # (round 7 promoted llm_multimodal_decode and llm_sim_lsh_mllib to
+    # value-exact oracles — the synthetic codec and the frozen seeded
+    # projection are both DuckDB-replayable; 12 remain)
     allowed = {"agg_approx_distinct", "llm_sim_lsh_approx", "llm_sim_ann_ivf",
                # LTTB selection is sequential (each pick conditions the
                # next bucket's anchor) — pinned against the shared
                # pure-Python routine over an INDEPENDENT DuckDB series
                # in test_llm_quality.py instead of a hash row
                "ts_downsample_lttb",
-               "llm_multimodal_decode",
                # PQ codebooks are iterative k-means (same class as IVF);
                # fixed-point error sums make the report bit-deterministic,
                # gated in test_llm_quality.py
@@ -68,10 +70,6 @@ def test_oracle_coverage_ratio():
                # HLL estimates — ±5%-of-exact + determinism gate in
                # test_llm_quality.py instead of a hash match
                "agg_sliding_distinct_hll",
-               # MLlib random-hyperplane bucketing is not expressible in
-               # DuckDB (the llm_sim_lsh_approx class) — seeded
-               # re-run-identity + recall gate in test_llm_quality.py
-               "llm_sim_lsh_mllib",
                # O(n*band) DP recurrence has no DuckDB expression — the
                # integer kernel is pinned against an independent
                # recursive DTW + symmetry/self-zero + two-run identity
@@ -81,13 +79,9 @@ def test_oracle_coverage_ratio():
 
 def test_driver_priority_window_is_fully_oracled():
     """The driver hash-verifies the FIRST 50 entries of queries() per round.
-    Round 6: 46 first-time slots from the never-driver-slotted pool (the
-    round-5 additions plus the two oracles promoted from rows-only this
-    round) + 4 re-confirmation backfill slots on the keys whose plan
-    changed with the LSH verify-join size dispatch. Every slot must carry
-    an oracle (a rows-only op in the window wastes a verification slot),
-    every listed name must exist, and only the 4 designated backfill keys
-    may repeat a prior driver-green row."""
+    Every slot must carry an oracle (a rows-only op in the window wastes a
+    verification slot), every listed name must exist, and queries() must
+    lead with the window."""
     qs = list(registry.all_queries())
     oracles = registry.all_oracles()
     prio = registry._DRIVER_PRIORITY
@@ -97,20 +91,19 @@ def test_driver_priority_window_is_fully_oracled():
     assert qs[:50] == list(prio), "queries() does not lead with the priority window"
     unoracled = [n for n in qs[:50] if n not in oracles]
     assert not unoracled, f"rows-only queries occupy driver slots: {unoracled}"
-    # The 4 backfill slots are deliberate re-confirmations (the LSH
-    # verify-join dispatch landed this round); nothing ELSE in the window
-    # may repeat a key already driver-green in r1-r5.
-    backfill = {"llm_dedup_fuzzy_minhash", "llm_pipeline_end_to_end",
-                "llm_dedup_cluster", "llm_dedup_incremental_fuzzy"}
-    assert backfill <= set(prio[-4:]), "backfill keys must occupy the last 4 slots"
-    already_verified = {
-        "scan_parquet", "join_inner_equi", "source_jsonl",
-        "type_decimal_arith", "llm_sample_stratified", "win_topk_per_group",
-        "sink_compaction_small_files", "graph_pagerank_fixed",
-        "llm_dedup_bloom_prefilter", "udf_map_in_arrow",
-        "agg_pricing_summary", "join_multiway_star", "join_asof_event_order",
-        "udtf_dynamic_schema", "llm_dedup_survivorship",
-        "graph_triangle_count", "llm_dedup_semantic",
-    }
-    wasted = sorted(already_verified & set(qs[:50]))
-    assert not wasted, f"already driver-verified keys waste r6 slots: {wasted}"
+
+
+def test_driver_window_is_generated_not_hand_counted():
+    """VERDICT r6 #2: the rotation list must agree with the artifact-derived
+    never-slotted pool — tools/rotation.py recomputes it from the
+    CORRECTNESS_r*.json union; every window slot must be first-time or a
+    rotation.BACKFILL-declared plan-change re-confirmation."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import rotation
+    pool = set(rotation.never_slotted("/root/repo"))
+    allowed = pool | set(rotation.BACKFILL)
+    wasted = [k for k in registry._DRIVER_PRIORITY if k not in allowed]
+    assert not wasted, f"window wastes slots on already-verified keys: {wasted}"
+    first_time = sum(1 for k in registry._DRIVER_PRIORITY if k in pool)
+    assert first_time >= 46, f"only {first_time} first-time slots (driver asks >=46)"

@@ -1,0 +1,77 @@
+"""Driver-window rotation bookkeeping (VERDICT r6 'What's wrong #2': the
+rotation list must be GENERATED from the correctness artifacts, not
+hand-counted).
+
+The grading driver hash-verifies the FIRST 50 entries of ``queries()`` per
+round. This tool reads every ``CORRECTNESS_r*.json`` in the repo root,
+takes the union of keys that ever held a driver slot, and prints the
+oracled keys that have NEVER been slotted, in registry registration order
+— the exact pool the next ``_DRIVER_PRIORITY`` window should draw from.
+
+Usage:
+    python tools/rotation.py            # summary + the never-slotted pool
+    python tools/rotation.py --check    # exit 1 if _DRIVER_PRIORITY holds a
+                                        # key that is neither never-slotted
+                                        # nor a declared backfill
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lambdatotheslaughter_spark import registry  # noqa: E402
+
+# keys whose PLAN changed this round and deliberately re-occupy a slot
+# even if already driver-green (empty this round: every r7 plan change
+# landed on never-slotted keys)
+BACKFILL: tuple[str, ...] = ()
+
+
+def slotted_union(repo_root: str) -> set[str]:
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        seen.update(json.load(open(path)))
+    return seen
+
+
+def never_slotted(repo_root: str) -> list[str]:
+    """Oracled keys with no driver row yet, in registration order (the
+    _DRIVER_PRIORITY window reorders the head; registration order is the
+    stable tail order)."""
+    seen = slotted_union(repo_root)
+    oracles = registry.all_oracles()
+    # all_queries() leads with _DRIVER_PRIORITY; use raw registration order
+    registry._load()
+    return [name for name in registry._REGISTRY
+            if name in oracles and name not in seen]
+
+
+def main() -> int:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen = slotted_union(root)
+    pool = never_slotted(root)
+    prio = list(registry._DRIVER_PRIORITY)
+    print(f"driver-slotted union: {len(seen)} keys")
+    print(f"oracled, never-slotted pool: {len(pool)} keys")
+    if "--check" in sys.argv:
+        allowed = set(pool) | set(BACKFILL)
+        bad = [k for k in prio if k not in allowed]
+        if bad:
+            print(f"WINDOW WASTES SLOTS on already-verified keys: {bad}")
+            return 1
+        first_time = [k for k in prio if k in pool]
+        print(f"window: {len(prio)} slots, {len(first_time)} first-time, "
+              f"{len(prio) - len(first_time)} backfill — OK")
+        return 0
+    for name in pool:
+        print(name)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
