@@ -48,6 +48,7 @@ _MODULES = (
     "lambdatotheslaughter_spark.operators.graph",
     "lambdatotheslaughter_spark.operators.corpus",
     "lambdatotheslaughter_spark.operators.stats",
+    "lambdatotheslaughter_spark.operators.round7",
 )
 
 _loaded = False

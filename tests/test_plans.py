@@ -985,3 +985,37 @@ def test_hhi_cr10_head_fuses_to_take_ordered():
     """agg_concentration_hhi_crk's CR-10 numerator must be a TakeOrdered
     head, not a rank window over the full customer table."""
     assert checks.has_take_ordered(_df("agg_concentration_hhi_crk"))
+
+
+def test_priority_sample_fuses_to_take_ordered():
+    """llm_sample_ares_topk: the global k-smallest priority keys must
+    fuse to TakeOrderedAndProject (per-partition heaps), never a full
+    global sort of the corpus."""
+    assert checks.has_take_ordered(_df("llm_sample_ares_topk"))
+
+
+def test_katz_topk_is_take_ordered_and_hash_joins():
+    """graph_katz_centrality_fixed: three SpMV levels must stay on hash
+    equi-joins (no nested loop), and the top-100 head must fuse."""
+    df = _df("graph_katz_centrality_fixed")
+    plan = checks.executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert checks.has_take_ordered(df)
+
+
+def test_hl_and_winrate_have_no_global_window():
+    """The two round-7 ops that need a corpus-scale global order must
+    route it through the bucketed two-pass rank, not WindowExec with an
+    empty partition spec."""
+    for key in ("stat_hodges_lehmann_shift", "llm_eval_pairwise_winrate"):
+        df = _df(key)
+        df.collect()
+        assert checks.global_window_count(df) == 0, key
+
+
+def test_dq_referential_broadcasts_dims():
+    """dq_referential_integrity: every orphan check must broadcast the
+    dimension side — the fact table never shuffles for an FK audit."""
+    df = _df("dq_referential_integrity")
+    plan = checks.executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan

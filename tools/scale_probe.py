@@ -41,6 +41,10 @@ SHIFTS = {
     "events": ["event_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
+    # customer scales ONLY for the queries that declare it below (the
+    # entity-grain geo/ER probes, where the customer table IS the fact):
+    # everywhere else it stays a 1x dim via the DIMS loop
+    "customer": ["c_custkey"],
 }
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 
@@ -254,8 +258,8 @@ QUERY_TABLES = {
     "stat_permutation_test": {"events"},
     "llm_eval_retrieval_mrr": {"embeddings"},
     "dq_distribution_drift_psi": {"events"},
-    "geo_grid_neighbor_join": set(),   # customer is a 1x dim
-    "geo_knn_within_radius": set(),    # customer is a 1x dim
+    "geo_grid_neighbor_join": {"customer"},  # entity probe: customer IS the fact
+    "geo_knn_within_radius": {"customer"},  # entity probe: customer IS the fact
     "stat_bh_fdr_permutation": {"events"},
     "llm_feature_hashing": {"documents"},
     "ml_target_encode_kfold": {"orders"},
@@ -287,7 +291,7 @@ QUERY_TABLES = {
     "llm_uncertainty_sampling": {"documents"},
     "ts_gap_log_histogram": {"events"},
     "sql_incremental_mv_refresh": {"events"},
-    "er_blocking_quality_report": set(),   # customer is a 1x dim
+    "er_blocking_quality_report": {"customer"},  # entity probe: customer IS the fact
     "agg_hierarchy_share_rollup": {"orders"},
     "stat_proportion_ci_wilson": {"events"},
     "ml_brier_score_rank": {"events"},
@@ -322,6 +326,23 @@ QUERY_TABLES = {
     "stat_mood_median_test": {"events"},
     "graph_disparity_backbone": {"lineitem"},
     "stat_fisher_z_corr_ci": {"events"},
+    # round-7 ring (§2.18)
+    "ml_pr_auc_exact": {"events"},
+    "ml_calibration_reliability": {"events"},
+    "stat_jarque_bera": {"events"},
+    "stat_mcnemar_paired": {"events"},
+    "stat_hodges_lehmann_shift": {"events"},
+    "stat_cliffs_delta": {"events"},
+    "stat_dunn_posthoc_bh": {"events"},
+    "ts_spectral_dft_energy": {"events"},
+    "seq_survival_km": {"events"},
+    "dq_referential_integrity": {"lineitem", "orders", "events"},
+    "dq_freshness_lag": {"events"},
+    "llm_eval_bleu_corpus": {"documents"},
+    "llm_sample_ares_topk": {"documents"},
+    "llm_eval_pairwise_winrate": {"documents"},
+    "graph_katz_centrality_fixed": {"lineitem"},
+    "sql_group_by_ordinal": {"lineitem"},
 }
 
 
@@ -338,7 +359,16 @@ def materialize(spark, n_copies: int, tables: set[str] | None = None) -> str:
     for t, keys in SHIFTS.items():
         if tables is not None and t not in tables:
             continue
+        if t == "customer" and tables is None:
+            continue  # customer shifts only on explicit request
         dst = os.path.join(out, f"{t}.parquet")
+        if t == "customer" and not os.path.exists(
+                os.path.join(out, ".customer_scaled")):
+            # an earlier run may have left the 1x dim copy here — a
+            # scaled run must not silently reuse it
+            import shutil
+            shutil.rmtree(dst, ignore_errors=True)
+            open(os.path.join(out, ".customer_scaled"), "w").write("1")
         if os.path.exists(os.path.join(dst, "_SUCCESS")):
             continue  # per-table resume: a later run can add more tables
         src = load_table(spark, t, SRC)  # ns-timestamp shim lives here
