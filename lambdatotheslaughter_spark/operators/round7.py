@@ -1450,3 +1450,765 @@ def sql_group_by_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         ORDER BY 1, 2
     """)
+
+
+# ===========================================================================
+# round-7 second ring
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# transactional commit-log table (Delta/Iceberg log layer, stripped to core)
+# ---------------------------------------------------------------------------
+
+_TXLOG_ORACLE = """
+SELECT CAST(0 AS BIGINT) AS snapshot_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+UNION ALL
+SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+FROM orders WHERE o_orderkey % 3 IN (1, 2)
+"""
+
+
+def txlog_commit(root: str, actions: list[dict]) -> int:
+    """Optimistic-concurrency commit: serialize `actions` to a temp file,
+    then atomically rename it to the NEXT version slot; on collision
+    (another writer won that version) re-read the log head and retry —
+    the Delta-protocol core. Returns the committed version."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    log = _os.path.join(root, "_txlog")
+    _os.makedirs(log, exist_ok=True)
+    while True:
+        versions = [int(f.split(".")[0]) for f in _os.listdir(log)
+                    if f.endswith(".json")]
+        nxt = (max(versions) + 1) if versions else 0
+        tmp = _os.path.join(log, f".tmp-{_uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            _json.dump({"version": nxt, "actions": actions}, fh)
+        final = _os.path.join(log, f"{nxt:05d}.json")
+        try:
+            _os.link(tmp, final)          # atomic create-if-absent
+            _os.unlink(tmp)
+            return nxt
+        except FileExistsError:
+            _os.unlink(tmp)               # lost the race: retry at nxt+1
+
+
+def txlog_snapshot_files(root: str, version: int) -> list[str]:
+    """Replay add/remove actions through `version` (inclusive)."""
+    import json as _json
+    import os as _os
+
+    log = _os.path.join(root, "_txlog")
+    live: set[str] = set()
+    for v in sorted(int(f.split(".")[0]) for f in _os.listdir(log)
+                    if f.endswith(".json")):
+        if v > version:
+            break
+        for act in _json.load(open(_os.path.join(log, f"{v:05d}.json")))["actions"]:
+            if act["op"] == "add":
+                live.add(act["path"])
+            elif act["op"] == "remove":
+                live.discard(act["path"])
+    return [_os.path.join(root, p) for p in sorted(live)]
+
+
+def _txlog_fixture(spark: SparkSession, sf_dir: str) -> str:
+    from lambdatotheslaughter_spark.operators.scans import _cached_dataset
+
+    def build(tmp: str) -> None:
+        import os as _os
+        o = load_table(spark, "orders", sf_dir)
+        for i, mod in enumerate((0, 1, 2)):
+            (o.where(F.pmod("o_orderkey", F.lit(3)) == mod)
+             .write.mode("overwrite")
+             .parquet(_os.path.join(tmp, f"batch{mod}")))
+        # v0: add batch0; v1: add batch1; v2: remove batch0, add batch2
+        assert txlog_commit(tmp, [{"op": "add", "path": "batch0"}]) == 0
+        assert txlog_commit(tmp, [{"op": "add", "path": "batch1"}]) == 1
+        assert txlog_commit(tmp, [{"op": "remove", "path": "batch0"},
+                                  {"op": "add", "path": "batch2"}]) == 2
+
+    return _cached_dataset("txlog_orders", sf_dir, "orders", build)
+
+
+@register("scan_txlog_snapshot", oracle=_TXLOG_ORACLE)
+def scan_txlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional commit-log table format, stripped to the Delta/
+    Iceberg core the manifest op (scan_time_travel_manifest) deliberately
+    left out: an ordered JSON ACTION log (add-file / remove-file) under
+    `_txlog/`, snapshots defined by REPLAYING the log (so REMOVE gives
+    compaction/DELETE semantics without touching data files), and
+    optimistic concurrency via atomic create-if-absent on the next
+    version slot — `txlog_commit` retries on collision exactly like the
+    Delta protocol (raced in tests/test_round7.py with concurrent
+    committers; every version lands exactly once). Three snapshots read
+    back through the log: v0 = batch0, v1 = batch0+batch1,
+    v2 = (batch0 removed) batch1+batch2 — time travel AND logical delete
+    in one value-exact report.
+
+    Scale shape: the log is driver-side metadata (bytes scale with
+    commit count, never data size); snapshot reads plan
+    `spark.read.parquet(*files)` so pushdown/pruning/statistics work
+    unchanged; commits never rewrite data files."""
+    root = _txlog_fixture(spark, sf_dir)
+    schema = load_table(spark, "orders", sf_dir).schema
+
+    def snap(v: int) -> DataFrame:
+        return (spark.read.schema(schema)
+                .parquet(*txlog_snapshot_files(root, v))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                     F.sum("o_orderkey").cast("bigint").alias("key_sum"))
+                .select(F.lit(v).cast("bigint").alias("snapshot_id"),
+                        "n_rows", "key_sum"))
+
+    return snap(0).unionByName(snap(1)).unionByName(snap(2))
+
+
+# ---------------------------------------------------------------------------
+# tool-call parsing audit (structured-output surface)
+# ---------------------------------------------------------------------------
+
+_TOOLS = ("search", "calc", "lookup")
+
+_TOOLCALL_ORACLE = """
+WITH synth AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 7 = 0 THEN
+             '<tool>{"name": "' ||
+             ['search', 'calc', 'lookup'][CAST(doc_id % 3 AS INTEGER) + 1]
+             || '", "k": ' || CAST(doc_id % 5 AS VARCHAR) || '}</tool>'
+           WHEN doc_id % 7 = 1 THEN
+             '<tool>{"name": "search", "k": </tool>'
+           ELSE ''
+         END AS call_str
+  FROM documents
+), calls AS (
+  SELECT doc_id, regexp_extract(call_str, '<tool>(.*)</tool>', 1) AS payload
+  FROM synth WHERE call_str <> ''
+)
+SELECT doc_id,
+       json_valid(payload) AS parsed_ok,
+       CASE WHEN json_valid(payload)
+            THEN json_extract_string(payload, '$.name') END AS tool_name,
+       CASE WHEN json_valid(payload)
+            THEN CAST(json_extract(payload, '$.k') AS BIGINT) END AS k_arg
+FROM calls
+"""
+
+
+@register("llm_tool_call_parse", oracle=_TOOLCALL_ORACLE)
+def llm_tool_call_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured tool-call extraction audit — the agent-era parsing
+    step: pull the <tool>…</tool> payload out of model output
+    (synthesized deterministically: every 7th doc carries a well-formed
+    call, every 7th+1 a TRUNCATED one), parse it as JSON with
+    null-on-malformed semantics, and report parse success, tool name and
+    integer argument per call. Spark's from_json and DuckDB's
+    json_valid/json_extract agree exactly on both the well-formed and
+    the malformed rows — the audit a tool-use pipeline runs before
+    trusting execution.
+
+    Scale shape: pure map-side regexp + JSON parse (whole-stage
+    codegen'd JsonToStructs; no UDF); output is call-grain."""
+    d = load_table(spark, "documents", sf_dir)
+    tool = F.element_at(F.array(*[F.lit(t) for t in _TOOLS]),
+                        (F.pmod("doc_id", F.lit(3)) + 1).cast("int"))
+    good = F.concat(F.lit('<tool>{"name": "'), tool, F.lit('", "k": '),
+                    F.pmod("doc_id", F.lit(5)).cast("string"),
+                    F.lit('}</tool>'))
+    bad = F.lit('<tool>{"name": "search", "k": </tool>')
+    call_str = (F.when(F.pmod("doc_id", F.lit(7)) == 0, good)
+                .when(F.pmod("doc_id", F.lit(7)) == 1, bad)
+                .otherwise(F.lit("")))
+    calls = (d.select("doc_id", call_str.alias("call_str"))
+             .where(F.col("call_str") != "")
+             .select("doc_id",
+                     F.regexp_extract("call_str", "<tool>(.*)</tool>", 1)
+                     .alias("payload")))
+    parsed = calls.select(
+        "doc_id",
+        F.from_json("payload", "name string, k bigint").alias("j"))
+    return parsed.select(
+        "doc_id",
+        F.col("j.name").isNotNull().alias("parsed_ok"),
+        F.col("j.name").alias("tool_name"),
+        F.col("j.k").alias("k_arg"))
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth (Heaps-law) curve
+# ---------------------------------------------------------------------------
+
+_HEAPS_SLICES = 10
+
+_HEAPS_ORACLE = f"""
+WITH mx AS (
+  SELECT CAST(MAX(doc_id) AS BIGINT) AS m FROM documents
+), toks AS (
+  SELECT LEAST({_HEAPS_SLICES - 1},
+               (d.doc_id * {_HEAPS_SLICES}) // (mx.m + 1)) AS slice,
+         unnest(string_split(d.text, ' ')) AS tok
+  FROM documents d CROSS JOIN mx
+), per_slice AS (
+  SELECT slice, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY slice
+), first_seen AS (
+  SELECT tok, CAST(MIN(slice) AS BIGINT) AS s0 FROM toks GROUP BY tok
+), vocab_new AS (
+  SELECT s0 AS slice, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM first_seen GROUP BY s0
+), curve AS (
+  SELECT p.slice,
+         CAST(SUM(p.n_tok) OVER w AS BIGINT) AS cum_tokens,
+         CAST(SUM(COALESCE(v.n_new, 0)) OVER w AS BIGINT) AS cum_vocab
+  FROM per_slice p LEFT JOIN vocab_new v ON p.slice = v.slice
+  WINDOW w AS (ORDER BY p.slice ROWS UNBOUNDED PRECEDING)
+), fit AS (
+  SELECT round(regr_slope(ln(CAST(cum_vocab AS DOUBLE)),
+                          ln(CAST(cum_tokens AS DOUBLE))), 6) AS beta
+  FROM curve
+)
+SELECT CAST(curve.slice AS BIGINT) AS slice, cum_tokens, cum_vocab,
+       fit.beta AS heaps_beta
+FROM curve CROSS JOIN fit
+"""
+
+
+@register("llm_vocab_growth_heaps", oracle=_HEAPS_ORACLE)
+def llm_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: cumulative distinct tokens
+    vs cumulative token volume across ten corpus prefixes, plus the
+    fitted log-log slope β (V ≈ k·Nᵝ) — the does-more-data-still-add-
+    content readout a training-data budget reads before the next crawl
+    (β near 1 = fresh content, β near 0 = saturation). The curve needs
+    NO per-prefix distinct passes: each token folds to its FIRST slice
+    (one groupBy), new-vocab counts cumulate over the 10-slice spine,
+    and the β fit is regr_slope over 10 log points, rounded 6 dp.
+
+    Scale shape: one token-grain fold (combinable min), one 10-row
+    spine; the corpus is scanned exactly once."""
+    d = load_table(spark, "documents", sf_dir)
+    mx = d.agg(F.max("doc_id").cast("bigint").alias("m"))
+    sl = F.least(F.lit(_HEAPS_SLICES - 1),
+                 F.floor(F.col("doc_id") * _HEAPS_SLICES
+                         / (F.col("m") + 1))).cast("bigint")
+    toks = (d.crossJoin(F.broadcast(mx))
+            .select(sl.alias("slice"),
+                    F.explode(F.split("text", " ")).alias("tok"))
+            .localCheckpoint(eager=False))  # volume + first-seen share it
+    per_slice = toks.groupBy("slice").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok"))
+    vocab_new = (toks.groupBy("tok")
+                 .agg(F.min("slice").cast("bigint").alias("s0"))
+                 .groupBy(F.col("s0").alias("slice"))
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_new")))
+    wc = Window.orderBy("slice").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    curve = (per_slice.join(vocab_new, "slice", "left")
+             .select("slice",
+                     F.sum("n_tok").over(wc).cast("bigint")
+                     .alias("cum_tokens"),
+                     F.sum(F.coalesce("n_new", F.lit(0))).over(wc)
+                     .cast("bigint").alias("cum_vocab")))
+    fit = curve.agg(F.round(
+        F.regr_slope(F.log(F.col("cum_vocab").cast("double")),
+                     F.log(F.col("cum_tokens").cast("double"))), 6)
+        .alias("beta"))
+    return (curve.crossJoin(F.broadcast(fit))
+            .select("slice", "cum_tokens", "cum_vocab",
+                    F.col("beta").alias("heaps_beta")))
+
+
+# ---------------------------------------------------------------------------
+# MASE forecast evaluation (seasonal-naive baseline)
+# ---------------------------------------------------------------------------
+
+_MASE_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hh,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+), lagged AS (
+  SELECT event_type, hh, cents,
+         lag(cents, 24) OVER w AS seasonal_naive,
+         lag(cents, 1) OVER w AS naive1
+  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hh)
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(CASE WHEN seasonal_naive IS NOT NULL
+                          AND naive1 IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n_eval,
+         CAST(SUM(CASE WHEN seasonal_naive IS NOT NULL
+                        AND naive1 IS NOT NULL
+                       THEN abs(cents - seasonal_naive) END) AS BIGINT)
+           AS sae_seasonal,
+         CAST(SUM(CASE WHEN seasonal_naive IS NOT NULL
+                        AND naive1 IS NOT NULL
+                       THEN abs(cents - naive1) END) AS BIGINT)
+           AS sae_naive1
+  FROM lagged GROUP BY event_type
+)
+SELECT event_type, n_eval,
+       CAST(sae_seasonal AS DOUBLE) / CAST(n_eval AS DOUBLE)
+         AS mae_seasonal_cents,
+       CAST(sae_seasonal AS DOUBLE) / CAST(sae_naive1 AS DOUBLE) AS mase
+FROM s
+"""
+
+
+@register("ts_mase_eval", oracle=_MASE_ORACLE)
+def ts_mase_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (mean absolute SCALED error) of the lag-24 seasonal-naive
+    forecast against the lag-1 naive baseline, per event type — the
+    scale-free forecast score that completes ts_forecast_eval_wape
+    (percent scale) and ts_pinball_loss_eval (quantile loss): MASE < 1
+    means the seasonal forecast beats naive persistence, comparable
+    ACROSS series of different magnitudes. Both error sums are exact
+    BIGINT cents over the SAME evaluable rows (both lags present); one
+    division each for MAE and MASE.
+
+    Scale shape: calendar-bounded hourly fold; two lags off ONE
+    type-partitioned window pass; one combinable three-sum fold."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(3600000000)).cast("bigint").alias("hh"))
+        .agg(F.sum(cents).cast("bigint").alias("cents")))
+    w = Window.partitionBy("event_type").orderBy("hh")
+    lagged = hourly.select(
+        "event_type", "cents",
+        F.lag("cents", 24).over(w).alias("sn"),
+        F.lag("cents", 1).over(w).alias("n1"))
+    ok = F.col("sn").isNotNull() & F.col("n1").isNotNull()
+    s = lagged.groupBy("event_type").agg(
+        F.count(F.when(ok, 1)).cast("bigint").alias("n_eval"),
+        F.sum(F.when(ok, F.abs(F.col("cents") - F.col("sn"))))
+        .cast("bigint").alias("sae_seasonal"),
+        F.sum(F.when(ok, F.abs(F.col("cents") - F.col("n1"))))
+        .cast("bigint").alias("sae_naive1"))
+    return s.select(
+        "event_type", "n_eval",
+        (F.col("sae_seasonal").cast("double")
+         / F.col("n_eval").cast("double")).alias("mae_seasonal_cents"),
+        (F.col("sae_seasonal").cast("double")
+         / F.col("sae_naive1").cast("double")).alias("mase"))
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q (k related binary samples)
+# ---------------------------------------------------------------------------
+
+_COCHRAN_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), tm AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k_t,
+         CAST(SUM(cents) AS BIGINT) AS s_t
+  FROM hourly GROUP BY event_type
+), complete_blocks AS (
+  SELECT hr FROM hourly GROUP BY hr HAVING COUNT(*) = 5
+), flags AS (
+  -- integer-safe above-own-mean flag (the McNemar convention)
+  SELECT h.hr, h.event_type,
+         CASE WHEN h.cents * tm.k_t > tm.s_t THEN 1 ELSE 0 END AS x
+  FROM hourly h
+  JOIN complete_blocks b ON h.hr = b.hr
+  JOIN tm ON h.event_type = tm.event_type
+), cols AS (
+  SELECT event_type, CAST(SUM(x) AS BIGINT) AS c_j FROM flags
+  GROUP BY event_type
+), rows_ AS (
+  SELECT hr, CAST(SUM(x) AS BIGINT) AS r_i FROM flags GROUP BY hr
+), s AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cols) AS k,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM rows_) AS n_blocks,
+         (SELECT CAST(SUM(c_j) AS BIGINT) FROM cols) AS n,
+         (SELECT CAST(SUM(c_j * c_j) AS BIGINT) FROM cols) AS sum_c2,
+         (SELECT CAST(SUM(r_i * r_i) AS BIGINT) FROM rows_) AS sum_r2
+)
+SELECT n_blocks, k, n AS n_successes,
+       -- Q = (k-1) * (k*sum C_j^2 - N^2) / (k*N - sum R_i^2): every
+       -- term exact BIGINT, ONE final division
+       (CAST(k AS DOUBLE) - 1.0)
+         * (CAST(k * sum_c2 AS DOUBLE) - CAST(n * n AS DOUBLE))
+         / (CAST(k * n AS DOUBLE) - CAST(sum_r2 AS DOUBLE)) AS cochran_q
+FROM s
+"""
+
+
+@register("stat_cochran_q", oracle=_COCHRAN_ORACLE)
+def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across the five event types on hour blocks: do the
+    types differ in their above-own-mean RATE when each hour is its own
+    block? — the k-treatment generalization of stat_mcnemar_paired
+    exactly as stat_friedman_test generalizes the paired rank tests,
+    closing the related-samples ladder (sign → Wilcoxon → Friedman for
+    magnitudes; McNemar → Cochran Q for binaries). Flags are the same
+    integer-safe cents·k > Σ comparisons; complete blocks only; Q
+    assembles from four exact integer sums with ONE division.
+
+    Scale shape: calendar-bounded hourly fold; flags map-side against a
+    broadcast 5-row moment dim; column/row folds over the bounded block
+    grid."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.sum(cents).cast("bigint").alias("cents"))
+              .localCheckpoint(eager=False))  # moments + blocks share it
+    tm = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_t"),
+        F.sum("cents").cast("bigint").alias("s_t"))
+    complete = (hourly.groupBy("hr")
+                .agg(F.count(F.lit(1)).alias("nb"))
+                .where(F.col("nb") == 5).select("hr"))
+    flags = (hourly.join(complete, "hr")
+             .join(F.broadcast(tm), "event_type")
+             .select("hr", "event_type",
+                     F.when(F.col("cents") * F.col("k_t") > F.col("s_t"),
+                            F.lit(1)).otherwise(F.lit(0)).alias("x")))
+    cols = flags.groupBy("event_type").agg(
+        F.sum("x").cast("bigint").alias("c_j"))
+    rows_ = flags.groupBy("hr").agg(
+        F.sum("x").cast("bigint").alias("r_i"))
+    cstats = cols.agg(F.count(F.lit(1)).cast("bigint").alias("k"),
+                      F.sum("c_j").cast("bigint").alias("n"),
+                      F.sum(F.col("c_j") * F.col("c_j")).cast("bigint")
+                      .alias("sum_c2"))
+    rstats = rows_.agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+                       F.sum(F.col("r_i") * F.col("r_i")).cast("bigint")
+                       .alias("sum_r2"))
+    s = cstats.crossJoin(F.broadcast(rstats))
+    kd = F.col("k").cast("double")
+    q = ((kd - F.lit(1.0))
+         * ((F.col("k") * F.col("sum_c2")).cast("double")
+            - (F.col("n") * F.col("n")).cast("double"))
+         / ((F.col("k") * F.col("n")).cast("double")
+            - F.col("sum_r2").cast("double")))
+    return s.select("n_blocks", "k",
+                    F.col("n").alias("n_successes"),
+                    q.alias("cochran_q"))
+
+
+# ---------------------------------------------------------------------------
+# DeLong confidence interval for the exact ROC-AUC
+# ---------------------------------------------------------------------------
+
+_DELONG_Z = 1.959963985
+
+_DELONG_ORACLE = f"""
+WITH c AS (
+  SELECT event_type = 'purchase' AS pos,
+         CAST(round(value * 100, 0) AS BIGINT) AS xc
+  FROM events WHERE event_type IN ('click', 'purchase')
+), dom AS (
+  SELECT xc, CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS p,
+         CAST(COUNT(*) FILTER (WHERE NOT pos) AS BIGINT) AS q
+  FROM c GROUP BY xc
+), cum AS (
+  SELECT xc, p, q,
+         CAST(COALESCE(SUM(q) OVER wb, 0) AS BIGINT) AS q_below,
+         CAST(COALESCE(SUM(p) OVER wb, 0) AS BIGINT) AS p_below
+  FROM dom
+  WINDOW wb AS (ORDER BY xc ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+), tot AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS np, CAST(SUM(q) AS BIGINT) AS nq
+  FROM dom
+), s AS (
+  -- doubled placement values stay integer: for a positive at value v,
+  -- 2*placement*nq = 2*q_below + q (ties count half); for a negative,
+  -- 2*placement'*np = 2*(np - p_below - p) + p
+  SELECT
+    CAST(SUM(CAST(p AS HUGEINT) * (2 * q_below + q)) AS HUGEINT) AS sp1,
+    CAST(SUM(CAST(p AS HUGEINT) * (2 * q_below + q)
+             * (2 * q_below + q)) AS HUGEINT) AS sp2,
+    CAST(SUM(CAST(q AS HUGEINT)
+             * (2 * (tot.np - p_below - p) + p)) AS HUGEINT) AS sq1,
+    CAST(SUM(CAST(q AS HUGEINT)
+             * (2 * (tot.np - p_below - p) + p)
+             * (2 * (tot.np - p_below - p) + p)) AS HUGEINT) AS sq2
+  FROM cum CROSS JOIN tot
+), a AS (
+  SELECT tot.np, tot.nq,
+         CAST(s.sp1 AS DOUBLE)
+           / (2.0 * CAST(tot.np AS DOUBLE) * CAST(tot.nq AS DOUBLE))
+           AS auc,
+         -- S10 = (E[m^2] - E[m]^2) * np/(np-1) with m = doubled
+         -- placement / (2 nq); spelled once per component
+         (CAST(s.sp2 AS DOUBLE) / CAST(tot.np AS DOUBLE)
+          - (CAST(s.sp1 AS DOUBLE) / CAST(tot.np AS DOUBLE))
+            * (CAST(s.sp1 AS DOUBLE) / CAST(tot.np AS DOUBLE)))
+         / (4.0 * CAST(tot.nq AS DOUBLE) * CAST(tot.nq AS DOUBLE))
+         * (CAST(tot.np AS DOUBLE) / (CAST(tot.np AS DOUBLE) - 1.0))
+           AS s10,
+         (CAST(s.sq2 AS DOUBLE) / CAST(tot.nq AS DOUBLE)
+          - (CAST(s.sq1 AS DOUBLE) / CAST(tot.nq AS DOUBLE))
+            * (CAST(s.sq1 AS DOUBLE) / CAST(tot.nq AS DOUBLE)))
+         / (4.0 * CAST(tot.np AS DOUBLE) * CAST(tot.np AS DOUBLE))
+         * (CAST(tot.nq AS DOUBLE) / (CAST(tot.nq AS DOUBLE) - 1.0))
+           AS s01
+  FROM s CROSS JOIN tot
+)
+SELECT np AS n_pos, nq AS n_neg, auc,
+       sqrt(s10 / CAST(np AS DOUBLE) + s01 / CAST(nq AS DOUBLE)) AS se,
+       auc - {_DELONG_Z} * sqrt(s10 / CAST(np AS DOUBLE)
+                                + s01 / CAST(nq AS DOUBLE)) AS ci_lo,
+       auc + {_DELONG_Z} * sqrt(s10 / CAST(np AS DOUBLE)
+                                + s01 / CAST(nq AS DOUBLE)) AS ci_hi
+FROM a
+"""
+
+
+@register("ml_roc_auc_delong_ci", oracle=_DELONG_ORACLE)
+def ml_roc_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong 95% confidence interval for the exact ROC-AUC — the
+    interval ml_roc_auc_exact's point estimate never carries (the
+    stat_fisher_z_corr_ci move applied to AUC): variance from the
+    placement-value components S10 (over positives) and S01 (over
+    negatives), var = S10/n₊ + S01/n₋, frozen normal quantile. DOUBLED
+    placement values (2·q_below + q, ties half) keep every first and
+    second moment an exact wide integer off the domain collapse; the
+    only roots are sqrt.
+
+    Scale shape: one combinable domain collapse; one cumulative window
+    over the bounded value DOMAIN; one four-sum wide-integer fold to a
+    single row — identical shape to ml_roc_auc_exact plus two moments."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    dom = (ev.select((F.col("event_type") == "purchase").alias("pos"),
+                     xc.alias("xc"))
+           .groupBy("xc")
+           .agg(F.count(F.when(F.col("pos"), 1)).cast("bigint").alias("p"),
+                F.count(F.when(~F.col("pos"), 1)).cast("bigint")
+                .alias("q")))
+    wb = Window.orderBy("xc").rowsBetween(Window.unboundedPreceding, -1)
+    cum = dom.select(
+        "p", "q",
+        F.coalesce(F.sum("q").over(wb), F.lit(0)).cast("bigint")
+        .alias("q_below"),
+        F.coalesce(F.sum("p").over(wb), F.lit(0)).cast("bigint")
+        .alias("p_below"))
+    tot = dom.agg(F.sum("p").cast("bigint").alias("np"),
+                  F.sum("q").cast("bigint").alias("nq"))
+    dd = "decimal(38,0)"
+    mpos = (2 * F.col("q_below") + F.col("q"))
+    mneg = (2 * (F.col("np") - F.col("p_below") - F.col("p")) + F.col("p"))
+    s = (cum.crossJoin(F.broadcast(tot))
+         .agg(F.sum(F.col("p").cast(dd) * mpos).alias("sp1"),
+              F.sum(F.col("p").cast(dd) * mpos * mpos).alias("sp2"),
+              F.sum(F.col("q").cast(dd) * mneg).alias("sq1"),
+              F.sum(F.col("q").cast(dd) * mneg * mneg).alias("sq2"))
+         .crossJoin(F.broadcast(tot)))
+    npd = F.col("np").cast("double")
+    nqd = F.col("nq").cast("double")
+    auc = F.col("sp1").cast("double") / (F.lit(2.0) * npd * nqd)
+    s10 = ((F.col("sp2").cast("double") / npd
+            - (F.col("sp1").cast("double") / npd)
+            * (F.col("sp1").cast("double") / npd))
+           / (F.lit(4.0) * nqd * nqd) * (npd / (npd - F.lit(1.0))))
+    s01 = ((F.col("sq2").cast("double") / nqd
+            - (F.col("sq1").cast("double") / nqd)
+            * (F.col("sq1").cast("double") / nqd))
+           / (F.lit(4.0) * npd * npd) * (nqd / (nqd - F.lit(1.0))))
+    se = F.sqrt(s10 / npd + s01 / nqd)
+    return s.select(F.col("np").alias("n_pos"), F.col("nq").alias("n_neg"),
+                    auc.alias("auc"), se.alias("se"),
+                    (auc - F.lit(_DELONG_Z) * se).alias("ci_lo"),
+                    (auc + F.lit(_DELONG_Z) * se).alias("ci_hi"))
+
+
+# ---------------------------------------------------------------------------
+# primary-key uniqueness audit
+# ---------------------------------------------------------------------------
+
+_PK_ORACLE = """
+SELECT 'orders.o_orderkey' AS pk,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_dup_rows
+FROM orders
+UNION ALL
+SELECT 'customer.c_custkey', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'events.event_id', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT event_id) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'lineitem.(l_orderkey,l_linenumber)', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT l_orderkey * 100 + l_linenumber) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 100 + l_linenumber)
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'documents.doc_id', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+FROM documents
+"""
+
+
+@register("dq_pk_uniqueness", oracle=_PK_ORACLE)
+def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across five tables in one report —
+    the third leg of the round-7 DQ set (referential integrity =
+    cross-table, freshness = temporal, this = key-grain): row count,
+    distinct key count and duplicate-row count per declared key,
+    including one COMPOSITE key (lineitem's order+line, packed into one
+    integer since line numbers are < 100 — the packing documented where
+    it happens). Exact counts; no divisions.
+
+    Scale shape: five combinable count-distinct folds (partial
+    aggregation map-side; the composite packs before hashing); a 5-row
+    union."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    d = load_table(spark, "documents", sf_dir)
+
+    def audit(name, df, key):
+        return df.agg(
+            F.lit(name).alias("pk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(key).cast("bigint").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.countDistinct(key)).cast("bigint")
+            .alias("n_dup_rows")).select(
+                "pk", "n_rows", "n_distinct", "n_dup_rows")
+
+    comp = F.col("l_orderkey") * 100 + F.col("l_linenumber")
+    return (audit("orders.o_orderkey", o, F.col("o_orderkey"))
+            .unionByName(audit("customer.c_custkey", c,
+                               F.col("c_custkey")))
+            .unionByName(audit("events.event_id", ev, F.col("event_id")))
+            .unionByName(audit("lineitem.(l_orderkey,l_linenumber)",
+                               li, comp))
+            .unionByName(audit("documents.doc_id", d, F.col("doc_id"))))
+
+
+# ---------------------------------------------------------------------------
+# trimmed + winsorized mean (robust location)
+# ---------------------------------------------------------------------------
+
+_TRIM_PCT = 10  # percent trimmed/winsorized from EACH tail
+
+_TRIM_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+), dom AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM c GROUP BY x
+), cum AS (
+  SELECT x, t,
+         CAST(COALESCE(SUM(t) OVER (ORDER BY x
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0)
+              AS BIGINT) AS below,
+         CAST(SUM(t) OVER () AS BIGINT) AS n,
+         CAST(SUM(x * t) OVER () AS BIGINT) AS total
+  FROM dom
+), k AS (
+  SELECT *, (n * {_TRIM_PCT}) // 100 AS kk FROM cum
+), pieces AS (
+  -- per value: how many of its copies fall in the bottom-k / top-k
+  -- tails (partial-group overlap handled by exact integer clamps)
+  SELECT n, kk, total, x,
+         GREATEST(0, LEAST(t, kk - below)) AS in_lo,
+         GREATEST(0, LEAST(t, (below + t) - (n - kk))) AS in_hi,
+         -- boundary values: the value at rank kk+1 / rank n-kk
+         CASE WHEN below < kk + 1 AND kk + 1 <= below + t THEN x END
+           AS lo_bound,
+         CASE WHEN below < n - kk AND n - kk <= below + t THEN x END
+           AS hi_bound
+  FROM k
+), s AS (
+  SELECT MAX(n) AS n, MAX(kk) AS kk, MAX(total) AS total,
+         CAST(SUM(in_lo * x) AS BIGINT) AS lo_sum,
+         CAST(SUM(in_hi * x) AS BIGINT) AS hi_sum,
+         CAST(MIN(lo_bound) AS BIGINT) AS p_lo,
+         CAST(MIN(hi_bound) AS BIGINT) AS p_hi
+  FROM pieces
+)
+SELECT n, kk AS k_trimmed_each_tail,
+       CAST(total - lo_sum - hi_sum AS DOUBLE)
+         / CAST(n - 2 * kk AS DOUBLE) AS trimmed_mean_cents,
+       CAST(total - lo_sum - hi_sum + kk * p_lo + kk * p_hi AS DOUBLE)
+         / CAST(n AS DOUBLE) AS winsorized_mean_cents
+FROM s
+"""
+
+
+@register("agg_trimmed_winsorized_mean", oracle=_TRIM_ORACLE)
+def agg_trimmed_winsorized_mean(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """10% trimmed and winsorized means of purchase cents — the robust
+    location pair between the mean (agg_stats) and the median
+    (agg_percentile_disc_exact): trimming DROPS each tail's k values,
+    winsorizing CLAMPS them to the cut boundaries. Fully
+    domain-collapsed: per-value counts, exact integer clamps for
+    partial-group tail overlap (a value straddling the k-th rank
+    contributes exactly k−below copies), boundary values by rank pick —
+    every sum BIGINT, two final divisions.
+
+    Scale shape: one combinable domain collapse; one cumulative window
+    over the bounded value DOMAIN; one fold to a single row."""
+    ev = load_table(spark, "events", sf_dir) \
+        .where(F.col("event_type") == "purchase")
+    x = F.round(F.col("value") * 100, 0).cast("bigint")
+    dom = ev.select(x.alias("x")).groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"))
+    wb = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    tot = dom.agg(F.sum("t").cast("bigint").alias("n"),
+                  F.sum(F.col("x") * F.col("t")).cast("bigint")
+                  .alias("total"))
+    cum = (dom.select(
+        "x", "t",
+        F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("bigint")
+        .alias("below"))
+        .crossJoin(F.broadcast(tot)))
+    kk = F.floor(F.col("n") * _TRIM_PCT / 100).cast("bigint")
+    in_lo = F.greatest(F.lit(0), F.least(F.col("t"), kk - F.col("below")))
+    in_hi = F.greatest(F.lit(0), F.least(
+        F.col("t"), (F.col("below") + F.col("t")) - (F.col("n") - kk)))
+    lo_bound = F.when((F.col("below") < kk + 1)
+                      & (kk + 1 <= F.col("below") + F.col("t")),
+                      F.col("x"))
+    hi_bound = F.when((F.col("below") < F.col("n") - kk)
+                      & (F.col("n") - kk <= F.col("below") + F.col("t")),
+                      F.col("x"))
+    s = cum.agg(F.max("n").alias("n"), F.max(kk).alias("kk"),
+                F.max("total").alias("total"),
+                F.sum(in_lo * F.col("x")).cast("bigint").alias("lo_sum"),
+                F.sum(in_hi * F.col("x")).cast("bigint").alias("hi_sum"),
+                F.min(lo_bound).cast("bigint").alias("p_lo"),
+                F.min(hi_bound).cast("bigint").alias("p_hi"))
+    return s.select(
+        "n", F.col("kk").alias("k_trimmed_each_tail"),
+        ((F.col("total") - F.col("lo_sum") - F.col("hi_sum"))
+         .cast("double")
+         / (F.col("n") - 2 * F.col("kk")).cast("double"))
+        .alias("trimmed_mean_cents"),
+        ((F.col("total") - F.col("lo_sum") - F.col("hi_sum")
+          + F.col("kk") * F.col("p_lo") + F.col("kk") * F.col("p_hi"))
+         .cast("double") / F.col("n").cast("double"))
+        .alias("winsorized_mean_cents"))

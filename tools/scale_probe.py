@@ -343,6 +343,15 @@ QUERY_TABLES = {
     "llm_eval_pairwise_winrate": {"documents"},
     "graph_katz_centrality_fixed": {"lineitem"},
     "sql_group_by_ordinal": {"lineitem"},
+    # round-7 second ring
+    "scan_txlog_snapshot": {"orders"},
+    "llm_tool_call_parse": {"documents"},
+    "llm_vocab_growth_heaps": {"documents"},
+    "ts_mase_eval": {"events"},
+    "stat_cochran_q": {"events"},
+    "ml_roc_auc_delong_ci": {"events"},
+    "dq_pk_uniqueness": {"lineitem", "orders", "events", "documents"},
+    "agg_trimmed_winsorized_mean": {"events"},
 }
 
 
