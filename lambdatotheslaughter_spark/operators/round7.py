@@ -2212,3 +2212,690 @@ def agg_trimmed_winsorized_mean(spark: SparkSession,
           + F.col("kk") * F.col("p_lo") + F.col("kk") * F.col("p_hi"))
          .cast("double") / F.col("n").cast("double"))
         .alias("winsorized_mean_cents"))
+
+
+# ===========================================================================
+# round-7 third ring
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_MB_MIN_PAIR = 2
+
+_BASKET_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n_b AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nb FROM baskets
+), item AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_i
+  FROM baskets GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_MB_MIN_PAIR}
+)
+SELECT p.pa AS part_a, p.pb AS part_b, p.n_pair,
+       ia.n_i AS n_a, ib.n_i AS n_b,
+       CAST(p.n_pair AS DOUBLE) / CAST(n_b.nb AS DOUBLE) AS support,
+       CAST(p.n_pair AS DOUBLE) / CAST(ia.n_i AS DOUBLE)
+         AS confidence_a_to_b,
+       CAST(p.n_pair AS DOUBLE) * CAST(n_b.nb AS DOUBLE)
+         / (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)) AS lift
+FROM pairs p
+JOIN item ia ON p.pa = ia.l_partkey
+JOIN item ib ON p.pb = ib.l_partkey
+CROSS JOIN n_b
+"""
+
+
+@register("seq_market_basket_rules", oracle=_BASKET_ORACLE)
+def seq_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: pair support,
+    confidence(A→B) and lift for every co-purchased part pair seen at
+    least twice — the Apriori level-2 output that drives
+    also-bought recommendations and store layout, and the PROBABILISTIC
+    completion of graph_bipartite_copurchase's raw projection (lift > 1
+    is the signal; raw co-counts just find popular items). Counts exact,
+    three divisions per rule.
+
+    Scale shape: the pair expansion is basket-keyed (bounded by basket
+    size, ≤21 pairs per 7-line order — the copurchase discipline); item
+    and basket totals are combinable folds; the rule join decorates
+    pair rows with two broadcast-scale item dims."""
+    li = load_table(spark, "lineitem", sf_dir)
+    baskets = (li.select("l_orderkey", "l_partkey").distinct()
+               .localCheckpoint(eager=False))  # pairs + items share it
+    nb = baskets.agg(F.countDistinct("l_orderkey").cast("bigint")
+                     .alias("nb"))
+    item = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("pa"),
+                      F.col("b.l_partkey").alias("pb"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+             .where(F.col("n_pair") >= _MB_MIN_PAIR))
+    ia = item.select(F.col("l_partkey").alias("pa"),
+                     F.col("n_i").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("pb"),
+                     F.col("n_i").alias("n_b"))
+    return (pairs.join(ia, "pa").join(ib, "pb")
+            .crossJoin(F.broadcast(nb))
+            .select(F.col("pa").alias("part_a"),
+                    F.col("pb").alias("part_b"), "n_pair", "n_a", "n_b",
+                    (F.col("n_pair").cast("double")
+                     / F.col("nb").cast("double")).alias("support"),
+                    (F.col("n_pair").cast("double")
+                     / F.col("n_a").cast("double"))
+                    .alias("confidence_a_to_b"),
+                    (F.col("n_pair").cast("double")
+                     * F.col("nb").cast("double")
+                     / (F.col("n_a").cast("double")
+                        * F.col("n_b").cast("double"))).alias("lift")))
+
+
+# ---------------------------------------------------------------------------
+# UMass topic coherence over per-language top terms
+# ---------------------------------------------------------------------------
+
+_UMASS_TOPK = 5
+
+_UMASS_ORACLE = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), df AS (
+  SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d
+  FROM dt GROUP BY tok
+), top_terms AS (
+  SELECT lang, tok, d, rk FROM (
+    SELECT l.lang, l.tok, f.d,
+           row_number() OVER (PARTITION BY l.lang
+                              ORDER BY l.ld DESC, l.tok) AS rk
+    FROM (SELECT lang, tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ld
+          FROM dt GROUP BY lang, tok) l
+    JOIN df f ON l.tok = f.tok
+  ) WHERE rk <= {_UMASS_TOPK}
+), co AS (
+  SELECT a.lang, a.rk AS ri, b.rk AS rj, a.tok AS wi, b.tok AS wj, b.d AS dj,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT doc_id FROM dt x WHERE x.tok = a.tok
+             INTERSECT
+             SELECT doc_id FROM dt y WHERE y.tok = b.tok) t) AS dij
+  FROM top_terms a JOIN top_terms b
+    ON a.lang = b.lang AND a.rk < b.rk
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(list_sum(list(ln((CAST(dij AS DOUBLE) + 1.0)
+                              / CAST(dj AS DOUBLE))
+                           ORDER BY ri, rj)), 6) AS umass_coherence
+FROM co GROUP BY lang
+"""
+
+
+@register("llm_topic_coherence_umass", oracle=_UMASS_ORACLE)
+def llm_topic_coherence_umass(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """UMass topic coherence for each language's top-5 document-
+    frequency terms — the do-these-terms-actually-co-occur score that
+    separates a real topic from a frequency artifact (the standard
+    evaluation next to llm_cluster_topic_terms' c-TF-IDF labels):
+    C = Σ_{{i<j}} ln((D(wᵢ,wⱼ)+1)/D(wⱼ)) over the rank-ordered pairs.
+    Doc frequencies and co-frequencies are exact counts; the ≤10-term
+    fold per language runs in FIXED pair order (the ANOVA rule) and
+    rounds 6 dp after the one ln chain.
+
+    Scale shape: one (doc, token) distinct fold; top terms per language
+    are a partitioned window over language-bounded term lists;
+    co-occurrence joins the ≤25-row term-pair spine against the
+    doc-token table (broadcast spine, corpus-side combinable count)."""
+    d = load_table(spark, "documents", sf_dir)
+    dt = (d.select("doc_id", "lang",
+                   F.explode(F.split("text", " ")).alias("tok"))
+          .distinct()
+          .localCheckpoint(eager=False))  # df, lang-df and co share it
+    df = dt.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("d"))
+    ld = dt.groupBy("lang", "tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("ld"))
+    wl = Window.partitionBy("lang").orderBy(F.col("ld").desc(), "tok")
+    top = (ld.join(df, "tok")
+           .select("lang", "tok", "d",
+                   F.row_number().over(wl).alias("rk"))
+           .where(F.col("rk") <= _UMASS_TOPK))
+    a = top.select("lang", F.col("rk").alias("ri"),
+                   F.col("tok").alias("wi"))
+    b = top.select(F.col("lang").alias("lb"), F.col("rk").alias("rj"),
+                   F.col("tok").alias("wj"), F.col("d").alias("dj"))
+    spine = a.join(b, (F.col("lang") == F.col("lb"))
+                   & (F.col("ri") < F.col("rj"))).drop("lb")
+    # co-document counts: join the pair spine to the doc-token table on
+    # BOTH terms (two corpus-side semi-shaped joins, spine broadcast)
+    d1 = dt.select(F.col("doc_id").alias("da"), F.col("tok").alias("wi"))
+    d2 = dt.select(F.col("doc_id").alias("db"), F.col("tok").alias("wj2"))
+    co = (spine.join(d1, "wi")
+          .join(d2, (F.col("wj") == F.col("wj2"))
+                & (F.col("da") == F.col("db")))
+          .groupBy("lang", "ri", "rj", "wj", "dj")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("dij")))
+    term = F.log((F.col("dij").cast("double") + F.lit(1.0))
+                 / F.col("dj").cast("double"))
+    return (co.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.round(F.aggregate(
+                     F.array_sort(F.collect_list(F.struct(
+                         F.col("ri"), F.col("rj"), term.alias("v")))),
+                     F.lit(0.0), lambda acc, x: acc + x["v"]), 6)
+                 .alias("umass_coherence")))
+
+
+# ---------------------------------------------------------------------------
+# self-BLEU corpus diversity audit
+# ---------------------------------------------------------------------------
+
+_SBLEU_N = 40
+_SBLEU_Q = 1_000_000_000
+
+_SELF_BLEU_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE doc_id < {_SBLEU_N} AND len(string_split(text, ' ')) >= 20
+), p1 AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(l[1:{_BLEU_PRED_LEN}]) AS g FROM base)
+  GROUP BY doc_id, g
+), p2 AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(range(1, {_BLEU_PRED_LEN}),
+                                         i -> l[i] || ' ' || l[i + 1])) AS g
+    FROM base) GROUP BY doc_id, g
+), g1 AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(l[6:{5 + _BLEU_GOLD_LEN}]) AS g FROM base)
+  GROUP BY doc_id, g
+), g2 AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(range(6, {5 + _BLEU_GOLD_LEN}),
+                                         i -> l[i] || ' ' || l[i + 1])) AS g
+    FROM base) GROUP BY doc_id, g
+), ov1 AS (
+  SELECT p.doc_id AS a, r.doc_id AS b,
+         CAST(SUM(LEAST(p.c, r.c)) AS BIGINT) AS o1
+  FROM p1 p JOIN g1 r ON p.g = r.g AND p.doc_id <> r.doc_id
+  GROUP BY p.doc_id, r.doc_id
+), ov2 AS (
+  SELECT p.doc_id AS a, r.doc_id AS b,
+         CAST(SUM(LEAST(p.c, r.c)) AS BIGINT) AS o2
+  FROM p2 p JOIN g2 r ON p.g = r.g AND p.doc_id <> r.doc_id
+  GROUP BY p.doc_id, r.doc_id
+), pair_bleu AS (
+  SELECT ov1.a,
+         CAST(round({_BLEU_BP!r}
+              * sqrt((CAST(ov1.o1 AS DOUBLE) / {_BLEU_PRED_LEN}.0)
+                     * (CAST(COALESCE(ov2.o2, 0) AS DOUBLE)
+                        / {_BLEU_PRED_LEN - 1}.0)) * {_SBLEU_Q}, 0)
+              AS BIGINT) AS q
+  FROM ov1 LEFT JOIN ov2 ON ov1.a = ov2.a AND ov1.b = ov2.b
+), nref AS (
+  SELECT CAST(COUNT(*) AS BIGINT) - 1 AS m FROM base
+)
+SELECT a AS doc_id, MAX(nref.m) AS n_refs,
+       CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+         / ({_SBLEU_Q}.0 * CAST(MAX(nref.m) AS DOUBLE)) AS mean_self_bleu
+FROM pair_bleu CROSS JOIN nref
+GROUP BY a
+"""
+
+
+@register("llm_self_bleu_diversity", oracle=_SELF_BLEU_ORACLE)
+def llm_self_bleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU diversity audit on a bounded doc_id < 40 slice: each
+    document's BLEU-2 against every OTHER document as reference,
+    averaged — the standard homogeneity alarm for generated corpora
+    (high self-BLEU = mode collapse; the diversity counterpart of the
+    dedup family's near-duplicate rate). Pairs with zero unigram
+    overlap contribute 0 by omission (the LEFT-join/COALESCE spelling is
+    identical in both engines); each pair's BLEU quantizes to 1e-9
+    units so the per-document mean over 39 references is an associative
+    integer fold (the DFT discipline).
+
+    Scale shape: the audit slice is FIXED (40 docs → 1,560 pairs) no
+    matter the corpus; gram tables are per-doc bounded; overlap joins
+    are gram-keyed."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    base = (d.where((F.col("doc_id") < _SBLEU_N) & (F.size(toks) >= 20))
+            .select("doc_id", toks.alias("l"))
+            .localCheckpoint(eager=False))
+
+    def grams(start, length, n, side):
+        if n == 1:
+            col = F.explode(F.slice("l", start, length))
+        else:
+            col = F.explode(F.transform(
+                F.sequence(F.lit(start), F.lit(start + length - 2)),
+                lambda i: F.concat_ws(" ", F.element_at("l", i),
+                                      F.element_at("l", i + 1))))
+        return (base.select(F.col("doc_id").alias(side), col.alias("g"))
+                .groupBy(side, "g").agg(F.count(F.lit(1)).alias("c")))
+
+    def overlap(pred, ref, out):
+        p, r = pred.alias("p"), ref.alias("r")
+        return (p.join(r, (F.col("p.g") == F.col("r.g"))
+                       & (F.col("p.a") != F.col("r.b")))
+                .groupBy("p.a", "r.b")
+                .agg(F.sum(F.least(F.col("p.c"), F.col("r.c")))
+                     .cast("bigint").alias(out)))
+
+    ov1 = overlap(grams(1, _BLEU_PRED_LEN, 1, "a"),
+                  grams(6, _BLEU_GOLD_LEN, 1, "b"), "o1")
+    ov2 = overlap(grams(1, _BLEU_PRED_LEN, 2, "a"),
+                  grams(6, _BLEU_GOLD_LEN, 2, "b"), "o2")
+    p1 = F.col("o1").cast("double") / F.lit(float(_BLEU_PRED_LEN))
+    p2 = (F.coalesce(F.col("o2"), F.lit(0)).cast("double")
+          / F.lit(float(_BLEU_PRED_LEN - 1)))
+    q = F.round(F.lit(_BLEU_BP) * F.sqrt(p1 * p2) * F.lit(_SBLEU_Q), 0) \
+        .cast("bigint")
+    nref = base.agg((F.count(F.lit(1)) - 1).cast("bigint").alias("m"))
+    pair = (ov1.join(ov2, ["a", "b"], "left")
+            .select("a", q.alias("q")))
+    return (pair.crossJoin(F.broadcast(nref))
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.max("m").alias("n_refs"),
+                 (F.sum("q").cast("bigint").cast("double")
+                  / (F.lit(float(_SBLEU_Q)) * F.max("m").cast("double")))
+                 .alias("mean_self_bleu")))
+
+
+# ---------------------------------------------------------------------------
+# KS uniformity audit of the house md5 sampler
+# ---------------------------------------------------------------------------
+
+# asymptotic two-sided Kolmogorov critical value at alpha = 0.05
+_KS_CRIT_05 = 1.358102
+_KS_SCALE = 1 << 60  # md5 15-hex-digit keys are uniform on [0, 2^60)
+
+
+_KS_MD5_ORACLE = f"""
+WITH keyed AS (
+  SELECT event_id,
+         CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)
+                                         || ':ks-audit'), 1, 15))
+              AS BIGINT) AS u
+  FROM events
+), ranked AS (
+  SELECT u, CAST(row_number() OVER (ORDER BY u, event_id) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM keyed
+), gaps AS (
+  -- both one-sided gaps, kept as EXACT integer numerators over the
+  -- common denominator n * 2^60 (HUGEINT: i * 2^60 passes int64)
+  SELECT n,
+         GREATEST(CAST(i AS HUGEINT) * {_KS_SCALE}
+                    - CAST(u AS HUGEINT) * n,
+                  CAST(u AS HUGEINT) * n
+                    - (CAST(i AS HUGEINT) - 1) * {_KS_SCALE}) AS num
+  FROM ranked
+)
+SELECT MAX(n) AS n,
+       CAST(MAX(num) AS DOUBLE)
+         / (CAST(MAX(n) AS DOUBLE) * {_KS_SCALE}.0) AS d_stat,
+       sqrt(CAST(MAX(n) AS DOUBLE)) * CAST(MAX(num) AS DOUBLE)
+         / (CAST(MAX(n) AS DOUBLE) * {_KS_SCALE}.0) AS sqrt_n_d,
+       sqrt(CAST(MAX(n) AS DOUBLE)) * CAST(MAX(num) AS DOUBLE)
+         / (CAST(MAX(n) AS DOUBLE) * {_KS_SCALE}.0) >= {_KS_CRIT_05}
+         AS reject_uniform_5pct
+FROM gaps
+"""
+
+
+@register("stat_ks_uniform_md5_audit", oracle=_KS_MD5_ORACLE)
+def stat_ks_uniform_md5_audit(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov uniformity audit of the house md5 randomness
+    itself: the 60-bit keys every deterministic sampler / bootstrap /
+    permutation op draws from, tested against U(0, 2⁶⁰) — the engine
+    auditing its own randomness supply (a biased key stream would
+    silently corrupt every seeded operator upstream). Both one-sided
+    ECDF gaps stay EXACT integer numerators over the common n·2⁶⁰
+    denominator (decimal(38,0) cross-multiplication — no float ECDF
+    anywhere); D converts to double once; √n·D compares against the
+    frozen asymptotic 5% critical value.
+
+    Scale shape: the global rank over the key stream is the two-pass
+    bucketed rank (bucketed.py — no single-partition window over the
+    event table); one wide-integer max fold to a single row."""
+    ev = load_table(spark, "events", sf_dir)
+    u = F.conv(F.substring(
+        F.md5(F.concat(F.col("event_id").cast("string"),
+                       F.lit(":ks-audit"))), 1, 15), 16, 10).cast("bigint")
+    keyed = ev.select("event_id", u.alias("u"))
+    tot = keyed.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = (bucketed_order(keyed, "u", ["event_id"], rank_col="i")
+              .crossJoin(F.broadcast(tot)))
+    dd = "decimal(38,0)"
+    num = F.greatest(
+        F.col("i").cast(dd) * _KS_SCALE - F.col("u").cast(dd) * F.col("n"),
+        F.col("u").cast(dd) * F.col("n")
+        - (F.col("i").cast(dd) - 1) * _KS_SCALE)
+    g = ranked.agg(F.max("n").alias("n"), F.max(num).alias("num"))
+    d_stat = (F.col("num").cast("double")
+              / (F.col("n").cast("double") * F.lit(float(_KS_SCALE))))
+    snd = F.sqrt(F.col("n").cast("double")) * d_stat
+    return g.select("n", d_stat.alias("d_stat"), snd.alias("sqrt_n_d"),
+                    (snd >= F.lit(_KS_CRIT_05))
+                    .alias("reject_uniform_5pct"))
+
+
+# ---------------------------------------------------------------------------
+# Poisson dispersion (variance-to-mean) test on hourly arrival counts
+# ---------------------------------------------------------------------------
+
+_DISPERSION_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM hourly GROUP BY event_type
+)
+SELECT event_type, n AS n_hours,
+       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_count,
+       -- sample variance via the exact-sum identity, one tree
+       (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+         / (CAST(n AS DOUBLE) - 1.0)
+         / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS dispersion_index,
+       (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+         / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS chi2_stat
+FROM s
+"""
+
+
+@register("stat_poisson_dispersion", oracle=_DISPERSION_ORACLE)
+def stat_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion test on hourly arrival counts per event type:
+    the variance-to-mean index and its χ² form (n−1)·s²/x̄ — IS traffic
+    Poisson, or bursty? The formal companion to ts_burstiness_fano
+    (same index, different grain), and the gate before any
+    Poisson-assuming capacity model. Counts and both power sums are
+    exact integers; the index assembles in one identical tree with two
+    divisions.
+
+    Scale shape: calendar-bounded hourly count fold; one combinable
+    three-sum fold per type."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    s = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"))
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    ss = F.col("s2").cast("double") - s1d * s1d / nd
+    mean = s1d / nd
+    return s.select("event_type", F.col("n").alias("n_hours"),
+                    mean.alias("mean_count"),
+                    (ss / (nd - F.lit(1.0)) / mean)
+                    .alias("dispersion_index"),
+                    (ss / mean).alias("chi2_stat"))
+
+
+# ---------------------------------------------------------------------------
+# orders <-> lineitem reconciliation audit
+# ---------------------------------------------------------------------------
+
+_RECON_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS li_cents
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS o_cents,
+         li.li_cents
+  FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+), classed AS (
+  -- integer-safe relative-gap buckets: |o - l| vs 1% / 10% of o
+  SELECT CASE
+           WHEN li_cents IS NULL THEN 'no_lineitems'
+           WHEN o_cents = li_cents THEN 'exact'
+           WHEN abs(o_cents - li_cents) * 100 <= o_cents THEN 'within_1pct'
+           WHEN abs(o_cents - li_cents) * 10 <= o_cents THEN 'within_10pct'
+           ELSE 'beyond_10pct'
+         END AS bucket,
+         o_cents, li_cents
+  FROM j
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_cents) AS BIGINT) AS order_cents,
+       CAST(SUM(COALESCE(li_cents, 0)) AS BIGINT) AS lineitem_cents
+FROM classed GROUP BY bucket
+"""
+
+
+@register("dq_reconciliation_orders_lineitem", oracle=_RECON_ORACLE)
+def dq_reconciliation_orders_lineitem(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Header-to-detail reconciliation: every order's stated total
+    against the sum of its line extended prices, bucketed by
+    INTEGER-safe relative gap (exact / ≤1% / ≤10% / beyond /
+    no-lineitems) — the classic warehouse fact-to-fact consistency
+    audit (TPC-H totals legitimately differ from Σ extendedprice by
+    discount/tax, so the report shows a real distribution, not vacuous
+    greens — the dq_referential_integrity design rule). Gap edges are
+    cross-multiplications (|Δ|·100 ≤ total), never float ratios.
+
+    Scale shape: one order-keyed lineitem fold, one same-key LEFT join
+    (both sides hash l_orderkey — one exchange each), a ≤5-row
+    rollup."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    lic = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+        .cast("bigint").alias("li_cents"))
+    oc = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    j = (o.select(F.col("o_orderkey"), oc.alias("o_cents"))
+         .join(lic, F.col("o_orderkey") == F.col("l_orderkey"), "left"))
+    gap = F.abs(F.col("o_cents") - F.col("li_cents"))
+    bucket = (F.when(F.col("li_cents").isNull(), "no_lineitems")
+              .when(F.col("o_cents") == F.col("li_cents"), "exact")
+              .when(gap * 100 <= F.col("o_cents"), "within_1pct")
+              .when(gap * 10 <= F.col("o_cents"), "within_10pct")
+              .otherwise("beyond_10pct"))
+    return (j.select(bucket.alias("bucket"), "o_cents", "li_cents")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                 F.sum("o_cents").cast("bigint").alias("order_cents"),
+                 F.sum(F.coalesce("li_cents", F.lit(0))).cast("bigint")
+                 .alias("lineitem_cents")))
+
+
+# ---------------------------------------------------------------------------
+# NATURAL JOIN / JOIN USING surface
+# ---------------------------------------------------------------------------
+
+_NATURAL_ORACLE = """
+WITH o AS (
+  SELECT o_custkey AS custkey, o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), c AS (
+  SELECT c_custkey AS custkey, c_mktsegment FROM customer
+), nat AS (
+  SELECT 'natural' AS variant, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM o NATURAL JOIN c GROUP BY c_mktsegment
+), usg AS (
+  SELECT 'using' AS variant, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM o JOIN c USING (custkey) GROUP BY c_mktsegment
+)
+SELECT * FROM nat UNION ALL SELECT * FROM usg
+"""
+
+
+@register("sql_natural_using_join", oracle=_NATURAL_ORACLE)
+def sql_natural_using_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATURAL JOIN and JOIN USING — the two implicit-key join spellings
+    (common-column inference vs named shared column), run side by side
+    over the same aliased views and REQUIRED to agree; the oracle runs
+    the IDENTICAL text on DuckDB so the key-inference semantics — one
+    output column per shared name, no duplicate key columns — are what
+    parity verifies (the sql_group_by_ordinal precedent).
+
+    Scale shape: both variants resolve to the same hash equi-join plan;
+    the sugar is analyzer-only."""
+    load_table(spark, "orders", sf_dir) \
+        .createOrReplaceTempView("lts_nat_o_v")
+    load_table(spark, "customer", sf_dir) \
+        .createOrReplaceTempView("lts_nat_c_v")
+    return spark.sql("""
+        WITH o AS (
+          SELECT o_custkey AS custkey, o_orderkey,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM lts_nat_o_v
+        ), c AS (
+          SELECT c_custkey AS custkey, c_mktsegment FROM lts_nat_c_v
+        ), nat AS (
+          SELECT 'natural' AS variant, c_mktsegment,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(cents) AS BIGINT) AS cents
+          FROM o NATURAL JOIN c GROUP BY c_mktsegment
+        ), usg AS (
+          SELECT 'using' AS variant, c_mktsegment,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(cents) AS BIGINT) AS cents
+          FROM o JOIN c USING (custkey) GROUP BY c_mktsegment
+        )
+        SELECT * FROM nat UNION ALL SELECT * FROM usg
+    """)
+
+
+# ---------------------------------------------------------------------------
+# builtin median / exact interpolation surface
+# ---------------------------------------------------------------------------
+
+_MEDIAN_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       median(CAST(round(value * 100, 0) AS BIGINT)) AS median_cents
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_median_builtin", oracle=_MEDIAN_ORACLE)
+def agg_median_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The builtin median() aggregate (Spark 3.4+) on integer cents per
+    event type — the one-call surface next to the family's explicit
+    rank-pick medians (agg_percentile_disc_exact picks discretely;
+    this one INTERPOLATES the even-count midpoint, and both engines
+    interpolate identically on integer inputs: the .5 midpoint of two
+    int64 cents is exact in double).
+
+    Scale shape: Spark plans median as a single-pass typed aggregate
+    (no global sort); the fold is per-type parallel."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return (ev.select("event_type", cents.alias("c"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.median("c").alias("median_cents")))
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands on the daily revenue series
+# ---------------------------------------------------------------------------
+
+_BOLL_W = 7
+
+_BOLL_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')
+), rolled AS (
+  SELECT event_type, day, cents,
+         CAST(SUM(cents) OVER w AS BIGINT) AS s1,
+         CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2,
+         CAST(COUNT(*) OVER w AS BIGINT) AS m
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {_BOLL_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, cents, m AS window_days,
+       CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE) AS band_mid,
+       CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)
+         + 2.0 * sqrt(CAST(s2 AS DOUBLE) / CAST(m AS DOUBLE)
+                      - (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)))
+         AS band_hi,
+       CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)
+         - 2.0 * sqrt(CAST(s2 AS DOUBLE) / CAST(m AS DOUBLE)
+                      - (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)))
+         AS band_lo,
+       CAST(cents AS DOUBLE)
+         > CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)
+           + 2.0 * sqrt(CAST(s2 AS DOUBLE) / CAST(m AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)))
+         AS breakout_hi
+FROM rolled WHERE m = {_BOLL_W}
+"""
+
+
+@register("ts_bollinger_bands", oracle=_BOLL_ORACLE)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (7-day rolling mean ± 2 population σ) on the
+    daily revenue series per event type, with the high-side breakout
+    flag — the mean-reversion envelope next to ts_anomaly_zscore's
+    global-σ flags (a rolling band adapts to regime shifts; a global
+    band doesn't). Both rolling power sums are exact BIGINT cents off
+    ONE window pass; mid/hi/lo assemble in an identical tree (sqrt
+    only); partial leading windows are excluded so every band is a
+    full-width estimate.
+
+    Scale shape: calendar-bounded daily fold; one type-partitioned
+    ROWS-frame window pass serves count and both sums."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    daily = (ev.groupBy("event_type",
+                        F.date_format("ts", "yyyy-MM-dd").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("cents")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-(_BOLL_W - 1), Window.currentRow))
+    rolled = daily.select(
+        "event_type", "day", "cents",
+        F.sum("cents").over(w).cast("bigint").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).cast("bigint")
+        .alias("s2"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("m"))
+    md = F.col("m").cast("double")
+    mid = F.col("s1").cast("double") / md
+    sd = F.sqrt(F.col("s2").cast("double") / md - mid * mid)
+    hi = mid + F.lit(2.0) * sd
+    lo = mid - F.lit(2.0) * sd
+    return (rolled.where(F.col("m") == _BOLL_W)
+            .select("event_type", "day", "cents",
+                    F.col("m").alias("window_days"),
+                    mid.alias("band_mid"), hi.alias("band_hi"),
+                    lo.alias("band_lo"),
+                    (F.col("cents").cast("double") > hi)
+                    .alias("breakout_hi")))

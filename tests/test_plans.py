@@ -1019,3 +1019,25 @@ def test_dq_referential_broadcasts_dims():
     df = _df("dq_referential_integrity")
     plan = checks.executed_plan(df)
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_basket_rules_never_cartesian():
+    """seq_market_basket_rules: the pair expansion must be the
+    basket-keyed equi self-join, never a cartesian product."""
+    plan = checks.executed_plan(_df("seq_market_basket_rules"))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ks_audit_has_no_global_window():
+    """stat_ks_uniform_md5_audit ranks the full event key stream — the
+    rank must route through the bucketed two-pass order."""
+    df = _df("stat_ks_uniform_md5_audit")
+    df.collect()
+    assert checks.global_window_count(df) == 0
+
+
+def test_bollinger_single_window_pass():
+    """ts_bollinger_bands: count and both power sums must share ONE
+    window exchange (type-partitioned), not three."""
+    df = _df("ts_bollinger_bands")
+    assert checks.count_shuffles(df) <= 2, checks.executed_plan(df)

@@ -352,6 +352,16 @@ QUERY_TABLES = {
     "ml_roc_auc_delong_ci": {"events"},
     "dq_pk_uniqueness": {"lineitem", "orders", "events", "documents"},
     "agg_trimmed_winsorized_mean": {"events"},
+    # round-7 third ring
+    "seq_market_basket_rules": {"lineitem"},
+    "llm_topic_coherence_umass": {"documents"},
+    "llm_self_bleu_diversity": {"documents"},
+    "stat_ks_uniform_md5_audit": {"events"},
+    "stat_poisson_dispersion": {"events"},
+    "dq_reconciliation_orders_lineitem": {"lineitem", "orders"},
+    "sql_natural_using_join": {"orders"},
+    "agg_median_builtin": {"events"},
+    "ts_bollinger_bands": {"events"},
 }
 
 
