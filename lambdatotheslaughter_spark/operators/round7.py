@@ -2899,3 +2899,488 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lo.alias("band_lo"),
                     (F.col("cents").cast("double") > hi)
                     .alias("breakout_hi")))
+
+
+# ===========================================================================
+# round-7 fourth ring
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# TOST equivalence test (two one-sided tests)
+# ---------------------------------------------------------------------------
+
+_TOST_MARGIN = 500       # cents: the practical-equivalence margin
+_TOST_Z05 = 1.644853627  # one-sided 5% normal quantile, frozen
+
+_TOST_ORACLE = f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS x
+  FROM events WHERE event_type IN ('click', 'purchase')
+), s AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n1,
+    CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n2,
+    CAST(SUM(x) FILTER (WHERE event_type = 'click') AS BIGINT) AS s1,
+    CAST(SUM(x) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS s2,
+    CAST(SUM(CAST(x AS HUGEINT) * x)
+         FILTER (WHERE event_type = 'click') AS HUGEINT) AS q1,
+    CAST(SUM(CAST(x AS HUGEINT) * x)
+         FILTER (WHERE event_type = 'purchase') AS HUGEINT) AS q2
+  FROM c
+), m AS (
+  SELECT n1, n2,
+         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS d,
+         sqrt((CAST(q1 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(n1 AS DOUBLE))
+              / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
+              + (CAST(q2 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   / CAST(n2 AS DOUBLE))
+                / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE)) AS se
+  FROM s
+)
+SELECT n1 AS n_click, n2 AS n_purchase, d AS mean_diff_cents, se,
+       (d + {_TOST_MARGIN}.0) / se AS t_lower,
+       (d - {_TOST_MARGIN}.0) / se AS t_upper,
+       ((d + {_TOST_MARGIN}.0) / se >= {_TOST_Z05}
+        AND (d - {_TOST_MARGIN}.0) / se <= -{_TOST_Z05})
+         AS equivalent_within_margin
+FROM m
+"""
+
+
+@register("stat_tost_equivalence", oracle=_TOST_ORACLE)
+def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests) on the click vs
+    purchase mean cents with a ±500-cent practical margin — the inverse
+    question every "no significant difference" misreads: can we
+    POSITIVELY claim the means are within the margin?
+    (stat_welch_ttest asks 'different?'; this asks 'same enough?' —
+    both belong in an A/B platform). Welch standard error off exact
+    integer moments; both one-sided z statistics against the frozen
+    one-sided 5% quantile; equivalence = both reject.
+
+    Scale shape: ONE combinable six-sum fold over the scan to a single
+    row (the Welch shape)."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    x = F.round(F.col("value") * 100, 0).cast("bigint")
+    is1 = F.col("event_type") == "click"
+    c = ev.select(is1.alias("is1"), x.alias("x"),
+                  x.cast("decimal(38,0)").alias("xd"))
+    s = c.agg(
+        F.count(F.when(F.col("is1"), 1)).cast("bigint").alias("n1"),
+        F.count(F.when(~F.col("is1"), 1)).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("is1"), F.col("x"))).cast("bigint").alias("s1"),
+        F.sum(F.when(~F.col("is1"), F.col("x"))).cast("bigint")
+        .alias("s2"),
+        F.sum(F.when(F.col("is1"), F.col("xd") * F.col("x"))).alias("q1"),
+        F.sum(F.when(~F.col("is1"), F.col("xd") * F.col("x")))
+        .alias("q2"))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    d = (F.col("s1").cast("double") / n1d
+         - F.col("s2").cast("double") / n2d)
+    v1 = ((F.col("q1").cast("double")
+           - F.col("s1").cast("double") * F.col("s1").cast("double") / n1d)
+          / (n1d - F.lit(1.0)) / n1d)
+    v2 = ((F.col("q2").cast("double")
+           - F.col("s2").cast("double") * F.col("s2").cast("double") / n2d)
+          / (n2d - F.lit(1.0)) / n2d)
+    se = F.sqrt(v1 + v2)
+    tl = (d + F.lit(float(_TOST_MARGIN))) / se
+    tu = (d - F.lit(float(_TOST_MARGIN))) / se
+    return s.select(
+        F.col("n1").alias("n_click"), F.col("n2").alias("n_purchase"),
+        d.alias("mean_diff_cents"), se.alias("se"),
+        tl.alias("t_lower"), tu.alias("t_upper"),
+        ((tl >= F.lit(_TOST_Z05)) & (tu <= F.lit(-_TOST_Z05)))
+        .alias("equivalent_within_margin"))
+
+
+# ---------------------------------------------------------------------------
+# SPRT sequential conversion test, daily grain
+# ---------------------------------------------------------------------------
+
+# H0: conversion = 0.18, H1: 0.22; alpha = beta = 0.05. All four
+# transcendentals frozen (log-likelihood ratios per success/failure and
+# the two Wald boundaries ±ln((1-beta)/alpha) = ±ln 19).
+_SPRT_LR1 = 0.20067069546215124     # ln(0.22/0.18)
+_SPRT_LR0 = -0.050010420574661305   # ln(0.78/0.82)
+_SPRT_A = 2.9444389791664403        # accept H1 boundary
+_SPRT_B = -2.9444389791664403       # accept H0 boundary
+
+_SPRT_ORACLE = f"""
+WITH daily AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS k
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY strftime(CAST(ts AS DATE), '%Y-%m-%d')
+), llr AS (
+  SELECT day, n, k,
+         CAST(k AS DOUBLE) * {_SPRT_LR1!r}
+           + CAST(n - k AS DOUBLE) * {_SPRT_LR0!r} AS llr_day
+  FROM daily
+), cum AS (
+  SELECT day, n, k, llr_day,
+         SUM(llr_day) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+           AS cum_llr
+  FROM llr
+)
+SELECT day, n, k, cum_llr,
+       CASE WHEN cum_llr >= {_SPRT_A!r} THEN 'accept_h1'
+            WHEN cum_llr <= {_SPRT_B!r} THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM cum
+"""
+
+
+@register("stat_sprt_daily", oracle=_SPRT_ORACLE)
+def stat_sprt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT on the daily conversion rate (purchase share of
+    click+purchase), H0 p=0.18 vs H1 p=0.22 at α=β=0.05 — the
+    SEQUENTIAL test that lets an experiment stop the day the evidence
+    crosses a Wald boundary instead of waiting out a fixed horizon (the
+    streaming-native member of the testing family; stream_drift_
+    bucket_counts is its state shape). All four transcendentals are
+    FROZEN literals; daily LLR increments are integer-count ×
+    frozen-literal products; the cumulative sum runs over the ordered
+    calendar (deterministic sequential fold in both engines).
+
+    Scale shape: one combinable daily two-count fold; the cumulative
+    window runs over the calendar-bounded day series."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    daily = (ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                  F.count(F.when(F.col("event_type") == "purchase", 1))
+                  .cast("bigint").alias("k")))
+    llr = (F.col("k").cast("double") * F.lit(_SPRT_LR1)
+           + (F.col("n") - F.col("k")).cast("double") * F.lit(_SPRT_LR0))
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    cum = daily.select("day", "n", "k", llr.alias("llr_day")) \
+        .select("day", "n", "k",
+                F.sum("llr_day").over(wc).alias("cum_llr"))
+    decision = (F.when(F.col("cum_llr") >= F.lit(_SPRT_A), "accept_h1")
+                .when(F.col("cum_llr") <= F.lit(_SPRT_B), "accept_h0")
+                .otherwise("continue"))
+    return cum.select("day", "n", "k", "cum_llr",
+                      decision.alias("decision"))
+
+
+# ---------------------------------------------------------------------------
+# optimal-F1 threshold pick
+# ---------------------------------------------------------------------------
+
+_F1_ORACLE = """
+WITH c AS (
+  SELECT event_type = 'purchase' AS pos,
+         CAST(round(value * 100, 0) AS BIGINT) AS xc
+  FROM events WHERE event_type IN ('click', 'purchase')
+), dom AS (
+  SELECT xc, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS p
+  FROM c GROUP BY xc
+), cum AS (
+  SELECT xc,
+         CAST(SUM(t) OVER w AS BIGINT) AS cum_t,
+         CAST(SUM(p) OVER w AS BIGINT) AS cum_p,
+         CAST(SUM(p) OVER () AS BIGINT) AS np
+  FROM dom WINDOW w AS (ORDER BY xc DESC ROWS UNBOUNDED PRECEDING)
+), scored AS (
+  SELECT xc AS threshold_cents,
+         cum_p AS tp, cum_t - cum_p AS fp, np - cum_p AS fn,
+         2.0 * CAST(cum_p AS DOUBLE)
+           / (2.0 * CAST(cum_p AS DOUBLE)
+              + CAST(cum_t - cum_p AS DOUBLE)
+              + CAST(np - cum_p AS DOUBLE)) AS f1
+  FROM cum
+)
+SELECT threshold_cents, tp, fp, fn,
+       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision_at,
+       CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall_at,
+       f1
+FROM scored
+ORDER BY f1 DESC, threshold_cents DESC
+LIMIT 1
+"""
+
+
+@register("ml_optimal_f1_threshold", oracle=_F1_ORACLE)
+def ml_optimal_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The F1-optimal decision threshold for the value-predicts-purchase
+    score — the operating point ml_confusion_threshold_sweep's ×9 grid
+    brackets and ml_lift_gains_table's deciles smooth over, picked
+    EXACTLY over every distinct score value: per-threshold TP/FP/FN off
+    the domain cumulative counts, F1 through an identical double tree,
+    argmax by (f1, threshold) via a sort-limit that fuses to
+    TakeOrdered. Ties (identical doubles in both engines) break to the
+    HIGHER threshold — the conservative operating point.
+
+    Scale shape: one combinable domain collapse; one cumulative window
+    over the bounded DOMAIN; a 1-row TakeOrdered head."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    dom = (ev.select((F.col("event_type") == "purchase").alias("pos"),
+                     xc.alias("xc"))
+           .groupBy("xc")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("t"),
+                F.count(F.when(F.col("pos"), 1)).cast("bigint")
+                .alias("p")))
+    wd = (Window.orderBy(F.col("xc").desc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    np_ = dom.agg(F.sum("p").cast("bigint").alias("np"))
+    cum = (dom.select(
+        "xc",
+        F.sum("t").over(wd).cast("bigint").alias("cum_t"),
+        F.sum("p").over(wd).cast("bigint").alias("cum_p"))
+        .crossJoin(F.broadcast(np_)))
+    tp = F.col("cum_p")
+    fp = F.col("cum_t") - F.col("cum_p")
+    fn = F.col("np") - F.col("cum_p")
+    f1 = (F.lit(2.0) * tp.cast("double")
+          / (F.lit(2.0) * tp.cast("double") + fp.cast("double")
+             + fn.cast("double")))
+    return (cum.select(F.col("xc").alias("threshold_cents"),
+                       tp.alias("tp"), fp.alias("fp"), fn.alias("fn"),
+                       (tp.cast("double") / (tp + fp).cast("double"))
+                       .alias("precision_at"),
+                       (tp.cast("double") / (tp + fn).cast("double"))
+                       .alias("recall_at"),
+                       f1.alias("f1"))
+            .orderBy(F.col("f1").desc(),
+                     F.col("threshold_cents").desc())
+            .limit(1))
+
+
+# ---------------------------------------------------------------------------
+# expected calibration error (ECE)
+# ---------------------------------------------------------------------------
+
+_ECE_ORACLE = f"""
+WITH c AS (
+  SELECT event_type = 'purchase' AS pos,
+         CAST(round(value * 100, 0) AS BIGINT) AS xc
+  FROM events WHERE event_type IN ('click', 'purchase')
+), mx AS (
+  SELECT CAST(MAX(xc) AS BIGINT) AS m FROM c
+), binned AS (
+  SELECT LEAST({_CAL_BINS - 1}, (xc * {_CAL_BINS}) // (m + 1)) AS bin,
+         xc, pos, m
+  FROM c CROSS JOIN mx
+), bins AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+         CAST(SUM(xc) AS BIGINT) AS sx,
+         CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS npos,
+         CAST(MAX(m) AS BIGINT) AS m
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(SUM(nb) AS BIGINT) AS n FROM bins
+)
+SELECT tot.n, CAST(COUNT(*) AS BIGINT) AS n_bins,
+       round(list_sum(list(
+         (CAST(nb AS DOUBLE) / CAST(tot.n AS DOUBLE))
+         * abs(CAST(sx AS DOUBLE)
+                 / (CAST(nb AS DOUBLE) * CAST(m AS DOUBLE))
+               - CAST(npos AS DOUBLE) / CAST(nb AS DOUBLE))
+         ORDER BY bin)), 6) AS ece
+FROM bins CROSS JOIN tot GROUP BY tot.n
+"""
+
+
+@register("llm_eval_ece", oracle=_ECE_ORACLE)
+def llm_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error — ml_calibration_reliability's table
+    collapsed to the one number model cards report: the bin-weighted
+    mean |predicted − observed| gap over the same ten fixed-width bins.
+    The ≤10-term cross-bin fold runs in FIXED bin order (the ANOVA
+    rule) and rounds 6 dp; every input to each term is an exact
+    integer ratio.
+
+    Scale shape: identical to the reliability table (broadcast max +
+    one 10-group combinable fold) plus a 10-row ordered fold."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    c = ev.select((F.col("event_type") == "purchase").alias("pos"),
+                  xc.alias("xc"))
+    mx = c.agg(F.max("xc").cast("bigint").alias("m"))
+    binned = (c.crossJoin(F.broadcast(mx))
+              .select(F.least(F.lit(_CAL_BINS - 1),
+                              F.floor(F.col("xc") * _CAL_BINS
+                                      / (F.col("m") + 1)))
+                      .cast("bigint").alias("bin"), "xc", "pos", "m"))
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("xc").cast("bigint").alias("sx"),
+        F.count(F.when(F.col("pos"), 1)).cast("bigint").alias("npos"),
+        F.max("m").cast("bigint").alias("m"))
+    tot = bins.agg(F.sum("nb").cast("bigint").alias("n"))
+    term = ((F.col("nb").cast("double") / F.col("n").cast("double"))
+            * F.abs(F.col("sx").cast("double")
+                    / (F.col("nb").cast("double")
+                       * F.col("m").cast("double"))
+                    - F.col("npos").cast("double")
+                    / F.col("nb").cast("double")))
+    return (bins.crossJoin(F.broadcast(tot))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+                 F.round(F.aggregate(
+                     F.array_sort(F.collect_list(F.struct(
+                         F.col("bin"), term.alias("v")))),
+                     F.lit(0.0), lambda acc, x: acc + x["v"]), 6)
+                 .alias("ece")))
+
+
+# ---------------------------------------------------------------------------
+# whitespace / casefold canonical dedup
+# ---------------------------------------------------------------------------
+
+_WS_ORACLE = """
+WITH mutated AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  -- deterministic near-copies: every 11th doc re-ingested uppercased
+  -- with doubled spaces (the crawl-recrawl artifact)
+  SELECT doc_id + 1000000, upper(replace(text, ' ', '  '))
+  FROM documents WHERE doc_id % 11 = 0
+), canon AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp
+  FROM mutated
+), grp AS (
+  SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS keeper,
+         CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM canon GROUP BY fp
+)
+SELECT c.doc_id, g.keeper AS keeper_id, g.n_members,
+       c.doc_id <> g.keeper AS is_dup
+FROM canon c JOIN grp g ON c.fp = g.fp
+WHERE g.n_members > 1
+"""
+
+
+@register("llm_dedup_whitespace_casefold", oracle=_WS_ORACLE)
+def llm_dedup_whitespace_casefold(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Canonical-form dedup for the cheapest near-duplicate class a
+    crawler produces: case and whitespace variants of the same bytes
+    (a re-crawl through a different renderer). The canonicalizer is
+    lower + collapse-runs-of-spaces + trim → md5 fingerprint; keep-first
+    survivorship; deterministic mutated copies (every 11th doc
+    uppercased with doubled spaces) prove the canonicalization actually
+    fires. Sits BETWEEN llm_dedup_exact (byte-exact) and the MinHash
+    family (semantic) in the dedup ladder — at crawl scale this single
+    map-side normalize removes a large share of dups before any
+    banding cost.
+
+    Scale shape: pure map-side canonicalization + one fingerprint-keyed
+    fold + one same-key decoration join — the llm_dedup_exact shape
+    with a normalizer in front."""
+    d = load_table(spark, "documents", sf_dir)
+    mutated = d.select("doc_id", "text").unionAll(
+        d.where(F.pmod("doc_id", F.lit(11)) == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                F.upper(F.regexp_replace("text", " ", "  "))
+                .alias("text")))
+    canon = mutated.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", " +", " "))))
+        .alias("fp"))
+    grp = canon.groupBy("fp").agg(
+        F.min("doc_id").cast("bigint").alias("keeper"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    return (canon.join(grp, "fp")
+            .where(F.col("n_members") > 1)
+            .select("doc_id", F.col("keeper").alias("keeper_id"),
+                    "n_members",
+                    (F.col("doc_id") != F.col("keeper")).alias("is_dup")))
+
+
+# ---------------------------------------------------------------------------
+# rich-club coefficient
+# ---------------------------------------------------------------------------
+
+_RICH_KS = (2, 4, 8)
+
+_RICH_ORACLE = f"""
+WITH pairs AS (
+  SELECT l_orderkey, l_partkey,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey,
+                                        l_suppkey) AS nxt
+  FROM lineitem
+), e0 AS (
+  SELECT DISTINCT LEAST(l_partkey, nxt) AS a, GREATEST(l_partkey, nxt) AS b
+  FROM pairs WHERE nxt IS NOT NULL AND l_partkey <> nxt
+), deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v
+), ks AS (
+  SELECT unnest([{", ".join(str(k) for k in _RICH_KS)}]) AS k
+)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE d > ks.k) AS n_k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e0
+        JOIN deg da ON e0.a = da.v JOIN deg db ON e0.b = db.v
+        WHERE da.d > ks.k AND db.d > ks.k) AS e_k,
+       2.0 * (SELECT CAST(COUNT(*) AS DOUBLE) FROM e0
+              JOIN deg da ON e0.a = da.v JOIN deg db ON e0.b = db.v
+              WHERE da.d > ks.k AND db.d > ks.k)
+         / ((SELECT CAST(COUNT(*) AS DOUBLE) FROM deg WHERE d > ks.k)
+            * ((SELECT CAST(COUNT(*) AS DOUBLE) FROM deg WHERE d > ks.k)
+               - 1.0)) AS rich_club_phi
+FROM ks
+"""
+
+
+@register("graph_rich_club_coefficient", oracle=_RICH_ORACLE)
+def graph_rich_club_coefficient(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) of the co-purchase graph at k ∈
+    {{2,4,8}}: among nodes with degree > k, the realized share of
+    possible edges — do the hubs preferentially trade with EACH OTHER
+    (φ rising with k), the structural question degree histograms and
+    assortativity only gesture at. Edge and degree folds are exact; per
+    k the subgraph edge count is two degree-decoration joins; one
+    division per row.
+
+    Scale shape: one distinct-edge fold + one degree fold; per-k work
+    is edge⋈degree equi-joins (key-parallel) against a 3-row broadcast
+    k-spine; output is 3 rows."""
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    raw = (li.select(F.col("l_partkey").alias("src"),
+                     F.lead("l_partkey").over(w).alias("dst"))
+           .where(F.col("dst").isNotNull()
+                  & (F.col("src") != F.col("dst"))))
+    e0 = (raw.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+          .distinct()
+          .localCheckpoint(eager=False))  # degree + per-k joins share it
+    deg = (e0.select(F.col("a").alias("v"))
+           .unionAll(e0.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d")))
+    ks = spark.createDataFrame([(k,) for k in _RICH_KS], "k int")
+    nk = (deg.crossJoin(F.broadcast(ks))
+          .where(F.col("d") > F.col("k"))
+          .groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n_k")))
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    ek = (e0.join(da, "a").join(db, "b")
+          .crossJoin(F.broadcast(ks))
+          .where((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+          .groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("e_k")))
+    return (nk.join(ek, "k", "left")
+            .select(F.col("k").cast("bigint").alias("k"), "n_k",
+                    F.coalesce("e_k", F.lit(0)).cast("bigint").alias("e_k"),
+                    (F.lit(2.0) * F.coalesce("e_k", F.lit(0)).cast("double")
+                     / (F.col("n_k").cast("double")
+                        * (F.col("n_k").cast("double") - F.lit(1.0))))
+                    .alias("rich_club_phi")))

@@ -362,6 +362,13 @@ QUERY_TABLES = {
     "sql_natural_using_join": {"orders"},
     "agg_median_builtin": {"events"},
     "ts_bollinger_bands": {"events"},
+    # round-7 fourth ring
+    "stat_tost_equivalence": {"events"},
+    "stat_sprt_daily": {"events"},
+    "ml_optimal_f1_threshold": {"events"},
+    "llm_eval_ece": {"events"},
+    "llm_dedup_whitespace_casefold": {"documents"},
+    "graph_rich_club_coefficient": {"lineitem"},
 }
 
 
