@@ -3384,3 +3384,155 @@ def graph_rich_club_coefficient(spark: SparkSession,
                      / (F.col("n_k").cast("double")
                         * (F.col("n_k").cast("double") - F.lit(1.0))))
                     .alias("rich_club_phi")))
+
+
+# ---------------------------------------------------------------------------
+# weighted priority sampling, k PER GROUP
+# ---------------------------------------------------------------------------
+
+_ARES_GRP_K = 20
+
+_ARES_GRP_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)
+                                         || ':{_ARES_SEED}'), 1, 15))
+              AS BIGINT) + 1 AS u
+  FROM documents WHERE n_chars >= 1
+), ranked AS (
+  SELECT doc_id, lang, weight,
+         CAST(u // weight AS BIGINT) AS priority_key,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY u // weight, doc_id) AS rk
+  FROM keyed
+)
+SELECT doc_id, lang, weight, priority_key,
+       CAST(rk AS BIGINT) AS sample_rank
+FROM ranked WHERE rk <= {_ARES_GRP_K}
+"""
+
+
+@register("llm_sample_ares_per_group", oracle=_ARES_GRP_ORACLE)
+def llm_sample_ares_per_group(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Weighted priority sampling, k=20 PER LANGUAGE — the stratified
+    form of llm_sample_ares_topk (same exact-integer u div weight keys,
+    same seed), which is how a mixture-controlled corpus actually
+    samples: every stratum keeps its own weighted without-replacement
+    winners instead of letting one dominant language absorb the global
+    budget. The per-group k-smallest is a language-partitioned window
+    (Spark plans it as WindowGroupLimit: per-partition heaps, the
+    filter pushed into the shuffle).
+
+    Scale shape: map-side integer keys; one language-partitioned
+    rank-limit window (key-parallel, never single-partition);
+    output is k×languages rows."""
+    d = load_table(spark, "documents", sf_dir).where(F.col("n_chars") >= 1)
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit(f":{_ARES_SEED}"))), 1, 15), 16, 10)
+        .cast("bigint") + 1)
+    keyed = d.select("doc_id", "lang",
+                     F.col("n_chars").cast("bigint").alias("weight"),
+                     u.alias("u"))
+    key = F.expr("u div weight").cast("bigint")
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    return (keyed.select("doc_id", "lang", "weight",
+                         key.alias("priority_key"),
+                         F.row_number().over(w).cast("bigint")
+                         .alias("sample_rank"))
+            .where(F.col("sample_rank") <= _ARES_GRP_K))
+
+
+# ---------------------------------------------------------------------------
+# daily conversion hazard rate (KM companion)
+# ---------------------------------------------------------------------------
+
+_HAZ_W = 7
+
+_HAZARD_ORACLE = f"""
+WITH horizon AS (
+  SELECT CAST(MAX(ts) AS DATE) AS end_day FROM events
+), per_user AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS t0,
+         CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS DATE)
+           AS tp
+  FROM events GROUP BY user_id
+), obs AS (
+  SELECT CASE WHEN tp IS NOT NULL AND tp >= t0
+              THEN datediff('day', t0, tp)
+              ELSE datediff('day', t0, (SELECT end_day FROM horizon))
+         END AS tt,
+         (tp IS NOT NULL AND tp >= t0) AS ev
+  FROM per_user
+), days AS (
+  SELECT CAST(tt AS BIGINT) AS tt,
+         CAST(COUNT(*) FILTER (WHERE ev) AS BIGINT) AS d,
+         CAST(COUNT(*) FILTER (WHERE NOT ev) AS BIGINT) AS c
+  FROM obs GROUP BY tt
+), tot AS (
+  SELECT CAST(SUM(d + c) AS BIGINT) AS n FROM days
+), risk AS (
+  SELECT tt, d, c,
+         tot.n - CAST(COALESCE(SUM(d + c) OVER (ORDER BY tt
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_at_risk
+  FROM days CROSS JOIN tot
+)
+SELECT tt AS day, n_at_risk, d AS n_events,
+       CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard,
+       -- 7-day centered smoothed hazard: EXACT integer window sums
+       CAST(SUM(d) OVER ws AS DOUBLE)
+         / CAST(SUM(n_at_risk) OVER ws AS DOUBLE) AS hazard_smoothed
+FROM risk
+WINDOW ws AS (ORDER BY tt ROWS BETWEEN {_HAZ_W // 2} PRECEDING
+                                   AND {_HAZ_W // 2} FOLLOWING)
+"""
+
+
+@register("seq_hazard_rate_daily", oracle=_HAZARD_ORACLE)
+def seq_hazard_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The discrete hazard rate h(t) = d_t / n_at_risk(t) for
+    time-to-first-purchase, raw and 7-day-window smoothed (aggregated
+    events over aggregated risk sets — the actuarial smoothing that
+    stays a ratio of EXACT integer sums, not an average of ratios) —
+    WHEN users convert, where seq_survival_km reports how many remain;
+    the pair is how conversion-lag dashboards are actually read.
+    Same risk-set construction as the KM op, shared convention.
+
+    Scale shape: user-grain fold; calendar-bounded day domain; two
+    windows over that bounded domain."""
+    ev = load_table(spark, "events", sf_dir)
+    horizon = ev.agg(F.max(F.col("ts").cast("date")).alias("end_day"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ts").cast("date"))).alias("tp"))
+    is_ev = F.col("tp").isNotNull() & (F.col("tp") >= F.col("t0"))
+    obs = (per_user.crossJoin(F.broadcast(horizon))
+           .select(F.when(is_ev, F.datediff("tp", "t0"))
+                   .otherwise(F.datediff("end_day", "t0"))
+                   .cast("bigint").alias("tt"),
+                   is_ev.alias("ev")))
+    days = obs.groupBy("tt").agg(
+        F.count(F.when(F.col("ev"), 1)).cast("bigint").alias("d"),
+        F.count(F.when(~F.col("ev"), 1)).cast("bigint").alias("c"))
+    tot = days.agg(F.sum(F.col("d") + F.col("c")).cast("bigint")
+                   .alias("n"))
+    wb = Window.orderBy("tt").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (days.crossJoin(F.broadcast(tot))
+            .select("tt", "d",
+                    (F.col("n")
+                     - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wb),
+                                  F.lit(0)).cast("bigint"))
+                    .alias("n_at_risk")))
+    ws = Window.orderBy("tt").rowsBetween(-(_HAZ_W // 2), _HAZ_W // 2)
+    return risk.select(
+        F.col("tt").alias("day"), "n_at_risk",
+        F.col("d").alias("n_events"),
+        (F.col("d").cast("double") / F.col("n_at_risk").cast("double"))
+        .alias("hazard"),
+        (F.sum("d").over(ws).cast("double")
+         / F.sum("n_at_risk").over(ws).cast("double"))
+        .alias("hazard_smoothed"))

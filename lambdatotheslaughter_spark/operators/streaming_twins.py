@@ -831,3 +831,44 @@ def stream_drift_bucket_counts(spark: SparkSession,
     Scale shape: streaming state is <= 20 cells regardless of volume;
     the batch twin is one combinable groupBy."""
     return drift_bucket_counts(load_table(spark, "events", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# SPRT monitor state: streaming twin (round 7)
+# ---------------------------------------------------------------------------
+
+def sprt_daily_counts(events: DataFrame) -> DataFrame:
+    """stat_sprt_daily's INPUT state as a streaming-friendly aggregate:
+    per-day (trials, successes) for the conversion SPRT."""
+    return (events.where(F.col("event_type").isin("click", "purchase"))
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.count(F.when(F.col("event_type") == "purchase", 1))
+                 .cast("bigint").alias("k")))
+
+
+_SPRT_TWIN_ORACLE = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS k
+FROM events WHERE event_type IN ('click', 'purchase')
+GROUP BY strftime(CAST(ts AS DATE), '%Y-%m-%d')
+"""
+
+
+@register("stream_sprt_monitor", oracle=_SPRT_TWIN_ORACLE)
+def stream_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sequential test's speed-layer half: the per-day
+    (trials, successes) state stat_sprt_daily folds into its Wald LLR —
+    maintained as a plain streaming aggregate (complete mode; one state
+    cell per calendar day), so the stop-early decision can fire the
+    micro-batch the boundary is crossed instead of at the nightly
+    batch (the stream_drift_bucket_counts pattern applied to
+    sequential testing). Registered as the batch twin (house streaming
+    convention); test_streaming.py proves the harness-streamed form
+    emits the identical table.
+
+    Scale shape: streaming state is calendar-bounded (one row per
+    day); the batch twin is one combinable two-count fold."""
+    return sprt_daily_counts(load_table(spark, "events", sf_dir))

@@ -640,3 +640,11 @@ def test_drift_bucket_counts_twin(spark, harness):
                  tw.drift_bucket_counts(
                      load_table(spark, "events", SMOKE_SF_DIR)),
                  "drift_bucket_counts")
+
+
+def test_sprt_monitor_twin(spark, harness):
+    out = harness.run(tw.sprt_daily_counts, output_mode="complete")
+    _assert_same(out,
+                 tw.sprt_daily_counts(
+                     load_table(spark, "events", SMOKE_SF_DIR)),
+                 "sprt_daily_counts")

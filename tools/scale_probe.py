@@ -369,6 +369,10 @@ QUERY_TABLES = {
     "llm_eval_ece": {"events"},
     "llm_dedup_whitespace_casefold": {"documents"},
     "graph_rich_club_coefficient": {"lineitem"},
+    # round-7 fifth ring
+    "stream_sprt_monitor": {"events"},
+    "llm_sample_ares_per_group": {"documents"},
+    "seq_hazard_rate_daily": {"events"},
 }
 
 
