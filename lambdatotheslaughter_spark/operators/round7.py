@@ -3536,3 +3536,246 @@ def seq_hazard_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("d").over(ws).cast("double")
          / F.sum("n_at_risk").over(ws).cast("double"))
         .alias("hazard_smoothed"))
+
+
+# ---------------------------------------------------------------------------
+# mixture-vs-target KL report
+# ---------------------------------------------------------------------------
+
+# frozen TARGET token mixture over source tiers (the training-recipe
+# number a data team commits to before the run)
+_MIX_TARGET = (("large", 0.5), ("medium", 0.3), ("small", 0.2))
+
+_MIX_KL_ORACLE = f"""
+WITH toks AS (
+  SELECT CASE WHEN CAST(SUBSTR(source, 4) AS INTEGER) < 4 THEN 'large'
+              WHEN CAST(SUBSTR(source, 4) AS INTEGER) < 10 THEN 'medium'
+              ELSE 'small' END AS tier,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), actual AS (
+  SELECT tier, CAST(SUM(n_tok) AS BIGINT) AS tok FROM toks GROUP BY tier
+), tgt(tier, target_share) AS (
+  VALUES {", ".join(f"('{t}', {w!r})" for t, w in _MIX_TARGET)}
+), tot AS (
+  SELECT CAST(SUM(tok) AS BIGINT) AS n FROM actual
+), rows_ AS (
+  SELECT a.tier, a.tok,
+         CAST(a.tok AS DOUBLE) / CAST(tot.n AS DOUBLE) AS actual_share,
+         tgt.target_share,
+         CAST(a.tok AS DOUBLE) / CAST(tot.n AS DOUBLE)
+           * ln((CAST(a.tok AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                / tgt.target_share) AS kl_term
+  FROM actual a JOIN tgt ON a.tier = tgt.tier CROSS JOIN tot
+), kl AS (
+  SELECT round(list_sum(list(kl_term ORDER BY tier)), 6) AS kl
+  FROM rows_
+)
+SELECT rows_.tier, rows_.tok AS n_tokens, rows_.actual_share,
+       rows_.target_share, rows_.actual_share - rows_.target_share
+         AS share_gap,
+       kl.kl AS mixture_kl
+FROM rows_ CROSS JOIN kl
+"""
+
+
+@register("llm_mixture_kl_report", oracle=_MIX_KL_ORACLE)
+def llm_mixture_kl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mixture drift report: the corpus's ACTUAL token share per
+    source tier against the FROZEN target recipe (50/30/20), per-tier
+    gaps plus the one-number KL(actual ‖ target) — the dashboard a
+    mixture-controlled training run watches between crawls
+    (llm_domain_mix counts documents; training budgets are TOKENS).
+    Shares are exact integer ratios; the 3-term KL folds in fixed tier
+    order and rounds 6 dp after the one ln chain.
+
+    Scale shape: one combinable map-side token fold to 3 tiers;
+    everything after runs on 3 rows."""
+    d = load_table(spark, "documents", sf_dir)
+    src_num = F.expr("substring(source, 4)").cast("int")
+    tier = (F.when(src_num < 4, F.lit("large"))
+            .when(src_num < 10, F.lit("medium"))
+            .otherwise(F.lit("small")))
+    actual = (d.select(tier.alias("tier"),
+                       F.size(F.split("text", " ")).cast("bigint")
+                       .alias("n_tok"))
+              .groupBy("tier")
+              .agg(F.sum("n_tok").cast("bigint").alias("tok")))
+    tgt = spark.createDataFrame(list(_MIX_TARGET),
+                                "tier string, target_share double")
+    tot = actual.agg(F.sum("tok").cast("bigint").alias("n"))
+    share = F.col("tok").cast("double") / F.col("n").cast("double")
+    rows_ = (actual.join(F.broadcast(tgt), "tier")
+             .crossJoin(F.broadcast(tot))
+             .select("tier", "tok", share.alias("actual_share"),
+                     "target_share",
+                     (share * F.log(share / F.col("target_share")))
+                     .alias("kl_term")))
+    kl = rows_.agg(F.round(F.aggregate(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("tier"), F.col("kl_term").alias("v")))),
+        F.lit(0.0), lambda acc, x: acc + x["v"]), 6).alias("kl"))
+    return (rows_.crossJoin(F.broadcast(kl))
+            .select("tier", F.col("tok").alias("n_tokens"),
+                    "actual_share", "target_share",
+                    (F.col("actual_share") - F.col("target_share"))
+                    .alias("share_gap"),
+                    F.col("kl").alias("mixture_kl")))
+
+
+# ---------------------------------------------------------------------------
+# template-prefix duplicate detector
+# ---------------------------------------------------------------------------
+
+_PREFIX_TOKS = 4
+
+_TEMPLATE_ORACLE = f"""
+WITH seeded AS (
+  -- deterministic template planting (every 9th doc gets one of three
+  -- canned 4-token openers -- the curation_v2 injection discipline):
+  -- the detector must demonstrably FIRE, not report vacuous zeros
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 9 = 0 THEN
+           ['dear valued customer regarding',
+            'click here to claim',
+            'limited time offer for'][CAST((doc_id // 9) % 3 AS INTEGER) + 1]
+           || ' ' || text
+         ELSE text END AS text
+  FROM documents
+), pre AS (
+  SELECT doc_id, lang,
+         md5(array_to_string(string_split(text, ' ')[1:{_PREFIX_TOKS}],
+                             ' ')) AS pfx
+  FROM seeded WHERE len(string_split(text, ' ')) >= {_PREFIX_TOKS}
+), grp AS (
+  SELECT pfx, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(MIN(doc_id) AS BIGINT) AS exemplar
+  FROM pre GROUP BY pfx
+)
+SELECT pfx AS prefix_md5, n_docs, n_langs, exemplar
+FROM grp WHERE n_docs >= 5
+"""
+
+
+@register("llm_dedup_template_prefix", oracle=_TEMPLATE_ORACLE)
+def llm_dedup_template_prefix(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Template-prefix detector: documents sharing their first four
+    tokens, grouped by prefix fingerprint and reported where ≥5 docs
+    share it — the same-boilerplate-different-fill pattern (form
+    letters, scraped templates, SEO spam) that whole-document and
+    paragraph dedup both miss because the FILL differs; the cross-lang
+    count flags machine-templated multilingual spam. Keep decisions
+    stay with the survivorship op — this is the detector feeding it.
+
+    Deterministic template planting (every 9th doc gets one of three
+    canned openers, the curation_v2 injection discipline) guarantees
+    the detector demonstrably fires at every scale factor instead of
+    reporting vacuous zeros.
+
+    Scale shape: map-side prefix fingerprint + one combinable fold —
+    the llm_dedup_exact shape on a 4-token key."""
+    d = load_table(spark, "documents", sf_dir)
+    openers = ["dear valued customer regarding",
+               "click here to claim",
+               "limited time offer for"]
+    # doc_id % 9 == 0 forces doc_id % 3 == 0, so variety keys on the
+    # QUOTIENT: (doc_id div 9) % 3 rotates through all three openers
+    opener = F.element_at(F.array(*[F.lit(o) for o in openers]),
+                          (F.pmod(F.floor(F.col("doc_id") / 9), F.lit(3))
+                           + 1).cast("int"))
+    text = (F.when(F.pmod("doc_id", F.lit(9)) == 0,
+                   F.concat_ws(" ", opener, F.col("text")))
+            .otherwise(F.col("text")))
+    seeded = d.select("doc_id", "lang", text.alias("text"))
+    toks = F.split(F.col("text"), " ")
+    pre = (seeded.where(F.size(toks) >= _PREFIX_TOKS)
+           .select("doc_id", "lang",
+                   F.md5(F.concat_ws(" ",
+                                     F.slice(toks, 1, _PREFIX_TOKS)))
+                   .alias("pfx")))
+    return (pre.groupBy("pfx")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.countDistinct("lang").cast("bigint").alias("n_langs"),
+                 F.min("doc_id").cast("bigint").alias("exemplar"))
+            .where(F.col("n_docs") >= 5)
+            .select(F.col("pfx").alias("prefix_md5"), "n_docs",
+                    "n_langs", "exemplar"))
+
+
+# ---------------------------------------------------------------------------
+# distinct-n generation-diversity metrics
+# ---------------------------------------------------------------------------
+
+_DISTINCT_N_ORACLE = """
+WITH toks AS (
+  SELECT CASE WHEN CAST(SUBSTR(source, 4) AS INTEGER) < 4 THEN 'large'
+              WHEN CAST(SUBSTR(source, 4) AS INTEGER) < 10 THEN 'medium'
+              ELSE 'small' END AS tier,
+         string_split(text, ' ') AS l
+  FROM documents
+), uni AS (
+  SELECT tier, unnest(l) AS g FROM toks
+), bi AS (
+  SELECT tier, unnest(list_transform(range(1, len(l)),
+                                     i -> l[i] || ' ' || l[i + 1])) AS g
+  FROM toks WHERE len(l) >= 2
+), s1 AS (
+  SELECT tier, CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS d1
+  FROM uni GROUP BY tier
+), s2 AS (
+  SELECT tier, CAST(COUNT(*) AS BIGINT) AS n2,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS d2
+  FROM bi GROUP BY tier
+)
+SELECT s1.tier, s1.n1 AS n_unigrams, s1.d1 AS distinct_unigrams,
+       s2.n2 AS n_bigrams, s2.d2 AS distinct_bigrams,
+       CAST(s1.d1 AS DOUBLE) / CAST(s1.n1 AS DOUBLE) AS distinct_1,
+       CAST(s2.d2 AS DOUBLE) / CAST(s2.n2 AS DOUBLE) AS distinct_2
+FROM s1 JOIN s2 ON s1.tier = s2.tier
+"""
+
+
+@register("llm_eval_distinct_n", oracle=_DISTINCT_N_ORACLE)
+def llm_eval_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1 / distinct-2 diversity per source tier: unique
+    n-grams over total n-grams — the standard lexical-diversity score
+    for generated text (low distinct-2 = repetitive generations), the
+    corpus-level companion to llm_self_bleu_diversity's pairwise view
+    and llm_repetition_score's per-document one. Exact counts, one
+    division per metric.
+
+    Scale shape: two gram-grain combinable count-distinct folds per
+    tier; a 3-row join."""
+    d = load_table(spark, "documents", sf_dir)
+    src_num = F.expr("substring(source, 4)").cast("int")
+    tier = (F.when(src_num < 4, F.lit("large"))
+            .when(src_num < 10, F.lit("medium"))
+            .otherwise(F.lit("small")))
+    toks = F.split(F.col("text"), " ")
+    base = d.select(tier.alias("tier"), toks.alias("l")) \
+        .localCheckpoint(eager=False)  # both gram grains share it
+    uni = base.select("tier", F.explode("l").alias("g"))
+    bi = (base.where(F.size("l") >= 2)
+          .select("tier", F.explode(F.transform(
+              F.sequence(F.lit(1), F.size("l") - 1),
+              lambda i: F.concat_ws(" ", F.element_at("l", i),
+                                    F.element_at("l", i + 1))))
+              .alias("g")))
+    s1 = uni.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.countDistinct("g").cast("bigint").alias("d1"))
+    s2 = bi.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n2"),
+        F.countDistinct("g").cast("bigint").alias("d2"))
+    return (s1.join(s2, "tier")
+            .select("tier", F.col("n1").alias("n_unigrams"),
+                    F.col("d1").alias("distinct_unigrams"),
+                    F.col("n2").alias("n_bigrams"),
+                    F.col("d2").alias("distinct_bigrams"),
+                    (F.col("d1").cast("double") / F.col("n1").cast("double"))
+                    .alias("distinct_1"),
+                    (F.col("d2").cast("double") / F.col("n2").cast("double"))
+                    .alias("distinct_2")))

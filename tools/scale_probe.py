@@ -373,6 +373,10 @@ QUERY_TABLES = {
     "stream_sprt_monitor": {"events"},
     "llm_sample_ares_per_group": {"documents"},
     "seq_hazard_rate_daily": {"events"},
+    # round-7 sixth ring
+    "llm_mixture_kl_report": {"documents"},
+    "llm_dedup_template_prefix": {"documents"},
+    "llm_eval_distinct_n": {"documents"},
 }
 
 
