@@ -74,8 +74,10 @@ _loaded = False
 #   [25:50] the oldest remaining never-slotted keys in registration order
 #           (r5 spill sinks/scans, geo joins, aggregate/date/type surface,
 #           streaming twins).
-# The ~128 keys still unslotted after this window drain in ~3 more rounds;
-# regenerate with tools/rotation.py when rotating.
+# After this window drains, ~128 pre-round-7 keys plus the 45 round-7
+# additions (all registered behind the window, replica-parity-gated on
+# arrival) remain unslotted — ~3-4 more windows at 50/round; regenerate
+# with tools/rotation.py when rotating.
 # Rows-only-by-design ops (12 after round 7 promoted llm_multimodal_decode
 # and llm_sim_lsh_mllib to value-exact oracles; each pytest-gated in
 # test_llm_quality.py / test_survey_coverage.py's allowlist) are
