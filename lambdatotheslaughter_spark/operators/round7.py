@@ -1672,8 +1672,10 @@ WITH mx AS (
   FROM per_slice p LEFT JOIN vocab_new v ON p.slice = v.slice
   WINDOW w AS (ORDER BY p.slice ROWS UNBOUNDED PRECEDING)
 ), fit AS (
+  -- + 0.0 normalizes IEEE -0.0 (a saturated curve's slope is ±1e-17
+  -- noise whose SIGN is engine-dependent; the magnitude rounds away)
   SELECT round(regr_slope(ln(CAST(cum_vocab AS DOUBLE)),
-                          ln(CAST(cum_tokens AS DOUBLE))), 6) AS beta
+                          ln(CAST(cum_tokens AS DOUBLE))), 6) + 0.0 AS beta
   FROM curve
 )
 SELECT CAST(curve.slice AS BIGINT) AS slice, cum_tokens, cum_vocab,
@@ -1718,9 +1720,11 @@ def llm_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("cum_tokens"),
                      F.sum(F.coalesce("n_new", F.lit(0))).over(wc)
                      .cast("bigint").alias("cum_vocab")))
-    fit = curve.agg(F.round(
+    # + 0.0 normalizes IEEE -0.0 (saturated curve => ±1e-17 slope noise
+    # whose sign is engine-dependent; magnitude rounds away)
+    fit = curve.agg((F.round(
         F.regr_slope(F.log(F.col("cum_vocab").cast("double")),
-                     F.log(F.col("cum_tokens").cast("double"))), 6)
+                     F.log(F.col("cum_tokens").cast("double"))), 6) + 0.0)
         .alias("beta"))
     return (curve.crossJoin(F.broadcast(fit))
             .select("slice", "cum_tokens", "cum_vocab",

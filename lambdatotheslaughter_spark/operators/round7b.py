@@ -1,0 +1,1195 @@
+"""Round-7 seventh ring (SURVEY.md §2.19): trend/diagnostic statistics,
+changepoint detection, MCC operating points, and cross-field data-quality
+audits.
+
+Families this ring completes:
+
+- Classical stats: Cochran–Armitage trend (ordered-dose proportions, the
+  missing leg between the 2×2 z-test and the k-group chi-square),
+  Bartlett's variance-homogeneity test (the parametric sibling of
+  stat_brown_forsythe), Durbin–Watson serial-correlation diagnostic on
+  the hourly OLS residuals (the regression-health check
+  stat_ols_two_feature never reports).
+- Time series: single-changepoint detection by |CUSUM| argmax in EXACT
+  cross-multiplied integers (the localization step after ts_cusum_drift
+  says "something moved").
+- ML evaluation: Matthews-correlation / Youden-J / balanced-accuracy
+  operating points over the same nine-threshold sweep spine as
+  ml_confusion_threshold_sweep — the imbalance-robust scores the
+  precision/recall table leaves out.
+- Data quality: cross-field consistency audit (ship-before-order,
+  range rules) — the BETWEEN-COLUMNS leg the DQ family (PK uniqueness,
+  referential integrity, freshness) did not yet cover.
+
+House disciplines: exact BIGINT/decimal(38,0) folds everywhere; doubles
+only in final expression trees spelled identically in the DuckDB oracle;
+ln/sqrt outputs quantized 6 dp after ORDER-FIXED ≤5-term folds (the
+stat_anova_oneway_f rule); windows only over calendar-bounded or
+value-bounded DOMAINS, never over the raw corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lambdatotheslaughter_spark.registry import register
+from lambdatotheslaughter_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Cochran–Armitage trend test
+# ---------------------------------------------------------------------------
+
+_CA_TREND_ORACLE = """
+WITH c AS (
+  SELECT CAST(floor(hour(ts) / 6.0) AS BIGINT) AS dose,
+         event_type = 'purchase' AS pos
+  FROM events WHERE event_type IN ('click', 'purchase')
+), g AS (
+  SELECT dose, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS r
+  FROM c GROUP BY dose
+), s AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(r) AS BIGINT) AS rt,
+         CAST(SUM(dose * n) AS BIGINT) AS sn,
+         CAST(SUM(dose * r) AS BIGINT) AS sr,
+         CAST(SUM(dose * dose * n) AS BIGINT) AS sn2
+  FROM g
+)
+SELECT nt AS n_total, rt AS n_success,
+       round(CAST(sr AS DOUBLE)
+             - (CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE))
+               * CAST(sn AS DOUBLE), 6) AS t_stat,
+       round((CAST(sr AS DOUBLE)
+              - (CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE))
+                * CAST(sn AS DOUBLE))
+             / sqrt((CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE))
+                    * (1.0 - CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE))
+                    * (CAST(sn2 AS DOUBLE)
+                       - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                         / CAST(nt AS DOUBLE))), 6) AS z_trend
+FROM s
+"""
+
+
+@register("stat_cochran_armitage_trend", oracle=_CA_TREND_ORACLE)
+def stat_cochran_armitage_trend(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Cochran–Armitage test for TREND in proportions across ordered
+    groups: is the purchase rate monotonically drifting across the four
+    six-hour day blocks (dose scores 0–3)? The missing rung between
+    stat_two_proportion_z (two groups) and stat_chi_square_independence
+    (unordered k groups): the trend test spends its single degree of
+    freedom on the ORDERING, so it sees monotone effects the omnibus
+    chi-square dilutes. T = Σsᵢrᵢ − p̄·Σsᵢnᵢ,
+    Var = p̄(1−p̄)(Σsᵢ²nᵢ − (Σsᵢnᵢ)²/N), z = T/√Var — every input an
+    exact BIGINT fold, the z a single double tree spelled identically in
+    the oracle.
+
+    Scale shape: one map-side dose projection, one combinable 4-group
+    fold, one 4→1-row sum — no shuffle wider than 4 rows after the
+    first fold."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    c = ev.select(
+        F.floor(F.hour("ts") / 6.0).cast("bigint").alias("dose"),
+        (F.col("event_type") == "purchase").alias("pos"))
+    g = (c.groupBy("dose")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.count(F.when(F.col("pos"), 1)).cast("bigint").alias("r")))
+    s = g.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("r").cast("bigint").alias("rt"),
+        F.sum(F.col("dose") * F.col("n")).cast("bigint").alias("sn"),
+        F.sum(F.col("dose") * F.col("r")).cast("bigint").alias("sr"),
+        F.sum(F.col("dose") * F.col("dose") * F.col("n"))
+        .cast("bigint").alias("sn2"))
+    pbar = F.col("rt").cast("double") / F.col("nt").cast("double")
+    t_stat = F.col("sr").cast("double") - pbar * F.col("sn").cast("double")
+    var = (pbar * (F.lit(1.0) - pbar)
+           * (F.col("sn2").cast("double")
+              - F.col("sn").cast("double") * F.col("sn").cast("double")
+                / F.col("nt").cast("double")))
+    return s.select(
+        F.col("nt").alias("n_total"),
+        F.col("rt").alias("n_success"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(t_stat / F.sqrt(var), 6).alias("z_trend"))
+
+
+# ---------------------------------------------------------------------------
+# Bartlett's test for homogeneity of variances
+# ---------------------------------------------------------------------------
+
+_BARTLETT_ORACLE = """
+WITH c AS (
+  SELECT event_type AS grp,
+         CAST(round(value * 100, 0) AS BIGINT) AS xc
+  FROM events
+), g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xc) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(xc AS DECIMAL(38,0)) * xc) AS DECIMAL(38,0)) AS s2
+  FROM c GROUP BY grp
+), v AS (
+  SELECT grp, n,
+         (CAST(s2 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         / CAST(n - 1 AS DOUBLE) AS var_i
+  FROM g
+), terms AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(round((CAST(n - 1 AS DOUBLE)) * var_i
+                             * 1000000.0, 0) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS ssq,
+         CAST(SUM(CAST(round((CAST(n - 1 AS DOUBLE)) * ln(var_i)
+                             * 1000000.0, 0) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS snl,
+         CAST(SUM(CAST(round(1000000000000.0 / CAST(n - 1 AS DOUBLE), 0)
+                       AS BIGINT)) AS BIGINT) AS sinv
+  FROM v
+)
+SELECT k, nt AS n_total,
+       round(CAST(ssq AS DOUBLE) / 1000000.0 / CAST(nt - k AS DOUBLE), 6)
+         AS pooled_var,
+       round(1.0 + (CAST(sinv AS DOUBLE) / 1000000000000.0
+                    - 1.0 / CAST(nt - k AS DOUBLE))
+                   / (3.0 * CAST(k - 1 AS DOUBLE)), 6) AS correction_c,
+       round((CAST(nt - k AS DOUBLE)
+              * ln(CAST(ssq AS DOUBLE) / 1000000.0 / CAST(nt - k AS DOUBLE))
+              - CAST(snl AS DOUBLE) / 1000000.0)
+             / (1.0 + (CAST(sinv AS DOUBLE) / 1000000000000.0
+                       - 1.0 / CAST(nt - k AS DOUBLE))
+                      / (3.0 * CAST(k - 1 AS DOUBLE))), 6)
+         AS bartlett_chi2
+FROM terms
+"""
+
+
+@register("stat_bartlett_test", oracle=_BARTLETT_ORACLE)
+def stat_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity across the five event
+    types — the PARAMETRIC sibling of stat_brown_forsythe (more powerful
+    under normality, famously fragile without it; reading both is the
+    textbook practice). χ² = [(N−k)·ln(Sp²) − Σ(nᵢ−1)ln(Sᵢ²)]/C with the
+    Bartlett small-sample correction C. Per-group variances come off
+    exact decimal(38,0) moment folds; the (nᵢ−1)·Sᵢ², (nᵢ−1)·ln(Sᵢ²)
+    and 1/(nᵢ−1) cross-group sums are each quantized to fixed-point
+    integers per group BEFORE summing (k=5 terms), so every fold is
+    associative and partition-order-free.
+
+    Scale shape: one combinable 5-group moment fold, one 5→1-row
+    integer fold; the corpus is read once."""
+    ev = load_table(spark, "events", sf_dir)
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    g = (ev.select(F.col("event_type").alias("grp"), xc.alias("xc"))
+         .groupBy("grp")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("xc").cast("decimal(38,0)").alias("s1"),
+              F.sum(F.col("xc").cast("decimal(38,0)") * F.col("xc"))
+              .cast("decimal(38,0)").alias("s2")))
+    var_i = ((F.col("s2").cast("double")
+              - F.col("s1").cast("double") * F.col("s1").cast("double")
+                / F.col("n").cast("double"))
+             / (F.col("n") - 1).cast("double"))
+    v = g.select("grp", "n", var_i.alias("var_i"))
+    terms = v.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.round((F.col("n") - 1).cast("double") * F.col("var_i")
+                      * 1000000.0, 0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("ssq"),
+        F.sum(F.round((F.col("n") - 1).cast("double") * F.log("var_i")
+                      * 1000000.0, 0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("snl"),
+        F.sum(F.round(F.lit(1000000000000.0)
+                      / (F.col("n") - 1).cast("double"), 0).cast("bigint"))
+        .cast("bigint").alias("sinv"))
+    nmk = (F.col("nt") - F.col("k")).cast("double")
+    pooled = F.col("ssq").cast("double") / 1000000.0 / nmk
+    corr = (F.lit(1.0)
+            + (F.col("sinv").cast("double") / 1000000000000.0
+               - F.lit(1.0) / nmk)
+              / (3.0 * (F.col("k") - 1).cast("double")))
+    chi2 = (nmk * F.log(pooled)
+            - F.col("snl").cast("double") / 1000000.0) / corr
+    return terms.select(
+        "k", F.col("nt").alias("n_total"),
+        F.round(pooled, 6).alias("pooled_var"),
+        F.round(corr, 6).alias("correction_c"),
+        F.round(chi2, 6).alias("bartlett_chi2"))
+
+
+# ---------------------------------------------------------------------------
+# Durbin–Watson serial-correlation diagnostic
+# ---------------------------------------------------------------------------
+
+_DW_ORACLE = """
+WITH h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS eh,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+), x AS (
+  SELECT eh - (SELECT MIN(eh) FROM h) AS x, y FROM h
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM x
+), co AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+         - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS a
+  FROM s
+), e AS (
+  SELECT x.x,
+         CAST(round((CAST(y AS DOUBLE) - co.a - co.b * CAST(x.x AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT) AS eq
+  FROM x CROSS JOIN co
+), d AS (
+  SELECT eq, eq - lag(eq) OVER (ORDER BY x) AS de FROM e
+)
+SELECT (SELECT n FROM co) AS n_hours,
+       (SELECT round(b, 6) FROM co) AS slope,
+       (SELECT round(a, 6) FROM co) AS intercept,
+       round(CAST(SUM(CAST(de AS DECIMAL(38,0)) * de) AS DOUBLE)
+             / CAST(SUM(CAST(eq AS DECIMAL(38,0)) * eq) AS DOUBLE), 6)
+         AS dw_stat
+FROM d
+"""
+
+
+@register("stat_durbin_watson", oracle=_DW_ORACLE)
+def stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson serial-correlation diagnostic on the residuals of
+    the hourly-purchase-cents-vs-time OLS — the regression-health check
+    the OLS family (stat_ols_two_feature, ts_trend_slope) never
+    reports: DW ≈ 2 means independent residuals, → 0 positive
+    autocorrelation (the usual time-series failure), → 4 negative.
+    DW = Σ(eₜ−eₜ₋₁)²/Σeₜ². Slope/intercept come off exact BIGINT sums;
+    each residual is ONE identical double tree quantized to 1e-6-unit
+    integers, so both quadratic sums are exact decimal(38,0) folds and
+    the statistic is partition-order-free.
+
+    Scale shape: calendar-bounded hourly fold (≤8,784 rows/year
+    regardless of corpus size); broadcast 1-row coefficients; one lag
+    window over the bounded DOMAIN; one integer fold to a single row."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type") == "purchase"))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    h = (ev.select(
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("bigint").alias("eh"),
+            cents.alias("c"))
+         .groupBy("eh")
+         .agg(F.sum("c").cast("bigint").alias("y")))
+    mn = h.agg(F.min("eh").alias("m"))
+    x = (h.crossJoin(F.broadcast(mn))
+         .select((F.col("eh") - F.col("m")).alias("x"), "y"))
+    s = x.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("x").cast("bigint").alias("sx"),
+              F.sum("y").cast("bigint").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+              F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"))
+    nd = F.col("n").cast("double")
+    b = ((nd * F.col("sxy").cast("double")
+          - F.col("sx").cast("double") * F.col("sy").cast("double"))
+         / (nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")))
+    a = F.col("sy").cast("double") / nd - b * F.col("sx").cast("double") / nd
+    co = s.select("n", b.alias("b"), a.alias("a"))
+    e = (x.crossJoin(F.broadcast(co))
+         .select("x", "n", "a", "b",
+                 F.round((F.col("y").cast("double") - F.col("a")
+                          - F.col("b") * F.col("x").cast("double"))
+                         * 1000000.0, 0).cast("bigint").alias("eq")))
+    w = Window.orderBy("x")
+    d = e.select("n", "a", "b", "eq",
+                 (F.col("eq") - F.lag("eq").over(w)).alias("de"))
+    return (d.groupBy("n", "a", "b")
+            .agg(F.sum(F.col("de").cast("decimal(38,0)") * F.col("de"))
+                 .alias("num"),
+                 F.sum(F.col("eq").cast("decimal(38,0)") * F.col("eq"))
+                 .alias("den"))
+            .select(F.col("n").alias("n_hours"),
+                    F.round(F.col("b"), 6).alias("slope"),
+                    F.round(F.col("a"), 6).alias("intercept"),
+                    F.round(F.col("num").cast("double")
+                            / F.col("den").cast("double"), 6)
+                    .alias("dw_stat")))
+
+
+# ---------------------------------------------------------------------------
+# single-changepoint localization by |CUSUM| argmax
+# ---------------------------------------------------------------------------
+
+_CUSUM_ARGMAX_ORACLE = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+), t AS (
+  SELECT day, y,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t_idx,
+         CAST(SUM(y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cy
+  FROM d
+), g AS (
+  SELECT t.*, (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n,
+         (SELECT CAST(SUM(y) AS BIGINT) FROM d) AS sy
+  FROM t
+), s AS (
+  SELECT day, t_idx, n,
+         abs(n * cy - t_idx * sy) AS cusum_abs,
+         CAST(cy AS DOUBLE) / CAST(t_idx AS DOUBLE) / 100.0 AS mb,
+         CASE WHEN t_idx = n THEN NULL
+              ELSE CAST(sy - cy AS DOUBLE)
+                   / CAST(n - t_idx AS DOUBLE) / 100.0 END AS ma
+  FROM g
+)
+SELECT day AS change_day, t_idx, n AS n_days, cusum_abs,
+       round(mb, 6) AS mean_before, round(ma, 6) AS mean_after
+FROM s
+ORDER BY cusum_abs DESC, day
+LIMIT 1
+"""
+
+
+@register("ts_changepoint_cusum_argmax", oracle=_CUSUM_ARGMAX_ORACLE)
+def ts_changepoint_cusum_argmax(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Single-changepoint LOCALIZATION on daily purchase revenue: the
+    day t maximizing |CUSUM_t| (binary-segmentation's first split) —
+    the where-did-it-move answer after ts_cusum_drift's something-moved
+    alarm. The statistic is kept in EXACT cross-multiplied integers:
+    |n·Σ_{≤t}y − t·Σy| (BIGINT; ≤ 366·corpus-cents, overflow-safe),
+    so the argmax is bit-deterministic with the earliest-day
+    tie-break, and the before/after means are single double trees.
+
+    Scale shape: calendar-bounded daily fold (≤366 rows/year at ANY
+    corpus size); one cumulative window over the bounded domain; a
+    broadcast 1-row total; argmax fuses to TakeOrderedAndProject."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type") == "purchase"))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    d = (ev.select(F.date_trunc("day", F.col("ts")).alias("day"),
+                   cents.alias("c"))
+         .groupBy("day")
+         .agg(F.sum("c").cast("bigint").alias("y")))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t = d.select("day", "y",
+                 F.row_number().over(Window.orderBy("day"))
+                 .cast("bigint").alias("t_idx"),
+                 F.sum("y").over(w).cast("bigint").alias("cy"))
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("y").cast("bigint").alias("sy"))
+    g = t.crossJoin(F.broadcast(tot))
+    mb = F.col("cy").cast("double") / F.col("t_idx").cast("double") / 100.0
+    ma = F.when(F.col("t_idx") == F.col("n"), F.lit(None).cast("double")) \
+          .otherwise((F.col("sy") - F.col("cy")).cast("double")
+                     / (F.col("n") - F.col("t_idx")).cast("double") / 100.0)
+    s = g.select(
+        F.col("day").alias("change_day"), "t_idx",
+        F.col("n").alias("n_days"),
+        F.abs(F.col("n") * F.col("cy") - F.col("t_idx") * F.col("sy"))
+        .alias("cusum_abs"),
+        F.round(mb, 6).alias("mean_before"),
+        F.round(ma, 6).alias("mean_after"))
+    return s.orderBy(F.col("cusum_abs").desc(), "change_day").limit(1)
+
+
+# ---------------------------------------------------------------------------
+# MCC / Youden-J / balanced-accuracy threshold sweep
+# ---------------------------------------------------------------------------
+
+_MCC_SWEEP_ORACLE = """
+WITH c AS (
+  SELECT event_type = 'purchase' AS pos,
+         CAST(round(value * 100, 0) AS BIGINT) AS xc
+  FROM events WHERE event_type IN ('click', 'purchase')
+), thr AS (
+  SELECT CAST(r * 5000 AS BIGINT) AS thr FROM range(1, 10) AS t(r)
+), cells AS (
+  SELECT thr,
+         CAST(COUNT(*) FILTER (WHERE pos AND xc >= thr) AS BIGINT) AS tp,
+         CAST(COUNT(*) FILTER (WHERE NOT pos AND xc >= thr) AS BIGINT) AS fp,
+         CAST(COUNT(*) FILTER (WHERE NOT pos AND xc < thr) AS BIGINT) AS tn,
+         CAST(COUNT(*) FILTER (WHERE pos AND xc < thr) AS BIGINT) AS fn
+  FROM c CROSS JOIN thr GROUP BY thr
+)
+SELECT thr, tp, fp, tn, fn,
+       CASE WHEN (tp+fp) = 0 OR (tp+fn) = 0 OR (tn+fp) = 0 OR (tn+fn) = 0
+            THEN 0.0
+            ELSE round((CAST(CAST(tp AS DECIMAL(38,0)) * tn
+                             - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE))
+                       / (sqrt(CAST(tp+fp AS DOUBLE))
+                          * sqrt(CAST(tp+fn AS DOUBLE))
+                          * sqrt(CAST(tn+fp AS DOUBLE))
+                          * sqrt(CAST(tn+fn AS DOUBLE))), 6) END AS mcc,
+       round(CAST(tp AS DOUBLE) / CAST(tp+fn AS DOUBLE)
+             + CAST(tn AS DOUBLE) / CAST(tn+fp AS DOUBLE) - 1.0, 6)
+         AS youden_j,
+       round((CAST(tp AS DOUBLE) / CAST(tp+fn AS DOUBLE)
+              + CAST(tn AS DOUBLE) / CAST(tn+fp AS DOUBLE)) / 2.0, 6)
+         AS balanced_acc
+FROM cells
+ORDER BY thr
+"""
+
+
+@register("ml_mcc_threshold_sweep", oracle=_MCC_SWEEP_ORACLE)
+def ml_mcc_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation, Youden's J and balanced accuracy swept over
+    the same nine decision thresholds as ml_confusion_threshold_sweep —
+    the IMBALANCE-ROBUST operating-point scores that table leaves out
+    (precision/recall/F1 all ignore the true-negative cell; MCC is the
+    one single-number score using all four). Counts are exact integers
+    from ONE conditional fold; the MCC numerator is a decimal(38,0)
+    product difference (tp·tn can exceed int64 at corpus scale), the
+    denominator a product of four single sqrts so nothing overflows
+    double range; 0-margin guards are the same CASE in both engines.
+
+    Scale shape: map-side ×9 broadcast-spine fan-out folding to 9 rows
+    in ONE combinable groupBy — one corpus pass for the whole sweep."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    c = ev.select((F.col("event_type") == "purchase").alias("pos"),
+                  xc.alias("xc"))
+    thresholds = spark.range(1, 10).select(
+        (F.col("id") * 5000).cast("bigint").alias("thr"))
+    pred = F.col("xc") >= F.col("thr")
+    cells = (c.crossJoin(F.broadcast(thresholds))
+             .groupBy("thr")
+             .agg(F.count(F.when(F.col("pos") & pred, 1)).cast("bigint")
+                  .alias("tp"),
+                  F.count(F.when(~F.col("pos") & pred, 1)).cast("bigint")
+                  .alias("fp"),
+                  F.count(F.when(~F.col("pos") & ~pred, 1)).cast("bigint")
+                  .alias("tn"),
+                  F.count(F.when(F.col("pos") & ~pred, 1)).cast("bigint")
+                  .alias("fn")))
+    tp, fp, tn, fn = (F.col(x) for x in ("tp", "fp", "tn", "fn"))
+    zero = ((tp + fp == 0) | (tp + fn == 0) | (tn + fp == 0)
+            | (tn + fn == 0))
+    mcc = F.when(zero, F.lit(0.0)).otherwise(
+        F.round((tp.cast("decimal(38,0)") * tn
+                 - fp.cast("decimal(38,0)") * fn).cast("double")
+                / (F.sqrt((tp + fp).cast("double"))
+                   * F.sqrt((tp + fn).cast("double"))
+                   * F.sqrt((tn + fp).cast("double"))
+                   * F.sqrt((tn + fn).cast("double"))), 6))
+    sens = tp.cast("double") / (tp + fn).cast("double")
+    spec = tn.cast("double") / (tn + fp).cast("double")
+    return (cells.select(
+        "thr", "tp", "fp", "tn", "fn",
+        mcc.alias("mcc"),
+        F.round(sens + spec - 1.0, 6).alias("youden_j"),
+        F.round((sens + spec) / 2.0, 6).alias("balanced_acc"))
+        .orderBy("thr"))
+
+
+# ---------------------------------------------------------------------------
+# cross-field consistency audit
+# ---------------------------------------------------------------------------
+
+_XFIELD_ORACLE = """
+WITH r1 AS (
+  SELECT 'lineitem_ship_before_order' AS rule,
+         CAST(COUNT(*) AS BIGINT) AS n_checked,
+         CAST(COUNT(*) FILTER (WHERE l.l_shipdate < o.o_orderdate)
+              AS BIGINT) AS n_violations
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), r2 AS (
+  SELECT 'lineitem_discount_gt_8pct' AS rule,
+         CAST(COUNT(*) AS BIGINT) AS n_checked,
+         CAST(COUNT(*) FILTER (WHERE CAST(round(l_discount * 100, 0)
+                                          AS BIGINT) > 8)
+              AS BIGINT) AS n_violations
+  FROM lineitem
+), r3 AS (
+  SELECT 'lineitem_nonpositive_quantity' AS rule,
+         CAST(COUNT(*) AS BIGINT) AS n_checked,
+         CAST(COUNT(*) FILTER (WHERE l_quantity <= 0) AS BIGINT)
+           AS n_violations
+  FROM lineitem
+), r4 AS (
+  SELECT 'events_nonpositive_value' AS rule,
+         CAST(COUNT(*) AS BIGINT) AS n_checked,
+         CAST(COUNT(*) FILTER (WHERE value <= 0) AS BIGINT) AS n_violations
+  FROM events
+), r5 AS (
+  SELECT 'orders_totalprice_nonpositive' AS rule,
+         CAST(COUNT(*) AS BIGINT) AS n_checked,
+         CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+           AS n_violations
+  FROM orders
+), u AS (
+  SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+  UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5
+)
+SELECT rule, n_checked, n_violations,
+       round(CAST(n_violations AS DOUBLE) / CAST(n_checked AS DOUBLE), 6)
+         AS violation_rate
+FROM u ORDER BY rule
+"""
+
+
+@register("dq_cross_field_consistency", oracle=_XFIELD_ORACLE)
+def dq_cross_field_consistency(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Cross-field consistency audit — the BETWEEN-COLUMNS leg the DQ
+    family (PK uniqueness, referential integrity, freshness lag) did
+    not cover: five business rules spanning within-row range checks and
+    one cross-TABLE ordering rule (ship date must not precede its
+    order's date — genuinely violated in this dataset, so the detector
+    demonstrably fires), each reported as checked/violations/rate.
+    All counts are exact conditional folds.
+
+    Scale shape: each rule is one combinable conditional fold over its
+    table (three table scans total — lineitem rules share one pass);
+    the cross-table rule is a fact-to-fact equi-join on the join key
+    both sides are naturally clustered by; the report is a 5-row
+    union."""
+    li = load_table(spark, "lineitem", sf_dir)
+    od = load_table(spark, "orders", sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+
+    j = li.select("l_orderkey", "l_shipdate").join(
+        od.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == od["o_orderkey"])
+    r1 = j.agg(
+        F.lit("lineitem_ship_before_order").alias("rule"),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        F.count(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1))
+        .cast("bigint").alias("n_violations"))
+    li_fold = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.round(F.col("l_discount") * 100, 0)
+                       .cast("bigint") > 8, 1)).cast("bigint").alias("v2"),
+        F.count(F.when(F.col("l_quantity") <= 0, 1))
+        .cast("bigint").alias("v3"))
+    r2 = li_fold.select(F.lit("lineitem_discount_gt_8pct").alias("rule"),
+                        F.col("n").alias("n_checked"),
+                        F.col("v2").alias("n_violations"))
+    r3 = li_fold.select(
+        F.lit("lineitem_nonpositive_quantity").alias("rule"),
+        F.col("n").alias("n_checked"), F.col("v3").alias("n_violations"))
+    r4 = ev.agg(
+        F.lit("events_nonpositive_value").alias("rule"),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        F.count(F.when(F.col("value") <= 0, 1)).cast("bigint")
+        .alias("n_violations"))
+    r5 = od.agg(
+        F.lit("orders_totalprice_nonpositive").alias("rule"),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).cast("bigint")
+        .alias("n_violations"))
+    u = r1.unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5)
+    return (u.select("rule", "n_checked", "n_violations",
+                     F.round(F.col("n_violations").cast("double")
+                             / F.col("n_checked").cast("double"), 6)
+                     .alias("violation_rate"))
+            .orderBy("rule"))
+
+
+# ---------------------------------------------------------------------------
+# inter-purchase time quantiles
+# ---------------------------------------------------------------------------
+
+_INTERPURCHASE_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE event_type = 'purchase'
+), g AS (
+  SELECT CAST(datediff('day', date_trunc('day', prev),
+                       date_trunc('day', ts)) AS BIGINT) AS gap
+  FROM p WHERE prev IS NOT NULL
+), dom AS (
+  SELECT gap, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY gap
+), cum AS (
+  SELECT gap, c,
+         CAST(SUM(c) OVER (ORDER BY gap ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cc,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM dom) AS n,
+         (SELECT CAST(SUM(gap * c) AS BIGINT) FROM dom) AS sg
+  FROM dom
+)
+SELECT MAX(n) AS n_gaps,
+       CAST(MIN(gap) FILTER (WHERE cc >= (1 * n + 3) // 4) AS BIGINT)
+         AS p25_days,
+       CAST(MIN(gap) FILTER (WHERE cc >= (1 * n + 1) // 2) AS BIGINT)
+         AS p50_days,
+       CAST(MIN(gap) FILTER (WHERE cc >= (3 * n + 3) // 4) AS BIGINT)
+         AS p75_days,
+       CAST(MIN(gap) FILTER (WHERE cc >= (9 * n + 9) // 10) AS BIGINT)
+         AS p90_days,
+       round(CAST(MAX(sg) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6)
+         AS mean_days
+FROM cum
+"""
+
+
+@register("seq_interpurchase_quantiles", oracle=_INTERPURCHASE_ORACLE)
+def seq_interpurchase_quantiles(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Distribution of the time BETWEEN a user's consecutive purchases
+    (whole calendar days): exact discrete p25/p50/p75/p90 and the mean —
+    the repeat-purchase-cadence distribution behind seq_reorder_cadence's
+    per-entity view, and the number a retention model calibrates
+    against. Gaps are exact integer day differences off a user-ordered
+    lag; the percentiles are rank-picks over the BOUNDED gap DOMAIN
+    (0…365 distinct values at any corpus size), so no global row
+    ranking ever happens: cumulate domain counts, pick the first value
+    whose cumulative count reaches ceil(p·n) by pure integer
+    arithmetic (the agg_percentile_disc_exact ceil identity).
+
+    Scale shape: one user-partitioned lag window (key-parallel), one
+    combinable domain collapse, one cumulative window over the ≤366-row
+    domain, one conditional-MIN fold to a single row."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type") == "purchase"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select("user_id", "ts", F.lag("ts").over(w).alias("prev"))
+    g = (p.where(F.col("prev").isNotNull())
+         .select(F.datediff(F.date_trunc("day", F.col("ts")),
+                            F.date_trunc("day", F.col("prev")))
+                 .cast("bigint").alias("gap")))
+    dom = g.groupBy("gap").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = dom.agg(F.sum("c").cast("bigint").alias("n"),
+                  F.sum(F.col("gap") * F.col("c")).cast("bigint")
+                  .alias("sg"))
+    wd = (Window.orderBy("gap")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (dom.select("gap", "c",
+                      F.sum("c").over(wd).cast("bigint").alias("cc"))
+           .crossJoin(F.broadcast(tot)))
+
+    def pick(num: int, den: int, name: str):
+        thresh = F.expr(f"({num} * n + {num}) div {den}")
+        return (F.min(F.when(F.col("cc") >= thresh, F.col("gap")))
+                .cast("bigint").alias(name))
+
+    return cum.agg(
+        F.max("n").alias("n_gaps"),
+        pick(1, 4, "p25_days"), pick(1, 2, "p50_days"),
+        pick(3, 4, "p75_days"), pick(9, 10, "p90_days"),
+        F.round(F.max("sg").cast("double") / F.max("n").cast("double"), 6)
+        .alias("mean_days"))
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent by rescaled-range (R/S) analysis
+# ---------------------------------------------------------------------------
+
+# frozen centered ln(w) regressors for the 3-point log-log fit:
+# cx_i = ln(w_i) - mean(ln(w)), sxx = sum(cx_i^2). H = sum(cx_i * y_i)/sxx
+# with y_i = ln(RS_mean(w_i)) -- the transcendental regressors are
+# literals, so the fit is a fixed 3-term tree in both engines.
+_HURST_CX30 = -0.693147180559945
+_HURST_CX60 = 0.0
+_HURST_CX120 = 0.6931471805599454
+_HURST_SXX = 0.9609060278364026
+
+_HURST_ORACLE = f"""
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+), t AS (
+  SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t_idx,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n
+  FROM d
+), sizes AS (
+  SELECT CAST(unnest([30, 60, 120]) AS BIGINT) AS w
+), blk AS (
+  SELECT w, (t_idx - 1) // w AS block, (t_idx - 1) % w AS pos, y, n
+  FROM t CROSS JOIN sizes
+  WHERE t_idx <= (n // w) * w
+), cum AS (
+  SELECT w, block, pos, y,
+         CAST(SUM(y) OVER (PARTITION BY w, block ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cy,
+         CAST(SUM(y) OVER (PARTITION BY w, block) AS BIGINT) AS s1,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y)
+              OVER (PARTITION BY w, block) AS DECIMAL(38,0)) AS s2
+  FROM blk
+), dev AS (
+  SELECT w, block, s1, s2,
+         w * cy - (pos + 1) * s1 AS dv
+  FROM cum
+), per_block AS (
+  SELECT w, block,
+         CAST(round((CAST(MAX(dv) - MIN(dv) AS DOUBLE)
+                     / (CAST(MAX(w) AS DOUBLE)
+                        * sqrt((CAST(MAX(s2) AS DOUBLE)
+                                - CAST(MAX(s1) AS DOUBLE)
+                                  * CAST(MAX(s1) AS DOUBLE)
+                                  / CAST(MAX(w) AS DOUBLE))
+                               / CAST(MAX(w) AS DOUBLE))))
+                    * 1000000.0, 0) AS BIGINT) AS rs_q
+  FROM dev GROUP BY w, block
+), per_w AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         round(CAST(SUM(rs_q) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS rs_mean
+  FROM per_block GROUP BY w
+)
+SELECT (SELECT MAX(n) FROM t) AS n_days,
+       MAX(CASE WHEN w = 30 THEN rs_mean END) AS rs_w30,
+       MAX(CASE WHEN w = 60 THEN rs_mean END) AS rs_w60,
+       MAX(CASE WHEN w = 120 THEN rs_mean END) AS rs_w120,
+       round(({_HURST_CX30!r} * ln(MAX(CASE WHEN w = 30 THEN rs_mean END))
+              + {_HURST_CX60!r} * ln(MAX(CASE WHEN w = 60 THEN rs_mean END))
+              + {_HURST_CX120!r}
+                * ln(MAX(CASE WHEN w = 120 THEN rs_mean END)))
+             / {_HURST_SXX!r}, 6) AS hurst_exponent
+FROM per_w
+"""
+
+
+@register("ts_hurst_rs", oracle=_HURST_ORACLE)
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily purchase revenue by classical rescaled-
+    range (R/S) analysis at block sizes 30/60/120 days: H ≈ 0.5 means a
+    memoryless walk, H > 0.5 long-range persistence (trends compound),
+    H < 0.5 mean reversion — the long-memory diagnostic next to the
+    short-lag views (ts_acf_multi_lag, ts_burstiness_fano). Per block,
+    the cumulative deviation is kept in EXACT cross-multiplied integers
+    (w·Σ_{{≤t}}y − t·Σy, BIGINT), so range R comes off an integer
+    max−min; each block's R/S is one identical double tree quantized to
+    1e-6 integers, the per-size mean an associative integer fold; the
+    log-log slope uses FROZEN centered-ln(w) regressors, making the fit
+    a fixed 3-term expression.
+
+    Scale shape: calendar-bounded daily fold (≤366 rows at ANY corpus
+    size); the ×3 size fan-out, block windows, and folds all run on the
+    bounded domain — corpus cost is the one daily collapse."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type") == "purchase"))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    d = (ev.select(F.date_trunc("day", F.col("ts")).alias("day"),
+                   cents.alias("c"))
+         .groupBy("day")
+         .agg(F.sum("c").cast("bigint").alias("y")))
+    n1 = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = (d.select("y", F.row_number().over(Window.orderBy("day"))
+                  .cast("bigint").alias("t_idx"))
+         .crossJoin(F.broadcast(n1)))
+    sizes = spark.createDataFrame([(30,), (60,), (120,)], "w bigint")
+    blk = (t.crossJoin(F.broadcast(sizes))
+           .where(F.col("t_idx")
+                  <= (F.col("n") / F.col("w")).cast("bigint") * F.col("w"))
+           .select("w",
+                   ((F.col("t_idx") - 1) / F.col("w")).cast("bigint")
+                   .alias("block"),
+                   ((F.col("t_idx") - 1) % F.col("w")).alias("pos"),
+                   "y", "n"))
+    wo = (Window.partitionBy("w", "block").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wb = Window.partitionBy("w", "block")
+    cum = blk.select(
+        "w", "block", "pos", "y",
+        F.sum("y").over(wo).cast("bigint").alias("cy"),
+        F.sum("y").over(wb).cast("bigint").alias("s1"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).over(wb)
+        .cast("decimal(38,0)").alias("s2"))
+    dev = cum.select(
+        "w", "block", "s1", "s2",
+        (F.col("w") * F.col("cy") - (F.col("pos") + 1) * F.col("s1"))
+        .alias("dv"))
+    wd = F.col("wm").cast("double")
+    per_block = (dev.groupBy("w", "block")
+                 .agg(F.max("dv").alias("mx"), F.min("dv").alias("mn"),
+                      F.max("s1").alias("s1m"), F.max("s2").alias("s2m"),
+                      F.max("w").alias("wm"))
+                 .select("w",
+                         F.round(((F.col("mx") - F.col("mn")).cast("double")
+                                  / (wd * F.sqrt(
+                                      (F.col("s2m").cast("double")
+                                       - F.col("s1m").cast("double")
+                                         * F.col("s1m").cast("double") / wd)
+                                      / wd))) * 1000000.0, 0)
+                         .cast("bigint").alias("rs_q")))
+    per_w = (per_block.groupBy("w")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+                  F.round(F.sum("rs_q").cast("double")
+                          / F.count(F.lit(1)).cast("double")
+                          / 1000000.0, 6).alias("rs_mean")))
+
+    def at(w: int):
+        return F.max(F.when(F.col("w") == w, F.col("rs_mean")))
+
+    hurst = ((F.lit(_HURST_CX30) * F.log(at(30))
+              + F.lit(_HURST_CX60) * F.log(at(60))
+              + F.lit(_HURST_CX120) * F.log(at(120))) / F.lit(_HURST_SXX))
+    return (per_w.crossJoin(F.broadcast(n1))
+            .agg(F.max("n").alias("n_days"),
+                 at(30).alias("rs_w30"), at(60).alias("rs_w60"),
+                 at(120).alias("rs_w120"),
+                 F.round(hurst, 6).alias("hurst_exponent")))
+
+
+# ---------------------------------------------------------------------------
+# synchronous min-label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+_LABELPROP_ORACLE = """
+WITH raw AS (
+  SELECT l_partkey AS src,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey,
+                                        l_suppkey) AS dst
+  FROM lineitem
+), e0 AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE dst IS NOT NULL AND src <> dst
+), edges AS (
+  SELECT a AS v, b AS u FROM e0 UNION ALL SELECT b, a FROM e0
+), l0 AS (
+  SELECT DISTINCT v, v AS l FROM edges
+), l1 AS (
+  SELECT l0.v, least(l0.l, MIN(n.l)) AS l
+  FROM l0 JOIN edges ON edges.v = l0.v
+          JOIN l0 AS n ON n.v = edges.u
+  GROUP BY l0.v, l0.l
+), l2 AS (
+  SELECT l1.v, least(l1.l, MIN(n.l)) AS l
+  FROM l1 JOIN edges ON edges.v = l1.v
+          JOIN l1 AS n ON n.v = edges.u
+  GROUP BY l1.v, l1.l
+), l3 AS (
+  SELECT l2.v, least(l2.l, MIN(n.l)) AS l
+  FROM l2 JOIN edges ON edges.v = l2.v
+          JOIN l2 AS n ON n.v = edges.u
+  GROUP BY l2.v, l2.l
+)
+SELECT CAST(l AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l3 GROUP BY l HAVING COUNT(*) >= 2
+ORDER BY n_members DESC, community
+LIMIT 50
+"""
+
+
+@register("graph_label_propagation_sync", oracle=_LABELPROP_ORACLE)
+def graph_label_propagation_sync(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS min-label propagation over
+    the co-purchase graph, exactly three rounds: every vertex starts
+    labeled with its own id and repeatedly takes the minimum of its
+    label and its neighbors' ROUND-k labels — the deterministic variant
+    of label propagation (classic LPA's random tie-breaks make it
+    unreproducible; min-label is the same fixed-point family as
+    graph_connected_components but BOUNDED at depth 3, so it reports
+    communities-within-radius-3 rather than full components). Top-50
+    communities by size with the earliest-label tie-break.
+
+    Scale shape: per round, one edge⋈labels equi-join + one combinable
+    min fold (the graph_pagerank_fixed SpMV shape) — label propagation
+    is exactly 3 SpMV-like passes, all key-parallel; the edge list is
+    checkpointed once and reused."""
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    raw = (li.select(F.col("l_partkey").alias("src"),
+                     F.lead("l_partkey").over(w).alias("dst"))
+           .where(F.col("dst").isNotNull()
+                  & (F.col("src") != F.col("dst"))))
+    e0 = (raw.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+          .distinct())
+    edges = (e0.select(F.col("a").alias("v"), F.col("b").alias("u"))
+             .unionAll(e0.select(F.col("b").alias("v"),
+                                 F.col("a").alias("u")))
+             .localCheckpoint(eager=False))  # three rounds share it
+    labels = edges.select("v").distinct().select(
+        "v", F.col("v").alias("l"))
+    for _ in range(3):
+        nbr = (edges.join(labels.select(F.col("v").alias("u"),
+                                        F.col("l").alias("nl")), "u")
+               .groupBy("v").agg(F.min("nl").alias("mn")))
+        labels = (labels.join(nbr, "v")
+                  .select("v", F.least("l", "mn").alias("l")))
+    return (labels.groupBy("l")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+            .where(F.col("n_members") >= 2)
+            .select(F.col("l").cast("bigint").alias("community"),
+                    "n_members")
+            .orderBy(F.col("n_members").desc(), "community")
+            .limit(50))
+
+
+# ---------------------------------------------------------------------------
+# chrF generation-eval score (character n-gram F-beta)
+# ---------------------------------------------------------------------------
+
+# pred span = tokens[1..12], gold span = tokens[6..19] (1-indexed) -- the
+# llm_eval_bleu_corpus convention, re-joined to STRINGS so the grams are
+# CHARACTER n-grams (n = 1..3, uniform weights, beta = 2: recall-weighted,
+# the chrF paper's default).
+_CHRF_PRED_LEN = 12
+_CHRF_GOLD_LEN = 14
+
+_CHRF_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         array_to_string(l[1:{_CHRF_PRED_LEN}], ' ') AS ps,
+         array_to_string(l[6:{5 + _CHRF_GOLD_LEN}], ' ') AS gs
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+  WHERE len(l) >= 20
+), ns AS (
+  SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS ng
+), pg AS (
+  SELECT doc_id, ng, g, CAST(COUNT(*) AS BIGINT) AS pc
+  FROM (
+    SELECT b.doc_id, ns.ng,
+           unnest(list_transform(range(1, len(b.ps) - CAST(ns.ng AS INTEGER) + 2),
+                                 i -> substr(b.ps, i, CAST(ns.ng AS INTEGER)))) AS g
+    FROM base b CROSS JOIN ns
+  ) GROUP BY doc_id, ng, g
+), gg AS (
+  SELECT doc_id, ng, g, CAST(COUNT(*) AS BIGINT) AS gc
+  FROM (
+    SELECT b.doc_id, ns.ng,
+           unnest(list_transform(range(1, len(b.gs) - CAST(ns.ng AS INTEGER) + 2),
+                                 i -> substr(b.gs, i, CAST(ns.ng AS INTEGER)))) AS g
+    FROM base b CROSS JOIN ns
+  ) GROUP BY doc_id, ng, g
+), ov AS (
+  SELECT pg.doc_id, pg.ng,
+         CAST(SUM(least(pg.pc, gg.gc)) AS BIGINT) AS o
+  FROM pg JOIN gg ON pg.doc_id = gg.doc_id AND pg.ng = gg.ng
+                  AND pg.g = gg.g
+  GROUP BY pg.doc_id, pg.ng
+), per_n AS (
+  SELECT base.doc_id, ns.ng,
+         COALESCE(ov.o, 0) AS o,
+         len(base.ps) - ns.ng + 1 AS tp,
+         len(base.gs) - ns.ng + 1 AS tg
+  FROM base CROSS JOIN ns
+  LEFT JOIN ov ON ov.doc_id = base.doc_id AND ov.ng = ns.ng
+), pr AS (
+  SELECT doc_id,
+         (MAX(CASE WHEN ng = 1 THEN CAST(o AS DOUBLE) / tp END)
+          + MAX(CASE WHEN ng = 2 THEN CAST(o AS DOUBLE) / tp END)
+          + MAX(CASE WHEN ng = 3 THEN CAST(o AS DOUBLE) / tp END)) / 3.0
+           AS p,
+         (MAX(CASE WHEN ng = 1 THEN CAST(o AS DOUBLE) / tg END)
+          + MAX(CASE WHEN ng = 2 THEN CAST(o AS DOUBLE) / tg END)
+          + MAX(CASE WHEN ng = 3 THEN CAST(o AS DOUBLE) / tg END)) / 3.0
+           AS r
+  FROM per_n GROUP BY doc_id
+)
+SELECT doc_id, round(p, 6) AS chr_p, round(r, 6) AS chr_r,
+       CASE WHEN 4.0 * p + r = 0.0 THEN 0.0
+            ELSE round(5.0 * p * r / (4.0 * p + r), 6) END AS chrf2
+FROM pr
+"""
+
+
+@register("llm_eval_chrf", oracle=_CHRF_ORACLE)
+def llm_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF2 generation-eval score per document: CHARACTER-n-gram
+    (n = 1..3) clipped precision/recall between the deterministic
+    pred/gold spans, folded to the recall-weighted F-beta (β = 2) —
+    the tokenization-free metric beside word-gram BLEU/ROUGE (chrF
+    sees morphology BLEU misses: 'run' vs 'running' share 3 of 4
+    character grams but zero word grams). Clipped overlaps are exact
+    integer min-folds per (doc, n, gram); per-n totals are CLOSED FORM
+    (len − n + 1, no second gram pass); the 3-term precision/recall
+    means are fixed-order trees.
+
+    Scale shape: per-doc BOUNDED gram explodes (spans are fixed 12/14
+    tokens, so ≤ ~100 chars/doc/n); gram-keyed clipped-overlap joins
+    are key-parallel; output is doc-grain."""
+    d = load_table(spark, "documents", sf_dir)
+    base = (d.select("doc_id", F.split("text", " ").alias("l"))
+            .where(F.size("l") >= 20)
+            .select("doc_id",
+                    F.array_join(F.slice("l", 1, _CHRF_PRED_LEN), " ")
+                    .alias("ps"),
+                    F.array_join(F.slice("l", 6, _CHRF_GOLD_LEN), " ")
+                    .alias("gs"))
+            .localCheckpoint(eager=False))  # grams + totals share it
+    ns = spark.createDataFrame([(1,), (2,), (3,)], "ng bigint")
+
+    def grams(src: str, cnt: str) -> DataFrame:
+        s = F.col(src)
+        gl = F.transform(
+            F.sequence(F.lit(1), F.length(s) - F.col("ng") + 1),
+            lambda i: s.substr(i, F.col("ng")))
+        return (base.crossJoin(F.broadcast(ns))
+                .select("doc_id", "ng", F.explode(gl).alias("g"))
+                .groupBy("doc_id", "ng", "g")
+                .agg(F.count(F.lit(1)).cast("bigint").alias(cnt)))
+
+    pg, gg = grams("ps", "pc"), grams("gs", "gc")
+    ov = (pg.join(gg, ["doc_id", "ng", "g"])
+          .groupBy("doc_id", "ng")
+          .agg(F.sum(F.least("pc", "gc")).cast("bigint").alias("o")))
+    per_n = (base.crossJoin(F.broadcast(ns))
+             .join(ov, ["doc_id", "ng"], "left")
+             .select("doc_id", "ng",
+                     F.coalesce("o", F.lit(0)).alias("o"),
+                     (F.length("ps") - F.col("ng") + 1).alias("tp"),
+                     (F.length("gs") - F.col("ng") + 1).alias("tg")))
+
+    def m(n: int, den: str):
+        return F.max(F.when(F.col("ng") == n,
+                            F.col("o").cast("double") / F.col(den)))
+
+    pr = (per_n.groupBy("doc_id")
+          .agg((((m(1, "tp") + m(2, "tp")) + m(3, "tp")) / 3.0).alias("p"),
+               (((m(1, "tg") + m(2, "tg")) + m(3, "tg")) / 3.0).alias("r")))
+    chrf = (F.when(4.0 * F.col("p") + F.col("r") == 0.0, F.lit(0.0))
+            .otherwise(F.round(5.0 * F.col("p") * F.col("r")
+                               / (4.0 * F.col("p") + F.col("r")), 6)))
+    return pr.select("doc_id", F.round("p", 6).alias("chr_p"),
+                     F.round("r", 6).alias("chr_r"),
+                     chrf.alias("chrf2"))
+
+
+# ---------------------------------------------------------------------------
+# commit-log checkpointing (O(1) metadata reads under long histories)
+# ---------------------------------------------------------------------------
+
+_TXLOG_CKPT_ORACLE = """
+SELECT 'checkpoint' AS read_path, CAST(3 AS BIGINT) AS snapshot_version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+UNION ALL
+SELECT 'replay', CAST(3 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+FROM orders
+"""
+
+
+def txlog_write_checkpoint(root: str, version: int) -> None:
+    """Materialize the live-file set at `version` into
+    `_txlog_ckpt/{version:05d}.json` — the Delta checkpoint-parquet
+    idea: later readers replay only commits AFTER the checkpoint.
+    Kept in a sibling directory so the plain commit log (and its
+    version-slot race) is untouched."""
+    import json as _json
+    import os as _os
+
+    from lambdatotheslaughter_spark.operators.round7 import (
+        txlog_snapshot_files)
+
+    live = [_os.path.relpath(p, root)
+            for p in txlog_snapshot_files(root, version)]
+    ckpt = _os.path.join(root, "_txlog_ckpt")
+    _os.makedirs(ckpt, exist_ok=True)
+    tmp = _os.path.join(ckpt, f".tmp-{version:05d}")
+    with open(tmp, "w") as fh:
+        _json.dump({"version": version, "live": sorted(live)}, fh)
+    _os.replace(tmp, _os.path.join(ckpt, f"{version:05d}.json"))
+
+
+def txlog_snapshot_files_ckpt(root: str, version: int) -> list[str]:
+    """Snapshot via the LATEST checkpoint ≤ `version`, replaying only
+    the commit tail after it — O(tail) metadata reads instead of
+    O(history)."""
+    import json as _json
+    import os as _os
+
+    ckpt_dir = _os.path.join(root, "_txlog_ckpt")
+    base_v, live = -1, set()
+    if _os.path.isdir(ckpt_dir):
+        versions = [int(f.split(".")[0]) for f in _os.listdir(ckpt_dir)
+                    if f.endswith(".json") and not f.startswith(".")]
+        usable = [v for v in versions if v <= version]
+        if usable:
+            base_v = max(usable)
+            doc = _json.load(open(_os.path.join(ckpt_dir,
+                                                f"{base_v:05d}.json")))
+            live = set(doc["live"])
+    log = _os.path.join(root, "_txlog")
+    for v in sorted(int(f.split(".")[0]) for f in _os.listdir(log)
+                    if f.endswith(".json")):
+        if v <= base_v or v > version:
+            continue
+        doc = _json.load(open(_os.path.join(log, f"{v:05d}.json")))
+        for act in doc["actions"]:
+            if act["op"] == "add":
+                live.add(act["path"])
+            elif act["op"] == "remove":
+                live.discard(act["path"])
+    return [_os.path.join(root, p) for p in sorted(live)]
+
+
+def _txlog_ckpt_fixture(spark: SparkSession, sf_dir: str) -> str:
+    from lambdatotheslaughter_spark.operators.round7 import txlog_commit
+    from lambdatotheslaughter_spark.operators.scans import _cached_dataset
+
+    def build(tmp: str) -> None:
+        import os as _os
+        o = load_table(spark, "orders", sf_dir)
+        for mod in (0, 1, 2):
+            (o.where(F.pmod("o_orderkey", F.lit(3)) == mod)
+             .write.mode("overwrite")
+             .parquet(_os.path.join(tmp, f"batch{mod}")))
+        assert txlog_commit(tmp, [{"op": "add", "path": "batch0"}]) == 0
+        assert txlog_commit(tmp, [{"op": "add", "path": "batch1"}]) == 1
+        assert txlog_commit(tmp, [{"op": "remove", "path": "batch0"},
+                                  {"op": "add", "path": "batch2"}]) == 2
+        txlog_write_checkpoint(tmp, 2)
+        # the post-checkpoint tail the checkpoint reader must still see
+        assert txlog_commit(tmp, [{"op": "add", "path": "batch0"}]) == 3
+
+    return _cached_dataset("txlog_ckpt_orders", sf_dir, "orders", build)
+
+
+@register("scan_txlog_checkpoint", oracle=_TXLOG_CKPT_ORACLE)
+def scan_txlog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log CHECKPOINTING — the piece that makes
+    scan_txlog_snapshot's format viable under long histories: a
+    checkpoint file materializes the live-file set at version V, so a
+    reader replays only the commit tail AFTER V (Delta's
+    checkpoint-parquet idea; without it, every read is O(all commits) —
+    at one commit per minute that is half a million JSON files after a
+    year). The fixture commits v0–v2, checkpoints at 2, then commits
+    v3 (re-adding the file v2 removed); the query reads snapshot v3
+    through BOTH paths — checkpoint + tail, and full replay — and the
+    oracle pins both to the exact full-table contents, so
+    checkpoint-path equivalence IS the verified property.
+
+    Scale shape: checkpoints are driver-side metadata (bytes scale
+    with live-file count, never data size); data files are never
+    rewritten; the snapshot still plans `spark.read.parquet(*files)`
+    so pushdown/pruning work unchanged."""
+    from lambdatotheslaughter_spark.operators.round7 import (
+        txlog_snapshot_files)
+
+    root = _txlog_ckpt_fixture(spark, sf_dir)
+    schema = load_table(spark, "orders", sf_dir).schema
+
+    def snap(path_name: str, files: list[str]) -> DataFrame:
+        return (spark.read.schema(schema).parquet(*files)
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                     F.sum("o_orderkey").cast("bigint").alias("key_sum"))
+                .select(F.lit(path_name).alias("read_path"),
+                        F.lit(3).cast("bigint").alias("snapshot_version"),
+                        "n_rows", "key_sum"))
+
+    via_ckpt = txlog_snapshot_files_ckpt(root, 3)
+    via_replay = txlog_snapshot_files(root, 3)
+    return (snap("checkpoint", via_ckpt)
+            .unionByName(snap("replay", via_replay)))

@@ -311,3 +311,30 @@ def test_third_ring_partition_invariance(spark):
             assert got == baseline[k], f"{k} drifted under 97 partitions"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_seventh_ring_partition_invariance(spark):
+    """Round-7 seventh-ring kernels (trend/diagnostic stats, changepoint
+    argmax, MCC sweep, Hurst R/S, label propagation, chrF, DQ audits)
+    must be BIT-identical under the hostile 97-partition probe: every
+    fold is an integer/decimal sum, a bounded-domain window, or a
+    fixed-order quantized tree by construction."""
+    from lambdatotheslaughter_spark import registry
+    from tests.conftest import SF_DIR
+    keys = ["stat_cochran_armitage_trend", "stat_bartlett_test",
+            "stat_durbin_watson", "ts_changepoint_cusum_argmax",
+            "ml_mcc_threshold_sweep", "dq_cross_field_consistency",
+            "seq_interpurchase_quantiles", "ts_hurst_rs",
+            "graph_label_propagation_sync", "llm_eval_chrf",
+            "scan_txlog_checkpoint"]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    baseline = {k: sorted(map(tuple, registry.get(k).fn(spark, SF_DIR)
+                              .collect())) for k in keys}
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "97")
+        for k in keys:
+            got = sorted(map(tuple, registry.get(k).fn(spark, SF_DIR)
+                             .collect()))
+            assert got == baseline[k], f"{k} drifted under 97 partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -57,3 +57,30 @@ def test_txlog_replay_remove_semantics():
     assert snap(0) == ["a"]
     assert snap(1) == ["a", "b"]
     assert snap(2) == ["b", "c"]
+
+
+def test_txlog_checkpoint_equals_replay():
+    """A checkpoint at ANY version must yield the same live-file set as
+    a full log replay, at every subsequent version — including versions
+    BEFORE the checkpoint (where the reader must ignore it)."""
+    import shutil
+    import tempfile
+
+    from lambdatotheslaughter_spark.operators.round7b import (
+        txlog_snapshot_files_ckpt, txlog_write_checkpoint)
+
+    root = tempfile.mkdtemp(prefix="lts_txlog_ckpt_")
+    try:
+        assert txlog_commit(root, [{"op": "add", "path": "a"}]) == 0
+        assert txlog_commit(root, [{"op": "add", "path": "b"}]) == 1
+        assert txlog_commit(root, [{"op": "remove", "path": "a"},
+                                   {"op": "add", "path": "c"}]) == 2
+        txlog_write_checkpoint(root, 1)
+        assert txlog_commit(root, [{"op": "add", "path": "a"}]) == 3
+        txlog_write_checkpoint(root, 3)
+        assert txlog_commit(root, [{"op": "remove", "path": "b"}]) == 4
+        for v in range(5):
+            assert (txlog_snapshot_files_ckpt(root, v)
+                    == txlog_snapshot_files(root, v)), f"version {v}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
