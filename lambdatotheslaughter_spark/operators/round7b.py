@@ -1193,3 +1193,624 @@ def scan_txlog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     via_replay = txlog_snapshot_files(root, 3)
     return (snap("checkpoint", via_ckpt)
             .unionByName(snap("replay", via_replay)))
+
+
+# ===========================================================================
+# round-7 eighth ring
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Breusch-Pagan heteroskedasticity test (Koenker LM form)
+# ---------------------------------------------------------------------------
+
+# chi-square(1) upper 5% point, frozen (the one transcendental threshold)
+_BP_CHI2_95 = 3.841458820694124
+
+_BP_ORACLE = f"""
+WITH h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS eh,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+), x AS (
+  SELECT eh - (SELECT MIN(eh) FROM h) AS x, y FROM h
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM x
+), co AS (
+  SELECT n, sx, sxx,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+         - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS a
+  FROM s
+), e AS (
+  SELECT x.x,
+         CAST(round(CAST(y AS DOUBLE) - co.a - co.b * CAST(x.x AS DOUBLE),
+                    0) AS BIGINT) AS ec
+  FROM x CROSS JOIN co
+), sig AS (
+  SELECT sqrt(CAST(SUM(CAST(ec AS DECIMAL(38,0)) * ec) AS DOUBLE)
+              / CAST((SELECT n FROM co) - 2 AS DOUBLE)) AS sd
+  FROM e
+), u AS (
+  SELECT e.x,
+         CAST(round((CAST(e.ec AS DOUBLE) / sig.sd)
+                    * (CAST(e.ec AS DOUBLE) / sig.sd) * 1000000.0, 0)
+              AS BIGINT) AS uq
+  FROM e CROSS JOIN sig
+), aux AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(uq) AS BIGINT) AS su,
+         CAST(SUM(x * uq) AS BIGINT) AS sxu,
+         CAST(SUM(CAST(uq AS DECIMAL(38,0)) * uq) AS DECIMAL(38,0)) AS suu
+  FROM u
+)
+SELECT n AS n_hours,
+       round((CAST(n AS DOUBLE) * CAST(sxu AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(su AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(sxu AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(su AS DOUBLE))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+                   - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))), 6)
+         AS r2_aux,
+       round(CAST(n AS DOUBLE)
+             * (CAST(n AS DOUBLE) * CAST(sxu AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(su AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(sxu AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(su AS DOUBLE))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+                   - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))), 6)
+         AS bp_lm,
+       CAST(n AS DOUBLE)
+       * (CAST(n AS DOUBLE) * CAST(sxu AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(su AS DOUBLE))
+       * (CAST(n AS DOUBLE) * CAST(sxu AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(su AS DOUBLE))
+       / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * (CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+             - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)))
+       > {_BP_CHI2_95!r} AS heteroskedastic
+FROM aux
+"""
+
+
+@register("stat_breusch_pagan", oracle=_BP_ORACLE)
+def stat_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch–Pagan heteroskedasticity test (Koenker's LM = n·R² form)
+    on the hourly-purchase-cents OLS: does residual VARIANCE drift with
+    time — the other regression-health check beside stat_durbin_watson's
+    serial correlation (heteroskedastic residuals invalidate the OLS
+    standard errors every downstream CI uses). Residuals are quantized
+    to whole cents; the auxiliary regressand is the STANDARDIZED squared
+    residual (e/σ̂)² quantized 1e-6 — R² is invariant to that scaling,
+    and it BOUNDS the integer fold at any corpus scale (z² ≤ ~10², so
+    Σu and Σu² stay in BIGINT range at 100 TB where raw e² sums would
+    overflow even decimal(38)). Decision vs the FROZEN χ²₁ 5%% point.
+
+    Scale shape: calendar-bounded hourly fold; two broadcast 1-row
+    passes (coefficients, then σ̂); every fold an exact integer sum over
+    the bounded domain."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type") == "purchase"))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    h = (ev.select(
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("bigint").alias("eh"),
+            cents.alias("c"))
+         .groupBy("eh")
+         .agg(F.sum("c").cast("bigint").alias("y")))
+    mn = h.agg(F.min("eh").alias("m"))
+    x = (h.crossJoin(F.broadcast(mn))
+         .select((F.col("eh") - F.col("m")).alias("x"), "y"))
+    s = x.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("x").cast("bigint").alias("sx"),
+              F.sum("y").cast("bigint").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+              F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"))
+    nd = F.col("n").cast("double")
+    b = ((nd * F.col("sxy").cast("double")
+          - F.col("sx").cast("double") * F.col("sy").cast("double"))
+         / (nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")))
+    a = F.col("sy").cast("double") / nd - b * F.col("sx").cast("double") / nd
+    co = s.select("n", b.alias("b"), a.alias("a"))
+    e = (x.crossJoin(F.broadcast(co))
+         .select("x", "n",
+                 F.round(F.col("y").cast("double") - F.col("a")
+                         - F.col("b") * F.col("x").cast("double"), 0)
+                 .cast("bigint").alias("ec")))
+    sig = e.agg(F.sqrt(F.sum(F.col("ec").cast("decimal(38,0)")
+                             * F.col("ec")).cast("double")
+                       / (F.max("n") - 2).cast("double")).alias("sd"))
+    z = F.col("ec").cast("double") / F.col("sd")
+    u = (e.crossJoin(F.broadcast(sig))
+         .select("x", F.round(z * z * 1000000.0, 0).cast("bigint")
+                 .alias("uq")))
+    aux = u.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("x").cast("bigint").alias("sx"),
+                F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+                F.sum("uq").cast("bigint").alias("su"),
+                F.sum(F.col("x") * F.col("uq")).cast("bigint").alias("sxu"),
+                F.sum(F.col("uq").cast("decimal(38,0)") * F.col("uq"))
+                .cast("decimal(38,0)").alias("suu"))
+    nd2 = F.col("n").cast("double")
+    num = (nd2 * F.col("sxu").cast("double")
+           - F.col("sx").cast("double") * F.col("su").cast("double"))
+    r2 = (num * num
+          / ((nd2 * F.col("sxx").cast("double")
+              - F.col("sx").cast("double") * F.col("sx").cast("double"))
+             * (nd2 * F.col("suu").cast("double")
+                - F.col("su").cast("double") * F.col("su").cast("double"))))
+    return aux.select(
+        F.col("n").alias("n_hours"),
+        F.round(r2, 6).alias("r2_aux"),
+        F.round(nd2 * r2, 6).alias("bp_lm"),
+        (nd2 * r2 > F.lit(_BP_CHI2_95)).alias("heteroskedastic"))
+
+
+# ---------------------------------------------------------------------------
+# Dickey-Fuller unit-root test (constant, no trend; asymptotic 5%)
+# ---------------------------------------------------------------------------
+
+# asymptotic 5% critical value of the constant-only DF tau distribution
+_DF_TAU_95 = -2.86
+
+_DF_ORACLE = f"""
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+), p AS (
+  SELECT y - lag(y) OVER (ORDER BY day) AS dy,
+         lag(y) OVER (ORDER BY day) AS x
+  FROM d
+), q AS (
+  SELECT dy, x FROM p WHERE x IS NOT NULL
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sdy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * dy) AS DECIMAL(38,0)) AS sxdy
+  FROM q
+), co AS (
+  SELECT n, sx, sxx,
+         (CAST(n AS DOUBLE) * CAST(sxdy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sdy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS g,
+         CAST(sdy AS DOUBLE) / CAST(n AS DOUBLE)
+         - ((CAST(n AS DOUBLE) * CAST(sxdy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sdy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS al
+  FROM s
+), r AS (
+  SELECT co.n, co.sx, co.sxx, co.g,
+         CAST(SUM(CAST(CAST(round(CAST(q.dy AS DOUBLE) - co.al
+                                  - co.g * CAST(q.x AS DOUBLE), 0)
+                            AS BIGINT) AS DECIMAL(38,0))
+                  * CAST(round(CAST(q.dy AS DOUBLE) - co.al
+                               - co.g * CAST(q.x AS DOUBLE), 0)
+                         AS BIGINT)) AS DECIMAL(38,0)) AS sse
+  FROM q CROSS JOIN co
+  GROUP BY co.n, co.sx, co.sxx, co.g
+)
+SELECT n AS n_obs, round(g, 6) AS gamma,
+       round(g / sqrt((CAST(sse AS DOUBLE) / CAST(n - 2 AS DOUBLE))
+                      * CAST(n AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))), 6)
+         AS df_tstat,
+       g / sqrt((CAST(sse AS DOUBLE) / CAST(n - 2 AS DOUBLE))
+                * CAST(n AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+       < {_DF_TAU_95!r} AS reject_unit_root
+FROM r
+"""
+
+
+@register("ts_dickey_fuller_unit_root", oracle=_DF_ORACLE)
+def ts_dickey_fuller_unit_root(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Dickey–Fuller unit-root test (constant, no trend) on daily
+    purchase revenue: regress Δyₜ on yₜ₋₁ and read γ̂'s t-ratio against
+    the FROZEN asymptotic 5%% τ point (−2.86; τ is NOT Student-t, which
+    is why the threshold must be a DF-table literal) — the
+    is-this-series-mean-reverting gate run before trusting any
+    trend/forecast op's extrapolation (a unit root means shocks are
+    permanent). All regression inputs are exact BIGINT/decimal(38,0)
+    sums over the calendar-bounded daily domain; residuals quantize to
+    whole cents so SSE is an exact integer fold.
+
+    Scale shape: ≤366-row daily fold, one lag window on the bounded
+    domain, one broadcast coefficient row, one residual fold."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type") == "purchase"))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    d = (ev.select(F.date_trunc("day", F.col("ts")).alias("day"),
+                   cents.alias("c"))
+         .groupBy("day")
+         .agg(F.sum("c").cast("bigint").alias("y")))
+    w = Window.orderBy("day")
+    q = (d.select((F.col("y") - F.lag("y").over(w)).alias("dy"),
+                  F.lag("y").over(w).alias("x"))
+         .where(F.col("x").isNotNull()))
+    s = q.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("x").cast("bigint").alias("sx"),
+              F.sum("dy").cast("bigint").alias("sdy"),
+              F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+              .cast("decimal(38,0)").alias("sxx"),
+              F.sum(F.col("x").cast("decimal(38,0)") * F.col("dy"))
+              .cast("decimal(38,0)").alias("sxdy"))
+    nd = F.col("n").cast("double")
+    g = ((nd * F.col("sxdy").cast("double")
+          - F.col("sx").cast("double") * F.col("sdy").cast("double"))
+         / (nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")))
+    al = (F.col("sdy").cast("double") / nd
+          - g * F.col("sx").cast("double") / nd)
+    co = s.select("n", "sx", "sxx", g.alias("g"), al.alias("al"))
+    ehat = F.round(F.col("dy").cast("double") - F.col("al")
+                   - F.col("g") * F.col("x").cast("double"), 0) \
+        .cast("bigint")
+    r = (q.crossJoin(F.broadcast(co))
+         .groupBy("n", "sx", "sxx", "g")
+         .agg(F.sum(ehat.cast("decimal(38,0)") * ehat)
+              .cast("decimal(38,0)").alias("sse")))
+    nd2 = F.col("n").cast("double")
+    se = F.sqrt((F.col("sse").cast("double")
+                 / (F.col("n") - 2).cast("double")) * nd2
+                / (nd2 * F.col("sxx").cast("double")
+                   - F.col("sx").cast("double")
+                     * F.col("sx").cast("double")))
+    t = F.col("g") / se
+    return r.select(F.col("n").alias("n_obs"),
+                    F.round(F.col("g"), 6).alias("gamma"),
+                    F.round(t, 6).alias("df_tstat"),
+                    (t < F.lit(_DF_TAU_95)).alias("reject_unit_root"))
+
+
+# ---------------------------------------------------------------------------
+# 3-hop harmonic closeness centrality
+# ---------------------------------------------------------------------------
+
+# seed-pivot contract: exact 3-hop closeness for the 64 vertices with
+# the smallest deterministic md5 keys (the HyperBall-era answer to "you
+# cannot enumerate all-pairs distances on a dense graph") — frontier
+# joins stay O(seeds · ball), never O(V²).
+_CLOSENESS_SEEDS = 64
+_CLOSENESS_SEED_SALT = "lts-r7-closeness"
+
+_CLOSENESS_ORACLE = f"""
+WITH raw AS (
+  SELECT l_partkey AS src,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey,
+                                        l_suppkey) AS dst
+  FROM lineitem
+), e0 AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE dst IS NOT NULL AND src <> dst
+), p1 AS (
+  SELECT a AS v, b AS u FROM e0 UNION SELECT b, a FROM e0
+), seeds AS (
+  SELECT v AS s FROM (SELECT DISTINCT v FROM p1)
+  ORDER BY CAST(concat('0x', substring(md5(CAST(v AS VARCHAR)
+                                           || ':{_CLOSENESS_SEED_SALT}'),
+                                       1, 15)) AS BIGINT), v
+  LIMIT {_CLOSENESS_SEEDS}
+), d1 AS (
+  SELECT seeds.s, p1.u FROM seeds JOIN p1 ON p1.v = seeds.s
+), d2 AS (
+  SELECT DISTINCT d1.s, p1.u FROM d1 JOIN p1 ON p1.v = d1.u
+  WHERE p1.u <> d1.s
+  EXCEPT SELECT s, u FROM d1
+), d3 AS (
+  SELECT DISTINCT d2.s, p1.u FROM d2 JOIN p1 ON p1.v = d2.u
+  WHERE p1.u <> d2.s
+  EXCEPT (SELECT s, u FROM d1 UNION SELECT s, u FROM d2)
+), c AS (
+  SELECT s,
+         CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM (
+    SELECT s, 1 AS d FROM d1 UNION ALL
+    SELECT s, 2 FROM d2 UNION ALL
+    SELECT s, 3 FROM d3
+  ) GROUP BY s
+)
+SELECT CAST(s AS BIGINT) AS partkey, n1, n2, n3,
+       round(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) / 2.0
+             + CAST(n3 AS DOUBLE) / 3.0, 6) AS harmonic_3
+FROM c
+ORDER BY harmonic_3 DESC, partkey
+"""
+
+
+@register("graph_closeness_harmonic_3hop", oracle=_CLOSENESS_ORACLE)
+def graph_closeness_harmonic_3hop(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Harmonic closeness centrality truncated at radius 3, computed
+    EXACTLY for a deterministic 64-vertex seed pivot set:
+    Σ_{u≠s, d(s,u)≤3} 1/d = n₁ + n₂/2 + n₃/3 per seed — the
+    who-is-CLOSE-to-everything measure beside the walk-counting family
+    (Katz counts paths, closeness counts DISTANCES; the harmonic form
+    drops unreachable pairs instead of zeroing out). Seed-pivoting is
+    the load-bearing scale decision: the co-purchase graph is DENSE
+    (the 3-hop ball covers most of V, so all-vertex shells are O(V²)
+    pairs — measured 4M pairs with a 110M-row join intermediate at
+    sf0.01, the thing that OOMs a 1 GB driver), while seeded frontier
+    expansion is O(seeds · ball) with exact-distance shells via
+    set-difference (dist-2 = 2-step minus dist-1; dist-3 = 3-step
+    minus closer). Seeds are the 64 smallest deterministic md5 keys —
+    the fixed-size pivot-sampling contract production closeness
+    (HyperBall-style) uses on billion-edge graphs.
+
+    Scale shape: a broadcast 64-row seed spine; per level one
+    seed-local equi-join + distinct fold; every count exact."""
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    raw = (li.select(F.col("l_partkey").alias("src"),
+                     F.lead("l_partkey").over(w).alias("dst"))
+           .where(F.col("dst").isNotNull()
+                  & (F.col("src") != F.col("dst"))))
+    e0 = (raw.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+          .distinct())
+    p1 = (e0.select(F.col("a").alias("v"), F.col("b").alias("u"))
+          .union(e0.select(F.col("b").alias("v"), F.col("a").alias("u")))
+          .distinct()
+          .localCheckpoint(eager=False))  # all three levels reuse it
+    key = F.conv(F.substring(
+        F.md5(F.concat(F.col("v").cast("string"),
+                       F.lit(f":{_CLOSENESS_SEED_SALT}"))), 1, 15), 16, 10) \
+        .cast("bigint")
+    seeds = (p1.select("v").distinct()
+             .orderBy(key, "v").limit(_CLOSENESS_SEEDS)
+             .select(F.col("v").alias("s")))
+    d1 = (F.broadcast(seeds)
+          .join(p1, seeds["s"] == p1["v"])
+          .select("s", "u"))
+    d2 = (d1.alias("x")
+          .join(p1.alias("y"), F.col("y.v") == F.col("x.u"))
+          .where(F.col("y.u") != F.col("x.s"))
+          .select(F.col("x.s").alias("s"), F.col("y.u").alias("u"))
+          .distinct()
+          .subtract(d1)
+          .localCheckpoint(eager=False))  # level 3 + the fold reuse it
+    d3 = (d2.alias("x")
+          .join(p1.alias("y"), F.col("y.v") == F.col("x.u"))
+          .where(F.col("y.u") != F.col("x.s"))
+          .select(F.col("x.s").alias("s"), F.col("y.u").alias("u"))
+          .distinct()
+          .subtract(d1).subtract(d2))
+    shells = (d1.select("s", F.lit(1).alias("d"))
+              .unionAll(d2.select("s", F.lit(2).alias("d")))
+              .unionAll(d3.select("s", F.lit(3).alias("d"))))
+    c = (shells.groupBy("s")
+         .agg(F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+              .cast("bigint").alias("n1"),
+              F.sum(F.when(F.col("d") == 2, 1).otherwise(0))
+              .cast("bigint").alias("n2"),
+              F.sum(F.when(F.col("d") == 3, 1).otherwise(0))
+              .cast("bigint").alias("n3")))
+    harm = (F.col("n1").cast("double") + F.col("n2").cast("double") / 2.0
+            + F.col("n3").cast("double") / 3.0)
+    return (c.select(F.col("s").cast("bigint").alias("partkey"),
+                     "n1", "n2", "n3",
+                     F.round(harm, 6).alias("harmonic_3"))
+            .orderBy(F.col("harmonic_3").desc(), "partkey"))
+
+
+# ---------------------------------------------------------------------------
+# hapax-legomena / type-token profile per source
+# ---------------------------------------------------------------------------
+
+_HAPAX_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), tg AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+       round(CAST(COUNT(*) FILTER (WHERE c = 1) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio,
+       round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+         AS type_token_ratio
+FROM tg GROUP BY source ORDER BY source
+"""
+
+
+@register("llm_hapax_ratio_per_source", oracle=_HAPAX_ORACLE)
+def llm_hapax_ratio_per_source(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Hapax-legomena share and type/token ratio per source feed — the
+    lexical-freshness profile between llm_zipf_fit (the law) and
+    llm_vocab_growth_heaps (the curve): a source whose hapax share
+    collapses is recycling text (bot/boilerplate feeds score low, fresh
+    human text keeps ~40–60%% singletons), making this a per-SOURCE
+    crawl-quality gate. Counts are exact: one (source, token) fold,
+    then one per-source fold over the type table.
+
+    Scale shape: one token-grain combinable groupBy (the vocabulary
+    table), one source-grain fold — the corpus is scanned once; no
+    windows, no joins."""
+    d = load_table(spark, "documents", sf_dir)
+    tg = (d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+          .groupBy("source", "tok")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    return (tg.groupBy("source")
+            .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_types"),
+                 F.count(F.when(F.col("c") == 1, 1)).cast("bigint")
+                 .alias("n_hapax"))
+            .select("source", "n_tokens", "n_types", "n_hapax",
+                    F.round(F.col("n_hapax").cast("double")
+                            / F.col("n_types").cast("double"), 6)
+                    .alias("hapax_ratio"),
+                    F.round(F.col("n_types").cast("double")
+                            / F.col("n_tokens").cast("double"), 6)
+                    .alias("type_token_ratio"))
+            .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# geometric / harmonic means via domain collapse
+# ---------------------------------------------------------------------------
+
+_GEO_HARM_ORACLE = """
+WITH dom AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS xc,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(round(value * 100, 0) AS BIGINT)
+), s AS (
+  SELECT event_type,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(xc * c) AS BIGINT) AS sx,
+         CAST(SUM(c * CAST(round(ln(CAST(xc AS DOUBLE)) * 1000000.0, 0)
+                           AS BIGINT)) AS BIGINT) AS slnq,
+         CAST(SUM(c * CAST(round(1000000000000.0 / CAST(xc AS DOUBLE), 0)
+                           AS BIGINT)) AS BIGINT) AS sinvq
+  FROM dom GROUP BY event_type
+)
+SELECT event_type, n,
+       round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS arith_mean_cents,
+       round(exp(CAST(slnq AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0), 6)
+         AS geo_mean_cents,
+       round(CAST(n AS DOUBLE) * 1000000000000.0 / CAST(sinvq AS DOUBLE), 6)
+         AS harm_mean_cents
+FROM s ORDER BY event_type
+"""
+
+
+@register("agg_geometric_harmonic_mean", oracle=_GEO_HARM_ORACLE)
+def agg_geometric_harmonic_mean(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The full Pythagorean-means panel per event type (harmonic ≤
+    geometric ≤ arithmetic): geometric mean = exp(Σln x / n), harmonic
+    = n/Σ(1/x) — the right locations for RATE- and RATIO-shaped data
+    the plain mean overstates. Both transcendental folds collapse to
+    the bounded CENTS DOMAIN first (one ln / one reciprocal per
+    DISTINCT value, quantized to fixed-point integers, then weighted
+    by exact counts), so the corpus-side fold is a plain BIGINT sum —
+    no float-order hazard and only ~49k ln calls at ANY corpus size.
+
+    Scale shape: one combinable (type, value) domain collapse, one
+    5-group fold; corpus scanned once."""
+    ev = load_table(spark, "events", sf_dir)
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    dom = (ev.select("event_type", xc.alias("xc"))
+           .groupBy("event_type", "xc")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    lnq = F.round(F.log(F.col("xc").cast("double")) * 1000000.0, 0) \
+        .cast("bigint")
+    invq = F.round(F.lit(1000000000000.0) / F.col("xc").cast("double"), 0) \
+        .cast("bigint")
+    s = (dom.groupBy("event_type")
+         .agg(F.sum("c").cast("bigint").alias("n"),
+              F.sum(F.col("xc") * F.col("c")).cast("bigint").alias("sx"),
+              F.sum(F.col("c") * lnq).cast("bigint").alias("slnq"),
+              F.sum(F.col("c") * invq).cast("bigint").alias("sinvq")))
+    nd = F.col("n").cast("double")
+    return (s.select(
+        "event_type", "n",
+        F.round(F.col("sx").cast("double") / nd, 6)
+        .alias("arith_mean_cents"),
+        F.round(F.exp(F.col("slnq").cast("double") / nd / 1000000.0), 6)
+        .alias("geo_mean_cents"),
+        F.round(nd * 1000000000000.0 / F.col("sinvq").cast("double"), 6)
+        .alias("harm_mean_cents"))
+        .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# schema drift audit (actual parquet schema vs frozen expected spec)
+# ---------------------------------------------------------------------------
+
+# frozen expected contract for the events feed: session_id is
+# deliberately expected-but-absent and value is expected decimal(10,2)
+# but lands as double, so both failure classes demonstrably fire;
+# props is deliberately NOT in the spec, so the extra-column class
+# fires too.
+_EXPECTED_EVENTS_SPEC = (
+    ("event_id", "bigint"),
+    ("ts", "timestamp_ntz"),  # parquet isAdjustedToUTC=false => NTZ
+    ("user_id", "bigint"),
+    ("event_type", "string"),
+    ("value", "decimal(10,2)"),
+    ("session_id", "string"),
+)
+
+_SCHEMA_DRIFT_ORACLE = """
+SELECT * FROM (VALUES
+  ('event_id',   'bigint',        'bigint',    'ok'),
+  ('event_type', 'string',        'string',    'ok'),
+  ('props',      NULL,            'string',    'extra'),
+  ('session_id', 'string',        NULL,        'missing'),
+  ('ts',         'timestamp_ntz', 'timestamp_ntz', 'ok'),
+  ('user_id',    'bigint',        'bigint',    'ok'),
+  ('value',      'decimal(10,2)', 'double',    'type_mismatch')
+) AS t(column_name, expected_type, actual_type, status)
+ORDER BY column_name
+"""
+
+
+@register("dq_schema_drift_report", oracle=_SCHEMA_DRIFT_ORACLE)
+def dq_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift audit of the events feed against a FROZEN expected
+    contract: per column, ok / type_mismatch / missing / extra — the
+    catch-it-before-the-job-fails gate an ingestion pipeline runs when
+    an upstream producer redeploys (the top real-world cause of silent
+    batch corruption; dq_expectations_report audits VALUES, this audits
+    the SHAPE). The actual schema is read from the parquet footer
+    (self-describing, NOT the engine's explicit load schema — drift
+    detection must see what the producer wrote); the spec deliberately
+    disagrees in all three failure classes so each detector
+    demonstrably fires.
+
+    Scale shape: pure metadata — one parquet-footer read on the
+    driver, zero data rows scanned; the report is ≤|columns| rows."""
+    import os
+
+    actual = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")).schema
+    act = {f.name: f.dataType.simpleString() for f in actual.fields}
+    exp = dict(_EXPECTED_EVENTS_SPEC)
+    rows = []
+    for col in sorted(set(act) | set(exp)):
+        e, a = exp.get(col), act.get(col)
+        status = ("missing" if a is None else
+                  "extra" if e is None else
+                  "ok" if e == a else "type_mismatch")
+        rows.append((col, e, a, status))
+    return spark.createDataFrame(
+        rows, "column_name string, expected_type string, "
+              "actual_type string, status string").orderBy("column_name")

@@ -326,7 +326,10 @@ def test_seventh_ring_partition_invariance(spark):
             "ml_mcc_threshold_sweep", "dq_cross_field_consistency",
             "seq_interpurchase_quantiles", "ts_hurst_rs",
             "graph_label_propagation_sync", "llm_eval_chrf",
-            "scan_txlog_checkpoint"]
+            "scan_txlog_checkpoint",
+            "stat_breusch_pagan", "ts_dickey_fuller_unit_root",
+            "graph_closeness_harmonic_3hop", "llm_hapax_ratio_per_source",
+            "agg_geometric_harmonic_mean", "dq_schema_drift_report"]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     baseline = {k: sorted(map(tuple, registry.get(k).fn(spark, SF_DIR)
                               .collect())) for k in keys}

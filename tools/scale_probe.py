@@ -133,6 +133,13 @@ QUERY_TABLES = {
     "llm_style_fingerprint": {"documents"},
     "llm_boilerplate_share": {"documents"},
     "llm_span_corruption": {"documents"},
+    "graph_label_propagation_sync": {"lineitem"},
+    "llm_eval_chrf": {"documents"},
+    "dq_cross_field_consistency": {"lineitem", "orders", "events"},
+    "seq_interpurchase_quantiles": {"events"},
+    "ml_mcc_threshold_sweep": {"events"},
+    "stat_durbin_watson": {"events"},
+    "ts_hurst_rs": {"events"},
     "llm_retrieval_bm25_topk": {"documents"},
     "ts_cumulative_distinct_users": {"events"},
     "date_business_days": {"orders"},
