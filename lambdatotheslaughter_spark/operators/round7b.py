@@ -1814,3 +1814,321 @@ def dq_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "column_name string, expected_type string, "
               "actual_type string, status string").orderBy("column_name")
+
+
+# ===========================================================================
+# round-7 ninth ring
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Granger causality (lag-1) between click and purchase revenue
+# ---------------------------------------------------------------------------
+
+# asymptotic F(1, inf) = chi-square(1) upper 5% point, frozen
+_GRANGER_F_95 = 3.841458820694124
+
+_GRANGER_ORACLE = f"""
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS p,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+), l AS (
+  SELECT p AS y,
+         lag(p) OVER (ORDER BY day) AS x1,
+         lag(c) OVER (ORDER BY day) AS x2
+  FROM d
+), q AS (
+  SELECT y, x1, x2 FROM l WHERE x1 IS NOT NULL
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x1) AS DECIMAL(38,0)) AS s11,
+         CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * x2) AS DECIMAL(38,0)) AS s22,
+         CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x2) AS DECIMAL(38,0)) AS s12,
+         CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS s1y,
+         CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS s2y
+  FROM q
+), m AS (
+  -- centered normal equations, every input exact; doubles only here
+  SELECT n, sy, s1, s2,
+         CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS a11,
+         CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+           - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS a22,
+         CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS a12,
+         CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS b1,
+         CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE)
+           - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS b2
+  FROM s
+), co AS (
+  SELECT n, sy, s1, s2, a11, b1,
+         (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS bu1,
+         (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) AS bu2,
+         b1 / a11 AS br1
+  FROM m
+), fit AS (
+  SELECT co.n, co.bu1, co.bu2, co.br1,
+         (CAST(co.sy AS DOUBLE) - co.bu1 * CAST(co.s1 AS DOUBLE)
+          - co.bu2 * CAST(co.s2 AS DOUBLE)) / CAST(co.n AS DOUBLE) AS au,
+         (CAST(co.sy AS DOUBLE) - co.br1 * CAST(co.s1 AS DOUBLE))
+           / CAST(co.n AS DOUBLE) AS ar
+  FROM co
+), r AS (
+  SELECT fit.n, fit.bu1, fit.bu2,
+         CAST(SUM(CAST(CAST(round(CAST(q.y AS DOUBLE) - fit.au
+                                  - fit.bu1 * CAST(q.x1 AS DOUBLE)
+                                  - fit.bu2 * CAST(q.x2 AS DOUBLE), 0)
+                            AS BIGINT) AS DECIMAL(38,0))
+                  * CAST(round(CAST(q.y AS DOUBLE) - fit.au
+                               - fit.bu1 * CAST(q.x1 AS DOUBLE)
+                               - fit.bu2 * CAST(q.x2 AS DOUBLE), 0)
+                         AS BIGINT)) AS DECIMAL(38,0)) AS sse_u,
+         CAST(SUM(CAST(CAST(round(CAST(q.y AS DOUBLE) - fit.ar
+                                  - fit.br1 * CAST(q.x1 AS DOUBLE), 0)
+                            AS BIGINT) AS DECIMAL(38,0))
+                  * CAST(round(CAST(q.y AS DOUBLE) - fit.ar
+                               - fit.br1 * CAST(q.x1 AS DOUBLE), 0)
+                         AS BIGINT)) AS DECIMAL(38,0)) AS sse_r
+  FROM q CROSS JOIN fit
+  GROUP BY fit.n, fit.bu1, fit.bu2
+)
+SELECT n AS n_obs,
+       round(bu1, 6) AS own_lag_coef,
+       round(bu2, 6) AS click_lag_coef,
+       round((CAST(sse_r AS DOUBLE) - CAST(sse_u AS DOUBLE))
+             / (CAST(sse_u AS DOUBLE) / CAST(n - 3 AS DOUBLE)), 6)
+         AS f_stat,
+       (CAST(sse_r AS DOUBLE) - CAST(sse_u AS DOUBLE))
+         / (CAST(sse_u AS DOUBLE) / CAST(n - 3 AS DOUBLE))
+         > {_GRANGER_F_95!r} AS clicks_granger_cause_purchases
+FROM r
+"""
+
+
+@register("ts_granger_lag1", oracle=_GRANGER_ORACLE)
+def ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger causality: do yesterday's CLICK cents help predict
+    today's PURCHASE cents beyond purchases' own lag? F-test of the
+    restricted (own-lag-only) vs unrestricted (+ click lag) regression
+    — the predictive-precedence readout behind ts_xcorr_lead_lag's
+    descriptive correlations. The 2-regressor OLS is solved in CLOSED
+    FORM from centered normal equations whose inputs are all exact
+    BIGINT/decimal(38,0) sums over the calendar-bounded daily domain;
+    both models' residuals quantize to whole cents so the two SSEs are
+    exact integer folds; the F decision uses the frozen asymptotic
+    F(1,∞)=χ²₁ 5%% point (documented large-n choice).
+
+    Scale shape: one daily two-series fold (≤366 rows at any corpus
+    size), one lag window on the bounded domain, one broadcast
+    coefficient row, one residual fold."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    d = (ev.select(F.date_trunc("day", F.col("ts")).alias("day"),
+                   F.when(F.col("event_type") == "purchase", cents)
+                   .otherwise(F.lit(0)).alias("pc"),
+                   F.when(F.col("event_type") == "click", cents)
+                   .otherwise(F.lit(0)).alias("cc"))
+         .groupBy("day")
+         .agg(F.sum("pc").cast("bigint").alias("p"),
+              F.sum("cc").cast("bigint").alias("c")))
+    w = Window.orderBy("day")
+    q = (d.select(F.col("p").alias("y"),
+                  F.lag("p").over(w).alias("x1"),
+                  F.lag("c").over(w).alias("x2"))
+         .where(F.col("x1").isNotNull()))
+    dec = lambda col: F.col(col).cast("decimal(38,0)")
+    s = q.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("y").cast("bigint").alias("sy"),
+              F.sum("x1").cast("bigint").alias("s1"),
+              F.sum("x2").cast("bigint").alias("s2"),
+              F.sum(dec("x1") * F.col("x1")).cast("decimal(38,0)")
+              .alias("s11"),
+              F.sum(dec("x2") * F.col("x2")).cast("decimal(38,0)")
+              .alias("s22"),
+              F.sum(dec("x1") * F.col("x2")).cast("decimal(38,0)")
+              .alias("s12"),
+              F.sum(dec("x1") * F.col("y")).cast("decimal(38,0)")
+              .alias("s1y"),
+              F.sum(dec("x2") * F.col("y")).cast("decimal(38,0)")
+              .alias("s2y"))
+    nd = F.col("n").cast("double")
+    dbl = lambda col: F.col(col).cast("double")
+    a11 = nd * dbl("s11") - dbl("s1") * dbl("s1")
+    a22 = nd * dbl("s22") - dbl("s2") * dbl("s2")
+    a12 = nd * dbl("s12") - dbl("s1") * dbl("s2")
+    b1 = nd * dbl("s1y") - dbl("s1") * dbl("sy")
+    b2 = nd * dbl("s2y") - dbl("s2") * dbl("sy")
+    det = a11 * a22 - a12 * a12
+    bu1 = (b1 * a22 - b2 * a12) / det
+    bu2 = (a11 * b2 - a12 * b1) / det
+    br1 = b1 / a11
+    au = (dbl("sy") - bu1 * dbl("s1") - bu2 * dbl("s2")) / nd
+    ar = (dbl("sy") - br1 * dbl("s1")) / nd
+    co = s.select("n", bu1.alias("bu1"), bu2.alias("bu2"),
+                  br1.alias("br1"), au.alias("au"), ar.alias("ar"))
+    eu = F.round(F.col("y").cast("double") - F.col("au")
+                 - F.col("bu1") * F.col("x1").cast("double")
+                 - F.col("bu2") * F.col("x2").cast("double"), 0) \
+        .cast("bigint")
+    er = F.round(F.col("y").cast("double") - F.col("ar")
+                 - F.col("br1") * F.col("x1").cast("double"), 0) \
+        .cast("bigint")
+    r = (q.crossJoin(F.broadcast(co))
+         .groupBy("n", "bu1", "bu2")
+         .agg(F.sum(eu.cast("decimal(38,0)") * eu)
+              .cast("decimal(38,0)").alias("sse_u"),
+              F.sum(er.cast("decimal(38,0)") * er)
+              .cast("decimal(38,0)").alias("sse_r")))
+    f = ((F.col("sse_r").cast("double") - F.col("sse_u").cast("double"))
+         / (F.col("sse_u").cast("double")
+            / (F.col("n") - 3).cast("double")))
+    return r.select(
+        F.col("n").alias("n_obs"),
+        F.round(F.col("bu1"), 6).alias("own_lag_coef"),
+        F.round(F.col("bu2"), 6).alias("click_lag_coef"),
+        F.round(f, 6).alias("f_stat"),
+        (f > F.lit(_GRANGER_F_95)).alias("clicks_granger_cause_purchases"))
+
+
+# ---------------------------------------------------------------------------
+# cost-sensitive operating point over the threshold sweep
+# ---------------------------------------------------------------------------
+
+# frozen unit costs in cents: a false positive wastes a 100-cent
+# incentive, a missed purchase forgoes 400 cents of margin
+_COST_FP = 100
+_COST_FN = 400
+
+_COST_CURVE_ORACLE = f"""
+WITH c AS (
+  SELECT event_type = 'purchase' AS pos,
+         CAST(round(value * 100, 0) AS BIGINT) AS xc
+  FROM events WHERE event_type IN ('click', 'purchase')
+), thr AS (
+  SELECT CAST(r * 5000 AS BIGINT) AS thr FROM range(1, 10) AS t(r)
+), cells AS (
+  SELECT thr,
+         CAST(COUNT(*) FILTER (WHERE NOT pos AND xc >= thr) AS BIGINT)
+           AS fp,
+         CAST(COUNT(*) FILTER (WHERE pos AND xc < thr) AS BIGINT) AS fn
+  FROM c CROSS JOIN thr GROUP BY thr
+), costed AS (
+  SELECT thr, fp, fn,
+         {_COST_FP} * fp + {_COST_FN} * fn AS expected_cost_cents
+  FROM cells
+)
+SELECT thr, fp, fn, expected_cost_cents,
+       expected_cost_cents = (SELECT MIN(expected_cost_cents) FROM costed)
+         AS is_min_cost
+FROM costed ORDER BY thr
+"""
+
+
+@register("ml_cost_curve_threshold", oracle=_COST_CURVE_ORACLE)
+def ml_cost_curve_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-sensitive operating point: expected misclassification cost
+    100·FP + 400·FN cents (frozen asymmetric cost matrix) at each of
+    the nine sweep thresholds, with the cost-minimizing row flagged — the
+    business-decision layer above ml_optimal_f1_threshold (F1 weighs
+    the two error types equally; deployments almost never do, and the
+    frozen asymmetric cost matrix is exactly how that enters). Every
+    quantity is an exact integer: counts from one conditional fold,
+    costs pure integer arithmetic, argmin by integer comparison
+    against a broadcast 1-row minimum.
+
+    Scale shape: the ×9 sweep is one broadcast-spine conditional fold
+    (one corpus pass); the min is a 9-row fold broadcast back."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    c = ev.select((F.col("event_type") == "purchase").alias("pos"),
+                  xc.alias("xc"))
+    thresholds = spark.range(1, 10).select(
+        (F.col("id") * 5000).cast("bigint").alias("thr"))
+    pred = F.col("xc") >= F.col("thr")
+    cells = (c.crossJoin(F.broadcast(thresholds))
+             .groupBy("thr")
+             .agg(F.count(F.when(~F.col("pos") & pred, 1)).cast("bigint")
+                  .alias("fp"),
+                  F.count(F.when(F.col("pos") & ~pred, 1)).cast("bigint")
+                  .alias("fn")))
+    costed = cells.select(
+        "thr", "fp", "fn",
+        (F.lit(_COST_FP) * F.col("fp") + F.lit(_COST_FN) * F.col("fn"))
+        .alias("expected_cost_cents"))
+    mn = costed.agg(F.min("expected_cost_cents").alias("mc"))
+    return (costed.crossJoin(F.broadcast(mn))
+            .select("thr", "fp", "fn", "expected_cost_cents",
+                    (F.col("expected_cost_cents") == F.col("mc"))
+                    .alias("is_min_cost"))
+            .orderBy("thr"))
+
+
+# ---------------------------------------------------------------------------
+# daily volume anomaly monitor (trailing-median robust flag)
+# ---------------------------------------------------------------------------
+
+_VOLUME_ANOMALY_ORACLE = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), t AS (
+  SELECT day, cnt,
+         median(cnt) OVER (ORDER BY day
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+           AS trail_med,
+         CAST(COUNT(*) OVER (ORDER BY day
+                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS n_trail
+  FROM d
+)
+SELECT day, cnt, round(trail_med, 6) AS trail_median,
+       2.0 * abs(CAST(cnt AS DOUBLE) - trail_med) > trail_med AS is_anomaly
+FROM t WHERE n_trail = 7 ORDER BY day
+"""
+
+
+@register("dq_volume_anomaly_daily", oracle=_VOLUME_ANOMALY_ORACLE)
+def dq_volume_anomaly_daily(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Daily ingest-volume anomaly monitor: each day's event count vs
+    the TRAILING 7-day median (excluding today — yesterday's outage
+    must not defend today's), flagged when the deviation exceeds half
+    the median — the robust feed-is-broken alarm next to
+    dq_freshness_lag's feed-is-stale one (medians shrug off the single
+    spike that would poison a trailing MEAN). Counts are exact; the
+    7-element frame median is exact in double (odd frame picks the
+    middle integer, the warm-up's even frames interpolate two integers
+    identically in both engines); the flag is the same
+    cross-multiplied comparison in both.
+
+    Scale shape: calendar-bounded daily fold (≤366 rows at any corpus
+    size); one sliding frame over the bounded domain; warm-up days
+    (fewer than 7 trailing observations) are excluded — the monitor
+    only speaks once it has a full baseline week."""
+    ev = load_table(spark, "events", sf_dir)
+    d = (ev.select(F.date_trunc("day", F.col("ts")).alias("day"))
+         .groupBy("day")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    wf = Window.orderBy("day").rowsBetween(-7, -1)
+    t = d.select(
+        "day", "cnt",
+        F.expr("percentile(cnt, 0.5)").over(wf).alias("trail_med"),
+        F.count(F.lit(1)).over(wf).cast("bigint").alias("n_trail"))
+    flag = (2.0 * F.abs(F.col("cnt").cast("double") - F.col("trail_med"))
+            > F.col("trail_med"))
+    return (t.where(F.col("n_trail") == 7)
+            .select("day", "cnt",
+                    F.round("trail_med", 6).alias("trail_median"),
+                    flag.alias("is_anomaly"))
+            .orderBy("day"))

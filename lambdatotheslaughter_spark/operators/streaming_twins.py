@@ -872,3 +872,44 @@ def stream_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: streaming state is calendar-bounded (one row per
     day); the batch twin is one combinable two-count fold."""
     return sprt_daily_counts(load_table(spark, "events", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# changepoint monitor state: streaming twin (round 7, ninth ring)
+# ---------------------------------------------------------------------------
+
+def changepoint_daily_revenue(events: DataFrame) -> DataFrame:
+    """ts_changepoint_cusum_argmax's INPUT state as a streaming-friendly
+    aggregate: per-day purchase cents (one state cell per calendar
+    day); the |CUSUM| argmax is one bounded-domain arithmetic step over
+    this table per micro-batch."""
+    return (events.where(F.col("event_type") == "purchase")
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+                 .cast("bigint").alias("cents")))
+
+
+_CHANGEPOINT_TWIN_ORACLE = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM events WHERE event_type = 'purchase'
+GROUP BY strftime(CAST(ts AS DATE), '%Y-%m-%d')
+"""
+
+
+@register("stream_changepoint_monitor", oracle=_CHANGEPOINT_TWIN_ORACLE)
+def stream_changepoint_monitor(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The changepoint detector's speed-layer half: the per-day revenue
+    state ts_changepoint_cusum_argmax maximizes its |CUSUM| over,
+    maintained as a plain streaming aggregate (complete mode; one state
+    cell per calendar day) — so did-the-level-shift fires the
+    micro-batch the break happens instead of at the nightly batch (the
+    stream_sprt_monitor pattern applied to changepoint detection).
+    Registered as the batch twin (house streaming convention);
+    test_streaming.py proves the harness-streamed form emits the
+    identical table.
+
+    Scale shape: streaming state is calendar-bounded (one row per
+    day); the batch twin is one combinable fold."""
+    return changepoint_daily_revenue(load_table(spark, "events", sf_dir))

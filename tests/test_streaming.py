@@ -648,3 +648,11 @@ def test_sprt_monitor_twin(spark, harness):
                  tw.sprt_daily_counts(
                      load_table(spark, "events", SMOKE_SF_DIR)),
                  "sprt_daily_counts")
+
+
+def test_changepoint_monitor_twin(spark, harness):
+    out = harness.run(tw.changepoint_daily_revenue, output_mode="complete")
+    _assert_same(out,
+                 tw.changepoint_daily_revenue(
+                     load_table(spark, "events", SMOKE_SF_DIR)),
+                 "changepoint_daily_revenue")
