@@ -1694,14 +1694,22 @@ WITH base AS (
            - CAST(s - s_t AS DOUBLE) / CAST(n - n_t AS DOUBLE) AS d_obs,
          ({_BH_U32} * n_t) // n AS thresh
   FROM per CROSS JOIN tot
-), reps AS (
-  SELECT CAST(unnest(range({_BH_B})) AS BIGINT) AS b
+), grp AS (
+  SELECT CAST(unnest(range({_BH_B // 4})) AS BIGINT) AS g
+), digests AS (
+  -- one md5 per (row, group); each digest yields FOUR u32 draws
+  SELECT base.cents, grp.g,
+         md5(concat(CAST(base.event_id AS VARCHAR), ':',
+                    CAST(grp.g AS VARCHAR))) AS m
+  FROM base CROSS JOIN grp
+), js AS (
+  SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS j
 ), fan AS (
-  SELECT tests.t, tests.thresh, reps.b, base.cents,
-         CAST(concat('0x', substring(md5(concat(
-              CAST(base.event_id AS VARCHAR), ':',
-              CAST(reps.b AS VARCHAR))), 1, 8)) AS BIGINT) AS u
-  FROM base CROSS JOIN reps CROSS JOIN tests
+  SELECT tests.t, tests.thresh, digests.g * 4 + js.j AS b, digests.cents,
+         CAST(concat('0x', substring(digests.m,
+                                     CAST(1 + 8 * js.j AS INTEGER), 8))
+              AS BIGINT) AS u
+  FROM digests CROSS JOIN js CROSS JOIN tests
 ), rep_diff AS (
   SELECT t, b,
          CAST(CAST(SUM(cents) FILTER (WHERE u < thresh) AS BIGINT)
@@ -1772,18 +1780,29 @@ def stat_bh_fdr_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("t", "n_t", "m", d_obs.alias("d_obs"),
                      F.floor(F.lit(_BH_U32) * F.col("n_t") / F.col("n"))
                      .cast("bigint").alias("thresh")))
-    reps = spark.range(_BH_B).toDF("b")
-    u = F.conv(F.substring(F.md5(F.concat(
-        F.col("event_id").cast("string"), F.lit(":"),
-        F.col("b").cast("string"))), 1, 8), 16, 10).cast("bigint")
-    # ONE md5 per (row, replicate); the k thresholds then partition the
-    # u32 domain into k+1 intervals, so the corpus folds ONCE to
-    # (replicate, interval) partials and each test's arm sums are prefix
-    # sums over <= 6 rows -- the first draft cross-joined the test
-    # dimension BEFORE the fold and recomputed the md5 k times (measured
-    # 39 s at sf0.1; this shape is ~4x cheaper)
-    fan0 = (base.crossJoin(F.broadcast(reps))
-            .select("b", "cents", u.alias("u")))
+    # ONE md5 per (row, replicate GROUP): a 128-bit digest carries FOUR
+    # independent u32 draws (hex chars 1-8, 9-16, 17-24, 25-32), so
+    # replicate b = 4g + j costs a quarter of an md5 -- the md5 fan-out
+    # dominates this query (one-draw-per-md5 measured 7.9 s at sf0.1;
+    # this shape cuts digest count 4x). The k thresholds then partition
+    # the u32 domain into k+1 intervals, so the corpus folds ONCE to
+    # (replicate, interval) partials and each test's arm sums are
+    # prefix sums over <= 6 rows -- the original draft cross-joined the
+    # test dimension BEFORE the fold and recomputed the md5 k times
+    # (measured 39 s at sf0.1).
+    groups = spark.range(_BH_B // 4).toDF("g")
+    m = F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":"),
+                       F.col("g").cast("string")))
+    draws = F.array(*[
+        F.struct((F.col("g") * 4 + j).cast("bigint").alias("b"),
+                 F.conv(F.substring("m", 1 + 8 * j, 8), 16, 10)
+                 .cast("bigint").alias("u"))
+        for j in range(4)])
+    fan0 = (base.crossJoin(F.broadcast(groups))
+            .select("cents", m.alias("m"), "g")
+            .select("cents", F.explode(draws).alias("d"))
+            .select(F.col("d.b").alias("b"), "cents",
+                    F.col("d.u").alias("u")))
     tarr = tests.agg(F.array_sort(F.collect_list("thresh")).alias("ta"))
     idx = F.size(F.filter(F.col("ta"), lambda th: F.col("u") >= th))
     partial = (fan0.crossJoin(F.broadcast(tarr))
