@@ -398,15 +398,22 @@ _BOOT_ORACLE = f"""
 WITH base AS (
   SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
   FROM events WHERE event_type = 'purchase'
-), reps AS (
-  SELECT CAST(unnest(range({_BOOT_B})) AS BIGINT) AS b
+), grp AS (
+  SELECT CAST(unnest(range({_BOOT_B // 4})) AS BIGINT) AS g
+), digests AS (
+  -- one md5 per (row, group); each digest yields FOUR u32 draws
+  SELECT base.cents, grp.g,
+         md5(concat(CAST(base.event_id AS VARCHAR), ':',
+                    CAST(grp.g AS VARCHAR))) AS m
+  FROM base CROSS JOIN grp
+), js AS (
+  SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS j
 ), weighted AS (
-  SELECT reps.b, base.cents,
-         {_boot_weight_sql("CAST(concat('0x', substring(md5(concat("
-                           "CAST(base.event_id AS VARCHAR), ':', "
-                           "CAST(reps.b AS VARCHAR))), 1, 8)) AS BIGINT)")}
+  SELECT digests.g * 4 + js.j AS b, digests.cents,
+         {_boot_weight_sql("CAST(concat('0x', substring(digests.m, "
+                           "CAST(1 + 8 * js.j AS INTEGER), 8)) AS BIGINT)")}
            AS w
-  FROM base CROSS JOIN reps
+  FROM digests CROSS JOIN js
 ), means AS (
   SELECT b,
          CAST(CAST(SUM(w * cents) AS BIGINT) AS DOUBLE)
@@ -454,16 +461,28 @@ def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select(
         "event_id",
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"))
-    reps = spark.range(_BOOT_B).select(F.col("id").alias("b"))
-    u = F.conv(F.substring(F.md5(F.concat(
-        F.col("event_id").cast("string"), F.lit(":"),
-        F.col("b").cast("string"))), 1, 8), 16, 10).cast("bigint")
-    w = F.when(u < _POIS_T[0], 0)
-    for k, t in enumerate(_POIS_T[1:], start=1):
-        w = w.when(u < t, k)
-    w = w.otherwise(len(_POIS_T))
-    weighted = base.crossJoin(F.broadcast(reps)).select(
-        "b", "cents", w.alias("w"))
+    # one md5 per (row, replicate GROUP); each 128-bit digest yields
+    # FOUR independent u32 draws (the stat_bh_fdr_permutation recipe)
+    groups = spark.range(_BOOT_B // 4).toDF("g")
+    m = F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":"),
+                       F.col("g").cast("string")))
+
+    def pois_w(u):
+        w = F.when(u < _POIS_T[0], 0)
+        for k, t in enumerate(_POIS_T[1:], start=1):
+            w = w.when(u < t, k)
+        return w.otherwise(len(_POIS_T))
+
+    draws = F.array(*[
+        F.struct((F.col("g") * 4 + j).cast("bigint").alias("b"),
+                 pois_w(F.conv(F.substring("m", 1 + 8 * j, 8), 16, 10)
+                        .cast("bigint")).alias("w"))
+        for j in range(4)])
+    weighted = (base.crossJoin(F.broadcast(groups))
+                .select("cents", m.alias("m"), "g")
+                .select("cents", F.explode(draws).alias("dr"))
+                .select(F.col("dr.b").alias("b"), "cents",
+                        F.col("dr.w").alias("w")))
     means = (weighted.groupBy("b")
              .agg((F.sum(F.col("w") * F.col("cents")).cast("bigint")
                    .cast("double")
@@ -1568,15 +1587,22 @@ WITH base AS (
     CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n2,
     CAST(SUM(cents) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS s2
   FROM base
-), reps AS (
-  SELECT CAST(unnest(range({_PERM_B})) AS BIGINT) AS b
+), grp AS (
+  SELECT CAST(unnest(range({_PERM_B // 4})) AS BIGINT) AS g
+), digests AS (
+  -- one md5 per (row, group); each digest yields FOUR u32 draws
+  SELECT base.cents, grp.g,
+         md5(concat(CAST(base.event_id AS VARCHAR), ':',
+                    CAST(grp.g AS VARCHAR))) AS m
+  FROM base CROSS JOIN grp
+), js AS (
+  SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS j
 ), relabeled AS (
-  SELECT reps.b, base.cents,
-         CAST(concat('0x', substring(md5(concat(
-              CAST(base.event_id AS VARCHAR), ':',
-              CAST(reps.b AS VARCHAR))), 1, 8)) AS BIGINT)
-           < {_PERM_HALF} AS in_a
-  FROM base CROSS JOIN reps
+  SELECT digests.g * 4 + js.j AS b, digests.cents,
+         CAST(concat('0x', substring(digests.m,
+                                     CAST(1 + 8 * js.j AS INTEGER), 8))
+              AS BIGINT) < {_PERM_HALF} AS in_a
+  FROM digests CROSS JOIN js
 ), rep_diff AS (
   SELECT b,
          CAST(CAST(SUM(cents) FILTER (WHERE in_a) AS BIGINT) AS DOUBLE)
@@ -1637,12 +1663,22 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is1, F.col("cents"))).cast("bigint").alias("s1"),
         F.count(F.when(~is1, 1)).cast("bigint").alias("n2"),
         F.sum(F.when(~is1, F.col("cents"))).cast("bigint").alias("s2"))
-    reps = spark.range(_PERM_B).select(F.col("id").alias("b"))
-    u = F.conv(F.substring(F.md5(F.concat(
-        F.col("event_id").cast("string"), F.lit(":"),
-        F.col("b").cast("string"))), 1, 8), 16, 10).cast("bigint")
-    relabeled = base.crossJoin(F.broadcast(reps)).select(
-        "b", "cents", (u < F.lit(_PERM_HALF)).alias("in_a"))
+    groups = spark.range(_PERM_B // 4).toDF("g")
+    # one md5 per (row, replicate GROUP); each 128-bit digest yields
+    # FOUR independent u32 draws (the stat_bh_fdr_permutation recipe) --
+    # a 4x digest-count cut over one-draw-per-md5
+    m = F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":"),
+                       F.col("g").cast("string")))
+    draws = F.array(*[
+        F.struct((F.col("g") * 4 + j).cast("bigint").alias("b"),
+                 (F.conv(F.substring("m", 1 + 8 * j, 8), 16, 10)
+                  .cast("bigint") < F.lit(_PERM_HALF)).alias("in_a"))
+        for j in range(4)])
+    relabeled = (base.crossJoin(F.broadcast(groups))
+                 .select("cents", m.alias("m"), "g")
+                 .select("cents", F.explode(draws).alias("dr"))
+                 .select(F.col("dr.b").alias("b"), "cents",
+                         F.col("dr.in_a").alias("in_a")))
     rep_diff = (relabeled.groupBy("b")
                 .agg((F.sum(F.when(F.col("in_a"), F.col("cents")))
                       .cast("bigint").cast("double")
