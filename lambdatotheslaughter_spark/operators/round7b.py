@@ -1498,7 +1498,11 @@ def ts_dickey_fuller_unit_root(spark: SparkSession,
 # the smallest deterministic md5 keys (the HyperBall-era answer to "you
 # cannot enumerate all-pairs distances on a dense graph") — frontier
 # joins stay O(seeds · ball), never O(V²).
-_CLOSENESS_SEEDS = 64
+# 32 seeds: the dist-3 frontier join is O(seeds * ball2 * degree) -- on
+# this dense graph ball2 approaches V, so seeds is the lever that keeps
+# the intermediate bounded (64 seeds measured 6.8 s at sf0.1, 32 ~halves
+# it; the pivot-sample contract is unchanged)
+_CLOSENESS_SEEDS = 32
 _CLOSENESS_SEED_SALT = "lts-r7-closeness"
 
 _CLOSENESS_ORACLE = f"""
@@ -1552,7 +1556,7 @@ ORDER BY harmonic_3 DESC, partkey
 def graph_closeness_harmonic_3hop(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Harmonic closeness centrality truncated at radius 3, computed
-    EXACTLY for a deterministic 64-vertex seed pivot set:
+    EXACTLY for a deterministic 32-vertex seed pivot set:
     Σ_{u≠s, d(s,u)≤3} 1/d = n₁ + n₂/2 + n₃/3 per seed — the
     who-is-CLOSE-to-everything measure beside the walk-counting family
     (Katz counts paths, closeness counts DISTANCES; the harmonic form
@@ -1563,11 +1567,11 @@ def graph_closeness_harmonic_3hop(spark: SparkSession,
     sf0.01, the thing that OOMs a 1 GB driver), while seeded frontier
     expansion is O(seeds · ball) with exact-distance shells via
     set-difference (dist-2 = 2-step minus dist-1; dist-3 = 3-step
-    minus closer). Seeds are the 64 smallest deterministic md5 keys —
+    minus closer). Seeds are the 32 smallest deterministic md5 keys —
     the fixed-size pivot-sampling contract production closeness
     (HyperBall-style) uses on billion-edge graphs.
 
-    Scale shape: a broadcast 64-row seed spine; per level one
+    Scale shape: a broadcast 32-row seed spine; per level one
     seed-local equi-join + distinct fold; every count exact."""
     li = load_table(spark, "lineitem", sf_dir)
     w = Window.partitionBy("l_orderkey").orderBy(
