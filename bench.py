@@ -95,6 +95,13 @@ HEADLINE = [
     "ts_hampel_filter",         # rolling-median despike window (round 7)
     "ml_lift_gains_table",      # bucketed-rank decile gains/lift (round 7)
     "seq_rfm_segments",         # 3x bucketed-ntile RFM rollup (round 7)
+    # round-7 seventh-to-ninth-ring representatives (all probed
+    # sub-linear at 10x and sub-second warm at sf0.1)
+    "ts_hurst_rs",              # R/S long-memory on the daily domain
+    "ml_mcc_threshold_sweep",   # one-pass MCC/Youden operating points
+    "dq_cross_field_consistency",  # cross-table rule audit (fact-fact join)
+    "seq_interpurchase_quantiles",  # domain-collapsed discrete gap quantiles
+    "stat_cochran_armitage_trend",  # 4-group trend fold
 ]
 
 
