@@ -2136,3 +2136,171 @@ def dq_volume_anomaly_daily(spark: SparkSession,
                     F.round("trail_med", 6).alias("trail_median"),
                     flag.alias("is_anomaly"))
             .orderBy("day"))
+
+
+# ===========================================================================
+# round-7 tenth ring
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# local bridges (Granovetter weak ties)
+# ---------------------------------------------------------------------------
+
+_LOCAL_BRIDGES_ORACLE = """
+WITH raw AS (
+  SELECT l_partkey AS src,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey,
+                                        l_suppkey) AS dst
+  FROM lineitem
+), e0 AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE dst IS NOT NULL AND src <> dst
+), adj AS (
+  SELECT a AS v, b AS u FROM e0 UNION ALL SELECT b, a FROM e0
+), common AS (
+  SELECT e0.a, e0.b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM e0
+  JOIN adj x ON x.v = e0.a
+  JOIN adj y ON y.v = e0.b AND y.u = x.u
+  GROUP BY e0.a, e0.b
+), flagged AS (
+  SELECT e0.a, e0.b,
+         COALESCE(common.n_common, 0) = 0 AS is_local_bridge
+  FROM e0 LEFT JOIN common ON common.a = e0.a AND common.b = e0.b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) FILTER (WHERE is_local_bridge) AS BIGINT)
+         AS n_local_bridges,
+       round(CAST(COUNT(*) FILTER (WHERE is_local_bridge) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS bridge_share
+FROM flagged
+"""
+
+
+@register("graph_local_bridges", oracle=_LOCAL_BRIDGES_ORACLE)
+def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local bridges in the co-purchase graph: edges whose endpoints
+    share NO common neighbor (span > 2) — Granovetter's weak ties, the
+    edges whose removal actually lengthens paths, and the structural
+    opposite of what graph_triangle_count / clustering_coefficient
+    measure (an edge in any triangle can never be a local bridge).
+    Common-neighbor counts come from the same wedge join the triangle
+    family uses; edges missing from the wedge output have zero common
+    neighbors via the LEFT join + COALESCE.
+
+    Scale shape: one wedge equi-join pair (the O(Σdeg²) triangle-count
+    budget — the known cost of any common-neighbor statistic, bounded
+    by degree-capping at extreme scale) + one combinable edge-grain
+    fold to a single summary row."""
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    raw = (li.select(F.col("l_partkey").alias("src"),
+                     F.lead("l_partkey").over(w).alias("dst"))
+           .where(F.col("dst").isNotNull()
+                  & (F.col("src") != F.col("dst"))))
+    e0 = (raw.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+          .distinct()
+          .localCheckpoint(eager=False))  # edge set feeds both sides
+    adj = (e0.select(F.col("a").alias("v"), F.col("b").alias("u"))
+           .unionAll(e0.select(F.col("b").alias("v"),
+                               F.col("a").alias("u"))))
+    x = adj.select(F.col("v").alias("xa"), F.col("u").alias("w1"))
+    y = adj.select(F.col("v").alias("yb"), F.col("u").alias("w2"))
+    common = (e0.join(x, F.col("a") == F.col("xa"))
+              .join(y, (F.col("b") == F.col("yb"))
+                    & (F.col("w1") == F.col("w2")))
+              .groupBy("a", "b")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_common")))
+    flagged = (e0.join(common, ["a", "b"], "left")
+               .select((F.coalesce("n_common", F.lit(0)) == 0)
+                       .alias("is_local_bridge")))
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.count(F.when(F.col("is_local_bridge"), 1)).cast("bigint")
+        .alias("n_local_bridges"),
+        F.round(F.count(F.when(F.col("is_local_bridge"), 1))
+                .cast("double") / F.count(F.lit(1)).cast("double"), 6)
+        .alias("bridge_share"))
+
+
+# ---------------------------------------------------------------------------
+# per-user path-entropy histogram
+# ---------------------------------------------------------------------------
+
+_PATH_ENTROPY_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+), pairs AS (
+  SELECT user_id, event_type || '>' || nxt AS pair
+  FROM seq WHERE nxt IS NOT NULL
+), pc AS (
+  SELECT user_id, pair, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs GROUP BY user_id, pair
+), per_user AS (
+  -- H = ln(n) - (1/n) * sum c*ln(c); each c*ln(c) term quantized 1e-6
+  SELECT user_id,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0, 0)
+                           AS BIGINT)) AS BIGINT) AS slc
+  FROM pc GROUP BY user_id
+), h AS (
+  SELECT user_id, n,
+         ln(CAST(n AS DOUBLE))
+           - CAST(slc AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS ent
+  FROM per_user WHERE n >= 5
+)
+SELECT CAST(floor(ent / 0.25) AS BIGINT) AS entropy_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       round(MIN(ent), 6) AS min_entropy,
+       round(MAX(ent), 6) AS max_entropy
+FROM h GROUP BY CAST(floor(ent / 0.25) AS BIGINT)
+ORDER BY entropy_bucket
+"""
+
+
+@register("seq_user_path_entropy", oracle=_PATH_ENTROPY_ORACLE)
+def seq_user_path_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-user PATH ENTROPY: the Shannon entropy of each
+    user's event-type transition distribution (≥5 transitions), bucketed
+    at 0.25 nats — the behavioral-diversity readout behind
+    seq_markov_transitions' corpus-level chain: bots and single-habit
+    users pool near zero, exploratory users near ln(25). Uses the
+    plug-in identity H = ln n − (Σ c·ln c)/n so the per-user fold needs
+    ONE quantized transcendental per (user, pair) row (exact BIGINT
+    sums; ln n enters once per user in the final tree), and the bucket
+    is an integer floor.
+
+    Scale shape: one user-partitioned lead window (key-parallel), one
+    (user, pair) fold, one user fold, one ≤14-bucket histogram fold —
+    no global windows anywhere."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lead("event_type").over(w).alias("nxt"))
+    pairs = (seq.where(F.col("nxt").isNotNull())
+             .select("user_id",
+                     F.concat("event_type", F.lit(">"), "nxt")
+                     .alias("pair")))
+    pc = (pairs.groupBy("user_id", "pair")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    lnq = F.round(F.log(F.col("c").cast("double")) * 1000000.0, 0) \
+        .cast("bigint")
+    per_user = (pc.groupBy("user_id")
+                .agg(F.sum("c").cast("bigint").alias("n"),
+                     F.sum(F.col("c") * lnq).cast("bigint").alias("slc")))
+    ent = (F.log(F.col("n").cast("double"))
+           - F.col("slc").cast("double") / F.col("n").cast("double")
+             / 1000000.0)
+    h = per_user.where(F.col("n") >= 5).select(ent.alias("ent"))
+    return (h.groupBy(F.floor(F.col("ent") / 0.25).cast("bigint")
+                      .alias("entropy_bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 F.round(F.min("ent"), 6).alias("min_entropy"),
+                 F.round(F.max("ent"), 6).alias("max_entropy"))
+            .orderBy("entropy_bucket"))

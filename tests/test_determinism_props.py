@@ -331,7 +331,8 @@ def test_seventh_ring_partition_invariance(spark):
             "graph_closeness_harmonic_3hop", "llm_hapax_ratio_per_source",
             "agg_geometric_harmonic_mean", "dq_schema_drift_report",
             "ts_granger_lag1", "ml_cost_curve_threshold",
-            "dq_volume_anomaly_daily", "stream_changepoint_monitor"]
+            "dq_volume_anomaly_daily", "stream_changepoint_monitor",
+            "graph_local_bridges", "seq_user_path_entropy"]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     baseline = {k: sorted(map(tuple, registry.get(k).fn(spark, SF_DIR)
                               .collect())) for k in keys}
