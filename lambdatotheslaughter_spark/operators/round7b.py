@@ -2304,3 +2304,365 @@ def seq_user_path_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("ent"), 6).alias("min_entropy"),
                  F.round(F.max("ent"), 6).alias("max_entropy"))
             .orderBy("entropy_bucket"))
+
+
+# ===========================================================================
+# round-7 eleventh ring
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Welch's heteroskedastic one-way ANOVA
+# ---------------------------------------------------------------------------
+
+_WELCH_ANOVA_ORACLE = """
+WITH c AS (
+  SELECT event_type AS t, CAST(round(value * 100, 0) AS BIGINT) AS xc
+  FROM events
+), per AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xc) AS BIGINT) AS s1,
+         CAST(SUM(CAST(xc AS DECIMAL(38,0)) * xc) AS DECIMAL(38,0)) AS s2
+  FROM c GROUP BY t
+), g AS (
+  SELECT t, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         CAST(n AS DOUBLE)
+           / ((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS w
+  FROM per
+), f1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         list_sum(list(w ORDER BY t)) AS bigw,
+         list_sum(list(w * mu ORDER BY t)) AS swmu
+  FROM g
+), f2 AS (
+  SELECT f1.k, f1.bigw,
+         list_sum(list(g.w * (g.mu - f1.swmu / f1.bigw)
+                           * (g.mu - f1.swmu / f1.bigw) ORDER BY g.t))
+           AS a_term,
+         list_sum(list((1.0 - g.w / f1.bigw) * (1.0 - g.w / f1.bigw)
+                       / CAST(g.n - 1 AS DOUBLE) ORDER BY g.t)) AS b_term
+  FROM g CROSS JOIN f1 GROUP BY f1.k, f1.bigw
+)
+SELECT k AS n_groups,
+       round(a_term / (CAST(k AS DOUBLE) - 1.0)
+             / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+                      / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+                      * b_term), 6) AS welch_f,
+       round((CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+             / (3.0 * b_term), 6) AS df2_welch
+FROM f2
+"""
+
+
+@register("stat_welch_anova", oracle=_WELCH_ANOVA_ORACLE)
+def stat_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroskedastic one-way ANOVA across the five event
+    types — what stat_anova_oneway_f should become once
+    stat_bartlett_test says the variances are UNEQUAL (classic ANOVA's
+    pooled variance is exactly the assumption Welch drops, weighting
+    each group by nᵢ/sᵢ²). Per-group moments are exact
+    BIGINT/decimal(38,0); the three cross-group float reductions
+    (ΣW, Σw·x̄ and then the A/B terms that depend on them) run as
+    FIXED-ORDER 5-term list folds in both engines (the
+    stat_anova_oneway_f rule), so no float sum depends on
+    partitioning; df₂ = (k²−1)/(3B) is the Welch–Satterthwaite
+    denominator d.f.
+
+    Scale shape: one combinable 5-group moment fold; both ordered
+    folds run over 5 rows — data-size-free after the first fold."""
+    ev = load_table(spark, "events", sf_dir)
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    per = (ev.select(F.col("event_type").alias("t"), xc.alias("xc"))
+           .groupBy("t")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("xc").cast("bigint").alias("s1"),
+                F.sum(F.col("xc").cast("decimal(38,0)") * F.col("xc"))
+                .cast("decimal(38,0)").alias("s2")))
+    mu = F.col("s1").cast("double") / F.col("n").cast("double")
+    w = (F.col("n").cast("double")
+         / ((F.col("s2").cast("double")
+             - F.col("s1").cast("double") * F.col("s1").cast("double")
+               / F.col("n").cast("double"))
+            / (F.col("n") - 1).cast("double")))
+    g = per.select("t", "n", mu.alias("mu"), w.alias("w"))
+
+    def ofold(expr, name):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("t"),
+                                                 expr.alias("x")))),
+            F.lit(0.0), lambda acc, s: acc + s["x"]).alias(name)
+
+    f1 = g.agg(F.count(F.lit(1)).cast("bigint").alias("k"),
+               ofold(F.col("w"), "bigw"),
+               ofold(F.col("w") * F.col("mu"), "swmu"))
+    j = g.crossJoin(F.broadcast(f1))
+    mw = F.col("swmu") / F.col("bigw")
+    f2 = (j.groupBy("k", "bigw")
+          .agg(ofold(F.col("w") * (F.col("mu") - mw)
+                     * (F.col("mu") - mw), "a_term"),
+               ofold((F.lit(1.0) - F.col("w") / F.col("bigw"))
+                     * (F.lit(1.0) - F.col("w") / F.col("bigw"))
+                     / (F.col("n") - 1).cast("double"), "b_term")))
+    kd = F.col("k").cast("double")
+    welch_f = (F.col("a_term") / (kd - 1.0)
+               / (F.lit(1.0) + 2.0 * (kd - 2.0) / (kd * kd - 1.0)
+                  * F.col("b_term")))
+    return f2.select(
+        F.col("k").alias("n_groups"),
+        F.round(welch_f, 6).alias("welch_f"),
+        F.round((kd * kd - 1.0) / (3.0 * F.col("b_term")), 6)
+        .alias("df2_welch"))
+
+
+# ---------------------------------------------------------------------------
+# Cronbach's alpha (internal consistency of the five hourly streams)
+# ---------------------------------------------------------------------------
+
+_CRONBACH_ORACLE = """
+WITH hours AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS h FROM events
+), types AS (
+  SELECT DISTINCT event_type AS t FROM events
+), obs AS (
+  SELECT date_trunc('hour', ts) AS h, event_type AS t,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT hours.h, types.t, COALESCE(obs.x, 0) AS x
+  FROM hours CROSS JOIN types
+  LEFT JOIN obs ON obs.h = hours.h AND obs.t = types.t
+), item AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS s2
+  FROM grid GROUP BY t
+), iv AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(MAX(n) AS BIGINT) AS n_obs,
+         list_sum(list((CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                          / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)
+                       ORDER BY t)) AS sum_item_var
+  FROM item
+), rowsum AS (
+  SELECT h, CAST(SUM(x) AS BIGINT) AS r FROM grid GROUP BY h
+), tv AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r) AS BIGINT) AS s1,
+         CAST(SUM(CAST(r AS DECIMAL(38,0)) * r) AS DECIMAL(38,0)) AS s2
+  FROM rowsum
+)
+SELECT iv.k AS k_items, iv.n_obs,
+       round(iv.sum_item_var / 10000.0, 6) AS sum_item_var_d2,
+       round((CAST(tv.s2 AS DOUBLE)
+              - CAST(tv.s1 AS DOUBLE) * CAST(tv.s1 AS DOUBLE)
+                / CAST(tv.n AS DOUBLE)) / CAST(tv.n - 1 AS DOUBLE)
+             / 10000.0, 6) AS total_var_d2,
+       round(CAST(iv.k AS DOUBLE) / (CAST(iv.k AS DOUBLE) - 1.0)
+             * (1.0 - iv.sum_item_var
+                      / ((CAST(tv.s2 AS DOUBLE)
+                          - CAST(tv.s1 AS DOUBLE) * CAST(tv.s1 AS DOUBLE)
+                            / CAST(tv.n AS DOUBLE))
+                         / CAST(tv.n - 1 AS DOUBLE))), 6)
+         AS cronbach_alpha
+FROM iv CROSS JOIN tv
+"""
+
+
+@register("stat_cronbach_alpha", oracle=_CRONBACH_ORACLE)
+def stat_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the five hourly revenue streams treated as
+    scale items (observations = hours, items = event types):
+    α = k/(k−1)·(1 − Σvarᵢ/var_total) — the do-these-series-move-
+    together internal-consistency coefficient psychometrics
+    standardized, and in a metrics platform the one-number check that a
+    composite 'engagement' index isn't averaging five unrelated
+    signals. The hour×type grid is DENSIFIED (missing cells are true
+    zeros — both engines build the same cross join), every variance
+    comes off exact integer/decimal moments, and the one cross-item
+    float sum is the fixed-order 5-term list fold.
+
+    Scale shape: one (hour, type) fold (calendar-bounded output), one
+    ≤8784×5 grid, two moment folds — data-size-free after the first
+    fold."""
+    ev = load_table(spark, "events", sf_dir)
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    obs = (ev.select(F.date_trunc("hour", F.col("ts")).alias("h"),
+                     F.col("event_type").alias("t"), xc.alias("c"))
+           .groupBy("h", "t")
+           .agg(F.sum("c").cast("bigint").alias("x")))
+    hours = obs.select("h").distinct()
+    types = obs.select("t").distinct()
+    grid = (hours.crossJoin(F.broadcast(types))
+            .join(obs, ["h", "t"], "left")
+            .select("h", "t", F.coalesce("x", F.lit(0)).alias("x"))
+            .localCheckpoint(eager=False))  # item + rowsum folds share it
+    item = (grid.groupBy("t")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum("x").cast("bigint").alias("s1"),
+                 F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+                 .cast("decimal(38,0)").alias("s2")))
+    var_i = ((F.col("s2").cast("double")
+              - F.col("s1").cast("double") * F.col("s1").cast("double")
+                / F.col("n").cast("double"))
+             / (F.col("n") - 1).cast("double"))
+    iv = item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("n").cast("bigint").alias("n_obs"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("t"),
+                                                 var_i.alias("v")))),
+            F.lit(0.0), lambda acc, s: acc + s["v"]).alias("sum_item_var"))
+    rowsum = (grid.groupBy("h")
+              .agg(F.sum("x").cast("bigint").alias("r")))
+    tv = rowsum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("s1"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("r"))
+        .cast("decimal(38,0)").alias("s2"))
+    var_t = ((F.col("s2").cast("double")
+              - F.col("s1").cast("double") * F.col("s1").cast("double")
+                / F.col("n").cast("double"))
+             / (F.col("n") - 1).cast("double"))
+    kd = F.col("k").cast("double")
+    return (iv.crossJoin(F.broadcast(tv))
+            .select(F.col("k").alias("k_items"), "n_obs",
+                    F.round(F.col("sum_item_var") / 10000.0, 6)
+                    .alias("sum_item_var_d2"),
+                    F.round(var_t / 10000.0, 6).alias("total_var_d2"),
+                    F.round(kd / (kd - 1.0)
+                            * (F.lit(1.0)
+                               - F.col("sum_item_var") / var_t), 6)
+                    .alias("cronbach_alpha")))
+
+
+# ---------------------------------------------------------------------------
+# cross-language shingle leakage
+# ---------------------------------------------------------------------------
+
+_XLANG_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, lang, g
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(l) - 1),
+                                 i -> l[i] || ' ' || l[i + 1] || ' '
+                                      || l[i + 2])) AS g
+    FROM toks
+  )
+), agg AS (
+  SELECT g, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM sh GROUP BY g
+)
+SELECT g AS shingle, n_langs, n_docs
+FROM agg WHERE n_langs >= 2
+ORDER BY n_langs DESC, n_docs DESC, shingle
+LIMIT 10
+"""
+
+
+@register("llm_cross_lang_leakage", oracle=_XLANG_ORACLE)
+def llm_cross_lang_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language shingle leakage: 3-token shingles that appear in
+    documents of TWO OR MORE languages, top-10 by language spread then
+    document reach — the multilingual-corpus contamination check
+    llm_contamination_ngram (train-vs-eval) doesn't cover: shared
+    boilerplate, code fragments and copy-paste spans that survive
+    language routing and make per-language dedup under-count. Exact
+    distinct counts per shingle; deterministic (n_langs, n_docs,
+    shingle) order.
+
+    Scale shape: per-doc bounded shingle explode, one distinct, one
+    shingle-keyed two-distinct fold; top-10 fuses to
+    TakeOrderedAndProject."""
+    d = load_table(spark, "documents", sf_dir)
+    l = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(l) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(l, i),
+                              F.element_at(l, i + 1),
+                              F.element_at(l, i + 2)))
+    sh = (d.select("doc_id", "lang", F.explode(grams).alias("g"))
+          .distinct())
+    agg = (sh.groupBy("g")
+           .agg(F.countDistinct("lang").cast("bigint").alias("n_langs"),
+                F.countDistinct("doc_id").cast("bigint").alias("n_docs")))
+    return (agg.where(F.col("n_langs") >= 2)
+            .select(F.col("g").alias("shingle"), "n_langs", "n_docs")
+            .orderBy(F.col("n_langs").desc(), F.col("n_docs").desc(),
+                     "shingle")
+            .limit(10))
+
+
+# ---------------------------------------------------------------------------
+# turning-point test of randomness
+# ---------------------------------------------------------------------------
+
+_TURNING_ORACLE = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+), t AS (
+  SELECT y,
+         lag(y) OVER (ORDER BY day) AS p,
+         lead(y) OVER (ORDER BY day) AS nx
+  FROM d
+), s AS (
+  SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE (p < y AND y > nx)
+                                  OR (p > y AND y < nx)) AS BIGINT) AS tp
+  FROM t WHERE p IS NOT NULL AND nx IS NOT NULL
+)
+SELECT n AS n_days, tp AS n_turning_points,
+       round(2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0, 6) AS expected_tp,
+       round((CAST(tp AS DOUBLE)
+              - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+             / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0), 6)
+         AS z_stat
+FROM s
+"""
+
+
+@register("ts_turning_points_test", oracle=_TURNING_ORACLE)
+def ts_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point test of randomness on daily purchase revenue: count
+    strict local peaks and troughs, compare to the i.i.d. expectation
+    2(n−2)/3 with variance (16n−29)/90 — the oscillation-grain
+    randomness check beside stat_runs_test_wald_wolfowitz's
+    above/below-median runs (turning points see short-period
+    oscillation; runs see level persistence). The count is an exact
+    integer off one lag/lead window over the calendar-bounded domain;
+    the z is a single identical tree.
+
+    Scale shape: ≤366-row daily fold; one bounded-domain window; one
+    two-count fold to a single row."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type") == "purchase"))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    d = (ev.select(F.date_trunc("day", F.col("ts")).alias("day"),
+                   cents.alias("c"))
+         .groupBy("day")
+         .agg(F.sum("c").cast("bigint").alias("y")))
+    w = Window.orderBy("day")
+    t = d.select("y", F.lag("y").over(w).alias("p"),
+                 F.lead("y").over(w).alias("nx"))
+    nrow = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    turn = ((F.col("p") < F.col("y")) & (F.col("y") > F.col("nx"))) | \
+           ((F.col("p") > F.col("y")) & (F.col("y") < F.col("nx")))
+    s = (t.where(F.col("p").isNotNull() & F.col("nx").isNotNull())
+         .agg(F.count(F.when(turn, 1)).cast("bigint").alias("tp"))
+         .crossJoin(F.broadcast(nrow)))
+    nd = F.col("n").cast("double")
+    exp_tp = 2.0 * (nd - 2.0) / 3.0
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.col("tp").alias("n_turning_points"),
+        F.round(exp_tp, 6).alias("expected_tp"),
+        F.round((F.col("tp").cast("double") - exp_tp)
+                / F.sqrt((16.0 * nd - 29.0) / 90.0), 6).alias("z_stat"))

@@ -332,7 +332,9 @@ def test_seventh_ring_partition_invariance(spark):
             "agg_geometric_harmonic_mean", "dq_schema_drift_report",
             "ts_granger_lag1", "ml_cost_curve_threshold",
             "dq_volume_anomaly_daily", "stream_changepoint_monitor",
-            "graph_local_bridges", "seq_user_path_entropy"]
+            "graph_local_bridges", "seq_user_path_entropy",
+            "stat_welch_anova", "stat_cronbach_alpha",
+            "llm_cross_lang_leakage", "ts_turning_points_test"]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     baseline = {k: sorted(map(tuple, registry.get(k).fn(spark, SF_DIR)
                               .collect())) for k in keys}
