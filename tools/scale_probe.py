@@ -140,6 +140,10 @@ QUERY_TABLES = {
     "ml_mcc_threshold_sweep": {"events"},
     "stat_durbin_watson": {"events"},
     "ts_hurst_rs": {"events"},
+    "graph_local_bridges": {"lineitem"},
+    "seq_user_path_entropy": {"events"},
+    "llm_cross_lang_leakage": {"documents"},
+    "stat_cronbach_alpha": {"events"},
     "llm_retrieval_bm25_topk": {"documents"},
     "ts_cumulative_distinct_users": {"events"},
     "date_business_days": {"orders"},
