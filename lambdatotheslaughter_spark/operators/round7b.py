@@ -2666,3 +2666,131 @@ def ts_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp_tp, 6).alias("expected_tp"),
         F.round((F.col("tp").cast("double") - exp_tp)
                 / F.sqrt((16.0 * nd - 29.0) / 90.0), 6).alias("z_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage scoring
+# ---------------------------------------------------------------------------
+
+# frozen agreement/disagreement log-odds weights (the m/u ratios a real
+# linkage fits by EM; frozen literals keep both engines bit-identical)
+_FS_W = {
+    "nation": (2.2, -0.8),
+    "region": (1.1, -0.5),
+    "balance": (1.9, -0.7),
+}
+_FS_MATCH = 4.0
+_FS_POSSIBLE = 0.5
+_FS_BAND = 100  # candidate blocking: |Δ acctbal| ≤ 1 dollar buckets
+
+_FS_ORACLE = f"""
+WITH k AS (
+  SELECT c_custkey, c_mktsegment, c_nationkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+), nr AS (
+  SELECT n_nationkey, n_regionkey FROM nation
+), a AS (
+  SELECT k.c_custkey AS ak, k.c_mktsegment, k.c_nationkey AS an,
+         nr.n_regionkey AS ar, k.cents AS ac,
+         k.cents // {_FS_BAND} AS bucket
+  FROM k JOIN nr ON nr.n_nationkey = k.c_nationkey
+), b AS (
+  SELECT a.ak AS bk, a.c_mktsegment, a.an AS bn, a.ar AS br,
+         a.ac AS bc, a.bucket + off.o AS bucket
+  FROM a CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o) AS off
+), pairs AS (
+  SELECT DISTINCT a.c_mktsegment, a.ak, b.bk,
+         a.an = b.bn AS nation_agree,
+         a.ar = b.br AS region_agree,
+         abs(a.ac - b.bc) <= {_FS_BAND} AS balance_agree
+  FROM a JOIN b ON a.c_mktsegment = b.c_mktsegment
+                AND a.bucket = b.bucket AND a.ak < b.bk
+), scored AS (
+  SELECT nation_agree, region_agree, balance_agree,
+         (CASE WHEN nation_agree THEN {_FS_W['nation'][0]!r}
+               ELSE {_FS_W['nation'][1]!r} END
+          + CASE WHEN region_agree THEN {_FS_W['region'][0]!r}
+                 ELSE {_FS_W['region'][1]!r} END
+          + CASE WHEN balance_agree THEN {_FS_W['balance'][0]!r}
+                 ELSE {_FS_W['balance'][1]!r} END) AS fs_score
+  FROM pairs
+)
+SELECT nation_agree, region_agree, balance_agree,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(fs_score, 6) AS fs_score,
+       CASE WHEN fs_score >= {_FS_MATCH!r} THEN 'match'
+            WHEN fs_score >= {_FS_POSSIBLE!r} THEN 'possible'
+            ELSE 'non_match' END AS decision
+FROM scored
+GROUP BY nation_agree, region_agree, balance_agree, fs_score
+ORDER BY fs_score DESC, nation_agree, region_agree, balance_agree
+"""
+
+
+@register("er_fellegi_sunter_scores", oracle=_FS_ORACLE)
+def er_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record-linkage scoring over banded candidate
+    pairs: each within-segment balance-banded pair gets an agreement
+    vector (same nation, same region via the nation→region dim, balance
+    within a dollar) and the classic sum of FROZEN log-odds weights,
+    then the three-way match / possible / non-match decision — the
+    SCORING layer the er_ family's blocking ops
+    (er_sorted_neighborhood_pairs, er_blocking_quality_report) feed in
+    a real linkage stack. The output is the agreement-PATTERN table
+    (≤6 rows: nation⊂region makes two patterns impossible), so every
+    count is exact and every score a fixed sum of literals.
+
+    Scale shape: candidates from the banded equi self-join
+    (density-bounded per bucket, the join_interval_binned discipline —
+    never the quadratic pair space); the region decoration is a
+    broadcast dim join; the pattern fold is combinable."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("nk"), F.col("n_regionkey").alias("rk"))
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    k = (c.select("c_custkey", "c_mktsegment",
+                  F.col("c_nationkey").alias("nat"), cents.alias("cents"))
+         .join(F.broadcast(n), F.col("nat") == F.col("nk"))
+         .select("c_custkey", "c_mktsegment", "nat",
+                 F.col("rk").alias("reg"), "cents"))
+    a = k.select("c_mktsegment", F.col("c_custkey").alias("ak"),
+                 F.col("nat").alias("an"), F.col("reg").alias("ar"),
+                 F.col("cents").alias("ac"),
+                 F.floor(F.col("cents") / _FS_BAND).alias("bucket"))
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    b = (k.select("c_mktsegment", F.col("c_custkey").alias("bk"),
+                  F.col("nat").alias("bn"), F.col("reg").alias("br"),
+                  F.col("cents").alias("bc"),
+                  F.floor(F.col("cents") / _FS_BAND).alias("bb"))
+         .select("*", off.alias("o"))
+         .select("c_mktsegment", "bk", "bn", "br", "bc",
+                 (F.col("bb") + F.col("o")).alias("bucket")))
+    pairs = (a.join(b, ["c_mktsegment", "bucket"])
+             .where(F.col("ak") < F.col("bk"))
+             .select("ak", "bk",
+                     (F.col("an") == F.col("bn")).alias("nation_agree"),
+                     (F.col("ar") == F.col("br")).alias("region_agree"),
+                     (F.abs(F.col("ac") - F.col("bc")) <= _FS_BAND)
+                     .alias("balance_agree"))
+             .distinct())
+    score = (
+        F.when(F.col("nation_agree"), F.lit(_FS_W["nation"][0]))
+        .otherwise(F.lit(_FS_W["nation"][1]))
+        + F.when(F.col("region_agree"), F.lit(_FS_W["region"][0]))
+        .otherwise(F.lit(_FS_W["region"][1]))
+        + F.when(F.col("balance_agree"), F.lit(_FS_W["balance"][0]))
+        .otherwise(F.lit(_FS_W["balance"][1])))
+    scored = pairs.select("nation_agree", "region_agree", "balance_agree",
+                          score.alias("fs_score"))
+    decision = (F.when(F.col("fs_score") >= _FS_MATCH, "match")
+                .when(F.col("fs_score") >= _FS_POSSIBLE, "possible")
+                .otherwise("non_match"))
+    return (scored.groupBy("nation_agree", "region_agree",
+                           "balance_agree", "fs_score")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+            .select("nation_agree", "region_agree", "balance_agree",
+                    "n_pairs", F.round("fs_score", 6).alias("fs_score"),
+                    decision.alias("decision"))
+            .orderBy(F.col("fs_score").desc(), "nation_agree",
+                     "region_agree", "balance_agree"))

@@ -334,7 +334,8 @@ def test_seventh_ring_partition_invariance(spark):
             "dq_volume_anomaly_daily", "stream_changepoint_monitor",
             "graph_local_bridges", "seq_user_path_entropy",
             "stat_welch_anova", "stat_cronbach_alpha",
-            "llm_cross_lang_leakage", "ts_turning_points_test"]
+            "llm_cross_lang_leakage", "ts_turning_points_test",
+            "er_fellegi_sunter_scores"]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     baseline = {k: sorted(map(tuple, registry.get(k).fn(spark, SF_DIR)
                               .collect())) for k in keys}
