@@ -1,8 +1,12 @@
-"""Round-7 seventh ring (SURVEY.md §2.19): trend/diagnostic statistics,
-changepoint detection, MCC operating points, and cross-field data-quality
-audits.
+"""Round-7 seventh-to-twelfth rings (SURVEY.md §2.19): trend/diagnostic
+statistics, changepoint/unit-root detection, MCC/cost operating points,
+cross-field/schema/volume data-quality audits, Hurst R/S, seeded
+harmonic closeness, synchronous label propagation, chrF, hapax profiles,
+Pythagorean means, commit-log checkpointing, Granger causality, local
+bridges, path entropy, Welch ANOVA, Cronbach's alpha, cross-language
+leakage, turning points, and Fellegi–Sunter linkage scoring.
 
-Families this ring completes:
+Families the first (seventh) ring completes:
 
 - Classical stats: Cochran–Armitage trend (ordered-dose proportions, the
   missing leg between the 2×2 z-test and the k-group chi-square),
