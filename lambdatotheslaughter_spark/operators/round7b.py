@@ -2798,3 +2798,241 @@ def er_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                     decision.alias("decision"))
             .orderBy(F.col("fs_score").desc(), "nation_agree",
                      "region_agree", "balance_agree"))
+
+
+# ===========================================================================
+# round-7 thirteenth ring
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# greenlist watermark detection (is this text LLM-generated?)
+# ---------------------------------------------------------------------------
+
+# gamma = 1/4 of (prev, cur) bigram hashes land in the greenlist
+_WM_GAMMA_DEN = 4
+_WM_MIN_T = 20
+_WM_SALT = "lts-r7-greenlist"
+
+_WATERMARK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, g.tok, g.pos
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1)
+                         AS pos) AS g
+), tr AS (
+  SELECT doc_id, tok AS cur,
+         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM toks
+), flags AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(prev || '|' || cur
+                                          || ':{_WM_SALT}'), 1, 8))
+              AS BIGINT) % {_WM_GAMMA_DEN} = 0 AS green
+  FROM tr WHERE prev IS NOT NULL
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(COUNT(*) FILTER (WHERE green) AS BIGINT) AS g
+  FROM flags GROUP BY doc_id
+)
+SELECT doc_id, t AS n_transitions, g AS n_green,
+       round((CAST(g AS DOUBLE) - 0.25 * CAST(t AS DOUBLE))
+             / sqrt(CAST(t AS DOUBLE) * 0.25 * 0.75), 6) AS z_score
+FROM per_doc WHERE t >= {_WM_MIN_T}
+ORDER BY z_score DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("llm_watermark_greenlist_detect", oracle=_WATERMARK_ORACLE)
+def llm_watermark_greenlist_detect(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Greenlist watermark detection (the Kirchenbauer-style test a
+    pretraining pipeline runs to keep WATERMARKED MODEL OUTPUT out of
+    the next training corpus): each bigram hashes into a γ=1/4
+    greenlist; a document written by a watermarking sampler
+    over-selects green continuations, so its green share z-scores far
+    above the (g − γT)/√(Tγ(1−γ)) null. Membership is a deterministic
+    md5 bit test — both engines flag the identical bigrams — counts are
+    exact, and the top-20 suspect ranking is a total order.
+
+    Scale shape: map-side token explode + one per-doc lag window
+    (doc-partitioned, key-parallel), one doc fold; top-20 fuses to
+    TakeOrderedAndProject."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tr = (toks.select("doc_id", F.col("tok").alias("cur"),
+                      F.lag("tok").over(w).alias("prev"))
+          .where(F.col("prev").isNotNull()))
+    green = (F.conv(F.substring(
+        F.md5(F.concat(F.col("prev"), F.lit("|"), F.col("cur"),
+                       F.lit(f":{_WM_SALT}"))), 1, 8), 16, 10)
+        .cast("bigint") % _WM_GAMMA_DEN == 0)
+    per_doc = (tr.select("doc_id", green.alias("green"))
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("t"),
+                    F.count(F.when(F.col("green"), 1)).cast("bigint")
+                    .alias("g")))
+    td = F.col("t").cast("double")
+    z = (F.col("g").cast("double") - 0.25 * td) / F.sqrt(td * 0.25 * 0.75)
+    return (per_doc.where(F.col("t") >= _WM_MIN_T)
+            .select("doc_id", F.col("t").alias("n_transitions"),
+                    F.col("g").alias("n_green"),
+                    F.round(z, 6).alias("z_score"))
+            .orderBy(F.col("z_score").desc(), "doc_id")
+            .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# next-event prediction evaluation (Markov argmax accuracy)
+# ---------------------------------------------------------------------------
+
+_NEXT_EVENT_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), tr AS (
+  SELECT prev, cur FROM seq WHERE prev IS NOT NULL
+), matrix AS (
+  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tr GROUP BY prev, cur
+), pred AS (
+  SELECT prev, min(cur) AS predicted_next
+  FROM matrix m
+  WHERE c = (SELECT MAX(c) FROM matrix x WHERE x.prev = m.prev)
+  GROUP BY prev
+), scored AS (
+  SELECT tr.prev, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+         CAST(COUNT(*) FILTER (WHERE tr.cur = pred.predicted_next)
+              AS BIGINT) AS n_correct
+  FROM tr JOIN pred ON pred.prev = tr.prev
+  GROUP BY tr.prev
+)
+SELECT scored.prev AS prev_type, pred.predicted_next,
+       scored.n_transitions, scored.n_correct,
+       round(CAST(scored.n_correct AS DOUBLE)
+             / CAST(scored.n_transitions AS DOUBLE), 6) AS accuracy
+FROM scored JOIN pred ON pred.prev = scored.prev
+ORDER BY prev_type
+"""
+
+
+@register("seq_next_event_prediction_eval", oracle=_NEXT_EVENT_ORACLE)
+def seq_next_event_prediction_eval(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Backtest of the Markov next-event baseline: predict each user's
+    next event type as the ARGMAX of the global transition matrix
+    (lexicographic tie-break) and score per-antecedent accuracy — the
+    eval seq_markov_transitions never runs on itself, and the floor any
+    fancier sequence model must beat before it ships. Transition
+    counts are exact; the argmax is a max-count join with a
+    deterministic tie-break; accuracy is one division.
+
+    Scale shape: one user-partitioned lag window (key-parallel), one
+    ≤25-row matrix fold, a broadcast argmax join back onto the
+    transition stream, one 5-row fold."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (ev.select(F.col("event_type").alias("cur"),
+                    F.lag("event_type").over(w).alias("prev"))
+          .where(F.col("prev").isNotNull())
+          .localCheckpoint(eager=False))  # matrix + scoring share it
+    matrix = (tr.groupBy("prev", "cur")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    mx = matrix.groupBy("prev").agg(F.max("c").alias("mc"))
+    pred = (matrix.join(mx, "prev")
+            .where(F.col("c") == F.col("mc"))
+            .groupBy("prev")
+            .agg(F.min("cur").alias("predicted_next")))
+    scored = (tr.join(F.broadcast(pred), "prev")
+              .groupBy("prev", "predicted_next")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+                   F.count(F.when(F.col("cur") == F.col("predicted_next"),
+                                  1)).cast("bigint").alias("n_correct")))
+    return (scored.select(
+        F.col("prev").alias("prev_type"), "predicted_next",
+        "n_transitions", "n_correct",
+        F.round(F.col("n_correct").cast("double")
+                / F.col("n_transitions").cast("double"), 6)
+        .alias("accuracy"))
+        .orderBy("prev_type"))
+
+
+# ---------------------------------------------------------------------------
+# equi-depth histogram (the ANALYZE-statistics shape)
+# ---------------------------------------------------------------------------
+
+_EQUI_DEPTH_ORACLE = """
+WITH dom AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT v, c,
+         CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cc,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM dom) AS n
+  FROM dom
+), buckets AS (
+  SELECT b.b,
+         CAST(MIN(cum.v) FILTER (
+              WHERE cum.cc >= (b.b * cum.n + 9) // 10) AS BIGINT)
+           AS upper_cents,
+         CAST(MIN(cum.cc) FILTER (
+              WHERE cum.cc >= (b.b * cum.n + 9) // 10) AS BIGINT)
+           AS cum_rows
+  FROM cum CROSS JOIN (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS b)
+                      AS b
+  GROUP BY b.b
+)
+SELECT b AS bucket, upper_cents, cum_rows,
+       cum_rows - COALESCE(lag(cum_rows) OVER (ORDER BY b), 0)
+         AS bucket_rows
+FROM buckets ORDER BY bucket
+"""
+
+
+@register("agg_histogram_equi_depth", oracle=_EQUI_DEPTH_ORACLE)
+def agg_histogram_equi_depth(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) 10-bucket histogram of order totals —
+    the statistic ANALYZE builds for selectivity estimation (equi-WIDTH
+    histograms, agg_hist_fixed_buckets, lie under skew; equi-depth
+    puts the resolution where the data is). Boundaries are ACTUAL data
+    values picked by the exact integer ceil-rank identity over the
+    bounded cents DOMAIN (the agg_percentile_disc_exact discipline at
+    ×10), so there is no interpolation and no global row ranking;
+    per-bucket row counts difference the cumulative picks.
+
+    Scale shape: one combinable domain collapse, one cumulative window
+    over the bounded domain, a ×10 broadcast-spine conditional-MIN
+    fold, one 10-row lag."""
+    o = load_table(spark, "orders", sf_dir)
+    v = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    dom = (o.select(v.alias("v"))
+           .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    wd = (Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = dom.agg(F.sum("c").cast("bigint").alias("n"))
+    cum = (dom.select("v", F.sum("c").over(wd).cast("bigint").alias("cc"))
+           .crossJoin(F.broadcast(tot)))
+    spine = spark.range(1, 11).select(F.col("id").alias("b"))
+    thresh = F.expr("(b * n + 9) div 10")
+    buckets = (cum.crossJoin(F.broadcast(spine))
+               .groupBy("b")
+               .agg(F.min(F.when(F.col("cc") >= thresh, F.col("v")))
+                    .cast("bigint").alias("upper_cents"),
+                    F.min(F.when(F.col("cc") >= thresh, F.col("cc")))
+                    .cast("bigint").alias("cum_rows")))
+    wl = Window.orderBy("b")
+    return (buckets.select(
+        F.col("b").alias("bucket"), "upper_cents", "cum_rows",
+        (F.col("cum_rows")
+         - F.coalesce(F.lag("cum_rows").over(wl), F.lit(0)))
+        .alias("bucket_rows"))
+        .orderBy("bucket"))

@@ -335,7 +335,9 @@ def test_seventh_ring_partition_invariance(spark):
             "graph_local_bridges", "seq_user_path_entropy",
             "stat_welch_anova", "stat_cronbach_alpha",
             "llm_cross_lang_leakage", "ts_turning_points_test",
-            "er_fellegi_sunter_scores"]
+            "er_fellegi_sunter_scores",
+            "llm_watermark_greenlist_detect",
+            "seq_next_event_prediction_eval", "agg_histogram_equi_depth"]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     baseline = {k: sorted(map(tuple, registry.get(k).fn(spark, SF_DIR)
                               .collect())) for k in keys}
