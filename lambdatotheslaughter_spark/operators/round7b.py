@@ -3036,3 +3036,174 @@ def agg_histogram_equi_depth(spark: SparkSession,
          - F.coalesce(F.lag("cum_rows").over(wl), F.lit(0)))
         .alias("bucket_rows"))
         .orderBy("bucket"))
+
+
+# ===========================================================================
+# round-7 fourteenth ring
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# budgeted top-quality corpus selection
+# ---------------------------------------------------------------------------
+
+# select the highest-quality documents until 30% of corpus tokens are used
+_BUDGET_NUM, _BUDGET_DEN = 3, 10
+
+_BUDGET_SELECT_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         (1000000 * CAST(len(list_distinct(string_split(text, ' ')))
+                         AS BIGINT))
+           // CAST(len(string_split(text, ' ')) AS BIGINT) AS qual
+  FROM documents
+), tot AS (
+  SELECT CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+         CAST(COUNT(*) AS BIGINT) AS total_docs
+  FROM q
+), ranked AS (
+  SELECT doc_id, n_tok, qual,
+         CAST(SUM(n_tok) OVER (ORDER BY qual DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tok
+  FROM q
+), sel AS (
+  SELECT ranked.*, tot.total_tok, tot.total_docs
+  FROM ranked CROSS JOIN tot
+  WHERE cum_tok <= ({_BUDGET_NUM} * tot.total_tok) // {_BUDGET_DEN}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_selected,
+       CAST(MAX(cum_tok) AS BIGINT) AS tokens_selected,
+       CAST(MAX(({_BUDGET_NUM} * total_tok) // {_BUDGET_DEN}) AS BIGINT)
+         AS budget_tokens,
+       round(CAST(MIN(qual) AS DOUBLE) / 1000000.0, 6)
+         AS min_quality_selected,
+       round(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(total_docs) AS DOUBLE), 6)
+         AS doc_share
+FROM sel
+"""
+
+
+@register("llm_select_top_quality_budget", oracle=_BUDGET_SELECT_ORACLE)
+def llm_select_top_quality_budget(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Budgeted corpus selection: rank every document by an exact
+    integer quality key (distinct-token ratio in 1e-6 units — the
+    repetition-penalizing core of the quality stack) and keep the best
+    until 30% of corpus TOKENS are spent — the greedy
+    quality-under-budget step of data mixing (the knapsack a curation
+    pipeline actually runs per source before llm_mix_epoch_upsample
+    blends them). The global order + running token total come from
+    bucketed.py's TWO-PASS bucketed rank (no single-partition window);
+    the budget cut and all counts are exact integers.
+
+    Scale shape: map-side quality keys; one bucketed-order pass
+    (broadcast range stats + bucket-parallel windows + ≤256-row offset
+    join); a broadcast 1-row budget; one fold to a single row."""
+    from lambdatotheslaughter_spark.bucketed import bucketed_order
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split("text", " ")
+    q = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.expr("(1000000 * CAST(size(array_distinct(split(text, ' ')))"
+               " AS BIGINT)) div CAST(size(split(text, ' ')) AS BIGINT)")
+        .alias("qual"))
+    tot = q.agg(F.sum("n_tok").cast("bigint").alias("total_tok"),
+                F.count(F.lit(1)).cast("bigint").alias("total_docs"))
+    ranked = bucketed_order(q, "qual", tiebreaks=("doc_id",),
+                            descending=True,
+                            cumsum={"cum_tok": "n_tok"})
+    sel = (ranked.crossJoin(F.broadcast(tot))
+           .where(F.col("cum_tok")
+                  <= F.expr(f"({_BUDGET_NUM} * total_tok) "
+                            f"div {_BUDGET_DEN}")))
+    return sel.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+        F.max("cum_tok").cast("bigint").alias("tokens_selected"),
+        F.max(F.expr(f"({_BUDGET_NUM} * total_tok) div {_BUDGET_DEN}"))
+        .cast("bigint").alias("budget_tokens"),
+        F.round(F.min("qual").cast("double") / 1000000.0, 6)
+        .alias("min_quality_selected"),
+        F.round(F.count(F.lit(1)).cast("double")
+                / F.max("total_docs").cast("double"), 6)
+        .alias("doc_share"))
+
+
+# ---------------------------------------------------------------------------
+# average-neighbor-degree curve k_nn(k)
+# ---------------------------------------------------------------------------
+
+_KNN_DEGREE_ORACLE = """
+WITH raw AS (
+  SELECT l_partkey AS src,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey,
+                                        l_suppkey) AS dst
+  FROM lineitem
+), e0 AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE dst IS NOT NULL AND src <> dst
+), adj AS (
+  SELECT a AS v, b AS u FROM e0 UNION ALL SELECT b, a FROM e0
+), deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS k FROM adj GROUP BY v
+), snd AS (
+  SELECT adj.v, CAST(SUM(du.k) AS BIGINT) AS sum_nbr_deg
+  FROM adj JOIN deg du ON du.v = adj.u
+  GROUP BY adj.v
+)
+SELECT deg.k AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       round(CAST(SUM(snd.sum_nbr_deg) AS DOUBLE)
+             / (CAST(deg.k AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)), 6)
+         AS avg_neighbor_degree
+FROM deg JOIN snd ON snd.v = deg.v
+GROUP BY deg.k ORDER BY degree
+"""
+
+
+@register("graph_avg_neighbor_degree", oracle=_KNN_DEGREE_ORACLE)
+def graph_avg_neighbor_degree(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Average-neighbor-degree curve k_nn(k) over the co-purchase
+    graph: for each degree class, the mean degree of its vertices'
+    neighbors — the DETAIL VIEW behind graph_assortativity_degree's
+    single coefficient (a falling curve = hubs attach to leaves, the
+    disassortative signature; rising = rich-club mixing, read beside
+    graph_rich_club_coefficient). Per-vertex neighbor-degree sums are
+    exact integer folds off one degree-decorated edge join; the
+    per-class mean is one division of exact sums.
+
+    Scale shape: one degree fold, one edge⋈degree equi-join + vertex
+    fold (the SpMV shape), one ≤max-degree-row class fold."""
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    raw = (li.select(F.col("l_partkey").alias("src"),
+                     F.lead("l_partkey").over(w).alias("dst"))
+           .where(F.col("dst").isNotNull()
+                  & (F.col("src") != F.col("dst"))))
+    e0 = (raw.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+          .distinct())
+    adj = (e0.select(F.col("a").alias("v"), F.col("b").alias("u"))
+           .unionAll(e0.select(F.col("b").alias("v"),
+                               F.col("a").alias("u")))
+           .localCheckpoint(eager=False))  # degree + SpMV share it
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    snd = (adj.join(deg.select(F.col("v").alias("u"),
+                               F.col("k").alias("ku")), "u")
+           .groupBy("v")
+           .agg(F.sum("ku").cast("bigint").alias("sum_nbr_deg")))
+    joined = deg.join(snd, "v")
+    return (joined.groupBy("k")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+                 F.sum("sum_nbr_deg").cast("bigint").alias("s"))
+            .select(F.col("k").alias("degree"), "n_vertices",
+                    F.round(F.col("s").cast("double")
+                            / (F.col("k").cast("double")
+                               * F.col("n_vertices").cast("double")), 6)
+                    .alias("avg_neighbor_degree"))
+            .orderBy("degree"))
