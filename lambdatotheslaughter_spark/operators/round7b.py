@@ -3207,3 +3207,150 @@ def graph_avg_neighbor_degree(spark: SparkSession,
                                * F.col("n_vertices").cast("double")), 6)
                     .alias("avg_neighbor_degree"))
             .orderBy("degree"))
+
+
+# ===========================================================================
+# round-7 fifteenth ring
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# fixed-effect meta-analysis pooling (inverse-variance)
+# ---------------------------------------------------------------------------
+
+_META_Z95 = 1.959963984540054  # frozen two-sided 95% normal quantile
+
+_META_ORACLE = f"""
+WITH c AS (
+  -- DuckDB dayofweek is 0-based Sunday, Spark is 1-based: +1 aligns
+  SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         event_type = 'click' AS is1,
+         CAST(round(value * 100, 0) AS BIGINT) AS xc
+  FROM events WHERE event_type IN ('click', 'purchase')
+), per AS (
+  SELECT dow,
+    CAST(COUNT(*) FILTER (WHERE is1) AS BIGINT) AS n1,
+    CAST(SUM(xc) FILTER (WHERE is1) AS BIGINT) AS s1,
+    CAST(SUM(CAST(xc AS DECIMAL(38,0)) * xc) FILTER (WHERE is1)
+         AS DECIMAL(38,0)) AS ss1,
+    CAST(COUNT(*) FILTER (WHERE NOT is1) AS BIGINT) AS n2,
+    CAST(SUM(xc) FILTER (WHERE NOT is1) AS BIGINT) AS s2,
+    CAST(SUM(CAST(xc AS DECIMAL(38,0)) * xc) FILTER (WHERE NOT is1)
+         AS DECIMAL(38,0)) AS ss2
+  FROM c GROUP BY dow
+), study AS (
+  SELECT dow,
+         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS theta,
+         ((CAST(ss1 AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+          / CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE)
+         + ((CAST(ss2 AS DOUBLE)
+             - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+               / CAST(n2 AS DOUBLE))
+            / CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE) AS v
+  FROM per
+), f1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         list_sum(list(1.0 / v ORDER BY dow)) AS sw,
+         list_sum(list(theta / v ORDER BY dow)) AS swt
+  FROM study
+), f2 AS (
+  SELECT f1.k, f1.sw, f1.swt,
+         list_sum(list((study.theta - f1.swt / f1.sw)
+                       * (study.theta - f1.swt / f1.sw) / study.v
+                       ORDER BY study.dow)) AS q
+  FROM study CROSS JOIN f1 GROUP BY f1.k, f1.sw, f1.swt
+)
+SELECT k AS k_studies,
+       round(swt / sw / 100.0, 6) AS pooled_diff_dollars,
+       round((swt / sw - {_META_Z95!r} * sqrt(1.0 / sw)) / 100.0, 6)
+         AS ci_lo_dollars,
+       round((swt / sw + {_META_Z95!r} * sqrt(1.0 / sw)) / 100.0, 6)
+         AS ci_hi_dollars,
+       round(q, 6) AS q_heterogeneity,
+       round(CASE WHEN q > CAST(k - 1 AS DOUBLE)
+                  THEN (q - CAST(k - 1 AS DOUBLE)) / q ELSE 0.0 END, 6)
+         AS i_squared
+FROM f2
+"""
+
+
+@register("stat_meta_fixed_effect_pool", oracle=_META_ORACLE)
+def stat_meta_fixed_effect_pool(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Fixed-effect (inverse-variance) meta-analysis of the
+    click-vs-purchase mean gap across seven day-of-week strata treated
+    as independent studies: pooled estimate θ̂ = Σwθ/Σw with w = 1/v,
+    its 95%% CI (frozen normal quantile), Cochran's heterogeneity Q
+    and I² = (Q−(k−1))/Q — the does-the-effect-replicate-across-strata
+    machinery every experimentation platform needs once a metric is
+    read by segment (and the formal version of eyeballing seven
+    per-dow Welch tests). Per-stratum moments are exact
+    BIGINT/decimal(38,0); the cross-stratum float reductions are
+    FIXED-ORDER 7-term list folds (the stat_welch_anova rule), two
+    passes because Q needs θ̂.
+
+    Scale shape: one combinable 7-group six-sum fold; both ordered
+    folds run over 7 rows — data-size-free after the first fold."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin("click", "purchase")))
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    is1 = F.col("event_type") == "click"
+    per = (ev.select(F.dayofweek("ts").cast("bigint").alias("dow"),
+                     is1.alias("is1"), xc.alias("xc"))
+           .groupBy("dow")
+           .agg(F.count(F.when(F.col("is1"), 1)).cast("bigint").alias("n1"),
+                F.sum(F.when(F.col("is1"), F.col("xc"))).cast("bigint")
+                .alias("s1"),
+                F.sum(F.when(F.col("is1"),
+                             F.col("xc").cast("decimal(38,0)")
+                             * F.col("xc"))).cast("decimal(38,0)")
+                .alias("ss1"),
+                F.count(F.when(~F.col("is1"), 1)).cast("bigint")
+                .alias("n2"),
+                F.sum(F.when(~F.col("is1"), F.col("xc"))).cast("bigint")
+                .alias("s2"),
+                F.sum(F.when(~F.col("is1"),
+                             F.col("xc").cast("decimal(38,0)")
+                             * F.col("xc"))).cast("decimal(38,0)")
+                .alias("ss2")))
+    m1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    m2 = F.col("s2").cast("double") / F.col("n2").cast("double")
+    v1 = ((F.col("ss1").cast("double")
+           - F.col("s1").cast("double") * F.col("s1").cast("double")
+             / F.col("n1").cast("double"))
+          / (F.col("n1") - 1).cast("double")) / F.col("n1").cast("double")
+    v2 = ((F.col("ss2").cast("double")
+           - F.col("s2").cast("double") * F.col("s2").cast("double")
+             / F.col("n2").cast("double"))
+          / (F.col("n2") - 1).cast("double")) / F.col("n2").cast("double")
+    study = per.select("dow", (m1 - m2).alias("theta"),
+                       (v1 + v2).alias("v"))
+
+    def ofold(expr, name):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("dow"),
+                                                 expr.alias("x")))),
+            F.lit(0.0), lambda acc, s: acc + s["x"]).alias(name)
+
+    f1 = study.agg(F.count(F.lit(1)).cast("bigint").alias("k"),
+                   ofold(F.lit(1.0) / F.col("v"), "sw"),
+                   ofold(F.col("theta") / F.col("v"), "swt"))
+    pooled = F.col("swt") / F.col("sw")
+    f2 = (study.crossJoin(F.broadcast(f1))
+          .groupBy("k", "sw", "swt")
+          .agg(ofold((F.col("theta") - pooled) * (F.col("theta") - pooled)
+                     / F.col("v"), "q")))
+    kd = (F.col("k") - 1).cast("double")
+    se = F.sqrt(F.lit(1.0) / F.col("sw"))
+    return f2.select(
+        F.col("k").alias("k_studies"),
+        F.round(pooled / 100.0, 6).alias("pooled_diff_dollars"),
+        F.round((pooled - F.lit(_META_Z95) * se) / 100.0, 6)
+        .alias("ci_lo_dollars"),
+        F.round((pooled + F.lit(_META_Z95) * se) / 100.0, 6)
+        .alias("ci_hi_dollars"),
+        F.round(F.col("q"), 6).alias("q_heterogeneity"),
+        F.round(F.when(F.col("q") > kd,
+                       (F.col("q") - kd) / F.col("q"))
+                .otherwise(F.lit(0.0)), 6).alias("i_squared"))

@@ -338,7 +338,8 @@ def test_seventh_ring_partition_invariance(spark):
             "er_fellegi_sunter_scores",
             "llm_watermark_greenlist_detect",
             "seq_next_event_prediction_eval", "agg_histogram_equi_depth",
-            "llm_select_top_quality_budget", "graph_avg_neighbor_degree"]
+            "llm_select_top_quality_budget", "graph_avg_neighbor_degree",
+            "stat_meta_fixed_effect_pool"]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     baseline = {k: sorted(map(tuple, registry.get(k).fn(spark, SF_DIR)
                               .collect())) for k in keys}
