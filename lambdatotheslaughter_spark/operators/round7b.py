@@ -3354,3 +3354,269 @@ def stat_meta_fixed_effect_pool(spark: SparkSession,
         F.round(F.when(F.col("q") > kd,
                        (F.col("q") - kd) / F.col("q"))
                 .otherwise(F.lit(0.0)), 6).alias("i_squared"))
+
+
+# ===========================================================================
+# round-7 sixteenth ring
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# NDCG@10 retrieval evaluation
+# ---------------------------------------------------------------------------
+
+_NDCG_NQ = 50
+_NDCG_K = 10
+# frozen fixed-point discounts: G[r] = round(1e12 / log2(1+r)), r = 1..10,
+# and P[m] = prefix sums (the ideal DCG for m relevant docs) — integers,
+# so per-query DCG/IDCG are EXACT integer sums until one final division.
+_NDCG_G = (1000000000000, 630929753571, 500000000000, 430676558073,
+           386852807235, 356207187108, 333333333333, 315464876786,
+           301029995664, 289064826318)
+_NDCG_P = (1000000000000, 1630929753571, 2130929753571, 2561606311644,
+           2948459118879, 3304666305987, 3637999639320, 3953464516106,
+           4254494511770, 4543559338088)
+
+
+def _ndcg_gain_case(col: str) -> str:
+    branches = " ".join(f"WHEN {col} = {r + 1} THEN {g}"
+                        for r, g in enumerate(_NDCG_G))
+    return f"CASE {branches} ELSE 0 END"
+
+
+def _ndcg_ideal_case(col: str) -> str:
+    branches = " ".join(f"WHEN {col} = {m + 1} THEN {p}"
+                        for m, p in enumerate(_NDCG_P[:-1]))
+    return f"CASE {branches} ELSE {_NDCG_P[-1]} END"
+
+
+def _ndcg_oracle() -> str:
+    from lambdatotheslaughter_spark.operators.llm import _cos_sql_d
+    cos = _cos_sql_d("q.embedding", "p.embedding", 64)
+    return f"""
+WITH pairs AS (
+  SELECT q.vec_id AS qid, q.label AS ql, p.label AS pl, p.vec_id AS pid,
+         {cos} AS c
+  FROM embeddings q JOIN embeddings p ON q.vec_id <> p.vec_id
+  WHERE q.vec_id < {_NDCG_NQ}
+), ranked AS (
+  SELECT qid, ql, pl,
+         row_number() OVER (PARTITION BY qid ORDER BY c DESC, pid) AS rk
+  FROM pairs
+), per_q AS (
+  SELECT qid,
+         CAST(SUM(CASE WHEN pl = ql AND rk <= {_NDCG_K}
+                       THEN {_ndcg_gain_case("rk")} ELSE 0 END)
+              AS BIGINT) AS dcg_fp,
+         CAST(LEAST(CAST(COUNT(*) FILTER (WHERE pl = ql) AS BIGINT),
+                    {_NDCG_K}) AS BIGINT) AS m
+  FROM ranked GROUP BY qid
+)
+SELECT qid AS vec_id, dcg_fp, m AS n_relevant_capped,
+       CAST({_ndcg_ideal_case("m")} AS BIGINT) AS idcg_fp,
+       round(CAST(dcg_fp AS DOUBLE)
+             / CAST({_ndcg_ideal_case("m")} AS DOUBLE), 6) AS ndcg_at_10
+FROM per_q
+"""
+
+
+@register("llm_eval_ndcg_at10", oracle=_ndcg_oracle())
+def llm_eval_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 over the labeled embeddings — the graded-position
+    retrieval score beside llm_eval_retrieval_mrr's first-hit view
+    (MRR only sees the first relevant; NDCG credits EVERY relevant in
+    the top-10 with a log-position discount, which is why leaderboards
+    report both). The discounts 1/log₂(1+r) and their prefix sums
+    (the ideal DCG) are FROZEN 1e-12 fixed-point integer literals, so
+    per-query DCG and IDCG are exact integer sums and the only float
+    is the final division — the llm_eval_retrieval_mrr lcm trick
+    generalized to graded discounts.
+
+    Scale shape: the bounded query block broadcasts against the pool
+    (the MRR scaffold exactly); per-query windows are query-keyed; at
+    corpus scale the pool side tiles like the kNN GEMM path."""
+    from lambdatotheslaughter_spark.operators.llm import _cosine_spark
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = (e.where(F.col("vec_id") < _NDCG_NQ)
+         .select(F.col("vec_id").alias("qid"), F.col("label").alias("ql"),
+                 F.col("embedding").alias("qe")))
+    p = e.select(F.col("vec_id").alias("pid"), F.col("label").alias("pl"),
+                 F.col("embedding").alias("pe"))
+    pairs = (p.join(F.broadcast(q), F.col("qid") != F.col("pid"))
+             .select("qid", "ql", "pl", "pid",
+                     _cosine_spark(F.col("qe"), F.col("pe")).alias("c")))
+    wq = Window.partitionBy("qid").orderBy(F.col("c").desc(), "pid")
+    ranked = pairs.select("qid", "ql", "pl",
+                          F.row_number().over(wq).alias("rk"))
+    gain = F.expr(_ndcg_gain_case("rk"))
+    per_q = (ranked.groupBy("qid")
+             .agg(F.sum(F.when((F.col("pl") == F.col("ql"))
+                               & (F.col("rk") <= _NDCG_K), gain)
+                        .otherwise(F.lit(0))).cast("bigint")
+                  .alias("dcg_fp"),
+                  F.least(F.count(F.when(F.col("pl") == F.col("ql"), 1))
+                          .cast("bigint"), F.lit(_NDCG_K).cast("bigint"))
+                  .alias("m")))
+    idcg = F.expr(_ndcg_ideal_case("m"))
+    return per_q.select(
+        F.col("qid").alias("vec_id"), "dcg_fp",
+        F.col("m").alias("n_relevant_capped"),
+        idcg.cast("bigint").alias("idcg_fp"),
+        F.round(F.col("dcg_fp").cast("double") / idcg.cast("double"), 6)
+        .alias("ndcg_at_10"))
+
+
+# ---------------------------------------------------------------------------
+# cardinality drift report
+# ---------------------------------------------------------------------------
+
+_CARD_DRIFT_ORACLE = """
+WITH span AS (
+  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events
+), halves AS (
+  SELECT epoch_us(ts) < span.mid AS h1,
+         user_id, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events CROSS JOIN span
+), u AS (
+  SELECT 'user_id' AS column_name,
+         CAST(COUNT(DISTINCT user_id) FILTER (WHERE h1) AS BIGINT) AS d1,
+         CAST(COUNT(DISTINCT user_id) FILTER (WHERE NOT h1) AS BIGINT)
+           AS d2
+  FROM halves
+  UNION ALL
+  SELECT 'event_type',
+         CAST(COUNT(DISTINCT event_type) FILTER (WHERE h1) AS BIGINT),
+         CAST(COUNT(DISTINCT event_type) FILTER (WHERE NOT h1) AS BIGINT)
+  FROM halves
+  UNION ALL
+  SELECT 'value_cents',
+         CAST(COUNT(DISTINCT cents) FILTER (WHERE h1) AS BIGINT),
+         CAST(COUNT(DISTINCT cents) FILTER (WHERE NOT h1) AS BIGINT)
+  FROM halves
+)
+SELECT column_name, d1 AS n_distinct_h1, d2 AS n_distinct_h2,
+       round(CAST(d2 AS DOUBLE) / CAST(d1 AS DOUBLE), 6) AS drift_ratio
+FROM u ORDER BY column_name
+"""
+
+
+@register("dq_cardinality_drift_report", oracle=_CARD_DRIFT_ORACLE)
+def dq_cardinality_drift_report(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Cardinality-drift audit: distinct-value counts per column in the
+    first vs second half of the time span (midpoint in exact
+    epoch-microsecond integers) and their ratio — the
+    dimension-explosion detector (a new client version spraying UUIDs
+    into a previously low-cardinality column is the classic silent
+    schema-abuse incident; PSI sees distribution shape, THIS sees the
+    key space itself). All counts exact; the half split is one
+    broadcast 1-row min/max.
+
+    Scale shape: one broadcast span row; three count-distincts over
+    one scan (the multi-distinct Expand); a 3-row report."""
+    ev = load_table(spark, "events", sf_dir)
+    span = ev.agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2)
+        .cast("bigint").alias("mid"))
+    halves = (ev.crossJoin(F.broadcast(span))
+              .select((F.unix_micros("ts") < F.col("mid")).alias("h1"),
+                      "user_id", "event_type",
+                      F.round(F.col("value") * 100, 0).cast("bigint")
+                      .alias("cents")))
+
+    def row(name: str, col: str) -> DataFrame:
+        return halves.agg(
+            F.lit(name).alias("column_name"),
+            F.countDistinct(F.when(F.col("h1"), F.col(col)))
+            .cast("bigint").alias("d1"),
+            F.countDistinct(F.when(~F.col("h1"), F.col(col)))
+            .cast("bigint").alias("d2"))
+
+    u = (row("user_id", "user_id")
+         .unionAll(row("event_type", "event_type"))
+         .unionAll(row("value_cents", "cents")))
+    return (u.select("column_name",
+                     F.col("d1").alias("n_distinct_h1"),
+                     F.col("d2").alias("n_distinct_h2"),
+                     F.round(F.col("d2").cast("double")
+                             / F.col("d1").cast("double"), 6)
+                     .alias("drift_ratio"))
+            .orderBy("column_name"))
+
+
+# ---------------------------------------------------------------------------
+# process capability indices (Cp / Cpk)
+# ---------------------------------------------------------------------------
+
+_CAP_LSL = 500     # spec limits in cents, frozen
+_CAP_USL = 30000
+
+_CAPABILITY_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS xc
+  FROM events WHERE event_type = 'purchase'
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xc) AS BIGINT) AS s1,
+         CAST(SUM(CAST(xc AS DECIMAL(38,0)) * xc) AS DECIMAL(38,0)) AS s2,
+         CAST(COUNT(*) FILTER (WHERE xc < {_CAP_LSL}
+                                  OR xc > {_CAP_USL}) AS BIGINT)
+           AS n_out
+  FROM c
+)
+SELECT n, n_out,
+       round(CAST(n_out AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS out_of_spec_share,
+       round(({_CAP_USL} - {_CAP_LSL})
+             / (6.0 * sqrt((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                           / CAST(n - 1 AS DOUBLE))), 6) AS cp,
+       round(LEAST({_CAP_USL} - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE),
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) - {_CAP_LSL})
+             / (3.0 * sqrt((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                           / CAST(n - 1 AS DOUBLE))), 6) AS cpk
+FROM s
+"""
+
+
+@register("stat_capability_indices", oracle=_CAPABILITY_ORACLE)
+def stat_capability_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process capability Cp/Cpk of purchase values against frozen spec
+    limits (5–300 dollars): Cp = spec width / 6σ (what the process
+    COULD hold if centered), Cpk = nearest-limit margin / 3σ (what it
+    ACTUALLY holds) — the SPC capability pair beside the control-chart
+    family (ts_cusum_drift, ts_bollinger_bands watch stability over
+    time; capability scores the distribution against the tolerance).
+    Moments and the out-of-spec count are exact folds; each index is
+    one identical double tree.
+
+    Scale shape: ONE combinable four-sum fold to a single row."""
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type") == "purchase"))
+    xc = F.round(F.col("value") * 100, 0).cast("bigint")
+    s = ev.select(xc.alias("xc")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xc").cast("bigint").alias("s1"),
+        F.sum(F.col("xc").cast("decimal(38,0)") * F.col("xc"))
+        .cast("decimal(38,0)").alias("s2"),
+        F.count(F.when((F.col("xc") < _CAP_LSL)
+                       | (F.col("xc") > _CAP_USL), 1)).cast("bigint")
+        .alias("n_out"))
+    nd = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    sd = F.sqrt((F.col("s2").cast("double")
+                 - F.col("s1").cast("double") * F.col("s1").cast("double")
+                   / nd) / (F.col("n") - 1).cast("double"))
+    return s.select(
+        "n", "n_out",
+        F.round(F.col("n_out").cast("double") / nd, 6)
+        .alias("out_of_spec_share"),
+        F.round(F.lit(float(_CAP_USL - _CAP_LSL)) / (6.0 * sd), 6)
+        .alias("cp"),
+        F.round(F.least(F.lit(float(_CAP_USL)) - mu,
+                        mu - F.lit(float(_CAP_LSL))) / (3.0 * sd), 6)
+        .alias("cpk"))

@@ -75,7 +75,7 @@ _loaded = False
 #   [25:50] the oldest remaining never-slotted keys in registration order
 #           (r5 spill sinks/scans, geo joins, aggregate/date/type surface,
 #           streaming twins).
-# After this window drains, ~128 pre-round-7 keys plus the 79 round-7
+# After this window drains, ~128 pre-round-7 keys plus the 82 round-7
 # additions (all registered behind the window, replica-parity-gated on
 # arrival) remain unslotted — ~3-4 more windows at 50/round; regenerate
 # with tools/rotation.py when rotating.

@@ -339,7 +339,9 @@ def test_seventh_ring_partition_invariance(spark):
             "llm_watermark_greenlist_detect",
             "seq_next_event_prediction_eval", "agg_histogram_equi_depth",
             "llm_select_top_quality_budget", "graph_avg_neighbor_degree",
-            "stat_meta_fixed_effect_pool"]
+            "stat_meta_fixed_effect_pool",
+            "llm_eval_ndcg_at10", "dq_cardinality_drift_report",
+            "stat_capability_indices"]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     baseline = {k: sorted(map(tuple, registry.get(k).fn(spark, SF_DIR)
                               .collect())) for k in keys}
