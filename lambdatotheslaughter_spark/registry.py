@@ -63,49 +63,45 @@ _loaded = False
 # tests/test_survey_coverage.py) fails if any slot below wastes a round on
 # an already-verified key.
 #
-# ROUND 7 window -- 50 slots, ALL first-time (178-key pool at rotation):
-#   [0:15]  the 15 keys whose PLAN or VALUES changed this round (the
-#           bucketed_order sweep + the four ADVICE semantics fixes) --
-#           first-time slots that double as post-change confirmation;
-#   [15:25] the families VERDICT r6 #1 names first: stats/ML-eval
-#           (welch, roc_auc, mann_whitney, dq_expectations, dq_psi),
-#           sequence/funnel (window_funnel_strict, markov; rfm is already
-#           in the changed set), new sources (xml, recursive_glob,
-#           jsonl_gzip);
-#   [25:50] the oldest remaining never-slotted keys in registration order
-#           (r5 spill sinks/scans, geo joins, aggregate/date/type surface,
-#           streaming twins).
-# After this window drains, ~128 pre-round-7 keys plus the 82 round-7
-# additions (all registered behind the window, replica-parity-gated on
-# arrival) remain unslotted — ~3-4 more windows at 50/round; regenerate
+# ROUND 8 window -- 50 slots, ALL first-time (212-key oracled pool at
+# rotation; VERDICT r7 ask #3 — drain, don't add):
+#   [0:10]  the keys VERDICT r7 names first: the stats/ML-eval third ring
+#           (permutation test, PR-AUC, DeLong CI), the txlog pair
+#           (snapshot + checkpoint), the round-7 eval ring (BLEU, NDCG@10,
+#           chrF), llm_sim_lsh_mllib (value-oracled since r7), and
+#           dq_cardinality_drift_report (rewritten this round to the
+#           one-scan multi-distinct shape — the slot doubles as
+#           post-change confirmation);
+#   [10:50] the 40 oldest remaining never-slotted keys in registration
+#           order (streaming monitors, the r6 llm/udtf/sql-surface ring,
+#           ts/window/stat shapes).
+# After this window drains, ~162 oracled keys remain unslotted (~3-4 more
+# windows at 50/round with additions FROZEN per VERDICT r7 #3); regenerate
 # with tools/rotation.py when rotating.
-# Rows-only-by-design ops (12 after round 7 promoted llm_multimodal_decode
-# and llm_sim_lsh_mllib to value-exact oracles; each pytest-gated in
-# test_llm_quality.py / test_survey_coverage.py's allowlist) are
-# deliberately never listed -- a driver slot adds nothing over their
-# determinism/recall/tolerance gates.
+# Rows-only-by-design ops (12; each pytest-gated in test_llm_quality.py /
+# test_survey_coverage.py's allowlist) are deliberately never listed -- a
+# driver slot adds nothing over their determinism/recall/tolerance gates.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "ml_lift_gains_table", "seq_reorder_cadence", "llm_curriculum_schedule",
-    "llm_pipeline_curation_v2", "stat_gini_coefficient", "agg_pareto_cutoff",
-    "agg_abc_classification", "seq_rfm_segments", "win_skyline_2d",
-    "agg_concentration_hhi_crk", "ml_cv_auc_per_fold", "stat_kendall_tau",
-    "stat_wilcoxon_signed_rank", "stat_ols_two_feature",
-    "graph_disparity_backbone", "stat_welch_ttest", "ml_roc_auc_exact",
-    "stat_mann_whitney_u", "dq_expectations_report",
-    "dq_distribution_drift_psi", "seq_window_funnel_strict",
-    "seq_markov_transitions", "source_xml", "source_recursive_glob",
-    "source_jsonl_gzip", "sink_csv_roundtrip_quotes",
-    "scan_nested_predicate_pushdown", "source_partition_discovery_types",
-    "scan_aggregate_pushdown", "scan_fieldid_rename_evolution",
-    "sink_max_records_per_file", "source_json_multiline",
-    "scan_partition_spec_evolution", "join_mark_exists_flag",
-    "geo_grid_neighbor_join", "geo_knn_within_radius", "agg_regr_builtins",
-    "agg_theta_sketch_algebra", "agg_bitmap_distinct_rollup",
-    "agg_cms_width_audit", "date_iso_week_quarter", "math_bround_even",
-    "type_map_pack", "date_tz_convert", "type_try_cast_surface",
-    "date_fiscal_quarter", "date_retail_445_calendar",
-    "stream_rate_source_resume", "stream_chained_window_agg",
-    "stream_drift_bucket_counts",
+    "stat_permutation_test", "ml_pr_auc_exact", "ml_roc_auc_delong_ci",
+    "scan_txlog_snapshot", "scan_txlog_checkpoint", "llm_eval_bleu_corpus",
+    "llm_eval_ndcg_at10", "llm_eval_chrf", "llm_sim_lsh_mllib",
+    "dq_cardinality_drift_report", "stream_sprt_monitor",
+    "stream_changepoint_monitor", "llm_multimodal_decode",
+    "llm_minhash_bbit", "llm_lm_score_kneser_ney",
+    "llm_embedding_matryoshka_recall", "llm_eval_retrieval_mrr",
+    "llm_multimodal_interleaved_pack", "udtf_sql_registered",
+    "udtf_arrow_optimized", "udtf_table_argument",
+    "sql_values_inline_table", "sql_lateral_view_explode",
+    "sql_distribute_sort_by", "sql_join_hints", "ts_time_weighted_avg",
+    "sql_join_hint_merge", "win_topk_with_ties", "sql_identifier_clause",
+    "sql_star_except", "agg_filter_clause", "sql_table_function_range",
+    "stat_crosstab", "sql_pivot_clause", "sql_unpivot_clause",
+    "sql_hint_rebalance", "win_lag_ignore_nulls",
+    "sql_semi_anti_join_syntax", "explode_outer_nulls", "ts_outlier_iqr",
+    "stat_chi_square_independence", "ts_autocorr_lag", "sql_order_by_all",
+    "sql_global_temp_view", "ts_dow_hour_profile", "ts_peak_detect_local",
+    "win_percent_rank_cume_dist", "ts_acf_multi_lag", "ts_xcorr_lead_lag",
+    "ts_burstiness_fano",
 )
 
 

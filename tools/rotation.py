@@ -32,18 +32,34 @@ from lambdatotheslaughter_spark import registry  # noqa: E402
 BACKFILL: tuple[str, ...] = ()
 
 
-def slotted_union(repo_root: str) -> set[str]:
+def artifact_paths(repo_root: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
+
+
+def slotted_union(repo_root: str, exclude_newest: bool = False) -> set[str]:
+    """Union of keys that ever held a driver slot.
+
+    ``exclude_newest=True`` drops the single newest ``CORRECTNESS_r*.json``
+    from the union. The WASTE check must use this mode (VERDICT r7 wrong
+    #1): the driver writes the newest artifact AFTER the final commit, by
+    draining the very window under test — keys that appear ONLY in the
+    newest artifact are the window's success, not wasted slots. Window
+    GENERATION uses the full union (the newest artifact is completed
+    history when a new window is being cut)."""
+    paths = artifact_paths(repo_root)
+    if exclude_newest and paths:
+        paths = paths[:-1]
     seen: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+    for path in paths:
         seen.update(json.load(open(path)))
     return seen
 
 
-def never_slotted(repo_root: str) -> list[str]:
+def never_slotted(repo_root: str, exclude_newest: bool = False) -> list[str]:
     """Oracled keys with no driver row yet, in registration order (the
     _DRIVER_PRIORITY window reorders the head; registration order is the
     stable tail order)."""
-    seen = slotted_union(repo_root)
+    seen = slotted_union(repo_root, exclude_newest=exclude_newest)
     oracles = registry.all_oracles()
     # all_queries() leads with _DRIVER_PRIORITY; use raw registration order
     registry._load()
@@ -59,12 +75,14 @@ def main() -> int:
     print(f"driver-slotted union: {len(seen)} keys")
     print(f"oracled, never-slotted pool: {len(pool)} keys")
     if "--check" in sys.argv:
-        allowed = set(pool) | set(BACKFILL)
+        # exclude the newest artifact: a key verified ONLY there was just
+        # drained by this very window — success, not waste
+        allowed = set(never_slotted(root, exclude_newest=True)) | set(BACKFILL)
         bad = [k for k in prio if k not in allowed]
         if bad:
             print(f"WINDOW WASTES SLOTS on already-verified keys: {bad}")
             return 1
-        first_time = [k for k in prio if k in pool]
+        first_time = [k for k in prio if k in allowed and k not in BACKFILL]
         print(f"window: {len(prio)} slots, {len(first_time)} first-time, "
               f"{len(prio) - len(first_time)} backfill — OK")
         return 0
