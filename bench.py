@@ -184,14 +184,32 @@ def main() -> None:
         calibration["engine_q1_warm_min2_paired"]
         / calibration["plain_q1_warm_min2"], 3)
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
-        "metric": "headline_warm_total",
-        "value": total,
-        "unit": "sec",
+    # VERDICT r7 wrong #2: BENCH_r07.json came back "parsed": null — the
+    # one-line JSON was truncated by the driver's bounded stdout-tail
+    # capture, losing the headline total. Two defenses:
+    #   1. write the identical object to bench_out.json (repo root) so the
+    #      artifact never depends on log interleaving or tail size;
+    #   2. key order puts the big "queries" dict FIRST and the scalar
+    #      headline fields (metric/unit/sf/value) LAST — a tail capture
+    #      truncates from the front, so the total now survives any cut
+    #      that leaves even the last ~200 bytes. JSON key order is
+    #      semantically irrelevant to any parser.
+    # The JSON line stays the final, sole stdout line (driver contract).
+    payload = {
         "queries": timings,
-        "sf": sf,
         "calibration": calibration,
-    }))
+        "metric": "headline_warm_total",
+        "unit": "sec",
+        "sf": sf,
+        "value": total,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_out.json")
+    with open(out_path, "w") as fh:
+        fh.write(line + "\n")
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -1041,3 +1041,14 @@ def test_bollinger_single_window_pass():
     window exchange (type-partitioned), not three."""
     df = _df("ts_bollinger_bands")
     assert checks.count_shuffles(df) <= 2, checks.executed_plan(df)
+
+
+def test_cardinality_drift_is_one_multi_distinct_scan():
+    """dq_cardinality_drift_report (VERDICT r7 wrong #3): the six
+    conditional count-distincts must fold into ONE aggregate over one
+    scan (the multi-distinct Expand), plus only the 1-row broadcast
+    span scan — two FileScans total, never the old ~6-scan union."""
+    df = _df("dq_cardinality_drift_report")
+    plan = checks.executed_plan(df)
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "Expand" in plan, plan
