@@ -3509,8 +3509,14 @@ def llm_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens",
         F.when(n_pos > n_neg, F.lit(1)).otherwise(F.lit(0))
         .alias("is_positive"))
+    # localCheckpoint before bucketed_order (the RFM staging discipline,
+    # extras.py rfm_segments): bucketed_order reads its input in up to
+    # four plan branches; without the pin each branch re-executes the
+    # whole six-stage screen/floor/paragraph-gate/label pipeline
+    # (VERDICT r7 wrong #4 — the r7 2.3x bench regression)
     staged = bucketed_order(
-        labeled.select("doc_id", "n_tokens", "is_positive"),
+        labeled.select("doc_id", "n_tokens", "is_positive")
+        .localCheckpoint(eager=False),
         "n_tokens", ["doc_id"], ntile={"difficulty_q": 4})
     wp = (Window.partitionBy("difficulty_q")
           .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")

@@ -388,6 +388,12 @@ QUERY_TABLES = {
     "llm_mixture_kl_report": {"documents"},
     "llm_dedup_template_prefix": {"documents"},
     "llm_eval_distinct_n": {"documents"},
+    # round-7 rings 10-16 risky shapes (VERDICT r7 ask #6, 100x tier)
+    "graph_closeness_harmonic_3hop": {"lineitem"},
+    "llm_select_top_quality_budget": {"documents"},
+    "er_fellegi_sunter_scores": {"customer"},  # entity probe: customer IS the fact
+    "llm_watermark_greenlist_detect": {"documents"},
+    "graph_avg_neighbor_degree": {"lineitem"},
 }
 
 
