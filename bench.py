@@ -102,6 +102,21 @@ HEADLINE = [
     "dq_cross_field_consistency",  # cross-table rule audit (fact-fact join)
     "seq_interpurchase_quantiles",  # domain-collapsed discrete gap quantiles
     "stat_cochran_armitage_trend",  # 4-group trend fold
+    # round-8 window representatives (regression visibility for the
+    # families the r8 driver window verifies; all sub-2s warm at sf0.1
+    # in the quiet-window screen — llm_sim_lsh_mllib deliberately
+    # excluded like graph_clustering_coefficient: its cost is the
+    # documented MLlib no-hot-bucket-guard limitation, and the house
+    # LSH already sits in the headline via llm_dedup_fuzzy_minhash)
+    "stat_permutation_test",    # ×64 relabeling fold (per-replicate bar)
+    "ml_pr_auc_exact",          # domain-collapsed PR-AUC
+    "ml_roc_auc_delong_ci",     # DeLong variance + CI, wide-integer moments
+    "llm_eval_bleu_corpus",     # clipped n-gram corpus BLEU
+    "llm_eval_ndcg_at10",       # graded-relevance NDCG@10
+    "scan_txlog_snapshot",      # transaction-log snapshot replay
+    "dq_cardinality_drift_report",  # one-scan multi-distinct (r8 rewrite)
+    "llm_select_top_quality_budget",  # bucketed global order + budget cut
+    "graph_avg_neighbor_degree",  # edge-set-bound degree join
 ]
 
 
