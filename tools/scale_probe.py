@@ -394,6 +394,9 @@ QUERY_TABLES = {
     "er_fellegi_sunter_scores": {"customer"},  # entity probe: customer IS the fact
     "llm_watermark_greenlist_detect": {"documents"},
     "graph_avg_neighbor_degree": {"lineitem"},
+    # round-8 rewritten plans (probe the NEW shapes)
+    "llm_eval_ndcg_at10": {"embeddings"},
+    "dq_cardinality_drift_report": {"events"},
 }
 
 
