@@ -1697,7 +1697,9 @@ WITH dom AS (
   SELECT event_type,
          CAST(round(value * 100, 0) AS BIGINT) AS xc,
          CAST(COUNT(*) AS BIGINT) AS c
-  FROM events GROUP BY event_type, CAST(round(value * 100, 0) AS BIGINT)
+  FROM events
+  WHERE CAST(round(value * 100, 0) AS BIGINT) > 0
+  GROUP BY event_type, CAST(round(value * 100, 0) AS BIGINT)
 ), s AS (
   SELECT event_type,
          CAST(SUM(c) AS BIGINT) AS n,
@@ -1730,12 +1732,16 @@ def agg_geometric_harmonic_mean(spark: SparkSession,
     DISTINCT value, quantized to fixed-point integers, then weighted
     by exact counts), so the corpus-side fold is a plain BIGINT sum —
     no float-order hazard and only ~49k ln calls at ANY corpus size.
+    Both means are defined only on the POSITIVE support, so zero-cent
+    events (ln 0 = −∞, 1/0 undefined; sf0.1 carries six of them) are
+    excluded from the panel in both engines — n counts priced events.
 
     Scale shape: one combinable (type, value) domain collapse, one
     5-group fold; corpus scanned once."""
     ev = load_table(spark, "events", sf_dir)
     xc = F.round(F.col("value") * 100, 0).cast("bigint")
     dom = (ev.select("event_type", xc.alias("xc"))
+           .where(F.col("xc") > 0)
            .groupBy("event_type", "xc")
            .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
     lnq = F.round(F.log(F.col("xc").cast("double")) * 1000000.0, 0) \
