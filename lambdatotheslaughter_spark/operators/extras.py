@@ -6157,22 +6157,26 @@ def er_blocking_quality_report(spark: SparkSession,
     caught = (cand.join(truth, ["c_mktsegment", "a_key", "b_key"])
               .groupBy("c_mktsegment")
               .agg(F.count(F.lit(1)).cast("bigint").alias("n_caught")))
+    # Coalesce BEFORE deriving the ratios: after the left joins a segment
+    # with zero true pairs carries NULL, and a `when(col == 0, ...)` guard
+    # on the raw column is never true for NULL — the sf0.001 corpus (no
+    # within-band duplicate pair anywhere) turned completeness NULL where
+    # the vacuous-truth convention (and the oracle) says 1.0.
+    nt_c = F.coalesce("n_true", F.lit(0)).cast("bigint")
+    nc_c = F.coalesce("n_candidates", F.lit(0)).cast("bigint")
+    ng_c = F.coalesce("n_caught", F.lit(0)).cast("bigint")
     out = (seg.join(nt, "c_mktsegment", "left")
            .join(nc, "c_mktsegment", "left")
            .join(caught, "c_mktsegment", "left")
            .select("c_mktsegment",
-                   F.coalesce("n_true", F.lit(0)).cast("bigint")
-                   .alias("n_true"),
-                   F.coalesce("n_candidates", F.lit(0)).cast("bigint")
-                   .alias("n_candidates"),
-                   F.coalesce("n_caught", F.lit(0)).cast("bigint")
-                   .alias("n_caught"),
-                   (F.lit(1.0) - F.col("n_candidates").cast("double")
+                   nt_c.alias("n_true"),
+                   nc_c.alias("n_candidates"),
+                   ng_c.alias("n_caught"),
+                   (F.lit(1.0) - nc_c.cast("double")
                     / (F.col("n") * (F.col("n") - 1) / 2).cast("double"))
                    .alias("reduction_ratio"),
-                   F.when(F.col("n_true") == 0, F.lit(1.0))
-                   .otherwise(F.col("n_caught").cast("double")
-                              / F.col("n_true").cast("double"))
+                   F.when(nt_c == 0, F.lit(1.0))
+                   .otherwise(ng_c.cast("double") / nt_c.cast("double"))
                    .alias("pairs_completeness")))
     return out
 
