@@ -19,8 +19,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_DRIVE_SF_DIR", "/root/testdata/sf0.01")
 # (quadratic closure/pairwise shapes), not that the engine is slow.
 ORACLE_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT_S", "0"))
 
+# SPARK_GRAFT_DRIVE_SHUFFLE lets the partition-invariance audit rerun the
+# whole sweep at a hostile width (e.g. 97): every hash must still match.
+SHUFFLE = os.environ.get("SPARK_GRAFT_DRIVE_SHUFFLE", "8")
+
 spark = (SparkSession.builder.master("local[8]")
-         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.sql.shuffle.partitions", SHUFFLE)
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
