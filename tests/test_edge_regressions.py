@@ -1,0 +1,86 @@
+"""Regression tests for the two data-edge bugs the round-8 cross-SF audits
+caught. Each crafts a minimal sf_dir whose data exhibits the edge (the
+stock testdata only shows these at one SF each — zero-cent events exist
+only at sf0.1, and an empty true-pair set only at sf0.001), so the edge
+stays covered at the default test SF forever.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lambdatotheslaughter_spark import registry
+
+
+def _write_events(path, rows):
+    """rows: list of (event_id, ts_us, user_id, event_type, value)."""
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}" for _ in rows], pa.string()),
+    })
+    pq.write_table(table, str(path))
+
+
+def test_geometric_harmonic_means_skip_zero_cents(spark, tmp_path):
+    """agg_geometric_harmonic_mean raised ANSI DIVIDE_BY_ZERO on sf0.1's
+    zero-cent events (1e12/xc per distinct domain value). The panel is
+    defined on the positive support only: a zero-cent row must be
+    excluded, not crash the fold and not distort n."""
+    t0 = datetime.datetime(2024, 1, 1)
+    us = lambda m: t0 + datetime.timedelta(minutes=m)
+    _write_events(tmp_path / "events.parquet", [
+        (1, us(0), 10, "purchase", 0.00),   # the hazard row: 0 cents
+        (2, us(1), 11, "purchase", 2.00),
+        (3, us(2), 12, "purchase", 8.00),
+        (4, us(3), 13, "view", 5.00),
+    ])
+    out = registry.get("agg_geometric_harmonic_mean").fn(
+        spark, str(tmp_path)).orderBy("event_type").collect()
+    by_type = {r["event_type"]: r for r in out}
+    p = by_type["purchase"]
+    assert p["n"] == 2, "zero-cent row must not count as a priced event"
+    assert abs(p["arith_mean_cents"] - 500.0) < 1e-6
+    assert abs(p["geo_mean_cents"] - math.sqrt(200 * 800)) < 1e-3
+    assert abs(p["harm_mean_cents"] - 320.0) < 1e-3
+    v = by_type["view"]
+    assert v["n"] == 1 and abs(v["geo_mean_cents"] - 500.0) < 1e-3
+
+
+def test_er_blocking_completeness_vacuous_truth(spark, tmp_path):
+    """er_blocking_quality_report returned NULL pairs_completeness when a
+    segment has ZERO within-band true pairs (sf0.001's shape): the
+    when(n_true == 0, 1.0) guard sat on the raw post-left-join column,
+    which is NULL there, not 0. Vacuous truth must read exactly 1.0."""
+    segs = ["AUTOMOBILE", "BUILDING"]
+    rows = []
+    k = 1
+    for s in segs:
+        for i in range(4):
+            # balances 50.00 apart -- far beyond the 1.00 band: no true pair
+            rows.append((k, f"Customer#{k}", 1, 100.0 + 50.0 * i, s))
+            k += 1
+    table = pa.table({
+        "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "c_name": pa.array([r[1] for r in rows], pa.string()),
+        "c_nationkey": pa.array([r[2] for r in rows], pa.int32()),
+        "c_acctbal": pa.array([r[3] for r in rows], pa.float64()),
+        "c_mktsegment": pa.array([r[4] for r in rows], pa.string()),
+    })
+    pq.write_table(table, str(tmp_path / "customer.parquet"))
+    out = registry.get("er_blocking_quality_report").fn(
+        spark, str(tmp_path)).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["n_true"] == 0 and r["n_caught"] == 0
+        pc = r["pairs_completeness"]
+        assert pc is not None and not math.isnan(pc)
+        assert pc == 1.0, f"{r['c_mktsegment']}: vacuous completeness {pc}"
