@@ -23,10 +23,16 @@ ORACLE_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT_S", "0"))
 # whole sweep at a hostile width (e.g. 97): every hash must still match.
 SHUFFLE = os.environ.get("SPARK_GRAFT_DRIVE_SHUFFLE", "8")
 
-spark = (SparkSession.builder.master("local[8]")
-         .config("spark.sql.shuffle.partitions", SHUFFLE)
-         .config("spark.sql.session.timeZone", "UTC")
-         .config("spark.ui.enabled", "false").getOrCreate())
+builder = (SparkSession.builder.master("local[8]")
+           .config("spark.sql.shuffle.partitions", SHUFFLE)
+           .config("spark.sql.session.timeZone", "UTC")
+           .config("spark.ui.enabled", "false"))
+# SPARK_GRAFT_DRIVE_CONF="k=v;k2=v2" — extra session confs for robustness
+# axes (e.g. spark.sql.adaptive.enabled=false for the AQE-off audit).
+for kv in filter(None, os.environ.get("SPARK_GRAFT_DRIVE_CONF", "").split(";")):
+    ck, _, cv = kv.partition("=")
+    builder = builder.config(ck.strip(), cv.strip())
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 rows = e.entry(spark).collect()
