@@ -93,6 +93,8 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select("dst")).distinct())
     n = nodes.count()  # one scalar; the driver never sees row data
+    if n == 0:  # empty shard: no graph, no ranks (100 TB empty-partition edge)
+        return nodes.select("node", F.lit(0).cast("bigint").alias("rank_fp"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     edges_deg = edges.join(deg, "src").localCheckpoint()
 
@@ -1260,6 +1262,9 @@ def graph_personalized_pagerank(spark: SparkSession,
     seeds = nodes.join(F.broadcast(part), nodes.node == F.col("sn")) \
         .select("node").localCheckpoint()
     ns = seeds.count()
+    if ns == 0:  # empty shard / no seed qualifies: nothing is reachable
+        return nodes.select("node", F.lit(0).cast("bigint").alias("ppr_fp")) \
+            .where(F.lit(False))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     edges_deg = edges.join(deg, "src").localCheckpoint()
     is_seed = F.col("sn2").isNotNull()

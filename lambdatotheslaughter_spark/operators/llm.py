@@ -765,6 +765,9 @@ def llm_sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "embeddings", sf_dir) \
         .select("vec_id", array_to_vector("embedding").alias("features"))
+    if not e.take(1):  # MLlib fit() rejects an empty dataset; empty shard -> no pairs
+        return spark.createDataFrame(
+            [], "a_id bigint, b_id bigint, euclidean_dist double")
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes",
         bucketLength=2.0, numHashTables=8, seed=42)
@@ -859,6 +862,9 @@ def llm_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     n = e.count()
+    if n == 0:  # empty shard: nothing to index, nothing to probe
+        return spark.createDataFrame(
+            [], "a_id bigint, b_id bigint, cosine double, rn int")
     n_cells = _ivf_n_cells(n)
     cent = _ivf_train_centroids(e, n, n_cells)
 
@@ -3622,6 +3628,10 @@ def _hardneg_gemm_candidates(spark: SparkSession, e: DataFrame,
     import pandas as pd
 
     qp = q.toPandas()  # bounded by the dispatch cap
+    if qp.empty:  # empty shard: no queries, no candidates
+        return spark.createDataFrame(
+            [], ("query_id bigint, neg_id bigint, query_label bigint, "
+                 "neg_label bigint, cosine_r double"))
     q_ids = qp["query_id"].to_numpy("int64")
     q_labels = qp["query_label"].to_numpy("int64")
     qm = np.vstack(qp["q_emb"].to_numpy()).astype("float64")
@@ -3838,6 +3848,18 @@ def llm_embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     n = e.count()
+    import math
+    bits = _PQ_M * int(math.log2(_PQ_K))
+    if n == 0:  # empty shard: nothing to train or encode; report the empty index
+        enc = spark.createDataFrame(
+            [], "vec_id bigint, err2_fp bigint, energy_fp bigint")
+        return enc.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.lit(_PQ_M).cast("bigint").alias("m_subspaces"),
+            F.lit(_PQ_K).cast("bigint").alias("k_codes"),
+            F.lit(bits).cast("bigint").alias("bits_per_vector"),
+            (F.sum("err2_fp").cast("double")
+             / F.sum("energy_fp").cast("double")).alias("relative_mse"))
     books = _pq_train_codebooks(e, n)
     sub = books.shape[2]
 
@@ -4155,6 +4177,9 @@ def llm_sim_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("vec_id",
                  array_to_vector(F.col("embedding").cast("array<double>"))
                  .alias("v")))
+    if not e.take(1):  # MLlib fit() rejects an empty dataset; empty shard -> no pairs
+        return spark.createDataFrame(
+            [], "a_id bigint, b_id bigint, dist_6dp double")
     lsh = BucketedRandomProjectionLSH(inputCol="v", outputCol="h",
                                       bucketLength=2.0, numHashTables=6,
                                       seed=42)

@@ -3456,6 +3456,10 @@ def llm_eval_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     qp = (e.where(F.col("vec_id") < _NDCG_NQ)
           .select("vec_id", "label", "embedding")
           .toPandas())  # bounded query block (≤ _NDCG_NQ rows)
+    if qp.empty:  # empty shard: no queries, no ranking
+        return spark.createDataFrame(
+            [], ("vec_id bigint, dcg_fp bigint, n_relevant_capped bigint, "
+                 "idcg_fp bigint, ndcg_at_10 double"))
     q_ids = qp["vec_id"].to_numpy("int64")
     q_labels = qp["label"].to_numpy("int64")
     qm = np.vstack(qp["embedding"].to_numpy()).astype("float64")
