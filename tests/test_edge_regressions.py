@@ -55,6 +55,39 @@ def test_geometric_harmonic_means_skip_zero_cents(spark, tmp_path):
     assert v["n"] == 1 and abs(v["geo_mean_cents"] - 500.0) < 1e-3
 
 
+_EMPTY_GUARDED = [
+    # (key, tables whose empty parquet the op reads)
+    ("graph_pagerank_fixed", ("lineitem",)),
+    ("graph_personalized_pagerank", ("lineitem", "part")),
+    ("llm_sim_lsh_approx", ("embeddings",)),
+    ("llm_sim_lsh_mllib", ("embeddings",)),
+    ("llm_sim_ann_ivf", ("embeddings",)),
+    ("llm_hard_negative_mining", ("embeddings",)),
+    ("llm_embedding_pq_quantize", ("embeddings",)),
+    ("llm_eval_ndcg_at10", ("embeddings",)),
+]
+
+
+def test_empty_shard_guards(spark, tmp_path):
+    """The eight driver-side-scaffold ops the round-8 empty-input audit
+    crashed (teleport-constant division, empty-query-block np.vstack,
+    MLlib fit on an empty dataset) must return their exact-schema empty
+    result on a zero-row shard — the empty-daily-partition case."""
+    import pyarrow.parquet as _pq
+
+    src = "/root/testdata/sf0.001"
+    tables = sorted({t for _, ts in _EMPTY_GUARDED for t in ts})
+    for t in tables:
+        schema = _pq.ParquetFile(f"{src}/{t}.parquet").schema_arrow
+        _pq.write_table(schema.empty_table(), str(tmp_path / f"{t}.parquet"))
+    for key, _ in _EMPTY_GUARDED:
+        df = registry.get(key).fn(spark, str(tmp_path))
+        rows = df.collect()
+        expected = 1 if key == "llm_embedding_pq_quantize" else 0
+        assert len(rows) == expected, f"{key}: {len(rows)} rows on empty shard"
+        assert df.columns, f"{key}: lost its output schema on empty shard"
+
+
 def test_er_blocking_completeness_vacuous_truth(spark, tmp_path):
     """er_blocking_quality_report returned NULL pairs_completeness when a
     segment has ZERO within-band true pairs (sf0.001's shape): the
