@@ -63,45 +63,39 @@ _loaded = False
 # tests/test_survey_coverage.py) fails if any slot below wastes a round on
 # an already-verified key.
 #
-# ROUND 8 window -- 50 slots, ALL first-time (212-key oracled pool at
-# rotation; VERDICT r7 ask #3 — drain, don't add):
-#   [0:10]  the keys VERDICT r7 names first: the stats/ML-eval third ring
-#           (permutation test, PR-AUC, DeLong CI), the txlog pair
-#           (snapshot + checkpoint), the round-7 eval ring (BLEU, NDCG@10,
-#           chrF), llm_sim_lsh_mllib (value-oracled since r7), and
-#           dq_cardinality_drift_report (rewritten this round to the
-#           one-scan multi-distinct shape — the slot doubles as
-#           post-change confirmation);
-#   [10:50] the 40 oldest remaining never-slotted keys in registration
-#           order (streaming monitors, the r6 llm/udtf/sql-surface ring,
-#           ts/window/stat shapes).
-# After this window drains, ~162 oracled keys remain unslotted (~3-4 more
-# windows at 50/round with additions FROZEN per VERDICT r7 #3); regenerate
-# with tools/rotation.py when rotating.
+# ROUND 9 window -- drain window #2 (VERDICT r8 ask #1): 50 slots, ALL
+# first-time, cut straight from ``python tools/rotation.py``'s 162-key
+# never-slotted pool in registration order (oldest rings first: the r5/r6
+# sql/er/win/agg/ts/seq rings, the graph analytics ring, then the oldest
+# llm-curation ring). Addition freeze stays in force — zero new keys this
+# round. After this window drains, ~112 oracled keys remain unslotted
+# (~2.2 more windows at 50/round); regenerate with tools/rotation.py when
+# rotating.
 # Rows-only-by-design ops (12; each pytest-gated in test_llm_quality.py /
 # test_survey_coverage.py's allowlist) are deliberately never listed -- a
 # driver slot adds nothing over their determinism/recall/tolerance gates.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "stat_permutation_test", "ml_pr_auc_exact", "ml_roc_auc_delong_ci",
-    "scan_txlog_snapshot", "scan_txlog_checkpoint", "llm_eval_bleu_corpus",
-    "llm_eval_ndcg_at10", "llm_eval_chrf", "llm_sim_lsh_mllib",
-    "dq_cardinality_drift_report", "stream_sprt_monitor",
-    "stream_changepoint_monitor", "llm_multimodal_decode",
-    "llm_minhash_bbit", "llm_lm_score_kneser_ney",
-    "llm_embedding_matryoshka_recall", "llm_eval_retrieval_mrr",
-    "llm_multimodal_interleaved_pack", "udtf_sql_registered",
-    "udtf_arrow_optimized", "udtf_table_argument",
-    "sql_values_inline_table", "sql_lateral_view_explode",
-    "sql_distribute_sort_by", "sql_join_hints", "ts_time_weighted_avg",
-    "sql_join_hint_merge", "win_topk_with_ties", "sql_identifier_clause",
-    "sql_star_except", "agg_filter_clause", "sql_table_function_range",
-    "stat_crosstab", "sql_pivot_clause", "sql_unpivot_clause",
-    "sql_hint_rebalance", "win_lag_ignore_nulls",
-    "sql_semi_anti_join_syntax", "explode_outer_nulls", "ts_outlier_iqr",
-    "stat_chi_square_independence", "ts_autocorr_lag", "sql_order_by_all",
-    "sql_global_temp_view", "ts_dow_hour_profile", "ts_peak_detect_local",
-    "win_percent_rank_cume_dist", "ts_acf_multi_lag", "ts_xcorr_lead_lag",
-    "ts_burstiness_fano",
+    'sql_scripting_block', 'er_sorted_neighborhood_pairs',
+    'win_cumsum_reset_on_flag', 'agg_weighted_median', 'win_rolling_slope',
+    'ts_forecast_eval_wape', 'ts_hampel_filter', 'ts_pinball_loss_eval',
+    'dq_column_entropy_profile', 'ts_sax_symbolize',
+    'seq_funnel_time_to_convert', 'seq_path_topk', 'ts_seasonal_strength',
+    'ts_bitemporal_asof_revision', 'seq_attribution_first_last',
+    'seq_growth_accounting_weekly', 'win_interval_union_length',
+    'ts_haar_energy_levels', 'stat_entropy_rate_markov',
+    'ts_gap_log_histogram', 'sql_incremental_mv_refresh',
+    'er_blocking_quality_report', 'agg_hierarchy_share_rollup',
+    'seq_bounce_rate_daily', 'agg_new_vs_returning_daily',
+    'win_max_drawdown', 'agg_cohort_ltv_curve', 'stat_ljung_box_q',
+    'ts_yoy_growth', 'win_peer_group_zscore', 'win_ytd_running_total',
+    'ts_seasonal_index_monthly', 'agg_repeat_purchase_rate',
+    'ts_permutation_entropy', 'graph_bipartite_copurchase',
+    'graph_clustering_coefficient', 'graph_assortativity_degree',
+    'graph_reciprocity', 'graph_modularity_brand', 'graph_hits_fixed',
+    'graph_adamic_adar_linkpred', 'graph_personalized_pagerank',
+    'llm_fim_transform', 'llm_dedup_paragraph', 'llm_rag_context_pack',
+    'llm_minhash_jaccard_estimate', 'llm_readability_score',
+    'llm_label_agreement_kappa', 'llm_zipf_fit', 'llm_sim_mmr_rerank',
 )
 
 

@@ -112,3 +112,32 @@ def test_driver_window_is_generated_not_hand_counted():
     assert not wasted, f"window wastes slots on already-verified keys: {wasted}"
     first_time = sum(1 for k in registry._DRIVER_PRIORITY if k in pool)
     assert first_time >= 46, f"only {first_time} first-time slots (driver asks >=46)"
+
+
+def test_bench_stdout_line_survives_driver_tail():
+    """VERDICT r8 wrong #1 (three rounds running): the driver keeps only
+    the last ~2000 chars of bench.py stdout, so the final JSON line must be
+    far smaller than that or BENCH_r{N}.json records "parsed": null. The
+    line is scalars + calibration + a pointer; the per-query dict lives
+    only in bench_out.json."""
+    import json
+    import bench
+
+    full = {
+        "queries": {f"q{i}": 1.234 for i in range(200)},  # never on stdout
+        "calibration": {"plain_q1_warm_min2": 0.123,
+                        "engine_q1_warm_min2_paired": 0.171,
+                        "engine_q1_over_plain_q1": 1.397},
+        "metric": "headline_warm_total",
+        "unit": "sec",
+        "sf": 0.1,
+        "value": 54.512,
+        "n_queries": 200,
+    }
+    line = bench.stdout_line(full)
+    assert len(line) <= 600, f"stdout line {len(line)} chars — tail-capture risk"
+    parsed = json.loads(line)
+    assert parsed["value"] == 54.512
+    assert parsed["calibration"]["engine_q1_over_plain_q1"] == 1.397
+    assert parsed["queries_file"] == "bench_out.json"
+    assert "queries" not in parsed

@@ -4,8 +4,9 @@ $SPARK_GRAFT_DRIVE_SF_DIR (default /root/testdata/sf0.01 — the driver's SF).
 
 Usage: python tools/drive_driver.py [name ...] — with args, only queries
 whose key equals (or contains) an arg are run; no args = the full sweep.
-Flags: --skip NAME (repeatable) drops a key from a no-args sweep — used by
-the sf0.1 parity audit to hold out the oracle-intractable closure oracles.
+Flags: --skip NAME (repeatable) drops a key AFTER any positional selection
+is applied (so it composes with selectors too) — used by the sf0.1 parity
+audit to hold out the oracle-intractable closure oracles.
 """
 import os, sys, hashlib, math, threading
 sys.path.insert(0, "/root/repo")
@@ -38,9 +39,13 @@ spark.sparkContext.setLogLevel("ERROR")
 rows = e.entry(spark).collect()
 print(f"SMOKE entry(): {len(rows)} rows; first: {rows[0]}")
 
-con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+def fresh_con():
+    c = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+con = fresh_con()
 
 def vhash(df):
     cols = sorted(df.columns)
@@ -56,6 +61,9 @@ skips, sel = set(), []
 i = 0
 while i < len(args):
     if args[i] == "--skip":
+        if i + 1 >= len(args):
+            sys.exit("usage: drive_driver.py [name ...] [--skip NAME]... "
+                     "(--skip needs a key; applies to sweeps AND selections)")
         skips.add(args[i + 1]); i += 2
     else:
         sel.append(args[i]); i += 1
@@ -75,16 +83,30 @@ for k, fn in qs.items():
         print(f"{k}: SPARK ERROR {type(exc).__name__}: {str(exc).splitlines()[0][:160]}")
         continue
     if k in os_:
+        # Per-query fired-flag closes the ADVICE r8 race: a Timer that fires
+        # AFTER con.execute() returns but BEFORE timer.cancel() would leave a
+        # stale interrupt on the connection that aborts the NEXT oracle (and
+        # gets misreported as that query's TIMEOUT). Only classify TIMEOUT
+        # when THIS query's flag fired; on a late fire, drop the tainted
+        # connection; on an interrupt with no flag (stale leak), retry once.
+        fired = threading.Event()
         timer = None
         if ORACLE_TIMEOUT_S:
-            timer = threading.Timer(ORACLE_TIMEOUT_S, con.interrupt)
+            timer = threading.Timer(ORACLE_TIMEOUT_S,
+                                    lambda: (fired.set(), con.interrupt()))
             timer.start()
         try:
-            dk = con.execute(os_[k]).df()
-        except duckdb.InterruptException:
-            print(f"{k}: ORACLE TIMEOUT after {ORACLE_TIMEOUT_S}s "
-                  f"(oracle intractable at this SF; engine result not judged)", flush=True)
-            continue
+            try:
+                dk = con.execute(os_[k]).df()
+            except duckdb.InterruptException:
+                if fired.is_set():
+                    print(f"{k}: ORACLE TIMEOUT after {ORACLE_TIMEOUT_S}s "
+                          f"(oracle intractable at this SF; engine result not judged)", flush=True)
+                    continue  # finally sees fired -> rebuilds the connection
+                # stale interrupt leaked from an earlier late timer: this
+                # query was never judged — rebuild the connection, run again
+                con = fresh_con()
+                dk = con.execute(os_[k]).df()
         except Exception as exc:
             bad += 1
             print(f"{k}: ORACLE ERROR {type(exc).__name__}: {str(exc).splitlines()[0][:160]}")
@@ -92,6 +114,11 @@ for k, fn in qs.items():
         finally:
             if timer:
                 timer.cancel()
+                if fired.is_set():
+                    # fired late (query already returned): the interrupt may
+                    # still be pending on this connection — don't let it
+                    # abort the next query
+                    con = fresh_con()
         ok = (len(sp)==len(dk)) and sorted(sp.columns)==sorted(dk.columns) and vhash(sp)==vhash(dk)
         bad += 0 if ok else 1
         print(f"{k}: rows {len(sp)}/{len(dk)} hash_match={vhash(sp)==vhash(dk)} -> {'MATCH' if ok else 'MISMATCH'}", flush=True)

@@ -39,7 +39,8 @@ def main() -> None:
 
     r = subprocess.run([sys.executable, os.path.join(ROOT, "tools", "rotation.py"),
                         "--check"], capture_output=True, text=True)
-    step("rotation gate", r.returncode == 0, r.stdout.strip().splitlines()[-1])
+    step("rotation gate", r.returncode == 0,
+         (r.stdout.strip().splitlines() or [r.stderr.strip() or "no output"])[-1])
 
     from lambdatotheslaughter_spark import registry
     window = list(registry._DRIVER_PRIORITY)
