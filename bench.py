@@ -112,7 +112,7 @@ HEADLINE = [
     # excluded like graph_clustering_coefficient: its cost is the
     # documented MLlib no-hot-bucket-guard limitation, and the house
     # LSH already sits in the headline via llm_dedup_fuzzy_minhash)
-    "stat_permutation_test",    # ×64 relabeling fold (per-replicate bar)
+    "stat_permutation_test",    # ×32 relabeling fold (B halved round 9)
     "ml_pr_auc_exact",          # domain-collapsed PR-AUC
     "ml_roc_auc_delong_ci",     # DeLong variance + CI, wide-integer moments
     "llm_eval_bleu_corpus",     # clipped n-gram corpus BLEU
@@ -121,6 +121,16 @@ HEADLINE = [
     "dq_cardinality_drift_report",  # one-scan multi-distinct (r8 rewrite)
     "llm_select_top_quality_budget",  # bucketed global order + budget cut
     "graph_avg_neighbor_degree",  # edge-set-bound degree join
+    # VERDICT r8 wrong #3: the three keys the r8 headline omitted, added
+    # after their round-9 rewrites so the headline no longer hides the
+    # slowest shapes. closeness + chrF carry explicit per-structure bars
+    # in BASELINE.md ("Per-structure bars"): level-synchronous BFS pays
+    # 3 inherently sequential materialization barriers, and chrF's
+    # contract generates ~450 gram instances per doc — both floors are
+    # orchestration-dominated on this box, linear at the 10x probe.
+    "graph_closeness_harmonic_3hop",  # MS-BFS bitmask closeness (r9 rewrite)
+    "llm_eval_chrf",            # single-shuffle clipped char-gram F2 (r9)
+    "graph_label_propagation_sync",  # self-loop min-fold LPA (r9 rewrite)
 ]
 
 

@@ -349,6 +349,12 @@ QUERY_TABLES = {
     "seq_survival_km": {"events"},
     "dq_referential_integrity": {"lineitem", "orders", "events"},
     "dq_freshness_lag": {"events"},
+    # round-9 probe additions (VERDICT r8 ask #7: the r7b shapes without
+    # a probe row)
+    "stat_meta_fixed_effect_pool": {"events"},
+    "dq_schema_drift_report": {"events"},  # parquet-footer metadata read
+    "dq_volume_anomaly_daily": {"events"},
+    "ml_cost_curve_threshold": {"events"},
     "llm_eval_bleu_corpus": {"documents"},
     "llm_sample_ares_topk": {"documents"},
     "llm_eval_pairwise_winrate": {"documents"},
