@@ -1052,3 +1052,38 @@ def test_cardinality_drift_is_one_multi_distinct_scan():
     plan = checks.executed_plan(df)
     assert plan.count("FileScan parquet") == 2, plan
     assert "Expand" in plan, plan
+
+
+def test_closeness_bitmask_has_no_sort_merge_join():
+    """graph_closeness_harmonic_3hop (round-9 MS-BFS rewrite): every
+    level join must be a broadcast hash join of the V-row mask table
+    against the checkpointed edge list — a SortMergeJoin here means the
+    E-row side is being re-sorted per level, the exact shape the rewrite
+    removed (VERDICT r8 ask #4)."""
+    df = _df("graph_closeness_harmonic_3hop")
+    plan = checks.executed_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert checks.has_broadcast_join(df), plan
+
+
+def test_label_propagation_rounds_have_no_label_rejoin():
+    """graph_label_propagation_sync (round-9 self-loop rewrite): the
+    recurrence is one edge⋈labels broadcast join + one min fold per
+    round — no SortMergeJoin, and exactly 2 joins for 3 rounds (round 1
+    is a plain aggregate because l_0(u) = u)."""
+    df = _df("graph_label_propagation_sync")
+    plan = checks.executed_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+def test_chrf_has_no_gram_join():
+    """llm_eval_chrf (round-9 single-shuffle rewrite): the clipped
+    overlap folds INSIDE the (doc, n, gram) count aggregate — the plan
+    must contain no join at all (the r8 form shipped a gram-keyed
+    SortMergeJoin plus a doc-grain left join)."""
+    df = _df("llm_eval_chrf")
+    plan = checks.executed_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "Join" not in plan or "BroadcastNestedLoopJoin" in plan, plan
