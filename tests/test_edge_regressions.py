@@ -65,6 +65,11 @@ _EMPTY_GUARDED = [
     ("llm_hard_negative_mining", ("embeddings",)),
     ("llm_embedding_pq_quantize", ("embeddings",)),
     ("llm_eval_ndcg_at10", ("embeddings",)),
+    # round-9 plan rewrites: re-pin the empty-shard class for the new
+    # shapes (the r8 full-registry audit predates them)
+    ("graph_closeness_harmonic_3hop", ("lineitem",)),
+    ("graph_label_propagation_sync", ("lineitem",)),
+    ("llm_eval_chrf", ("documents",)),
 ]
 
 
