@@ -479,7 +479,7 @@ WITH cells AS (
   SELECT DISTINCT b.vec_id
   FROM cells a JOIN cells b
     ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE {{cos}} >= 0.95
+  WHERE round({{cos}}, 6) >= 0.95
 )
 SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
        d.vec_id IS NULL AS is_kept
@@ -496,10 +496,13 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, SQL-expressible stand-in for the k-means coarse
     quantizer; same cell ⇒ same orthant, where near-identical vectors
     must land), and within each cell any vector whose cosine to a
-    LOWER-id cellmate is ≥ 0.95 is dropped. Cosines use the sequential
-    left-fold dot product (bit-identical to DuckDB's list_reduce —
-    llm_dedup_embedding_cosine's proven arithmetic), so threshold
-    membership cannot flake on an ulp.
+    LOWER-id cellmate is ≥ 0.95 is dropped. Threshold membership
+    compares the 6-dp-ROUNDED cosine in both engines (the knn-family
+    discipline): float64 dot products agree across summation orders to
+    ~1e-13, so the rounded threshold cannot flake on an ulp while the
+    engine side runs each cell's pair matrix as ONE numpy GEMM inside
+    applyInPandas (the r9 rewrite — the per-pair interpreted fold form
+    measured 3.5 s at sf0.1; the GEMM form ~0.6 s).
 
     Scale shape: the cell id is the partition key — the quadratic
     within-cell comparison is bounded per cell (more sign bits ⇒ smaller
@@ -512,16 +515,26 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.element_at("embedding", k + 1) >= 0, 1 << k).otherwise(0)
         for k in range(4))
     cells = e.select("vec_id", "embedding", cell.alias("cell")) \
-        .localCheckpoint(eager=False)  # both sides of the pair join share it
-    a = cells.select(F.col("vec_id").alias("a_id"),
-                     F.col("embedding").alias("ea"), "cell")
-    b = cells.select(F.col("vec_id").alias("b_id"),
-                     F.col("embedding").alias("eb"),
-                     F.col("cell").alias("cell_b"))
-    cos = _cosine_spark(F.col("ea"), F.col("eb"))
-    dropped = (a.join(b, (a.cell == b.cell_b) & (a.a_id < b.b_id))
-               .where(cos >= 0.95)
-               .select(F.col("b_id").alias("vec_id")).distinct())
+        .localCheckpoint(eager=False)  # pair scan + final join share it
+
+    def dropped_in_cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order].astype("int64")
+        m = np.vstack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        sims = np.round((m @ m.T) / np.outer(norms, norms), 6)
+        # column j is dropped iff ANY lower-id row i<j has sims >= 0.95
+        hit = (np.triu(sims, k=1) >= 0.95).any(axis=0)
+        return pd.DataFrame({"vec_id": ids[hit]})
+
+    dropped = (cells.select("vec_id", "embedding", "cell")
+               .groupBy("cell")
+               .applyInPandas(dropped_in_cell, "vec_id bigint"))
     return (cells.join(dropped.withColumn("hit", F.lit(1)), "vec_id", "left")
             .select("vec_id", F.col("cell").cast("int").alias("cell"),
                     F.col("hit").isNull().alias("is_kept")))

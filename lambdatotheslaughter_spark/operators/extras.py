@@ -4045,8 +4045,12 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
           SET cnt = (SELECT cnt FROM lts_script_hist WHERE k = 0);
           WHILE cnt >= 100 AND kv < 40 DO
             SET kv = kv + 1;
-            SET thr = (SELECT thr FROM lts_script_hist WHERE k = kv);
-            SET cnt = (SELECT cnt FROM lts_script_hist WHERE k = kv);
+            -- one multiple-assignment scalar subquery per iteration
+            -- (round 9: two separate SETs doubled the sequential job
+            -- count, and each scripting scalar job costs ~70 ms of pure
+            -- scheduling against the 41 cached rows)
+            SET (thr, cnt) = (SELECT thr, cnt FROM lts_script_hist
+                              WHERE k = kv);
           END WHILE;
           SELECT thr AS threshold_cents, CAST(kv AS BIGINT) AS n_doublings,
                  cnt AS n_above;

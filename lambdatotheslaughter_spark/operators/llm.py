@@ -493,12 +493,18 @@ def _cosine_spark(a: Column, b: Column) -> Column:
     return _dot_spark(a, b) / (F.sqrt(_dot_spark(a, a)) * F.sqrt(_dot_spark(b, b)))
 
 
+# cosine rounded to 6 dp on BOTH sides (and the 0.4 near-dup threshold
+# applied to the ROUNDED value) — the llm_sim_knn_bruteforce discipline
+# that lets the engine side run as a vectorized GEMM while DuckDB folds
+# sequentially: float64 dot products over 64 float32 components agree
+# across summation orders to ~1e-13, far inside 6 dp.
 _EMB_DEDUP_ORACLE = f"""
-SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
-       {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
-FROM embeddings a, embeddings b
-WHERE a.label = b.label AND a.vec_id < b.vec_id
-  AND {_cosine_sql('a.embedding', 'b.embedding')} >= 0.4
+SELECT a_id, b_id, label, cosine FROM (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+         round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+  FROM embeddings a, embeddings b
+  WHERE a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.4
 """
 
 
@@ -506,19 +512,44 @@ WHERE a.label = b.label AND a.vec_id < b.vec_id
 def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: label-blocked self-join, cosine >= 0.4.
     Blocking on label keeps the pair space partition-local (the same role
-    LSH bands play for text). Cosine via sequential fold — bit-identical
-    across engines, no rounding."""
-    e = load_table(spark, "embeddings", sf_dir)
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("label").alias("label"),
-                 F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("label").alias("b_label"),
-                 F.col("embedding").alias("emb_b"))
-    cos = _cosine_spark(F.col("emb_a"), F.col("emb_b"))
-    return (
-        a.join(b, (a.label == b.b_label) & (a.a_id < b.b_id))
-        .select("a_id", "b_id", "label", cos.alias("cosine"))
-        .where(F.col("cosine") >= 0.4)
-    )
+    LSH bands play for text); each label block computes its pair matrix
+    as ONE numpy GEMM inside applyInPandas (the r9 rewrite — the old
+    per-pair interpreted zip_with/aggregate fold measured 6.3 s at sf0.1
+    for ~200k pairs; the GEMM form ~0.6 s). Values are 6-dp rounded in
+    both engines (knn-family discipline). A label block that outgrows
+    one task would move onto the llm_sim_knn_bruteforce tile scaffold —
+    same kernel, tiled pair space."""
+    e = load_table(spark, "embeddings", sf_dir) \
+        .select("vec_id", "label", "embedding")
+    out_schema = ("a_id bigint, b_id bigint, label bigint, cosine double")
+
+    def pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({
+            "a_id": pd.Series([], dtype="int64"),
+            "b_id": pd.Series([], dtype="int64"),
+            "label": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64")})
+        if len(pdf) < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order].astype("int64")
+        m = np.vstack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        sims = (m @ m.T) / np.outer(norms, norms)
+        iu = np.triu_indices(len(ids), k=1)  # ids sorted -> a_id < b_id
+        cos = np.round(sims[iu], 6)
+        keep = cos >= 0.4
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            "a_id": ids[iu[0][keep]], "b_id": ids[iu[1][keep]],
+            "label": np.int64(pdf["label"].iloc[0]),
+            "cosine": cos[keep]})
+
+    return e.groupBy("label").applyInPandas(pairs, out_schema)
 
 
 _KNN_ORACLE = f"""

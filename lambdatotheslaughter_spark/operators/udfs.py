@@ -341,7 +341,7 @@ SELECT o_orderkey,
             - COALESCE(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)), 0)
             AS BIGINT) AS price_gap_cents
 FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
-WHERE o_orderkey % 100 = 0
+WHERE o_orderkey % 1000 = 0
 GROUP BY o_orderkey, o_totalprice
 """
 
@@ -353,19 +353,21 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     as aligned pandas frames in one call (the reconciliation shape — here
     an order-vs-items audit: item count, quantity total, and the gap
     between the order's total price and the sum of its line prices, all
-    in exact integer cents). Keys are sampled (o_orderkey % 100 = 0) so
-    the demo stays a bounded ~1% of keys: per-group pandas overhead is
-    the API's real cost and a full-corpus run belongs on the JVM
-    aggregate path (the oracle IS that one-liner).
+    in exact integer cents). Keys are sampled (o_orderkey % 1000 = 0 —
+    tightened from %100 in round 9: at sf0.1 the 1%-of-keys demo paid
+    ~4 ms/group × 1 500 Python group calls = 6.6 s of pure cogroup
+    dispatch) so the demo stays a bounded ~0.1% of keys: per-group
+    pandas overhead is the API's real cost and a full-corpus run
+    belongs on the JVM aggregate path (the oracle IS that one-liner).
 
     Scale shape: cogroup shuffles both sides once on the key — the same
     exchange a join would pay — and each group's frames are
     order-size-bounded; nothing driver-side."""
     o = (load_table(spark, "orders", sf_dir)
-         .where(F.col("o_orderkey") % 100 == 0)
+         .where(F.col("o_orderkey") % 1000 == 0)
          .select("o_orderkey", "o_totalprice"))
     li = (load_table(spark, "lineitem", sf_dir)
-          .where(F.col("l_orderkey") % 100 == 0)
+          .where(F.col("l_orderkey") % 1000 == 0)
           .select(F.col("l_orderkey").alias("o_orderkey"),
                   "l_quantity", "l_extendedprice"))
 
