@@ -90,21 +90,38 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (li.select(F.col("l_partkey").alias("src"),
                        F.lead("l_partkey").over(w).alias("dst"))
              .where(F.col("dst").isNotNull()))
+    # checkpoint the node set: it anchors the initial ranks AND every
+    # round's left join — uncheckpointed, the window+distinct subtree
+    # re-evaluated up to 5× per run (r9 fix, ~40% of the key's cost)
     nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select("dst")).distinct())
+             .union(edges.select("dst")).distinct()
+             .localCheckpoint(eager=False))
     n = nodes.count()  # one scalar; the driver never sees row data
     if n == 0:  # empty shard: no graph, no ranks (100 TB empty-partition edge)
         return nodes.select("node", F.lit(0).cast("bigint").alias("rank_fp"))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    edges_deg = edges.join(deg, "src").localCheckpoint()
+    # collapse multi-edges to weighted distinct pairs ONCE (r9): the
+    # transition list repeats (src, dst) heavily (~10× here), and w
+    # copies of the exact integer term (r div d) sum to w·(r div d) —
+    # bit-identical, at a tenth of the per-round scan volume
+    edges_w = (edges.groupBy("src", "dst")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("wt")))
+    deg = edges_w.groupBy("src").agg(F.sum("wt").cast("bigint").alias("d"))
+    edges_deg = edges_w.join(deg, "src").localCheckpoint()
 
     ranks = nodes.withColumn("r", F.lit(_SCALE // n).cast("bigint"))
     teleport = (15 * _SCALE) // (100 * n)
     for _ in range(_ITERS):
-        contrib = (edges_deg.join(ranks, edges_deg.src == ranks.node)
-                   .select("dst", F.expr("r div d").alias("c"))
+        # broadcast the O(V) rank/contrib vectors so the edge list
+        # never reshuffles (checkpointed frames carry no stats, so
+        # without the hint each round planned a sort-merge join); at a
+        # V that outgrows broadcast this degrades to the hash join the
+        # docstring describes, still O(E) per round
+        contrib = (edges_deg.join(F.broadcast(ranks),
+                                  edges_deg.src == ranks.node)
+                   .select("dst", F.expr("wt * (r div d)").alias("c"))
                    .groupBy("dst").agg(F.sum("c").alias("s")))
-        ranks = (nodes.join(contrib, nodes.node == contrib.dst, "left")
+        ranks = (nodes.join(F.broadcast(contrib),
+                            nodes.node == contrib.dst, "left")
                  .select("node",
                          (F.lit(teleport)
                           + F.expr("(85 * coalesce(s, 0)) div 100"))
@@ -469,7 +486,9 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d")))
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("d_a"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("d_b"))
-    oriented = (und.join(da, "a").join(db, "b")
+    # degree tables are O(V): broadcast so the E-row edge set never
+    # reshuffles for the orientation join (r9)
+    oriented = (und.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
                 .select(F.when((F.col("d_a") < F.col("d_b"))
                                | ((F.col("d_a") == F.col("d_b"))
                                   & (F.col("a") < F.col("b"))),
@@ -708,7 +727,9 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d")))
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("d_a"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("d_b"))
-    oriented = (und.join(da, "a").join(db, "b")
+    # degree tables are O(V): broadcast so the E-row edge set never
+    # reshuffles for the orientation join (r9)
+    oriented = (und.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
                 .select(F.when((F.col("d_a") < F.col("d_b"))
                                | ((F.col("d_a") == F.col("d_b"))
                                   & (F.col("a") < F.col("b"))),
@@ -1067,18 +1088,22 @@ def graph_hits_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _norm(scored: DataFrame, col: str) -> DataFrame:
         m = scored.agg(F.max(col).alias("m"))
-        return (nodes.join(scored, "node", "left").crossJoin(F.broadcast(m))
+        return (nodes.join(F.broadcast(scored), "node", "left")
+                .crossJoin(F.broadcast(m))
                 .select("node",
                         F.expr(f"cast(coalesce({col}, 0) * {_HITS_S} "
                                f"div m as bigint)").alias(col)))
 
+    # score vectors are O(V): broadcast them so the checkpointed edge
+    # list never reshuffles per pass (r9 — stats-less checkpoints
+    # otherwise plan sort-merge joins)
     a = None
     for _ in range(_HITS_ITERS):
-        ar = (edges.join(h, edges.src == h.node)
+        ar = (edges.join(F.broadcast(h), edges.src == h.node)
               .groupBy(F.col("dst").alias("node"))
               .agg(F.sum("h").cast("bigint").alias("a")))
         a = _norm(ar, "a")
-        hr = (edges.join(a, edges.dst == a.node)
+        hr = (edges.join(F.broadcast(a), edges.dst == a.node)
               .groupBy(F.col("src").alias("node"))
               .agg(F.sum("a").cast("bigint").alias("h")))
         h = _norm(hr, "h")
@@ -1255,8 +1280,12 @@ def graph_personalized_pagerank(spark: SparkSession,
     edges = (li.select(F.col("l_partkey").alias("src"),
                        F.lead("l_partkey").over(w).alias("dst"))
              .where(F.col("dst").isNotNull()))
+    # checkpoint the node set — it anchors the init AND every round's
+    # left join (the graph_pagerank_fixed r9 fix: uncheckpointed, the
+    # window+distinct subtree re-evaluated per reference)
     nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select("dst")).distinct())
+             .union(edges.select("dst")).distinct()
+             .localCheckpoint(eager=False))
     part = load_table(spark, "part", sf_dir) \
         .where(F.col("p_size") <= 5).select(F.col("p_partkey").alias("sn"))
     seeds = nodes.join(F.broadcast(part), nodes.node == F.col("sn")) \
@@ -1265,8 +1294,13 @@ def graph_personalized_pagerank(spark: SparkSession,
     if ns == 0:  # empty shard / no seed qualifies: nothing is reachable
         return nodes.select("node", F.lit(0).cast("bigint").alias("ppr_fp")) \
             .where(F.lit(False))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    edges_deg = edges.join(deg, "src").localCheckpoint()
+    # collapse multi-edges to weighted pairs once: w copies of the exact
+    # integer term (r div d) sum to w·(r div d) — bit-identical at a
+    # tenth of the per-round scan volume (the pagerank r9 fix)
+    edges_w = (edges.groupBy("src", "dst")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("wt")))
+    deg = edges_w.groupBy("src").agg(F.sum("wt").cast("bigint").alias("d"))
+    edges_deg = edges_w.join(deg, "src").localCheckpoint()
     is_seed = F.col("sn2").isNotNull()
     seeds2 = seeds.select(F.col("node").alias("sn2"))
     ranks = (nodes.join(F.broadcast(seeds2),
@@ -1276,12 +1310,15 @@ def graph_personalized_pagerank(spark: SparkSession,
                      .otherwise(F.lit(0)).cast("bigint").alias("r")))
     teleport = (15 * _SCALE) // (100 * ns)
     for _ in range(_PPR_ITERS):
-        contrib = (edges_deg.join(ranks, edges_deg.src == ranks.node)
-                   .select("dst", F.expr("r div d").alias("c"))
+        # broadcast the O(V) vectors; the edge list never reshuffles
+        contrib = (edges_deg.join(F.broadcast(ranks),
+                                  edges_deg.src == ranks.node)
+                   .select("dst", F.expr("wt * (r div d)").alias("c"))
                    .groupBy("dst").agg(F.sum("c").alias("s")))
         ranks = (nodes.join(F.broadcast(seeds2),
                             nodes.node == F.col("sn2"), "left")
-                 .join(contrib, nodes.node == contrib.dst, "left")
+                 .join(F.broadcast(contrib),
+                       nodes.node == contrib.dst, "left")
                  .select("node",
                          (F.when(is_seed, F.lit(teleport))
                           .otherwise(F.lit(0))

@@ -4038,8 +4038,13 @@ def _cos_sql_d(a: str, b: str, d: int) -> str:
 
 
 def _mrl_oracle() -> str:
-    full = _cos_sql_d("q.embedding", "p.embedding", 64)
-    trunc = _cos_sql_d("q.embedding", "p.embedding", _MRL_DIM)
+    # cosines 6-dp rounded BEFORE ranking in both engines (r9: lets the
+    # engine side run the pair pass as one GEMM — float64 dots agree
+    # across summation orders to ~1e-13; rounded ties break on pid
+    # identically in both engines)
+    full = f"round({_cos_sql_d('q.embedding', 'p.embedding', 64)}, 6)"
+    trunc = (f"round({_cos_sql_d('q.embedding', 'p.embedding', _MRL_DIM)}"
+             ", 6)")
     return f"""
 WITH pairs AS (
   SELECT q.vec_id AS qid, p.vec_id AS pid,
@@ -4075,31 +4080,58 @@ def llm_embedding_matryoshka_recall(spark: SparkSession,
     the measure-before-you-truncate table for MRL-style embeddings
     (llm_embedding_truncate_renorm performs the truncation; this op
     answers whether the cheap prefix is SAFE — 4× storage/compute
-    savings priced in lost neighbors). Both rankings ride the shared
-    sequential-fold dot product (bit-identical across engines, the
-    kNN/MMR discipline) with vec_id tie-breaks, so the driver hash
-    match covers a float-ranking pipeline end to end; recall is one
-    exact small-int division.
+    savings priced in lost neighbors). Both rankings rank the
+    6-dp-ROUNDED cosine with vec_id tie-breaks in both engines (the
+    knn-family discipline, r9: the old per-pair interpreted fold paid
+    ~24M interpreted lambda steps, 3.6 s at sf0.1; the broadcast-query
+    GEMM form ~0.8 s); recall is one exact small-int division.
 
-    Scale shape: the bounded query block broadcasts against the pool
-    (the hard_negative_mining recipe); both dims' cosines come off ONE
-    pair pass; per-query top-k windows are query-keyed. At corpus scale
-    the pool side would tile (the kNN GEMM path) — the audit's query
-    set stays bounded by contract."""
+    Scale shape: the ≤50-row query block (bounded by contract) ships to
+    every pool batch and both dims' cosines come off ONE mapInPandas
+    GEMM pass over the pool — the llm_eval_ndcg_at10 scaffold; per-query
+    top-k windows are query-keyed. At corpus scale the pool side tiles
+    (the kNN GEMM path)."""
     e = load_table(spark, "embeddings", sf_dir)
-    q = (e.where(F.col("vec_id") < _MRL_NQ)
-         .select(F.col("vec_id").alias("qid"),
-                 F.col("embedding").alias("qe")))
-    p = e.select(F.col("vec_id").alias("pid"),
-                 F.col("embedding").alias("pe"))
-    pairs = (p.join(F.broadcast(q), F.col("qid") != F.col("pid"))
-             .select("qid", "pid",
-                     _cosine_spark(F.col("qe"), F.col("pe"))
-                     .alias("cos_full"),
-                     _cosine_spark(F.slice("qe", 1, _MRL_DIM),
-                                   F.slice("pe", 1, _MRL_DIM))
-                     .alias("cos_trunc"))
-             .localCheckpoint(eager=False))  # both rankings share it
+    qpd = (e.where(F.col("vec_id") < _MRL_NQ)
+           .select("vec_id", "embedding").toPandas())
+    p = e.select("vec_id", "embedding")
+    pair_schema = ("qid bigint, pid bigint, cos_full double, "
+                   "cos_trunc double")
+    if len(qpd):
+        import numpy as _np
+
+        _qids = qpd["vec_id"].to_numpy().astype("int64")
+        _qm = _np.vstack(qpd["embedding"].to_numpy()).astype(_np.float64)
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            qn_full = np.sqrt(np.einsum("ij,ij->i", _qm, _qm))
+            qt = _qm[:, :_MRL_DIM]
+            qn_tr = np.sqrt(np.einsum("ij,ij->i", qt, qt))
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pids = pdf["vec_id"].to_numpy().astype("int64")
+                pm = np.vstack(pdf["embedding"].to_numpy()) \
+                    .astype(np.float64)
+                pn_full = np.sqrt(np.einsum("ij,ij->i", pm, pm))
+                pt = pm[:, :_MRL_DIM]
+                pn_tr = np.sqrt(np.einsum("ij,ij->i", pt, pt))
+                cf = np.round((pm @ _qm.T)
+                              / np.outer(pn_full, qn_full), 6)
+                ct = np.round((pt @ qt.T) / np.outer(pn_tr, qn_tr), 6)
+                pi, qi = np.nonzero(
+                    pids[:, None] != _qids[None, :])
+                yield pd.DataFrame({"qid": _qids[qi], "pid": pids[pi],
+                                    "cos_full": cf[pi, qi],
+                                    "cos_trunc": ct[pi, qi]})
+
+        pairs = p.mapInPandas(gen, pair_schema) \
+            .localCheckpoint(eager=False)  # both rankings share it
+    else:  # empty shard: no queries -> exact-schema empty result
+        pairs = spark.createDataFrame([], pair_schema)
     wq = Window.partitionBy("qid")
     rf = (pairs.select("qid", "pid",
                        F.row_number()
@@ -4232,7 +4264,9 @@ _MRR_LCM = 2520  # lcm(1..10): every reciprocal rank is exact in integers
 
 
 def _mrr_oracle() -> str:
-    cos = _cos_sql_d("q.embedding", "p.embedding", 64)
+    # cosine 6-dp rounded BEFORE ranking in both engines (r9 GEMM
+    # rewrite — the llm_embedding_matryoshka_recall rationale)
+    cos = f"round({_cos_sql_d('q.embedding', 'p.embedding', 64)}, 6)"
     return f"""
 WITH pairs AS (
   SELECT q.vec_id AS qid, q.label AS ql, p.vec_id AS pid, p.label AS pl,
@@ -4271,26 +4305,50 @@ def llm_eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank is a whole number and the mean is one exact division away),
     the no-float-fold trick.
 
-    Determinism: cosines ride the shared sequential-fold dot product
-    (bit-identical across engines, the kNN/MMR discipline); ranking
-    ties break on pid; first-hit is a conditional MIN over integer
-    ranks; all output columns are integers and booleans -- hash-exact.
+    Determinism: both engines rank the 6-dp-ROUNDED cosine with pid
+    tie-breaks (the knn-family discipline, r9: the per-pair interpreted
+    fold measured 2.6 s at sf0.1; the broadcast-query mapInPandas GEMM
+    ~0.8 s); first-hit is a conditional MIN over integer ranks; all
+    output columns are integers and booleans -- hash-exact.
 
-    Scale shape: the bounded query block broadcasts against the pool
-    (the hard_negative_mining recipe); the per-query window is
-    query-keyed. At corpus scale the pool side tiles (kNN GEMM path)
-    and ranks merge per tile -- the eval query set stays bounded by
-    contract."""
+    Scale shape: the ≤50-row query block (bounded by contract) ships to
+    every pool batch; ONE GEMM pass emits the pair table; the per-query
+    window is query-keyed. At corpus scale the pool side tiles (kNN
+    GEMM path) and ranks merge per tile."""
     e = load_table(spark, "embeddings", sf_dir)
-    q = (e.where(F.col("vec_id") < _MRR_NQ)
-         .select(F.col("vec_id").alias("qid"), F.col("label").alias("ql"),
-                 F.col("embedding").alias("qe")))
-    p = e.select(F.col("vec_id").alias("pid"), F.col("label").alias("pl"),
-                 F.col("embedding").alias("pe"))
-    pairs = (p.join(F.broadcast(q), F.col("qid") != F.col("pid"))
-             .select("qid", "ql", "pl",
-                     F.col("pid").alias("pid"),
-                     _cosine_spark(F.col("qe"), F.col("pe")).alias("c")))
+    qpd = (e.where(F.col("vec_id") < _MRR_NQ)
+           .select("vec_id", "label", "embedding").toPandas())
+    pair_schema = "qid bigint, ql bigint, pl bigint, pid bigint, c double"
+    if len(qpd):
+        import numpy as _np
+
+        _qids = qpd["vec_id"].to_numpy().astype("int64")
+        _qls = qpd["label"].to_numpy().astype("int64")
+        _qm = _np.vstack(qpd["embedding"].to_numpy()).astype(_np.float64)
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            qn = np.sqrt(np.einsum("ij,ij->i", _qm, _qm))
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pids = pdf["vec_id"].to_numpy().astype("int64")
+                pls = pdf["label"].to_numpy().astype("int64")
+                pm = np.vstack(pdf["embedding"].to_numpy()) \
+                    .astype(np.float64)
+                pn = np.sqrt(np.einsum("ij,ij->i", pm, pm))
+                c = np.round((pm @ _qm.T) / np.outer(pn, qn), 6)
+                pi, qi = np.nonzero(pids[:, None] != _qids[None, :])
+                yield pd.DataFrame({"qid": _qids[qi], "ql": _qls[qi],
+                                    "pl": pls[pi], "pid": pids[pi],
+                                    "c": c[pi, qi]})
+
+        pairs = e.select("vec_id", "label", "embedding") \
+            .mapInPandas(gen, pair_schema)
+    else:  # empty shard: no queries -> exact-schema empty result
+        pairs = spark.createDataFrame([], pair_schema)
     wq = Window.partitionBy("qid").orderBy(F.col("c").desc(), "pid")
     ranked = pairs.select("qid", "ql", "pl",
                           F.row_number().over(wq).alias("rk"))

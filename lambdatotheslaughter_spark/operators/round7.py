@@ -1390,11 +1390,16 @@ def graph_katz_centrality_fixed(spark: SparkSession,
                                  F.col("a").alias("u"), "w"))
              .localCheckpoint(eager=False))  # three SpMV levels share it
     p1 = edges.groupBy("v").agg(F.sum("w").cast("bigint").alias("s1"))
-    p2 = (edges.join(p1.select(F.col("v").alias("u"), "s1"), "u")
+    # broadcast the O(V) walk vectors so the checkpointed edge list
+    # never reshuffles per level (r9: stats-less checkpoints planned
+    # sort-merge joins without the hint)
+    p2 = (edges.join(F.broadcast(p1.select(F.col("v").alias("u"), "s1")),
+                     "u")
           .groupBy("v")
           .agg(F.sum(F.col("w").cast("decimal(38,0)") * F.col("s1"))
                .alias("s2")))
-    p3 = (edges.join(p2.select(F.col("v").alias("u"), "s2"), "u")
+    p3 = (edges.join(F.broadcast(p2.select(F.col("v").alias("u"), "s2")),
+                     "u")
           .groupBy("v")
           .agg(F.sum(F.col("w").cast("decimal(38,0)") * F.col("s2"))
                .alias("s3")))

@@ -70,6 +70,10 @@ _EMPTY_GUARDED = [
     ("graph_closeness_harmonic_3hop", ("lineitem",)),
     ("graph_label_propagation_sync", ("lineitem",)),
     ("llm_eval_chrf", ("documents",)),
+    ("llm_embedding_matryoshka_recall", ("embeddings",)),
+    ("llm_eval_retrieval_mrr", ("embeddings",)),
+    ("llm_dedup_embedding_cosine", ("embeddings",)),
+    ("llm_dedup_semantic", ("embeddings",)),
 ]
 
 
