@@ -229,6 +229,7 @@ def main() -> None:
         jvm.org.apache.logging.log4j.Level.FATAL)
     queries = registry.all_queries()
     timings: dict[str, float] = {}
+    import gc
     for name in HEADLINE:
         fn = queries[name]
         _drain(fn(spark, SF_DIR))          # cold (plan + shuffle warmup)
@@ -238,6 +239,14 @@ def main() -> None:
             _drain(fn(spark, SF_DIR))      # warm: min of 2 reported
             warm.append(time.perf_counter() - t0)
         timings[name] = round(min(warm), 3)
+        # release this query's localCheckpoint RDDs / broadcasts before
+        # the next key: the DataFrames die here, but Python GC is lazy
+        # AND Spark's ContextCleaner only reclaims JVM-side blocks after
+        # a JVM GC (its own periodic GC defaults to 30 min) — ~100
+        # queries' worth of un-collected blocks measured as a 2-3x
+        # late-session slowdown on the shuffle-heavy keys (r9)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
     calibration = _calibration(spark)
     calibration["engine_q1_over_plain_q1"] = round(
         calibration["engine_q1_warm_min2_paired"]

@@ -29,8 +29,13 @@ def main() -> None:
     jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
         "org.apache.spark.scheduler.DAGScheduler",
         jvm.org.apache.logging.log4j.Level.FATAL)
+    import gc
+
     out: dict[str, float] = {}
     for name, fn in registry.all_queries().items():
+        # release prior keys' checkpoint RDDs / broadcasts (bench.py note)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         try:
             fn(spark, SF).write.format("noop").mode("overwrite").save()
             warm = []
