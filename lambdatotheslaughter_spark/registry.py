@@ -63,39 +63,48 @@ _loaded = False
 # tests/test_survey_coverage.py) fails if any slot below wastes a round on
 # an already-verified key.
 #
-# ROUND 9 window -- drain window #2 (VERDICT r8 ask #1): 50 slots, ALL
-# first-time, cut straight from ``python tools/rotation.py``'s 162-key
-# never-slotted pool in registration order (oldest rings first: the r5/r6
-# sql/er/win/agg/ts/seq rings, the graph analytics ring, then the oldest
-# llm-curation ring). Addition freeze stays in force — zero new keys this
-# round. After this window drains, ~112 oracled keys remain unslotted
-# (~2.2 more windows at 50/round); regenerate with tools/rotation.py when
-# rotating.
-# Rows-only-by-design ops (12; each pytest-gated in test_llm_quality.py /
-# test_survey_coverage.py's allowlist) are deliberately never listed -- a
-# driver slot adds nothing over their determinism/recall/tolerance gates.
+# ROUND 10 window -- drain window #3 (VERDICT r9 asks #1 + #6): 50 slots,
+# 47 first-time oracled keys cut straight from ``python
+# tools/rotation.py``'s 112-key never-slotted pool in registration order
+# (oldest rings first: the llm-curation/eval ring, then the stats ring),
+# PLUS 3 rows-only-by-design slots (VERDICT r9 ask #6: "ensure the next
+# window includes agg_approx_distinct and a couple of the 11 other
+# rows-only keys so the driver log shows green rows-only rows instead of
+# the stale r01 no_oracle line"). Asks #1 and #6 conflict at 50 slots —
+# #1's "union >= 484 / backlog <= 62" arithmetic assumes all 50 slots are
+# first-time oracled; honoring #6's explicit instruction costs 3 oracled
+# slots, so the r10 targets become union >= 481 / backlog <= 65 (still
+# two windows from fully drained). Addition freeze stays in force — zero
+# new keys this round.
+# The 3 rows-only slots are declared in _ROWS_ONLY_SLOTS below and in
+# tools/rotation.py BACKFILL so both waste-checks stay generated, not
+# hand-waved.
+_ROWS_ONLY_SLOTS: tuple[str, ...] = (
+    'agg_approx_distinct', 'agg_quantile_sketch', 'ts_downsample_lttb',
+)
+
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    'sql_scripting_block', 'er_sorted_neighborhood_pairs',
-    'win_cumsum_reset_on_flag', 'agg_weighted_median', 'win_rolling_slope',
-    'ts_forecast_eval_wape', 'ts_hampel_filter', 'ts_pinball_loss_eval',
-    'dq_column_entropy_profile', 'ts_sax_symbolize',
-    'seq_funnel_time_to_convert', 'seq_path_topk', 'ts_seasonal_strength',
-    'ts_bitemporal_asof_revision', 'seq_attribution_first_last',
-    'seq_growth_accounting_weekly', 'win_interval_union_length',
-    'ts_haar_energy_levels', 'stat_entropy_rate_markov',
-    'ts_gap_log_histogram', 'sql_incremental_mv_refresh',
-    'er_blocking_quality_report', 'agg_hierarchy_share_rollup',
-    'seq_bounce_rate_daily', 'agg_new_vs_returning_daily',
-    'win_max_drawdown', 'agg_cohort_ltv_curve', 'stat_ljung_box_q',
-    'ts_yoy_growth', 'win_peer_group_zscore', 'win_ytd_running_total',
-    'ts_seasonal_index_monthly', 'agg_repeat_purchase_rate',
-    'ts_permutation_entropy', 'graph_bipartite_copurchase',
-    'graph_clustering_coefficient', 'graph_assortativity_degree',
-    'graph_reciprocity', 'graph_modularity_brand', 'graph_hits_fixed',
-    'graph_adamic_adar_linkpred', 'graph_personalized_pagerank',
-    'llm_fim_transform', 'llm_dedup_paragraph', 'llm_rag_context_pack',
-    'llm_minhash_jaccard_estimate', 'llm_readability_score',
-    'llm_label_agreement_kappa', 'llm_zipf_fit', 'llm_sim_mmr_rerank',
+    'llm_code_detect_heuristic', 'llm_sample_temperature_weights',
+    'llm_cluster_topic_terms', 'llm_eval_token_f1', 'llm_loss_mask_spans',
+    'llm_sentiment_lexicon', 'llm_eval_rouge2', 'llm_feature_hashing',
+    'ml_target_encode_kfold', 'llm_safety_pattern_filter',
+    'llm_pack_budget_sweep', 'llm_uncertainty_sampling',
+    'llm_rag_groundedness_eval', 'stat_ks_two_sample',
+    'stat_mutual_information', 'stat_benford_first_digit',
+    'stat_bootstrap_poisson_ci', 'ts_theil_sen_slope',
+    'stat_runs_test_wald_wolfowitz', 'stat_spearman_rho',
+    'stat_anova_oneway_f', 'stat_two_proportion_z', 'stat_cohens_d',
+    'stat_cramers_v', 'stat_brown_forsythe', 'stat_bh_fdr_permutation',
+    'ml_confusion_threshold_sweep', 'stat_chi_square_gof_dow',
+    'stat_mde_power_binary', 'stat_diff_in_diff_2x2',
+    'stat_proportion_ci_wilson', 'ml_brier_score_rank',
+    'stat_interrupted_time_series', 'ml_learning_curve_auc',
+    'stat_g_test_cells', 'stat_sign_test_paired', 'stat_friedman_test',
+    'stat_kruskal_wallis', 'stat_mood_median_test',
+    'stat_fisher_z_corr_ci', 'ml_calibration_reliability',
+    'stat_jarque_bera', 'stat_mcnemar_paired', 'stat_hodges_lehmann_shift',
+    'stat_cliffs_delta', 'stat_dunn_posthoc_bh', 'ts_spectral_dft_energy',
+    'agg_approx_distinct', 'agg_quantile_sketch', 'ts_downsample_lttb',
 )
 
 
