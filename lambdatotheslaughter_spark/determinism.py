@@ -160,6 +160,29 @@ def estimate_rows(sf_dir: str, table: str, bytes_per_row: int = 8) -> int:
     return size // bytes_per_row
 
 
+# ~64M (bigint, bigint) rows ≈ 1 GiB on the wire — comfortably inside
+# BroadcastExchangeExec's hard 8 GiB / 512M-row ceiling with room for
+# wider score structs
+BCAST_V_MAX_ROWS = 64_000_000
+
+
+def broadcast_if_bounded(df, sf_dir: str, table: str = "part",
+                         max_rows: int = BCAST_V_MAX_ROWS):
+    """Broadcast-hint an O(V) graph score/mask vector only while V is
+    provably broadcastable. An explicit F.broadcast() hint overrides
+    autoBroadcastJoinThreshold UNCONDITIONALLY — BroadcastExchangeExec
+    hard-fails past 8 GiB / 512M rows rather than falling back — so the
+    degrade-to-hash-join path the graph kernels promise only exists if
+    the hint itself is lifted at scale. V for the co-purchase kernels is
+    bounded by the part dimension; estimate_rows overestimates ≥2×, so
+    the gate can only lift the hint early, never broadcast too big."""
+    from pyspark.sql import functions as F
+
+    if estimate_rows(sf_dir, table) <= max_rows:
+        return F.broadcast(df)
+    return df
+
+
 def money_aggs(n_rows_bound: int) -> dict[str, object]:
     """Pick the money-aggregation family by row-count bound: the exact
     int64-cents fast path (~2× faster, whole-stage codegen) while overflow

@@ -877,9 +877,15 @@ def agg_cms_width_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic over deterministic md5 buckets -- sketch,
     probes and audit all hash-match.
 
-    Scale shape: sketch build is ONE combinable groupBy over the
-    (depth x widths)-fanned scan (map-side partials; the sketch table is
-    width-bounded, never corpus-bounded); probes are a broadcast join
+    Scale shape: the raw scan first collapses to per-user counts (ONE
+    combinable groupBy — the only corpus-sized pass), and the
+    (depth x widths) fan + md5 bucketing run over the DISTINCT-USER
+    table, not the event stream: a CMS cell count is Σ over users
+    hashing into it of that user's count, so pre-aggregation is
+    value-identical while cutting the hashed row volume from 8x|events|
+    to 8x|users| (round 10; the md5 is also computed once per
+    (seed, user) and only the cheap modulus fans across widths). The
+    sketch table stays width-bounded; probes are a broadcast join
     against the bounded key set."""
     ev = load_table(spark, "events", sf_dir)
     seeds = spark.range(_CMSA_DEPTH).toDF("seed")
@@ -889,12 +895,20 @@ def agg_cms_width_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ":", F.col("seed").cast("string"),
         F.col("user_id").cast("string"))), 1, 15), 16, 10)
         .cast("bigint") % F.col("width"))
-    sketch = (ev.select("user_id")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("ucnt")))
+    hashed = (per_user
               .crossJoin(F.broadcast(seeds))
-              .crossJoin(F.broadcast(widths))
-              .select("width", "seed", col_of.alias("col"))
+              .select("user_id", "ucnt", "seed",
+                      F.conv(F.substring(F.md5(F.concat_ws(
+                          ":", F.col("seed").cast("string"),
+                          F.col("user_id").cast("string"))), 1, 15),
+                          16, 10).cast("bigint").alias("h")))
+    sketch = (hashed.crossJoin(F.broadcast(widths))
+              .select("width", "seed", (F.col("h") % F.col("width"))
+                      .alias("col"), "ucnt")
               .groupBy("width", "seed", "col")
-              .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+              .agg(F.sum("ucnt").cast("bigint").alias("cnt")))
     exact = (ev.where(F.col("user_id") <= 50)
              .groupBy("user_id")
              .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count")))

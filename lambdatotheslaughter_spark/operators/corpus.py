@@ -499,10 +499,20 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     LOWER-id cellmate is ≥ 0.95 is dropped. Threshold membership
     compares the 6-dp-ROUNDED cosine in both engines (the knn-family
     discipline): float64 dot products agree across summation orders to
-    ~1e-13, so the rounded threshold cannot flake on an ulp while the
+    ~1e-13, so the rounded threshold cannot flake on an ulp, while the
     engine side runs each cell's pair matrix as ONE numpy GEMM inside
     applyInPandas (the r9 rewrite — the per-pair interpreted fold form
     measured 3.5 s at sf0.1; the GEMM form ~0.6 s).
+
+    Half-rounding-mode caveat (r10, per review): numpy rounds
+    half-to-even, DuckDB round() half-away-from-zero, so a cosine
+    landing EXACTLY on a 5e-7 decimal midpoint would round apart — and
+    because the rounded value gates ROW-SET MEMBERSHIP here (>= 0.95),
+    a midpoint hit would flip a row, not just a printed value.
+    Measure-zero for real-valued cosines (a dot/norm ratio lands on an
+    exact decimal midpoint with probability ~0; all knn-family keys
+    hash-MATCH at sf0.01 and sf0.1), but any FUTURE threshold for this
+    family should be chosen off representable decimal midpoints.
 
     Scale shape: the cell id is the partition key — the quadratic
     within-cell comparison is bounded per cell (more sign bits ⇒ smaller

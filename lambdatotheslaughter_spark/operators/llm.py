@@ -4090,7 +4090,13 @@ def llm_embedding_matryoshka_recall(spark: SparkSession,
     every pool batch and both dims' cosines come off ONE mapInPandas
     GEMM pass over the pool — the llm_eval_ndcg_at10 scaffold; per-query
     top-k windows are query-keyed. At corpus scale the pool side tiles
-    (the kNN GEMM path)."""
+    (the kNN GEMM path).
+
+    EAGER-COLLECT EXCEPTION (documented, r10): the query block's
+    ``toPandas()`` runs at construction time so the GEMM closure can
+    capture it — see llm_eval_retrieval_mrr's docstring for the full
+    statement of the tradeoff (one bounded plan-time job; the block is
+    a build-time snapshot)."""
     e = load_table(spark, "embeddings", sf_dir)
     qpd = (e.where(F.col("vec_id") < _MRL_NQ)
            .select("vec_id", "embedding").toPandas())
@@ -4314,7 +4320,19 @@ def llm_eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the ≤50-row query block (bounded by contract) ships to
     every pool batch; ONE GEMM pass emits the pair table; the per-query
     window is query-keyed. At corpus scale the pool side tiles (kNN
-    GEMM path) and ranks merge per tile."""
+    GEMM path) and ranks merge per tile.
+
+    EAGER-COLLECT EXCEPTION (documented, r10): the query block's
+    ``toPandas()`` runs at DataFrame-CONSTRUCTION time, not action
+    time — the GEMM closure must capture the block as numpy arrays
+    before ``mapInPandas`` is declared, and executors cannot launch
+    the collecting job themselves. Consequences, accepted for this op
+    and llm_embedding_matryoshka_recall only: (a) plan-only tooling
+    pays one bounded ≤50-row job; (b) the queries are a SNAPSHOT — a
+    table mutated between build and execution scores against the
+    build-time block. Every other operator stays lazy; the block is a
+    contract-bounded constant slice, the same boundedness argument as
+    the size-dispatched toPandas sites above."""
     e = load_table(spark, "embeddings", sf_dir)
     qpd = (e.where(F.col("vec_id") < _MRR_NQ)
            .select("vec_id", "label", "embedding").toPandas())

@@ -32,6 +32,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lambdatotheslaughter_spark.determinism import broadcast_if_bounded
 from lambdatotheslaughter_spark.bucketed import bucketed_order
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
@@ -1392,14 +1393,17 @@ def graph_katz_centrality_fixed(spark: SparkSession,
     p1 = edges.groupBy("v").agg(F.sum("w").cast("bigint").alias("s1"))
     # broadcast the O(V) walk vectors so the checkpointed edge list
     # never reshuffles per level (r9: stats-less checkpoints planned
-    # sort-merge joins without the hint)
-    p2 = (edges.join(F.broadcast(p1.select(F.col("v").alias("u"), "s1")),
-                     "u")
+    # sort-merge joins without the hint). Size-gated via
+    # broadcast_if_bounded (r10): an explicit hint hard-fails past
+    # 8 GiB / 512M rows instead of degrading, so the hash-join
+    # fallback only exists if the hint is lifted at scale
+    p2 = (edges.join(broadcast_if_bounded(
+              p1.select(F.col("v").alias("u"), "s1"), sf_dir), "u")
           .groupBy("v")
           .agg(F.sum(F.col("w").cast("decimal(38,0)") * F.col("s1"))
                .alias("s2")))
-    p3 = (edges.join(F.broadcast(p2.select(F.col("v").alias("u"), "s2")),
-                     "u")
+    p3 = (edges.join(broadcast_if_bounded(
+              p2.select(F.col("v").alias("u"), "s2"), sf_dir), "u")
           .groupBy("v")
           .agg(F.sum(F.col("w").cast("decimal(38,0)") * F.col("s2"))
                .alias("s3")))

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lambdatotheslaughter_spark.determinism import broadcast_if_bounded
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
 
@@ -931,9 +932,11 @@ def graph_label_propagation_sync(spark: SparkSession,
              .localCheckpoint(eager=False))  # three rounds share it
     labels = edges.groupBy("v").agg(F.min("u").alias("l"))
     for _ in range(2):
-        labels = (edges.join(F.broadcast(
+        # O(V) label vector: size-gated hint (a bare F.broadcast()
+        # hard-fails past 8 GiB / 512M rows instead of degrading)
+        labels = (edges.join(broadcast_if_bounded(
                       labels.select(F.col("v").alias("u"),
-                                    F.col("l").alias("nl"))), "u")
+                                    F.col("l").alias("nl")), sf_dir), "u")
                   .groupBy("v").agg(F.min("nl").alias("l")))
     return (labels.groupBy("l")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
@@ -1618,15 +1621,14 @@ def graph_closeness_harmonic_3hop(spark: SparkSession,
                      F.lead("l_partkey").over(w).alias("dst"))
            .where(F.col("dst").isNotNull()
                   & (F.col("src") != F.col("dst"))))
-    e0 = (raw.select(F.least("src", "dst").alias("a"),
-                     F.greatest("src", "dst").alias("b"))
-          .distinct())
-    # e0 is distinct with a<b, so the two directed copies are disjoint
-    # and internally unique — the union IS the distinct symmetrized
-    # edge list, no second dedup shuffle needed (the oracle's UNION
-    # dedup is a no-op for the same reason)
-    p1 = (e0.select(F.col("a").alias("v"), F.col("b").alias("u"))
-          .union(e0.select(F.col("b").alias("v"), F.col("a").alias("u")))
+    # the mask fold is bit_or-IDEMPOTENT: duplicate edges contribute the
+    # same bits, so the edge-dedup DISTINCT the oracle needs for its
+    # set-difference shells is a pure no-op here — dropping it removes a
+    # full E-row shuffle from the shared build (round 10; value parity
+    # re-verified at sf0.1). The raw symmetrized adjacency IS the input.
+    p1 = (raw.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+          .union(raw.select(F.col("dst").alias("v"),
+                            F.col("src").alias("u")))
           .localCheckpoint(eager=False))  # all three levels reuse it
     key = F.conv(F.substring(
         F.md5(F.concat(F.col("v").cast("string"),
@@ -1636,14 +1638,19 @@ def graph_closeness_harmonic_3hop(spark: SparkSession,
              .orderBy(key, "v").limit(_CLOSENESS_SEEDS)
              .select(F.col("v").alias("s")))
     # bit index per seed: the post-limit frame is <= 32 rows, so the
-    # unpartitioned row_number window is a single tiny partition
+    # unpartitioned row_number window is a single tiny partition. The
+    # checkpoint matters: sbits is consumed TWICE (r0 and the final
+    # label join) and its lineage runs through the seed sort over all
+    # of V — uncheckpointed, the second consumer re-ran that sort
+    # (round 10: one of the two constants behind the r9 bar miss).
     sw = Window.orderBy(
         F.conv(F.substring(
             F.md5(F.concat(F.col("s").cast("string"),
                            F.lit(f":{_CLOSENESS_SEED_SALT}"))), 1, 15),
             16, 10).cast("bigint"), "s")
     sbits = seeds.select(
-        "s", (F.row_number().over(sw) - 1).alias("i"))
+        "s", (F.row_number().over(sw) - 1).alias("i")) \
+        .localCheckpoint(eager=False)
     r0 = sbits.select(
         F.col("s").alias("v"),
         # SQL form: F.shiftleft's python signature wants a literal count
@@ -1656,11 +1663,14 @@ def graph_closeness_harmonic_3hop(spark: SparkSession,
         edge list never shuffles and the bit_or partial-aggregates
         map-side (the checkpointed mask RDD has no Catalyst stats, so
         without the hint this planned as 3 sort-merge joins re-sorting
-        all E rows per level). At a V that outgrows broadcast, the
-        same plan degrades gracefully to a hash join on pre-partitioned
-        edges — the per-level cost stays O(E) either way."""
-        contrib = (p1.join(F.broadcast(r.select(F.col("v").alias("u"),
-                                                "m")), "u")
+        all E rows per level). The hint is SIZE-GATED
+        (broadcast_if_bounded, r10): a bare F.broadcast() hard-fails
+        past 8 GiB / 512M rows instead of degrading, so the
+        hash-join-at-scale path only exists because the gate lifts
+        the hint past the V bound — the per-level cost stays O(E)
+        either way."""
+        contrib = (p1.join(broadcast_if_bounded(
+                       r.select(F.col("v").alias("u"), "m"), sf_dir), "u")
                    .select("v", "m"))
         return (contrib.unionAll(r)
                 .groupBy("v")

@@ -126,3 +126,48 @@ def test_er_blocking_completeness_vacuous_truth(spark, tmp_path):
         pc = r["pairs_completeness"]
         assert pc is not None and not math.isnan(pc)
         assert pc == 1.0, f"{r['c_mktsegment']}: vacuous completeness {pc}"
+
+
+def test_adamic_adar_degree_cap_binds_nothing_at_small_sf(spark, monkeypatch):
+    """VERDICT r9 wrong #4: the power-law mitigation for
+    graph_adamic_adar_linkpred must be code, not prose. With
+    SPARK_GRAFT_AA_DEGREE_CAP set ABOVE the true max degree the hub cut
+    binds nothing, so the capped plan must be value-identical to the
+    exact (oracle-checked) default — the gate that proves the flag
+    changes the plan's bound, not its semantics. sf0.01's max co-purchase
+    degree is far below 500 (sf0.1 measures 83)."""
+    from tests.conftest import SF_DIR
+    fn = registry.get("graph_adamic_adar_linkpred").fn
+    exact = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_AA_DEGREE_CAP", "500")
+    capped = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert capped == exact
+    # and a BINDING cap must actually drop hub pivots: scores can only
+    # shrink (every dropped wedge removes a positive 1/ln(d) term), and
+    # at cap=2 the wedge set is a strict subset, so the output changes
+    monkeypatch.setenv("SPARK_GRAFT_AA_DEGREE_CAP", "2")
+    tight = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert tight != exact
+
+
+def test_graph_vector_broadcast_hint_is_size_gated(spark):
+    """ADVICE r9: an explicit F.broadcast() hint overrides
+    autoBroadcastJoinThreshold unconditionally and hard-fails past
+    8 GiB / 512M rows instead of falling back, so the graph kernels'
+    degrade-to-hash-join story requires the hint itself to lift at
+    scale. broadcast_if_bounded must hint under the bound and return
+    the frame UN-hinted above it."""
+    from lambdatotheslaughter_spark.determinism import broadcast_if_bounded
+    from tests.conftest import SF_DIR
+    df = spark.range(10).toDF("node")
+    hinted = broadcast_if_bounded(df, SF_DIR)           # part @ sf0.01: tiny
+    assert "UnresolvedHint broadcast" in \
+        hinted._jdf.queryExecution().logical().toString()
+    lifted = broadcast_if_bounded(df, SF_DIR, max_rows=0)
+    assert "UnresolvedHint" not in \
+        lifted._jdf.queryExecution().logical().toString()
+    # and the gated plan is value-identical either way
+    other = spark.range(5).toDF("node")
+    a = sorted(r.node for r in other.join(hinted, "node").collect())
+    b = sorted(r.node for r in other.join(lifted, "node").collect())
+    assert a == b

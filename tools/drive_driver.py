@@ -104,9 +104,21 @@ for k, fn in qs.items():
                           f"(oracle intractable at this SF; engine result not judged)", flush=True)
                     continue  # finally sees fired -> rebuilds the connection
                 # stale interrupt leaked from an earlier late timer: this
-                # query was never judged — rebuild the connection, run again
+                # query was never judged — rebuild the connection, run again.
+                # The retry can ITSELF hit a genuine timeout (the timer
+                # lambda reads the global `con`, so it interrupts the fresh
+                # connection too): classify that as TIMEOUT, not ORACLE
+                # ERROR (ADVICE r9 — the second InterruptException
+                # otherwise fell through to the outer except)
                 con = fresh_con()
-                dk = con.execute(os_[k]).df()
+                try:
+                    dk = con.execute(os_[k]).df()
+                except duckdb.InterruptException:
+                    if fired.is_set():
+                        print(f"{k}: ORACLE TIMEOUT after {ORACLE_TIMEOUT_S}s "
+                              f"(oracle intractable at this SF; engine result not judged)", flush=True)
+                        continue
+                    raise
         except Exception as exc:
             bad += 1
             print(f"{k}: ORACLE ERROR {type(exc).__name__}: {str(exc).splitlines()[0][:160]}")

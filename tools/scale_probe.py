@@ -92,6 +92,8 @@ QUERY_TABLES = {
     "llm_dedup_ngram_jaccard": {"documents"},
     "llm_dedup_cluster": {"documents"},
     "llm_dedup_incremental_fuzzy": {"documents"},
+    "llm_dedup_containment": {"documents"},
+    "llm_dedup_survivorship": {"documents"},
     "join_interval_binned": {"events"},
     "scd2_dimension_merge": {"events"},
     "llm_dedup_span_exact": {"documents"},
