@@ -2895,7 +2895,14 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle → groupBy pair), never all-pairs; join volume is Σ_s df(s)²,
     bounded here because 3-gram shingles are near-unique (measured max df
     ≪ corpus size, unlike bigrams — the reason llm_dedup_ngram_jaccard
-    needs its GEMM/prefix-filter machinery and this op doesn't). Sizes
+    needs its GEMM/prefix-filter machinery and this op doesn't).
+    Duplicate-multiplicity caveat (r10 probe, SCALE.md): Σ df² is
+    QUADRATIC in how many copies of each doc the corpus holds (a
+    100×-duplicated corpus is ~10,000× the join volume — DNF on the
+    probe box), so the pipeline ordering is load-bearing: run
+    llm_dedup_exact FIRST (hash-groupBy cost) and containment on the
+    byte-distinct survivors, which restores the near-unique-df regime
+    this plan is priced for. Sizes
     join back via broadcast; the threshold is applied as integer
     cross-multiplication (10·inter >= 8·min) so membership can't flake on
     a float ulp, and the reported containment is a single int/int→double
