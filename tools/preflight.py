@@ -49,9 +49,17 @@ def main() -> None:
                         *keys], capture_output=True, text=True)
     matches = r.stdout.count("-> MATCH")
     mismatches = r.stdout.count("MISMATCH")
+    # r10: the window deliberately seats registry._ROWS_ONLY_SLOTS
+    # (VERDICT r9 ask #6) — those print "rows-only N", not "-> MATCH"
+    rows_only_in = [k for k in keys if k in registry._ROWS_ONLY_SLOTS]
+    rows_only_seen = sum(1 for k in rows_only_in
+                         if f"{k}: rows-only" in r.stdout)
     step(f"window oracle sweep ({len(keys)} keys)",
-         r.returncode == 0 and mismatches == 0 and matches == len(keys),
-         f"{matches} MATCH, {mismatches} MISMATCH")
+         r.returncode == 0 and mismatches == 0
+         and matches == len(keys) - len(rows_only_in)
+         and rows_only_seen == len(rows_only_in),
+         f"{matches} MATCH, {mismatches} MISMATCH, "
+         f"{rows_only_seen}/{len(rows_only_in)} declared rows-only clean")
 
     path = os.path.join(ROOT, "bench_out.json")
     try:
