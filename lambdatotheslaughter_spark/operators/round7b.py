@@ -37,7 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lambdatotheslaughter_spark.determinism import broadcast_if_bounded
+from lambdatotheslaughter_spark.determinism import (broadcast_if_bounded,
+                                                    estimate_rows)
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
 
@@ -1623,12 +1624,20 @@ def graph_closeness_harmonic_3hop(spark: SparkSession,
                   & (F.col("src") != F.col("dst"))))
     # the mask fold is bit_or-IDEMPOTENT: duplicate edges contribute the
     # same bits, so the edge-dedup DISTINCT the oracle needs for its
-    # set-difference shells is a pure no-op here — dropping it removes a
-    # full E-row shuffle from the shared build (round 10; value parity
-    # re-verified at sf0.1). The raw symmetrized adjacency IS the input.
-    p1 = (raw.select(F.col("src").alias("v"), F.col("dst").alias("u"))
-          .union(raw.select(F.col("dst").alias("v"),
-                            F.col("src").alias("u")))
+    # set-difference shells is semantically a no-op here. Whether it is
+    # WORTH running is a volume question, so it is estimate-gated
+    # (round 10): at bench scale the duplicate factor is ~1.3× and the
+    # dedup shuffle costs more than the duplicates it removes (value
+    # parity re-verified at sf0.01/sf0.1 both ways); at high fact
+    # volume the duplicate factor compounds (the 100×-copy probe OOMed
+    # the undeduped checkpoint at ~180M duplicate rows) and one dedup
+    # shuffle amortizes across all three level joins — the 100 TB path.
+    adj = raw.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    if estimate_rows(sf_dir, "lineitem") > 5_000_000:
+        adj = adj.select(F.least("v", "u").alias("v"),
+                         F.greatest("v", "u").alias("u")).distinct()
+    p1 = (adj.union(adj.select(F.col("u").alias("v"),
+                               F.col("v").alias("u")))
           .localCheckpoint(eager=False))  # all three levels reuse it
     key = F.conv(F.substring(
         F.md5(F.concat(F.col("v").cast("string"),
