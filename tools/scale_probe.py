@@ -94,6 +94,8 @@ QUERY_TABLES = {
     "llm_dedup_incremental_fuzzy": {"documents"},
     "llm_dedup_containment": {"documents"},
     "llm_dedup_survivorship": {"documents"},
+    "llm_sim_knn_quantized": {"embeddings"},
+    "llm_pipeline_end_to_end": {"documents"},
     "join_interval_binned": {"events"},
     "scd2_dimension_merge": {"events"},
     "llm_dedup_span_exact": {"documents"},
