@@ -1541,6 +1541,12 @@ def ts_dickey_fuller_unit_root(spark: SparkSession,
 # flagged this key; the bitmask form re-measured 1.3 s).
 _CLOSENESS_SEEDS = 32
 _CLOSENESS_SEED_SALT = "lts-r7-closeness"
+# estimated lineitem rows above which the edge build dedups before the
+# three BFS level joins (r10 probe: the undeduped checkpoint OOMs at
+# ~100× fact volume; below the gate the dedup shuffle costs more than
+# the ~1.3× duplicates it removes). Module-level so the branch-parity
+# test can pin both paths to identical values.
+_CLOSENESS_DEDUP_MIN_ROWS = 5_000_000
 
 _CLOSENESS_ORACLE = f"""
 WITH raw AS (
@@ -1633,7 +1639,7 @@ def graph_closeness_harmonic_3hop(spark: SparkSession,
     # the undeduped checkpoint at ~180M duplicate rows) and one dedup
     # shuffle amortizes across all three level joins — the 100 TB path.
     adj = raw.select(F.col("src").alias("v"), F.col("dst").alias("u"))
-    if estimate_rows(sf_dir, "lineitem") > 5_000_000:
+    if estimate_rows(sf_dir, "lineitem") > _CLOSENESS_DEDUP_MIN_ROWS:
         adj = adj.select(F.least("v", "u").alias("v"),
                          F.greatest("v", "u").alias("u")).distinct()
     p1 = (adj.union(adj.select(F.col("u").alias("v"),

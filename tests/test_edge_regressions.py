@@ -171,3 +171,19 @@ def test_graph_vector_broadcast_hint_is_size_gated(spark):
     a = sorted(r.node for r in other.join(hinted, "node").collect())
     b = sorted(r.node for r in other.join(lifted, "node").collect())
     assert a == b
+
+
+def test_closeness_dedup_gate_branches_are_value_identical(spark, monkeypatch):
+    """r10: graph_closeness_harmonic_3hop estimate-gates its edge-dedup
+    (skip the shuffle at bench scale, dedup once at volume — the 100×
+    probe OOMed the undeduped checkpoint). bit_or masks are idempotent
+    over duplicate edges, so the two branches MUST be value-identical;
+    this pins the dedup branch, which no sf tier below the gate
+    exercises."""
+    from lambdatotheslaughter_spark.operators import round7b
+    from tests.conftest import SF_DIR
+    fn = registry.get("graph_closeness_harmonic_3hop").fn
+    fast = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    monkeypatch.setattr(round7b, "_CLOSENESS_DEDUP_MIN_ROWS", 0)
+    deduped = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert deduped == fast
