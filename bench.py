@@ -108,10 +108,11 @@ HEADLINE = [
     "stat_cochran_armitage_trend",  # 4-group trend fold
     # round-8 window representatives (regression visibility for the
     # families the r8 driver window verifies; all sub-2s warm at sf0.1
-    # in the quiet-window screen — llm_sim_lsh_mllib deliberately
-    # excluded like graph_clustering_coefficient: its cost is the
-    # documented MLlib no-hot-bucket-guard limitation, and the house
-    # LSH already sits in the headline via llm_dedup_fuzzy_minhash)
+    # in the quiet-window screen)
+    "llm_sim_lsh_mllib",        # MLlib interop, ~5s: joined the headline
+                                # in r10 under the MLlib family bar — it
+                                # was the one over-2s key the headline
+                                # still hid (r10 sonar)
     "stat_permutation_test",    # ×32 relabeling fold (B halved round 9)
     "ml_pr_auc_exact",          # domain-collapsed PR-AUC
     "ml_roc_auc_delong_ci",     # DeLong variance + CI, wide-integer moments
