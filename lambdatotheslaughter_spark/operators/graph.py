@@ -1334,6 +1334,16 @@ def graph_personalized_pagerank(spark: SparkSession,
                      F.when(is_seed, F.lit(_SCALE // ns))
                      .otherwise(F.lit(0)).cast("bigint").alias("r")))
     teleport = (15 * _SCALE) // (100 * ns)
+    # the per-node teleport term never changes across rounds — fold the
+    # seed flag into ONE checkpointed (node, t) table instead of
+    # re-running the nodes⋈seeds left join every iteration (r10: the
+    # repeat was one redundant broadcast join + seed-probe per round)
+    nt = (nodes.join(broadcast_if_bounded(seeds2, sf_dir),
+                     nodes.node == F.col("sn2"), "left")
+          .select("node",
+                  F.when(is_seed, F.lit(teleport)).otherwise(F.lit(0))
+                  .cast("bigint").alias("t"))
+          .localCheckpoint(eager=False))
     for _ in range(_PPR_ITERS):
         # broadcast the O(V) vectors (size-gated — the bare hint would
         # hard-fail, not degrade, past broadcast scale); the edge list
@@ -1342,13 +1352,10 @@ def graph_personalized_pagerank(spark: SparkSession,
                                   edges_deg.src == ranks.node)
                    .select("dst", F.expr("wt * (r div d)").alias("c"))
                    .groupBy("dst").agg(F.sum("c").alias("s")))
-        ranks = (nodes.join(broadcast_if_bounded(seeds2, sf_dir),
-                            nodes.node == F.col("sn2"), "left")
-                 .join(broadcast_if_bounded(contrib, sf_dir),
-                       nodes.node == contrib.dst, "left")
+        ranks = (nt.join(broadcast_if_bounded(contrib, sf_dir),
+                         nt.node == contrib.dst, "left")
                  .select("node",
-                         (F.when(is_seed, F.lit(teleport))
-                          .otherwise(F.lit(0))
+                         (F.col("t")
                           + F.expr("(85 * coalesce(s, 0)) div 100"))
                          .cast("bigint").alias("r")))
     return (ranks.where(F.col("r") > 0)
