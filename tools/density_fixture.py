@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Materialize the affine-permutation DENSITY fixture (round 10).
+
+The standard copy-shift harness (tools/scale_probe.py) repeats the same
+baskets per copy, so the DISTINCT co-purchase graph — and every wedge /
+BFS / SpMV volume derived from it — is IDENTICAL at every tier; its
+"graph density" rows measured scan+dedup growth only. This fixture
+instead gives copy i an affine partkey PERMUTATION over the prime field
+P = 20011 (`x → (a_i·x + b_i) mod P`, a_i coprime to P), so each copy
+contributes a differently-wired image of the graph on the SAME ~20k
+vertices: distinct edges and degrees grow ~linearly with copies, the
+exact wedge set Θ(Σ deg²) grows ~quadratically — the power-law-hub
+regime the graph kernels' scale claims must survive.
+
+Output: /tmp/lts_aa_dense_{n}x/lineitem.parquet (orderkeys shifted per
+copy so order-grain windows keep their grain), plus 1× copies of every
+other table so `load_table` callers (e.g. PPR's part-seeded teleport)
+resolve. Used by the SCALE.md §r10 adamic-adar, iterative-kernel, and
+wedge-family density rows.
+
+Usage: python tools/density_fixture.py [n_copies ...]   (default: 1 3 10)
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from lambdatotheslaughter_spark.session import get_spark
+
+P = 20011  # prime >= max l_partkey at sf0.1 (20,000)
+SRC = "/root/testdata/sf0.1"
+OTHER_TABLES = ("region", "nation", "customer", "supplier", "part",
+                "orders", "events", "documents", "embeddings")
+
+
+def materialize(spark, n: int) -> str:
+    out = f"/tmp/lts_aa_dense_{n}x"
+    os.makedirs(out, exist_ok=True)
+    dst = os.path.join(out, "lineitem.parquet")
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        src = spark.read.parquet(f"{SRC}/lineitem.parquet")
+        copies = []
+        for i in range(n):
+            a, b = 1 + 97 * i, 31 * i  # a < P and P prime -> a coprime
+            copies.append(
+                src.withColumn("l_partkey",
+                               (F.col("l_partkey") * F.lit(a) + F.lit(b))
+                               % F.lit(P))
+                .withColumn("l_orderkey",
+                            F.col("l_orderkey") + F.lit(i * 10_000_000)))
+        df = copies[0]
+        for c in copies[1:]:
+            df = df.unionByName(c)
+        df.write.mode("overwrite").parquet(dst)
+    for t in OTHER_TABLES:
+        tdst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(tdst):
+            shutil.copytree(f"{SRC}/{t}.parquet", tdst) \
+                if os.path.isdir(f"{SRC}/{t}.parquet") \
+                else shutil.copy(f"{SRC}/{t}.parquet", tdst)
+    return out
+
+
+def main() -> None:
+    tiers = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    spark = get_spark("lts-density-fixture")
+    spark.sparkContext.setLogLevel("ERROR")
+    for n in tiers:
+        print(f"materialized {materialize(spark, n)}")
+
+
+if __name__ == "__main__":
+    main()
