@@ -63,48 +63,41 @@ _loaded = False
 # tests/test_survey_coverage.py) fails if any slot below wastes a round on
 # an already-verified key.
 #
-# ROUND 10 window -- drain window #3 (VERDICT r9 asks #1 + #6): 50 slots,
-# 47 first-time oracled keys cut straight from ``python
-# tools/rotation.py``'s 112-key never-slotted pool in registration order
-# (oldest rings first: the llm-curation/eval ring, then the stats ring),
-# PLUS 3 rows-only-by-design slots (VERDICT r9 ask #6: "ensure the next
-# window includes agg_approx_distinct and a couple of the 11 other
-# rows-only keys so the driver log shows green rows-only rows instead of
-# the stale r01 no_oracle line"). Asks #1 and #6 conflict at 50 slots —
-# #1's "union >= 484 / backlog <= 62" arithmetic assumes all 50 slots are
-# first-time oracled; honoring #6's explicit instruction costs 3 oracled
-# slots, so the r10 targets become union >= 481 / backlog <= 65 (still
-# two windows from fully drained). Addition freeze stays in force — zero
-# new keys this round.
-# The 3 rows-only slots are declared in _ROWS_ONLY_SLOTS below and in
-# tools/rotation.py BACKFILL so both waste-checks stay generated, not
-# hand-waved.
-_ROWS_ONLY_SLOTS: tuple[str, ...] = (
-    'agg_approx_distinct', 'agg_quantile_sketch', 'ts_downsample_lttb',
-)
+# ROUND 11 window -- drain window #4 (VERDICT r10 ask #1): 50 slots, ALL
+# first-time oracled keys, cut straight from ``python tools/rotation.py``'s
+# 65-key never-slotted pool in registration order. NO rows-only slots this
+# round -- VERDICT r10 wrong #1 ("the artifact cannot distinguish 'clean
+# rows-only' from 'broken' ... don't seat the remaining nine; finish the
+# oracled drain first"), so _ROWS_ONLY_SLOTS is empty and the r10 trio is
+# retired from tools/rotation.py BACKFILL. Targets: CORRECTNESS_r11 50/50
+# green all-first-time, union >= 531 oracled driver-green, never-slotted
+# backlog = 15 (the remainder listed by tools/rotation.py; round 12
+# finishes the drain). Addition freeze stays in force -- zero new keys.
+_ROWS_ONLY_SLOTS: tuple[str, ...] = ()
 
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    'llm_code_detect_heuristic', 'llm_sample_temperature_weights',
-    'llm_cluster_topic_terms', 'llm_eval_token_f1', 'llm_loss_mask_spans',
-    'llm_sentiment_lexicon', 'llm_eval_rouge2', 'llm_feature_hashing',
-    'ml_target_encode_kfold', 'llm_safety_pattern_filter',
-    'llm_pack_budget_sweep', 'llm_uncertainty_sampling',
-    'llm_rag_groundedness_eval', 'stat_ks_two_sample',
-    'stat_mutual_information', 'stat_benford_first_digit',
-    'stat_bootstrap_poisson_ci', 'ts_theil_sen_slope',
-    'stat_runs_test_wald_wolfowitz', 'stat_spearman_rho',
-    'stat_anova_oneway_f', 'stat_two_proportion_z', 'stat_cohens_d',
-    'stat_cramers_v', 'stat_brown_forsythe', 'stat_bh_fdr_permutation',
-    'ml_confusion_threshold_sweep', 'stat_chi_square_gof_dow',
-    'stat_mde_power_binary', 'stat_diff_in_diff_2x2',
-    'stat_proportion_ci_wilson', 'ml_brier_score_rank',
-    'stat_interrupted_time_series', 'ml_learning_curve_auc',
-    'stat_g_test_cells', 'stat_sign_test_paired', 'stat_friedman_test',
-    'stat_kruskal_wallis', 'stat_mood_median_test',
-    'stat_fisher_z_corr_ci', 'ml_calibration_reliability',
-    'stat_jarque_bera', 'stat_mcnemar_paired', 'stat_hodges_lehmann_shift',
-    'stat_cliffs_delta', 'stat_dunn_posthoc_bh', 'ts_spectral_dft_energy',
-    'agg_approx_distinct', 'agg_quantile_sketch', 'ts_downsample_lttb',
+    'seq_survival_km', 'dq_referential_integrity', 'dq_freshness_lag',
+    'llm_sample_ares_topk', 'llm_eval_pairwise_winrate',
+    'graph_katz_centrality_fixed', 'sql_group_by_ordinal',
+    'llm_tool_call_parse', 'llm_vocab_growth_heaps', 'ts_mase_eval',
+    'stat_cochran_q', 'dq_pk_uniqueness', 'agg_trimmed_winsorized_mean',
+    'seq_market_basket_rules', 'llm_topic_coherence_umass',
+    'llm_self_bleu_diversity', 'stat_ks_uniform_md5_audit',
+    'stat_poisson_dispersion', 'dq_reconciliation_orders_lineitem',
+    'sql_natural_using_join', 'agg_median_builtin', 'ts_bollinger_bands',
+    'stat_tost_equivalence', 'stat_sprt_daily', 'ml_optimal_f1_threshold',
+    'llm_eval_ece', 'llm_dedup_whitespace_casefold',
+    'graph_rich_club_coefficient', 'llm_sample_ares_per_group',
+    'seq_hazard_rate_daily', 'llm_mixture_kl_report',
+    'llm_dedup_template_prefix', 'llm_eval_distinct_n',
+    'stat_cochran_armitage_trend', 'stat_bartlett_test',
+    'stat_durbin_watson', 'ts_changepoint_cusum_argmax',
+    'ml_mcc_threshold_sweep', 'dq_cross_field_consistency',
+    'seq_interpurchase_quantiles', 'ts_hurst_rs',
+    'graph_label_propagation_sync', 'stat_breusch_pagan',
+    'ts_dickey_fuller_unit_root', 'graph_closeness_harmonic_3hop',
+    'llm_hapax_ratio_per_source', 'agg_geometric_harmonic_mean',
+    'dq_schema_drift_report', 'ts_granger_lag1', 'ml_cost_curve_threshold',
 )
 
 

@@ -4,15 +4,21 @@ invariant, not a hope."""
 
 from __future__ import annotations
 
+import os
 import re
 
 from lambdatotheslaughter_spark import registry
+
+# Anchor paths from this file (ADVICE r10 #2: a hardcoded /root/repo made
+# the rotation cross-check silently import nothing on other checkouts).
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_TOOLS_DIR = os.path.join(_REPO_ROOT, "tools")
 
 
 def survey_keys() -> set[str]:
     keys = set()
     in_s2 = False
-    for line in open("/root/repo/SURVEY.md"):
+    for line in open(os.path.join(_REPO_ROOT, "SURVEY.md")):
         if line.startswith("## §2"):
             in_s2 = True
         elif line.startswith("## §3"):
@@ -98,7 +104,7 @@ def test_driver_priority_window_is_fully_oracled():
     # the declared rows-only slots must also be in rotation.BACKFILL so the
     # generated waste-check covers them
     import sys
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, _TOOLS_DIR)
     import rotation
     assert set(registry._ROWS_ONLY_SLOTS) <= set(rotation.BACKFILL), (
         "registry._ROWS_ONLY_SLOTS not declared in rotation.BACKFILL")
@@ -115,9 +121,9 @@ def test_driver_window_is_generated_not_hand_counted():
     plan-change re-confirmation, so the delivered tree stays green both
     before AND after the driver writes this round's artifact."""
     import sys
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, _TOOLS_DIR)
     import rotation
-    pool = set(rotation.never_slotted("/root/repo", exclude_newest=True))
+    pool = set(rotation.never_slotted(_REPO_ROOT, exclude_newest=True))
     allowed = pool | set(rotation.BACKFILL)
     wasted = [k for k in registry._DRIVER_PRIORITY if k not in allowed]
     assert not wasted, f"window wastes slots on already-verified keys: {wasted}"

@@ -27,16 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from lambdatotheslaughter_spark import registry  # noqa: E402
 
 # keys whose PLAN changed this round and deliberately re-occupy a slot
-# even if already driver-green, plus (round 10) the rows-only-by-design
-# slots VERDICT r9 ask #6 ordered into the window ("ensure the next
-# window includes agg_approx_distinct and a couple of the 11 other
-# rows-only keys") — rows-only keys are not in the oracled pool by
-# construction, so they are declared here to keep the waste-check
-# generated rather than hand-waved. They must match
+# even if already driver-green. Round 11: EMPTY — VERDICT r10 wrong #1
+# retired the rows-only seating experiment ("don't seat the remaining
+# nine; finish the oracled drain first"), and no oracled key's plan
+# changed in a way that needs re-confirmation, so all 50 slots are
+# first-time draws from the never-slotted pool. Must stay a superset of
 # registry._ROWS_ONLY_SLOTS (asserted in tests/test_survey_coverage.py).
-BACKFILL: tuple[str, ...] = (
-    'agg_approx_distinct', 'agg_quantile_sketch', 'ts_downsample_lttb',
-)
+BACKFILL: tuple[str, ...] = ()
 
 
 def artifact_paths(repo_root: str) -> list[str]:
