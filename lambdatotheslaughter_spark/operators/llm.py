@@ -2882,38 +2882,32 @@ WHERE 10 * len(list_intersect(a.sh, b.sh)) >= 8 * least(len(a.sh), len(b.sh))
 """
 
 
-@register("llm_dedup_containment", oracle=_CONTAIN_ORACLE)
-def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ASYMMETRIC containment near-dup pairs: C(A,B) =
-    |A∩B| / min(|A|,|B|) >= 0.8 over distinct 3-gram shingles. Jaccard
-    (symmetric, normalized by the union) goes blind exactly when dedup
-    needs it most — a short doc quoted whole inside a much longer one has
-    J ≈ |A|/|B| ≈ 0 but C = 1; containment is the standard fix for
-    quote/boilerplate/subset duplication in crawl corpora.
+# Duplicate-multiplicity gate for llm_dedup_containment (VERDICT r10
+# wrong #2 / ask #2): when the corpus holds >= this many copies per
+# byte-distinct doc (total/approx-distinct fingerprint ratio), dispatch
+# to the exact-dedup-first plan instead of running the inverted index
+# over raw rows. Module-level — the closeness-gate pattern
+# (round7b._CLOSENESS_DEDUP_MIN_ROWS) — so tests can force BOTH branches
+# by monkeypatching (inf => always direct, 0 => always dedup-first).
+# Both branches are VALUE-IDENTICAL by construction (pinned in
+# tests/test_edge_regressions.py), so an accidental override can never
+# corrupt an oracle run — unlike SPARK_GRAFT_AA_DEGREE_CAP, which is why
+# this gate deliberately takes no env var (ADVICE r10 #4).
+_CONTAIN_DEDUP_RATIO = 1.5
 
-    Shape: inverted-index intersection counts (explode → equi-join on the
-    shingle → groupBy pair), never all-pairs; join volume is Σ_s df(s)²,
-    bounded here because 3-gram shingles are near-unique (measured max df
-    ≪ corpus size, unlike bigrams — the reason llm_dedup_ngram_jaccard
-    needs its GEMM/prefix-filter machinery and this op doesn't).
-    Duplicate-multiplicity caveat (r10 probe, SCALE.md): Σ df² is
-    QUADRATIC in how many copies of each doc the corpus holds (a
-    100×-duplicated corpus is ~10,000× the join volume — DNF on the
-    probe box), so the pipeline ordering is load-bearing: run
-    llm_dedup_exact FIRST (hash-groupBy cost) and containment on the
-    byte-distinct survivors, which restores the near-unique-df regime
-    this plan is priced for. Sizes
-    join back via broadcast; the threshold is applied as integer
-    cross-multiplication (10·inter >= 8·min) so membership can't flake on
-    a float ulp, and the reported containment is a single int/int→double
-    division, bit-identical across engines. The oracle recomputes pairs
-    brute-force — an independent algorithm, not just the arithmetic."""
-    d = load_table(spark, "documents", sf_dir).where(F.size(_tokens()) >= 3)
+
+def _containment_pairs(docs: DataFrame, sf_dir: str) -> DataFrame:
+    """Inverted-index containment core over an arbitrary doc slice:
+    explode distinct 3-gram shingles -> equi-join on the shingle ->
+    groupBy pair -> integer 10*inter >= 8*min threshold. Join volume is
+    Sigma_s df(s)^2 over the SLICE — callers must hand it a corpus in the
+    near-unique-df regime (raw rows when multiplicity ~1, byte-distinct
+    representatives otherwise)."""
     # the checkpoint is a collapse barrier: without it Catalyst's
     # InferFiltersFromGenerate pushes a size(sh)>0 guard below the
     # projects, re-expanding the shingle transform over raw split() per
     # input row (measured ~6x on the explode; same guard as minhash)
-    sh = (d.select("doc_id", _tokens().alias("toks"))
+    sh = (docs.select("doc_id", _tokens().alias("toks"))
           .select("doc_id", _shingles3("toks").alias("sh"))
           .localCheckpoint(eager=False))
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
@@ -2942,6 +2936,100 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("inter").cast("double")
                      / F.least("n_a", "n_b").cast("double"))
                     .alias("containment")))
+
+
+@register("llm_dedup_containment", oracle=_CONTAIN_ORACLE)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs: C(A,B) =
+    |A∩B| / min(|A|,|B|) >= 0.8 over distinct 3-gram shingles. Jaccard
+    (symmetric, normalized by the union) goes blind exactly when dedup
+    needs it most — a short doc quoted whole inside a much longer one has
+    J ≈ |A|/|B| ≈ 0 but C = 1; containment is the standard fix for
+    quote/boilerplate/subset duplication in crawl corpora.
+
+    Shape: inverted-index intersection counts (explode → equi-join on the
+    shingle → groupBy pair), never all-pairs; join volume is Σ_s df(s)²,
+    bounded on a deduped corpus because 3-gram shingles are near-unique
+    (measured max df ≪ corpus size, unlike bigrams — the reason
+    llm_dedup_ngram_jaccard needs its GEMM/prefix-filter machinery and
+    this op doesn't). The threshold is applied as integer
+    cross-multiplication (10·inter >= 8·min) so membership can't flake on
+    a float ulp, and the reported containment is a single int/int→double
+    division, bit-identical across engines. The oracle recomputes pairs
+    brute-force — an independent algorithm, not just the arithmetic.
+
+    Duplicate-multiplicity gate (r10 probe DNF → r11 code, VERDICT r10
+    ask #2): Σ df² is QUADRATIC in how many copies of each doc the corpus
+    holds (a 100×-duplicated corpus is ~10,000× the join volume — the r10
+    probe filled a 78 GB scratch volume and DNF'd). The mitigation the
+    r10 docstring only *described* is now dispatched in code: one cheap
+    map-side-combinable aggregate estimates the duplicate multiplicity
+    (row count / approx-distinct full-text md5 — HLL merge is
+    order-independent, so the plan choice is deterministic), and past
+    _CONTAIN_DEDUP_RATIO the op groups byte-identical docs first
+    (llm_dedup_exact's hash-groupBy cost), runs the inverted index over
+    one representative per group — restoring the near-unique-df regime
+    this plan is priced for — and expands rep-level results back to the
+    contract's full pair set: cross-group rep pairs fan out over member
+    lists with inter/containment carried verbatim (identical text ⇒
+    identical shingle set ⇒ identical values), and every intra-group pair
+    qualifies with inter = |sh(rep)| and containment exactly 1.0. The
+    expansion is the contract's own quadratic OUTPUT (100 copies owe
+    100·99/2 pairs) reached via cheap equi-joins, not a quadratic JOIN
+    SEARCH. Grouping keys on full-text md5 (house precedent:
+    llm_dedup_exact — zero collisions at 2^-128 pair odds). Both branches
+    are value-identical; the dedup-first branch is pinned against the
+    direct branch in tests/test_edge_regressions.py and probed at 100×
+    duplicates in SCALE.md."""
+    d = load_table(spark, "documents", sf_dir).where(F.size(_tokens()) >= 3)
+    # lazy checkpoint: the gate aggregate below materializes the
+    # fingerprints; the groupBy/join in the dedup-first branch then reads
+    # them without re-hashing the corpus
+    keyed = (d.select("doc_id", F.md5("text").alias("fp"))
+             .localCheckpoint(eager=False))
+    mult = keyed.agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.approx_count_distinct("fp").alias("n_distinct")).first()
+    if mult["n_rows"] < _CONTAIN_DEDUP_RATIO * max(mult["n_distinct"], 1):
+        return _containment_pairs(d, sf_dir)
+    # duplicate-heavy regime: dedup-first. One representative (min doc_id)
+    # per byte-identical text group; inverted index over reps only.
+    groups = (keyed.groupBy("fp")
+              .agg(F.min("doc_id").alias("rep_id"))
+              .localCheckpoint(eager=False))
+    members = (keyed.join(groups, "fp").select("rep_id", "doc_id")
+               .localCheckpoint(eager=False))
+    reps = d.join(groups.select(F.col("rep_id").alias("doc_id")),
+                  "doc_id", "semi")
+    rep_pairs = _containment_pairs(reps, sf_dir)
+    # cross-group expansion: values carry over verbatim (identical text
+    # => identical shingle set); least/greatest restores a_id < b_id
+    ma = members.select(F.col("rep_id").alias("a_id"),
+                        F.col("doc_id").alias("a_doc"))
+    mb = members.select(F.col("rep_id").alias("b_id"),
+                        F.col("doc_id").alias("b_doc"))
+    cross = (rep_pairs.join(ma, "a_id").join(mb, "b_id")
+             .select(F.least("a_doc", "b_doc").alias("a_id"),
+                     F.greatest("a_doc", "b_doc").alias("b_id"),
+                     "inter", "containment"))
+    # intra-group expansion: byte-identical docs always qualify (C = 1.0
+    # exactly, inter = the rep's distinct-shingle count; n >= 1 because
+    # the >= 3-token filter ran before grouping, so no pair is dropped)
+    rep_sizes = (reps.select("doc_id", _tokens().alias("toks"))
+                 .select(F.col("doc_id").alias("rep_id"),
+                         F.size(_shingles3("toks")).alias("n_sh")))
+    intra = (members.alias("x")
+             .join(members.alias("y"),
+                   (F.col("x.rep_id") == F.col("y.rep_id"))
+                   & (F.col("x.doc_id") < F.col("y.doc_id")))
+             .select(F.col("x.rep_id").alias("rep_id"),
+                     F.col("x.doc_id").alias("a_id"),
+                     F.col("y.doc_id").alias("b_id"))
+             .join(rep_sizes, "rep_id")
+             .select("a_id", "b_id",
+                     F.col("n_sh").cast("bigint").alias("inter"),
+                     F.lit(1.0).alias("containment")))
+    return cross.unionByName(intra)
+
 
 
 _QUANT_ORACLE = """

@@ -187,3 +187,62 @@ def test_closeness_dedup_gate_branches_are_value_identical(spark, monkeypatch):
     monkeypatch.setattr(round7b, "_CLOSENESS_DEDUP_MIN_ROWS", 0)
     deduped = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     assert deduped == fast
+
+
+def test_containment_dedup_gate_branches_are_value_identical(spark, monkeypatch):
+    """r11 (VERDICT r10 ask #2): llm_dedup_containment estimate-gates an
+    exact-dedup-first plan — group byte-identical docs, run the inverted
+    index over one representative per group, expand rep pairs back over
+    member lists (cross) and emit all intra-group pairs at containment
+    1.0. Identical text implies identical distinct-shingle sets, so the
+    two branches MUST be value-identical; this pins the dedup-first
+    branch, which the stock corpora (multiplicity ~1) never take."""
+    from lambdatotheslaughter_spark.operators import llm
+    from tests.conftest import SF_DIR
+    fn = registry.get("llm_dedup_containment").fn
+    monkeypatch.setattr(llm, "_CONTAIN_DEDUP_RATIO", float("inf"))
+    direct = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    monkeypatch.setattr(llm, "_CONTAIN_DEDUP_RATIO", 0.0)
+    dedup_first = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert dedup_first == direct
+    assert len(direct) > 0
+
+
+def test_containment_gate_fires_by_default_on_duplicate_heavy_corpus(
+        spark, tmp_path):
+    """The gate must FIRE without any override once duplicate multiplicity
+    crosses _CONTAIN_DEDUP_RATIO (default 1.5): a 3x-duplicated corpus
+    (every text thrice under distinct doc_ids) must take the dedup-first
+    branch and still agree with the direct plan run on the same files.
+    Also pins the expansion arithmetic: each original doc with >= 1
+    shingle owes exactly C(3,2)=3 intra pairs at containment exactly
+    1.0."""
+    import pyarrow.parquet as pq2
+    from tests.conftest import SMOKE_SF_DIR
+    from lambdatotheslaughter_spark.operators import llm
+
+    src = pq2.read_table(f"{SMOKE_SF_DIR}/documents.parquet")
+    parts = []
+    for i in range(3):
+        t = src.set_column(src.schema.get_field_index("doc_id"), "doc_id",
+                           pa.compute.add(src["doc_id"], i * 10_000_000))
+        parts.append(t)
+    pq2.write_table(pa.concat_tables(parts), str(tmp_path / "documents.parquet"))
+
+    fn = registry.get("llm_dedup_containment").fn
+    # default gate: multiplicity 3 >= 1.5 -> dedup-first fires on its own
+    assert llm._CONTAIN_DEDUP_RATIO == 1.5
+    gated = sorted(map(tuple, fn(spark, str(tmp_path)).collect()))
+    try:
+        llm._CONTAIN_DEDUP_RATIO = float("inf")
+        direct = sorted(map(tuple, fn(spark, str(tmp_path)).collect()))
+    finally:
+        llm._CONTAIN_DEDUP_RATIO = 1.5
+    assert gated == direct
+    # every doc with >= 3 tokens (hence >= 1 shingle) owes its two copies:
+    # 3 intra pairs per original, containment exactly 1.0
+    n_docs = len([t for t in src["text"].to_pylist()
+                  if t is not None and len(t.split(" ")) >= 3])
+    intra = [r for r in gated
+             if r[0] % 10_000_000 == r[1] % 10_000_000 and r[3] == 1.0]
+    assert len(intra) >= 3 * n_docs
