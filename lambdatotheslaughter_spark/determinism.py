@@ -160,14 +160,54 @@ def estimate_rows(sf_dir: str, table: str, bytes_per_row: int = 8) -> int:
     return size // bytes_per_row
 
 
-# ~64M (bigint, bigint) rows ≈ 1 GiB on the wire — comfortably inside
-# BroadcastExchangeExec's hard 8 GiB / 512M-row ceiling with room for
-# wider score structs
-BCAST_V_MAX_ROWS = 64_000_000
+# Fallback row gate when executor memory is unreadable (ADVICE r10 #1:
+# the old 64M-row gate only guarded the engine's hard 8 GiB / 512M-row
+# BroadcastExchange ceiling — a ~1 GiB-on-the-wire broadcast inflates
+# several-fold as a deserialized hash relation PER EXECUTOR, so a
+# modest-heap executor can OOM well below the hard ceiling). 16M rows of
+# (bigint, bigint) ≈ 256 MiB on the wire ≈ ~1.5 GiB deserialized —
+# survivable on any executor a 100 TB job would realistically run.
+BCAST_V_MAX_ROWS = 16_000_000
+
+# the deserialized LongHashedRelation footprint per wire byte (measured
+# ~4-6x for narrow long-keyed rows; take the pessimistic end) and the
+# heap share one broadcast relation may claim
+_BCAST_INFLATION = 6
+_BCAST_HEAP_SHARE = 0.15
+_BCAST_WIRE_BYTES_PER_ROW = 16
+
+
+def _parse_jvm_mem(text: str) -> int:
+    """'8g' / '512m' / '4096k' / plain bytes -> bytes (JVM -Xmx syntax)."""
+    t = text.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if t and t[-1] in mult:
+        return int(float(t[:-1]) * mult[t[-1]])
+    return int(t)
+
+
+def bcast_row_budget(spark) -> int:
+    """Derive the broadcast row gate from the CONFIGURED executor heap
+    (ADVICE r10 #1) instead of only the engine's hard ceiling: allow at
+    most _BCAST_HEAP_SHARE of the heap for one deserialized hash
+    relation at _BCAST_INFLATION× wire inflation. In local mode the
+    executor lives in the driver JVM, so spark.driver.memory is the
+    operative heap. Falls back to the conservative BCAST_V_MAX_ROWS cap
+    when neither conf is readable, and never exceeds it (the hard
+    8 GiB / 512M-row BroadcastExchange ceiling stays far above both)."""
+    try:
+        is_local = spark.conf.get("spark.master", "local").startswith("local")
+        key = "spark.driver.memory" if is_local else "spark.executor.memory"
+        heap = _parse_jvm_mem(spark.conf.get(key, "1g"))
+    except Exception:
+        return BCAST_V_MAX_ROWS
+    rows = int(heap * _BCAST_HEAP_SHARE
+               / (_BCAST_WIRE_BYTES_PER_ROW * _BCAST_INFLATION))
+    return max(1, min(rows, BCAST_V_MAX_ROWS))
 
 
 def broadcast_if_bounded(df, sf_dir: str, table: str = "part",
-                         max_rows: int = BCAST_V_MAX_ROWS):
+                         max_rows: int | None = None):
     """Broadcast-hint an O(V) graph score/mask vector only while V is
     provably broadcastable. An explicit F.broadcast() hint overrides
     autoBroadcastJoinThreshold UNCONDITIONALLY — BroadcastExchangeExec
@@ -175,9 +215,14 @@ def broadcast_if_bounded(df, sf_dir: str, table: str = "part",
     degrade-to-hash-join path the graph kernels promise only exists if
     the hint itself is lifted at scale. V for the co-purchase kernels is
     bounded by the part dimension; estimate_rows overestimates ≥2×, so
-    the gate can only lift the hint early, never broadcast too big."""
+    the gate can only lift the hint early, never broadcast too big.
+    The default gate is memory-derived per session (bcast_row_budget —
+    ADVICE r10 #1), not a fixed constant: hinting or lifting changes
+    only the physical join strategy, never values."""
     from pyspark.sql import functions as F
 
+    if max_rows is None:
+        max_rows = bcast_row_budget(df.sparkSession)
     if estimate_rows(sf_dir, table) <= max_rows:
         return F.broadcast(df)
     return df

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from lambdatotheslaughter_spark.determinism import (broadcast_if_bounded,
                                                     estimate_rows)
+from lambdatotheslaughter_spark.operators.graph import apply_wedge_degree_cap
 from lambdatotheslaughter_spark.registry import register
 from lambdatotheslaughter_spark.tables import load_table
 
@@ -2310,6 +2311,7 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.greatest("src", "dst").alias("b"))
           .distinct()
           .localCheckpoint(eager=False))  # edge set feeds both sides
+    e0 = apply_wedge_degree_cap(e0)  # opt-in hub cut (exact by default)
     adj = (e0.select(F.col("a").alias("v"), F.col("b").alias("u"))
            .unionAll(e0.select(F.col("b").alias("v"),
                                F.col("a").alias("u"))))
@@ -2323,12 +2325,15 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = (e0.join(common, ["a", "b"], "left")
                .select((F.coalesce("n_common", F.lit(0)) == 0)
                        .alias("is_local_bridge")))
+    # try_divide: an empty (e.g. degree-capped or empty-shard) edge set
+    # must report NULL share, not raise ANSI DIVIDE_BY_ZERO on 0/0
     return flagged.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_edges"),
         F.count(F.when(F.col("is_local_bridge"), 1)).cast("bigint")
         .alias("n_local_bridges"),
-        F.round(F.count(F.when(F.col("is_local_bridge"), 1))
-                .cast("double") / F.count(F.lit(1)).cast("double"), 6)
+        F.round(F.try_divide(
+            F.count(F.when(F.col("is_local_bridge"), 1)).cast("double"),
+            F.count(F.lit(1)).cast("double")), 6)
         .alias("bridge_share"))
 
 

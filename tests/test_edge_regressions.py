@@ -246,3 +246,43 @@ def test_containment_gate_fires_by_default_on_duplicate_heavy_corpus(
     intra = [r for r in gated
              if r[0] % 10_000_000 == r[1] % 10_000_000 and r[3] == 1.0]
     assert len(intra) >= 3 * n_docs
+
+
+def test_wedge_family_degree_cap_gates(spark, monkeypatch):
+    """r11 (VERDICT r10 ask #3): the hub cut r10 shipped for adamic-adar
+    only now covers the whole wedge family via
+    SPARK_GRAFT_WEDGE_DEGREE_CAP (drop vertices with degree > cap, plus
+    incident edges, before wedge enumeration). Two gates per key, same as
+    the AA test: a cap ABOVE the true max degree (sf0.1 measures 83)
+    binds nothing — value-identical to the exact oracle-checked default —
+    and a binding cap=2 provably changes the output (the flag changes the
+    plan's bound, not its semantics, and it really does cut)."""
+    from tests.conftest import SF_DIR
+    for key in ("graph_triangle_count", "graph_jaccard_neighbors",
+                "graph_clustering_coefficient", "graph_local_bridges"):
+        fn = registry.get(key).fn
+        monkeypatch.delenv("SPARK_GRAFT_WEDGE_DEGREE_CAP", raising=False)
+        exact = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+        monkeypatch.setenv("SPARK_GRAFT_WEDGE_DEGREE_CAP", "500")
+        unbound = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+        assert unbound == exact, f"{key}: non-binding cap changed values"
+        monkeypatch.setenv("SPARK_GRAFT_WEDGE_DEGREE_CAP", "2")
+        tight = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+        assert tight != exact, f"{key}: binding cap changed nothing"
+        monkeypatch.delenv("SPARK_GRAFT_WEDGE_DEGREE_CAP")
+
+
+def test_bcast_row_budget_is_memory_derived(spark):
+    """ADVICE r10 #1: the broadcast gate must derive from the configured
+    heap (a 1 GiB wire broadcast inflates several-fold deserialized), fall
+    back to and never exceed the 16M-row conservative cap."""
+    from lambdatotheslaughter_spark import determinism as det
+    assert det._parse_jvm_mem("8g") == 8 << 30
+    assert det._parse_jvm_mem("512m") == 512 << 20
+    assert det._parse_jvm_mem("1024") == 1024
+    budget = det.bcast_row_budget(spark)
+    assert 0 < budget <= det.BCAST_V_MAX_ROWS
+    # the 8g test session: 8 GiB * 0.15 / (16 B * 6x) ≈ 13.4M rows
+    heap = det._parse_jvm_mem(spark.conf.get("spark.driver.memory", "1g"))
+    expect = int(heap * det._BCAST_HEAP_SHARE / 96)
+    assert budget == min(expect, det.BCAST_V_MAX_ROWS)

@@ -32,25 +32,35 @@ from pyspark.sql import functions as F
 
 from lambdatotheslaughter_spark.session import get_spark
 
-P = 20011  # prime >= max l_partkey at sf0.1 (20,000)
+# ADVICE r10 #3: the round-10 map worked mod the prime 20011, which
+# emitted partkeys 0 and 20001-20010 that do not exist in the 1x part
+# table — part-joined kernels (e.g. PPR's p_size<=5 seed join) silently
+# dropped those vertices, slightly understating probed density; and
+# a=1+97*i was only guaranteed nonzero mod P for i<~206. Round 11 maps
+# back into the part domain [1, 20000]: x -> 1 + ((a*(x-1) + b) mod M)
+# with M = 20000 and a_i = 3^i mod M (3 is a unit mod 2^5*5^4, so every
+# a_i is coprime to M and the map is a true permutation of [1, M] at
+# every tier). Output dirs are versioned _v2 so stale /tmp caches from
+# the r10 map can never mix into r11 rows.
+M = 20000  # part-domain size at sf0.1 (l_partkey in [1, 20000])
 SRC = "/root/testdata/sf0.1"
 OTHER_TABLES = ("region", "nation", "customer", "supplier", "part",
                 "orders", "events", "documents", "embeddings")
 
 
 def materialize(spark, n: int) -> str:
-    out = f"/tmp/lts_aa_dense_{n}x"
+    out = f"/tmp/lts_dense_v2_{n}x"
     os.makedirs(out, exist_ok=True)
     dst = os.path.join(out, "lineitem.parquet")
     if not os.path.exists(os.path.join(dst, "_SUCCESS")):
         src = spark.read.parquet(f"{SRC}/lineitem.parquet")
         copies = []
         for i in range(n):
-            a, b = 1 + 97 * i, 31 * i  # a < P and P prime -> a coprime
+            a, b = pow(3, i, M), 31 * i  # a coprime to M for every i
             copies.append(
                 src.withColumn("l_partkey",
-                               (F.col("l_partkey") * F.lit(a) + F.lit(b))
-                               % F.lit(P))
+                               ((F.col("l_partkey") - 1) * F.lit(a)
+                                + F.lit(b)) % F.lit(M) + F.lit(1))
                 .withColumn("l_orderkey",
                             F.col("l_orderkey") + F.lit(i * 10_000_000)))
         df = copies[0]
