@@ -19,6 +19,21 @@ resolve. Used by the SCALE.md §r10 adamic-adar, iterative-kernel, and
 wedge-family density rows.
 
 Usage: python tools/density_fixture.py [n_copies ...]   (default: 1 3 10)
+       python tools/density_fixture.py --docs [n_copies ...]
+
+--docs (round 11, VERDICT r10 ask #5) materializes the DOCUMENT density
+fixture instead: the copy-shift harness duplicates texts verbatim
+(multiplicity stress — exercised by the r10 dedup probes), while this
+axis grows DISTINCT near-dup neighborhoods: copy i of each document
+appends a copy-unique token ("uvar{i}"), so every variant is a distinct
+text whose 3-gram shingle set shares all original shingles with every
+other variant (pairwise Jaccard ~ |sh|/(|sh|+2), far above both the 0.5
+candidate and 0.8 near-dup bars). doc_ids shift by i*10_000_001 — an ODD
+stride, so variant parity alternates and llm_dedup_incremental_fuzzy's
+odd/even incoming-vs-history split sees each neighborhood from both
+sides (candidate volume per seed grows ~n^2/4; LSH bucket sizes grow
+linearly). n_chars is recomputed from the mutated text so survivorship's
+argmax policy stays consistent. Output: /tmp/lts_docdense_v2_{n}x.
 """
 from __future__ import annotations
 
@@ -76,12 +91,44 @@ def materialize(spark, n: int) -> str:
     return out
 
 
+def materialize_docs(spark, n: int) -> str:
+    out = f"/tmp/lts_docdense_v2_{n}x"
+    os.makedirs(out, exist_ok=True)
+    dst = os.path.join(out, "documents.parquet")
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        src = spark.read.parquet(f"{SRC}/documents.parquet")
+        copies = []
+        for i in range(n):
+            copies.append(
+                src.withColumn("doc_id",
+                               F.col("doc_id") + F.lit(i * 10_000_001))
+                .withColumn("text", F.concat(F.col("text"),
+                                             F.lit(f" uvar{i}")))
+                .withColumn("n_chars", F.length("text")))
+        df = copies[0]
+        for c in copies[1:]:
+            df = df.unionByName(c)
+        df.write.mode("overwrite").parquet(dst)
+    for t in OTHER_TABLES + ("lineitem",):
+        if t == "documents":
+            continue
+        tdst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(tdst):
+            shutil.copytree(f"{SRC}/{t}.parquet", tdst) \
+                if os.path.isdir(f"{SRC}/{t}.parquet") \
+                else shutil.copy(f"{SRC}/{t}.parquet", tdst)
+    return out
+
+
 def main() -> None:
-    tiers = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    args = sys.argv[1:]
+    docs = "--docs" in args
+    tiers = [int(a) for a in args if a != "--docs"] or [1, 3, 10]
     spark = get_spark("lts-density-fixture")
     spark.sparkContext.setLogLevel("ERROR")
     for n in tiers:
-        print(f"materialized {materialize(spark, n)}")
+        fn = materialize_docs if docs else materialize
+        print(f"materialized {fn(spark, n)}")
 
 
 if __name__ == "__main__":
