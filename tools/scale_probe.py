@@ -254,6 +254,8 @@ QUERY_TABLES = {
     "win_rolling_slope": {"events"},
     "llm_loss_mask_spans": {"documents"},
     "llm_sim_lsh_mllib": {"embeddings"},
+    "llm_sim_ann_ivf": {"embeddings"},
+    "llm_sim_lsh_approx": {"embeddings"},
     "ts_forecast_eval_wape": {"events"},
     "ts_hampel_filter": {"events"},
     "ts_pinball_loss_eval": {"events"},
