@@ -785,32 +785,206 @@ def llm_sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_fold_sqdist(A, B):
+    """sqrt of the DIM-SEQUENTIAL squared-distance fold over two equal-shape
+    float64 matrices (rows = pairs): acc_i = acc_{i-1} + (a_i-b_i)^2 in
+    index order, vectorized ACROSS pairs but sequential across dims — each
+    pair's accumulation order is exactly the scalar loop MLlib's
+    Vectors.sqdist runs and DuckDB's list_reduce left fold replays, so the
+    doubles are bit-identical to both (the llm_sim_lsh_mllib oracle's
+    prototype-verified property). One shared kernel feeds BOTH verify
+    branches, so branch choice can never change a value."""
+    import numpy as np
+
+    acc = np.zeros(len(A), dtype=np.float64)
+    for i in range(A.shape[1]):
+        d = A[:, i] - B[:, i]
+        acc += d * d
+    return np.sqrt(acc)
+
+
+_LSH_VERIFY_FASTPATH_ROWS = 8192  # same bound (and rationale) as
+# _KNN_FASTPATH_ROWS: below this the embedding table is broadcast-sized
+# (≤ 4 MB of float64) and the distance verify runs as one broadcast-pool
+# numpy pass over ids-only Arrow batches; above it the distributed branch
+# attaches the payload by equi-join and folds per Arrow batch. Module-level
+# so tests can force both branches (the closeness-rewrite discipline).
+
+
+def _brp_candidate_pairs(model, e: DataFrame, n_tables: int) -> DataFrame:
+    """Distinct LSH candidate pairs (a_id < b_id) from a fitted MLlib
+    BucketedRandomProjectionLSH model, computed WITHOUT
+    approxSimilarityJoin. The model's transform (the interop surface —
+    the same JVM ddot/floor bucket assignment) supplies the hash values;
+    everything after moves ONLY (vec_id, table, bucket) metadata — the
+    guide-§8 proxy discipline. approxSimilarityJoin instead carries both
+    full rows (vector + hash array, ~1.2 KB each) through the bucket
+    join, runs keyDistance as a non-codegen UDF on every RAW bucket pair,
+    shuffles the full structs through the distinct, then re-evaluates the
+    UDF per surviving pair (see plans/r11/llm_sim_lsh_mllib_before.txt
+    ops 16-20) — at sf0.1 that is ~6-8M struct pairs ≈ GBs through one
+    Exchange for a pair set that only needs two BIGINTs per row.
+
+    Dedup is FIRST-MATCH, not distinct: each side carries its full
+    per-table bucket-id row (n_tables doubles), and a raw bucket match in
+    table t survives only when no table i < t also matched — exactly one
+    representative per distinct pair (the standard E2LSH dedup), as a
+    cheap codegen filter instead of an 8M-row Exchange+HashAggregate.
+    The filter compares ≤ n_tables doubles per raw pair, so it stays in
+    the join stage map-side; the candidate stream reaches the verify
+    with ZERO shuffles."""
+    from pyspark.ml.functions import vector_to_array
+
+    hx = (model.transform(e)
+          .select("vec_id",
+                  *[vector_to_array(F.col("lsh_h").getItem(t)).getItem(0)
+                    .alias(f"h{t}") for t in range(n_tables)]))
+    # the embeddings scan is one small parquet split, so without this the
+    # whole raw-pair join + verify would run as ONE task (guide §2.4
+    # stragglers): fan the narrow probe side out across the cores first —
+    # a ~100 KB shuffle that unlocks full-width parallelism downstream
+    # (the build side is broadcast, so join output partitioning = probe
+    # side partitioning)
+    hx = hx.repartition(hx.sparkSession.sparkContext.defaultParallelism)
+    ht = hx.select(
+        "vec_id", *[f"h{t}" for t in range(n_tables)],
+        F.posexplode(F.array(*[F.col(f"h{t}") for t in range(n_tables)]))
+        .alias("tbl", "hv"))
+    ha, hb = ht.alias("L"), ht.alias("R")
+    # first-match: no table before this one bucketed the pair together
+    fm = F.lit(True)
+    for t in range(n_tables - 1, 0, -1):
+        conj = F.lit(True)
+        for i in range(t):
+            conj = conj & (F.col(f"L.h{i}") != F.col(f"R.h{i}"))
+        fm = F.when(F.col("L.tbl") == t, conj).otherwise(fm)
+    return (ha.join(hb, (F.col("L.tbl") == F.col("R.tbl"))
+                    & (F.col("L.hv") == F.col("R.hv"))
+                    & (F.col("L.vec_id") < F.col("R.vec_id")))
+            .where(fm)
+            .select(F.col("L.vec_id").alias("a_id"),
+                    F.col("R.vec_id").alias("b_id")))
+
+
+def _brp_pairs_verified(spark: SparkSession, sf_dir: str, model,
+                        e: DataFrame, n_tables: int) -> DataFrame:
+    """(a_id, b_id, dist) for every distinct candidate pair within
+    Euclidean distance < 1.2 — the shared verified-pair stage of both
+    BRP-LSH keys. dist is the RAW sequential-fold double (callers round):
+    bit-identical to MLlib's keyDistance = sqrt(Vectors.sqdist) and to
+    the DuckDB oracle's list_reduce left fold.
+
+    Two branches, one shared fold kernel (:func:`_lsh_fold_sqdist`), both
+    value-exact:
+    - fastpath (pool ≤ _LSH_VERIFY_FASTPATH_ROWS): the pool is
+      broadcast-sized, so broadcast the (ids, float64 matrix) pair once
+      (the `_broadcast_pair_fastpath` discipline) and verify ids-only
+      Arrow batches against it — ~16 B/pair crosses the Python boundary
+      instead of two 512 B embeddings, and the candidate stream reaches
+      the verify with zero wide shuffles.
+    - distributed: embeddings attached by id-equi-join (payload moves
+      once, broadcast while broadcast-sized), then the SAME fold per
+      Arrow batch. A codegen'd 64-term unrolled expression was tried
+      here first and measured >60 s at sf0.1: Catalyst substitutes the
+      192-node distance tree into the join-output filter where it
+      evaluates interpreted per raw pair — the same trap
+      approxSimilarityJoin's keyDistance UDF condition pays. An opaque
+      Arrow kernel cannot be substituted into a join condition."""
+    import numpy as np
+    import pandas as pd
+
+    cand = _brp_candidate_pairs(model, e, n_tables)
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id",
+                                                         "embedding")
+    n = emb.count()  # parquet metadata count: no data scan, sizes dispatch
+    if n <= _LSH_VERIFY_FASTPATH_ROWS:
+        pool = emb.toPandas()  # bounded by the gate: ≤ 8192 × 64 float64
+        ids = pool["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        bc = spark.sparkContext.broadcast(
+            (ids[order],
+             np.vstack(pool["embedding"].to_numpy()).astype(
+                 np.float64)[order]))
+
+        def verify(batches):
+            ids_sorted, mat = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ai = np.searchsorted(ids_sorted, pdf["a_id"].to_numpy())
+                bi = np.searchsorted(ids_sorted, pdf["b_id"].to_numpy())
+                dist = _lsh_fold_sqdist(mat[ai], mat[bi])
+                keep = dist < 1.2
+                yield pd.DataFrame({"a_id": pdf["a_id"].to_numpy()[keep],
+                                    "b_id": pdf["b_id"].to_numpy()[keep],
+                                    "dist": dist[keep]})
+
+        return cand.mapInPandas(
+            verify, schema="a_id bigint, b_id bigint, dist double")
+
+    def verify_attached(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.vstack(pdf["ea"].to_numpy()).astype(np.float64)
+            B = np.vstack(pdf["eb"].to_numpy()).astype(np.float64)
+            dist = _lsh_fold_sqdist(A, B)
+            keep = dist < 1.2
+            yield pd.DataFrame({"a_id": pdf["a_id"].to_numpy()[keep],
+                                "b_id": pdf["b_id"].to_numpy()[keep],
+                                "dist": dist[keep]})
+
+    return (cand
+            .join(emb.select(F.col("vec_id").alias("a_id"),
+                             F.col("embedding").alias("ea")), "a_id")
+            .join(emb.select(F.col("vec_id").alias("b_id"),
+                             F.col("embedding").alias("eb")), "b_id")
+            .mapInPandas(verify_attached,
+                         schema="a_id bigint, b_id bigint, dist double"))
+
+
 @register("llm_sim_lsh_approx", oracle=None)
 def llm_sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate similarity join via MLlib BucketedRandomProjectionLSH
     (seeded → deterministic). Rows-only check by design (approx recall is
     asserted against the brute-force baseline in tests/test_llm_quality.py).
-    This is the 100 TB path: bucket join instead of cross join."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    This is the 100 TB path: bucket join instead of cross join.
 
-    e = load_table(spark, "embeddings", sf_dir) \
-        .select("vec_id", array_to_vector("embedding").alias("features"))
+    r11 OPTIMIZATION: the model (fit + transform — the MLlib interop
+    surface and the exact same seeded projection) is kept; only
+    approxSimilarityJoin's physical shape is replaced by
+    :func:`_brp_candidate_pairs` (narrow candidate generation, first-match
+    dedup, zero extra shuffles) + ONE distance verify per DISTINCT pair
+    (:func:`_brp_pairs_verified`, the dim-sequential numpy fold —
+    bit-identical to keyDistance). Output is unchanged: same seeded
+    buckets → same candidate set, same sequential-fold distances."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    e = _lsh_input(spark, sf_dir)
     if not e.take(1):  # MLlib fit() rejects an empty dataset; empty shard -> no pairs
         return spark.createDataFrame(
             [], "a_id bigint, b_id bigint, euclidean_dist double")
     lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes",
+        inputCol="lsh_v", outputCol="lsh_h",
         bucketLength=2.0, numHashTables=8, seed=42)
     model = lsh.fit(e)
-    pairs = model.approxSimilarityJoin(e, e, threshold=1.2, distCol="dist")
-    return (
-        pairs.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
-        .select(F.col("datasetA.vec_id").alias("a_id"),
-                F.col("datasetB.vec_id").alias("b_id"),
-                F.round("dist", 6).alias("euclidean_dist"))
-        .orderBy("a_id", "b_id")
-    )
+    return (_brp_pairs_verified(spark, sf_dir, model, e, n_tables=8)
+            .select("a_id", "b_id",
+                    F.round("dist", 6).alias("euclidean_dist"))
+            .orderBy("a_id", "b_id"))
+
+
+def _lsh_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, lsh_v: VectorUDT) — the shared MLlib input projection for
+    both BRP-LSH keys. The explicit array<double> cast mirrors what
+    array_to_vector performs implicitly, so both keys hash the same
+    widened doubles."""
+    from pyspark.ml.functions import array_to_vector
+
+    return (load_table(spark, "embeddings", sf_dir)
+            .select("vec_id",
+                    array_to_vector(F.col("embedding").cast("array<double>"))
+                    .alias("lsh_v")))
 
 
 _IVF_NPROBE = 8  # query-side probes: the recall/cost dial — measured
@@ -918,17 +1092,58 @@ def llm_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)  # feeds both index and probe sides
 
     index = assigned.select(
-        F.col("vec_id").alias("b_id"), "cell", F.col("nemb").alias("emb_b"))
+        "cell", F.col("vec_id").alias("b_id"), F.col("nemb").alias("emb_b"))
     probes = assigned.select(
-        F.col("vec_id").alias("a_id"),
         F.explode("cells").alias("cell"),
+        F.col("vec_id").alias("a_id"),
         F.col("nemb").alias("emb_a"))
-    cos = _dot_spark(F.col("emb_a"), F.col("emb_b"))
+
+    # r11 OPTIMIZATION (guide §4.2): the probe-index candidate scoring was
+    # probes.join(index, "cell") + an interpreted zip_with/aggregate fold
+    # per candidate (~n·nprobe·(n/cells) pairs × 64 dims × 2 lambda
+    # dispatches — the same interpreted-HOF cost the r9 GEMM rewrites
+    # removed from the knn family), then a global top-3 window over the
+    # FULL candidate stream. Now each cell's probe block × index block is
+    # ONE numpy GEMM in a cogroup kernel that also pre-cuts to the 3 best
+    # per (probe, cell) under exactly the final window's
+    # (cosine desc, b_id) order — a pair (a,b) lives in exactly one cell
+    # (b is indexed under its single nearest centroid), so the per-cell
+    # cut is lossless and the global window sees ≤ 3·nprobe rows per
+    # probe instead of the whole candidate stream.
+    def cell_topk(key, ppdf, ipdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
+            {"a_id": "int64", "b_id": "int64", "cosine": "float64"})
+        if ppdf.empty or ipdf.empty:
+            return empty
+        aid = ppdf["a_id"].to_numpy().astype("int64")
+        am = np.vstack(ppdf["emb_a"].to_numpy())
+        bid = ipdf["b_id"].to_numpy().astype("int64")
+        bm = np.vstack(ipdf["emb_b"].to_numpy())
+        # index side sorted by b_id so a stable argsort on -cosine yields
+        # the final window's exact (cosine desc, b_id asc) order
+        bo = np.argsort(bid, kind="stable")
+        bid, bm = bid[bo], bm[bo]
+        sims = am @ bm.T                      # normalized → plain dot
+        sims[aid[:, None] == bid[None, :]] = -np.inf  # self-pairs out
+        k = min(3, sims.shape[1])
+        ord_ = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+        rows = np.repeat(np.arange(len(aid)), k)
+        cols = ord_.ravel()
+        cos = sims[rows, cols]
+        keep = np.isfinite(cos)
+        return pd.DataFrame({"a_id": aid[rows[keep]],
+                             "b_id": bid[cols[keep]],
+                             "cosine": cos[keep]})
+
+    cand = (probes.groupBy("cell").cogroup(index.groupBy("cell"))
+            .applyInPandas(cell_topk,
+                           schema="a_id bigint, b_id bigint, cosine double"))
     w_top = Window.partitionBy("a_id").orderBy(F.col("cosine").desc(), F.col("b_id"))
     return (
-        probes.join(index, "cell")
-        .where(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "b_id", cos.alias("cosine"))
+        cand
         .withColumn("rn", F.row_number().over(w_top))
         .where(F.col("rn") <= 3)
         .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"), "rn")
@@ -4358,25 +4573,31 @@ def llm_sim_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     10× data — candidate pairs grow ~100× with duplicate mass). The
     house llm_sim_lsh_approx caps degenerate buckets with chaining and
     stays linear; at 100 TB the house implementation is the path and
-    this op is the interop bridge."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    this op is the interop bridge.
 
-    e = (load_table(spark, "embeddings", sf_dir)
-         .select("vec_id",
-                 array_to_vector(F.col("embedding").cast("array<double>"))
-                 .alias("v")))
+    r11 OPTIMIZATION (same treatment as llm_sim_lsh_approx): fit +
+    transform stay MLlib — the seeded projection and JVM bucket
+    assignment are untouched — but approxSimilarityJoin's physical plan
+    (full-struct bucket join + keyDistance UDF per RAW pair + full-struct
+    distinct + a second keyDistance per survivor; see
+    plans/r11/llm_sim_lsh_mllib_before.txt ops 16-20) is replaced by the
+    narrow candidate join of :func:`_brp_candidate_pairs` and ONE
+    sequential-fold distance per distinct pair (:func:`_brp_pairs_verified`
+    — bit-identical to Vectors.sqdist and to this oracle's list_reduce
+    left fold, so the value-exact oracle is unchanged and still matches
+    bit-for-bit)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    e = _lsh_input(spark, sf_dir)
     if not e.take(1):  # MLlib fit() rejects an empty dataset; empty shard -> no pairs
         return spark.createDataFrame(
             [], "a_id bigint, b_id bigint, dist_6dp double")
-    lsh = BucketedRandomProjectionLSH(inputCol="v", outputCol="h",
+    lsh = BucketedRandomProjectionLSH(inputCol="lsh_v", outputCol="lsh_h",
                                       bucketLength=2.0, numHashTables=6,
                                       seed=42)
     model = lsh.fit(e)
-    return (model.approxSimilarityJoin(e, e, 1.2, distCol="dist")
-            .where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
-            .select(F.col("datasetA.vec_id").alias("a_id"),
-                    F.col("datasetB.vec_id").alias("b_id"),
+    return (_brp_pairs_verified(spark, sf_dir, model, e, n_tables=6)
+            .select("a_id", "b_id",
                     F.round(F.col("dist"), 6).alias("dist_6dp")))
 
 
