@@ -1250,11 +1250,22 @@ def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         # capped pivots' edges drop in the join itself — the wedge
         # self-join input is at most E rows with per-pivot fan-out ≤ cap.
         deg = deg.where(F.col("d") <= aa_cap)
+    # r11 optimization: checkpoint the per-pivot term table ONCE before
+    # the wedge self-join. Uncheckpointed, both join inputs rebuilt the
+    # whole und → sym → deg-join subtree (the before-plan scanned the
+    # checkpointed edge RDD 7 times and ran the degree shuffle TWICE),
+    # and the stats-free subtree made the planner BROADCAST one full
+    # ~2E-row side of the self-join (a ~1M-row build relation per task —
+    # the key's GC/variance source). Checkpointed, the subtree runs once,
+    # the self-join plans on accurate sizes as a sort-merge with a
+    # ReusedExchange (ONE shuffle+sort of the 2E-row table), and the
+    # wedge stream folds straight into the candidate aggregation.
     symd = (sym.join(deg, "v")
             .select(F.col("v").alias("pivot"), "w",
                     F.floor(F.lit(1e15)
                             / F.log(F.col("d").cast("double")))
-                    .cast("bigint").alias("term_fp")))
+                    .cast("bigint").alias("term_fp"))
+            .localCheckpoint(eager=False))
     s1 = symd.select("pivot", F.col("w").alias("x"), "term_fp")
     s2 = symd.select(F.col("pivot").alias("p2"), F.col("w").alias("y"))
     wed = s1.join(s2, s1.pivot == s2.p2).where(F.col("x") < F.col("y"))
