@@ -213,12 +213,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            .distinct()
            .localCheckpoint(eager=False))  # degree count + orientation share it
     und = apply_wedge_degree_cap(und)  # opt-in hub cut (exact by default)
+    # r11: checkpoint the O(V) degree table — da and db are separate
+    # subtrees, so uncheckpointed the 2E-row degree shuffle ran twice
     deg = (und.select(F.col("a").alias("v")).unionAll(und.select("b"))
-           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+           .localCheckpoint(eager=False))
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("d_a"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("d_b"))
     # orient low(degree, id) -> high(degree, id): total order, acyclic
-    oriented = (und.join(da, "a").join(db, "b")
+    # (degree tables are O(V): broadcast so the E-row edge set never
+    # reshuffles for the orientation join — aligned with the siblings)
+    oriented = (und.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
                 .select(F.when((F.col("d_a") < F.col("d_b"))
                                | ((F.col("d_a") == F.col("d_b"))
                                   & (F.col("a") < F.col("b"))),
@@ -521,8 +526,12 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.greatest("src", "dst").alias("b"))
            .distinct().localCheckpoint(eager=False))
     und = apply_wedge_degree_cap(und)  # opt-in hub cut (exact by default)
+    # r11: checkpoint the O(V) degree table — it feeds the two broadcast
+    # orientation sides AND the final per-edge join, so uncheckpointed
+    # the 2E-row degree shuffle ran four times in one plan
     deg = (und.select(F.col("a").alias("v")).unionAll(und.select("b"))
-           .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d")))
+           .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+           .localCheckpoint(eager=False))
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("d_a"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("d_b"))
     # degree tables are O(V): broadcast so the E-row edge set never
@@ -763,8 +772,12 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
            .distinct()
            .localCheckpoint(eager=False))
     und = apply_wedge_degree_cap(und)  # opt-in hub cut (exact by default)
+    # r11: checkpoint the O(V) degree table — the two broadcast
+    # orientation sides and the final coefficient join are separate
+    # subtrees, so uncheckpointed the 2E-row degree shuffle ran thrice
     deg = (und.select(F.col("a").alias("v")).unionAll(und.select("b"))
-           .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d")))
+           .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+           .localCheckpoint(eager=False))
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("d_a"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("d_b"))
     # degree tables are O(V): broadcast so the E-row edge set never

@@ -2312,29 +2312,58 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
           .distinct()
           .localCheckpoint(eager=False))  # edge set feeds both sides
     e0 = apply_wedge_degree_cap(e0)  # opt-in hub cut (exact by default)
-    adj = (e0.select(F.col("a").alias("v"), F.col("b").alias("u"))
-           .unionAll(e0.select(F.col("b").alias("v"),
-                               F.col("a").alias("u"))))
-    x = adj.select(F.col("v").alias("xa"), F.col("u").alias("w1"))
-    y = adj.select(F.col("v").alias("yb"), F.col("u").alias("w2"))
-    common = (e0.join(x, F.col("a") == F.col("xa"))
-              .join(y, (F.col("b") == F.col("yb"))
-                    & (F.col("w1") == F.col("w2")))
-              .groupBy("a", "b")
-              .agg(F.count(F.lit(1)).cast("bigint").alias("n_common")))
-    flagged = (e0.join(common, ["a", "b"], "left")
-               .select((F.coalesce("n_common", F.lit(0)) == 0)
-                       .alias("is_local_bridge")))
+    # r11 optimization: an edge has a common neighbor iff it lies in a
+    # triangle, so the UNORIENTED Σdeg² wedge join this key used to run
+    # (edge ⋈ adj ⋈ adj — a ~20M-row intermediate at sf0.1, the family's
+    # biggest) is replaced with graph_triangle_count's degree-ordered
+    # oriented wedge probe (Θ(E^1.5) wedge volume). Each closing wedge
+    # credits its three edges; edges never credited are the local
+    # bridges — flagged by ONE anti-join instead of a 20M-row groupBy.
+    # Same two degree-cap value gates; output values are identical (the
+    # per-edge n_common count was only ever compared against 0).
+    deg = (e0.select(F.col("a").alias("v")).unionAll(e0.select("b"))
+           .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+           .localCheckpoint(eager=False))
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("d_b"))
+    oriented = (e0.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+                .select(F.when((F.col("d_a") < F.col("d_b"))
+                               | ((F.col("d_a") == F.col("d_b"))
+                                  & (F.col("a") < F.col("b"))),
+                               F.struct(F.col("a").alias("u"),
+                                        F.col("b").alias("w")))
+                        .otherwise(F.struct(F.col("b").alias("u"),
+                                            F.col("a").alias("w")))
+                        .alias("e"))
+                .select("e.u", "e.w")
+                .localCheckpoint(eager=False))  # wedge build + probe share it
+    e1 = oriented.select(F.col("u").alias("pivot"), F.col("w").alias("x"))
+    e2 = oriented.select(F.col("u").alias("pivot"), F.col("w").alias("y"))
+    wedges = e1.join(e2, "pivot").where(F.col("x") < F.col("y"))
+    probe = oriented.select(F.least("u", "w").alias("x"),
+                            F.greatest("u", "w").alias("y"))
+    if estimate_rows(sf_dir, "lineitem") <= 10_000_000:
+        probe = F.broadcast(probe)
+    tri = wedges.join(probe, ["x", "y"])
+    credit = (tri.select(F.explode(F.array(
+        F.struct(F.least("pivot", "x").alias("a"),
+                 F.greatest("pivot", "x").alias("b")),
+        F.struct(F.least("pivot", "y").alias("a"),
+                 F.greatest("pivot", "y").alias("b")),
+        F.struct(F.col("x").alias("a"), F.col("y").alias("b"))))
+        .alias("e")).select("e.a", "e.b"))
+    bridges = (e0.join(credit, ["a", "b"], "left_anti")
+               .agg(F.count(F.lit(1)).cast("bigint")
+                    .alias("n_local_bridges")))
+    n_edges = e0.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     # try_divide: an empty (e.g. degree-capped or empty-shard) edge set
     # must report NULL share, not raise ANSI DIVIDE_BY_ZERO on 0/0
-    return flagged.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
-        F.count(F.when(F.col("is_local_bridge"), 1)).cast("bigint")
-        .alias("n_local_bridges"),
-        F.round(F.try_divide(
-            F.count(F.when(F.col("is_local_bridge"), 1)).cast("double"),
-            F.count(F.lit(1)).cast("double")), 6)
-        .alias("bridge_share"))
+    return (n_edges.crossJoin(bridges)
+            .select("n_edges", "n_local_bridges",
+                    F.round(F.try_divide(
+                        F.col("n_local_bridges").cast("double"),
+                        F.col("n_edges").cast("double")), 6)
+                    .alias("bridge_share")))
 
 
 # ---------------------------------------------------------------------------
