@@ -4035,6 +4035,12 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.expr("cast(100 * (cast(1 as bigint) "
                                "<< cast(k as int)) as bigint)").alias("thr"),
                         "cnt")
+                # r11: ONE partition — every WHILE iteration's scalar
+                # subquery launches a job over this table, and at the
+                # session's 32 shuffle partitions each of those ~20
+                # sequential jobs scheduled 32 tasks to scan 41 rows;
+                # coalesce(1) makes each loop job a single task
+                .coalesce(1)
                 .localCheckpoint())  # loop queries hit 41 cached rows
         hist.createOrReplaceTempView("lts_script_hist")
         return spark.sql("""

@@ -473,13 +473,23 @@ def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             w = w.when(u < t, k)
         return w.otherwise(len(_POIS_T))
 
+    # r11 (the stat_bh_fdr_permutation finding): parse each digest HALF
+    # with ONE conv (16 hex chars, toBase -10 = signed 64-bit so the
+    # string always casts exactly) and split the two u32 draws with
+    # shift/mask bit ops — half the conv calls, identical u32 values
+    half = [F.conv(F.substring("m", 1 + 16 * h, 16), 16, -10)
+            .cast("bigint").alias(f"h{h}") for h in range(2)]
+    u_of = [F.shiftrightunsigned("h0", 32),
+            F.col("h0").bitwiseAND(F.lit(4294967295)),
+            F.shiftrightunsigned("h1", 32),
+            F.col("h1").bitwiseAND(F.lit(4294967295))]
     draws = F.array(*[
         F.struct((F.col("g") * 4 + j).cast("bigint").alias("b"),
-                 pois_w(F.conv(F.substring("m", 1 + 8 * j, 8), 16, 10)
-                        .cast("bigint")).alias("w"))
+                 pois_w(u_of[j].cast("bigint")).alias("w"))
         for j in range(4)])
     weighted = (base.crossJoin(F.broadcast(groups))
                 .select("cents", m.alias("m"), "g")
+                .select("cents", "g", *half)
                 .select("cents", F.explode(draws).alias("dr"))
                 .select(F.col("dr.b").alias("b"), "cents",
                         F.col("dr.w").alias("w")))
@@ -1674,13 +1684,23 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a 4x digest-count cut over one-draw-per-md5
     m = F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":"),
                        F.col("g").cast("string")))
+    # r11 (the stat_bh_fdr_permutation finding): parse each digest HALF
+    # with ONE conv (16 hex chars, toBase -10 = signed 64-bit so the
+    # string always casts exactly) and split the two u32 draws with
+    # shift/mask bit ops — half the conv calls, identical u32 values
+    half = [F.conv(F.substring("m", 1 + 16 * h, 16), 16, -10)
+            .cast("bigint").alias(f"h{h}") for h in range(2)]
+    u_of = [F.shiftrightunsigned("h0", 32),
+            F.col("h0").bitwiseAND(F.lit(4294967295)),
+            F.shiftrightunsigned("h1", 32),
+            F.col("h1").bitwiseAND(F.lit(4294967295))]
     draws = F.array(*[
         F.struct((F.col("g") * 4 + j).cast("bigint").alias("b"),
-                 (F.conv(F.substring("m", 1 + 8 * j, 8), 16, 10)
-                  .cast("bigint") < F.lit(_PERM_HALF)).alias("in_a"))
+                 (u_of[j].cast("bigint") < F.lit(_PERM_HALF)).alias("in_a"))
         for j in range(4)])
     relabeled = (base.crossJoin(F.broadcast(groups))
                  .select("cents", m.alias("m"), "g")
+                 .select("cents", "g", *half)
                  .select("cents", F.explode(draws).alias("dr"))
                  .select(F.col("dr.b").alias("b"), "cents",
                          F.col("dr.in_a").alias("in_a")))
@@ -1817,10 +1837,14 @@ def stat_bh_fdr_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_obs = (F.col("s_t").cast("double") / F.col("n_t").cast("double")
              - (F.col("s") - F.col("s_t")).cast("double")
              / (F.col("n") - F.col("n_t")).cast("double"))
+    # r11: checkpoint the k-row test table — it feeds the threshold
+    # literals, the rank spine and the p-value join, so uncheckpointed
+    # the events groupBy re-ran for each
     tests = (per.crossJoin(F.broadcast(tot))
              .select("t", "n_t", "m", d_obs.alias("d_obs"),
                      F.floor(F.lit(_BH_U32) * F.col("n_t") / F.col("n"))
-                     .cast("bigint").alias("thresh")))
+                     .cast("bigint").alias("thresh"))
+             .localCheckpoint(eager=False))
     # ONE md5 per (row, replicate GROUP): a 128-bit digest carries FOUR
     # independent u32 draws (hex chars 1-8, 9-16, 17-24, 25-32), so
     # replicate b = 4g + j costs a quarter of an md5 -- the md5 fan-out
@@ -1834,19 +1858,40 @@ def stat_bh_fdr_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = spark.range(_BH_B // 4).toDF("g")
     m = F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":"),
                        F.col("g").cast("string")))
+    # r11 (guide §1.1 measured): conv() dominated this stage — four
+    # 8-hex-char parses per digest cost ~2.4 s of the key's 7.5 s at
+    # sf0.1. Parse each digest HALF once (16 hex chars -> one bigint;
+    # toBase -10 = signed 64-bit so the string always casts exactly,
+    # and the two's-complement bits are the same bits) and split it
+    # into its two u32 draws with shift/mask bit ops: half the conv
+    # calls, identical u32 values.
+    half = [F.conv(F.substring("m", 1 + 16 * h, 16), 16, -10)
+            .cast("bigint").alias(f"h{h}") for h in range(2)]
+    u_of = [F.shiftrightunsigned("h0", 32),
+            F.col("h0").bitwiseAND(F.lit(4294967295)),
+            F.shiftrightunsigned("h1", 32),
+            F.col("h1").bitwiseAND(F.lit(4294967295))]
     draws = F.array(*[
         F.struct((F.col("g") * 4 + j).cast("bigint").alias("b"),
-                 F.conv(F.substring("m", 1 + 8 * j, 8), 16, 10)
-                 .cast("bigint").alias("u"))
+                 u_of[j].cast("bigint").alias("u"))
         for j in range(4)])
     fan0 = (base.crossJoin(F.broadcast(groups))
             .select("cents", m.alias("m"), "g")
+            .select("cents", "g", *half)
             .select("cents", F.explode(draws).alias("d"))
             .select(F.col("d.b").alias("b"), "cents",
                     F.col("d.u").alias("u")))
-    tarr = tests.agg(F.array_sort(F.collect_list("thresh")).alias("ta"))
-    idx = F.size(F.filter(F.col("ta"), lambda th: F.col("u") >= th))
-    partial = (fan0.crossJoin(F.broadcast(tarr))
+    # r11: the interval index used to be size(filter(ta, th -> u >= th))
+    # — an INTERPRETED higher-order lambda per fan row (~1 s at sf0.1).
+    # The k thresholds are a bounded driver scalar (one per event type,
+    # the query's own output grain), so collect them once off the
+    # checkpointed test table and grade each u with a codegen'd literal
+    # comparison chain — bit-identical counts, no lambda, no crossJoin.
+    ths = sorted(r[0] for r in tests.select("thresh").collect())
+    idx = F.lit(0)
+    for th in ths:
+        idx = idx + F.when(F.col("u") >= F.lit(th), 1).otherwise(0)
+    partial = (fan0
                .select("b", "cents", idx.alias("idx"))
                .groupBy("b", "idx")
                .agg(F.sum("cents").cast("bigint").alias("sc"),
