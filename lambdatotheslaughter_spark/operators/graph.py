@@ -125,21 +125,25 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (li.select(F.col("l_partkey").alias("src"),
                        F.lead("l_partkey").over(w).alias("dst"))
              .where(F.col("dst").isNotNull()))
+    # collapse multi-edges to weighted distinct pairs ONCE (r9): the
+    # transition list repeats (src, dst) heavily (~10× here), and w
+    # copies of the exact integer term (r div d) sum to w·(r div d) —
+    # bit-identical, at a tenth of the per-round scan volume. r11:
+    # checkpoint edges_w itself and derive the node set FROM it — the
+    # node-set lineage and the degree join each re-ran the lineitem
+    # window pass before, so the window now runs once per query
+    edges_w = (edges.groupBy("src", "dst")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("wt"))
+               .localCheckpoint(eager=False))
     # checkpoint the node set: it anchors the initial ranks AND every
     # round's left join — uncheckpointed, the window+distinct subtree
     # re-evaluated up to 5× per run (r9 fix, ~40% of the key's cost)
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select("dst")).distinct()
+    nodes = (edges_w.select(F.col("src").alias("node"))
+             .union(edges_w.select("dst")).distinct()
              .localCheckpoint(eager=False))
     n = nodes.count()  # one scalar; the driver never sees row data
     if n == 0:  # empty shard: no graph, no ranks (100 TB empty-partition edge)
         return nodes.select("node", F.lit(0).cast("bigint").alias("rank_fp"))
-    # collapse multi-edges to weighted distinct pairs ONCE (r9): the
-    # transition list repeats (src, dst) heavily (~10× here), and w
-    # copies of the exact integer term (r div d) sum to w·(r div d) —
-    # bit-identical, at a tenth of the per-round scan volume
-    edges_w = (edges.groupBy("src", "dst")
-               .agg(F.count(F.lit(1)).cast("bigint").alias("wt")))
     deg = edges_w.groupBy("src").agg(F.sum("wt").cast("bigint").alias("d"))
     edges_deg = edges_w.join(deg, "src").localCheckpoint()
 
@@ -1366,11 +1370,20 @@ def graph_personalized_pagerank(spark: SparkSession,
     edges = (li.select(F.col("l_partkey").alias("src"),
                        F.lead("l_partkey").over(w).alias("dst"))
              .where(F.col("dst").isNotNull()))
+    # collapse multi-edges to weighted pairs once: w copies of the exact
+    # integer term (r div d) sum to w·(r div d) — bit-identical at a
+    # tenth of the per-round scan volume (the pagerank r9 fix). r11:
+    # checkpoint edges_w and derive the node set FROM it so the lineitem
+    # window pass runs once per query (it re-ran for the node-set and
+    # degree lineages before)
+    edges_w = (edges.groupBy("src", "dst")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("wt"))
+               .localCheckpoint(eager=False))
     # checkpoint the node set — it anchors the init AND every round's
     # left join (the graph_pagerank_fixed r9 fix: uncheckpointed, the
     # window+distinct subtree re-evaluated per reference)
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select("dst")).distinct()
+    nodes = (edges_w.select(F.col("src").alias("node"))
+             .union(edges_w.select("dst")).distinct()
              .localCheckpoint(eager=False))
     part = load_table(spark, "part", sf_dir) \
         .where(F.col("p_size") <= 5).select(F.col("p_partkey").alias("sn"))
@@ -1380,11 +1393,6 @@ def graph_personalized_pagerank(spark: SparkSession,
     if ns == 0:  # empty shard / no seed qualifies: nothing is reachable
         return nodes.select("node", F.lit(0).cast("bigint").alias("ppr_fp")) \
             .where(F.lit(False))
-    # collapse multi-edges to weighted pairs once: w copies of the exact
-    # integer term (r div d) sum to w·(r div d) — bit-identical at a
-    # tenth of the per-round scan volume (the pagerank r9 fix)
-    edges_w = (edges.groupBy("src", "dst")
-               .agg(F.count(F.lit(1)).cast("bigint").alias("wt")))
     deg = edges_w.groupBy("src").agg(F.sum("wt").cast("bigint").alias("d"))
     edges_deg = edges_w.join(deg, "src").localCheckpoint()
     is_seed = F.col("sn2").isNotNull()

@@ -1390,7 +1390,11 @@ def graph_katz_centrality_fixed(spark: SparkSession,
              .unionAll(e0.select(F.col("b").alias("v"),
                                  F.col("a").alias("u"), "w"))
              .localCheckpoint(eager=False))  # three SpMV levels share it
-    p1 = edges.groupBy("v").agg(F.sum("w").cast("bigint").alias("s1"))
+    # r11: checkpoint the O(V) walk vectors — p1 feeds p2's broadcast
+    # AND the final three-way join (p2 likewise), so uncheckpointed the
+    # edge-scan groupBys re-ran once per consumer
+    p1 = (edges.groupBy("v").agg(F.sum("w").cast("bigint").alias("s1"))
+          .localCheckpoint(eager=False))
     # broadcast the O(V) walk vectors so the checkpointed edge list
     # never reshuffles per level (r9: stats-less checkpoints planned
     # sort-merge joins without the hint). Size-gated via
@@ -1401,7 +1405,8 @@ def graph_katz_centrality_fixed(spark: SparkSession,
               p1.select(F.col("v").alias("u"), "s1"), sf_dir), "u")
           .groupBy("v")
           .agg(F.sum(F.col("w").cast("decimal(38,0)") * F.col("s1"))
-               .alias("s2")))
+               .alias("s2"))
+          .localCheckpoint(eager=False))
     p3 = (edges.join(broadcast_if_bounded(
               p2.select(F.col("v").alias("u"), "s2"), sf_dir), "u")
           .groupBy("v")
