@@ -313,8 +313,12 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.lead("l_partkey").over(w).alias("dst"))
              .where(F.col("dst").isNotNull())
              .distinct().localCheckpoint())  # reused every level
+    # r11: checkpoint the node set — the level-0 frontier derived from
+    # it sits inside every level's visited-set anti-join AND the final
+    # union, so the union+distinct re-ran ~4x per query without it
     nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select("dst")).distinct())
+             .union(edges.select("dst")).distinct()
+             .localCheckpoint(eager=False))
     frontier = nodes.where(F.col("node") % _BFS_SEED_MOD == 0)
     dist = frontier.withColumn("dist", F.lit(0).cast("bigint"))
     for lvl in range(1, _BFS_MAX_D + 1):
@@ -1144,13 +1148,21 @@ def graph_hits_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = nodes.withColumn("h", F.lit(_HITS_S).cast("bigint"))
 
     def _norm(scored: DataFrame, col: str) -> DataFrame:
+        # r11: checkpoint the raw O(V) score vector FIRST — it feeds
+        # both the max scalar and the normalization join, so without
+        # the checkpoint each _norm re-ran its E-row contribution join
+        # twice; the normalized output is likewise consumed twice (the
+        # next pass's broadcast and the final hub⋈auth join), which
+        # re-ran the whole deep lineage once per consumer
+        scored = scored.localCheckpoint(eager=False)
         m = scored.agg(F.max(col).alias("m"))
         return (nodes.join(broadcast_if_bounded(scored, sf_dir),
                            "node", "left")
                 .crossJoin(F.broadcast(m))
                 .select("node",
                         F.expr(f"cast(coalesce({col}, 0) * {_HITS_S} "
-                               f"div m as bigint)").alias(col)))
+                               f"div m as bigint)").alias(col))
+                .localCheckpoint(eager=False))
 
     # score vectors are O(V): broadcast them so the checkpointed edge
     # list never reshuffles per pass (r9 — stats-less checkpoints

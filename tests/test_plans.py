@@ -489,14 +489,22 @@ def test_dynamic_partition_pruning_injects_runtime_filter():
 
 
 def test_triangle_count_stays_on_hash_joins():
-    """The wedge build and the closing-edge probe must remain equi-joins
-    (hash-joinable) — an OR-of-orientations probe predicate would fall off
-    the hash-join path into a nested-loop over millions of wedges. The
-    only nested-loop joins allowed are the final 1-row scalar crossJoins
-    (n_vertices × n_edges × n_triangles)."""
+    """The wedge build and the closing-edge probe must remain equi-joins —
+    an OR-of-orientations probe predicate would fall off the equi-join path
+    into a nested-loop over millions of wedges. The only nested-loop joins
+    allowed are the final 1-row scalar crossJoins
+    (n_vertices × n_edges × n_triangles). The closing-edge probe must stay
+    a hash join; the wedge self-join may be either broadcast-hash or
+    sort-merge (since the r11 degree-table checkpoint the planner sees
+    accurate sizes and picks sort-merge with one reusable exchange instead
+    of broadcasting an E-row build relation)."""
     plan = checks.executed_plan(_df("graph_triangle_count"))
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("BroadcastHashJoin") >= 2, plan  # pivot join + probe
+    assert plan.count("BroadcastHashJoin") >= 1, plan  # closing-edge probe
+    equi_joins = (plan.count("BroadcastHashJoin")
+                  + plan.count("SortMergeJoin")
+                  + plan.count("ShuffledHashJoin"))
+    assert equi_joins >= 2, plan  # pivot join + probe, both equi
     # nested-loop joins may only combine the three single-row aggregates:
     # every BNLJ line in this plan must be a Cross of build-right scalars
     for ln in plan.splitlines():
