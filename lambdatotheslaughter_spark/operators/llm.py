@@ -1663,7 +1663,14 @@ def llm_sim_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     xd = F.transform("embedding", lambda x: x.cast("double"))
     scale = (F.greatest(F.array_max(F.transform(xd, F.abs)), F.lit(1e-30))
              / F.lit(127.0))
-    base = e.select("vec_id", xd.alias("xd"), scale.alias("scale"))
+    # r11: checkpoint BEFORE the quantize lambda. CollapseProject otherwise
+    # inlines the whole per-row scale expression (array_max over a nested
+    # transform — O(d) interpreted work) into the per-ELEMENT lambda body,
+    # making quantization O(d²) per row; and the scaffold evaluates the
+    # code lineage twice (pool collect + query batches). Measured 0.62 s
+    # vs 0.07 s per pass at sf0.1 for the projection alone.
+    base = (e.select("vec_id", xd.alias("xd"), scale.alias("scale"))
+            .localCheckpoint(eager=False))
     codes = base.select(
         "vec_id",
         F.transform("xd", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)))
