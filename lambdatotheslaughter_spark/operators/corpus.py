@@ -3509,9 +3509,13 @@ def llm_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.regexp_extract("prompt", _INJ_RX, 1) == "")
             .drop("prompt"))
     toks = F.split(F.col("text"), " ")
+    # r11: pin the post-screen population — it feeds both the paragraph
+    # inventory and the dup-share join, so the injection-regexp screen
+    # over the full corpus ran 2x per query without it
     quality = (safe.select("doc_id", "text",
                            F.size(toks).cast("bigint").alias("n_tokens"))
-               .where(F.size(toks) >= 20))
+               .where(F.size(toks) >= 20)
+               .localCheckpoint(eager=False))
     seg = (quality
            .select("doc_id", F.explode(F.split("text", r"\. ")).alias("p"))
            .where(F.length("p") >= 20)

@@ -2195,8 +2195,11 @@ def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fused mapInPandas scan would save one shuffle at the cost of
     leaving codegen — measured slower at test scale."""
     d = load_table(spark, "documents", sf_dir)
+    # r11: the token arrays feed both the bigram explode and the final
+    # per-doc join — pin them so the corpus tokenize pass runs once
     toks = d.select("doc_id", _tokens().alias("parts")) \
-        .where(F.size("parts") >= 2)
+        .where(F.size("parts") >= 2) \
+        .localCheckpoint(eager=False)
     grams = toks.select(
         "doc_id",
         F.explode(F.expr(

@@ -793,7 +793,10 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (ev.select(F.date_trunc("day", F.col("ts")).alias("day"),
                    cents.alias("c"))
          .groupBy("day")
-         .agg(F.sum("c").cast("bigint").alias("y")))
+         .agg(F.sum("c").cast("bigint").alias("y"))
+         # r11: the ≤366-row daily fold feeds both the n1 scalar and the
+         # indexed series — pin it so the events scan runs once per query
+         .localCheckpoint(eager=False))
     n1 = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     t = (d.select("y", F.row_number().over(Window.orderBy("day"))
                   .cast("bigint").alias("t_idx"))
@@ -926,6 +929,11 @@ def graph_label_propagation_sync(spark: SparkSession,
     e0 = (raw.select(F.least("src", "dst").alias("a"),
                      F.greatest("src", "dst").alias("b"))
           .distinct())
+    # r11: pin the deduped edge set BEFORE the self-loop union — the
+    # edges checkpoint's own materialization job contained the e0
+    # subtree twice (sym + the self-loop distinct), so the lineitem
+    # window pass and the dedup shuffle ran 2x per query
+    e0 = e0.localCheckpoint(eager=False)
     sym = (e0.select(F.col("a").alias("v"), F.col("b").alias("u"))
            .unionAll(e0.select(F.col("b").alias("v"),
                                F.col("a").alias("u"))))
@@ -3342,7 +3350,11 @@ def graph_avg_neighbor_degree(spark: SparkSession,
            .unionAll(e0.select(F.col("b").alias("v"),
                                F.col("a").alias("u")))
            .localCheckpoint(eager=False))  # degree + SpMV share it
-    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    # r11: the O(V) degree table feeds two subtrees (the SpMV join's
+    # u-side and the final per-vertex join) — pin it so the 2E-row
+    # degree shuffle runs once per query
+    deg = (adj.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+           .localCheckpoint(eager=False))
     snd = (adj.join(deg.select(F.col("v").alias("u"),
                                F.col("k").alias("ku")), "u")
            .groupBy("v")

@@ -2294,6 +2294,10 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.count(F.when(F.col("pos"), 1)).cast("bigint").alias("n_pos"))
+    # r11: the 10-row cell table feeds THREE subtrees (x, y, totals), and
+    # Catalyst does not share subplans across join branches — without the
+    # pin the whole events bucketed-rank lineage ran 3x per query
+    cells = cells.localCheckpoint(eager=False)
     # cumulative + totals over the 10 decile cells as a broadcast
     # self-join (y.decile <= x.decile) — even the 10-row windows would
     # be global WindowExecs, and this query's contract is ZERO of them
