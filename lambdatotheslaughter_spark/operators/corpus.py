@@ -63,7 +63,11 @@ def llm_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins (past ~1M docs AQE picks the strategy)."""
     clusters = llm_dedup_cluster(spark, sf_dir).select("doc_id", "cluster_id")
     nchars = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
-    c = clusters.join(nchars, "doc_id")
+    # r11: the decorated cluster table feeds both the per-cluster argmax
+    # and the final survivor join — pin it so the documents join (and,
+    # on the distributed CC path, the whole upstream cluster lineage)
+    # runs once per query
+    c = clusters.join(nchars, "doc_id").localCheckpoint(eager=False)
     # argmax by (n_chars, smallest doc_id): struct max with negated id
     surv = (c.groupBy("cluster_id")
             .agg(F.max(F.struct(F.col("n_chars"),
