@@ -1285,10 +1285,15 @@ def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed edge RDD 7 times and ran the degree shuffle TWICE),
     # and the stats-free subtree made the planner BROADCAST one full
     # ~2E-row side of the self-join (a ~1M-row build relation per task —
-    # the key's GC/variance source). Checkpointed, the subtree runs once,
-    # the self-join plans on accurate sizes as a sort-merge with a
-    # ReusedExchange (ONE shuffle+sort of the 2E-row table), and the
-    # wedge stream folds straight into the candidate aggregation.
+    # the key's GC/variance source). Checkpointed, the subtree runs once
+    # and the planner sizes the self-join on the REAL table: at sf0.1 it
+    # broadcasts the narrow (pivot, w) projection (~14 MB — the build
+    # side is now 2 columns, not the full pre-fix row), leaving the
+    # 20.8M-row wedge stream to fold straight into the candidate
+    # aggregation with ONE shuffle total (see the committed sf0.1 plan:
+    # zero Sort nodes, one Exchange). The choice is planner-made, not
+    # hinted, so past broadcast scale (2E rows at cluster SFs) it
+    # degrades to a sort-merge join instead of hard-failing.
     symd = (sym.join(deg, "v")
             .select(F.col("v").alias("pivot"), "w",
                     F.floor(F.lit(1e15)
