@@ -1303,12 +1303,43 @@ def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = symd.select("pivot", F.col("w").alias("x"), "term_fp")
     s2 = symd.select(F.col("pivot").alias("p2"), F.col("w").alias("y"))
     wed = s1.join(s2, s1.pivot == s2.p2).where(F.col("x") < F.col("y"))
-    cand = (wed.groupBy(F.col("x").alias("a"), F.col("y").alias("b"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"),
-                 F.sum("term_fp").cast("bigint").alias("aa_fp")))
+    # r11 follow-up (guide §2.3 narrower shuffle keys; measured −21/−25%
+    # same-window): the candidate fold's partial aggregation is useless
+    # here — 20.8M wedges hold 19.7M distinct pairs, so the map-side
+    # hash map re-emits ~95% of its input as (x, y, count, sum) rows.
+    # When the node-id domain provably fits in 31 bits (data-derived
+    # gate: max id over the checkpointed edge set — one scan of an
+    # O(E) in-memory table), pack the pair into ONE bigint (x<<32 | y,
+    # injective since x < y < 2^31) and shuffle the RAW (pk, term_fp)
+    # 16-byte rows by it instead: the exchange narrows 2.5x, the
+    # useless map-side hash map disappears, both post-shuffle folds and
+    # the anti-join key on a single long (LongHashedRelation when the
+    # planner broadcasts the edge side). Past the 31-bit bound (cluster
+    # SFs: partkeys exceed int32) the gate falls back to the two-column
+    # shape below — same plan as before this change.
+    max_id = und.agg(F.max("b").alias("m")).first()["m"]
+    if max_id is not None and max_id < (1 << 31):
+        undp = und.select(F.shiftleft(F.col("a"), 32)
+                          .bitwiseOR(F.col("b")).alias("pk"))
+        cand = (wed.select(F.shiftleft(F.col("x"), 32)
+                           .bitwiseOR(F.col("y")).alias("pk"), "term_fp")
+                .repartition(F.col("pk"))
+                .groupBy("pk")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"),
+                     F.sum("term_fp").cast("bigint").alias("aa_fp"))
+                .where(F.col("n_common") >= 2)
+                .join(undp, "pk", "left_anti")
+                .select(F.shiftrightunsigned("pk", 32).alias("a"),
+                        F.col("pk").bitwiseAND(F.lit(4294967295)).alias("b"),
+                        "n_common", "aa_fp"))
+    else:
+        cand = (wed.groupBy(F.col("x").alias("a"), F.col("y").alias("b"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"),
+                     F.sum("term_fp").cast("bigint").alias("aa_fp"))
+                .join(und, ["a", "b"], "left_anti")
+                .where(F.col("n_common") >= 2))
     score = F.round(F.col("aa_fp").cast("double") / F.lit(1e15), 6)
-    return (cand.join(und, ["a", "b"], "left_anti")
-            .where(F.col("n_common") >= 2)
+    return (cand
             .select("a", "b", "n_common", score.alias("adamic_adar"))
             # top-1000 predicted links: TakeOrderedAndProject, no global
             # sort; ranking on the ROUNDED fixed-point score ties
