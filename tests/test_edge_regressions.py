@@ -286,3 +286,44 @@ def test_bcast_row_budget_is_memory_derived(spark):
     heap = det._parse_jvm_mem(spark.conf.get("spark.driver.memory", "1g"))
     expect = int(heap * det._BCAST_HEAP_SHARE / 96)
     assert budget == min(expect, det.BCAST_V_MAX_ROWS)
+
+
+def test_adamic_adar_packed_and_fallback_branches_agree(spark, tmp_path):
+    """r11 §3b: the candidate fold packs (x, y) into one bigint only when
+    the data-derived max node id fits in 31 bits; cluster-scale ids take
+    the original two-column shape. Run the SAME co-purchase graph twice —
+    once with small part ids (packed fastpath) and once with every id
+    offset past 2^31 (fallback) — and require the outputs to agree
+    row-for-row up to the offset: identical pair structure, identical
+    n_common, bit-identical scores. This value-gates BOTH branches of the
+    gate the same way the closeness estimate-gate parity test does."""
+    off = 1 << 31
+
+    def write_lineitem(path, shift):
+        rows = []
+        # consecutive-line gaps +1, +2, +4 build the circulant C25(1,2,4):
+        # a non-edge pair at distance 3 has >= 2 common neighbors, so the
+        # n_common >= 2 output filter keeps real rows
+        for ok in range(60):
+            for ln, step in enumerate((0, 1, 3, 7)):
+                pk = (ok * 11 + step) % 25 + 1
+                rows.append((ok, ln, pk + shift, 1))
+        table = pa.table({
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_linenumber": pa.array([r[1] for r in rows], pa.int32()),
+            "l_partkey": pa.array([r[2] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([r[3] for r in rows], pa.int64()),
+        })
+        pq.write_table(table, str(path))
+
+    small = tmp_path / "small"
+    big = tmp_path / "big"
+    small.mkdir()
+    big.mkdir()
+    write_lineitem(small / "lineitem.parquet", 0)
+    write_lineitem(big / "lineitem.parquet", off)
+    fn = registry.get("graph_adamic_adar_linkpred").fn
+    packed = [tuple(r) for r in fn(spark, str(small)).collect()]
+    fallback = [tuple(r) for r in fn(spark, str(big)).collect()]
+    assert len(packed) > 0  # the synthetic graph must actually emit pairs
+    assert [(a + off, b + off, n, s) for (a, b, n, s) in packed] == fallback
