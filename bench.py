@@ -251,6 +251,16 @@ def main() -> None:
             t0 = time.perf_counter()
             _drain(fn(spark, SF_DIR))
             warm.append(time.perf_counter() - t0)
+        if min(warm) > 3.0:
+            # second escalation tier (r11): this box's load bursts can
+            # outlast min-of-3 — one r11 window read graph_hits_fixed at
+            # 4.3 s across all three runs while the same HEAD read 2.1 s
+            # minutes later. Same justification as the first tier:
+            # min-of-4 <= min-of-3, readings only move toward the quiet
+            # value, and only the few >3 s keys pay the extra run.
+            t0 = time.perf_counter()
+            _drain(fn(spark, SF_DIR))
+            warm.append(time.perf_counter() - t0)
         timings[name] = round(min(warm), 3)
         # release this query's localCheckpoint RDDs / broadcasts before
         # the next key: the DataFrames die here, but Python GC is lazy
