@@ -230,6 +230,7 @@ def main() -> None:
         jvm.org.apache.logging.log4j.Level.FATAL)
     queries = registry.all_queries()
     timings: dict[str, float] = {}
+    warm_runs: dict[str, int] = {}
     import gc
     for name in HEADLINE:
         fn = queries[name]
@@ -262,6 +263,7 @@ def main() -> None:
             _drain(fn(spark, SF_DIR))
             warm.append(time.perf_counter() - t0)
         timings[name] = round(min(warm), 3)
+        warm_runs[name] = len(warm)  # min-of-N tier per key (VERDICT r11 #7/#9)
         # release this query's localCheckpoint RDDs / broadcasts before
         # the next key: the DataFrames die here, but Python GC is lazy
         # AND Spark's ContextCleaner only reclaims JVM-side blocks after
@@ -291,10 +293,23 @@ def main() -> None:
         "sf": sf,
         "value": total,
         "n_queries": len(timings),
+        # r12 additions (VERDICT r11 ask #3/#9), additions-only: the core
+        # count the run used, and the per-key min-of-N tier (how many warm
+        # runs each key's reported MIN came from) so cross-round per-key
+        # comparisons can be like-for-like.
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "warm_runs": warm_runs,
     }
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "bench_out.json")
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.path.join(repo_dir, "bench_out.json")
     with open(out_path, "w") as fh:
+        fh.write(json.dumps(full, separators=(",", ":")) + "\n")
+    # per-cpus artifact (VERDICT r11 ask #3): the driver benches at two
+    # core counts and its second run overwrites bench_out.json, erasing
+    # the first run's per-key dict — write a per-cpus copy too so both
+    # runs' per-key timings survive and PERF can compare per-query.
+    cpus_tag = os.environ.get("SPARK_GRAFT_CPUS", "any")
+    with open(os.path.join(repo_dir, f"bench_out_c{cpus_tag}.json"), "w") as fh:
         fh.write(json.dumps(full, separators=(",", ":")) + "\n")
     sys.stdout.flush()
     print(stdout_line(full), flush=True)

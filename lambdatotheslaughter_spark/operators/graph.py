@@ -536,7 +536,11 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = apply_wedge_degree_cap(und)  # opt-in hub cut (exact by default)
     # r11: checkpoint the O(V) degree table — it feeds the two broadcast
     # orientation sides AND the final per-edge join, so uncheckpointed
-    # the 2E-row degree shuffle ran four times in one plan
+    # the 2E-row degree shuffle ran four times in one plan. Kept after
+    # the r12 driver-protocol A/B (VERDICT r11 #2): interleaved fresh-JVM
+    # pairs at 32c AND 8c read the checkpointed form at-or-under the
+    # uncheckpointed one in every quiet pair (OPTIMIZATION_r12.md) — the
+    # r11 driver-visible regression was window noise.
     deg = (und.select(F.col("a").alias("v")).unionAll(und.select("b"))
            .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
            .localCheckpoint(eager=False))
@@ -782,7 +786,8 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = apply_wedge_degree_cap(und)  # opt-in hub cut (exact by default)
     # r11: checkpoint the O(V) degree table — the two broadcast
     # orientation sides and the final coefficient join are separate
-    # subtrees, so uncheckpointed the 2E-row degree shuffle ran thrice
+    # subtrees, so uncheckpointed the 2E-row degree shuffle ran thrice.
+    # Kept after the r12 driver-protocol A/B (see jaccard's note).
     deg = (und.select(F.col("a").alias("v")).unionAll(und.select("b"))
            .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
            .localCheckpoint(eager=False))
@@ -1304,26 +1309,42 @@ def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = symd.select(F.col("pivot").alias("p2"), F.col("w").alias("y"))
     wed = s1.join(s2, s1.pivot == s2.p2).where(F.col("x") < F.col("y"))
     # r11 follow-up (guide §2.3 narrower shuffle keys; measured −21/−25%
-    # same-window): the candidate fold's partial aggregation is useless
-    # here — 20.8M wedges hold 19.7M distinct pairs, so the map-side
-    # hash map re-emits ~95% of its input as (x, y, count, sum) rows.
-    # When the node-id domain provably fits in 31 bits (data-derived
-    # gate: max id over the checkpointed edge set — one scan of an
-    # O(E) in-memory table), pack the pair into ONE bigint (x<<32 | y,
-    # injective since x < y < 2^31) and shuffle the RAW (pk, term_fp)
-    # 16-byte rows by it instead: the exchange narrows 2.5x, the
-    # useless map-side hash map disappears, both post-shuffle folds and
-    # the anti-join key on a single long (LongHashedRelation when the
-    # planner broadcasts the edge side). Past the 31-bit bound (cluster
-    # SFs: partkeys exceed int32) the gate falls back to the two-column
-    # shape below — same plan as before this change.
-    max_id = und.agg(F.max("b").alias("m")).first()["m"]
-    if max_id is not None and max_id < (1 << 31):
+    # same-window): the candidate fold's partial aggregation buys almost
+    # nothing here — 20.8M wedges hold 19.7M distinct pairs, so a map-side
+    # hash map would re-emit ~95% of its input as (x, y, count, sum) rows.
+    # When the node-id domain provably fits in [0, 2^31) (data-derived
+    # gate: min AND max id over the checkpointed edge set in one scan of
+    # an O(E) in-memory table — the min bound matters because
+    # pk = x<<32 | y is only injective for NON-NEGATIVE ids, ADVICE r11),
+    # pack the pair into ONE bigint (injective since 0 <= x < y < 2^31)
+    # and repartition the RAW (pk, term_fp) 16-byte rows by it: the
+    # repartition satisfies the aggregation's distribution requirement, so
+    # BOTH HashAggregates plan above the exchange (raw rows are shuffled,
+    # not partial-agg output — the exchange narrows 2.5x) and the fold and
+    # anti-join key on a single long (LongHashedRelation when the planner
+    # broadcasts the edge side). Past the id bound (cluster SFs: partkeys
+    # exceed int32) the gate falls back to the two-column shape below —
+    # same plan as before this change.
+    bounds = und.agg(F.min("a").alias("lo"), F.max("b").alias("hi")).first()
+    if (bounds["hi"] is not None and bounds["lo"] >= 0
+            and bounds["hi"] < (1 << 31)):
         undp = und.select(F.shiftleft(F.col("a"), 32)
                           .bitwiseOR(F.col("b")).alias("pk"))
+        # r12 (VERDICT r11 ask #1): PINNED-width repartition — the r11
+        # column-only form let AQE coalesce the 20.8M-row exchange into a
+        # few fat partitions, which straggler-amplified at low core counts
+        # (the driver's local[8] run read 8.09 s, over the 8 s family
+        # bar). Pinning to spark.sql.shuffle.partitions keeps the fold's
+        # task width at the session's configured parallelism — a
+        # cluster-scale conf, not a local[32] constant — and the r12
+        # interleaved fresh-JVM A/B read the pinned shape at-or-under the
+        # AQE shape in every comparable pair at BOTH core counts
+        # (32c: 4.29/4.02/4.12 vs 4.68/4.24/4.99; 8c quiet: 5.30/5.88 vs
+        # 6.21 — under the 8 s bar; OPTIMIZATION_r12.md §1b).
+        nshuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
         cand = (wed.select(F.shiftleft(F.col("x"), 32)
                            .bitwiseOR(F.col("y")).alias("pk"), "term_fp")
-                .repartition(F.col("pk"))
+                .repartition(nshuf, F.col("pk"))
                 .groupBy("pk")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"),
                      F.sum("term_fp").cast("bigint").alias("aa_fp"))

@@ -3120,11 +3120,6 @@ WHERE 10 * len(list_intersect(a.sh, b.sh)) >= 8 * least(len(a.sh), len(b.sh))
 # this gate deliberately takes no env var (ADVICE r10 #4).
 _CONTAIN_DEDUP_RATIO = 1.5
 
-# gate-decision memo: (realpath, size, mtime_ns, ratio) -> dup_heavy.
-# Keyed on the ratio too, so tests that monkeypatch _CONTAIN_DEDUP_RATIO
-# to force a branch never read a decision made under a different ratio.
-_CONTAIN_GATE_MEMO: dict[tuple, bool] = {}
-
 
 def _containment_pairs(docs: DataFrame, sf_dir: str) -> DataFrame:
     """Inverted-index containment core over an arbitrary doc slice:
@@ -3212,37 +3207,26 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct branch in tests/test_edge_regressions.py and probed at 100×
     duplicates in SCALE.md."""
     d = load_table(spark, "documents", sf_dir).where(F.size(_tokens()) >= 3)
-    # lazy checkpoint: the gate aggregate below materializes the
-    # fingerprints; the groupBy/join in the dedup-first branch then reads
-    # them without re-hashing the corpus
-    keyed = (d.select("doc_id", F.md5("text").alias("fp"))
-             .localCheckpoint(eager=False))
-    # memoize the gate decision per immutable input (path, size, mtime):
-    # the parquet files never mutate in place, so the multiplicity of a
-    # given file is a constant — warm re-runs of the same corpus skip the
-    # gate job entirely. A stale or wrong memo could only ever flip the
-    # PLAN, never the values (both branches are value-identical).
-    doc_path = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(doc_path)
-        memo_key = (os.path.realpath(doc_path), st.st_size,
-                    st.st_mtime_ns, _CONTAIN_DEDUP_RATIO)
-    except OSError:
-        memo_key = None
-    if memo_key is not None and memo_key in _CONTAIN_GATE_MEMO:
-        dup_heavy = _CONTAIN_GATE_MEMO[memo_key]
-    else:
-        mult = keyed.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.approx_count_distinct("fp").alias("n_distinct")).first()
-        dup_heavy = (mult["n_rows"]
-                     >= _CONTAIN_DEDUP_RATIO * max(mult["n_distinct"], 1))
-        if memo_key is not None:
-            _CONTAIN_GATE_MEMO[memo_key] = dup_heavy
+    # gate aggregate, run EVERY invocation (VERDICT r11 ask #5: the r11
+    # (path, size, mtime)-keyed memo shaved timed work on warm bench runs
+    # keyed on the testdata files — value-neutral but gaming-adjacent, so
+    # it is gone). The gate is one map-side-combinable scan of documents
+    # (count + HLL over the full-text md5) — O(corpus) with no shuffle
+    # volume, far below this key's Σ df(s)² join body.
+    mult = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct(F.md5("text")).alias("n_distinct")).first()
+    dup_heavy = (mult["n_rows"]
+                 >= _CONTAIN_DEDUP_RATIO * max(mult["n_distinct"], 1))
     if not dup_heavy:
         return _containment_pairs(d, sf_dir)
     # duplicate-heavy regime: dedup-first. One representative (min doc_id)
-    # per byte-identical text group; inverted index over reps only.
+    # per byte-identical text group; inverted index over reps only. The
+    # fingerprint table is checkpointed here (not before the gate): the
+    # groupBy and the members join both read it, so the corpus is hashed
+    # once for both consumers.
+    keyed = (d.select("doc_id", F.md5("text").alias("fp"))
+             .localCheckpoint(eager=False))
     groups = (keyed.groupBy("fp")
               .agg(F.min("doc_id").alias("rep_id"))
               .localCheckpoint(eager=False))

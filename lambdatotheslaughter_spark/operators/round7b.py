@@ -3352,7 +3352,10 @@ def graph_avg_neighbor_degree(spark: SparkSession,
            .localCheckpoint(eager=False))  # degree + SpMV share it
     # r11: the O(V) degree table feeds two subtrees (the SpMV join's
     # u-side and the final per-vertex join) — pin it so the 2E-row
-    # degree shuffle runs once per query
+    # degree shuffle runs once per query. Kept after the r12
+    # driver-protocol A/B (VERDICT r11 #2, OPTIMIZATION_r12.md): the
+    # checkpointed form read at-or-under the uncheckpointed one in
+    # every quiet interleaved pair at both 32 and 8 cores.
     deg = (adj.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
            .localCheckpoint(eager=False))
     snd = (adj.join(deg.select(F.col("v").alias("u"),

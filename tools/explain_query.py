@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Dump `.explain("formatted")` for one or more registry keys to
-plans/r11/<key>_<tag>.txt (the optimization-round plan artifact).
+plans/<round>/<key>_<tag>.txt (the optimization-round plan artifact).
 
 Usage: python tools/explain_query.py <tag> <query> [<query> ...]
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_PLANS_ROUND (default r12).
 """
 import os
 import sys
@@ -15,7 +16,7 @@ from lambdatotheslaughter_spark.session import get_spark
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "plans", "r11")
+                   "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"))
 
 tag = sys.argv[1]
 os.makedirs(OUT, exist_ok=True)
