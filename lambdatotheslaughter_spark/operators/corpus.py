@@ -1965,7 +1965,12 @@ def llm_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("band") == F.col("band2"))
                    & (F.col("bh") == F.col("bh2"))
                    & (F.col("a_id") < F.col("b_id")))
-            .select("bands", "rows_per_band", "a_id", "b_id").distinct())
+            .select("bands", "rows_per_band", "a_id", "b_id").distinct()
+            # r12 (the r11 §10 duplicated-lineage pattern, guide §2.4):
+            # cand feeds BOTH the candidate-count fold and the recall
+            # semi-join — uncheckpointed, the band self-join + distinct
+            # ran twice per query (same-window A/B in OPTIMIZATION_r12.md)
+            .localCheckpoint(eager=False))
     caught = cand.join(true_pairs, ["a_id", "b_id"], "left_semi")
     n_true = true_pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_true"))

@@ -1466,11 +1466,6 @@ def graph_personalized_pagerank(spark: SparkSession,
     edges_deg = edges_w.join(deg, "src").localCheckpoint()
     is_seed = F.col("sn2").isNotNull()
     seeds2 = seeds.select(F.col("node").alias("sn2"))
-    ranks = (nodes.join(broadcast_if_bounded(seeds2, sf_dir),
-                        nodes.node == F.col("sn2"), "left")
-             .select("node",
-                     F.when(is_seed, F.lit(_SCALE // ns))
-                     .otherwise(F.lit(0)).cast("bigint").alias("r")))
     teleport = (15 * _SCALE) // (100 * ns)
     # the per-node teleport term never changes across rounds — fold the
     # seed flag into ONE checkpointed (node, t) table instead of
@@ -1482,6 +1477,21 @@ def graph_personalized_pagerank(spark: SparkSession,
                   F.when(is_seed, F.lit(teleport)).otherwise(F.lit(0))
                   .cast("bigint").alias("t"))
           .localCheckpoint(eager=False))
+    # r12 (guide §2.4): the initial rank vector ran the SAME nodes⋈seeds
+    # left join a second time — derive it from nt instead (t > 0 ⟺ seed
+    # while the integer teleport term is non-zero; teleport ≥ 1 for any
+    # ns ≤ 1.5e11, and the degenerate underflow branch keeps the explicit
+    # join so the derivation is provably value-identical in all regimes)
+    if teleport > 0:
+        ranks = nt.select("node",
+                          F.when(F.col("t") > 0, F.lit(_SCALE // ns))
+                          .otherwise(F.lit(0)).cast("bigint").alias("r"))
+    else:
+        ranks = (nodes.join(broadcast_if_bounded(seeds2, sf_dir),
+                            nodes.node == F.col("sn2"), "left")
+                 .select("node",
+                         F.when(is_seed, F.lit(_SCALE // ns))
+                         .otherwise(F.lit(0)).cast("bigint").alias("r")))
     for _ in range(_PPR_ITERS):
         # broadcast the O(V) vectors (size-gated — the bare hint would
         # hard-fail, not degrade, past broadcast scale); the edge list

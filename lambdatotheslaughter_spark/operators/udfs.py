@@ -333,8 +333,12 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
     dirs = sorted(_glob.glob(os.path.join(out, "batch_*")))
     # localCheckpoint so the per-run /tmp output dir can be removed now
     # instead of leaking across sweeps (same discipline as
-    # sink_stream_to_table); eager=True pins the 900 rows in block storage
-    res = spark.read.parquet(*dirs).select("i", "v").localCheckpoint(eager=True)
+    # sink_stream_to_table); eager=True pins the 900 rows in block storage.
+    # Schema pinned explicitly (r12): the batches were written from the
+    # source's declared "i int, v int", so inference could only ever agree —
+    # pinning skips the footer-sampling pass at plan time (guide §6).
+    res = (spark.read.schema("i int, v int").parquet(*dirs)
+           .select("i", "v").localCheckpoint(eager=True))
     shutil.rmtree(out, ignore_errors=True)
     return res
 

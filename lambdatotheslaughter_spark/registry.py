@@ -63,41 +63,47 @@ _loaded = False
 # tests/test_survey_coverage.py) fails if any slot below wastes a round on
 # an already-verified key.
 #
-# ROUND 11 window -- drain window #4 (VERDICT r10 ask #1): 50 slots, ALL
-# first-time oracled keys, cut straight from ``python tools/rotation.py``'s
-# 65-key never-slotted pool in registration order. NO rows-only slots this
-# round -- VERDICT r10 wrong #1 ("the artifact cannot distinguish 'clean
-# rows-only' from 'broken' ... don't seat the remaining nine; finish the
-# oracled drain first"), so _ROWS_ONLY_SLOTS is empty and the r10 trio is
-# retired from tools/rotation.py BACKFILL. Targets: CORRECTNESS_r11 50/50
-# green all-first-time, union >= 531 oracled driver-green, never-slotted
-# backlog = 15 (the remainder listed by tools/rotation.py; round 12
-# finishes the drain). Addition freeze stays in force -- zero new keys.
+# ROUND 12 window -- drain COMPLETION + re-verification (VERDICT r11 ask
+# #2): slots 1-15 are the FINAL 15 never-slotted oracled keys (the whole
+# remaining pool from ``python tools/rotation.py``, registration order) --
+# with them the driver-slotted union reaches 549/549 oracled keys. Slots
+# 16-50 are 35 RE-verification slots for the keys whose operator code was
+# optimized in r11/r12 after their last driver verification (the lsh/ann
+# trio's two oracled members, the resampling family, the graph kernels,
+# adamic-adar's pinned-width r12 shape, the r12-touched containment /
+# tuning-report / PPR / stream keys) plus the most expensive headline
+# residents for regression visibility. NO rows-only slots
+# (llm_sim_lsh_approx / llm_sim_ann_ivf stay pytest-gated per VERDICT r10
+# wrong #1). Addition freeze stays in force -- zero new keys.
 _ROWS_ONLY_SLOTS: tuple[str, ...] = ()
 
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    'seq_survival_km', 'dq_referential_integrity', 'dq_freshness_lag',
-    'llm_sample_ares_topk', 'llm_eval_pairwise_winrate',
-    'graph_katz_centrality_fixed', 'sql_group_by_ordinal',
-    'llm_tool_call_parse', 'llm_vocab_growth_heaps', 'ts_mase_eval',
-    'stat_cochran_q', 'dq_pk_uniqueness', 'agg_trimmed_winsorized_mean',
-    'seq_market_basket_rules', 'llm_topic_coherence_umass',
-    'llm_self_bleu_diversity', 'stat_ks_uniform_md5_audit',
-    'stat_poisson_dispersion', 'dq_reconciliation_orders_lineitem',
-    'sql_natural_using_join', 'agg_median_builtin', 'ts_bollinger_bands',
-    'stat_tost_equivalence', 'stat_sprt_daily', 'ml_optimal_f1_threshold',
-    'llm_eval_ece', 'llm_dedup_whitespace_casefold',
-    'graph_rich_club_coefficient', 'llm_sample_ares_per_group',
-    'seq_hazard_rate_daily', 'llm_mixture_kl_report',
-    'llm_dedup_template_prefix', 'llm_eval_distinct_n',
-    'stat_cochran_armitage_trend', 'stat_bartlett_test',
-    'stat_durbin_watson', 'ts_changepoint_cusum_argmax',
-    'ml_mcc_threshold_sweep', 'dq_cross_field_consistency',
-    'seq_interpurchase_quantiles', 'ts_hurst_rs',
-    'graph_label_propagation_sync', 'stat_breusch_pagan',
-    'ts_dickey_fuller_unit_root', 'graph_closeness_harmonic_3hop',
-    'llm_hapax_ratio_per_source', 'agg_geometric_harmonic_mean',
-    'dq_schema_drift_report', 'ts_granger_lag1', 'ml_cost_curve_threshold',
+    # -- 15 never-slotted oracled keys (drain completion) --
+    'dq_volume_anomaly_daily', 'graph_local_bridges',
+    'seq_user_path_entropy', 'stat_welch_anova', 'stat_cronbach_alpha',
+    'llm_cross_lang_leakage', 'ts_turning_points_test',
+    'er_fellegi_sunter_scores', 'llm_watermark_greenlist_detect',
+    'seq_next_event_prediction_eval', 'agg_histogram_equi_depth',
+    'llm_select_top_quality_budget', 'graph_avg_neighbor_degree',
+    'stat_meta_fixed_effect_pool', 'stat_capability_indices',
+    # -- 35 re-verification slots (r11/r12-optimized + headline heavies) --
+    'graph_adamic_adar_linkpred', 'llm_sim_lsh_mllib',
+    'stat_bh_fdr_permutation', 'stat_bootstrap_poisson_ci',
+    'stat_permutation_test', 'graph_triangle_count',
+    'graph_jaccard_neighbors', 'graph_clustering_coefficient',
+    'sql_scripting_block', 'graph_pagerank_fixed',
+    'graph_personalized_pagerank', 'graph_hits_fixed',
+    'graph_bfs_distance', 'llm_sim_knn_quantized', 'ml_lift_gains_table',
+    'llm_pipeline_curation_v2', 'llm_repetition_score',
+    'llm_dedup_survivorship', 'llm_dedup_containment',
+    'llm_lsh_tuning_report', 'graph_closeness_harmonic_3hop',
+    'source_python_datasource_stream', 'graph_katz_centrality_fixed',
+    'graph_label_propagation_sync', 'ts_hurst_rs', 'llm_eval_chrf',
+    'llm_dedup_fuzzy_minhash', 'llm_dedup_cluster',
+    'llm_pipeline_end_to_end', 'seq_rfm_segments',
+    'llm_dedup_ngram_jaccard', 'graph_bipartite_copurchase',
+    'llm_fingerprint_winnow', 'scd2_dimension_merge',
+    'llm_eval_bleu_corpus',
 )
 
 

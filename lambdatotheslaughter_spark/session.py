@@ -44,6 +44,35 @@ def get_spark(app_name: str = "lambdatotheslaughter_spark",
         .config("spark.sql.streaming.checkpointLocation", os.environ.get(
             "SPARK_GRAFT_CKPT", "/tmp/lts_spark_ckpt"))
     )
+    if os.environ.get("SPARK_GRAFT_CLUSTER_PROFILE", "0") == "1":
+        # r12 §9 config pass (VERDICT r11 ask #7), env-keyed so the LOCAL
+        # defaults — and therefore the driver's bench — stay byte-for-byte
+        # comparable across rounds. These are the guide's cluster-scale
+        # knobs, not local[32] tuning; each is value-neutral (join
+        # strategy / serialization / scan-split changes only) and the full
+        # 546-key oracle-parity replica was run green with the profile ON
+        # (OPTIMIZATION_r12.md §7):
+        # - preferSortMergeJoin=false + a 128m local-map threshold let the
+        #   planner (and AQE, at runtime) pick shuffled-hash over
+        #   sort-merge when a per-partition build fits — guide §3.1: SMJ
+        #   pays a sort both sides that SHJ skips. The r11 forced-SHJ
+        #   robustness audit (SCALE.md) already pinned value parity for
+        #   every registry key under this planner regime.
+        # - pythonUDF.arrow.enabled: scalar @udf batches cross the Python
+        #   boundary as Arrow instead of pickled rows (guide §4.3). The
+        #   registry's 6 scalar-UDF/UDTF contract demos declare honest
+        #   return types; parity was re-proven with the flag ON.
+        # - maxPartitionBytes=512m: fewer, larger scan splits for long
+        #   sequential parquet scans (guide §6) — sized for cluster-scale
+        #   inputs, pointless (single-file) at the local SFs.
+        builder = (
+            builder
+            .config("spark.sql.join.preferSortMergeJoin", "false")
+            .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                    "128m")
+            .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
+            .config("spark.sql.files.maxPartitionBytes", "512m")
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

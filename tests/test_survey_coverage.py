@@ -127,10 +127,20 @@ def test_driver_window_is_generated_not_hand_counted():
     allowed = pool | set(rotation.BACKFILL)
     wasted = [k for k in registry._DRIVER_PRIORITY if k not in allowed]
     assert not wasted, f"window wastes slots on already-verified keys: {wasted}"
+    # r10/r11 (drain era) demanded >= 46 first-time slots per window; r12
+    # COMPLETES the drain — the full-union never-slotted pool is 15 keys
+    # and VERDICT r11 ask #2 directs the remaining 35 slots to declared
+    # re-verifications. The intent-preserving invariant now: the window
+    # must seat EVERY remaining never-slotted oracled key (union drained
+    # to zero once the driver writes this round's artifact), and every
+    # non-first-time slot must be a declared BACKFILL re-verification.
+    full_pool = set(rotation.never_slotted(_REPO_ROOT, exclude_newest=False))
+    unseated = full_pool - set(registry._DRIVER_PRIORITY)
+    assert not unseated, (
+        f"never-slotted oracled keys left out of the window: {sorted(unseated)}")
     first_time = sum(1 for k in registry._DRIVER_PRIORITY if k in pool)
-    # round 10: 47 first-time + 3 declared rows-only slots (VERDICT r9
-    # ask #6) — see registry._ROWS_ONLY_SLOTS
-    assert first_time >= 46, f"only {first_time} first-time slots (driver asks >=46)"
+    assert first_time >= len(full_pool), (
+        f"only {first_time} first-time slots for a {len(full_pool)}-key pool")
 
 
 def test_bench_stdout_line_survives_driver_tail():

@@ -27,13 +27,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from lambdatotheslaughter_spark import registry  # noqa: E402
 
 # keys whose PLAN changed this round and deliberately re-occupy a slot
-# even if already driver-green. Round 11: EMPTY — VERDICT r10 wrong #1
-# retired the rows-only seating experiment ("don't seat the remaining
-# nine; finish the oracled drain first"), and no oracled key's plan
-# changed in a way that needs re-confirmation, so all 50 slots are
-# first-time draws from the never-slotted pool. Must stay a superset of
+# even if already driver-green. Round 12 (VERDICT r11 ask #2): the
+# never-slotted pool is exactly 15 keys — the window's remaining 35 slots
+# deliberately RE-verify the keys optimized in r11/r12 after their last
+# driver verification, plus the most expensive headline residents for
+# regression visibility. Must stay a superset of
 # registry._ROWS_ONLY_SLOTS (asserted in tests/test_survey_coverage.py).
-BACKFILL: tuple[str, ...] = ()
+BACKFILL: tuple[str, ...] = (
+    'graph_adamic_adar_linkpred', 'llm_sim_lsh_mllib',
+    'stat_bh_fdr_permutation', 'stat_bootstrap_poisson_ci',
+    'stat_permutation_test', 'graph_triangle_count',
+    'graph_jaccard_neighbors', 'graph_clustering_coefficient',
+    'sql_scripting_block', 'graph_pagerank_fixed',
+    'graph_personalized_pagerank', 'graph_hits_fixed',
+    'graph_bfs_distance', 'llm_sim_knn_quantized', 'ml_lift_gains_table',
+    'llm_pipeline_curation_v2', 'llm_repetition_score',
+    'llm_dedup_survivorship', 'llm_dedup_containment',
+    'llm_lsh_tuning_report', 'graph_closeness_harmonic_3hop',
+    'source_python_datasource_stream', 'graph_katz_centrality_fixed',
+    'graph_label_propagation_sync', 'ts_hurst_rs', 'llm_eval_chrf',
+    'llm_dedup_fuzzy_minhash', 'llm_dedup_cluster',
+    'llm_pipeline_end_to_end', 'seq_rfm_segments',
+    'llm_dedup_ngram_jaccard', 'graph_bipartite_copurchase',
+    'llm_fingerprint_winnow', 'scd2_dimension_merge',
+    'llm_eval_bleu_corpus',
+)
 
 
 def artifact_paths(repo_root: str) -> list[str]:
